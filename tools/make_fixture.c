@@ -111,7 +111,7 @@ int main(int argc, char **argv) {
     if (argc < 2) { fprintf(stderr, "usage: make_fixture out.webm [key=val...]\n"); return 2; }
     const char *outpath = argv[1];
     int w = 320, h = 240, fps = 30, frames = 30, gop = 9999, bitdepth = 8;
-    int audio_rate = 48000, channels = 2, cpu_used = 8;
+    int audio_rate = 48000, channels = 2, cpu_used = 8, audio_kind = 0;
     double audio_secs = 0.0, vorbis_q = 0.4, crf = 35;
     char vopts[32][128]; int n_vopts = 0;
 
@@ -132,6 +132,7 @@ int main(int argc, char **argv) {
         else if (!strcmp(key, "audio_rate")) audio_rate = atoi(val);
         else if (!strcmp(key, "channels")) channels = atoi(val);
         else if (!strcmp(key, "audio_secs")) audio_secs = atof(val);
+        else if (!strcmp(key, "audio_kind")) audio_kind = atoi(val);
         else if (!strcmp(key, "vorbis_q")) vorbis_q = atof(val);
         else if (!strcmp(key, "seed")) rng_state = (uint32_t)strtoul(val, 0, 0);
         else { fprintf(stderr, "unknown key %s\n", key); return 2; }
@@ -234,9 +235,20 @@ int main(int argc, char **argv) {
                 float *d = (float *)f->data[c];
                 for (int i = 0; i < n; i++) {
                     double tt = (double)(pos + i) / audio_rate;
-                    d[i] = (float)(0.4 * sin(2 * M_PI * (220 + 40 * c) * tt)
-                                 + 0.2 * sin(2 * M_PI * (1000 + 150 * c) * tt + 0.3)
-                                 + 0.05 * sin(2 * M_PI * 55 * tt * tt));
+                    if (audio_kind == 1) {
+                        /* transient-heavy: clicks + noise bursts force
+                         * short-block decisions in the encoder */
+                        long s = pos + i;
+                        double burst = ((s / 3000) % 4 == 0)
+                            ? ((double)(int32_t)rng() / 2147483648.0) * 0.5 : 0.0;
+                        double click = (s % 4801 < 8) ? 0.9 : 0.0;
+                        d[i] = (float)(burst + click
+                                     + 0.1 * sin(2 * M_PI * (330 + 20 * c) * tt));
+                    } else {
+                        d[i] = (float)(0.4 * sin(2 * M_PI * (220 + 40 * c) * tt)
+                                     + 0.2 * sin(2 * M_PI * (1000 + 150 * c) * tt + 0.3)
+                                     + 0.05 * sin(2 * M_PI * 55 * tt * tt));
+                    }
                 }
             }
             f->pts = pos;
