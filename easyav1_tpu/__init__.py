@@ -20,6 +20,12 @@ from easyav1_tpu.settings import (  # noqa: F401
     LogLevel,
     default_settings,
 )
-from easyav1_tpu.api import EasyAV1  # noqa: F401
+from easyav1_tpu.api import (  # noqa: F401
+    EasyAV1,
+    init_from_custom_stream,
+    init_from_file,
+    init_from_filename,
+    init_from_memory,
+)
 
 __version__ = "0.1.0"

@@ -17,3 +17,9 @@ if "host_platform_device_count" not in _flags:
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The axon TPU plugin force-appends itself to jax_platforms at import time;
+# pin the config back to cpu so tests run on the virtual 8-device host mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
