@@ -1,0 +1,489 @@
+"""Minimal AV1 encoder: sequence/frame header writers + tile encoder.
+
+Primary purpose: conformance instrumentation — streams synthesized here
+are decoded by libdav1d in tests, pinning the exact syntax/CDF usage of
+the tile decoder (tile.py) element by element. It is also the seed of a
+real encode path (a capability the reference library lacks entirely).
+
+Scope grows with the decoder: intra keyframes, single tile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1 import tables as T
+from easyav1_tpu.video.av1.cdf import CdfContext
+from easyav1_tpu.video.av1.msac_enc import MsacEncoder
+from easyav1_tpu.video.av1.tile import (mi_wlog2, mi_hlog2, _PART_ABOVE,
+                                        _PART_LEFT, partition_subsize)
+
+
+class BitWriter:
+    def __init__(self):
+        self.bits: List[int] = []
+
+    def f(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((value >> i) & 1)
+
+    def byte_align(self) -> None:
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def bytes(self) -> bytes:
+        self.byte_align()
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | self.bits[i + j]
+            out.append(b)
+        return bytes(out)
+
+
+def leb128(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def obu(obu_type: int, payload: bytes) -> bytes:
+    header = bytes([(obu_type << 3) | 0x02])  # has_size_field
+    return header + leb128(len(payload)) + payload
+
+
+def write_sequence_header(w: int, h: int, base_q_unused: int = 0) -> bytes:
+    """Minimal profile-0 8-bit 4:2:0 sequence header,
+    reduced_still_picture_header form (spec §5.5)."""
+    bw = BitWriter()
+    bw.f(0, 3)    # seq_profile
+    bw.f(1, 1)    # still_picture
+    bw.f(1, 1)    # reduced_still_picture_header
+    bw.f(0, 5)    # seq_level_idx[0]
+    bw.f(15, 4)   # frame_width_bits_minus_1
+    bw.f(15, 4)   # frame_height_bits_minus_1
+    bw.f(w - 1, 16)
+    bw.f(h - 1, 16)
+    bw.f(0, 1)    # use_128x128_superblock
+    bw.f(0, 1)    # enable_filter_intra
+    bw.f(0, 1)    # enable_intra_edge_filter
+    bw.f(0, 1)    # enable_superres
+    bw.f(0, 1)    # enable_cdef
+    bw.f(0, 1)    # enable_restoration
+    # color_config
+    bw.f(0, 1)    # high_bitdepth
+    bw.f(0, 1)    # mono_chrome
+    bw.f(0, 1)    # color_description_present
+    bw.f(0, 1)    # color_range
+    bw.f(0, 2)    # chroma_sample_position
+    bw.f(0, 1)    # separate_uv_delta_q
+    bw.f(0, 1)    # film_grain_params_present
+    bw.f(1, 1)    # trailing bit
+    return bw.bytes()
+
+
+def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
+                            disable_cdf_update: bool = True,
+                            tx_mode_select: bool = False) -> None:
+    """Frame header for the reduced_still_picture sequence (KEY, shown)."""
+    bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
+    bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
+    # frame_size_override absent (reduced); no order hint; primary ref none
+    # refresh implicitly 0xFF; frame size from seq max (no bits, no superres)
+    bw.f(0, 1)            # render_and_frame_size_different
+    # tile info (uniform, single tile; no increment bits while
+    # max_log2_tile_cols == 0, i.e. frames up to one sb column/row)
+    bw.f(1, 1)            # uniform_tile_spacing
+    # quantization_params
+    bw.f(base_q_idx, 8)
+    bw.f(0, 1)            # delta_q_y_dc coded flag
+    bw.f(0, 1)            # delta_q_u_dc
+    bw.f(0, 1)            # delta_q_u_ac
+    bw.f(0, 1)            # using_qmatrix
+    # segmentation
+    bw.f(0, 1)            # segmentation_enabled
+    # delta_q_params (base_q > 0)
+    bw.f(0, 1)            # delta_q_present
+    # loop filter
+    bw.f(0, 6)            # level[0]
+    bw.f(0, 6)            # level[1]
+    bw.f(0, 3)            # sharpness
+    bw.f(0, 1)            # delta_enabled
+    # cdef skipped (enable_cdef=0); lr skipped (enable_restoration=0)
+    bw.f(int(tx_mode_select), 1)  # tx_mode_select
+    # reference_select / skip_mode / warped skipped (intra)
+    bw.f(0, 1)            # reduced_tx_set
+    # global motion / film grain skipped
+
+
+@dataclasses.dataclass
+class EncBlock:
+    r: int
+    c: int
+    bsize: int
+    y_mode: int = C.DC_PRED
+    uv_mode: int = C.DC_PRED
+    skip: bool = True
+    # luma coefficient levels+signs in scan order (level, sign) per txblock,
+    # one list per luma tx block in raster order; empty = all_zero
+    luma_coeffs: Optional[List[List[Tuple[int, int]]]] = None
+    chroma_coeffs: Optional[List[List[Tuple[int, int]]]] = None
+
+
+class SimpleTileEncoder:
+    """Encodes a user-specified block layout (mirror of TileDecoder's
+    syntax for the supported subset: TX_MODE_LARGEST, no angle deltas,
+    no palette/filter-intra/cfl; single tile)."""
+
+    def __init__(self, w: int, h: int, base_q_idx: int,
+                 adapt: bool = False, tx_mode_select: bool = False):
+        self.adapt = adapt
+        self.tx_mode_select = tx_mode_select
+        self.w = w
+        self.h = h
+        self.mi_cols = 2 * ((w + 7) >> 3)
+        self.mi_rows = 2 * ((h + 7) >> 3)
+        self.base_q = base_q_idx
+        self.cdf = CdfContext.default(base_q_idx).t
+        self.enc = MsacEncoder()
+        self.a_part = np.zeros(self.mi_cols, np.int32)
+        self.l_part = np.zeros(self.mi_rows, np.int32)
+        self.a_mode = np.full(self.mi_cols, C.DC_PRED, np.int32)
+        self.l_mode = np.full(self.mi_rows, C.DC_PRED, np.int32)
+        self.a_skip = np.zeros(self.mi_cols, np.int32)
+        self.l_skip = np.zeros(self.mi_rows, np.int32)
+        self.a_txw = np.zeros(self.mi_cols, np.int32)
+        self.l_txh = np.zeros(self.mi_rows, np.int32)
+        self.a_lvl = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
+        self.l_lvl = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
+        self.a_sign = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
+        self.l_sign = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
+
+    def _sym(self, cdf_row, symbol, nsym=None):
+        if nsym is not None and len(cdf_row) != nsym + 1:
+            sub = cdf_row[:nsym - 1] + [0, cdf_row[-1]]
+            self.enc.encode_symbol(sub, symbol)
+            self._update(sub, symbol)
+            cdf_row[:nsym - 1] = sub[:nsym - 1]
+            cdf_row[-1] = sub[-1]
+        else:
+            self.enc.encode_symbol(cdf_row, symbol)
+            self._update(cdf_row, symbol)
+
+    def _update(self, cdf, symbol):
+        if not self.adapt:
+            return
+        n = len(cdf) - 1
+        count = cdf[n]
+        rate = 3 + (count > 15) + (count > 31) + min(n.bit_length() - 1, 2)
+        for i in range(n - 1):
+            if i >= symbol:
+                cdf[i] -= cdf[i] >> rate
+            else:
+                cdf[i] += (32768 - cdf[i]) >> rate
+        cdf[n] = count + (count < 32)
+
+    def encode_blocks(self, blocks: List[EncBlock]) -> bytes:
+        # partition tree: caller supplies the leaf blocks; we derive the
+        # tree for the (single) 64x64 superblock grid
+        from collections import defaultdict
+        blkmap = {(b.r, b.c): b for b in blocks}
+        for sr in range(0, self.mi_rows, 16):
+            for sc in range(0, self.mi_cols, 16):
+                self._encode_partition(sr, sc, C.BLOCK_64X64, blkmap)
+        return self.enc.done()
+
+    def _encode_partition(self, r, c, bsize, blkmap):
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        w4 = C.BLOCK_W4[bsize]
+        half = w4 >> 1
+        has_rows = (r + half) < self.mi_rows
+        has_cols = (c + half) < self.mi_cols
+        bsl = mi_wlog2(bsize)
+        blk = blkmap.get((r, c))
+        is_leaf = blk is not None and blk.bsize == bsize
+        if bsize == C.BLOCK_4X4:
+            self._encode_block(blkmap[(r, c)])
+            return
+        if has_rows and has_cols:
+            above = (int(self.a_part[c]) >> bsl) & 1
+            left = (int(self.l_part[r]) >> bsl) & 1
+            ctx = left * 2 + above
+            row_idx = (bsl - 1) * 4 + ctx
+            nsym = 4 if bsize == C.BLOCK_8X8 else (
+                8 if bsize == C.BLOCK_128X128 else 10)
+            part = C.PARTITION_NONE if is_leaf else C.PARTITION_SPLIT
+            self._sym(self.cdf["partition"][row_idx], part, nsym)
+        else:
+            part = C.PARTITION_NONE if is_leaf else C.PARTITION_SPLIT
+            if not is_leaf:
+                # edge: encode the split_or bool = 1 (split)
+                raise NotImplementedError("edge partitions in encoder")
+        if part == C.PARTITION_NONE:
+            self._encode_block(blk)
+            self.a_part[c:c + w4] = _PART_ABOVE[bsize]
+            self.l_part[r:r + C.BLOCK_H4[bsize]] = _PART_LEFT[bsize]
+        else:
+            sub = partition_subsize(C.PARTITION_SPLIT, bsize)
+            self._encode_partition(r, c, sub, blkmap)
+            self._encode_partition(r, c + half, sub, blkmap)
+            self._encode_partition(r + half, c, sub, blkmap)
+            self._encode_partition(r + half, c + half, sub, blkmap)
+
+    def _encode_block(self, blk: EncBlock):
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        avail_u = r > 0
+        avail_l = c > 0
+        has_chroma = True
+        if h4 == 1 and (r & 1) == 0:
+            has_chroma = False
+        if w4 == 1 and (c & 1) == 0:
+            has_chroma = False
+        skip_ctx = (int(self.a_skip[c]) if avail_u else 0) + \
+                   (int(self.l_skip[r]) if avail_l else 0)
+        self._sym(self.cdf["skip"][skip_ctx], int(blk.skip))
+        above_mode = int(self.a_mode[c]) if avail_u else C.DC_PRED
+        left_mode = int(self.l_mode[r]) if avail_l else C.DC_PRED
+        self._sym(self.cdf["kf_y_mode"][T.INTRA_MODE_CONTEXT[above_mode]]
+                  [T.INTRA_MODE_CONTEXT[left_mode]], blk.y_mode)
+        if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.y_mode <= C.D67_PRED:
+            self._sym(self.cdf["angle_delta"][blk.y_mode - C.V_PRED], 3)
+        if has_chroma:
+            cfl_allowed = w4 * 4 <= 32 and h4 * 4 <= 32
+            row = self.cdf["uv_mode"][1 if cfl_allowed else 0][blk.y_mode]
+            self._sym(row, blk.uv_mode, 14 if cfl_allowed else 13)
+            if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.uv_mode <= C.D67_PRED:
+                self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED], 3)
+        tx_size = T.MAX_TX_SIZE_RECT[bsize]
+        if self.tx_mode_select and bsize != C.BLOCK_4X4:
+            # encode depth 0 (always choose the max rect size)
+            depth_tab = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
+                         2, 2, 3, 3, 4, 4]
+            max_depth = depth_tab[bsize]
+            cat = max(0, min(T.TX_SIZE_SQR_UP[tx_size] - 1, 3))
+            max_tx_w = T.TX_WIDTH[tx_size]
+            max_tx_h = T.TX_HEIGHT[tx_size]
+            ctx = int(int(self.a_txw[c]) >= max_tx_w) \
+                + int(int(self.l_txh[r]) >= max_tx_h)
+            nsym = 2 if cat == 0 else min(max_depth, 2) + 1
+            self._sym(self.cdf["tx_size"][cat][ctx], 0, nsym)
+        if not blk.skip:
+            self._encode_residual(blk, tx_size, has_chroma)
+        else:
+            self.a_lvl[0][c:c + w4] = 0
+            self.l_lvl[0][r:r + h4] = 0
+            self.a_sign[0][c:c + w4] = 0
+            self.l_sign[0][r:r + h4] = 0
+        self.a_mode[c:c + w4] = blk.y_mode
+        self.l_mode[r:r + h4] = blk.y_mode
+        self.a_skip[c:c + w4] = int(blk.skip)
+        self.l_skip[r:r + h4] = int(blk.skip)
+        self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+        self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+
+    def _encode_residual(self, blk, tx_size, has_chroma):
+        # minimal: single luma tx block with given coeffs, chroma all-zero
+        r, c = blk.r, blk.c
+        coeff_lists = blk.luma_coeffs or [[]]
+        tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+        idx = 0
+        w4 = C.BLOCK_W4[blk.bsize]
+        h4 = C.BLOCK_H4[blk.bsize]
+        sw = T.TX_W4[tx_size]
+        sh = T.TX_H4[tx_size]
+        for yy in range(0, h4, sh):
+            for xx in range(0, w4, sw):
+                coeffs = coeff_lists[idx] if idx < len(coeff_lists) else []
+                self._encode_txb(0, (c + xx), (r + yy), tx_size, tx_ctx,
+                                 blk, coeffs)
+                idx += 1
+        if has_chroma:
+            uv_tx = self._uv_tx(blk.bsize)
+            uv_ctx = min(T.TX_SIZE_SQR_UP[uv_tx], C.TX_64X64)
+            for plane in (1, 2):
+                self._encode_txb(plane, c >> 1, r >> 1, uv_tx, uv_ctx,
+                                 blk, [])
+
+    def _uv_tx(self, bsize) -> int:
+        w4 = max(1, C.BLOCK_W4[bsize] >> 1)
+        h4 = max(1, C.BLOCK_H4[bsize] >> 1)
+        for b in range(C.BLOCK_SIZES_ALL):
+            if C.BLOCK_W4[b] == w4 and C.BLOCK_H4[b] == h4:
+                tx = T.MAX_TX_SIZE_RECT[b]
+                while T.TX_WIDTH[tx] > 32 or T.TX_HEIGHT[tx] > 32:
+                    tx = T.SPLIT_TX_SIZE[tx]
+                return tx
+        raise ValueError
+
+    def _encode_txb(self, plane, x4, y4, tx_size, tx_ctx, blk, coeffs):
+        ptype = 1 if plane else 0
+        cdf = self.cdf
+        # txb_skip ctx (mirror of decoder)
+        if plane == 0:
+            tw4, th4 = T.TX_W4[tx_size], T.TX_H4[tx_size]
+            bw4 = C.BLOCK_W4[blk.bsize]
+            bh4 = C.BLOCK_H4[blk.bsize]
+            ctx = 0 if (tw4 == bw4 and th4 == bh4) else 1
+            if not (tw4 == bw4 and th4 == bh4):
+                raise NotImplementedError("multi-tx luma in encoder")
+        else:
+            ctx = 7
+        all_zero = 0 if coeffs else 1
+        self._sym(cdf["txb_skip"][tx_ctx][ctx], all_zero)
+        if all_zero:
+            self._set_coef_ctx(plane, x4, y4, T.TX_W4[tx_size],
+                               T.TX_H4[tx_size], 0, 0)
+            return
+        # tx type: TX_MODE_LARGEST tx for <=16x16 has a coded type; keep
+        # blocks >= 32x32 to avoid coding it (set 0).
+        tx_set = T.get_tx_set_intra(tx_size, False)
+        if tx_set != 0:
+            raise NotImplementedError("tx type coding in encoder")
+        eob = len(coeffs)
+        self._encode_eob(tx_size, ptype, eob)
+        # coefficients in reverse scan order
+        scan = T.get_scan(tx_size, C.DCT_DCT)
+        tw = T.TX_WIDTH[T.ADJUSTED_TX_SIZE[tx_size]]
+        th = T.TX_HEIGHT[T.ADJUSTED_TX_SIZE[tx_size]]
+        bwl = tw.bit_length() - 1
+        levels = np.zeros(th * tw, np.int32)
+        from easyav1_tpu.video.av1.tile import TileDecoder
+        base_offsets = T.coeff_base_ctx_offset(tx_size).reshape(-1)
+        for ci in range(eob - 1, -1, -1):
+            level, sign = coeffs[ci]
+            pos = int(scan[ci])
+            if ci == eob - 1:
+                ctx_eob = TileDecoder._coeff_base_eob_ctx(ci, tw, th)
+                sym = min(level, 3) - 1
+                self._sym(cdf["coeff_base_eob"][tx_ctx][ptype][ctx_eob], sym)
+            else:
+                bctx = TileDecoder._coeff_base_ctx(levels, pos, bwl, th,
+                                                   T.TX_CLASS_2D, base_offsets)
+                sym = min(level, 3)
+                self._sym(cdf["coeff_base"][tx_ctx][ptype][bctx], sym)
+            if min(level, 3) > 2:
+                brctx = TileDecoder._coeff_br_ctx(levels, pos, bwl,
+                                                  T.TX_CLASS_2D)
+                br_tx = min(tx_ctx, C.TX_32X32)
+                rem = level - 3
+                for _ in range(4):
+                    k = min(rem, 3)
+                    self._sym(cdf["coeff_br"][br_tx][ptype][brctx], k)
+                    rem -= k
+                    if k < 3:
+                        break
+                if level > 14:
+                    raise NotImplementedError("golomb in encoder")
+            levels[pos] = level
+        culp = 0
+        dc_cat = 0
+        for ci in range(eob):
+            level, sign = coeffs[ci]
+            culp += level
+            if level == 0:
+                continue
+            pos = int(scan[ci])
+            if pos == 0:
+                sctx = self._dc_sign_ctx(plane, x4, y4,
+                                         T.TX_W4[tx_size], T.TX_H4[tx_size])
+                self._sym(cdf["dc_sign"][ptype][sctx], sign)
+                dc_cat = 2 if sign else 1
+            else:
+                self.enc.encode_bool_equi(sign)
+        culp = min(culp, 63)
+        self._set_coef_ctx(plane, x4, y4, T.TX_W4[tx_size], T.TX_H4[tx_size],
+                           culp, dc_cat)
+
+    def _dc_sign_ctx(self, plane, x4, y4, w4, h4):
+        total = 0
+        for i in range(w4):
+            if x4 + i < len(self.a_sign[plane]):
+                s = int(self.a_sign[plane][x4 + i])
+                total += 1 if s == 1 else (-1 if s == 2 else 0)
+        for i in range(h4):
+            if y4 + i < len(self.l_sign[plane]):
+                s = int(self.l_sign[plane][y4 + i])
+                total += 1 if s == 1 else (-1 if s == 2 else 0)
+        if total == 0:
+            return 0
+        return 1 if total < 0 else 2
+
+    def _set_coef_ctx(self, plane, x4, y4, w4, h4, cul, dc_cat):
+        self.a_lvl[plane][x4:x4 + w4] = cul
+        self.l_lvl[plane][y4:y4 + h4] = cul
+        self.a_sign[plane][x4:x4 + w4] = dc_cat
+        self.l_sign[plane][y4:y4 + h4] = dc_cat
+
+    def _encode_eob(self, tx_size, ptype, eob):
+        adj = T.ADJUSTED_TX_SIZE[tx_size]
+        area = T.TX_WIDTH[adj] * T.TX_HEIGHT[adj]
+        key = {16: "eob_multi16", 32: "eob_multi32", 64: "eob_multi64",
+               128: "eob_multi128", 256: "eob_multi256",
+               512: "eob_multi512", 1024: "eob_multi1024"}[area]
+        if eob <= 2:
+            eob_pt = eob
+            extra = None
+        else:
+            eob_pt = (eob - 1).bit_length() + 1
+            extra = eob - ((1 << (eob_pt - 2)) + 1)
+        self._sym(self.cdf[key][ptype][0], eob_pt - 1)
+        if eob_pt >= 3:
+            shift = eob_pt - 2
+            bit = (extra >> (shift - 1)) & 1
+            tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+            self._sym(self.cdf["eob_extra"][tx_ctx][ptype][eob_pt - 3], bit)
+            for i in range(1, shift):
+                self.enc.encode_bool_equi((extra >> (shift - 1 - i)) & 1)
+
+
+def make_ivf(frames: List[bytes], w: int, h: int) -> bytes:
+    """Minimal IVF container for raw AV1 temporal units."""
+    out = bytearray()
+    out += b"DKIF"
+    out += (0).to_bytes(2, "little")
+    out += (32).to_bytes(2, "little")
+    out += b"AV01"
+    out += w.to_bytes(2, "little")
+    out += h.to_bytes(2, "little")
+    out += (30).to_bytes(4, "little")   # timebase den
+    out += (1).to_bytes(4, "little")    # timebase num
+    out += len(frames).to_bytes(4, "little")
+    out += (0).to_bytes(4, "little")
+    for i, f in enumerate(frames):
+        out += len(f).to_bytes(4, "little")
+        out += i.to_bytes(8, "little")
+        out += f
+    return bytes(out)
+
+
+def encode_frame(w: int, h: int, base_q: int,
+                 blocks: List[EncBlock], adapt: bool = False,
+                 tx_mode_select: bool = False) -> bytes:
+    """Full temporal unit: TD + seq hdr + frame OBU."""
+    seq = write_sequence_header(w, h)
+    bw = BitWriter()
+    write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
+                            tx_mode_select=tx_mode_select)
+    bw.byte_align()
+    header_bytes = bw.bytes()
+    tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,
+                             tx_mode_select=tx_mode_select)
+    tile_data = tenc.encode_blocks(blocks)
+    frame_payload = header_bytes + tile_data
+    return (obu(C.OBU_TEMPORAL_DELIMITER, b"")
+            + obu(C.OBU_SEQUENCE_HEADER, seq)
+            + obu(C.OBU_FRAME, frame_payload))

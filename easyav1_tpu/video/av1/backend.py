@@ -1,0 +1,204 @@
+"""AV1 decoder backend: OBU stream -> decoded frames.
+
+Fills the dav1d role behind the API layer (reference easyav1.c:2360-2432
+decode_video path). Current scope: intra frames (keyframes /
+intra-only), 8-bit 4:2:0; the coverage ladder widens with the fixture
+ladder in tests/test_av1.py.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from easyav1_tpu.container.webm import TrackInfo
+from easyav1_tpu.settings import (BitsPerColor, ChromaSamplePosition,
+                                  ColorPrimaries, ColorSpace,
+                                  MatrixCoefficients, PixelLayout,
+                                  TransferCharacteristics)
+from easyav1_tpu.types import VideoFrame, VideoFrameProperties
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1.bitreader import BitReader
+from easyav1_tpu.video.av1.cdf import CdfContext
+from easyav1_tpu.video.av1.headers import (FrameHeader, HeaderParser,
+                                           SequenceHeader, parse_sequence_header,
+                                           split_obus)
+from easyav1_tpu.video.av1.recon_ref import FrameRecon
+from easyav1_tpu.video.av1.tile import FramePlan, TileDecoder
+
+
+class AV1DecodeError(Exception):
+    pass
+
+
+class AV1Backend:
+    def __init__(self, track: TrackInfo):
+        self.track = track
+        self.seq: Optional[SequenceHeader] = None
+        self.hp: Optional[HeaderParser] = None
+        self._out_refs: List[Optional[VideoFrame]] = [None] * C.NUM_REF_FRAMES
+
+    # -- VideoBackend interface -------------------------------------------
+
+    def decode(self, chunks: List[bytes], timestamp_ms: int) -> List[VideoFrame]:
+        frames = []
+        for chunk in chunks:
+            frames.extend(self._decode_temporal_unit(chunk, timestamp_ms))
+        return frames
+
+    def flush(self) -> None:
+        pass  # intra decode is stateless per frame (refs kept for show_existing)
+
+    def probe_sequence_header(self, chunks: List[bytes]) -> bool:
+        for chunk in chunks:
+            try:
+                for obu in split_obus(chunk):
+                    if obu.type == C.OBU_SEQUENCE_HEADER:
+                        return True
+            except Exception:  # noqa: BLE001
+                return False
+        return False
+
+    # ------------------------------------------------------------------
+
+    def _decode_temporal_unit(self, data: bytes, ts: int) -> List[VideoFrame]:
+        out = []
+        hdr: Optional[FrameHeader] = None
+        tile_payloads: List[bytes] = []
+        for obu in split_obus(data):
+            if obu.type == C.OBU_SEQUENCE_HEADER:
+                self.seq = parse_sequence_header(obu.payload)
+                self.hp = HeaderParser(self.seq)
+            elif obu.type == C.OBU_FRAME_HEADER:
+                hdr = self._parse_frame_header(obu.payload)
+                if hdr.show_existing_frame:
+                    f = self._show_existing(hdr, ts)
+                    if f is not None:
+                        out.append(f)
+                    hdr = None
+            elif obu.type == C.OBU_FRAME:
+                hdr = self._parse_frame_header(obu.payload)
+                offset_bits = hdr.header_bit_offset
+                byte_off = (offset_bits + 7) // 8
+                tile_payloads = [obu.payload[byte_off:]]
+                f = self._decode_frame(hdr, tile_payloads, ts)
+                if f is not None:
+                    out.append(f)
+                hdr = None
+                tile_payloads = []
+            elif obu.type == C.OBU_TILE_GROUP:
+                tile_payloads.append(obu.payload)
+                # assume one tile group carries all tiles (single-TG
+                # streams; multi-TG accumulation handled when hit)
+                if hdr is not None:
+                    f = self._decode_frame(hdr, tile_payloads, ts)
+                    if f is not None:
+                        out.append(f)
+                    hdr = None
+                    tile_payloads = []
+        return out
+
+    def _parse_frame_header(self, payload: bytes) -> FrameHeader:
+        if self.hp is None:
+            raise AV1DecodeError("no sequence header before frame header")
+        return self.hp.parse_frame_header(payload)
+
+    def _show_existing(self, hdr: FrameHeader, ts: int) -> Optional[VideoFrame]:
+        f = self._out_refs[hdr.frame_to_show_map_idx]
+        if f is None:
+            return None
+        return VideoFrame(properties=f.properties, timestamp=ts, data=f.data)
+
+    # ------------------------------------------------------------------
+
+    def _decode_frame(self, hdr: FrameHeader, tile_payloads: List[bytes],
+                      ts: int) -> Optional[VideoFrame]:
+        seq = self.seq
+        if not hdr.frame_is_intra:
+            raise AV1DecodeError("inter frames not yet supported")
+        plan = FramePlan(
+            width=hdr.upscaled_width, height=hdr.frame_height,
+            mi_cols=hdr.mi_cols, mi_rows=hdr.mi_rows,
+            subsampling_x=seq.color.subsampling_x,
+            subsampling_y=seq.color.subsampling_y,
+            y_mode=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+            uv_mode=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+            angle_y=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+            angle_uv=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+            skip=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+            bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        )
+        cdf = CdfContext.default(hdr.quant.base_q_idx)
+        dec = TileDecoder(seq, hdr, cdf, plan)
+        tiles = self._split_tiles(hdr, tile_payloads)
+        n_cols = hdr.tile.cols
+        for tile_num, tdata in enumerate(tiles):
+            dec.decode_tile(tdata, tile_num // n_cols, tile_num % n_cols)
+        recon = FrameRecon(seq, hdr, plan)
+        planes = recon.run()
+        frame = self._make_frame(planes, hdr, ts)
+        self.hp.update_refs(hdr)
+        for i in range(C.NUM_REF_FRAMES):
+            if hdr.refresh_frame_flags & (1 << i):
+                self._out_refs[i] = frame
+        return frame if hdr.show_frame else None
+
+    def _split_tiles(self, hdr: FrameHeader, payloads: List[bytes]) -> List[bytes]:
+        """Tile group parsing (spec §5.11.1)."""
+        n_tiles = hdr.tile.cols * hdr.tile.rows
+        tiles: List[bytes] = []
+        for payload in payloads:
+            r = BitReader(payload)
+            tg_start, tg_end = 0, n_tiles - 1
+            if n_tiles > 1:
+                flag = r.f1()
+                if flag:
+                    bits = hdr.tile.cols_log2 + hdr.tile.rows_log2
+                    tg_start = r.f(bits)
+                    tg_end = r.f(bits)
+            r.byte_align()
+            pos = r.pos // 8
+            for tn in range(tg_start, tg_end + 1):
+                if tn == tg_end:
+                    tiles.append(payload[pos:])
+                else:
+                    size = int.from_bytes(
+                        payload[pos:pos + hdr.tile.tile_size_bytes],
+                        "little") + 1
+                    pos += hdr.tile.tile_size_bytes
+                    tiles.append(payload[pos:pos + size])
+                    pos += size
+        return tiles
+
+    def _make_frame(self, planes, hdr: FrameHeader, ts: int) -> VideoFrame:
+        seq = self.seq
+        cc = seq.color
+        layout = {(1, 1): PixelLayout.YUV420, (1, 0): PixelLayout.YUV422,
+                  (0, 0): PixelLayout.YUV444}.get(
+            (cc.subsampling_x, cc.subsampling_y), PixelLayout.UNKNOWN)
+        if cc.mono_chrome:
+            layout = PixelLayout.YUV400
+        props = VideoFrameProperties(
+            pixel_layout=layout,
+            bits_per_color={8: BitsPerColor.BITS_8, 10: BitsPerColor.BITS_10,
+                            12: BitsPerColor.BITS_12}[cc.bitdepth],
+            color_space=(ColorSpace.FULL if cc.color_range
+                         else ColorSpace.LIMITED),
+            color_primaries=_safe_enum(ColorPrimaries, cc.color_primaries),
+            transfer_characteristics=_safe_enum(
+                TransferCharacteristics, cc.transfer_characteristics),
+            matrix_coefficients=_safe_enum(
+                MatrixCoefficients, cc.matrix_coefficients),
+            chroma_sample_position=_safe_enum(
+                ChromaSamplePosition, cc.chroma_sample_position),
+            width=hdr.upscaled_width, height=hdr.frame_height,
+        )
+        return VideoFrame(properties=props, timestamp=ts, data=list(planes))
+
+
+def _safe_enum(enum_cls, value):
+    try:
+        return enum_cls(value)
+    except ValueError:
+        return enum_cls(0)

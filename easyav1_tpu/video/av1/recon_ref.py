@@ -1,0 +1,370 @@
+"""Frame reconstruction reference (numpy, bit-exact target).
+
+Intra prediction (spec §7.11.2: DC/V/H/Paeth/Smooth*/directional with
+edge preparation) and 2-D inverse transform application (spec §7.13.3:
+rect scaling, row pass + row shift, column pass + shift 4, clamping).
+Replays the FramePlan block sequence in decode order — prediction of
+each transform block uses previously reconstructed pixels, which is the
+wavefront dependency the TPU port schedules over superblock diagonals.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1 import tables as T
+from easyav1_tpu.video.av1.headers import FrameHeader, SequenceHeader
+from easyav1_tpu.video.av1.itx_ref import inv_wht4, transform_1d
+from easyav1_tpu.video.av1.tile import FramePlan, TxBlock
+
+_ROW_SHIFT = [0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 1, 1, 1, 1]
+
+# 1-D kinds per tx type: (vertical, horizontal)
+_TX_1D = {
+    C.DCT_DCT: ("dct", "dct"),
+    C.ADST_DCT: ("adst", "dct"),
+    C.DCT_ADST: ("dct", "adst"),
+    C.ADST_ADST: ("adst", "adst"),
+    C.FLIPADST_DCT: ("flipadst", "dct"),
+    C.DCT_FLIPADST: ("dct", "flipadst"),
+    C.FLIPADST_FLIPADST: ("flipadst", "flipadst"),
+    C.ADST_FLIPADST: ("adst", "flipadst"),
+    C.FLIPADST_ADST: ("flipadst", "adst"),
+    C.IDTX: ("identity", "identity"),
+    C.V_DCT: ("dct", "identity"),
+    C.H_DCT: ("identity", "dct"),
+    C.V_ADST: ("adst", "identity"),
+    C.H_ADST: ("identity", "adst"),
+    C.V_FLIPADST: ("flipadst", "identity"),
+    C.H_FLIPADST: ("identity", "flipadst"),
+}
+
+
+def inverse_transform(txb: TxBlock, bitdepth: int) -> np.ndarray:
+    """Returns the (h, w) residual block."""
+    tx = txb.tx_size
+    w = T.TX_WIDTH[tx]
+    h = T.TX_HEIGHT[tx]
+    if txb.lossless:
+        x = txb.coeffs.astype(np.int64)
+        # rows (input scaling >> 2 inside), then columns
+        t = np.stack(inv_wht4([x[:, i] for i in range(4)]))  # cols as axis0?
+        # inv_wht4 operates along axis 0 of the list: do rows then cols
+        rows = np.stack(inv_wht4([x[i, :] for i in range(4)]))
+        # Proper order: row transform then column transform without shifts
+        r1 = np.stack(inv_wht4([x[i, :] for i in range(4)]))  # hmm
+        raise NotImplementedError("lossless WHT pending")
+    mn = -(1 << (bitdepth + 7))
+    mx = (1 << (bitdepth + 7)) - 1
+    vkind, hkind = _TX_1D[txb.tx_type]
+    adj_w = txb.coeffs.shape[1]
+    adj_h = txb.coeffs.shape[0]
+    buf = np.zeros((h, w), np.int64)
+    buf[:adj_h, :adj_w] = txb.coeffs
+    # rectangular scaling
+    if abs(w.bit_length() - h.bit_length()) == 1:
+        buf = (buf * 2896 + 2048) >> 12
+    # row pass (horizontal transform along axis 1)
+    rows = transform_1d(hkind, buf.T, mn, mx)  # (w, h): axis0 = width
+    shift = _ROW_SHIFT[tx]
+    rows = (rows + ((1 << shift) >> 1)) >> shift
+    rows = np.clip(rows, mn, mx)
+    # col pass (vertical transform along axis 0 of (h, w))
+    cols_in = rows.T  # (h, w)
+    cols = transform_1d(vkind, cols_in, mn, mx)
+    out = (cols + 8) >> 4
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+def _morton(r: int, c: int, bits: int) -> int:
+    m = 0
+    for b in range(bits):
+        m |= ((c >> b) & 1) << (2 * b)
+        m |= ((r >> b) & 1) << (2 * b + 1)
+    return m
+
+
+class FrameRecon:
+    def __init__(self, seq: SequenceHeader, hdr: FrameHeader, plan: FramePlan):
+        self.seq = seq
+        self.hdr = hdr
+        self.plan = plan
+        self.bd = seq.color.bitdepth
+        self.ssx = seq.color.subsampling_x
+        self.ssy = seq.color.subsampling_y
+        aw = plan.mi_cols * 4
+        ah = plan.mi_rows * 4
+        cw = aw >> self.ssx
+        chh = ah >> self.ssy
+        self.planes = [np.zeros((ah, aw), np.int32),
+                       np.zeros((chh, cw), np.int32),
+                       np.zeros((chh, cw), np.int32)]
+        self.widths = [plan.width, (plan.width + self.ssx) >> self.ssx,
+                       (plan.width + self.ssx) >> self.ssx]
+        self.heights = [plan.height, (plan.height + self.ssy) >> self.ssy,
+                        (plan.height + self.ssy) >> self.ssy]
+        self.sb4 = 32 if seq.use_128x128_superblock else 16
+        d = T.data()
+        self.sm_weights = d["sm_weights"]
+        self.dr_table = d["dr_intra_derivative"]
+
+    def run(self):
+        for blk in self.plan.blocks:
+            self._recon_block(blk)
+        out = []
+        for p in range(3 if self.seq.color.num_planes > 1 else 1):
+            out.append(self.planes[p][:self.heights[p], :self.widths[p]]
+                       .astype(np.uint8 if self.bd == 8 else np.uint16))
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _recon_block(self, blk):
+        txmap: Dict[Tuple[int, int, int], TxBlock] = {
+            (t.plane, t.x, t.y): t for t in blk.tx_blocks}
+        r, c = blk.r, blk.c
+        w4 = C.BLOCK_W4[blk.bsize]
+        h4 = C.BLOCK_H4[blk.bsize]
+        mi_cols = self.plan.mi_cols
+        mi_rows = self.plan.mi_rows
+        # luma
+        tx = blk.tx_size
+        sw = T.TX_W4[tx]
+        sh = T.TX_H4[tx]
+        for yy in range(0, min(h4, mi_rows - r), sh):
+            for xx in range(0, min(w4, mi_cols - c), sw):
+                self._recon_tx(blk, 0, (c + xx) * 4, (r + yy) * 4, tx,
+                               blk.y_mode, blk.angle_y, txmap)
+        if blk.has_chroma and self.seq.color.num_planes > 1:
+            tx = blk.uv_tx_size
+            sw = T.TX_W4[tx]
+            sh = T.TX_H4[tx]
+            cb4 = max(1, min(w4, mi_cols - c) >> self.ssx)
+            ch4 = max(1, min(h4, mi_rows - r) >> self.ssy)
+            cx = (c >> self.ssx) * 4
+            cy = (r >> self.ssy) * 4
+            uv_mode = blk.uv_mode
+            if uv_mode == C.UV_CFL_PRED:
+                uv_mode = C.DC_PRED  # CfL base is DC; alphas pending
+            for yy in range(0, ch4, sh):
+                for xx in range(0, cb4, sw):
+                    for plane in (1, 2):
+                        self._recon_tx(blk, plane, cx + xx * 4, cy + yy * 4,
+                                       tx, uv_mode, blk.angle_uv, txmap)
+
+    def _recon_tx(self, blk, plane, x, y, tx, mode, angle_delta, txmap):
+        w = T.TX_WIDTH[tx]
+        h = T.TX_HEIGHT[tx]
+        buf = self.planes[plane]
+        pw = buf.shape[1]
+        ph = buf.shape[0]
+        w = min(w, pw - x)
+        h = min(h, ph - y)
+        pred = self._predict_intra(blk, plane, x, y, T.TX_WIDTH[tx],
+                                   T.TX_HEIGHT[tx], mode, angle_delta)
+        txb = txmap.get((plane, x, y))
+        if txb is not None:
+            res = inverse_transform(txb, self.bd)
+            pred = pred + res[:pred.shape[0], :pred.shape[1]]
+        np.clip(pred, 0, (1 << self.bd) - 1, out=pred)
+        buf[y:y + h, x:x + w] = pred[:h, :w]
+
+    # ------------------------------------------------------------------
+
+    def _avail_tr_bl(self, plane, x4, y4, w4, h4):
+        """Top-right / bottom-left availability via z-order comparison in
+        superblock-relative 4x4 coordinates."""
+        ss_x = self.ssx if plane else 0
+        ss_y = self.ssy if plane else 0
+        sb4 = self.sb4 >> ss_x  # sb size in plane 4-units
+        # top-right neighbor of (y4, x4) block with width w4: (y4-1, x4+w4)
+        def avail(rr, cc):
+            if rr < 0 or cc < 0:
+                return False
+            if cc >= (self.plan.mi_cols * 4 >> (ss_x + 2)):
+                return False
+            sb_r = (y4 // sb4) * sb4
+            sb_c = (x4 // sb4) * sb4
+            if rr < sb_r:
+                return True  # above superblock row fully decoded
+            if cc >= sb_c + sb4:
+                return False  # right superblock not yet decoded
+            bits = sb4.bit_length()
+            return (_morton(rr - sb_r, cc - sb_c, bits)
+                    < _morton(y4 - sb_r, x4 - sb_c, bits))
+
+        have_tr = avail(y4 - 1, x4 + w4)
+        have_bl = avail(y4 + h4, x4 - 1)
+        return have_tr, have_bl
+
+    def _predict_intra(self, blk, plane, x, y, w, h, mode, angle_delta):
+        buf = self.planes[plane]
+        bd = self.bd
+        base = 1 << (bd - 1)
+        have_above = y > 0
+        have_left = x > 0
+        max_x = buf.shape[1] - 1
+        max_y = buf.shape[0] - 1
+
+        is_dir = C.V_PRED <= mode <= C.D67_PRED
+        p_angle = 0
+        if is_dir:
+            base_angles = {C.V_PRED: 90, C.H_PRED: 180, C.D45_PRED: 45,
+                           C.D135_PRED: 135, C.D113_PRED: 113,
+                           C.D157_PRED: 157, C.D203_PRED: 203,
+                           C.D67_PRED: 67}
+            p_angle = base_angles[mode] + angle_delta * 3
+
+        need_edge = 2 * max(w, h) + 1  # +1: interpolation reads base+1
+        above = np.zeros(need_edge + 1, np.int64)  # above[0] = corner
+        left = np.zeros(need_edge + 1, np.int64)
+
+        x4 = x >> 2
+        y4 = y >> 2
+        have_tr, have_bl = self._avail_tr_bl(plane, x4, y4, w >> 2, h >> 2)
+
+        if have_above:
+            n_main = w
+            n_ext = w if have_tr else 0
+            for i in range(n_main + n_ext):
+                above[1 + i] = buf[y - 1, min(x + i, max_x)]
+            for i in range(n_main + n_ext, need_edge):
+                above[1 + i] = above[n_main + n_ext]
+        else:
+            fill = buf[y, x - 1] if have_left else base - 1
+            above[1:] = fill
+        if have_left:
+            n_main = h
+            n_ext = h if have_bl else 0
+            for i in range(n_main + n_ext):
+                left[1 + i] = buf[min(y + i, max_y), x - 1]
+            for i in range(n_main + n_ext, need_edge):
+                left[1 + i] = left[n_main + n_ext]
+        else:
+            fill = buf[y - 1, x] if have_above else base + 1
+            left[1:] = fill
+        if have_above and have_left:
+            corner = buf[y - 1, x - 1]
+        elif have_above:
+            corner = buf[y - 1, x]
+        elif have_left:
+            corner = buf[y, x - 1]
+        else:
+            corner = base
+        above[0] = corner
+        left[0] = corner
+
+        A = above[1:]
+        L = left[1:]
+        out = np.zeros((h, w), np.int64)
+
+        if mode == C.DC_PRED:
+            if have_above and have_left:
+                avg = (A[:w].sum() + L[:h].sum() + ((w + h) >> 1)) // (w + h)
+            elif have_above:
+                avg = (A[:w].sum() + (w >> 1)) // w
+            elif have_left:
+                avg = (L[:h].sum() + (h >> 1)) // h
+            else:
+                avg = base
+            out[:] = avg
+        elif mode == C.V_PRED or (is_dir and p_angle == 90):
+            out[:] = A[:w]
+        elif mode == C.H_PRED or (is_dir and p_angle == 180):
+            out[:] = L[:h, None]
+        elif mode == C.PAETH_PRED:
+            b = A[:w][None, :]
+            l = L[:h][:, None]
+            p = b + l - corner
+            pb = np.abs(p - b)
+            pl = np.abs(p - l)
+            pc = np.abs(p - corner)
+            out = np.where((pl <= pb) & (pl <= pc), l,
+                           np.where(pb <= pc, b, corner))
+        elif mode in (C.SMOOTH_PRED, C.SMOOTH_V_PRED, C.SMOOTH_H_PRED):
+            out = self._smooth(mode, A, L, w, h)
+        elif is_dir:
+            out = self._directional(p_angle, above, left, w, h)
+        else:
+            raise NotImplementedError(f"mode {mode}")
+        return out
+
+    def _sm_w(self, n):
+        offs = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
+        o = offs[n]
+        return self.sm_weights[o:o + n].astype(np.int64)
+
+    def _smooth(self, mode, A, L, w, h):
+        wy = self._sm_w(h)[:, None]
+        wx = self._sm_w(w)[None, :]
+        below = L[h - 1]
+        right = A[w - 1]
+        a = A[:w][None, :]
+        l = L[:h][:, None]
+        if mode == C.SMOOTH_PRED:
+            num = (wy * a + (256 - wy) * below
+                   + wx * l + (256 - wx) * right)
+            return (num + 256) >> 9
+        if mode == C.SMOOTH_V_PRED:
+            num = wy * a + (256 - wy) * below
+            return (num + 128) >> 8
+        num = wx * l + (256 - wx) * right
+        return (num + 128) >> 8
+
+    def _directional(self, p_angle, above, left, w, h):
+        # no edge filter / upsampling (seq.enable_intra_edge_filter == 0)
+        dr = self.dr_table
+        out = np.zeros((h, w), np.int64)
+        A = above  # A[0] corner, A[1+i] row pixels
+        L = left
+        if p_angle < 90:
+            dx = int(dr[p_angle])
+            max_base = w + h - 1
+            for i in range(h):
+                idx = (i + 1) * dx
+                base0 = idx >> 6
+                shift = (idx >> 1) & 0x1F
+                for j in range(w):
+                    b = base0 + j
+                    if b > max_base:
+                        out[i, j] = A[1 + max_base]
+                    else:
+                        out[i, j] = (A[1 + b] * (32 - shift)
+                                     + A[2 + b] * shift + 16) >> 5
+        elif p_angle > 180:
+            dy = int(dr[270 - p_angle])
+            max_base = w + h - 1
+            for j in range(w):
+                idy = (j + 1) * dy
+                base0 = idy >> 6
+                shift = (idy >> 1) & 0x1F
+                for i in range(h):
+                    b = base0 + i
+                    if b > max_base:
+                        out[i, j] = L[1 + max_base]
+                    else:
+                        out[i, j] = (L[1 + b] * (32 - shift)
+                                     + L[2 + b] * shift + 16) >> 5
+        else:  # zone 2: 90 < pAngle < 180
+            dx = int(dr[180 - p_angle])
+            dy = int(dr[p_angle - 90])
+            for i in range(h):
+                for j in range(w):
+                    idx = (j << 6) - (i + 1) * dx
+                    base = idx >> 6
+                    if base >= -1:
+                        shift = (idx >> 1) & 0x1F
+                        out[i, j] = (A[1 + base] * (32 - shift)
+                                     + A[2 + base] * shift + 16) >> 5
+                    else:
+                        idy = (i << 6) - (j + 1) * dy
+                        base_y = idy >> 6
+                        shift = (idy >> 1) & 0x1F
+                        out[i, j] = (L[1 + base_y] * (32 - shift)
+                                     + L[2 + base_y] * shift + 16) >> 5
+        return out

@@ -1,0 +1,929 @@
+"""AV1 tile symbol decoder (host, sequential — the msac side of the
+host/device split per SURVEY.md §7).
+
+Intra-frame path: partition tree, intra mode info, tx sizes, coefficient
+decode with full context modeling. Produces a FramePlan: dense mode-info
+arrays plus the per-transform-block coefficient list that the
+reconstruction stage (numpy reference now, TPU kernels next) consumes.
+
+Spec references: §5.11 (tile group / decode partition / mode info /
+residual / coeffs), §8.3 (coefficient contexts).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1 import tables as T
+from easyav1_tpu.video.av1.cdf import CdfContext
+from easyav1_tpu.video.av1.headers import FrameHeader, SequenceHeader
+from easyav1_tpu.video.av1.msac import Msac
+
+
+@dataclasses.dataclass
+class TxBlock:
+    plane: int
+    x: int          # pixel position within the plane
+    y: int
+    tx_size: int
+    tx_type: int
+    eob: int
+    coeffs: np.ndarray  # (h, w) int32 dequantized coefficients
+    lossless: bool = False
+
+
+@dataclasses.dataclass
+class BlockRecord:
+    """One coded block in decode order (recon replays this sequence)."""
+
+    r: int
+    c: int
+    bsize: int
+    y_mode: int
+    uv_mode: int
+    angle_y: int
+    angle_uv: int
+    skip: bool
+    tx_size: int
+    uv_tx_size: int
+    has_chroma: bool
+    cfl_alphas: Optional[Tuple[int, int]] = None
+    filter_intra: Optional[int] = None
+    tx_blocks: List[TxBlock] = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class FramePlan:
+    """Everything recon needs, in decode order."""
+
+    width: int
+    height: int
+    mi_cols: int
+    mi_rows: int
+    subsampling_x: int
+    subsampling_y: int
+    y_mode: np.ndarray          # (mi_rows, mi_cols) int8
+    uv_mode: np.ndarray
+    angle_y: np.ndarray
+    angle_uv: np.ndarray
+    skip: np.ndarray
+    bsize: np.ndarray
+    blocks: List[BlockRecord] = dataclasses.field(default_factory=list)
+    palette: dict = dataclasses.field(default_factory=dict)
+    cfl_alphas: dict = dataclasses.field(default_factory=dict)  # (mir,mic) -> (signU? ..)
+    filter_intra: dict = dataclasses.field(default_factory=dict)
+
+
+# Partition context lookup (dav1d-verified): above = 31 >> log2w4;
+# the query bit (value >> bsl) & 1 reads "neighbor narrower than bsl".
+_PART_ABOVE = [31 >> (C.BLOCK_W4[b].bit_length() - 1) for b in range(22)]
+_PART_LEFT = [31 >> (C.BLOCK_H4[b].bit_length() - 1) for b in range(22)]
+
+# Partition subsize table (spec Partition_Subsize[10][BLOCK_SIZES_ALL]),
+# entries only needed for square parents 8x8..128x128.
+_SQ = [C.BLOCK_8X8, C.BLOCK_16X16, C.BLOCK_32X32, C.BLOCK_64X64,
+       C.BLOCK_128X128]
+
+
+def partition_subsize(partition: int, bsize: int) -> int:
+    i = _SQ.index(bsize)
+    if partition == C.PARTITION_NONE:
+        return bsize
+    if partition == C.PARTITION_SPLIT:
+        return [C.BLOCK_4X4, C.BLOCK_8X8, C.BLOCK_16X16, C.BLOCK_32X32,
+                C.BLOCK_64X64][i]
+    if partition == C.PARTITION_HORZ or partition == C.PARTITION_HORZ_A \
+            or partition == C.PARTITION_HORZ_B:
+        return [C.BLOCK_8X4, C.BLOCK_16X8, C.BLOCK_32X16, C.BLOCK_64X32,
+                C.BLOCK_128X64][i]
+    if partition == C.PARTITION_VERT or partition == C.PARTITION_VERT_A \
+            or partition == C.PARTITION_VERT_B:
+        return [C.BLOCK_4X8, C.BLOCK_8X16, C.BLOCK_16X32, C.BLOCK_32X64,
+                C.BLOCK_64X128][i]
+    if partition == C.PARTITION_HORZ_4:
+        return [-1, C.BLOCK_16X4, C.BLOCK_32X8, C.BLOCK_64X16, -1][i]
+    if partition == C.PARTITION_VERT_4:
+        return [-1, C.BLOCK_4X16, C.BLOCK_8X32, C.BLOCK_16X64, -1][i]
+    raise ValueError(partition)
+
+
+def mi_wlog2(b):
+    return C.BLOCK_W4[b].bit_length() - 1
+
+
+def mi_hlog2(b):
+    return C.BLOCK_H4[b].bit_length() - 1
+
+
+class TileDecoder:
+    def __init__(self, seq: SequenceHeader, hdr: FrameHeader,
+                 cdf: CdfContext, plan: FramePlan):
+        self.seq = seq
+        self.hdr = hdr
+        self.cdf = cdf.t
+        self.plan = plan
+        self.bitdepth = seq.color.bitdepth
+        self.num_planes = seq.color.num_planes
+        self.ssx = seq.color.subsampling_x
+        self.ssy = seq.color.subsampling_y
+        self.mi_cols = hdr.mi_cols
+        self.mi_rows = hdr.mi_rows
+        self.sb_log2 = 5 if seq.use_128x128_superblock else 4
+        self.sb_size = (C.BLOCK_128X128 if seq.use_128x128_superblock
+                        else C.BLOCK_64X64)
+
+    # -- per-tile state ----------------------------------------------------
+
+    def _init_tile(self, col_start4, col_end4, row_start4, row_end4):
+        n4w = col_end4 - col_start4
+        n4h = row_end4 - row_start4
+        self.mi_col_start = col_start4
+        self.mi_col_end = col_end4
+        self.mi_row_start = row_start4
+        self.mi_row_end = row_end4
+        # above contexts indexed by absolute mi col; left by absolute mi row
+        self.a_part = np.zeros(self.mi_cols, np.int32)
+        self.l_part = np.zeros(self.mi_rows, np.int32)
+        self.a_mode = np.full(self.mi_cols, C.DC_PRED, np.int32)
+        self.l_mode = np.full(self.mi_rows, C.DC_PRED, np.int32)
+        self.a_skip = np.zeros(self.mi_cols, np.int32)
+        self.l_skip = np.zeros(self.mi_rows, np.int32)
+        # tx dims for tx_size ctx (zero-init: unavailable counts as 0)
+        self.a_txw = np.zeros(self.mi_cols, np.int32)
+        self.l_txh = np.zeros(self.mi_rows, np.int32)
+        # coefficient contexts per plane: cul levels (0..63) and dc sign
+        # category (0 none, 1 positive?, 2 negative) per 4-px unit
+        self.a_lvl = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
+        self.l_lvl = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
+        self.a_sign = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
+        self.l_sign = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
+        self.cur_qindex = self.hdr.quant.base_q_idx
+
+    # -- entry -------------------------------------------------------------
+
+    def decode_tile(self, data: bytes, tile_row: int, tile_col: int) -> None:
+        hdr = self.hdr
+        t = hdr.tile
+        sb_shift = self.sb_log2  # sb size in mi units (log2)
+        col_start = t.col_starts[tile_col] << sb_shift
+        col_end = min(t.col_starts[tile_col + 1] << sb_shift, self.mi_cols)
+        row_start = t.row_starts[tile_row] << sb_shift
+        row_end = min(t.row_starts[tile_row + 1] << sb_shift, self.mi_rows)
+        self._init_tile(col_start, col_end, row_start, row_end)
+        self.msac = Msac(data, allow_update_cdf=not hdr.disable_cdf_update)
+        sb_mi = 1 << sb_shift
+        for r in range(row_start, row_end, sb_mi):
+            for c in range(col_start, col_end, sb_mi):
+                self.read_deltas = hdr.delta_q_present
+                self._decode_partition(r, c, self.sb_size)
+
+    # -- partition tree ----------------------------------------------------
+
+    def _decode_partition(self, r: int, c: int, bsize: int) -> None:
+        if r >= self.mi_row_end or c >= self.mi_col_end:
+            return
+        w4 = C.BLOCK_W4[bsize]
+        half = w4 >> 1
+        has_rows = (r + half) < self.mi_row_end
+        has_cols = (c + half) < self.mi_col_end
+        bsl = mi_wlog2(bsize)
+
+        if bsize == C.BLOCK_4X4:
+            partition = C.PARTITION_NONE
+        elif has_rows and has_cols:
+            above = (int(self.a_part[c]) >> bsl) & 1
+            left = (int(self.l_part[r]) >> bsl) & 1
+            ctx = left * 2 + above
+            row_idx = (bsl - 1) * 4 + ctx
+            nsym = 4 if bsize == C.BLOCK_8X8 else (
+                8 if bsize == C.BLOCK_128X128 else 10)
+            cdf_row = self.cdf["partition"][row_idx]
+            partition = self._decode_ragged(cdf_row, nsym)
+        elif has_cols:
+            # bottom edge: HORZ vs SPLIT via derived bool
+            partition = (C.PARTITION_SPLIT if self._split_or(
+                r, c, bsize, bsl, horz=True) else C.PARTITION_HORZ)
+        elif has_rows:
+            partition = (C.PARTITION_SPLIT if self._split_or(
+                r, c, bsize, bsl, horz=False) else C.PARTITION_VERT)
+        else:
+            partition = C.PARTITION_SPLIT
+
+        sub = partition_subsize(partition, bsize) if bsize >= C.BLOCK_8X8 \
+            else bsize
+        half_px = half
+        q = half >> 1
+
+        if partition == C.PARTITION_NONE:
+            self._decode_block(r, c, sub)
+        elif partition == C.PARTITION_HORZ:
+            self._decode_block(r, c, sub)
+            if has_rows:
+                self._decode_block(r + half, c, sub)
+        elif partition == C.PARTITION_VERT:
+            self._decode_block(r, c, sub)
+            if has_cols:
+                self._decode_block(r, c + half, sub)
+        elif partition == C.PARTITION_SPLIT:
+            self._decode_partition(r, c, sub)
+            self._decode_partition(r, c + half, sub)
+            self._decode_partition(r + half, c, sub)
+            self._decode_partition(r + half, c + half, sub)
+        elif partition == C.PARTITION_HORZ_A:
+            sq = partition_subsize(C.PARTITION_SPLIT, bsize)
+            self._decode_block(r, c, sq)
+            self._decode_block(r, c + half, sq)
+            self._decode_block(r + half, c, sub)
+        elif partition == C.PARTITION_HORZ_B:
+            sq = partition_subsize(C.PARTITION_SPLIT, bsize)
+            self._decode_block(r, c, sub)
+            self._decode_block(r + half, c, sq)
+            self._decode_block(r + half, c + half, sq)
+        elif partition == C.PARTITION_VERT_A:
+            sq = partition_subsize(C.PARTITION_SPLIT, bsize)
+            self._decode_block(r, c, sq)
+            self._decode_block(r + half, c, sq)
+            self._decode_block(r, c + half, sub)
+        elif partition == C.PARTITION_VERT_B:
+            sq = partition_subsize(C.PARTITION_SPLIT, bsize)
+            self._decode_block(r, c, sub)
+            self._decode_block(r, c + half, sq)
+            self._decode_block(r + half, c + half, sq)
+        elif partition == C.PARTITION_HORZ_4:
+            for i in range(4):
+                rr = r + i * q
+                if rr >= self.mi_row_end:
+                    break
+                self._decode_block(rr, c, sub)
+        elif partition == C.PARTITION_VERT_4:
+            for i in range(4):
+                cc = c + i * q
+                if cc >= self.mi_col_end:
+                    break
+                self._decode_block(r, cc, sub)
+
+        # partition context update (libaom update_ext_partition_context)
+        if bsize >= C.BLOCK_8X8:
+            if partition == C.PARTITION_SPLIT and bsize != C.BLOCK_8X8:
+                pass  # handled by recursion
+            elif partition in (C.PARTITION_HORZ_A, C.PARTITION_HORZ_B,
+                               C.PARTITION_VERT_A, C.PARTITION_VERT_B):
+                sq = partition_subsize(C.PARTITION_SPLIT, bsize)
+                if partition == C.PARTITION_HORZ_A:
+                    self._update_part_ctx(r, c, sq, sub)
+                    self._update_part_ctx(r + half, c, sub, sub)
+                elif partition == C.PARTITION_HORZ_B:
+                    self._update_part_ctx(r, c, sub, sub)
+                    self._update_part_ctx(r + half, c, sq, sub)
+                elif partition == C.PARTITION_VERT_A:
+                    self._update_part_ctx(r, c, sq, sub)
+                    self._update_part_ctx(r, c + half, sub, sub)
+                else:
+                    self._update_part_ctx(r, c, sub, sub)
+                    self._update_part_ctx(r, c + half, sq, sub)
+            else:
+                self._update_part_ctx(r, c, sub, bsize)
+
+    def _update_part_ctx(self, r, c, subsize, bsize):
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        self.a_part[c:c + w4] = _PART_ABOVE[subsize]
+        self.l_part[r:r + h4] = _PART_LEFT[subsize]
+
+    def _decode_ragged(self, cdf_row: list, nsym: int) -> int:
+        """Decode from a CDF row stored wider than its symbol count."""
+        if len(cdf_row) == nsym + 1:
+            return self.msac.decode_symbol(cdf_row)
+        sub = cdf_row[:nsym - 1] + [0, cdf_row[-1]]
+        sym = self.msac.decode_symbol(sub)
+        cdf_row[:nsym - 1] = sub[:nsym - 1]
+        cdf_row[-1] = sub[-1]
+        return sym
+
+    def _split_or(self, r, c, bsize, bsl, horz: bool) -> bool:
+        """Edge partitions: derive P(split) by gathering partition-cdf mass
+        (spec §9.3 split_or_horz / split_or_vert)."""
+        above = (int(self.a_part[c]) >> bsl) & 1
+        left = (int(self.l_part[r]) >> bsl) & 1
+        ctx = left * 2 + above
+        row_idx = (bsl - 1) * 4 + ctx
+        cdf_row = self.cdf["partition"][row_idx]
+        if bsize == C.BLOCK_8X8:
+            # only NONE/HORZ/VERT/SPLIT: split iff partition would be
+            # SPLIT or the other direction
+            psplit = self._gather(cdf_row, [C.PARTITION_SPLIT] +
+                                  ([C.PARTITION_VERT] if horz else
+                                   [C.PARTITION_HORZ]), 4)
+        else:
+            is128 = bsize == C.BLOCK_128X128
+            nsym = 8 if is128 else 10
+            if horz:  # bottom edge: want P(vertical-ish split)
+                parts = [C.PARTITION_VERT, C.PARTITION_SPLIT,
+                         C.PARTITION_HORZ_A, C.PARTITION_VERT_A,
+                         C.PARTITION_VERT_B]
+                if not is128:
+                    parts.append(C.PARTITION_VERT_4)
+            else:
+                parts = [C.PARTITION_HORZ, C.PARTITION_SPLIT,
+                         C.PARTITION_HORZ_A, C.PARTITION_HORZ_B,
+                         C.PARTITION_VERT_A]
+                if not is128:
+                    parts.append(C.PARTITION_HORZ_4)
+            psplit = self._gather(cdf_row, parts, nsym)
+        return bool(self.msac.decode_bool(32768 - psplit))
+
+    @staticmethod
+    def _gather(cdf_row: list, symbols: list, nsym: int) -> int:
+        """Sum of P(symbol) in q15 from an icdf row."""
+        total = 0
+        for s in symbols:
+            hi = 32768 if s == 0 else cdf_row[s - 1]
+            lo = 0 if s >= nsym - 1 else cdf_row[s]
+            if s == nsym - 1:
+                lo = 0
+            total += hi - lo
+        return total
+
+    # -- block decode ------------------------------------------------------
+
+    def _decode_block(self, r: int, c: int, bsize: int) -> None:
+        w4 = min(C.BLOCK_W4[bsize], self.mi_col_end - c)
+        h4 = min(C.BLOCK_H4[bsize], self.mi_row_end - r)
+        full_w4 = C.BLOCK_W4[bsize]
+        full_h4 = C.BLOCK_H4[bsize]
+        plan = self.plan
+        msac = self.msac
+        hdr = self.hdr
+
+        avail_u = r > self.mi_row_start
+        avail_l = c > self.mi_col_start
+
+        # HasChroma (spec 5.11.15)
+        has_chroma = self.num_planes > 1
+        if has_chroma:
+            if self.ssy and full_h4 == 1 and (r & 1) == 0:
+                has_chroma = False
+            if self.ssx and full_w4 == 1 and (c & 1) == 0:
+                has_chroma = False
+
+        # skip
+        skip_ctx = 0
+        if avail_u:
+            skip_ctx += int(self.a_skip[c])
+        if avail_l:
+            skip_ctx += int(self.l_skip[r])
+        skip = msac.decode_symbol(self.cdf["skip"][skip_ctx])
+
+        # deltas (delta_q / delta_lf) — read at first block of superblock
+        if self.read_deltas:
+            self._read_deltas(bsize, skip)
+        self.read_deltas = False
+
+        # y mode (intra frame): kf cdf indexed by above/left mode contexts
+        above_mode = int(self.a_mode[c]) if avail_u else C.DC_PRED
+        left_mode = int(self.l_mode[r]) if avail_l else C.DC_PRED
+        actx = T.INTRA_MODE_CONTEXT[above_mode]
+        lctx = T.INTRA_MODE_CONTEXT[left_mode]
+        y_mode = msac.decode_symbol(self.cdf["kf_y_mode"][actx][lctx])
+
+        angle_y = 0
+        if bsize >= C.BLOCK_8X8 and C.V_PRED <= y_mode <= C.D67_PRED:
+            angle_y = msac.decode_symbol(
+                self.cdf["angle_delta"][y_mode - C.V_PRED]) - 3
+
+        uv_mode = C.DC_PRED
+        angle_uv = 0
+        cfl_alpha_u = cfl_alpha_v = 0
+        if has_chroma:
+            cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32
+                           and C.BLOCK_H4[bsize] * 4 <= 32)
+            row = self.cdf["uv_mode"][1 if cfl_allowed else 0][y_mode]
+            nsym = 14 if cfl_allowed else 13
+            uv_mode = self._decode_ragged(row, nsym)
+            if uv_mode == C.UV_CFL_PRED:
+                sign_joint = msac.decode_symbol(self.cdf["cfl_sign"][0])
+                cfl_alpha_u, cfl_alpha_v = self._read_cfl_alphas(sign_joint)
+            if bsize >= C.BLOCK_8X8 and C.V_PRED <= uv_mode <= C.D67_PRED:
+                angle_uv = msac.decode_symbol(
+                    self.cdf["angle_delta"][uv_mode - C.V_PRED]) - 3
+
+        # filter intra
+        use_filter_intra = False
+        filter_intra_mode = 0
+        if (self.seq.enable_filter_intra and y_mode == C.DC_PRED
+                and C.BLOCK_W4[bsize] * 4 <= 32
+                and C.BLOCK_H4[bsize] * 4 <= 32):
+            # palette not yet supported; once it is, the condition also
+            # requires palette_size_y == 0
+            use_filter_intra = bool(msac.decode_symbol(
+                self._filter_intra_cdf(bsize)))
+            if use_filter_intra:
+                filter_intra_mode = msac.decode_symbol(
+                    self.cdf["filter_intra_mode"][0])
+
+        # record mode info
+        self._cur_block = BlockRecord(
+            r=r, c=c, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+            angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
+            tx_size=0, uv_tx_size=0, has_chroma=has_chroma,
+            cfl_alphas=((cfl_alpha_u, cfl_alpha_v)
+                        if uv_mode == C.UV_CFL_PRED else None),
+            filter_intra=filter_intra_mode if use_filter_intra else None,
+        )
+        plan.blocks.append(self._cur_block)
+        plan.y_mode[r:r + h4, c:c + w4] = y_mode
+        plan.uv_mode[r:r + h4, c:c + w4] = uv_mode
+        plan.angle_y[r:r + h4, c:c + w4] = angle_y
+        plan.angle_uv[r:r + h4, c:c + w4] = angle_uv
+        plan.skip[r:r + h4, c:c + w4] = skip
+        plan.bsize[r:r + h4, c:c + w4] = bsize
+        if uv_mode == C.UV_CFL_PRED:
+            plan.cfl_alphas[(r, c)] = (cfl_alpha_u, cfl_alpha_v)
+        if use_filter_intra:
+            plan.filter_intra[(r, c)] = filter_intra_mode
+
+        # tx size
+        tx_size = self._read_tx_size(r, c, bsize, skip, avail_u, avail_l)
+        self._cur_block.tx_size = tx_size
+        self._cur_block.uv_tx_size = (self._uv_tx_size(bsize)
+                                      if has_chroma else 0)
+
+        # residual
+        if not skip:
+            self._residual(r, c, bsize, tx_size, has_chroma)
+        else:
+            self._clear_coef_ctx(r, c, bsize, tx_size, has_chroma)
+
+        # context updates
+        self.a_mode[c:c + w4] = y_mode
+        self.l_mode[r:r + h4] = y_mode
+        self.a_skip[c:c + w4] = skip
+        self.l_skip[r:r + h4] = skip
+        self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+        self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+
+    def _filter_intra_cdf(self, bsize):
+        # filter_intra use cdf indexed by block size; table not yet
+        # located in the binary — fall back to a per-size uniform cdf.
+        key = "_filter_intra_use"
+        if key not in self.cdf:
+            self.cdf[key] = [[16384, 0, 0] for _ in range(22)]
+        return self.cdf[key][bsize]
+
+    def _read_cfl_alphas(self, sign_joint) -> Tuple[int, int]:
+        # joint sign: 8 symbols = 3*3-1 (not both zero); spec 5.11.45
+        sign_u = (sign_joint + 1) // 3
+        sign_v = (sign_joint + 1) % 3
+        alpha_u = alpha_v = 0
+        if sign_u != 0:  # CFL_SIGN_ZERO = 0
+            ctx = sign_joint - 2 if sign_v == 0 else sign_joint - 2  # see spec
+            ctx = (sign_joint - 2) if True else 0
+            ctx = sign_joint - 2
+            if ctx < 0:
+                ctx = 0
+            idx = self.msac.decode_symbol(self.cdf["cfl_alpha"][ctx]) + 1
+            alpha_u = idx if sign_u == 1 else -idx  # CFL_SIGN_POS=2?
+        if sign_v != 0:
+            ctx = sign_joint - 3 + (3 if sign_u != 0 else 0)
+            if ctx < 0:
+                ctx = 0
+            idx = self.msac.decode_symbol(self.cdf["cfl_alpha"][ctx]) + 1
+            alpha_v = idx if sign_v == 1 else -idx
+        return alpha_u, alpha_v
+
+    def _read_deltas(self, bsize, skip):
+        hdr = self.hdr
+        msac = self.msac
+        if bsize == self.sb_size and skip:
+            return
+        if hdr.delta_q_present:
+            delta_q_abs = msac.decode_symbol(self.cdf["delta_q"][0])
+            if delta_q_abs == 3:
+                rem_bits = msac.decode_literal(3) + 1
+                delta_q_abs = msac.decode_literal(rem_bits) + (1 << rem_bits) + 1
+            if delta_q_abs:
+                sign = msac.decode_bool_equi()
+                delta = -delta_q_abs if sign else delta_q_abs
+                self.cur_qindex = max(1, min(255,
+                                             self.cur_qindex
+                                             + (delta << hdr.delta_q_res)))
+        if hdr.delta_lf_present:
+            count = 4 if (hdr.delta_lf_multi and self.num_planes > 1) else \
+                (2 if hdr.delta_lf_multi else 1)
+            cdfs = (self.cdf["delta_lf_multi"] if hdr.delta_lf_multi
+                    else [self.cdf["delta_lf"][0]])
+            for i in range(count):
+                row = cdfs[i] if hdr.delta_lf_multi else cdfs[0]
+                v = msac.decode_symbol(row)
+                if v == 3:
+                    rem_bits = msac.decode_literal(3) + 1
+                    v = msac.decode_literal(rem_bits) + (1 << rem_bits) + 1
+                if v:
+                    msac.decode_bool_equi()  # sign (lf deltas unused yet)
+
+    # -- tx size -----------------------------------------------------------
+
+    def _read_tx_size(self, r, c, bsize, skip, avail_u, avail_l) -> int:
+        hdr = self.hdr
+        if hdr.coded_lossless:
+            return C.TX_4X4
+        max_rect = T.MAX_TX_SIZE_RECT[bsize]
+        if bsize == C.BLOCK_4X4:
+            return C.TX_4X4
+        # intra: allowSelect = !skip || !is_inter == always true (spec
+        # read_block_tx_size) - the depth symbol is coded even for skips
+        if hdr.tx_mode != C.TX_MODE_SELECT:
+            return max_rect
+        # depth count allowed
+        max_depth = self._max_tx_depth(bsize)
+        cat = T.TX_SIZE_SQR_UP[max_rect] - 1
+        cat = max(0, min(cat, 3))
+        max_tx_w = T.TX_WIDTH[max_rect]
+        max_tx_h = T.TX_HEIGHT[max_rect]
+        above = int(self.a_txw[c]) >= max_tx_w
+        left = int(self.l_txh[r]) >= max_tx_h
+        ctx = int(above) + int(left)
+        row = self.cdf["tx_size"][cat][ctx]
+        nsym = min(max_depth, 2) + 1
+        if cat == 0:
+            depth = self._decode_ragged(row, 2)
+        else:
+            depth = self._decode_ragged(row, nsym)
+        tx = max_rect
+        for _ in range(depth):
+            tx = T.SPLIT_TX_SIZE[tx]
+        return tx
+
+    @staticmethod
+    def _max_tx_depth(bsize) -> int:
+        # spec Max_Tx_Depth table
+        depth_tab = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
+                     2, 2, 3, 3, 4, 4]
+        return depth_tab[bsize]
+
+    # -- residual ----------------------------------------------------------
+
+    def _residual(self, r, c, bsize, tx_size, has_chroma):
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        for plane in range(self.num_planes if has_chroma else 1):
+            if plane == 0:
+                tx = tx_size
+                px = c * 4
+                py = r * 4
+                pw4 = min(w4, self.mi_col_end - c)
+                ph4 = min(h4, self.mi_row_end - r)
+            else:
+                tx = self._uv_tx_size(bsize)
+                px = (c >> self.ssx) * 4
+                py = (r >> self.ssy) * 4
+                pw4 = max(1, min(w4, self.mi_col_end - c) >> self.ssx)
+                ph4 = max(1, min(h4, self.mi_row_end - r) >> self.ssy)
+            step_x = T.TX_W4[tx]
+            step_y = T.TX_H4[tx]
+            for yy in range(0, ph4, step_y):
+                for xx in range(0, pw4, step_x):
+                    self._transform_block(plane, px + xx * 4, py + yy * 4,
+                                          tx, r, c)
+
+    def _uv_tx_size(self, bsize) -> int:
+        # chroma: max rect tx of the subsampled block size, clamped to 32
+        w4 = max(1, C.BLOCK_W4[bsize] >> self.ssx)
+        h4 = max(1, C.BLOCK_H4[bsize] >> self.ssy)
+        for b in range(C.BLOCK_SIZES_ALL):
+            if C.BLOCK_W4[b] == w4 and C.BLOCK_H4[b] == h4:
+                tx = T.MAX_TX_SIZE_RECT[b]
+                while T.TX_WIDTH[tx] > 32 or T.TX_HEIGHT[tx] > 32:
+                    tx = T.SPLIT_TX_SIZE[tx]
+                return tx
+        raise ValueError(f"no uv block for {bsize}")
+
+    def _clear_coef_ctx(self, r, c, bsize, tx_size, has_chroma):
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        self.a_lvl[0][c:c + w4] = 0
+        self.l_lvl[0][r:r + h4] = 0
+        self.a_sign[0][c:c + w4] = 0
+        self.l_sign[0][r:r + h4] = 0
+        if has_chroma:
+            cx = c >> self.ssx
+            cy = r >> self.ssy
+            cw = max(1, w4 >> self.ssx)
+            ch = max(1, h4 >> self.ssy)
+            for p in (1, 2):
+                self.a_lvl[p][cx:cx + cw] = 0
+                self.l_lvl[p][cy:cy + ch] = 0
+                self.a_sign[p][cx:cx + cw] = 0
+                self.l_sign[p][cy:cy + ch] = 0
+
+    # -- coefficients ------------------------------------------------------
+
+    def _transform_block(self, plane, x, y, tx_size, blk_r, blk_c):
+        msac = self.msac
+        cdf = self.cdf
+        adj = T.ADJUSTED_TX_SIZE[tx_size]
+        tw = T.TX_WIDTH[adj]
+        th = T.TX_HEIGHT[adj]
+        full_w = T.TX_WIDTH[tx_size]
+        full_h = T.TX_HEIGHT[tx_size]
+        x4 = x >> 2
+        y4 = y >> 2
+        ptype = 1 if plane else 0
+        tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+
+        # txb skip context
+        ctx = self._txb_skip_ctx(plane, x4, y4, tx_size, blk_r, blk_c)
+        all_zero = msac.decode_symbol(cdf["txb_skip"][tx_ctx][ctx])
+        w4 = full_w >> 2
+        h4 = full_h >> 2
+        if all_zero:
+            self._set_coef_ctx(plane, x4, y4, w4, h4, 0, 0)
+            return
+
+        # transform type
+        if plane == 0:
+            tx_type = self._read_tx_type(x4, y4, tx_size, blk_r, blk_c)
+        else:
+            tx_type = self._uv_tx_type(tx_size, blk_r, blk_c)
+        tx_cls = T.tx_type_class(tx_type)
+        scan = T.get_scan(tx_size, tx_type)
+
+        # eob
+        eob = self._read_eob(tx_size, ptype, tx_cls)
+
+        # levels
+        bwl = tw.bit_length() - 1  # log2 of adjusted width
+        levels = np.zeros(th * tw, dtype=np.int32)
+        base_offsets = (T.coeff_base_ctx_offset(tx_size).reshape(-1)
+                        if tx_cls == T.TX_CLASS_2D else None)
+        culp = 0
+        for ci in range(eob - 1, -1, -1):
+            pos = int(scan[ci])
+            if ci == eob - 1:
+                ctx_eob = self._coeff_base_eob_ctx(ci, tw, th)
+                level = msac.decode_symbol(
+                    cdf["coeff_base_eob"][tx_ctx][ptype][ctx_eob]) + 1
+            else:
+                bctx = self._coeff_base_ctx(levels, pos, bwl, th, tx_cls,
+                                            base_offsets)
+                level = msac.decode_symbol(
+                    cdf["coeff_base"][tx_ctx][ptype][bctx])
+            if level > 2:
+                brctx = self._coeff_br_ctx(levels, pos, bwl, tx_cls)
+                br_tx = min(tx_ctx, C.TX_32X32)
+                for _ in range(4):
+                    k = msac.decode_symbol(
+                        cdf["coeff_br"][br_tx][ptype][brctx])
+                    level += k
+                    if k < 3:
+                        break
+            levels[pos] = level
+        # signs + dequant
+        qidx = self.cur_qindex
+        seg_q = qidx  # segmentation qindex adjustments not yet wired
+        dc_dq = T.dc_q(seg_q + self._dq_delta(plane, True), self.bitdepth)
+        ac_dq = T.ac_q(seg_q + self._dq_delta(plane, False), self.bitdepth)
+        lossless = self.hdr.coded_lossless
+        shift = self._dq_shift(tx_size)
+        coeffs = np.zeros(th * tw, dtype=np.int64)
+        dc_category = 0
+        for ci in range(eob):
+            pos = int(scan[ci])
+            level = int(levels[pos])
+            if level == 0:
+                continue
+            if pos == 0:
+                sctx = self._dc_sign_ctx(plane, x4, y4, w4, h4)
+                sign = msac.decode_symbol(cdf["dc_sign"][ptype][sctx])
+            else:
+                sign = msac.decode_bool_equi()
+            if level == 15:  # base 3 + br 12: golomb suffix (spec: read
+                # in this forward pass, after the sign)
+                level += msac.decode_golomb()
+                culp += level - 15
+            dqv = dc_dq if pos == 0 else ac_dq
+            v = (level * dqv) & 0xFFFFFF
+            v >>= shift
+            coeffs[pos] = -v if sign else v
+            if pos == 0:
+                dc_category = 2 if sign else 1
+            culp += level
+        culp = min(culp, 63)
+        self._set_coef_ctx(plane, x4, y4, w4, h4, culp, dc_category)
+        self._cur_block.tx_blocks.append(TxBlock(
+            plane=plane, x=x, y=y, tx_size=tx_size, tx_type=tx_type,
+            eob=eob, coeffs=coeffs.reshape(th, tw).astype(np.int32),
+            lossless=lossless))
+
+    def _dq_delta(self, plane, is_dc) -> int:
+        q = self.hdr.quant
+        if plane == 0:
+            return q.delta_q_y_dc if is_dc else 0
+        if plane == 1:
+            return q.delta_q_u_dc if is_dc else q.delta_q_u_ac
+        return q.delta_q_v_dc if is_dc else q.delta_q_v_ac
+
+    @staticmethod
+    def _dq_shift(tx_size) -> int:
+        area = T.TX_WIDTH[tx_size] * T.TX_HEIGHT[tx_size]
+        if area <= 256:
+            return 0
+        if area <= 1024:
+            return 1
+        return 2
+
+    def _txb_skip_ctx(self, plane, x4, y4, tx_size, blk_r, blk_c) -> int:
+        tw4 = T.TX_W4[tx_size]
+        th4 = T.TX_H4[tx_size]
+        if plane == 0:
+            bsize = int(self.plan.bsize[blk_r, blk_c])
+            bw4 = C.BLOCK_W4[bsize]
+            bh4 = C.BLOCK_H4[bsize]
+            if tw4 == bw4 and th4 == bh4:
+                return 0
+            top = 0
+            left = 0
+            for i in range(min(tw4, self.mi_cols - x4)):
+                top = max(top, int(self.a_lvl[0][x4 + i]))
+            for i in range(min(th4, self.mi_rows - y4)):
+                left = max(left, int(self.l_lvl[0][y4 + i]))
+            top = min(top, 255)
+            left = min(left, 255)
+            mx = min(top + left, 4)
+            mn = min(min(top, left), 4)
+            skip_ctx_tab = [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5],
+                            [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
+                            [1, 4, 4, 4, 6]]
+            return skip_ctx_tab[mn][mx]
+        # chroma
+        above = 0
+        left_nz = 0
+        for i in range(tw4):
+            if x4 + i < len(self.a_lvl[plane]) and self.a_lvl[plane][x4 + i]:
+                above = 1
+        for i in range(th4):
+            if y4 + i < len(self.l_lvl[plane]) and self.l_lvl[plane][y4 + i]:
+                left_nz = 1
+        ctx = 7 + above + left_nz
+        bsize = int(self.plan.bsize[blk_r, blk_c])
+        bw4 = max(1, C.BLOCK_W4[bsize] >> self.ssx)
+        bh4 = max(1, C.BLOCK_H4[bsize] >> self.ssy)
+        if tw4 * th4 > bw4 * bh4:
+            ctx += 3
+        return ctx
+
+    def _read_tx_type(self, x4, y4, tx_size, blk_r, blk_c) -> int:
+        hdr = self.hdr
+        if hdr.coded_lossless:
+            return C.DCT_DCT
+        if self.hdr.seg.enabled:
+            pass  # lossless segments not yet wired
+        tx_set = T.get_tx_set_intra(tx_size, hdr.reduced_tx_set)
+        if tx_set == 0:
+            return C.DCT_DCT
+        y_mode = int(self.plan.y_mode[blk_r, blk_c])
+        if (blk_r, blk_c) in self.plan.filter_intra:
+            # filter intra uses its own mode->intra dir mapping (DC-ish)
+            intra_dir = C.DC_PRED
+        else:
+            intra_dir = y_mode
+        sq = T.TX_SIZE_SQR[tx_size]
+        if tx_set == 1:
+            row = self.cdf["intra_ext_tx_set1"][sq][intra_dir]
+            sym = self._decode_ragged(row, 7)
+            return T.TX_SET_INTRA_1[sym]
+        row = self.cdf["intra_ext_tx_set2"][sq][intra_dir]
+        sym = self._decode_ragged(row, 5)
+        return T.TX_SET_INTRA_2[sym]
+
+    def _uv_tx_type(self, tx_size, blk_r, blk_c) -> int:
+        # chroma tx type derived from uv mode (spec compute_tx_type for
+        # plane > 0: follows the luma/uv intra mode mapping, clamped by set)
+        hdr = self.hdr
+        if hdr.coded_lossless:
+            return C.DCT_DCT
+        uv_mode = int(self.plan.uv_mode[blk_r, blk_c])
+        if uv_mode == C.UV_CFL_PRED:
+            uv_mode = C.DC_PRED
+        tx_set = T.get_tx_set_intra(tx_size, hdr.reduced_tx_set)
+        t = T.INTRA_MODE_TO_TX_TYPE[uv_mode]
+        if tx_set == 0:
+            return C.DCT_DCT
+        allowed = T.TX_SET_INTRA_1 if tx_set == 1 else T.TX_SET_INTRA_2
+        return t if t in allowed else C.DCT_DCT
+
+    def _read_eob(self, tx_size, ptype, tx_cls) -> int:
+        msac = self.msac
+        cdf = self.cdf
+        adj = T.ADJUSTED_TX_SIZE[tx_size]
+        area = T.TX_WIDTH[adj] * T.TX_HEIGHT[adj]
+        cls_ctx = 0 if tx_cls == T.TX_CLASS_2D else 1
+        key = {16: "eob_multi16", 32: "eob_multi32", 64: "eob_multi64",
+               128: "eob_multi128", 256: "eob_multi256",
+               512: "eob_multi512", 1024: "eob_multi1024"}[area]
+        eob_pt = msac.decode_symbol(cdf[key][ptype][cls_ctx]) + 1
+        if eob_pt < 3:
+            return eob_pt
+        eob_shift = eob_pt - 2  # number of refinement bits
+        eob = (1 << (eob_pt - 2)) + 1
+        tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+        bit = msac.decode_symbol(
+            cdf["eob_extra"][tx_ctx][ptype][eob_pt - 3])
+        if bit:
+            eob += 1 << (eob_shift - 1)
+        for i in range(1, eob_shift):
+            if msac.decode_bool_equi():
+                eob += 1 << (eob_shift - 1 - i)
+        return eob
+
+    @staticmethod
+    def _coeff_base_eob_ctx(ci, tw, th) -> int:
+        if ci == 0:
+            return 0
+        n = tw * th
+        if ci <= n // 8:
+            return 1
+        if ci <= n // 4:
+            return 2
+        return 3
+
+    @staticmethod
+    def _coeff_base_ctx(levels, pos, bwl, th, tx_cls, base_offsets) -> int:
+        w = 1 << bwl
+        row = pos >> bwl
+        col = pos & (w - 1)
+        mag = 0
+        if tx_cls == T.TX_CLASS_2D:
+            nbrs = ((0, 1), (1, 0), (1, 1), (0, 2), (2, 0))
+        elif tx_cls == T.TX_CLASS_HORIZ:
+            nbrs = ((0, 1), (0, 2), (0, 3), (0, 4), (0, 5))
+        else:
+            nbrs = ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0))
+        for dr, dc in nbrs:
+            rr = row + dr
+            cc = col + dc
+            if rr < th and cc < w:
+                mag += min(int(levels[(rr << bwl) + cc]), 3)
+        ctx = min((mag + 1) >> 1, 4)
+        if tx_cls == T.TX_CLASS_2D:
+            if pos == 0:
+                return 0
+            return ctx + int(base_offsets[pos])
+        major = col if tx_cls == T.TX_CLASS_HORIZ else row
+        return ctx + T.SIG_COEF_CONTEXTS_2D + min(major, 2) * 5
+
+    @staticmethod
+    def _coeff_br_ctx(levels, pos, bwl, tx_cls) -> int:
+        w = 1 << bwl
+        row = pos >> bwl
+        col = pos & (w - 1)
+        if tx_cls == T.TX_CLASS_2D:
+            nbrs = ((0, 1), (1, 0), (1, 1))
+        elif tx_cls == T.TX_CLASS_HORIZ:
+            nbrs = ((0, 1), (0, 2), (0, 3))
+        else:
+            nbrs = ((1, 0), (2, 0), (3, 0))
+        mag = 0
+        th_guess = 1 << 16
+        for dr, dc in nbrs:
+            rr = row + dr
+            cc = col + dc
+            if cc < w and (rr << bwl) + cc < len(levels):
+                mag += min(int(levels[(rr << bwl) + cc]), 15)
+        mag = min((mag + 1) >> 1, 6)
+        if pos == 0:
+            return mag
+        if tx_cls == T.TX_CLASS_2D:
+            if row < 2 and col < 2:
+                return mag + 7
+            return mag + 14
+        major = col if tx_cls == T.TX_CLASS_HORIZ else row
+        if major == 0:
+            return mag + 7
+        return mag + 14
+
+    def _dc_sign_ctx(self, plane, x4, y4, w4, h4) -> int:
+        if plane:
+            x4 = x4
+        total = 0
+        for i in range(w4):
+            if x4 + i < len(self.a_sign[plane]):
+                s = int(self.a_sign[plane][x4 + i])
+                total += 1 if s == 1 else (-1 if s == 2 else 0)
+        for i in range(h4):
+            if y4 + i < len(self.l_sign[plane]):
+                s = int(self.l_sign[plane][y4 + i])
+                total += 1 if s == 1 else (-1 if s == 2 else 0)
+        if total == 0:
+            return 0
+        return 1 if total < 0 else 2
+
+    def _set_coef_ctx(self, plane, x4, y4, w4, h4, cul, dc_cat):
+        self.a_lvl[plane][x4:x4 + w4] = cul
+        self.l_lvl[plane][y4:y4 + h4] = cul
+        self.a_sign[plane][x4:x4 + w4] = dc_cat
+        self.l_sign[plane][y4:y4 + h4] = dc_cat

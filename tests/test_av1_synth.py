@@ -1,0 +1,96 @@
+"""AV1 conformance via synthesized bitstreams: our encoder produces
+streams that libdav1d and our decoder must decode identically, locking
+msac, syntax, contexts, transforms and intra prediction bit-exactly."""
+
+import numpy as np
+import pytest
+
+from easyav1_tpu.video.av1 import constants as C
+from av1_synth import (EncBlock, assert_same, dav1d_decode_ivf, encode_frame,
+                       make_ivf, my_decode_tu, synth_compare)
+
+
+def roundtrip(blocks, tag, w=64, h=64, q=40, **kw):
+    tu = encode_frame(w, h, q, blocks, **kw)
+    dav = dav1d_decode_ivf(make_ivf([tu], w, h), tag)[0]
+    mine = my_decode_tu(tu)
+    assert_same(dav, mine, tag)
+
+
+def test_skip_single_block():
+    roundtrip([EncBlock(0, 0, C.BLOCK_64X64)], "p_skip64")
+
+
+def test_split_blocks():
+    roundtrip([EncBlock(r, c, C.BLOCK_32X32) for r in (0, 8) for c in (0, 8)],
+              "p_split")
+
+
+def test_dc_coefficient():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, skip=False,
+                        luma_coeffs=[[(5, 0)]]),
+               EncBlock(0, 8, C.BLOCK_32X32), EncBlock(8, 0, C.BLOCK_32X32),
+               EncBlock(8, 8, C.BLOCK_32X32)], "p_dc")
+
+
+def test_modes_and_coeffs():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, y_mode=C.SMOOTH_PRED, skip=False,
+                        luma_coeffs=[[(3, 1), (2, 0), (1, 1)]]),
+               EncBlock(0, 8, C.BLOCK_32X32, y_mode=C.PAETH_PRED),
+               EncBlock(8, 0, C.BLOCK_32X32, y_mode=C.V_PRED),
+               EncBlock(8, 8, C.BLOCK_32X32, y_mode=C.H_PRED)], "p_modes")
+
+
+def test_directional_modes():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, y_mode=C.SMOOTH_V_PRED,
+                        uv_mode=C.SMOOTH_PRED),
+               EncBlock(0, 8, C.BLOCK_32X32, y_mode=C.SMOOTH_H_PRED,
+                        skip=False,
+                        luma_coeffs=[[(7, 0), (1, 1), (2, 0), (3, 1),
+                                      (1, 0), (1, 1)]]),
+               EncBlock(8, 0, C.BLOCK_32X32, y_mode=C.D45_PRED),
+               EncBlock(8, 8, C.BLOCK_32X32, y_mode=C.D135_PRED)], "p_dir")
+
+
+def test_directional_modes2():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, skip=False,
+                        luma_coeffs=[[(14, 0), (9, 1), (3, 0), (2, 1),
+                                      (1, 0)]]),
+               EncBlock(0, 8, C.BLOCK_32X32, y_mode=C.D203_PRED),
+               EncBlock(8, 0, C.BLOCK_32X32, y_mode=C.D67_PRED),
+               EncBlock(8, 8, C.BLOCK_32X32, y_mode=C.D113_PRED)], "p_dir2")
+
+
+def test_cdf_adaptation():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, skip=False,
+                        luma_coeffs=[[(5, 0)]]),
+               EncBlock(0, 8, C.BLOCK_32X32, skip=False,
+                        luma_coeffs=[[(3, 1), (2, 0), (1, 1)]]),
+               EncBlock(8, 0, C.BLOCK_32X32), EncBlock(8, 8, C.BLOCK_32X32)],
+              "p_adapt", adapt=True)
+
+
+def test_tx_mode_select():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, skip=False,
+                        luma_coeffs=[[(10, 0)]]),
+               EncBlock(0, 8, C.BLOCK_32X32), EncBlock(8, 0, C.BLOCK_32X32),
+               EncBlock(8, 8, C.BLOCK_32X32)], "p_txsel",
+              tx_mode_select=True)
+
+
+def test_adapt_and_txselect():
+    roundtrip([EncBlock(0, 0, C.BLOCK_32X32, y_mode=C.SMOOTH_PRED, skip=False,
+                        luma_coeffs=[[(3, 1), (2, 0), (1, 1)]]),
+               EncBlock(0, 8, C.BLOCK_32X32, y_mode=C.SMOOTH_H_PRED,
+                        skip=False,
+                        luma_coeffs=[[(7, 0), (1, 1), (2, 0), (3, 1),
+                                      (1, 0), (1, 1)]]),
+               EncBlock(8, 0, C.BLOCK_32X32, y_mode=C.D45_PRED),
+               EncBlock(8, 8, C.BLOCK_32X32, y_mode=C.H_PRED)],
+              "p_both", adapt=True, tx_mode_select=True)
+
+
+def test_tx64():
+    roundtrip([EncBlock(0, 0, C.BLOCK_64X64, skip=False,
+                        luma_coeffs=[[(10, 0), (4, 1), (3, 0), (2, 1),
+                                      (1, 0), (1, 1), (2, 0)]])], "p_tx64")

@@ -188,6 +188,19 @@ def main():
     t["dc_qlookup_12"] = rod[(o := find_u16([4, 12, 18, 25, 33, 41, 50, 60])):o + 256].copy()
     t["ac_qlookup_12"] = rod[(o := find_u16([4, 13, 19, 27, 35, 44, 54, 64])):o + 256].copy()
 
+    # ---- intra prediction tables (spec §7.11.2) ----
+    rod8 = np.fromfile("/tmp/_aom_rodata_extract.bin", dtype=np.uint8)
+    # smooth-prediction weights, concatenated for block dims 4,8,16,32,64
+    p = rod8.tobytes().find(bytes([255, 149, 85, 64, 255, 197, 146, 105]))
+    assert p >= 0
+    t["sm_weights"] = rod8[p:p + 4 + 8 + 16 + 32 + 64].copy()
+    # directional-mode slope table Dr_Intra_Derivative[90] (nonzero at
+    # even angles 2..88 per spec indexing; stored raw)
+    o = find_u16([0, 0, 0, 0, 1023, 0, 0, 547]) + 1
+    dr = rod[o:o + 90].copy()
+    assert dr[3] == 1023 and dr[45] == 64 and dr[6] == 547
+    t["dr_intra_derivative"] = dr
+
     np.savez_compressed(OUT, **t)
     print(f"wrote {OUT} with {len(t)} tables, "
           f"{sum(v.size for v in t.values())} u16 values")
