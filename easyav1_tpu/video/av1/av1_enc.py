@@ -135,6 +135,7 @@ class EncBlock:
     y_mode: int = C.DC_PRED
     uv_mode: int = C.DC_PRED
     skip: bool = True
+    tx_depth: int = 0
     # luma coefficient levels+signs in scan order (level, sign) per txblock,
     # one list per luma tx block in raster order; empty = all_zero
     luma_coeffs: Optional[List[List[Tuple[int, int]]]] = None
@@ -213,7 +214,17 @@ class SimpleTileEncoder:
         has_cols = (c + half) < self.mi_cols
         bsl = mi_wlog2(bsize)
         blk = blkmap.get((r, c))
-        is_leaf = blk is not None and blk.bsize == bsize
+        # derive partition type from the block map
+        if blk is not None and blk.bsize == bsize:
+            part = C.PARTITION_NONE
+        elif blk is not None and blk.bsize == partition_subsize(
+                C.PARTITION_HORZ, bsize):
+            part = C.PARTITION_HORZ
+        elif blk is not None and blk.bsize == partition_subsize(
+                C.PARTITION_VERT, bsize):
+            part = C.PARTITION_VERT
+        else:
+            part = C.PARTITION_SPLIT
         if bsize == C.BLOCK_4X4:
             self._encode_block(blkmap[(r, c)])
             return
@@ -224,17 +235,29 @@ class SimpleTileEncoder:
             row_idx = (bsl - 1) * 4 + ctx
             nsym = 4 if bsize == C.BLOCK_8X8 else (
                 8 if bsize == C.BLOCK_128X128 else 10)
-            part = C.PARTITION_NONE if is_leaf else C.PARTITION_SPLIT
             self._sym(self.cdf["partition"][row_idx], part, nsym)
         else:
-            part = C.PARTITION_NONE if is_leaf else C.PARTITION_SPLIT
-            if not is_leaf:
-                # edge: encode the split_or bool = 1 (split)
+            if part != C.PARTITION_SPLIT:
                 raise NotImplementedError("edge partitions in encoder")
+        h4 = C.BLOCK_H4[bsize]
         if part == C.PARTITION_NONE:
             self._encode_block(blk)
             self.a_part[c:c + w4] = _PART_ABOVE[bsize]
-            self.l_part[r:r + C.BLOCK_H4[bsize]] = _PART_LEFT[bsize]
+            self.l_part[r:r + h4] = _PART_LEFT[bsize]
+        elif part == C.PARTITION_HORZ:
+            sub = partition_subsize(C.PARTITION_HORZ, bsize)
+            self._encode_block(blkmap[(r, c)])
+            if (r + half) < self.mi_rows:
+                self._encode_block(blkmap[(r + half, c)])
+            self.a_part[c:c + w4] = _PART_ABOVE[sub]
+            self.l_part[r:r + h4] = _PART_LEFT[sub]
+        elif part == C.PARTITION_VERT:
+            sub = partition_subsize(C.PARTITION_VERT, bsize)
+            self._encode_block(blkmap[(r, c)])
+            if (c + half) < self.mi_cols:
+                self._encode_block(blkmap[(r, c + half)])
+            self.a_part[c:c + w4] = _PART_ABOVE[sub]
+            self.l_part[r:r + h4] = _PART_LEFT[sub]
         else:
             sub = partition_subsize(C.PARTITION_SPLIT, bsize)
             self._encode_partition(r, c, sub, blkmap)
@@ -270,7 +293,6 @@ class SimpleTileEncoder:
                 self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED], 3)
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         if self.tx_mode_select and bsize != C.BLOCK_4X4:
-            # encode depth 0 (always choose the max rect size)
             depth_tab = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
                          2, 2, 3, 3, 4, 4]
             max_depth = depth_tab[bsize]
@@ -280,7 +302,9 @@ class SimpleTileEncoder:
             ctx = int(int(self.a_txw[c]) >= max_tx_w) \
                 + int(int(self.l_txh[r]) >= max_tx_h)
             nsym = 2 if cat == 0 else min(max_depth, 2) + 1
-            self._sym(self.cdf["tx_size"][cat][ctx], 0, nsym)
+            self._sym(self.cdf["tx_size"][cat][ctx], blk.tx_depth, nsym)
+        for _ in range(blk.tx_depth):
+            tx_size = T.SPLIT_TX_SIZE[tx_size]
         if not blk.skip:
             self._encode_residual(blk, tx_size, has_chroma)
         else:
@@ -333,15 +357,40 @@ class SimpleTileEncoder:
         ptype = 1 if plane else 0
         cdf = self.cdf
         # txb_skip ctx (mirror of decoder)
+        tw4, th4 = T.TX_W4[tx_size], T.TX_H4[tx_size]
         if plane == 0:
-            tw4, th4 = T.TX_W4[tx_size], T.TX_H4[tx_size]
             bw4 = C.BLOCK_W4[blk.bsize]
             bh4 = C.BLOCK_H4[blk.bsize]
-            ctx = 0 if (tw4 == bw4 and th4 == bh4) else 1
-            if not (tw4 == bw4 and th4 == bh4):
-                raise NotImplementedError("multi-tx luma in encoder")
+            if tw4 == bw4 and th4 == bh4:
+                ctx = 0
+            else:
+                top = 0
+                left = 0
+                for i in range(min(tw4, self.mi_cols - x4)):
+                    top = max(top, int(self.a_lvl[0][x4 + i]))
+                for i in range(min(th4, self.mi_rows - y4)):
+                    left = max(left, int(self.l_lvl[0][y4 + i]))
+                top = min(top, 255)
+                left = min(left, 255)
+                mx_ = min(top + left, 4)
+                mn_ = min(min(top, left), 4)
+                tab = [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
+                       [1, 4, 4, 4, 5], [1, 4, 4, 4, 6]]
+                ctx = tab[mn_][mx_]
         else:
-            ctx = 7
+            above = 0
+            left_nz = 0
+            for i in range(tw4):
+                if x4 + i < len(self.a_lvl[plane]) and self.a_lvl[plane][x4 + i]:
+                    above = 1
+            for i in range(th4):
+                if y4 + i < len(self.l_lvl[plane]) and self.l_lvl[plane][y4 + i]:
+                    left_nz = 1
+            ctx = 7 + above + left_nz
+            bw4 = max(1, C.BLOCK_W4[blk.bsize] >> 1)
+            bh4 = max(1, C.BLOCK_H4[blk.bsize] >> 1)
+            if tw4 * th4 > bw4 * bh4:
+                ctx += 3
         all_zero = 0 if coeffs else 1
         self._sym(cdf["txb_skip"][tx_ctx][ctx], all_zero)
         if all_zero:
@@ -352,7 +401,12 @@ class SimpleTileEncoder:
         # blocks >= 32x32 to avoid coding it (set 0).
         tx_set = T.get_tx_set_intra(tx_size, False)
         if tx_set != 0:
-            raise NotImplementedError("tx type coding in encoder")
+            # encode DCT_DCT within the set (intra dir = y_mode)
+            lst = T.TX_SET_INTRA_1 if tx_set == 1 else T.TX_SET_INTRA_2
+            sym = lst.index(C.DCT_DCT)
+            sq = T.TX_SIZE_SQR[tx_size]
+            key = "intra_ext_tx_set1" if tx_set == 1 else "intra_ext_tx_set2"
+            self._sym(self.cdf[key][sq][blk.y_mode], sym, len(lst))
         eob = len(coeffs)
         self._encode_eob(tx_size, ptype, eob)
         # coefficients in reverse scan order

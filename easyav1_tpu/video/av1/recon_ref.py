@@ -20,7 +20,7 @@ from easyav1_tpu.video.av1.headers import FrameHeader, SequenceHeader
 from easyav1_tpu.video.av1.itx_ref import inv_wht4, transform_1d
 from easyav1_tpu.video.av1.tile import FramePlan, TxBlock
 
-_ROW_SHIFT = [0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 1, 1, 1, 1]
+_ROW_SHIFT = [0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 1, 1, 2, 2]
 
 # 1-D kinds per tx type: (vertical, horizontal)
 _TX_1D = {

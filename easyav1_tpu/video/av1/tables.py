@@ -128,16 +128,21 @@ def get_scan(tx_size: int, tx_type: int) -> np.ndarray:
 
 @functools.lru_cache(maxsize=None)
 def coeff_base_ctx_offset(tx_size: int) -> np.ndarray:
+    """2D-class sig-coef ctx offsets. The wide/tall band rule keys on the
+    REAL tx shape (so TX_64X32 is 'wide' even though its coefficient array
+    is the adjusted 32x32) — verified empirically against libdav1d, which
+    otherwise desyncs on rect-64 streams."""
     adj = ADJUSTED_TX_SIZE[tx_size]
     w, h = TX_WIDTH[adj], TX_HEIGHT[adj]
+    rw, rh = TX_WIDTH[tx_size], TX_HEIGHT[tx_size]
     out = np.zeros((h, w), dtype=np.int32)
     for r in range(h):
         for c in range(w):
             if r == 0 and c == 0:
                 v = 0
-            elif w > h and c < 2:
+            elif rw > rh and c < 2:
                 v = 16
-            elif h > w and r < 2:
+            elif rh > rw and r < 2:
                 v = 11
             else:
                 s = min(r, 4) + min(c, 4)

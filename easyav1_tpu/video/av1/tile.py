@@ -78,10 +78,14 @@ class FramePlan:
     filter_intra: dict = dataclasses.field(default_factory=dict)
 
 
-# Partition context lookup (dav1d-verified): above = 31 >> log2w4;
-# the query bit (value >> bsl) & 1 reads "neighbor narrower than bsl".
-_PART_ABOVE = [31 >> (C.BLOCK_W4[b].bit_length() - 1) for b in range(22)]
-_PART_LEFT = [31 >> (C.BLOCK_H4[b].bit_length() - 1) for b in range(22)]
+# Partition context lookup: stored value = 64 - 2*mi_width — high bits
+# set STRICTLY ABOVE the neighbor's own size level, so a parent with
+# block-size-log bsl reads (value >> bsl) & 1 == 1 iff the neighbor block
+# is STRICTLY SMALLER than the parent size (verified against real libaom
+# streams and dav1d's al_part_ctx constants 0x10/0x18/0x1c/0x1e/0x1f,
+# which are the same values on an 8x8-unit bit scale).
+_PART_ABOVE = [max(0, 64 - 2 * C.BLOCK_W4[b]) for b in range(22)]
+_PART_LEFT = [max(0, 64 - 2 * C.BLOCK_H4[b]) for b in range(22)]
 
 # Partition subsize table (spec Partition_Subsize[10][BLOCK_SIZES_ALL]),
 # entries only needed for square parents 8x8..128x128.
@@ -475,24 +479,19 @@ class TileDecoder:
         return self.cdf[key][bsize]
 
     def _read_cfl_alphas(self, sign_joint) -> Tuple[int, int]:
-        # joint sign: 8 symbols = 3*3-1 (not both zero); spec 5.11.45
+        # joint sign: 8 symbols = 3*3-1 (not both zero); spec §5.11.45.
+        # CFL_SIGN_ZERO=0, CFL_SIGN_NEG=1, CFL_SIGN_POS=2.
         sign_u = (sign_joint + 1) // 3
         sign_v = (sign_joint + 1) % 3
         alpha_u = alpha_v = 0
-        if sign_u != 0:  # CFL_SIGN_ZERO = 0
-            ctx = sign_joint - 2 if sign_v == 0 else sign_joint - 2  # see spec
-            ctx = (sign_joint - 2) if True else 0
-            ctx = sign_joint - 2
-            if ctx < 0:
-                ctx = 0
+        if sign_u != 0:
+            ctx = sign_joint - 2  # signs 2..7 -> ctx 0..5
             idx = self.msac.decode_symbol(self.cdf["cfl_alpha"][ctx]) + 1
-            alpha_u = idx if sign_u == 1 else -idx  # CFL_SIGN_POS=2?
+            alpha_u = -idx if sign_u == 1 else idx
         if sign_v != 0:
-            ctx = sign_joint - 3 + (3 if sign_u != 0 else 0)
-            if ctx < 0:
-                ctx = 0
+            ctx = sign_v - 1 + 2 * sign_u  # enumerates the 6 v-coded signs
             idx = self.msac.decode_symbol(self.cdf["cfl_alpha"][ctx]) + 1
-            alpha_v = idx if sign_v == 1 else -idx
+            alpha_v = -idx if sign_v == 1 else idx
         return alpha_u, alpha_v
 
     def _read_deltas(self, bsize, skip):
@@ -729,12 +728,14 @@ class TileDecoder:
 
     @staticmethod
     def _dq_shift(tx_size) -> int:
-        area = T.TX_WIDTH[tx_size] * T.TX_HEIGHT[tx_size]
-        if area <= 256:
-            return 0
-        if area <= 1024:
+        """Spec dqDenom: keyed on the square-up size (max dim), NOT area —
+        TX_32X64 shifts by 2 like TX_64X64 (verified vs libdav1d)."""
+        dim = max(T.TX_WIDTH[tx_size], T.TX_HEIGHT[tx_size])
+        if dim == 64:
+            return 2
+        if dim == 32:
             return 1
-        return 2
+        return 0
 
     def _txb_skip_ctx(self, plane, x4, y4, tx_size, blk_r, blk_c) -> int:
         tw4 = T.TX_W4[tx_size]
