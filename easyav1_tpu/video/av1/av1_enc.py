@@ -236,9 +236,25 @@ class SimpleTileEncoder:
             nsym = 4 if bsize == C.BLOCK_8X8 else (
                 8 if bsize == C.BLOCK_128X128 else 10)
             self._sym(self.cdf["partition"][row_idx], part, nsym)
+        elif has_cols or has_rows:
+            # frame-edge partition: a single split_or bool (mirrors the
+            # decoder's _split_or gather)
+            horz = has_cols  # bottom edge -> HORZ vs SPLIT
+            if horz:
+                assert part in (C.PARTITION_HORZ, C.PARTITION_SPLIT), part
+            else:
+                assert part in (C.PARTITION_VERT, C.PARTITION_SPLIT), part
+            from easyav1_tpu.video.av1.tile import TileDecoder
+            above = (int(self.a_part[c]) >> bsl) & 1
+            left = (int(self.l_part[r]) >> bsl) & 1
+            ctx = left * 2 + above
+            row_idx = (bsl - 1) * 4 + ctx
+            cdf_row = self.cdf["partition"][row_idx]
+            psplit = TileDecoder.edge_split_prob(cdf_row, bsize, horz)
+            self.enc.encode_bool(int(part == C.PARTITION_SPLIT), psplit)
         else:
             if part != C.PARTITION_SPLIT:
-                raise NotImplementedError("edge partitions in encoder")
+                raise NotImplementedError("corner must be SPLIT")
         h4 = C.BLOCK_H4[bsize]
         if part == C.PARTITION_NONE:
             self._encode_block(blk)
@@ -367,12 +383,12 @@ class SimpleTileEncoder:
                 top = 0
                 left = 0
                 for i in range(min(tw4, self.mi_cols - x4)):
-                    top = max(top, int(self.a_lvl[0][x4 + i]))
+                    top |= int(self.a_lvl[0][x4 + i])
                 for i in range(min(th4, self.mi_rows - y4)):
-                    left = max(left, int(self.l_lvl[0][y4 + i]))
-                top = min(top, 255)
-                left = min(left, 255)
-                mx_ = min(top + left, 4)
+                    left |= int(self.l_lvl[0][y4 + i])
+                top &= 63
+                left &= 63
+                mx_ = min(top | left, 4)
                 mn_ = min(min(top, left), 4)
                 tab = [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],
                        [1, 4, 4, 4, 5], [1, 4, 4, 4, 6]]
@@ -433,16 +449,15 @@ class SimpleTileEncoder:
                 brctx = TileDecoder._coeff_br_ctx(levels, pos, bwl,
                                                   T.TX_CLASS_2D)
                 br_tx = min(tx_ctx, C.TX_32X32)
-                rem = level - 3
+                rem = min(level, 15) - 3
                 for _ in range(4):
                     k = min(rem, 3)
                     self._sym(cdf["coeff_br"][br_tx][ptype][brctx], k)
                     rem -= k
                     if k < 3:
                         break
-                if level > 14:
-                    raise NotImplementedError("golomb in encoder")
-            levels[pos] = level
+            # ctx arrays see the pre-golomb cap, mirroring the decoder
+            levels[pos] = min(level, 15)
         culp = 0
         dc_cat = 0
         for ci in range(eob):
@@ -458,6 +473,16 @@ class SimpleTileEncoder:
                 dc_cat = 2 if sign else 1
             else:
                 self.enc.encode_bool_equi(sign)
+            if level >= 15:
+                # exp-golomb suffix, emitted after the sign (decoder reads
+                # it in the forward sign pass when base+br saturate at 15)
+                v = level - 15 + 1
+                nbits = v.bit_length() - 1
+                for _ in range(nbits):
+                    self.enc.encode_bool_equi(0)
+                self.enc.encode_bool_equi(1)
+                for i in range(nbits - 1, -1, -1):
+                    self.enc.encode_bool_equi((v >> i) & 1)
         culp = min(culp, 63)
         self._set_coef_ctx(plane, x4, y4, T.TX_W4[tx_size], T.TX_H4[tx_size],
                            culp, dc_cat)

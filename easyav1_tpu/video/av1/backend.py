@@ -136,7 +136,10 @@ class AV1Backend:
         for tile_num, tdata in enumerate(tiles):
             dec.decode_tile(tdata, tile_num // n_cols, tile_num % n_cols)
         recon = FrameRecon(seq, hdr, plan)
-        planes = recon.run()
+        aligned = recon.run_aligned()
+        from easyav1_tpu.video.av1.lf_ref import LoopFilter
+        LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+        planes = recon.crop(aligned)
         frame = self._make_frame(planes, hdr, ts)
         self.hp.update_refs(hdr)
         for i in range(C.NUM_REF_FRAMES):

@@ -113,14 +113,23 @@ class FrameRecon:
         self.sm_weights = d["sm_weights"]
         self.dr_table = d["dr_intra_derivative"]
 
-    def run(self):
+    def run_aligned(self):
+        """Reconstruct and return the mi-aligned planes (loop filtering
+        runs on these; cropping to the display size happens afterwards)."""
         for blk in self.plan.blocks:
             self._recon_block(blk)
+        return [self.planes[p]
+                for p in range(3 if self.seq.color.num_planes > 1 else 1)]
+
+    def crop(self, planes):
         out = []
-        for p in range(3 if self.seq.color.num_planes > 1 else 1):
-            out.append(self.planes[p][:self.heights[p], :self.widths[p]]
+        for p, buf in enumerate(planes):
+            out.append(buf[:self.heights[p], :self.widths[p]]
                        .astype(np.uint8 if self.bd == 8 else np.uint16))
         return out
+
+    def run(self):
+        return self.crop(self.run_aligned())
 
     # ------------------------------------------------------------------
 

@@ -76,6 +76,10 @@ class FramePlan:
     palette: dict = dataclasses.field(default_factory=dict)
     cfl_alphas: dict = dataclasses.field(default_factory=dict)  # (mir,mic) -> (signU? ..)
     filter_intra: dict = dataclasses.field(default_factory=dict)
+    # every tx visited during decode (including all_zero ones):
+    # (plane, x, y, tx_size) in plane pixel coords — loop filter tx grids
+    lf_txs: List[Tuple[int, int, int, int]] = \
+        dataclasses.field(default_factory=list)
 
 
 # Partition context lookup: stored value = 64 - 2*mi_width — high bits
@@ -316,29 +320,32 @@ class TileDecoder:
         ctx = left * 2 + above
         row_idx = (bsl - 1) * 4 + ctx
         cdf_row = self.cdf["partition"][row_idx]
-        if bsize == C.BLOCK_8X8:
-            # only NONE/HORZ/VERT/SPLIT: split iff partition would be
-            # SPLIT or the other direction
-            psplit = self._gather(cdf_row, [C.PARTITION_SPLIT] +
-                                  ([C.PARTITION_VERT] if horz else
-                                   [C.PARTITION_HORZ]), 4)
+        psplit = self.edge_split_prob(cdf_row, bsize, horz)
+        return bool(self.msac.decode_bool(psplit))
+
+    @staticmethod
+    def edge_split_prob(cdf_row, bsize, horz: bool) -> int:
+        """Edge-partition split probability: the bool is 'does the VISIBLE
+        half contain a mid-edge', so psplit = 32768 - P{types whose visible
+        half is unsplit}: {NONE, dir, dir_B, dir_4} (dir = HORZ for the
+        bottom edge, VERT for the right edge; dir_B's second split lies in
+        the hidden half).  Calibrated bit-exactly against dav1d via
+        pristine-state probability sweeps."""
+        if horz:
+            parts = [C.PARTITION_NONE, C.PARTITION_HORZ]
+            extra = [C.PARTITION_HORZ_B, C.PARTITION_HORZ_4]
         else:
-            is128 = bsize == C.BLOCK_128X128
-            nsym = 8 if is128 else 10
-            if horz:  # bottom edge: want P(vertical-ish split)
-                parts = [C.PARTITION_VERT, C.PARTITION_SPLIT,
-                         C.PARTITION_HORZ_A, C.PARTITION_VERT_A,
-                         C.PARTITION_VERT_B]
-                if not is128:
-                    parts.append(C.PARTITION_VERT_4)
-            else:
-                parts = [C.PARTITION_HORZ, C.PARTITION_SPLIT,
-                         C.PARTITION_HORZ_A, C.PARTITION_HORZ_B,
-                         C.PARTITION_VERT_A]
-                if not is128:
-                    parts.append(C.PARTITION_HORZ_4)
-            psplit = self._gather(cdf_row, parts, nsym)
-        return bool(self.msac.decode_bool(32768 - psplit))
+            parts = [C.PARTITION_NONE, C.PARTITION_VERT]
+            extra = [C.PARTITION_VERT_B, C.PARTITION_VERT_4]
+        if bsize == C.BLOCK_8X8:
+            nsym = 4
+        elif bsize == C.BLOCK_128X128:
+            nsym = 8
+            parts += extra[:1]
+        else:
+            nsym = 10
+            parts += extra
+        return 32768 - TileDecoder._gather(cdf_row, parts, nsym)
 
     @staticmethod
     def _gather(cdf_row: list, symbols: list, nsym: int) -> int:
@@ -633,6 +640,7 @@ class TileDecoder:
         y4 = y >> 2
         ptype = 1 if plane else 0
         tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+        self.plan.lf_txs.append((plane, x, y, tx_size))
 
         # txb skip context
         ctx = self._txb_skip_ctx(plane, x4, y4, tx_size, blk_r, blk_c)
@@ -703,7 +711,6 @@ class TileDecoder:
             if level == 15:  # base 3 + br 12: golomb suffix (spec: read
                 # in this forward pass, after the sign)
                 level += msac.decode_golomb()
-                culp += level - 15
             dqv = dc_dq if pos == 0 else ac_dq
             v = (level * dqv) & 0xFFFFFF
             v >>= shift
@@ -748,13 +755,15 @@ class TileDecoder:
                 return 0
             top = 0
             left = 0
+            # neighbor cul-levels are OR-ed (libaom get_txb_skip_ctx),
+            # then ctx = tab[min(top,left)][top|left] with 4-clamps
             for i in range(min(tw4, self.mi_cols - x4)):
-                top = max(top, int(self.a_lvl[0][x4 + i]))
+                top |= int(self.a_lvl[0][x4 + i])
             for i in range(min(th4, self.mi_rows - y4)):
-                left = max(left, int(self.l_lvl[0][y4 + i]))
-            top = min(top, 255)
-            left = min(left, 255)
-            mx = min(top + left, 4)
+                left |= int(self.l_lvl[0][y4 + i])
+            top &= 63
+            left &= 63
+            mx = min(top | left, 4)
             mn = min(min(top, left), 4)
             skip_ctx_tab = [[1, 2, 2, 2, 3], [1, 4, 4, 4, 5],
                             [1, 4, 4, 4, 5], [1, 4, 4, 4, 5],

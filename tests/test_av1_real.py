@@ -1,0 +1,92 @@
+"""AV1 conformance against real libaom-encoded fixtures.
+
+Each fixture is encoded by libaom (via the make_fixture tool) with a
+restricted feature set matching what the decoder supports so far, then
+decoded by BOTH libdav1d (the oracle) and our decoder; every plane must
+be bit-exact, including the deblocking loop filter.
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from easyav1_tpu.container.webm import TrackType, WebMDemuxer
+from easyav1_tpu.video.av1.backend import AV1Backend
+
+from fixtures import CACHE, tool
+
+BASE_OPTS = [
+    "vopt:enable-cdef=0", "vopt:enable-restoration=0",
+    "vopt:use-intra-dct-only=1", "vopt:enable-filter-intra=0",
+    "vopt:enable-intra-edge-filter=0", "vopt:enable-angle-delta=0",
+    "vopt:enable-palette=0", "vopt:deltaq-mode=0", "vopt:enable-cfl-intra=0",
+]
+
+
+def real_fixture(tag, w, h, crf=30, frames=1, extra=()):
+    out = CACHE / f"real_{tag}.webm"
+    if not out.exists():
+        args = [str(tool("make_fixture")), str(out),
+                f"w={w}", f"h={h}", "fps=10", f"frames={frames}", "gop=1",
+                f"crf={crf}", "audio_secs=0"] + BASE_OPTS + list(extra)
+        r = subprocess.run(args, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+    prefix = CACHE / f"real_{tag}"
+    if not prefix.with_suffix(".yuv").exists():
+        subprocess.run([str(tool("oracle")), str(out), str(prefix)],
+                       check=True, capture_output=True)
+    return out, prefix
+
+
+def assert_exact(tag, w, h, crf=30, frames=1, extra=()):
+    out, prefix = real_fixture(tag, w, h, crf, frames, extra)
+    dmx = WebMDemuxer(str(out))
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    pkts = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            pkts.extend(p.frames)
+    raw = np.fromfile(prefix.with_suffix(".yuv"), dtype=np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    per = w * h + 2 * cw * ch
+    be = AV1Backend(vt)
+    for fi, pk in enumerate(pkts):
+        f = be.decode([pk], 0)[0]
+        b = fi * per
+        gold = [raw[b:b + w * h].reshape(h, w),
+                raw[b + w * h:b + w * h + cw * ch].reshape(ch, cw),
+                raw[b + w * h + cw * ch:b + per].reshape(ch, cw)]
+        for i, pname in enumerate("yuv"):
+            d = np.abs(gold[i].astype(int) - f.data[i].astype(int))
+            assert d.max() == 0, (
+                f"{tag} frame {fi} plane {pname}: maxdiff {d.max()} at "
+                f"{np.argwhere(d > 0)[:4].tolist()}")
+
+
+def test_real_64():
+    assert_exact("64", 64, 64)
+
+
+def test_real_64_hiq():
+    assert_exact("64hiq", 64, 64, crf=10)
+
+
+def test_real_64_loq():
+    assert_exact("64loq", 64, 64, crf=50)
+
+
+def test_real_128():
+    assert_exact("128", 128, 128)
+
+
+def test_real_odd_size():
+    assert_exact("odd", 66, 50)
+
+
+def test_real_176x144():
+    assert_exact("qcif", 176, 144)
+
+
+def test_real_multiframe():
+    assert_exact("multi", 96, 96, frames=3)
