@@ -63,7 +63,8 @@ def obu(obu_type: int, payload: bytes) -> bytes:
     return header + leb128(len(payload)) + payload
 
 
-def write_sequence_header(w: int, h: int, base_q_unused: int = 0) -> bytes:
+def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
+                          edge_filter: bool = False) -> bytes:
     """Minimal profile-0 8-bit 4:2:0 sequence header,
     reduced_still_picture_header form (spec §5.5)."""
     bw = BitWriter()
@@ -77,7 +78,7 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0) -> bytes:
     bw.f(h - 1, 16)
     bw.f(0, 1)    # use_128x128_superblock
     bw.f(0, 1)    # enable_filter_intra
-    bw.f(0, 1)    # enable_intra_edge_filter
+    bw.f(int(edge_filter), 1)    # enable_intra_edge_filter
     bw.f(0, 1)    # enable_superres
     bw.f(0, 1)    # enable_cdef
     bw.f(0, 1)    # enable_restoration
@@ -95,7 +96,8 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0) -> bytes:
 
 def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             disable_cdf_update: bool = True,
-                            tx_mode_select: bool = False) -> None:
+                            tx_mode_select: bool = False,
+                            lf_levels=(0, 0)) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
     bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
@@ -116,8 +118,11 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
     # delta_q_params (base_q > 0)
     bw.f(0, 1)            # delta_q_present
     # loop filter
-    bw.f(0, 6)            # level[0]
-    bw.f(0, 6)            # level[1]
+    bw.f(lf_levels[0], 6)  # level[0]
+    bw.f(lf_levels[1], 6)  # level[1]
+    if lf_levels[0] or lf_levels[1]:
+        bw.f(lf_levels[2] if len(lf_levels) > 2 else 0, 6)  # level[2] (u)
+        bw.f(lf_levels[3] if len(lf_levels) > 3 else 0, 6)  # level[3] (v)
     bw.f(0, 3)            # sharpness
     bw.f(0, 1)            # delta_enabled
     # cdef skipped (enable_cdef=0); lr skipped (enable_restoration=0)
@@ -140,6 +145,11 @@ class EncBlock:
     # one list per luma tx block in raster order; empty = all_zero
     luma_coeffs: Optional[List[List[Tuple[int, int]]]] = None
     chroma_coeffs: Optional[List[List[Tuple[int, int]]]] = None
+    # CfL: uv_mode becomes UV_CFL_PRED with these signed alphas (-16..16)
+    cfl: Optional[Tuple[int, int]] = None
+    angle_y: int = 0
+    angle_uv: int = 0
+    tx_type: int = C.DCT_DCT   # luma tx type (must be legal for the set)
 
 
 class SimpleTileEncoder:
@@ -280,6 +290,10 @@ class SimpleTileEncoder:
             self._encode_partition(r, c + half, sub, blkmap)
             self._encode_partition(r + half, c, sub, blkmap)
             self._encode_partition(r + half, c + half, sub, blkmap)
+            if bsize == C.BLOCK_8X8:
+                # 4x4 leaves don't recurse: the parent writes their ctx
+                self.a_part[c:c + w4] = _PART_ABOVE[sub]
+                self.l_part[r:r + h4] = _PART_LEFT[sub]
 
     def _encode_block(self, blk: EncBlock):
         r, c, bsize = blk.r, blk.c, blk.bsize
@@ -300,13 +314,31 @@ class SimpleTileEncoder:
         self._sym(self.cdf["kf_y_mode"][T.INTRA_MODE_CONTEXT[above_mode]]
                   [T.INTRA_MODE_CONTEXT[left_mode]], blk.y_mode)
         if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.y_mode <= C.D67_PRED:
-            self._sym(self.cdf["angle_delta"][blk.y_mode - C.V_PRED], 3)
+            self._sym(self.cdf["angle_delta"][blk.y_mode - C.V_PRED],
+                      blk.angle_y + 3)
         if has_chroma:
             cfl_allowed = w4 * 4 <= 32 and h4 * 4 <= 32
+            uv_mode = blk.uv_mode
+            if blk.cfl is not None:
+                assert cfl_allowed
+                uv_mode = C.UV_CFL_PRED
             row = self.cdf["uv_mode"][1 if cfl_allowed else 0][blk.y_mode]
-            self._sym(row, blk.uv_mode, 14 if cfl_allowed else 13)
-            if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.uv_mode <= C.D67_PRED:
-                self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED], 3)
+            self._sym(row, uv_mode, 14 if cfl_allowed else 13)
+            if uv_mode == C.UV_CFL_PRED:
+                au, av = blk.cfl
+                su = 0 if au == 0 else (1 if au < 0 else 2)
+                sv = 0 if av == 0 else (1 if av < 0 else 2)
+                joint = su * 3 + sv - 1
+                self._sym(self.cdf["cfl_sign"][0], joint)
+                if su:
+                    self._sym(self.cdf["cfl_alpha"][(3 if su == 2 else 0)
+                                                    + sv], abs(au) - 1)
+                if sv:
+                    self._sym(self.cdf["cfl_alpha"][(3 if sv == 2 else 0)
+                                                    + su], abs(av) - 1)
+            if bsize >= C.BLOCK_8X8 and C.V_PRED <= uv_mode <= C.D67_PRED:
+                self._sym(self.cdf["angle_delta"][uv_mode - C.V_PRED],
+                          blk.angle_uv + 3)
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         if self.tx_mode_select and bsize != C.BLOCK_4X4:
             depth_tab = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
@@ -328,6 +360,14 @@ class SimpleTileEncoder:
             self.l_lvl[0][r:r + h4] = 0
             self.a_sign[0][c:c + w4] = 0
             self.l_sign[0][r:r + h4] = 0
+            if has_chroma:
+                cx, cy = c >> 1, r >> 1
+                cw, ch = max(1, w4 >> 1), max(1, h4 >> 1)
+                for p in (1, 2):
+                    self.a_lvl[p][cx:cx + cw] = 0
+                    self.l_lvl[p][cy:cy + ch] = 0
+                    self.a_sign[p][cx:cx + cw] = 0
+                    self.l_sign[p][cy:cy + ch] = 0
         self.a_mode[c:c + w4] = blk.y_mode
         self.l_mode[r:r + h4] = blk.y_mode
         self.a_skip[c:c + w4] = int(blk.skip)
@@ -354,9 +394,11 @@ class SimpleTileEncoder:
         if has_chroma:
             uv_tx = self._uv_tx(blk.bsize)
             uv_ctx = min(T.TX_SIZE_SQR_UP[uv_tx], C.TX_64X64)
+            cc = blk.chroma_coeffs or [[], []]
             for plane in (1, 2):
                 self._encode_txb(plane, c >> 1, r >> 1, uv_tx, uv_ctx,
-                                 blk, [])
+                                 blk, cc[plane - 1] if plane - 1 < len(cc)
+                                 else [])
 
     def _uv_tx(self, bsize) -> int:
         w4 = max(1, C.BLOCK_W4[bsize] >> 1)
@@ -415,24 +457,29 @@ class SimpleTileEncoder:
             return
         # tx type: TX_MODE_LARGEST tx for <=16x16 has a coded type; keep
         # blocks >= 32x32 to avoid coding it (set 0).
-        tx_set = T.get_tx_set_intra(tx_size, False)
+        # tx type symbol: luma only — chroma tx type is DERIVED from the
+        # uv mode, never coded
+        tx_set = T.get_tx_set_intra(tx_size, False) if plane == 0 else 0
+        tx_type = C.DCT_DCT
         if tx_set != 0:
-            # encode DCT_DCT within the set (intra dir = y_mode)
             lst = T.TX_SET_INTRA_1 if tx_set == 1 else T.TX_SET_INTRA_2
-            sym = lst.index(C.DCT_DCT)
+            tx_type = blk.tx_type if blk.tx_type in lst else C.DCT_DCT
+            sym = lst.index(tx_type)
             sq = T.TX_SIZE_SQR[tx_size]
             key = "intra_ext_tx_set1" if tx_set == 1 else "intra_ext_tx_set2"
             self._sym(self.cdf[key][sq][blk.y_mode], sym, len(lst))
+        tx_cls = T.tx_type_class(tx_type)
         eob = len(coeffs)
-        self._encode_eob(tx_size, ptype, eob)
+        self._encode_eob(tx_size, ptype, eob, tx_cls)
         # coefficients in reverse scan order
-        scan = T.get_scan(tx_size, C.DCT_DCT)
+        scan = T.get_scan(tx_size, tx_type)
         tw = T.TX_WIDTH[T.ADJUSTED_TX_SIZE[tx_size]]
         th = T.TX_HEIGHT[T.ADJUSTED_TX_SIZE[tx_size]]
         bwl = tw.bit_length() - 1
         levels = np.zeros(th * tw, np.int32)
         from easyav1_tpu.video.av1.tile import TileDecoder
-        base_offsets = T.coeff_base_ctx_offset(tx_size).reshape(-1)
+        base_offsets = (T.coeff_base_ctx_offset(tx_size).reshape(-1)
+                        if tx_cls == T.TX_CLASS_2D else None)
         for ci in range(eob - 1, -1, -1):
             level, sign = coeffs[ci]
             pos = int(scan[ci])
@@ -442,12 +489,12 @@ class SimpleTileEncoder:
                 self._sym(cdf["coeff_base_eob"][tx_ctx][ptype][ctx_eob], sym)
             else:
                 bctx = TileDecoder._coeff_base_ctx(levels, pos, bwl, th,
-                                                   T.TX_CLASS_2D, base_offsets)
+                                                   tx_cls, base_offsets)
                 sym = min(level, 3)
                 self._sym(cdf["coeff_base"][tx_ctx][ptype][bctx], sym)
             if min(level, 3) > 2:
                 brctx = TileDecoder._coeff_br_ctx(levels, pos, bwl,
-                                                  T.TX_CLASS_2D)
+                                                  tx_cls)
                 br_tx = min(tx_ctx, C.TX_32X32)
                 rem = min(level, 15) - 3
                 for _ in range(4):
@@ -507,7 +554,7 @@ class SimpleTileEncoder:
         self.a_sign[plane][x4:x4 + w4] = dc_cat
         self.l_sign[plane][y4:y4 + h4] = dc_cat
 
-    def _encode_eob(self, tx_size, ptype, eob):
+    def _encode_eob(self, tx_size, ptype, eob, tx_cls=0):
         adj = T.ADJUSTED_TX_SIZE[tx_size]
         area = T.TX_WIDTH[adj] * T.TX_HEIGHT[adj]
         key = {16: "eob_multi16", 32: "eob_multi32", 64: "eob_multi64",
@@ -519,7 +566,8 @@ class SimpleTileEncoder:
         else:
             eob_pt = (eob - 1).bit_length() + 1
             extra = eob - ((1 << (eob_pt - 2)) + 1)
-        self._sym(self.cdf[key][ptype][0], eob_pt - 1)
+        cls_ctx = 0 if tx_cls == T.TX_CLASS_2D else 1
+        self._sym(self.cdf[key][ptype][cls_ctx], eob_pt - 1)
         if eob_pt >= 3:
             shift = eob_pt - 2
             bit = (extra >> (shift - 1)) & 1
@@ -551,12 +599,15 @@ def make_ivf(frames: List[bytes], w: int, h: int) -> bytes:
 
 def encode_frame(w: int, h: int, base_q: int,
                  blocks: List[EncBlock], adapt: bool = False,
-                 tx_mode_select: bool = False) -> bytes:
+                 tx_mode_select: bool = False,
+                 edge_filter: bool = False,
+                 lf_levels=(0, 0)) -> bytes:
     """Full temporal unit: TD + seq hdr + frame OBU."""
-    seq = write_sequence_header(w, h)
+    seq = write_sequence_header(w, h, edge_filter=edge_filter)
     bw = BitWriter()
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
-                            tx_mode_select=tx_mode_select)
+                            tx_mode_select=tx_mode_select,
+                            lf_levels=lf_levels)
     bw.byte_align()
     header_bytes = bw.bytes()
     tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,

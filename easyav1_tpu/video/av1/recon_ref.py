@@ -104,6 +104,9 @@ class FrameRecon:
         self.planes = [np.zeros((ah, aw), np.int32),
                        np.zeros((chh, cw), np.int32),
                        np.zeros((chh, cw), np.int32)]
+        # BlockDecoded bitmaps (4x4 granularity per plane, spec §7.11.2)
+        self.decoded = [np.zeros((p.shape[0] >> 2, p.shape[1] >> 2), bool)
+                        for p in self.planes]
         self.widths = [plan.width, (plan.width + self.ssx) >> self.ssx,
                        (plan.width + self.ssx) >> self.ssx]
         self.heights = [plan.height, (plan.height + self.ssy) >> self.ssy,
@@ -158,15 +161,43 @@ class FrameRecon:
             cx = (c >> self.ssx) * 4
             cy = (r >> self.ssy) * 4
             uv_mode = blk.uv_mode
+            cfl_ac = None
             if uv_mode == C.UV_CFL_PRED:
-                uv_mode = C.DC_PRED  # CfL base is DC; alphas pending
+                # CfL (spec §7.11.5): base is DC prediction plus
+                # alpha-scaled zero-mean subsampled luma
+                uv_mode = C.DC_PRED
+                cfl_ac = self._cfl_ac(cx, cy, cb4 * 4, ch4 * 4)
             for yy in range(0, ch4, sh):
                 for xx in range(0, cb4, sw):
                     for plane in (1, 2):
                         self._recon_tx(blk, plane, cx + xx * 4, cy + yy * 4,
-                                       tx, uv_mode, blk.angle_uv, txmap)
+                                       tx, uv_mode, blk.angle_uv, txmap,
+                                       cfl_ac=cfl_ac,
+                                       cfl_alpha=(blk.cfl_alphas[plane - 1]
+                                                  if cfl_ac is not None
+                                                  else 0))
 
-    def _recon_tx(self, blk, plane, x, y, tx, mode, angle_delta, txmap):
+    def _cfl_ac(self, cx, cy, cw, chh):
+        """Zero-mean subsampled-luma AC for CfL (spec §7.11.5.3, 4:2:0):
+        2x2 luma sums scaled x2, minus the rounded average."""
+        luma = self.planes[0]
+        ly = cy << self.ssy
+        lx = cx << self.ssx
+        sub = luma[ly:ly + (chh << self.ssy), lx:lx + (cw << self.ssx)]
+        sub = sub.astype(np.int64)
+        if self.ssx and self.ssy:
+            ac = (sub[0::2, 0::2] + sub[0::2, 1::2] +
+                  sub[1::2, 0::2] + sub[1::2, 1::2]) << 1
+        elif self.ssx:
+            ac = (sub[:, 0::2] + sub[:, 1::2]) << 2
+        else:
+            ac = sub << 3
+        log2sz = (cw.bit_length() - 1) + (chh.bit_length() - 1)
+        avg = (int(ac.sum()) + (1 << (log2sz - 1))) >> log2sz
+        return ac - avg
+
+    def _recon_tx(self, blk, plane, x, y, tx, mode, angle_delta, txmap,
+                  cfl_ac=None, cfl_alpha=0):
         w = T.TX_WIDTH[tx]
         h = T.TX_HEIGHT[tx]
         buf = self.planes[plane]
@@ -176,36 +207,33 @@ class FrameRecon:
         h = min(h, ph - y)
         pred = self._predict_intra(blk, plane, x, y, T.TX_WIDTH[tx],
                                    T.TX_HEIGHT[tx], mode, angle_delta)
+        if cfl_ac is not None and cfl_alpha:
+            diff = cfl_alpha * cfl_ac[:pred.shape[0], :pred.shape[1]]
+            scaled = np.sign(diff) * ((np.abs(diff) + 32) >> 6)
+            pred = np.clip(pred + scaled, 0, (1 << self.bd) - 1)
         txb = txmap.get((plane, x, y))
         if txb is not None:
             res = inverse_transform(txb, self.bd)
             pred = pred + res[:pred.shape[0], :pred.shape[1]]
         np.clip(pred, 0, (1 << self.bd) - 1, out=pred)
         buf[y:y + h, x:x + w] = pred[:h, :w]
+        self.decoded[plane][y >> 2:(y + h + 3) >> 2,
+                            x >> 2:(x + w + 3) >> 2] = True
 
     # ------------------------------------------------------------------
 
     def _avail_tr_bl(self, plane, x4, y4, w4, h4):
-        """Top-right / bottom-left availability via z-order comparison in
-        superblock-relative 4x4 coordinates."""
-        ss_x = self.ssx if plane else 0
-        ss_y = self.ssy if plane else 0
-        sb4 = self.sb4 >> ss_x  # sb size in plane 4-units
-        # top-right neighbor of (y4, x4) block with width w4: (y4-1, x4+w4)
+        """Top-right / bottom-left availability via the BlockDecoded
+        bitmap (spec §7.11.2): a 4x4 sample region is available iff it has
+        already been reconstructed.  Decoding order makes the spec's
+        per-superblock edge rules emerge naturally from a global map."""
+        dec = self.decoded[plane]
+        gh, gw = dec.shape
+
         def avail(rr, cc):
-            if rr < 0 or cc < 0:
+            if rr < 0 or cc < 0 or rr >= gh or cc >= gw:
                 return False
-            if cc >= (self.plan.mi_cols * 4 >> (ss_x + 2)):
-                return False
-            sb_r = (y4 // sb4) * sb4
-            sb_c = (x4 // sb4) * sb4
-            if rr < sb_r:
-                return True  # above superblock row fully decoded
-            if cc >= sb_c + sb4:
-                return False  # right superblock not yet decoded
-            bits = sb4.bit_length()
-            return (_morton(rr - sb_r, cc - sb_c, bits)
-                    < _morton(y4 - sb_r, x4 - sb_c, bits))
+            return bool(dec[rr, cc])
 
         have_tr = avail(y4 - 1, x4 + w4)
         have_bl = avail(y4 + h4, x4 - 1)
@@ -229,9 +257,12 @@ class FrameRecon:
                            C.D67_PRED: 67}
             p_angle = base_angles[mode] + angle_delta * 3
 
+        # edge arrays with OFF=2 headroom: corner at OFF-1, pixel k at
+        # OFF+k; upsampling doubles the edge in place (corner -> OFF-2)
+        OFF = 2
         need_edge = 2 * max(w, h) + 1  # +1: interpolation reads base+1
-        above = np.zeros(need_edge + 1, np.int64)  # above[0] = corner
-        left = np.zeros(need_edge + 1, np.int64)
+        above = np.zeros(OFF + 2 * need_edge + 2, np.int64)
+        left = np.zeros(OFF + 2 * need_edge + 2, np.int64)
 
         x4 = x >> 2
         y4 = y >> 2
@@ -241,22 +272,22 @@ class FrameRecon:
             n_main = w
             n_ext = w if have_tr else 0
             for i in range(n_main + n_ext):
-                above[1 + i] = buf[y - 1, min(x + i, max_x)]
+                above[OFF + i] = buf[y - 1, min(x + i, max_x)]
             for i in range(n_main + n_ext, need_edge):
-                above[1 + i] = above[n_main + n_ext]
+                above[OFF + i] = above[OFF + n_main + n_ext - 1]
         else:
             fill = buf[y, x - 1] if have_left else base - 1
-            above[1:] = fill
+            above[OFF:] = fill
         if have_left:
             n_main = h
             n_ext = h if have_bl else 0
             for i in range(n_main + n_ext):
-                left[1 + i] = buf[min(y + i, max_y), x - 1]
+                left[OFF + i] = buf[min(y + i, max_y), x - 1]
             for i in range(n_main + n_ext, need_edge):
-                left[1 + i] = left[n_main + n_ext]
+                left[OFF + i] = left[OFF + n_main + n_ext - 1]
         else:
             fill = buf[y - 1, x] if have_above else base + 1
-            left[1:] = fill
+            left[OFF:] = fill
         if have_above and have_left:
             corner = buf[y - 1, x - 1]
         elif have_above:
@@ -265,11 +296,41 @@ class FrameRecon:
             corner = buf[y, x - 1]
         else:
             corner = base
-        above[0] = corner
-        left[0] = corner
+        above[OFF - 1] = corner
+        left[OFF - 1] = corner
 
-        A = above[1:]
-        L = left[1:]
+        up_above = up_left = 0
+        if (is_dir and p_angle not in (90, 180)
+                and getattr(self.seq, "enable_intra_edge_filter", 0)):
+            # filter type: above/left BLOCK neighbour used a smooth mode
+            ft = self._filter_type(blk, plane)
+            if (90 < p_angle < 180 and (w + h) >= 24
+                    and have_above and have_left):
+                s = (int(left[OFF]) * 5 + int(above[OFF - 1]) * 6
+                     + int(above[OFF]) * 5 + 8) >> 4
+                above[OFF - 1] = s
+                left[OFF - 1] = s
+            if have_above:
+                strength = self._filter_strength(w + h, p_angle - 90, ft)
+                num_px = (min(w, buf.shape[1] - x)
+                          + (h if p_angle < 90 else 0) + 1)
+                self._edge_filter(above, OFF - 1, num_px, strength)
+            if have_left:
+                strength = self._filter_strength(w + h, p_angle - 180, ft)
+                num_px = (min(h, buf.shape[0] - y)
+                          + (w if p_angle > 180 else 0) + 1)
+                self._edge_filter(left, OFF - 1, num_px, strength)
+            up_above = int(self._use_upsample(w, h, p_angle - 90, ft))
+            if up_above:
+                n = w + (h if p_angle < 90 else 0)
+                self._upsample_edge(above, OFF, n)
+            up_left = int(self._use_upsample(w, h, p_angle - 180, ft))
+            if up_left:
+                n = h + (w if p_angle > 180 else 0)
+                self._upsample_edge(left, OFF, n)
+
+        A = above[OFF:]
+        L = left[OFF:]
         out = np.zeros((h, w), np.int64)
 
         if mode == C.DC_PRED:
@@ -282,10 +343,10 @@ class FrameRecon:
             else:
                 avg = base
             out[:] = avg
-        elif mode == C.V_PRED or (is_dir and p_angle == 90):
+        elif is_dir and p_angle == 90:
             out[:] = A[:w]
-        elif mode == C.H_PRED or (is_dir and p_angle == 180):
-            out[:] = L[:h, None]
+        elif is_dir and p_angle == 180:
+            out[:] = L[:h][:, None]
         elif mode == C.PAETH_PRED:
             b = A[:w][None, :]
             l = L[:h][:, None]
@@ -298,10 +359,22 @@ class FrameRecon:
         elif mode in (C.SMOOTH_PRED, C.SMOOTH_V_PRED, C.SMOOTH_H_PRED):
             out = self._smooth(mode, A, L, w, h)
         elif is_dir:
-            out = self._directional(p_angle, above, left, w, h)
+            out = self._directional(p_angle, above, left, w, h,
+                                    up_above, up_left)
         else:
             raise NotImplementedError(f"mode {mode}")
         return out
+
+    def _filter_type(self, blk, plane) -> int:
+        """Spec get_filter_type: 1 if the block's above or left neighbour
+        mi used a smooth prediction mode (per plane)."""
+        plan = self.plan
+        smooth = (C.SMOOTH_PRED, C.SMOOTH_V_PRED, C.SMOOTH_H_PRED)
+        modes = plan.y_mode if plane == 0 else plan.uv_mode
+        r, c = blk.r, blk.c
+        above_smooth = r > 0 and int(modes[r - 1, c]) in smooth
+        left_smooth = c > 0 and int(modes[r, c - 1]) in smooth
+        return 1 if (above_smooth or left_smooth) else 0
 
     def _sm_w(self, n):
         offs = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
@@ -325,55 +398,144 @@ class FrameRecon:
         num = wx * l + (256 - wx) * right
         return (num + 128) >> 8
 
-    def _directional(self, p_angle, above, left, w, h):
-        # no edge filter / upsampling (seq.enable_intra_edge_filter == 0)
+    # -- intra edge filtering (spec §7.11.2.7-7.11.2.11) -------------------
+
+    _EDGE_KERNELS = [[0, 4, 8, 4, 0], [0, 5, 6, 5, 0], [2, 4, 4, 4, 2]]
+
+    @staticmethod
+    def _filter_strength(blk_wh, delta, filter_type):
+        d = abs(delta)
+        s = 0
+        if filter_type == 0:
+            if blk_wh <= 8:
+                if d >= 56:
+                    s = 1
+            elif blk_wh <= 12:
+                if d >= 40:
+                    s = 1
+            elif blk_wh <= 16:
+                if d >= 40:
+                    s = 1
+            elif blk_wh <= 24:
+                if d >= 8:
+                    s = 1
+                if d >= 16:
+                    s = 2
+                if d >= 32:
+                    s = 3
+            elif blk_wh <= 32:
+                s = 1
+                if d >= 4:
+                    s = 2
+                if d >= 32:
+                    s = 3
+            else:
+                s = 3
+        else:
+            if blk_wh <= 8:
+                if d >= 40:
+                    s = 1
+                if d >= 64:
+                    s = 2
+            elif blk_wh <= 16:
+                if d >= 20:
+                    s = 1
+                if d >= 48:
+                    s = 2
+            elif blk_wh <= 24:
+                if d >= 4:
+                    s = 3
+            else:
+                s = 3
+        return s
+
+    @classmethod
+    def _edge_filter(cls, edge, start, sz, strength):
+        """In-place 5-tap smoothing over edge[start .. start+sz-1]; the
+        first element is left unfiltered (spec intra_edge_filter)."""
+        if strength == 0 or sz <= 1:
+            return
+        kern = cls._EDGE_KERNELS[strength - 1]
+        orig = [int(edge[start + k]) for k in range(sz)]
+        for i in range(1, sz):
+            s = 0
+            for j in range(5):
+                k = min(max(i - 2 + j, 0), sz - 1)
+                s += kern[j] * orig[k]
+            edge[start + i] = (s + 8) >> 4
+
+    @staticmethod
+    def _use_upsample(w, h, delta, filter_type):
+        d = abs(delta)
+        if d <= 0 or d >= 40:
+            return False
+        return (w + h) <= 8 if filter_type else (w + h) <= 16
+
+    def _upsample_edge(self, edge, start, num_px):
+        """Spec upsample_intra_edge: edge[start-1] is the corner; writes
+        the 2x-upsampled samples back with the corner moving to start-2."""
+        mx = (1 << self.bd) - 1
+        dup = [int(edge[start - 1])] + \
+              [int(edge[start + i]) for i in range(num_px)]
+        dup = [dup[0]] + dup + [dup[-1]]
+        # dup[i] for i in 0..num_px+1 maps to old edge[-1 + (i-1)]
+        edge[start - 2] = dup[0]
+        for i in range(num_px):
+            s = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2] - dup[i + 3]
+            s = min(max((s + 8) >> 4, 0), mx)
+            edge[start + 2 * i - 1] = s
+            edge[start + 2 * i] = dup[i + 2]
+
+    def _directional(self, p_angle, above, left, w, h,
+                     up_above=0, up_left=0):
+        """above/left: arrays with the corner at index OFF-1 and edge
+        pixel k at OFF+k (OFF=2 headroom for upsampled reads to -2)."""
         dr = self.dr_table
         out = np.zeros((h, w), np.int64)
-        A = above  # A[0] corner, A[1+i] row pixels
+        OFF = 2
+        A = above
         L = left
         if p_angle < 90:
             dx = int(dr[p_angle])
-            max_base = w + h - 1
+            max_base = (w + h - 1) << up_above
             for i in range(h):
                 idx = (i + 1) * dx
-                base0 = idx >> 6
-                shift = (idx >> 1) & 0x1F
                 for j in range(w):
-                    b = base0 + j
-                    if b > max_base:
-                        out[i, j] = A[1 + max_base]
+                    base = (idx >> (6 - up_above)) + (j << up_above)
+                    if base >= max_base:
+                        out[i, j] = A[OFF + max_base]
                     else:
-                        out[i, j] = (A[1 + b] * (32 - shift)
-                                     + A[2 + b] * shift + 16) >> 5
+                        shift = ((idx << up_above) >> 1) & 0x1F
+                        out[i, j] = (A[OFF + base] * (32 - shift)
+                                     + A[OFF + base + 1] * shift + 16) >> 5
         elif p_angle > 180:
             dy = int(dr[270 - p_angle])
-            max_base = w + h - 1
+            max_base = (w + h - 1) << up_left
             for j in range(w):
                 idy = (j + 1) * dy
-                base0 = idy >> 6
-                shift = (idy >> 1) & 0x1F
                 for i in range(h):
-                    b = base0 + i
-                    if b > max_base:
-                        out[i, j] = L[1 + max_base]
+                    base = (idy >> (6 - up_left)) + (i << up_left)
+                    if base >= max_base:
+                        out[i, j] = L[OFF + max_base]
                     else:
-                        out[i, j] = (L[1 + b] * (32 - shift)
-                                     + L[2 + b] * shift + 16) >> 5
+                        shift = ((idy << up_left) >> 1) & 0x1F
+                        out[i, j] = (L[OFF + base] * (32 - shift)
+                                     + L[OFF + base + 1] * shift + 16) >> 5
         else:  # zone 2: 90 < pAngle < 180
             dx = int(dr[180 - p_angle])
             dy = int(dr[p_angle - 90])
             for i in range(h):
                 for j in range(w):
                     idx = (j << 6) - (i + 1) * dx
-                    base = idx >> 6
-                    if base >= -1:
-                        shift = (idx >> 1) & 0x1F
-                        out[i, j] = (A[1 + base] * (32 - shift)
-                                     + A[2 + base] * shift + 16) >> 5
+                    base = idx >> (6 - up_above)
+                    if base >= -(1 << up_above):
+                        shift = ((idx << up_above) >> 1) & 0x1F
+                        out[i, j] = (A[OFF + base] * (32 - shift)
+                                     + A[OFF + base + 1] * shift + 16) >> 5
                     else:
                         idy = (i << 6) - (j + 1) * dy
-                        base_y = idy >> 6
-                        shift = (idy >> 1) & 0x1F
-                        out[i, j] = (L[1 + base_y] * (32 - shift)
-                                     + L[2 + base_y] * shift + 16) >> 5
+                        base_y = idy >> (6 - up_left)
+                        shift = ((idy << up_left) >> 1) & 0x1F
+                        out[i, j] = (L[OFF + base_y] * (32 - shift)
+                                     + L[OFF + base_y + 1] * shift + 16) >> 5
         return out

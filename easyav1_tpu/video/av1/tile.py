@@ -492,11 +492,11 @@ class TileDecoder:
         sign_v = (sign_joint + 1) % 3
         alpha_u = alpha_v = 0
         if sign_u != 0:
-            ctx = sign_joint - 2  # signs 2..7 -> ctx 0..5
+            ctx = (3 if sign_u == 2 else 0) + sign_v
             idx = self.msac.decode_symbol(self.cdf["cfl_alpha"][ctx]) + 1
             alpha_u = -idx if sign_u == 1 else idx
         if sign_v != 0:
-            ctx = sign_v - 1 + 2 * sign_u  # enumerates the 6 v-coded signs
+            ctx = (3 if sign_v == 2 else 0) + sign_u
             idx = self.msac.decode_symbol(self.cdf["cfl_alpha"][ctx]) + 1
             alpha_v = -idx if sign_v == 1 else idx
         return alpha_u, alpha_v
@@ -714,7 +714,10 @@ class TileDecoder:
             dqv = dc_dq if pos == 0 else ac_dq
             v = (level * dqv) & 0xFFFFFF
             v >>= shift
-            coeffs[pos] = -v if sign else v
+            # spec §7.13.3: dequantized coefficients are clipped to the
+            # signed (bitdepth+8)-bit range before the inverse transform
+            lim = 1 << (self.bitdepth + 7)
+            coeffs[pos] = -min(v, lim) if sign else min(v, lim - 1)
             if pos == 0:
                 dc_category = 2 if sign else 1
             culp += level
@@ -870,9 +873,10 @@ class TileDecoder:
         if tx_cls == T.TX_CLASS_2D:
             nbrs = ((0, 1), (1, 0), (1, 1), (0, 2), (2, 0))
         elif tx_cls == T.TX_CLASS_HORIZ:
-            nbrs = ((0, 1), (0, 2), (0, 3), (0, 4), (0, 5))
+            # libaom get_nz_mag: {0,1},{1,0} common, then {0,2..4}
+            nbrs = ((0, 1), (1, 0), (0, 2), (0, 3), (0, 4))
         else:
-            nbrs = ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0))
+            nbrs = ((0, 1), (1, 0), (2, 0), (3, 0), (4, 0))
         for dr, dc in nbrs:
             rr = row + dr
             cc = col + dc
@@ -894,9 +898,10 @@ class TileDecoder:
         if tx_cls == T.TX_CLASS_2D:
             nbrs = ((0, 1), (1, 0), (1, 1))
         elif tx_cls == T.TX_CLASS_HORIZ:
-            nbrs = ((0, 1), (0, 2), (0, 3))
+            # libaom get_br_ctx: {0,1},{1,0} common, then {0,2}
+            nbrs = ((0, 1), (1, 0), (0, 2))
         else:
-            nbrs = ((1, 0), (2, 0), (3, 0))
+            nbrs = ((0, 1), (1, 0), (2, 0))
         mag = 0
         th_guess = 1 << 16
         for dr, dc in nbrs:

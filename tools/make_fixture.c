@@ -42,10 +42,49 @@ static void die(const char *msg, int err) {
 }
 
 /* Deterministic video content: moving gradients, a bouncing rectangle,
- * mild noise — enough structure to exercise intra, inter and transforms. */
+ * mild noise — enough structure to exercise intra, inter and transforms.
+ * content kinds: 0 = default xor pattern; 1 = diagonal stripes
+ * (directional intra); 2 = smooth ramps with luma-correlated chroma
+ * (CfL); 3 = flat colour cells (palette / screen content). */
+static int g_content = 0;
+
 static void fill_frame(AVFrame *f, int t, int depth) {
     int w = f->width, h = f->height;
     int shift = depth - 8;
+    if (g_content != 0 && depth == 8) {
+        for (int y = 0; y < h; y++) {
+            uint8_t *row = f->data[0] + y * f->linesize[0];
+            for (int x = 0; x < w; x++) {
+                int v;
+                if (g_content == 1)
+                    v = ((x + y + t) / 3 % 2) ? 80 + ((x + y) & 31)
+                                              : 170 - ((x - y) & 15);
+                else if (g_content == 2)
+                    v = 60 + ((x * 3 + y * 2 + 4 * t) % 160);
+                else
+                    v = ((x / 16 + y / 16 + t) % 5) * 50 + 20;
+                row[x] = (uint8_t)v;
+            }
+        }
+        for (int y = 0; y < h / 2; y++) {
+            uint8_t *u = f->data[1] + y * f->linesize[1];
+            uint8_t *v = f->data[2] + y * f->linesize[2];
+            const uint8_t *ly = f->data[0] + 2 * y * f->linesize[0];
+            for (int x = 0; x < w / 2; x++) {
+                if (g_content == 2) {  /* chroma tracks luma -> CfL */
+                    u[x] = (uint8_t)(90 + (ly[2 * x] >> 2));
+                    v[x] = (uint8_t)(190 - (ly[2 * x] >> 2));
+                } else if (g_content == 3) {
+                    u[x] = (uint8_t)(((x / 8 + y / 8) % 3) * 60 + 70);
+                    v[x] = (uint8_t)(((x / 8 + 2 * (y / 8)) % 3) * 60 + 70);
+                } else {
+                    u[x] = (uint8_t)(128 + 50 * sin(0.02 * (x + y)));
+                    v[x] = (uint8_t)(128 - 50 * sin(0.02 * (x - y)));
+                }
+            }
+        }
+        return;
+    }
     for (int y = 0; y < h; y++) {
         if (depth == 8) {
             uint8_t *row = f->data[0] + y * f->linesize[0];
@@ -133,6 +172,7 @@ int main(int argc, char **argv) {
         else if (!strcmp(key, "channels")) channels = atoi(val);
         else if (!strcmp(key, "audio_secs")) audio_secs = atof(val);
         else if (!strcmp(key, "audio_kind")) audio_kind = atoi(val);
+        else if (!strcmp(key, "content")) g_content = atoi(val);
         else if (!strcmp(key, "vorbis_q")) vorbis_q = atof(val);
         else if (!strcmp(key, "seed")) rng_state = (uint32_t)strtoul(val, 0, 0);
         else { fprintf(stderr, "unknown key %s\n", key); return 2; }
