@@ -64,7 +64,8 @@ def obu(obu_type: int, payload: bytes) -> bytes:
 
 
 def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
-                          edge_filter: bool = False) -> bytes:
+                          edge_filter: bool = False,
+                          cdef=None) -> bytes:
     """Minimal profile-0 8-bit 4:2:0 sequence header,
     reduced_still_picture_header form (spec §5.5)."""
     bw = BitWriter()
@@ -80,7 +81,7 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
     bw.f(0, 1)    # enable_filter_intra
     bw.f(int(edge_filter), 1)    # enable_intra_edge_filter
     bw.f(0, 1)    # enable_superres
-    bw.f(0, 1)    # enable_cdef
+    bw.f(1 if cdef else 0, 1)    # enable_cdef
     bw.f(0, 1)    # enable_restoration
     # color_config
     bw.f(0, 1)    # high_bitdepth
@@ -97,7 +98,7 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
 def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             disable_cdf_update: bool = True,
                             tx_mode_select: bool = False,
-                            lf_levels=(0, 0)) -> None:
+                            lf_levels=(0, 0), cdef=None) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
     bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
@@ -125,7 +126,18 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
         bw.f(lf_levels[3] if len(lf_levels) > 3 else 0, 6)  # level[3] (v)
     bw.f(0, 3)            # sharpness
     bw.f(0, 1)            # delta_enabled
-    # cdef skipped (enable_cdef=0); lr skipped (enable_restoration=0)
+    if cdef is not None:
+        # cdef params: damping-3, bits, then per-idx strengths y/uv
+        damping, strengths = cdef[0], cdef[1]
+        bits = {1: 0, 2: 1, 4: 2, 8: 3}[len(strengths)]
+        bw.f(damping - 3, 2)
+        bw.f(bits, 2)
+        for (ypri, ysec, upri, usec) in strengths:
+            bw.f(ypri, 4)
+            bw.f(3 if ysec == 4 else ysec, 2)
+            bw.f(upri, 4)
+            bw.f(3 if usec == 4 else usec, 2)
+    # lr skipped (enable_restoration=0)
     bw.f(int(tx_mode_select), 1)  # tx_mode_select
     # reference_select / skip_mode / warped skipped (intra)
     bw.f(0, 1)            # reduced_tx_set
@@ -158,9 +170,13 @@ class SimpleTileEncoder:
     no palette/filter-intra/cfl; single tile)."""
 
     def __init__(self, w: int, h: int, base_q_idx: int,
-                 adapt: bool = False, tx_mode_select: bool = False):
+                 adapt: bool = False, tx_mode_select: bool = False,
+                 cdef_bits: Optional[int] = None, cdef_vals=None):
         self.adapt = adapt
         self.tx_mode_select = tx_mode_select
+        self.cdef_bits = cdef_bits
+        self.cdef_vals = cdef_vals or {}
+        self.cdef_done = {}
         self.w = w
         self.h = h
         self.mi_cols = 2 * ((w + 7) >> 3)
@@ -309,6 +325,14 @@ class SimpleTileEncoder:
         skip_ctx = (int(self.a_skip[c]) if avail_u else 0) + \
                    (int(self.l_skip[r]) if avail_l else 0)
         self._sym(self.cdf["skip"][skip_ctx], int(blk.skip))
+        if not blk.skip and self.cdef_bits is not None:
+            for rr in range(r & ~15, r + h4, 16):
+                for cc in range(c & ~15, c + w4, 16):
+                    if (rr, cc) not in self.cdef_done:
+                        v = self.cdef_vals.get((rr, cc), 0)
+                        for i in range(self.cdef_bits - 1, -1, -1):
+                            self.enc.encode_bool_equi((v >> i) & 1)
+                        self.cdef_done[(rr, cc)] = v
         above_mode = int(self.a_mode[c]) if avail_u else C.DC_PRED
         left_mode = int(self.l_mode[r]) if avail_l else C.DC_PRED
         self._sym(self.cdf["kf_y_mode"][T.INTRA_MODE_CONTEXT[above_mode]]
@@ -601,17 +625,27 @@ def encode_frame(w: int, h: int, base_q: int,
                  blocks: List[EncBlock], adapt: bool = False,
                  tx_mode_select: bool = False,
                  edge_filter: bool = False,
-                 lf_levels=(0, 0)) -> bytes:
-    """Full temporal unit: TD + seq hdr + frame OBU."""
-    seq = write_sequence_header(w, h, edge_filter=edge_filter)
+                 lf_levels=(0, 0), cdef=None) -> bytes:
+    """Full temporal unit: TD + seq hdr + frame OBU.
+
+    cdef: None or (damping, [(ypri, ysec, uvpri, uvsec), ...]) with 1, 2,
+    4 or 8 strength entries; cdef_idx literals are emitted per 64x64 at
+    the first non-skip block (index 0 always, matching the decoder)."""
+    seq = write_sequence_header(w, h, edge_filter=edge_filter, cdef=cdef)
     bw = BitWriter()
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
-                            lf_levels=lf_levels)
+                            lf_levels=lf_levels, cdef=cdef)
     bw.byte_align()
     header_bytes = bw.bytes()
+    cdef_bits = None
+    cdef_vals = None
+    if cdef is not None:
+        cdef_bits = {1: 0, 2: 1, 4: 2, 8: 3}[len(cdef[1])]
+        cdef_vals = cdef[2] if len(cdef) > 2 else None
     tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,
-                             tx_mode_select=tx_mode_select)
+                             tx_mode_select=tx_mode_select,
+                             cdef_bits=cdef_bits, cdef_vals=cdef_vals)
     tile_data = tenc.encode_blocks(blocks)
     frame_payload = header_bytes + tile_data
     return (obu(C.OBU_TEMPORAL_DELIMITER, b"")

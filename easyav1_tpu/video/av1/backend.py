@@ -138,7 +138,9 @@ class AV1Backend:
         recon = FrameRecon(seq, hdr, plan)
         aligned = recon.run_aligned()
         from easyav1_tpu.video.av1.lf_ref import LoopFilter
+        from easyav1_tpu.video.av1.cdef_ref import Cdef
         LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+        Cdef(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
         planes = recon.crop(aligned)
         frame = self._make_frame(planes, hdr, ts)
         self.hp.update_refs(hdr)

@@ -954,10 +954,10 @@ class HeaderParser:
             cd.y_pri_strength.append(r.f(4))
             sec = r.f(2)
             cd.y_sec_strength.append(sec + 1 if sec == 3 else sec)
-        for _ in range(n):
-            cd.uv_pri_strength.append(r.f(4))
-            sec = r.f(2)
-            cd.uv_sec_strength.append(sec + 1 if sec == 3 else sec)
+            if self.seq.color.num_planes > 1:
+                cd.uv_pri_strength.append(r.f(4))
+                sec = r.f(2)
+                cd.uv_sec_strength.append(sec + 1 if sec == 3 else sec)
         h.cdef = cd
 
     def _lr_params(self, r: BitReader, h: FrameHeader) -> None:

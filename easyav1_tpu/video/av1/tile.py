@@ -80,6 +80,8 @@ class FramePlan:
     # (plane, x, y, tx_size) in plane pixel coords — loop filter tx grids
     lf_txs: List[Tuple[int, int, int, int]] = \
         dataclasses.field(default_factory=list)
+    # cdef strength index per 64x64 unit: (mi_r & ~15, mi_c & ~15) -> idx
+    cdef_idx: dict = dataclasses.field(default_factory=dict)
 
 
 # Partition context lookup: stored value = 64 - 2*mi_width — high bits
@@ -388,6 +390,21 @@ class TileDecoder:
         if avail_l:
             skip_ctx += int(self.l_skip[r])
         skip = msac.decode_symbol(self.cdf["skip"][skip_ctx])
+
+        # cdef index (spec read_cdef): one literal per 64x64 unit, read at
+        # the first non-skip block touching it
+        hdr = self.hdr
+        if (not skip and self.seq.enable_cdef
+                and not hdr.coded_lossless
+                and not getattr(hdr, "allow_intrabc", False)):
+            mask = ~15
+            r1 = r & mask
+            c1 = c & mask
+            for rr in range(r1, r + C.BLOCK_H4[bsize], 16):
+                for cc in range(c1, c + C.BLOCK_W4[bsize], 16):
+                    if self.plan.cdef_idx.get((rr, cc), -1) == -1:
+                        self.plan.cdef_idx[(rr, cc)] = \
+                            msac.decode_literal(hdr.cdef.bits)
 
         # deltas (delta_q / delta_lf) — read at first block of superblock
         if self.read_deltas:

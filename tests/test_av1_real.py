@@ -27,9 +27,14 @@ BASE_OPTS = [
 def real_fixture(tag, w, h, crf=30, frames=1, extra=()):
     out = CACHE / f"real_{tag}.webm"
     if not out.exists():
+        extra = list(extra)
+        # an explicit restoration flag means the caller supplies its own
+        # complete feature set instead of the restricted BASE_OPTS
+        base = ([] if any("restoration" in e for e in extra)
+                else BASE_OPTS)
         args = [str(tool("make_fixture")), str(out),
                 f"w={w}", f"h={h}", "fps=10", f"frames={frames}", "gop=1",
-                f"crf={crf}", "audio_secs=0"] + BASE_OPTS + list(extra)
+                f"crf={crf}", "audio_secs=0"] + base + extra
         r = subprocess.run(args, capture_output=True, text=True)
         assert r.returncode == 0, r.stderr
     prefix = CACHE / f"real_{tag}"
@@ -90,3 +95,25 @@ def test_real_176x144():
 
 def test_real_multiframe():
     assert_exact("multi", 96, 96, frames=3)
+
+
+NEAR_DEFAULT = [
+    "vopt:enable-restoration=0", "vopt:enable-filter-intra=0",
+    "vopt:enable-palette=0",
+]
+
+
+def test_real_near_default():
+    """Everything the intra toolset supports: all tx types, angle deltas,
+    intra edge filter, CfL, deblocking and CDEF (incl cdef_bits > 0)."""
+    assert_exact("neardflt", 96, 96, extra=NEAR_DEFAULT)
+
+
+def test_real_near_default_noisy():
+    assert_exact("neardflt0", 96, 96, crf=20,
+                 extra=NEAR_DEFAULT + ["content=0"])
+
+
+def test_real_near_default_qcif():
+    assert_exact("neardflt_qcif", 176, 144, crf=35,
+                 extra=NEAR_DEFAULT + ["content=0"])

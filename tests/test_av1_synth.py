@@ -179,3 +179,19 @@ def test_edge_partitions():
                     EncBlock(0, 16, C.BLOCK_16X32, skip=False,
                              luma_coeffs=[[(5, 0), (2, 1)]]),
                     EncBlock(8, 16, C.BLOCK_16X32)], "p_edge80", 80, 64)
+
+
+def test_cdef_synth():
+    blocks = [EncBlock(0, 0, C.BLOCK_32X32, skip=False,
+                       luma_coeffs=[[(9, 0), (6, 1), (4, 0), (3, 1)]]),
+              EncBlock(0, 8, C.BLOCK_32X32, y_mode=C.V_PRED, skip=False,
+                       luma_coeffs=[[(7, 1), (2, 0)]]),
+              EncBlock(8, 0, C.BLOCK_32X32, skip=False,
+                       chroma_coeffs=[[(4, 0)], [(2, 1)]]),
+              EncBlock(8, 8, C.BLOCK_32X32)]
+    for cdef in ((3, [(4, 2, 3, 1)]), (6, [(15, 4, 15, 4)]),
+                 (4, [(0, 2, 0, 0), (11, 0, 11, 0)], {(0, 0): 1})):
+        tu = encode_frame(64, 64, 60, blocks, cdef=cdef)
+        dav = dav1d_decode_ivf(make_ivf([tu], 64, 64), f"p_cdef{cdef[0]}")[0]
+        mine = my_decode_tu(tu)
+        assert_same(dav, mine, f"cdef{cdef}")
