@@ -1,0 +1,242 @@
+"""Native (C) hot-path bindings via ctypes.
+
+The AV1 tile symbol decoder is the sequential Amdahl bottleneck of the
+decode pipeline (SURVEY.md §2d: msac/entropy decode stays on the host;
+the reference keeps it in hand-tuned C/asm).  `decode_tile_native`
+produces the exact same FramePlan as the Python TileDecoder; tests
+assert bit-identical output on the full fixture corpus.
+
+The shared library is rebuilt on import when sources are newer (plain
+gcc; no external build deps).  If no compiler is available the import
+still succeeds and `available()` returns False — callers fall back to
+the Python tile decoder.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libeasyav1.so")
+_SRCS = [os.path.join(_DIR, "av1_tile.c")]
+_HDRS = [os.path.join(_DIR, "av1_tables.h")]
+
+
+class _TileParams(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "mi_rows", "mi_cols", "sb128", "bitdepth", "num_planes", "ssx",
+        "ssy", "base_q_idx", "dq_y_dc", "dq_u_dc", "dq_u_ac", "dq_v_dc",
+        "dq_v_ac", "tx_mode", "reduced_tx_set", "coded_lossless",
+        "allow_update_cdf", "enable_cdef", "cdef_bits",
+        "enable_filter_intra", "allow_intrabc", "delta_q_present",
+        "delta_q_res", "delta_lf_present", "delta_lf_multi", "col_start",
+        "col_end", "row_start", "row_end", "qctx")]
+
+
+class _TileOut(ctypes.Structure):
+    _fields_ = [
+        ("y_mode", ctypes.c_void_p), ("uv_mode", ctypes.c_void_p),
+        ("angle_y", ctypes.c_void_p), ("angle_uv", ctypes.c_void_p),
+        ("skip", ctypes.c_void_p), ("bsize", ctypes.c_void_p),
+        ("blocks", ctypes.c_void_p),
+        ("max_blocks", ctypes.c_int64), ("n_blocks", ctypes.c_int64),
+        ("txs", ctypes.c_void_p),
+        ("max_txs", ctypes.c_int64), ("n_txs", ctypes.c_int64),
+        ("coeffs", ctypes.c_void_p),
+        ("coeffs_cap", ctypes.c_int64), ("coeffs_used", ctypes.c_int64),
+        ("lf_txs", ctypes.c_void_p),
+        ("max_lf", ctypes.c_int64), ("n_lf", ctypes.c_int64),
+        ("cdef_idx", ctypes.c_void_p),
+        ("error", ctypes.c_int32),
+    ]
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build() -> bool:
+    try:
+        newest_src = max(os.path.getmtime(f) for f in _SRCS + _HDRS)
+    except OSError:
+        return False
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= newest_src:
+        return True
+    try:
+        r = subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", "-o", _SO] + _SRCS,
+            capture_output=True, timeout=120)
+        return r.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("EASYAV1_NATIVE", "1") == "0":
+        return None
+    if not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.av1_decode_tile.restype = ctypes.c_int
+    lib.av1_decode_tile.argtypes = [
+        ctypes.POINTER(_TileParams), ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(_TileOut)]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _qctx(base_q_idx: int) -> int:
+    if base_q_idx <= 20:
+        return 0
+    if base_q_idx <= 60:
+        return 1
+    if base_q_idx <= 120:
+        return 2
+    return 3
+
+
+def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
+    """Decode all tiles of an intra frame into `plan` using the C
+    decoder.  Returns False (plan untouched) when the native path is
+    unavailable or reports an error; caller falls back to Python."""
+    lib = _load()
+    if lib is None:
+        return False
+    if len(tiles) != 1:
+        # the Python reference carries adapted CDFs across tiles of a
+        # frame; the C decoder re-inits per call — restrict to the
+        # single-tile case until per-frame CDF carry is plumbed through
+        return False
+    from easyav1_tpu.video.av1 import constants as C
+    from easyav1_tpu.video.av1 import tables as T
+    from easyav1_tpu.video.av1.tile import BlockRecord, TxBlock
+
+    mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
+    q = hdr.quant
+    p = _TileParams(
+        mi_rows=mi_rows, mi_cols=mi_cols,
+        sb128=1 if seq.use_128x128_superblock else 0,
+        bitdepth=seq.color.bitdepth, num_planes=seq.color.num_planes,
+        ssx=seq.color.subsampling_x, ssy=seq.color.subsampling_y,
+        base_q_idx=q.base_q_idx, dq_y_dc=q.delta_q_y_dc,
+        dq_u_dc=q.delta_q_u_dc, dq_u_ac=q.delta_q_u_ac,
+        dq_v_dc=q.delta_q_v_dc, dq_v_ac=q.delta_q_v_ac,
+        tx_mode=hdr.tx_mode, reduced_tx_set=int(hdr.reduced_tx_set),
+        coded_lossless=int(hdr.coded_lossless),
+        allow_update_cdf=0 if hdr.disable_cdf_update else 1,
+        enable_cdef=int(getattr(seq, "enable_cdef", False)),
+        cdef_bits=hdr.cdef.bits if hdr.cdef else 0,
+        enable_filter_intra=int(getattr(seq, "enable_filter_intra", False)),
+        allow_intrabc=int(getattr(hdr, "allow_intrabc", False)),
+        delta_q_present=int(hdr.delta_q_present),
+        delta_q_res=hdr.delta_q_res,
+        delta_lf_present=int(getattr(hdr, "delta_lf_present", False)),
+        delta_lf_multi=int(getattr(hdr, "delta_lf_multi", False)),
+        qctx=_qctx(q.base_q_idx),
+    )
+
+    n_mi = mi_rows * mi_cols
+    grids = {k: np.zeros((mi_rows, mi_cols), np.int8)
+             for k in ("y_mode", "uv_mode", "angle_y", "angle_uv", "skip",
+                       "bsize")}
+    max_blocks = n_mi + 64
+    max_txs = 3 * n_mi + 64
+    max_lf = 3 * n_mi + 64
+    coeffs_cap = 2 * n_mi * 16 + 4096
+    blocks_buf = np.zeros((max_blocks, 16), np.int32)
+    txs_buf = np.zeros((max_txs, 8), np.int32)
+    coeffs_buf = np.zeros(coeffs_cap, np.int32)
+    lf_buf = np.zeros((max_lf, 4), np.int32)
+    urows = (mi_rows + 15) // 16
+    ucols = (mi_cols + 15) // 16
+    cdef_buf = np.full((urows, ucols), -1, np.int8)
+
+    def vp(a):
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    out = _TileOut(
+        y_mode=vp(grids["y_mode"]), uv_mode=vp(grids["uv_mode"]),
+        angle_y=vp(grids["angle_y"]), angle_uv=vp(grids["angle_uv"]),
+        skip=vp(grids["skip"]), bsize=vp(grids["bsize"]),
+        blocks=vp(blocks_buf), max_blocks=max_blocks, n_blocks=0,
+        txs=vp(txs_buf), max_txs=max_txs, n_txs=0,
+        coeffs=vp(coeffs_buf), coeffs_cap=coeffs_cap, coeffs_used=0,
+        lf_txs=vp(lf_buf), max_lf=max_lf, n_lf=0,
+        cdef_idx=vp(cdef_buf), error=0)
+
+    sb_shift = 5 if seq.use_128x128_superblock else 4
+    t = hdr.tile
+    n_cols = t.cols
+    # accumulators across tiles (one TileOut reused; counters persist in
+    # python because the C decoder resets them per call)
+    all_blocks = []
+    all_txs = []
+    all_lf = []
+    for tile_num, tdata in enumerate(tiles):
+        tile_row, tile_col = tile_num // n_cols, tile_num % n_cols
+        p.col_start = min(t.col_starts[tile_col] << sb_shift, mi_cols)
+        p.col_end = min(t.col_starts[tile_col + 1] << sb_shift, mi_cols)
+        p.row_start = min(t.row_starts[tile_row] << sb_shift, mi_rows)
+        p.row_end = min(t.row_starts[tile_row + 1] << sb_shift, mi_rows)
+        rc = lib.av1_decode_tile(ctypes.byref(p), tdata, len(tdata),
+                                 ctypes.byref(out))
+        if rc != 0:
+            return False
+        all_blocks.append(blocks_buf[:out.n_blocks].copy())
+        all_txs.append(txs_buf[:out.n_txs].copy())
+        all_lf.append(lf_buf[:out.n_lf].copy())
+        # build plan records for this tile (coef offsets are per-call)
+        txs = all_txs[-1]
+        for b in all_blocks[-1]:
+            (br, bc, bsize, y_mode, uv_mode, angle_y, angle_uv, skip,
+             tx_size, uv_tx, has_chroma, cfl_u, cfl_v, fi, tx_off,
+             n_tx) = (int(v) for v in b)
+            rec = BlockRecord(
+                r=br, c=bc, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+                angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
+                tx_size=tx_size, uv_tx_size=uv_tx,
+                has_chroma=bool(has_chroma),
+                cfl_alphas=((cfl_u, cfl_v)
+                            if uv_mode == C.UV_CFL_PRED else None),
+                filter_intra=fi if fi >= 0 else None)
+            for k in range(tx_off, tx_off + n_tx):
+                (plane, x, y, tsz, ttyp, eob, coff, lossless) = \
+                    (int(v) for v in txs[k])
+                adj = T.ADJUSTED_TX_SIZE[tsz]
+                tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
+                rec.tx_blocks.append(TxBlock(
+                    plane=plane, x=x, y=y, tx_size=tsz, tx_type=ttyp,
+                    eob=eob,
+                    coeffs=coeffs_buf[coff:coff + tw * th]
+                    .reshape(th, tw).copy(),
+                    lossless=bool(lossless)))
+            plan.blocks.append(rec)
+            if uv_mode == C.UV_CFL_PRED:
+                plan.cfl_alphas[(br, bc)] = (cfl_u, cfl_v)
+            if fi >= 0:
+                plan.filter_intra[(br, bc)] = fi
+        for lf in all_lf[-1]:
+            plan.lf_txs.append((int(lf[0]), int(lf[1]), int(lf[2]),
+                                int(lf[3])))
+
+    for k in grids:
+        getattr(plan, k)[:, :] = grids[k]
+    for ur in range(urows):
+        for uc in range(ucols):
+            if cdef_buf[ur, uc] != -1:
+                plan.cdef_idx[(ur * 16, uc * 16)] = int(cdef_buf[ur, uc])
+    return True

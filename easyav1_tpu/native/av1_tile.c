@@ -1,0 +1,1097 @@
+/* AV1 tile symbol decoder — native hot path (SURVEY.md §2d/§7: the
+ * sequential msac entropy decode stays on CPU and must be tight native
+ * code; the dense math it feeds runs on the TPU).
+ *
+ * Exact port of the verified Python reference (easyav1_tpu/video/av1/
+ * msac.py + tile.py); tests assert bit-identical plan output between the
+ * two.  Intra keyframes, one tile region per call.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "av1_tables.h"
+
+#define EC_PROB_SHIFT 6
+#define EC_MIN_PROB 4
+
+/* ------------------------------------------------------------------ */
+/* msac range decoder (spec §8.2; mirror of msac.py)                   */
+
+typedef struct {
+    const uint8_t *data;
+    int64_t size;
+    int64_t bit_pos;
+    int64_t max_bits;
+    uint32_t rng;
+    uint32_t value;
+    int allow_update;
+} Msac;
+
+static int floor_log2(uint32_t x) {
+    int n = -1;
+    while (x) { n++; x >>= 1; }
+    return n;
+}
+
+static uint32_t read_bits_raw(const Msac *s, int64_t pos, int n) {
+    uint32_t out = 0;
+    for (int i = 0; i < n; i++) {
+        int64_t p = pos + i;
+        uint8_t byte = (p >> 3) < s->size ? s->data[p >> 3] : 0;
+        out = (out << 1) | ((byte >> (7 - (p & 7))) & 1);
+    }
+    return out;
+}
+
+static void msac_init(Msac *s, const uint8_t *data, int64_t size,
+                      int allow_update) {
+    s->data = data;
+    s->size = size;
+    int num_bits = size * 8 < 15 ? (int)(size * 8) : 15;
+    uint32_t buf = read_bits_raw(s, 0, num_bits);
+    s->bit_pos = num_bits;
+    s->value = ((1u << 15) - 1) ^ (buf << (15 - num_bits));
+    s->rng = 1u << 15;
+    s->max_bits = size * 8 - 15;
+    s->allow_update = allow_update;
+}
+
+static void msac_renorm(Msac *s, uint32_t rng, uint32_t value) {
+    int bits = 15 - floor_log2(rng);
+    rng <<= bits;
+    int64_t avail = s->max_bits > 0 ? s->max_bits : 0;
+    int num_bits = bits < avail ? bits : (int)avail;
+    uint32_t new_data = read_bits_raw(s, s->bit_pos, num_bits);
+    s->bit_pos += num_bits;
+    uint32_t padded = new_data << (bits - num_bits);
+    s->value = padded ^ (((value + 1) << bits) - 1);
+    s->max_bits -= bits;
+    s->rng = rng;
+}
+
+/* cdf: n+1 uint16 entries (n-1 boundaries, 0 terminator, counter) */
+static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
+    uint32_t rng = s->rng, value = s->value;
+    uint32_t cur = rng, prev;
+    int sym = -1;
+    uint32_t r8 = rng >> 8;
+    do {
+        sym++;
+        prev = cur;
+        cur = ((r8 * (cdf[sym] >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT))
+              + EC_MIN_PROB * (n - 1 - sym);
+    } while (value < cur);
+    msac_renorm(s, prev - cur, value - cur);
+    if (s->allow_update) {
+        int count = cdf[n];
+        int l2 = floor_log2((uint32_t)n);
+        int rate = 3 + (count > 15) + (count > 31) + (l2 < 2 ? l2 : 2);
+        for (int i = 0; i < n - 1; i++) {
+            if (i >= sym) cdf[i] -= cdf[i] >> rate;
+            else cdf[i] += (32768 - cdf[i]) >> rate;
+        }
+        cdf[n] = count + (count < 32);
+    }
+    return sym;
+}
+
+static int msac_bool(Msac *s, uint32_t f) {
+    uint32_t rng = s->rng, value = s->value;
+    uint32_t cur = ((rng >> 8) * (f >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT))
+                   + EC_MIN_PROB;
+    if (value >= cur) { msac_renorm(s, rng - cur, value - cur); return 0; }
+    msac_renorm(s, cur, value);
+    return 1;
+}
+
+static int msac_bool_equi(Msac *s) {
+    uint32_t rng = s->rng, value = s->value;
+    uint32_t cur = ((rng >> 8) << 7) + EC_MIN_PROB;
+    if (value >= cur) { msac_renorm(s, rng - cur, value - cur); return 0; }
+    msac_renorm(s, cur, value);
+    return 1;
+}
+
+static uint32_t msac_literal(Msac *s, int n) {
+    uint32_t x = 0;
+    for (int i = 0; i < n; i++) x = (x << 1) | msac_bool_equi(s);
+    return x;
+}
+
+static int msac_golomb(Msac *s) {
+    int length = 0;
+    while (!msac_bool_equi(s)) {
+        length++;
+        if (length > 31) break;
+    }
+    int x = 1;
+    int lim = length < 31 ? length : 31;
+    for (int i = 0; i < lim; i++) x = (x << 1) | msac_bool_equi(s);
+    return x - 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* CDF state: working copies of every table used by the intra path.    */
+/* Shapes follow tables_data.npz after the qctx dimension is selected. */
+
+typedef struct {
+    uint16_t txb_skip[5][13][3];
+    uint16_t eob_extra[5][2][9][3];
+    uint16_t dc_sign[2][3][3];
+    uint16_t coeff_base_eob[5][2][4][4];
+    uint16_t coeff_base[5][2][42][5];
+    uint16_t coeff_br[5][2][21][5];
+    uint16_t eob16[2][2][6];
+    uint16_t eob32[2][2][7];
+    uint16_t eob64[2][2][8];
+    uint16_t eob128[2][2][9];
+    uint16_t eob256[2][2][10];
+    uint16_t eob512[2][2][11];
+    uint16_t eob1024[2][2][12];
+    uint16_t partition[20][11];
+    uint16_t kf_y_mode[5][5][14];
+    uint16_t uv_mode[2][13][15];
+    uint16_t angle_delta[8][8];
+    uint16_t intra_tx1[4][13][17];
+    uint16_t intra_tx2[4][13][17];
+    uint16_t tx_size[4][3][4];
+    uint16_t skip[3][3];
+    uint16_t delta_q[1][5];
+    uint16_t delta_lf[1][5];
+    uint16_t delta_lf_multi[4][5];
+    uint16_t cfl_sign[1][9];
+    uint16_t cfl_alpha[6][17];
+    uint16_t filter_intra_mode[1][6];
+    uint16_t filter_intra_use[22][3];
+} CdfState;
+
+static void cdf_init(CdfState *c, int qctx) {
+    memcpy(c->txb_skip, av1_txb_skip[qctx], sizeof(c->txb_skip));
+    memcpy(c->eob_extra, av1_eob_extra[qctx], sizeof(c->eob_extra));
+    memcpy(c->dc_sign, av1_dc_sign[qctx], sizeof(c->dc_sign));
+    memcpy(c->coeff_base_eob, av1_coeff_base_eob[qctx],
+           sizeof(c->coeff_base_eob));
+    memcpy(c->coeff_base, av1_coeff_base[qctx], sizeof(c->coeff_base));
+    memcpy(c->coeff_br, av1_coeff_br[qctx], sizeof(c->coeff_br));
+    memcpy(c->eob16, av1_eob_multi16[qctx], sizeof(c->eob16));
+    memcpy(c->eob32, av1_eob_multi32[qctx], sizeof(c->eob32));
+    memcpy(c->eob64, av1_eob_multi64[qctx], sizeof(c->eob64));
+    memcpy(c->eob128, av1_eob_multi128[qctx], sizeof(c->eob128));
+    memcpy(c->eob256, av1_eob_multi256[qctx], sizeof(c->eob256));
+    memcpy(c->eob512, av1_eob_multi512[qctx], sizeof(c->eob512));
+    memcpy(c->eob1024, av1_eob_multi1024[qctx], sizeof(c->eob1024));
+    memcpy(c->partition, av1_partition, sizeof(c->partition));
+    memcpy(c->kf_y_mode, av1_kf_y_mode, sizeof(c->kf_y_mode));
+    memcpy(c->uv_mode, av1_uv_mode, sizeof(c->uv_mode));
+    memcpy(c->angle_delta, av1_angle_delta, sizeof(c->angle_delta));
+    memcpy(c->intra_tx1, av1_intra_ext_tx_set1, sizeof(c->intra_tx1));
+    memcpy(c->intra_tx2, av1_intra_ext_tx_set2, sizeof(c->intra_tx2));
+    memcpy(c->tx_size, av1_tx_size, sizeof(c->tx_size));
+    memcpy(c->skip, av1_skip, sizeof(c->skip));
+    memcpy(c->delta_q, av1_delta_q, sizeof(c->delta_q));
+    memcpy(c->delta_lf, av1_delta_lf, sizeof(c->delta_lf));
+    memcpy(c->delta_lf_multi, av1_delta_lf_multi, sizeof(c->delta_lf_multi));
+    memcpy(c->cfl_sign, av1_cfl_sign, sizeof(c->cfl_sign));
+    memcpy(c->cfl_alpha, av1_cfl_alpha, sizeof(c->cfl_alpha));
+    memcpy(c->filter_intra_mode, av1_filter_intra_mode,
+           sizeof(c->filter_intra_mode));
+    for (int i = 0; i < 22; i++) {
+        c->filter_intra_use[i][0] = 16384;
+        c->filter_intra_use[i][1] = 0;
+        c->filter_intra_use[i][2] = 0;
+    }
+}
+
+/* ragged decode: CDF row stored wider than the symbol count
+   (tile.py _decode_ragged) */
+static int msac_ragged(Msac *s, uint16_t *row, int row_len, int nsym) {
+    if (row_len == nsym + 1) return msac_symbol(s, row, nsym);
+    uint16_t sub[20];
+    memcpy(sub, row, (size_t)(nsym - 1) * sizeof(uint16_t));
+    sub[nsym - 1] = 0;
+    sub[nsym] = row[row_len - 1];
+    int sym = msac_symbol(s, sub, nsym);
+    memcpy(row, sub, (size_t)(nsym - 1) * sizeof(uint16_t));
+    row[row_len - 1] = sub[nsym];
+    return sym;
+}
+
+/* ------------------------------------------------------------------ */
+/* parameters & outputs (layouts mirrored by the ctypes wrapper)       */
+
+typedef struct {
+    int32_t mi_rows, mi_cols;
+    int32_t sb128;
+    int32_t bitdepth, num_planes, ssx, ssy;
+    int32_t base_q_idx;
+    int32_t dq_y_dc, dq_u_dc, dq_u_ac, dq_v_dc, dq_v_ac;
+    int32_t tx_mode;              /* 0 only4x4, 1 largest, 2 select */
+    int32_t reduced_tx_set;
+    int32_t coded_lossless;
+    int32_t allow_update_cdf;
+    int32_t enable_cdef, cdef_bits;
+    int32_t enable_filter_intra;
+    int32_t allow_intrabc;
+    int32_t delta_q_present, delta_q_res;
+    int32_t delta_lf_present, delta_lf_multi;
+    int32_t col_start, col_end, row_start, row_end;   /* mi units */
+    int32_t qctx;
+} TileParams;
+
+typedef struct {
+    /* mi grids, mi_rows x mi_cols row-major int8 */
+    int8_t *y_mode, *uv_mode, *angle_y, *angle_uv, *skip, *bsize;
+    /* block records, 16 int32 each:
+       r, c, bsize, y_mode, uv_mode, angle_y, angle_uv, skip, tx_size,
+       uv_tx_size, has_chroma, cfl_u, cfl_v, filter_intra(-1 none),
+       tx_off, n_tx */
+    int32_t *blocks;
+    int64_t max_blocks, n_blocks;
+    /* coded (non-all-zero) tx records, 8 int32 each:
+       plane, x, y, tx_size, tx_type, eob, coef_off, lossless */
+    int32_t *txs;
+    int64_t max_txs, n_txs;
+    int32_t *coeffs;           /* adj_h*adj_w dense values per coded tx */
+    int64_t coeffs_cap, coeffs_used;
+    /* every visited tx incl. all-zero, 4 int32 each: plane, x, y, tx_size */
+    int32_t *lf_txs;
+    int64_t max_lf, n_lf;
+    /* cdef idx per 64x64 unit: ceil(mi_rows/16) x ceil(mi_cols/16),
+       -1 = unset */
+    int8_t *cdef_idx;
+    int32_t error;
+} TileOut;
+
+typedef struct {
+    const TileParams *p;
+    TileOut *o;
+    Msac msac;
+    CdfState cdf;
+    /* context arrays: above indexed by absolute mi col, left by mi row;
+       all planes use full-length arrays (parity with tile.py) */
+    int32_t *a_part, *l_part;
+    int32_t *a_mode, *l_mode;
+    int32_t *a_skip, *l_skip;
+    int32_t *a_txw, *l_txh;
+    int32_t *a_lvl[3], *l_lvl[3];
+    int32_t *a_sign[3], *l_sign[3];
+    int32_t cur_qindex;
+    int32_t read_deltas;
+    int64_t cur_block;
+} Ctx;
+
+enum { BLOCK_4X4 = 0, BLOCK_8X8 = 3, BLOCK_64X64 = 12, BLOCK_128X128 = 15 };
+enum { PART_NONE = 0, PART_HORZ, PART_VERT, PART_SPLIT, PART_HORZ_A,
+       PART_HORZ_B, PART_VERT_A, PART_VERT_B, PART_HORZ_4, PART_VERT_4 };
+enum { DC_PRED = 0, V_PRED = 1, D67_PRED = 8, UV_CFL = 13 };
+enum { TX_4X4 = 0, TX_16X16 = 2, TX_32X32 = 3, TX_64X64 = 4 };
+enum { DCT_DCT = 0 };
+
+static int sq_index(int bsize) {
+    switch (bsize) {
+    case 3: return 0; case 6: return 1; case 9: return 2;
+    case 12: return 3; case 15: return 4;
+    }
+    return -1;
+}
+
+/* spec Partition_Subsize, square parents only (tile.py partition_subsize) */
+static int partition_subsize(int part, int bsize) {
+    static const int8_t SPLIT_[5] = {0, 3, 6, 9, 12};
+    static const int8_t HORZ_[5] = {2, 5, 8, 11, 14};
+    static const int8_t VERT_[5] = {1, 4, 7, 10, 13};
+    static const int8_t H4_[5] = {-1, 17, 19, 21, -1};
+    static const int8_t V4_[5] = {-1, 16, 18, 20, -1};
+    int i = sq_index(bsize);
+    switch (part) {
+    case PART_NONE: return bsize;
+    case PART_SPLIT: return SPLIT_[i];
+    case PART_HORZ: case PART_HORZ_A: case PART_HORZ_B: return HORZ_[i];
+    case PART_VERT: case PART_VERT_A: case PART_VERT_B: return VERT_[i];
+    case PART_HORZ_4: return H4_[i];
+    case PART_VERT_4: return V4_[i];
+    }
+    return bsize;
+}
+
+static int mi_wlog2(int b) { return floor_log2((uint32_t)av1_block_w4[b]); }
+
+static int dc_q(int qindex, int bitdepth) {
+    int q = qindex < 0 ? 0 : (qindex > 255 ? 255 : qindex);
+    if (bitdepth == 10) return av1_dc_qlookup_10[q];
+    if (bitdepth == 12) return av1_dc_qlookup_12[q];
+    return av1_dc_qlookup[q];
+}
+
+static int ac_q(int qindex, int bitdepth) {
+    int q = qindex < 0 ? 0 : (qindex > 255 ? 255 : qindex);
+    if (bitdepth == 10) return av1_ac_qlookup_10[q];
+    if (bitdepth == 12) return av1_ac_qlookup_12[q];
+    return av1_ac_qlookup[q];
+}
+
+static int imin(int a, int b) { return a < b ? a : b; }
+static int imax(int a, int b) { return a > b ? a : b; }
+
+/* ------------------------------------------------------------------ */
+/* coefficient contexts (tile.py statics)                              */
+
+static int coeff_base_eob_ctx(int ci, int tw, int th) {
+    if (ci == 0) return 0;
+    int n = tw * th;
+    if (ci <= n / 8) return 1;
+    if (ci <= n / 4) return 2;
+    return 3;
+}
+
+static int coeff_base_ctx(const int32_t *levels, int pos, int bwl, int th,
+                          int cls, const int8_t *base_offsets) {
+    int w = 1 << bwl;
+    int row = pos >> bwl;
+    int col = pos & (w - 1);
+    static const int8_t NB2D[5][2] = {{0,1},{1,0},{1,1},{0,2},{2,0}};
+    static const int8_t NBH[5][2] = {{0,1},{1,0},{0,2},{0,3},{0,4}};
+    static const int8_t NBV[5][2] = {{0,1},{1,0},{2,0},{3,0},{4,0}};
+    const int8_t (*nbrs)[2] = cls == 0 ? NB2D : (cls == 1 ? NBH : NBV);
+    int mag = 0;
+    for (int k = 0; k < 5; k++) {
+        int rr = row + nbrs[k][0], cc = col + nbrs[k][1];
+        if (rr < th && cc < w) {
+            int v = levels[(rr << bwl) + cc];
+            mag += v < 3 ? v : 3;
+        }
+    }
+    int ctx = imin((mag + 1) >> 1, 4);
+    if (cls == 0) {
+        if (pos == 0) return 0;
+        return ctx + base_offsets[pos];
+    }
+    int major = cls == 1 ? col : row;
+    return ctx + 26 + imin(major, 2) * 5;
+}
+
+static int coeff_br_ctx(const int32_t *levels, int pos, int bwl, int th,
+                        int cls) {
+    int w = 1 << bwl;
+    int row = pos >> bwl;
+    int col = pos & (w - 1);
+    static const int8_t NB2D[3][2] = {{0,1},{1,0},{1,1}};
+    static const int8_t NBH[3][2] = {{0,1},{1,0},{0,2}};
+    static const int8_t NBV[3][2] = {{0,1},{1,0},{2,0}};
+    const int8_t (*nbrs)[2] = cls == 0 ? NB2D : (cls == 1 ? NBH : NBV);
+    int mag = 0;
+    for (int k = 0; k < 3; k++) {
+        int rr = row + nbrs[k][0], cc = col + nbrs[k][1];
+        if (rr < th && cc < w) {
+            int v = levels[(rr << bwl) + cc];
+            mag += v < 15 ? v : 15;
+        }
+    }
+    mag = imin((mag + 1) >> 1, 6);
+    if (pos == 0) return mag;
+    if (cls == 0) {
+        if (row < 2 && col < 2) return mag + 7;
+        return mag + 14;
+    }
+    int major = cls == 1 ? col : row;
+    if (major == 0) return mag + 7;
+    return mag + 14;
+}
+
+/* ------------------------------------------------------------------ */
+
+/* tables.py get_tx_set_intra */
+static int get_tx_set_intra(int tx_size, int reduced) {
+    int sqr_up = av1_tx_sqr_up[tx_size];
+    if (sqr_up >= TX_32X32) return 0;
+    if (reduced) return 2;
+    if (av1_tx_sqr[tx_size] == TX_16X16) return 2;
+    return 1;
+}
+
+static int max_tx_depth(int bsize) {
+    static const int8_t D[22] = {0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4,
+                                 4, 4, 4, 2, 2, 3, 3, 4, 4};
+    return D[bsize];
+}
+
+/* writes clip at the full mi array extents (numpy-slice parity) */
+static void set_coef_ctx(Ctx *t, int plane, int x4, int y4, int w4, int h4,
+                         int cul, int dc_cat) {
+    const TileParams *p = t->p;
+    for (int i = 0; i < w4 && x4 + i < p->mi_cols; i++) {
+        t->a_lvl[plane][x4 + i] = cul;
+        t->a_sign[plane][x4 + i] = dc_cat;
+    }
+    for (int i = 0; i < h4 && y4 + i < p->mi_rows; i++) {
+        t->l_lvl[plane][y4 + i] = cul;
+        t->l_sign[plane][y4 + i] = dc_cat;
+    }
+}
+
+static int txb_skip_ctx(Ctx *t, int plane, int x4, int y4, int tx_size,
+                        int bsize) {
+    const TileParams *p = t->p;
+    int tw4 = av1_tx_w4[tx_size], th4 = av1_tx_h4[tx_size];
+    if (plane == 0) {
+        int bw4 = av1_block_w4[bsize], bh4 = av1_block_h4[bsize];
+        if (tw4 == bw4 && th4 == bh4) return 0;
+        int top = 0, left = 0;
+        for (int i = 0; i < tw4 && x4 + i < p->mi_cols; i++)
+            top |= t->a_lvl[0][x4 + i];
+        for (int i = 0; i < th4 && y4 + i < p->mi_rows; i++)
+            left |= t->l_lvl[0][y4 + i];
+        top &= 63;
+        left &= 63;
+        int mx = imin(top | left, 4);
+        int mn = imin(imin(top, left), 4);
+        static const int8_t TAB[5][5] = {
+            {1, 2, 2, 2, 3}, {1, 4, 4, 4, 5}, {1, 4, 4, 4, 5},
+            {1, 4, 4, 4, 5}, {1, 4, 4, 4, 6}};
+        return TAB[mn][mx];
+    }
+    int above = 0, left_nz = 0;
+    for (int i = 0; i < tw4; i++)
+        if (x4 + i < p->mi_cols && t->a_lvl[plane][x4 + i]) above = 1;
+    for (int i = 0; i < th4; i++)
+        if (y4 + i < p->mi_rows && t->l_lvl[plane][y4 + i]) left_nz = 1;
+    int ctx = 7 + above + left_nz;
+    int bw4 = imax(1, av1_block_w4[bsize] >> p->ssx);
+    int bh4 = imax(1, av1_block_h4[bsize] >> p->ssy);
+    if (tw4 * th4 > bw4 * bh4) ctx += 3;
+    return ctx;
+}
+
+static int dc_sign_ctx(Ctx *t, int plane, int x4, int y4, int w4, int h4) {
+    const TileParams *p = t->p;
+    int total = 0;
+    for (int i = 0; i < w4; i++) {
+        if (x4 + i >= p->mi_cols) continue;
+        int s = t->a_sign[plane][x4 + i];
+        total += s == 1 ? 1 : (s == 2 ? -1 : 0);
+    }
+    for (int i = 0; i < h4; i++) {
+        if (y4 + i >= p->mi_rows) continue;
+        int s = t->l_sign[plane][y4 + i];
+        total += s == 1 ? 1 : (s == 2 ? -1 : 0);
+    }
+    if (total == 0) return 0;
+    return total < 0 ? 1 : 2;
+}
+
+static uint16_t *eob_row(Ctx *t, int area, int ptype, int cls2d, int *len) {
+    CdfState *c = &t->cdf;
+    switch (area) {
+    case 16: *len = 6; return c->eob16[ptype][cls2d];
+    case 32: *len = 7; return c->eob32[ptype][cls2d];
+    case 64: *len = 8; return c->eob64[ptype][cls2d];
+    case 128: *len = 9; return c->eob128[ptype][cls2d];
+    case 256: *len = 10; return c->eob256[ptype][cls2d];
+    case 512: *len = 11; return c->eob512[ptype][cls2d];
+    default: *len = 12; return c->eob1024[ptype][cls2d];
+    }
+}
+
+static int read_eob(Ctx *t, int tx_size, int ptype, int cls) {
+    int adj = av1_adj_tx[tx_size];
+    int area = av1_tx_w[adj] * av1_tx_h[adj];
+    int cls2d = cls == 0 ? 0 : 1;
+    int len;
+    uint16_t *row = eob_row(t, area, ptype, cls2d, &len);
+    int eob_pt = msac_symbol(&t->msac, row, len - 1) + 1;
+    if (eob_pt < 3) return eob_pt;
+    int eob_shift = eob_pt - 2;
+    int eob = (1 << (eob_pt - 2)) + 1;
+    int tx_ctx = imin(av1_tx_sqr_up[tx_size], TX_64X64);
+    int bit = msac_symbol(&t->msac,
+                          t->cdf.eob_extra[tx_ctx][ptype][eob_pt - 3], 2);
+    if (bit) eob += 1 << (eob_shift - 1);
+    for (int i = 1; i < eob_shift; i++)
+        if (msac_bool_equi(&t->msac)) eob += 1 << (eob_shift - 1 - i);
+    return eob;
+}
+
+/* tile.py _uv_tx_size */
+static int uv_tx_size_for(const TileParams *p, int bsize) {
+    int w4 = imax(1, av1_block_w4[bsize] >> p->ssx);
+    int h4 = imax(1, av1_block_h4[bsize] >> p->ssy);
+    for (int b = 0; b < 22; b++) {
+        if (av1_block_w4[b] == w4 && av1_block_h4[b] == h4) {
+            int tx = av1_max_tx_rect[b];
+            while (av1_tx_w[tx] > 32 || av1_tx_h[tx] > 32)
+                tx = av1_split_tx[tx];
+            return tx;
+        }
+    }
+    return TX_4X4;
+}
+
+static int uv_tx_type_for(Ctx *t, int tx_size, int uv_mode) {
+    if (t->p->coded_lossless) return DCT_DCT;
+    int mode = uv_mode == UV_CFL ? DC_PRED : uv_mode;
+    int set = get_tx_set_intra(tx_size, t->p->reduced_tx_set);
+    int tt = av1_intra_mode_to_tx[mode];
+    if (set == 0) return DCT_DCT;
+    const int8_t *lst = set == 1 ? av1_tx_set_intra_1 : av1_tx_set_intra_2;
+    int n = set == 1 ? 7 : 5;
+    for (int i = 0; i < n; i++) if (lst[i] == tt) return tt;
+    return DCT_DCT;
+}
+
+static int read_tx_type(Ctx *t, int tx_size, int y_mode, int filter_intra) {
+    if (t->p->coded_lossless) return DCT_DCT;
+    int set = get_tx_set_intra(tx_size, t->p->reduced_tx_set);
+    if (set == 0) return DCT_DCT;
+    int intra_dir = filter_intra >= 0 ? DC_PRED : y_mode;
+    int sq = av1_tx_sqr[tx_size];
+    if (set == 1) {
+        int sym = msac_ragged(&t->msac, t->cdf.intra_tx1[sq][intra_dir],
+                              17, 7);
+        return av1_tx_set_intra_1[sym];
+    }
+    int sym = msac_ragged(&t->msac, t->cdf.intra_tx2[sq][intra_dir], 17, 5);
+    return av1_tx_set_intra_2[sym];
+}
+
+/* ------------------------------------------------------------------ */
+
+static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
+                            int bsize, int y_mode, int uv_mode,
+                            int filter_intra) {
+    const TileParams *p = t->p;
+    TileOut *o = t->o;
+    int adj = av1_adj_tx[tx_size];
+    int tw = av1_tx_w[adj], th = av1_tx_h[adj];
+    int full_w = av1_tx_w[tx_size], full_h = av1_tx_h[tx_size];
+    int x4 = x >> 2, y4 = y >> 2;
+    int ptype = plane ? 1 : 0;
+    int tx_ctx = imin(av1_tx_sqr_up[tx_size], TX_64X64);
+
+    if (o->n_lf >= o->max_lf) { o->error = 1; return; }
+    int32_t *lf = o->lf_txs + o->n_lf * 4;
+    lf[0] = plane; lf[1] = x; lf[2] = y; lf[3] = tx_size;
+    o->n_lf++;
+
+    int ctx = txb_skip_ctx(t, plane, x4, y4, tx_size, bsize);
+    int all_zero = msac_symbol(&t->msac, t->cdf.txb_skip[tx_ctx][ctx], 2);
+    int w4 = full_w >> 2, h4 = full_h >> 2;
+    if (all_zero) {
+        set_coef_ctx(t, plane, x4, y4, w4, h4, 0, 0);
+        return;
+    }
+
+    int tx_type;
+    if (plane == 0) tx_type = read_tx_type(t, tx_size, y_mode, filter_intra);
+    else tx_type = uv_tx_type_for(t, tx_size, uv_mode);
+    int cls = av1_tx_type_class[tx_type];
+    const int16_t *scan = av1_scans[tx_size][cls];
+
+    int eob = read_eob(t, tx_size, ptype, cls);
+
+    int bwl = floor_log2((uint32_t)tw);
+    int32_t levels[32 * 32];
+    memset(levels, 0, sizeof(int32_t) * (size_t)(tw * th));
+    const int8_t *base_offsets = av1_base_ctx_offsets[tx_size];
+
+    for (int ci = eob - 1; ci >= 0; ci--) {
+        int pos = scan[ci];
+        int level;
+        if (ci == eob - 1) {
+            int c2 = coeff_base_eob_ctx(ci, tw, th);
+            level = msac_symbol(&t->msac,
+                                t->cdf.coeff_base_eob[tx_ctx][ptype][c2],
+                                3) + 1;
+        } else {
+            int bctx = coeff_base_ctx(levels, pos, bwl, th, cls,
+                                      base_offsets);
+            level = msac_symbol(&t->msac,
+                                t->cdf.coeff_base[tx_ctx][ptype][bctx], 4);
+        }
+        if (level > 2) {
+            int brctx = coeff_br_ctx(levels, pos, bwl, th, cls);
+            int br_tx = imin(tx_ctx, TX_32X32);
+            for (int it = 0; it < 4; it++) {
+                int k = msac_symbol(&t->msac,
+                                    t->cdf.coeff_br[br_tx][ptype][brctx], 4);
+                level += k;
+                if (k < 3) break;
+            }
+        }
+        levels[pos] = level;
+    }
+
+    /* signs + dequant (spec §7.13.3: dqDenom by square-up size, result
+       clipped to the signed (bitdepth+8)-bit range) */
+    int qidx = t->cur_qindex;
+    int dqd, dqa;
+    if (plane == 0) {
+        dqd = dc_q(qidx + p->dq_y_dc, p->bitdepth);
+        dqa = ac_q(qidx, p->bitdepth);
+    } else if (plane == 1) {
+        dqd = dc_q(qidx + p->dq_u_dc, p->bitdepth);
+        dqa = ac_q(qidx + p->dq_u_ac, p->bitdepth);
+    } else {
+        dqd = dc_q(qidx + p->dq_v_dc, p->bitdepth);
+        dqa = ac_q(qidx + p->dq_v_ac, p->bitdepth);
+    }
+    int dim = imax(full_w, full_h);
+    int shift = dim == 64 ? 2 : (dim == 32 ? 1 : 0);
+    int64_t lim = 1ll << (p->bitdepth + 7);
+
+    if (o->n_txs >= o->max_txs ||
+        o->coeffs_used + tw * th > o->coeffs_cap) {
+        o->error = 1;
+        return;
+    }
+    int32_t *co = o->coeffs + o->coeffs_used;
+    memset(co, 0, sizeof(int32_t) * (size_t)(tw * th));
+
+    int culp = 0, dc_cat = 0;
+    for (int ci = 0; ci < eob; ci++) {
+        int pos = scan[ci];
+        int level = levels[pos];
+        if (level == 0) continue;
+        int sign;
+        if (pos == 0) {
+            int sctx = dc_sign_ctx(t, plane, x4, y4, w4, h4);
+            sign = msac_symbol(&t->msac, t->cdf.dc_sign[ptype][sctx], 2);
+        } else {
+            sign = msac_bool_equi(&t->msac);
+        }
+        if (level == 15) level += msac_golomb(&t->msac);
+        int64_t v = ((int64_t)level * (pos == 0 ? dqd : dqa)) & 0xFFFFFF;
+        v >>= shift;
+        co[pos] = (int32_t)(sign ? -(v < lim ? v : lim)
+                                 : (v < lim - 1 ? v : lim - 1));
+        if (pos == 0) dc_cat = sign ? 2 : 1;
+        culp += level;
+    }
+    culp = imin(culp, 63);
+    set_coef_ctx(t, plane, x4, y4, w4, h4, culp, dc_cat);
+
+    int32_t *rec = o->txs + o->n_txs * 8;
+    rec[0] = plane; rec[1] = x; rec[2] = y; rec[3] = tx_size;
+    rec[4] = tx_type; rec[5] = eob; rec[6] = (int32_t)o->coeffs_used;
+    rec[7] = p->coded_lossless;
+    o->n_txs++;
+    o->coeffs_used += tw * th;
+    o->blocks[t->cur_block * 16 + 15]++;   /* n_tx for the current block */
+}
+
+/* ------------------------------------------------------------------ */
+
+static void read_deltas(Ctx *t, int bsize, int skip) {
+    const TileParams *p = t->p;
+    int sb = p->sb128 ? BLOCK_128X128 : BLOCK_64X64;
+    if (bsize == sb && skip) return;
+    if (p->delta_q_present) {
+        int abs_ = msac_symbol(&t->msac, t->cdf.delta_q[0], 4);
+        if (abs_ == 3) {
+            int rem_bits = (int)msac_literal(&t->msac, 3) + 1;
+            abs_ = (int)msac_literal(&t->msac, rem_bits)
+                   + (1 << rem_bits) + 1;
+        }
+        if (abs_) {
+            int sign = msac_bool_equi(&t->msac);
+            int delta = sign ? -abs_ : abs_;
+            int q = t->cur_qindex + (delta << p->delta_q_res);
+            t->cur_qindex = imax(1, imin(255, q));
+        }
+    }
+    if (p->delta_lf_present) {
+        int count = p->delta_lf_multi ? (p->num_planes > 1 ? 4 : 2) : 1;
+        for (int i = 0; i < count; i++) {
+            uint16_t *row = p->delta_lf_multi ? t->cdf.delta_lf_multi[i]
+                                              : t->cdf.delta_lf[0];
+            int v = msac_symbol(&t->msac, row, 4);
+            if (v == 3) {
+                int rem_bits = (int)msac_literal(&t->msac, 3) + 1;
+                v = (int)msac_literal(&t->msac, rem_bits)
+                    + (1 << rem_bits) + 1;
+            }
+            if (v) msac_bool_equi(&t->msac);   /* sign; lf deltas unused */
+        }
+    }
+}
+
+static void decode_block(Ctx *t, int r, int c, int bsize) {
+    const TileParams *p = t->p;
+    TileOut *o = t->o;
+    int full_w4 = av1_block_w4[bsize], full_h4 = av1_block_h4[bsize];
+    int w4 = imin(full_w4, p->col_end - c);
+    int h4 = imin(full_h4, p->row_end - r);
+    int avail_u = r > p->row_start, avail_l = c > p->col_start;
+
+    int has_chroma = p->num_planes > 1;
+    if (has_chroma) {
+        if (p->ssy && full_h4 == 1 && (r & 1) == 0) has_chroma = 0;
+        if (p->ssx && full_w4 == 1 && (c & 1) == 0) has_chroma = 0;
+    }
+
+    int skip_ctx = (avail_u ? t->a_skip[c] : 0)
+                 + (avail_l ? t->l_skip[r] : 0);
+    int skip = msac_symbol(&t->msac, t->cdf.skip[skip_ctx], 2);
+
+    /* cdef idx: one literal per 64x64 unit at the first non-skip block */
+    if (!skip && p->enable_cdef && !p->coded_lossless && !p->allow_intrabc) {
+        int ucols = (p->mi_cols + 15) / 16;
+        for (int rr = r & ~15; rr < r + full_h4; rr += 16)
+            for (int cc = c & ~15; cc < c + full_w4; cc += 16) {
+                int8_t *cell = &o->cdef_idx[(rr / 16) * ucols + (cc / 16)];
+                if (*cell == -1)
+                    *cell = (int8_t)msac_literal(&t->msac, p->cdef_bits);
+            }
+    }
+
+    if (t->read_deltas) read_deltas(t, bsize, skip);
+    t->read_deltas = 0;
+
+    int above_mode = avail_u ? t->a_mode[c] : DC_PRED;
+    int left_mode = avail_l ? t->l_mode[r] : DC_PRED;
+    int y_mode = msac_symbol(
+        &t->msac,
+        t->cdf.kf_y_mode[av1_intra_mode_ctx[above_mode]]
+                        [av1_intra_mode_ctx[left_mode]], 13);
+
+    int angle_y = 0;
+    if (bsize >= BLOCK_8X8 && y_mode >= V_PRED && y_mode <= D67_PRED)
+        angle_y = msac_symbol(&t->msac, t->cdf.angle_delta[y_mode - V_PRED],
+                              7) - 3;
+
+    int uv_mode = DC_PRED, angle_uv = 0;
+    int cfl_u = 0, cfl_v = 0;
+    if (has_chroma) {
+        int cfl_allowed = full_w4 * 4 <= 32 && full_h4 * 4 <= 32;
+        int nsym = cfl_allowed ? 14 : 13;
+        uv_mode = msac_ragged(&t->msac,
+                              t->cdf.uv_mode[cfl_allowed ? 1 : 0][y_mode],
+                              15, nsym);
+        if (uv_mode == UV_CFL) {
+            /* joint sign: 8 symbols = 3*3-1; ZERO=0 NEG=1 POS=2 */
+            int joint = msac_symbol(&t->msac, t->cdf.cfl_sign[0], 8);
+            int su = (joint + 1) / 3, sv = (joint + 1) % 3;
+            if (su) {
+                int idx = msac_symbol(&t->msac,
+                    t->cdf.cfl_alpha[(su == 2 ? 3 : 0) + sv], 16) + 1;
+                cfl_u = su == 1 ? -idx : idx;
+            }
+            if (sv) {
+                int idx = msac_symbol(&t->msac,
+                    t->cdf.cfl_alpha[(sv == 2 ? 3 : 0) + su], 16) + 1;
+                cfl_v = sv == 1 ? -idx : idx;
+            }
+        }
+        if (bsize >= BLOCK_8X8 && uv_mode >= V_PRED && uv_mode <= D67_PRED)
+            angle_uv = msac_symbol(&t->msac,
+                                   t->cdf.angle_delta[uv_mode - V_PRED],
+                                   7) - 3;
+    }
+
+    int filter_intra = -1;
+    if (p->enable_filter_intra && y_mode == DC_PRED && full_w4 * 4 <= 32
+        && full_h4 * 4 <= 32) {
+        int use = msac_symbol(&t->msac, t->cdf.filter_intra_use[bsize], 2);
+        if (use)
+            filter_intra = msac_symbol(&t->msac,
+                                       t->cdf.filter_intra_mode[0], 5);
+    }
+
+    /* mi grids (written before residual; clipped at the tile edge) */
+    for (int i = 0; i < h4; i++)
+        for (int j = 0; j < w4; j++) {
+            int64_t at = (int64_t)(r + i) * p->mi_cols + (c + j);
+            o->y_mode[at] = (int8_t)y_mode;
+            o->uv_mode[at] = (int8_t)uv_mode;
+            o->angle_y[at] = (int8_t)angle_y;
+            o->angle_uv[at] = (int8_t)angle_uv;
+            o->skip[at] = (int8_t)skip;
+            o->bsize[at] = (int8_t)bsize;
+        }
+
+    /* tx size (depth symbol is coded even for intra skip blocks) */
+    int tx_size = av1_max_tx_rect[bsize];
+    if (p->coded_lossless) {
+        tx_size = TX_4X4;
+    } else if (bsize == BLOCK_4X4) {
+        tx_size = TX_4X4;
+    } else if (p->tx_mode == 2) {
+        int maxd = max_tx_depth(bsize);
+        int cat = imax(0, imin(av1_tx_sqr_up[tx_size] - 1, 3));
+        int max_tx_w = av1_tx_w[tx_size], max_tx_h = av1_tx_h[tx_size];
+        int actx = (t->a_txw[c] >= max_tx_w) + (t->l_txh[r] >= max_tx_h);
+        int nsym = imin(maxd, 2) + 1;
+        int depth = msac_ragged(&t->msac, t->cdf.tx_size[cat][actx], 4,
+                                cat == 0 ? 2 : nsym);
+        for (int i = 0; i < depth; i++) tx_size = av1_split_tx[tx_size];
+    }
+    int uv_tx = has_chroma ? uv_tx_size_for(p, bsize) : 0;
+
+    if (o->n_blocks >= o->max_blocks) { o->error = 1; return; }
+    t->cur_block = o->n_blocks;
+    int32_t *b = o->blocks + o->n_blocks * 16;
+    b[0] = r; b[1] = c; b[2] = bsize; b[3] = y_mode; b[4] = uv_mode;
+    b[5] = angle_y; b[6] = angle_uv; b[7] = skip; b[8] = tx_size;
+    b[9] = uv_tx; b[10] = has_chroma; b[11] = cfl_u; b[12] = cfl_v;
+    b[13] = filter_intra; b[14] = (int32_t)o->n_txs; b[15] = 0;
+    o->n_blocks++;
+
+    if (!skip) {
+        /* residual: planes in order, tx raster within each plane */
+        int n_pl = has_chroma ? p->num_planes : 1;
+        for (int plane = 0; plane < n_pl; plane++) {
+            int tx, px, py, pw4, ph4;
+            if (plane == 0) {
+                tx = tx_size;
+                px = c * 4; py = r * 4;
+                pw4 = w4; ph4 = h4;
+            } else {
+                tx = uv_tx;
+                px = (c >> p->ssx) * 4; py = (r >> p->ssy) * 4;
+                pw4 = imax(1, w4 >> p->ssx);
+                ph4 = imax(1, h4 >> p->ssy);
+            }
+            int sx = av1_tx_w4[tx], sy = av1_tx_h4[tx];
+            for (int yy = 0; yy < ph4; yy += sy)
+                for (int xx = 0; xx < pw4; xx += sx)
+                    transform_block(t, plane, px + xx * 4, py + yy * 4, tx,
+                                    bsize, y_mode, uv_mode, filter_intra);
+        }
+    } else {
+        /* clear coef ctx over the full (unclipped) block extent */
+        set_coef_ctx(t, 0, c, r, full_w4, full_h4, 0, 0);
+        if (has_chroma) {
+            int cx = c >> p->ssx, cy = r >> p->ssy;
+            int cw = imax(1, full_w4 >> p->ssx);
+            int chh = imax(1, full_h4 >> p->ssy);
+            for (int plane = 1; plane < 3; plane++)
+                set_coef_ctx(t, plane, cx, cy, cw, chh, 0, 0);
+        }
+    }
+
+    for (int i = 0; i < w4; i++) {
+        t->a_mode[c + i] = y_mode;
+        t->a_skip[c + i] = skip;
+        t->a_txw[c + i] = av1_tx_w[tx_size];
+    }
+    for (int i = 0; i < h4; i++) {
+        t->l_mode[r + i] = y_mode;
+        t->l_skip[r + i] = skip;
+        t->l_txh[r + i] = av1_tx_h[tx_size];
+    }
+}
+
+/* edge-partition split probability (tile.py edge_split_prob) */
+static int gather(const uint16_t *row, const int8_t *syms, int cnt,
+                  int nsym) {
+    int total = 0;
+    for (int k = 0; k < cnt; k++) {
+        int s = syms[k];
+        int hi = s == 0 ? 32768 : row[s - 1];
+        int lo = s >= nsym - 1 ? 0 : row[s];
+        total += hi - lo;
+    }
+    return total;
+}
+
+static int edge_split_prob(const uint16_t *row, int bsize, int horz) {
+    int8_t parts[4];
+    int cnt = 0;
+    parts[cnt++] = PART_NONE;
+    parts[cnt++] = horz ? PART_HORZ : PART_VERT;
+    int nsym;
+    if (bsize == BLOCK_8X8) {
+        nsym = 4;
+    } else if (bsize == BLOCK_128X128) {
+        nsym = 8;
+        parts[cnt++] = horz ? PART_HORZ_B : PART_VERT_B;
+    } else {
+        nsym = 10;
+        parts[cnt++] = horz ? PART_HORZ_B : PART_VERT_B;
+        parts[cnt++] = horz ? PART_HORZ_4 : PART_VERT_4;
+    }
+    return 32768 - gather(row, parts, cnt, nsym);
+}
+
+/* part ctx uses the FULL block extent, clipped only at the mi array */
+static void update_part_ctx(Ctx *t, int r, int c, int subsize, int bsize) {
+    const TileParams *p = t->p;
+    int w4 = av1_block_w4[bsize], h4 = av1_block_h4[bsize];
+    for (int i = 0; i < w4 && c + i < p->mi_cols; i++)
+        t->a_part[c + i] = av1_part_above[subsize];
+    for (int i = 0; i < h4 && r + i < p->mi_rows; i++)
+        t->l_part[r + i] = av1_part_left[subsize];
+}
+
+static void decode_partition(Ctx *t, int r, int c, int bsize) {
+    const TileParams *p = t->p;
+    if (r >= p->row_end || c >= p->col_end || t->o->error) return;
+    int w4 = av1_block_w4[bsize];
+    int half = w4 >> 1;
+    int has_rows = (r + half) < p->row_end;
+    int has_cols = (c + half) < p->col_end;
+    int bsl = mi_wlog2(bsize);
+    int part;
+
+    if (bsize == BLOCK_4X4) {
+        part = PART_NONE;
+    } else if (has_rows && has_cols) {
+        int above = (t->a_part[c] >> bsl) & 1;
+        int left = (t->l_part[r] >> bsl) & 1;
+        int row_idx = (bsl - 1) * 4 + left * 2 + above;
+        int nsym = bsize == BLOCK_8X8 ? 4
+                   : (bsize == BLOCK_128X128 ? 8 : 10);
+        part = msac_ragged(&t->msac, t->cdf.partition[row_idx], 11, nsym);
+    } else if (has_cols || has_rows) {
+        int horz = has_cols;
+        int above = (t->a_part[c] >> bsl) & 1;
+        int left = (t->l_part[r] >> bsl) & 1;
+        int row_idx = (bsl - 1) * 4 + left * 2 + above;
+        int psplit = edge_split_prob(t->cdf.partition[row_idx], bsize, horz);
+        int is_split = msac_bool(&t->msac, psplit);
+        part = is_split ? PART_SPLIT : (horz ? PART_HORZ : PART_VERT);
+    } else {
+        part = PART_SPLIT;
+    }
+
+    int sub = bsize >= BLOCK_8X8 ? partition_subsize(part, bsize) : bsize;
+    int q = half >> 1;
+
+    switch (part) {
+    case PART_NONE:
+        decode_block(t, r, c, sub);
+        break;
+    case PART_HORZ:
+        decode_block(t, r, c, sub);
+        if (has_rows) decode_block(t, r + half, c, sub);
+        break;
+    case PART_VERT:
+        decode_block(t, r, c, sub);
+        if (has_cols) decode_block(t, r, c + half, sub);
+        break;
+    case PART_SPLIT:
+        decode_partition(t, r, c, sub);
+        decode_partition(t, r, c + half, sub);
+        decode_partition(t, r + half, c, sub);
+        decode_partition(t, r + half, c + half, sub);
+        break;
+    case PART_HORZ_A: {
+        int sq = partition_subsize(PART_SPLIT, bsize);
+        decode_block(t, r, c, sq);
+        decode_block(t, r, c + half, sq);
+        decode_block(t, r + half, c, sub);
+        break;
+    }
+    case PART_HORZ_B: {
+        int sq = partition_subsize(PART_SPLIT, bsize);
+        decode_block(t, r, c, sub);
+        decode_block(t, r + half, c, sq);
+        decode_block(t, r + half, c + half, sq);
+        break;
+    }
+    case PART_VERT_A: {
+        int sq = partition_subsize(PART_SPLIT, bsize);
+        decode_block(t, r, c, sq);
+        decode_block(t, r + half, c, sq);
+        decode_block(t, r, c + half, sub);
+        break;
+    }
+    case PART_VERT_B: {
+        int sq = partition_subsize(PART_SPLIT, bsize);
+        decode_block(t, r, c, sub);
+        decode_block(t, r, c + half, sq);
+        decode_block(t, r + half, c + half, sq);
+        break;
+    }
+    case PART_HORZ_4:
+        for (int i = 0; i < 4; i++) {
+            int rr = r + i * q;
+            if (rr >= p->row_end) break;
+            decode_block(t, rr, c, sub);
+        }
+        break;
+    case PART_VERT_4:
+        for (int i = 0; i < 4; i++) {
+            int cc = c + i * q;
+            if (cc >= p->col_end) break;
+            decode_block(t, r, cc, sub);
+        }
+        break;
+    }
+
+    /* partition context update (libaom update_ext_partition_context) */
+    if (bsize >= BLOCK_8X8) {
+        if (part == PART_SPLIT && bsize != BLOCK_8X8) {
+            /* handled by recursion */
+        } else if (part == PART_HORZ_A || part == PART_HORZ_B
+                   || part == PART_VERT_A || part == PART_VERT_B) {
+            int sq = partition_subsize(PART_SPLIT, bsize);
+            if (part == PART_HORZ_A) {
+                update_part_ctx(t, r, c, sq, sub);
+                update_part_ctx(t, r + half, c, sub, sub);
+            } else if (part == PART_HORZ_B) {
+                update_part_ctx(t, r, c, sub, sub);
+                update_part_ctx(t, r + half, c, sq, sub);
+            } else if (part == PART_VERT_A) {
+                update_part_ctx(t, r, c, sq, sub);
+                update_part_ctx(t, r, c + half, sub, sub);
+            } else {
+                update_part_ctx(t, r, c, sub, sub);
+                update_part_ctx(t, r, c + half, sq, sub);
+            }
+        } else {
+            update_part_ctx(t, r, c, sub, bsize);
+        }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+
+int av1_decode_tile(const TileParams *p, const uint8_t *data, int64_t size,
+                    TileOut *o) {
+    Ctx t;
+    memset(&t, 0, sizeof(t));
+    t.p = p;
+    t.o = o;
+    o->error = 0;
+    o->n_blocks = 0;
+    o->n_txs = 0;
+    o->n_lf = 0;
+    o->coeffs_used = 0;
+
+    cdf_init(&t.cdf, p->qctx);
+    msac_init(&t.msac, data, size, p->allow_update_cdf);
+
+    int mc = p->mi_cols, mr = p->mi_rows;
+    /* 4 pairs mode/skip/txw/part + 3 pairs lvl + 3 pairs sign */
+    int32_t *mem = calloc((size_t)(mc + mr) * 10, sizeof(int32_t));
+    if (!mem) { o->error = 2; return 2; }
+    int32_t *q = mem;
+    t.a_part = q; q += mc; t.l_part = q; q += mr;
+    t.a_mode = q; q += mc; t.l_mode = q; q += mr;
+    t.a_skip = q; q += mc; t.l_skip = q; q += mr;
+    t.a_txw = q; q += mc; t.l_txh = q; q += mr;
+    for (int pl = 0; pl < 3; pl++) {
+        t.a_lvl[pl] = q; q += mc;
+        t.l_lvl[pl] = q; q += mr;
+    }
+    for (int pl = 0; pl < 3; pl++) {
+        t.a_sign[pl] = q; q += mc;
+        t.l_sign[pl] = q; q += mr;
+    }
+    for (int i = 0; i < mc; i++) t.a_mode[i] = DC_PRED;
+    for (int i = 0; i < mr; i++) t.l_mode[i] = DC_PRED;
+
+    t.cur_qindex = p->base_q_idx;
+
+    int sb_mi = p->sb128 ? 32 : 16;
+    int sb_bsize = p->sb128 ? BLOCK_128X128 : BLOCK_64X64;
+    for (int r = p->row_start; r < p->row_end && !o->error; r += sb_mi)
+        for (int c = p->col_start; c < p->col_end && !o->error; c += sb_mi) {
+            t.read_deltas = p->delta_q_present;
+            decode_partition(&t, r, c, sb_bsize);
+        }
+    free(mem);
+    return o->error;
+}

@@ -129,12 +129,15 @@ class AV1Backend:
             skip=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
             bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
         )
-        cdf = CdfContext.default(hdr.quant.base_q_idx)
-        dec = TileDecoder(seq, hdr, cdf, plan)
         tiles = self._split_tiles(hdr, tile_payloads)
-        n_cols = hdr.tile.cols
-        for tile_num, tdata in enumerate(tiles):
-            dec.decode_tile(tdata, tile_num // n_cols, tile_num % n_cols)
+        from easyav1_tpu import native
+        if not native.decode_frame_native(seq, hdr, plan, tiles):
+            cdf = CdfContext.default(hdr.quant.base_q_idx)
+            dec = TileDecoder(seq, hdr, cdf, plan)
+            n_cols = hdr.tile.cols
+            for tile_num, tdata in enumerate(tiles):
+                dec.decode_tile(tdata, tile_num // n_cols,
+                                tile_num % n_cols)
         recon = FrameRecon(seq, hdr, plan)
         aligned = recon.run_aligned()
         from easyav1_tpu.video.av1.lf_ref import LoopFilter
