@@ -47,19 +47,17 @@ def _rot(a, b, phi):
             _r12(a * cos128(phi) + b * cos128(64 - phi)))
 
 
-def inv_dct4(c, mn, mx):
+def inv_dct4(c, cl):
     in0, in1, in2, in3 = c
     t0 = _half(in0 + in2)
     t1 = _half(in0 - in2)
     t2 = _r12(in1 * 1567 - in3 * 3784)
     t3 = _r12(in1 * 3784 + in3 * 1567)
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
     return [cl(t0 + t3), cl(t1 + t2), cl(t1 - t2), cl(t0 - t3)]
 
 
-def inv_dct8(c, mn, mx):
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
-    t = inv_dct4(c[0::2], mn, mx)  # t0..t3
+def inv_dct8(c, cl):
+    t = inv_dct4(c[0::2], cl)  # t0..t3
     in1, in3, in5, in7 = c[1], c[3], c[5], c[7]
     t4a = _r12(in1 * 799 - in7 * 4017)
     t7a = _r12(in1 * 4017 + in7 * 799)
@@ -76,9 +74,8 @@ def inv_dct8(c, mn, mx):
             + [cl(t[3 - i] - o[i]) for i in range(4)])
 
 
-def inv_dct16(c, mn, mx):
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
-    t = inv_dct8(c[0::2], mn, mx)  # t0..t7
+def inv_dct16(c, cl):
+    t = inv_dct8(c[0::2], cl)  # t0..t7
     in1, in3, in5, in7 = c[1], c[3], c[5], c[7]
     in9, in11, in13, in15 = c[9], c[11], c[13], c[15]
     t8a, t15a = _rot(in1, in15, 4)
@@ -114,9 +111,8 @@ def inv_dct16(c, mn, mx):
             + [cl(t[7 - i] - o[i]) for i in range(8)])
 
 
-def inv_dct32(c, mn, mx):
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
-    t = inv_dct16(c[0::2], mn, mx)  # t0..t15
+def inv_dct32(c, cl):
+    t = inv_dct16(c[0::2], cl)  # t0..t15
     phis = [2, 34, 18, 50, 10, 42, 26, 58]
     firsts = [1, 17, 9, 25, 5, 21, 13, 29]
     lo = [None] * 8
@@ -212,7 +208,7 @@ def inv_dct32(c, mn, mx):
             + [cl(t[15 - i] - o[i]) for i in range(16)])
 
 
-def inv_adst4(c, mn, mx):
+def inv_adst4(c, cl):
     in0, in1, in2, in3 = c
     s0 = 1321 * in0
     s1 = 2482 * in0
@@ -235,8 +231,7 @@ def inv_adst4(c, mn, mx):
     return [_r12(x0), _r12(x1), _r12(x2), _r12(x3)]
 
 
-def inv_adst8(c, mn, mx):
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
+def inv_adst8(c, cl):
     in0, in1, in2, in3, in4, in5, in6, in7 = c
     t0a = _r12(4076 * in7 + 401 * in0)
     t1a = _r12(401 * in7 - 4076 * in0)
@@ -273,8 +268,7 @@ def inv_adst8(c, mn, mx):
     return [out0, out1, out2, out3, out4, out5, out6, out7]
 
 
-def inv_adst16(c, mn, mx):
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
+def inv_adst16(c, cl):
     x = c
     t = [None] * 16
     # stage 1 rotations: pairs (in15,in0):(4095? ) using cos128 odd angles
@@ -398,22 +392,27 @@ _DCT = {4: inv_dct4, 8: inv_dct8, 16: inv_dct16, 32: inv_dct32}
 _ADST = {4: inv_adst4, 8: inv_adst8, 16: inv_adst16}
 
 
-def transform_1d(kind: str, vec: np.ndarray, mn: int, mx: int) -> np.ndarray:
-    """kind: 'dct', 'adst', 'flipadst', 'identity'. vec: (n, batch) int64."""
+def transform_1d(kind: str, vec, mn: int, mx: int, xp=np):
+    """kind: 'dct', 'adst', 'flipadst', 'identity'. vec: (n, batch...)
+    integer array (int64 numpy, or int32 under jax — products stay
+    below 2^30 thanks to the normative intermediate clamps).  xp is the
+    array namespace (numpy or jax.numpy); the kernels themselves are
+    namespace-agnostic scalar ops over row slices."""
     n = vec.shape[0]
     rows = [vec[i] for i in range(n)]
+    cl = lambda x: xp.clip(x, mn, mx)  # noqa: E731
     if kind == "dct":
-        out = (_DCT[n](rows, mn, mx) if n < 64
-               else inv_dct64(rows, mn, mx))
+        out = (_DCT[n](rows, cl) if n < 64
+               else inv_dct64(rows, cl))
     elif kind == "adst":
-        out = _ADST[n](rows, mn, mx)
+        out = _ADST[n](rows, cl)
     elif kind == "flipadst":
-        out = _ADST[n](rows, mn, mx)[::-1]
+        out = _ADST[n](rows, cl)[::-1]
     elif kind == "identity":
         out = inv_identity(rows, n)
     else:
         raise ValueError(kind)
-    return np.stack(out)
+    return xp.stack(out)
 
 
 def _bitrev(j, bits):
@@ -424,12 +423,11 @@ def _bitrev(j, bits):
     return out
 
 
-def _odd_merge(o, mn, mx):
+def _odd_merge(o, cl):
     """Generic odd-part merge of the inverse DCT (derived from the
     verified 16/32-point structures): alternating add stages (group size
     doubling) and mirror-pair rotation stages with angle sets
     base_L * (1 + 4*bitrev(q))."""
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
     m = len(o)
     lg = m.bit_length() - 1
     s = [None] * m
@@ -477,9 +475,8 @@ def _odd_merge(o, mn, mx):
     return s
 
 
-def inv_dct64(c, mn, mx):
-    cl = lambda x: np.clip(x, mn, mx)  # noqa: E731
-    t = inv_dct32(c[0::2], mn, mx)
+def inv_dct64(c, cl):
+    t = inv_dct32(c[0::2], cl)
     lo = [None] * 16
     hi = [None] * 16
     for j in range(16):
@@ -490,6 +487,6 @@ def inv_dct64(c, mn, mx):
     for j in range(16):
         o[j] = lo[j]
         o[31 - j] = hi[j]
-    f = _odd_merge(o, mn, mx)
+    f = _odd_merge(o, cl)
     return ([cl(t[i] + f[31 - i]) for i in range(32)]
             + [cl(t[31 - i] - f[i]) for i in range(32)])
