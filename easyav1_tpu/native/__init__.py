@@ -23,8 +23,10 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libeasyav1.so")
-_SRCS = [os.path.join(_DIR, "av1_tile.c")]
-_HDRS = [os.path.join(_DIR, "av1_tables.h")]
+_SRCS = [os.path.join(_DIR, "av1_tile.c"), os.path.join(_DIR, "av1_recon.c")]
+_HDRS = [os.path.join(_DIR, n) for n in
+         ("av1_tables.h", "av1_common.h", "av1_itx.h", "av1_lf.h",
+          "av1_cdef.h")]
 
 
 class _TileParams(ctypes.Structure):
@@ -56,6 +58,27 @@ class _TileOut(ctypes.Structure):
     ]
 
 
+class _ReconParams(ctypes.Structure):
+    _fields_ = [
+        ("bitdepth", ctypes.c_int32), ("num_planes", ctypes.c_int32),
+        ("ssx", ctypes.c_int32), ("ssy", ctypes.c_int32),
+        ("mi_rows", ctypes.c_int32), ("mi_cols", ctypes.c_int32),
+        ("enable_intra_edge_filter", ctypes.c_int32),
+        ("lf_level", ctypes.c_int32 * 4),
+        ("lf_sharpness", ctypes.c_int32),
+        ("lf_delta_enabled", ctypes.c_int32),
+        ("lf_ref_delta_intra", ctypes.c_int32),
+        ("enable_cdef", ctypes.c_int32),
+        ("cdef_damping", ctypes.c_int32),
+        ("cdef_y_pri", ctypes.c_int32 * 8),
+        ("cdef_y_sec", ctypes.c_int32 * 8),
+        ("cdef_uv_pri", ctypes.c_int32 * 8),
+        ("cdef_uv_sec", ctypes.c_int32 * 8),
+        ("coded_lossless", ctypes.c_int32),
+        ("allow_intrabc", ctypes.c_int32),
+    ]
+
+
 _lib: Optional[ctypes.CDLL] = None
 
 
@@ -68,7 +91,8 @@ def _build() -> bool:
         return True
     try:
         r = subprocess.run(
-            ["gcc", "-O2", "-shared", "-fPIC", "-o", _SO] + _SRCS,
+            ["gcc", "-O3", "-funroll-loops", "-shared", "-fPIC",
+             "-o", _SO] + _SRCS,
             capture_output=True, timeout=120)
         return r.returncode == 0
     except (OSError, subprocess.TimeoutExpired):
@@ -91,6 +115,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_decode_tile.argtypes = [
         ctypes.POINTER(_TileParams), ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(_TileOut)]
+    lib.av1_recon_frame.restype = ctypes.c_int
+    lib.av1_recon_frame.argtypes = [
+        ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -109,22 +137,12 @@ def _qctx(base_q_idx: int) -> int:
     return 3
 
 
-def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
-    """Decode all tiles of an intra frame into `plan` using the C
-    decoder.  Returns False (plan untouched) when the native path is
-    unavailable or reports an error; caller falls back to Python."""
-    lib = _load()
-    if lib is None:
-        return False
+def _run_tiles(lib, seq, hdr, tiles):
+    """Run the C tile decoder over all tiles; returns (TileOut, bufs)
+    or None.  Single-tile frames only (the Python reference carries
+    adapted CDFs across tiles; the C decoder re-inits per call)."""
     if len(tiles) != 1:
-        # the Python reference carries adapted CDFs across tiles of a
-        # frame; the C decoder re-inits per call — restrict to the
-        # single-tile case until per-frame CDF carry is plumbed through
-        return False
-    from easyav1_tpu.video.av1 import constants as C
-    from easyav1_tpu.video.av1 import tables as T
-    from easyav1_tpu.video.av1.tile import BlockRecord, TxBlock
-
+        return None
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
     p = _TileParams(
@@ -150,93 +168,178 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
     )
 
     n_mi = mi_rows * mi_cols
-    grids = {k: np.zeros((mi_rows, mi_cols), np.int8)
-             for k in ("y_mode", "uv_mode", "angle_y", "angle_uv", "skip",
-                       "bsize")}
     max_blocks = n_mi + 64
     max_txs = 3 * n_mi + 64
     max_lf = 3 * n_mi + 64
     coeffs_cap = 2 * n_mi * 16 + 4096
-    blocks_buf = np.zeros((max_blocks, 16), np.int32)
-    txs_buf = np.zeros((max_txs, 8), np.int32)
-    coeffs_buf = np.zeros(coeffs_cap, np.int32)
-    lf_buf = np.zeros((max_lf, 4), np.int32)
-    urows = (mi_rows + 15) // 16
-    ucols = (mi_cols + 15) // 16
-    cdef_buf = np.full((urows, ucols), -1, np.int8)
-
-    def vp(a):
-        return a.ctypes.data_as(ctypes.c_void_p)
+    # buffer pool keyed by mi dims — the C decoder overwrites every
+    # consumed element, so reuse without re-zeroing (cdef grid excepted)
+    key = (mi_rows, mi_cols)
+    bufs = _BUF_POOL.get(key)
+    if bufs is None:
+        bufs = {
+            "grids": {k: np.empty((mi_rows, mi_cols), np.int8)
+                      for k in ("y_mode", "uv_mode", "angle_y", "angle_uv",
+                                "skip", "bsize")},
+            "blocks": np.empty((max_blocks, 16), np.int32),
+            "txs": np.empty((max_txs, 8), np.int32),
+            "coeffs": np.empty(coeffs_cap, np.int32),
+            "lf": np.empty((max_lf, 4), np.int32),
+            "cdef": np.empty(((mi_rows + 15) // 16, (mi_cols + 15) // 16),
+                             np.int8),
+        }
+        _BUF_POOL[key] = bufs
+    bufs["cdef"].fill(-1)
+    grids = bufs["grids"]
 
     out = _TileOut(
-        y_mode=vp(grids["y_mode"]), uv_mode=vp(grids["uv_mode"]),
-        angle_y=vp(grids["angle_y"]), angle_uv=vp(grids["angle_uv"]),
-        skip=vp(grids["skip"]), bsize=vp(grids["bsize"]),
-        blocks=vp(blocks_buf), max_blocks=max_blocks, n_blocks=0,
-        txs=vp(txs_buf), max_txs=max_txs, n_txs=0,
-        coeffs=vp(coeffs_buf), coeffs_cap=coeffs_cap, coeffs_used=0,
-        lf_txs=vp(lf_buf), max_lf=max_lf, n_lf=0,
-        cdef_idx=vp(cdef_buf), error=0)
+        y_mode=_vp(grids["y_mode"]), uv_mode=_vp(grids["uv_mode"]),
+        angle_y=_vp(grids["angle_y"]), angle_uv=_vp(grids["angle_uv"]),
+        skip=_vp(grids["skip"]), bsize=_vp(grids["bsize"]),
+        blocks=_vp(bufs["blocks"]), max_blocks=max_blocks, n_blocks=0,
+        txs=_vp(bufs["txs"]), max_txs=max_txs, n_txs=0,
+        coeffs=_vp(bufs["coeffs"]), coeffs_cap=coeffs_cap, coeffs_used=0,
+        lf_txs=_vp(bufs["lf"]), max_lf=max_lf, n_lf=0,
+        cdef_idx=_vp(bufs["cdef"]), error=0)
 
     sb_shift = 5 if seq.use_128x128_superblock else 4
     t = hdr.tile
-    n_cols = t.cols
-    # accumulators across tiles (one TileOut reused; counters persist in
-    # python because the C decoder resets them per call)
-    all_blocks = []
-    all_txs = []
-    all_lf = []
-    for tile_num, tdata in enumerate(tiles):
-        tile_row, tile_col = tile_num // n_cols, tile_num % n_cols
-        p.col_start = min(t.col_starts[tile_col] << sb_shift, mi_cols)
-        p.col_end = min(t.col_starts[tile_col + 1] << sb_shift, mi_cols)
-        p.row_start = min(t.row_starts[tile_row] << sb_shift, mi_rows)
-        p.row_end = min(t.row_starts[tile_row + 1] << sb_shift, mi_rows)
-        rc = lib.av1_decode_tile(ctypes.byref(p), tdata, len(tdata),
-                                 ctypes.byref(out))
-        if rc != 0:
-            return False
-        all_blocks.append(blocks_buf[:out.n_blocks].copy())
-        all_txs.append(txs_buf[:out.n_txs].copy())
-        all_lf.append(lf_buf[:out.n_lf].copy())
-        # build plan records for this tile (coef offsets are per-call)
-        txs = all_txs[-1]
-        for b in all_blocks[-1]:
-            (br, bc, bsize, y_mode, uv_mode, angle_y, angle_uv, skip,
-             tx_size, uv_tx, has_chroma, cfl_u, cfl_v, fi, tx_off,
-             n_tx) = (int(v) for v in b)
-            rec = BlockRecord(
-                r=br, c=bc, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
-                angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
-                tx_size=tx_size, uv_tx_size=uv_tx,
-                has_chroma=bool(has_chroma),
-                cfl_alphas=((cfl_u, cfl_v)
-                            if uv_mode == C.UV_CFL_PRED else None),
-                filter_intra=fi if fi >= 0 else None)
-            for k in range(tx_off, tx_off + n_tx):
-                (plane, x, y, tsz, ttyp, eob, coff, lossless) = \
-                    (int(v) for v in txs[k])
-                adj = T.ADJUSTED_TX_SIZE[tsz]
-                tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
-                rec.tx_blocks.append(TxBlock(
-                    plane=plane, x=x, y=y, tx_size=tsz, tx_type=ttyp,
-                    eob=eob,
-                    coeffs=coeffs_buf[coff:coff + tw * th]
-                    .reshape(th, tw).copy(),
-                    lossless=bool(lossless)))
-            plan.blocks.append(rec)
-            if uv_mode == C.UV_CFL_PRED:
-                plan.cfl_alphas[(br, bc)] = (cfl_u, cfl_v)
-            if fi >= 0:
-                plan.filter_intra[(br, bc)] = fi
-        for lf in all_lf[-1]:
-            plan.lf_txs.append((int(lf[0]), int(lf[1]), int(lf[2]),
-                                int(lf[3])))
+    p.col_start = min(t.col_starts[0] << sb_shift, mi_cols)
+    p.col_end = min(t.col_starts[1] << sb_shift, mi_cols)
+    p.row_start = min(t.row_starts[0] << sb_shift, mi_rows)
+    p.row_end = min(t.row_starts[1] << sb_shift, mi_rows)
+    rc = lib.av1_decode_tile(ctypes.byref(p), tiles[0], len(tiles[0]),
+                             ctypes.byref(out))
+    if rc != 0:
+        return None
+    return out, bufs
 
-    for k in grids:
-        getattr(plan, k)[:, :] = grids[k]
-    for ur in range(urows):
-        for uc in range(ucols):
+
+def _vp(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+_BUF_POOL: dict = {}
+
+
+def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
+    """Decode all tiles of an intra frame into `plan` using the C
+    decoder.  Returns False (plan untouched) when the native path is
+    unavailable or reports an error; caller falls back to Python."""
+    lib = _load()
+    if lib is None:
+        return False
+    res = _run_tiles(lib, seq, hdr, tiles)
+    if res is None:
+        return False
+    out, bufs = res
+    from easyav1_tpu.video.av1 import constants as C
+    from easyav1_tpu.video.av1 import tables as T
+    from easyav1_tpu.video.av1.tile import BlockRecord, TxBlock
+
+    coeffs_buf = bufs["coeffs"]
+    txs = bufs["txs"]
+    for b in bufs["blocks"][:out.n_blocks]:
+        (br, bc, bsize, y_mode, uv_mode, angle_y, angle_uv, skip,
+         tx_size, uv_tx, has_chroma, cfl_u, cfl_v, fi, tx_off,
+         n_tx) = (int(v) for v in b)
+        rec = BlockRecord(
+            r=br, c=bc, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+            angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
+            tx_size=tx_size, uv_tx_size=uv_tx,
+            has_chroma=bool(has_chroma),
+            cfl_alphas=((cfl_u, cfl_v)
+                        if uv_mode == C.UV_CFL_PRED else None),
+            filter_intra=fi if fi >= 0 else None)
+        for k in range(tx_off, tx_off + n_tx):
+            (plane, x, y, tsz, ttyp, eob, coff, lossless) = \
+                (int(v) for v in txs[k])
+            adj = T.ADJUSTED_TX_SIZE[tsz]
+            tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
+            rec.tx_blocks.append(TxBlock(
+                plane=plane, x=x, y=y, tx_size=tsz, tx_type=ttyp,
+                eob=eob,
+                coeffs=coeffs_buf[coff:coff + tw * th]
+                .reshape(th, tw).copy(),
+                lossless=bool(lossless)))
+        plan.blocks.append(rec)
+        if uv_mode == C.UV_CFL_PRED:
+            plan.cfl_alphas[(br, bc)] = (cfl_u, cfl_v)
+        if fi >= 0:
+            plan.filter_intra[(br, bc)] = fi
+    for lf in bufs["lf"][:out.n_lf]:
+        plan.lf_txs.append((int(lf[0]), int(lf[1]), int(lf[2]),
+                            int(lf[3])))
+    for k, g in bufs["grids"].items():
+        getattr(plan, k)[:, :] = g
+    cdef_buf = bufs["cdef"]
+    for ur in range(cdef_buf.shape[0]):
+        for uc in range(cdef_buf.shape[1]):
             if cdef_buf[ur, uc] != -1:
                 plan.cdef_idx[(ur * 16, uc * 16)] = int(cdef_buf[ur, uc])
     return True
+
+
+def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
+    """Full native frame path: tile decode + recon + loop filter + CDEF
+    in C.  Returns the cropped output planes (uint8/uint16), or None if
+    the native path is unavailable or declines (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    res = _run_tiles(lib, seq, hdr, tiles)
+    if res is None:
+        return None
+    out, bufs = res
+
+    cdef = hdr.cdef
+
+    def pad8(v):
+        a = (ctypes.c_int32 * 8)()
+        for i in range(min(8, len(v))):
+            a[i] = v[i]
+        return a
+
+    rp = _ReconParams(
+        bitdepth=seq.color.bitdepth, num_planes=seq.color.num_planes,
+        ssx=seq.color.subsampling_x, ssy=seq.color.subsampling_y,
+        mi_rows=hdr.mi_rows, mi_cols=hdr.mi_cols,
+        enable_intra_edge_filter=int(
+            getattr(seq, "enable_intra_edge_filter", False)),
+        lf_level=(ctypes.c_int32 * 4)(*hdr.lf.level),
+        lf_sharpness=hdr.lf.sharpness,
+        lf_delta_enabled=int(hdr.lf.delta_enabled),
+        lf_ref_delta_intra=hdr.lf.ref_deltas[0],
+        enable_cdef=int(getattr(seq, "enable_cdef", False)),
+        cdef_damping=cdef.damping if cdef else 3,
+        cdef_y_pri=pad8(cdef.y_pri_strength if cdef else []),
+        cdef_y_sec=pad8(cdef.y_sec_strength if cdef else []),
+        cdef_uv_pri=pad8(cdef.uv_pri_strength if cdef else []),
+        cdef_uv_sec=pad8(cdef.uv_sec_strength if cdef else []),
+        coded_lossless=int(hdr.coded_lossless),
+        allow_intrabc=int(getattr(hdr, "allow_intrabc", False)),
+    )
+
+    ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
+    pkey = ("planes", ah, aw, ssx, ssy)
+    pl = _BUF_POOL.get(pkey)
+    if pl is None:
+        # recon covers every mi-aligned pixel, so no zeroing needed
+        pl = (np.empty((ah, aw), np.int32),
+              np.empty((ah >> ssy, aw >> ssx), np.int32),
+              np.empty((ah >> ssy, aw >> ssx), np.int32))
+        _BUF_POOL[pkey] = pl
+    py, pu, pv = pl
+    rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
+                             _vp(py), _vp(pu), _vp(pv))
+    if rc != 0:
+        return None
+    w, h = hdr.upscaled_width, hdr.frame_height
+    cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+    dt = np.uint8 if seq.color.bitdepth == 8 else np.uint16
+    planes = [py[:h, :w].astype(dt)]
+    if seq.color.num_planes > 1:
+        planes.append(pu[:ch, :cw].astype(dt))
+        planes.append(pv[:ch, :cw].astype(dt))
+    return planes

@@ -1,0 +1,243 @@
+/* AV1 CDEF, C port of cdef_ref.py (spec §7.15).
+ * Header-only; included by av1_recon.c after the Recon definitions. */
+#pragma once
+
+#include <stdint.h>
+#include <stdlib.h>
+
+#define CDEF_VERY_LARGE 0x4000
+
+static const int8_t CDEF_DIRS[8][2][2] = {
+    {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}},
+    {{0, 1}, {1, 2}},   {{1, 1}, {2, 2}},  {{1, 0}, {2, 1}},
+    {{1, 0}, {2, 0}},   {{1, 0}, {2, -1}}};
+
+static const int16_t CDEF_DIV[9] = {0, 840, 420, 280, 210, 168, 140, 120,
+                                    105};
+
+/* chroma direction conversion (spec Cdef_Uv_Dir[ss_x][ss_y][dir]) */
+static const int8_t CDEF_UV_DIR[2][2][8] = {
+    {{0, 1, 2, 3, 4, 5, 6, 7}, {1, 2, 2, 2, 3, 4, 6, 0}},
+    {{7, 0, 2, 4, 5, 6, 6, 6}, {0, 1, 2, 3, 4, 5, 6, 7}}};
+
+static void cdef_find_dir(const int32_t *src, int stride, int coeff_shift,
+                          int *out_dir, int *out_var) {
+    int64_t partial[8][15];
+    memset(partial, 0, sizeof(partial));
+    for (int i = 0; i < 8; i++)
+        for (int j = 0; j < 8; j++) {
+            int x = (src[i * stride + j] >> coeff_shift) - 128;
+            partial[0][i + j] += x;
+            partial[1][i + (j >> 1)] += x;
+            partial[2][i] += x;
+            partial[3][3 + i - (j >> 1)] += x;
+            partial[4][7 + i - j] += x;
+            partial[5][3 - (i >> 1) + j] += x;
+            partial[6][j] += x;
+            partial[7][(i >> 1) + j] += x;
+        }
+    int64_t cost[8];
+    memset(cost, 0, sizeof(cost));
+    for (int i = 0; i < 8; i++) {
+        cost[2] += partial[2][i] * partial[2][i];
+        cost[6] += partial[6][i] * partial[6][i];
+    }
+    cost[2] *= 105;
+    cost[6] *= 105;
+    for (int d = 0; d < 8; d += 4) {
+        for (int i = 0; i < 7; i++) {
+            cost[d] += partial[d][i] * partial[d][i] * CDEF_DIV[i + 1];
+            cost[d] += partial[d][14 - i] * partial[d][14 - i]
+                       * CDEF_DIV[i + 1];
+        }
+        cost[d] += partial[d][7] * partial[d][7] * 105;
+    }
+    for (int d = 1; d < 8; d += 2) {
+        for (int i = 0; i < 5; i++)
+            cost[d] += partial[d][3 + i] * partial[d][3 + i];
+        cost[d] *= 105;
+        for (int i = 0; i < 3; i++)
+            cost[d] += (partial[d][i] * partial[d][i]
+                        + partial[d][10 - i] * partial[d][10 - i])
+                       * CDEF_DIV[2 * i + 2];
+    }
+    int best = 0;
+    for (int d = 1; d < 8; d++)
+        if (cost[d] > cost[best]) best = d;
+    *out_dir = best;
+    *out_var = (int)((cost[best] - cost[(best + 4) & 7]) >> 10);
+}
+
+/* constrain with the damping shift precomputed per strength */
+static inline int cdef_constr(int diff, int threshold, int shift) {
+    int ad = diff < 0 ? -diff : diff;
+    int rhs = threshold - (ad >> shift);
+    if (rhs < 0) rhs = 0;
+    int mag = ad < rhs ? ad : rhs;
+    return diff < 0 ? -mag : mag;
+}
+
+static int cdef_shift_for(int threshold, int damping) {
+    if (!threshold) return 0;
+    int bl = 0;
+    for (int v = threshold; v; v >>= 1) bl++;
+    int shift = damping - (bl - 1);
+    return shift < 0 ? 0 : shift;
+}
+
+static void cdef_filter_block(int32_t *dst, int dstride,
+                              const int32_t *src, int sstride,
+                              int x, int y, int w, int h, int pri, int sec,
+                              int damping, int dir, int bd) {
+    int pt[2];
+    if (((pri >> (bd - 8)) & 1) == 0) { pt[0] = 4; pt[1] = 2; }
+    else { pt[0] = 3; pt[1] = 3; }
+    static const int st[2] = {2, 1};
+    int pri_shift = cdef_shift_for(pri, damping);
+    int sec_shift = cdef_shift_for(sec, damping);
+    /* precompute the up-to-12 tap offsets (in padded-src units) and
+       their weights/thresholds/shifts once per block */
+    int n_taps = 0;
+    int64_t toff[12];
+    int tw_[12], tthr[12], tsh[12];
+    if (pri) {
+        const int8_t (*d0)[2] = CDEF_DIRS[dir];
+        for (int k = 0; k < 2; k++)
+            for (int sgn = 1; sgn >= -1; sgn -= 2) {
+                toff[n_taps] = (int64_t)sgn * d0[k][0] * sstride
+                               + sgn * d0[k][1];
+                tw_[n_taps] = pt[k];
+                tthr[n_taps] = pri;
+                tsh[n_taps] = pri_shift;
+                n_taps++;
+            }
+    }
+    if (sec) {
+        const int8_t (*s1)[2] = CDEF_DIRS[(dir + 2) & 7];
+        const int8_t (*s2)[2] = CDEF_DIRS[(dir + 6) & 7];
+        const int8_t (*dirs[2])[2] = {s1, s2};
+        for (int di = 0; di < 2; di++)
+            for (int k = 0; k < 2; k++)
+                for (int sgn = 1; sgn >= -1; sgn -= 2) {
+                    toff[n_taps] = (int64_t)sgn * dirs[di][k][0] * sstride
+                                   + sgn * dirs[di][k][1];
+                    tw_[n_taps] = st[k];
+                    tthr[n_taps] = sec;
+                    tsh[n_taps] = sec_shift;
+                    n_taps++;
+                }
+    }
+    int32_t out[8 * 8];
+    for (int i = 0; i < h; i++) {
+        const int32_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;
+        for (int j = 0; j < w; j++) {
+            int px = row[j];
+            int s = 0, mx = px, mn = px;
+            for (int k = 0; k < n_taps; k++) {
+                int v = row[j + toff[k]];
+                s += tw_[k] * cdef_constr(v - px, tthr[k], tsh[k]);
+                if (v != CDEF_VERY_LARGE) {
+                    if (v > mx) mx = v;
+                    if (v < mn) mn = v;
+                }
+            }
+            int val = px + ((8 + s - (s < 0 ? 1 : 0)) >> 4);
+            if (val < mn) val = mn;
+            if (val > mx) val = mx;
+            out[i * w + j] = val;
+        }
+    }
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+            dst[(y + i) * dstride + (x + j)] = out[i * w + j];
+}
+
+static void av1_cdef(const ReconParams *rp, const TileOut *o,
+                     int32_t *planes[3], const int pw[3], const int ph[3]) {
+    if (!rp->enable_cdef) return;
+    if (rp->coded_lossless || rp->allow_intrabc) return;
+    int any = 0;
+    for (int i = 0; i < 8; i++)
+        any |= rp->cdef_y_pri[i] | rp->cdef_y_sec[i]
+               | rp->cdef_uv_pri[i] | rp->cdef_uv_sec[i];
+    if (!any) return;
+
+    int bd = rp->bitdepth;
+    int coeff_shift = bd - 8;
+    int damping = rp->cdef_damping + coeff_shift;
+    int mi_rows = rp->mi_rows, mi_cols = rp->mi_cols;
+    int ucols = (mi_cols + 15) / 16;
+
+    /* constant padded sources per plane */
+    int32_t *srcs[3] = {NULL, NULL, NULL};
+    for (int p = 0; p < rp->num_planes; p++) {
+        int sw = pw[p] + 4, sh = ph[p] + 4;
+        srcs[p] = malloc(sizeof(int32_t) * (size_t)sw * sh);
+        if (!srcs[p]) {
+            for (int q = 0; q < p; q++) free(srcs[q]);
+            return;
+        }
+        for (int i = 0; i < sh; i++)
+            for (int j = 0; j < sw; j++)
+                srcs[p][i * sw + j] = CDEF_VERY_LARGE;
+        for (int i = 0; i < ph[p]; i++)
+            for (int j = 0; j < pw[p]; j++)
+                srcs[p][(i + 2) * sw + (j + 2)] = planes[p][i * pw[p] + j];
+    }
+
+    const int8_t *skip = o->skip;
+    for (int r = 0; r < mi_rows; r += 2)
+        for (int c = 0; c < mi_cols; c += 2) {
+            int r2 = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
+            int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
+            if (skip[r * mi_cols + c] && skip[r * mi_cols + c2]
+                && skip[r2 * mi_cols + c] && skip[r2 * mi_cols + c2])
+                continue;
+            int idx = o->cdef_idx[(r / 16) * ucols + (c / 16)];
+            if (idx == -1) continue;
+            int y = r * 4, x = c * 4;
+            int dir = 0, var = 0;
+            if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
+                cdef_find_dir(srcs[0] + (y + 2) * (pw[0] + 4) + (x + 2),
+                              pw[0] + 4, coeff_shift, &dir, &var);
+            for (int plane = 0; plane < rp->num_planes; plane++) {
+                int pri, sec, pdamp, px, py2, w, h, pdir;
+                if (plane == 0) {
+                    pri = rp->cdef_y_pri[idx] << coeff_shift;
+                    sec = rp->cdef_y_sec[idx] << coeff_shift;
+                    pdamp = damping;
+                    px = x; py2 = y; w = 8; h = 8;
+                    pdir = pri ? dir : 0;
+                } else {
+                    pri = rp->cdef_uv_pri[idx] << coeff_shift;
+                    sec = rp->cdef_uv_sec[idx] << coeff_shift;
+                    pdamp = damping - 1;
+                    px = x >> rp->ssx;
+                    py2 = y >> rp->ssy;
+                    w = 8 >> rp->ssx;
+                    h = 8 >> rp->ssy;
+                    pdir = pri ? CDEF_UV_DIR[rp->ssx][rp->ssy][dir] : 0;
+                }
+                if (pri == 0 && sec == 0) continue;
+                int adj_pri = pri;
+                if (plane == 0 && pri) {
+                    if (var) {
+                        int v6 = var >> 6;
+                        int i = 0;
+                        if (v6) {
+                            int bl = 0;
+                            for (int t = v6; t; t >>= 1) bl++;
+                            i = bl - 1 < 12 ? bl - 1 : 12;
+                        }
+                        adj_pri = (pri * (4 + i) + 8) >> 4;
+                    } else {
+                        adj_pri = 0;
+                    }
+                }
+                cdef_filter_block(planes[plane], pw[plane], srcs[plane],
+                                  pw[plane] + 4, px, py2, w, h, adj_pri,
+                                  sec, pdamp, pdir, bd);
+            }
+        }
+    for (int p = 0; p < rp->num_planes; p++) free(srcs[p]);
+}

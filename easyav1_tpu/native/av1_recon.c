@@ -1,0 +1,585 @@
+/* AV1 frame reconstruction, loop filter and CDEF — native host path.
+ *
+ * Port of the verified numpy references (recon_ref.py, lf_ref.py,
+ * cdef_ref.py; spec §7.11/§7.13/§7.14/§7.15), consuming the TileOut
+ * arrays produced by av1_tile.c.  Tests assert the output planes are
+ * bit-identical to the numpy pipeline (which is itself bit-exact vs
+ * libdav1d on the fixture corpus).
+ *
+ * This is the production decode path (SURVEY.md §7 stage 3 host side);
+ * the JAX kernels in easyav1_tpu/video/av1/recon/ are the device path
+ * for the same math.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "av1_common.h"
+#include "av1_itx.h"
+#include "av1_tables.h"
+
+static int rmin(int a, int b) { return a < b ? a : b; }
+static int rmax(int a, int b) { return a > b ? a : b; }
+static int64_t lmin(int64_t a, int64_t b) { return a < b ? a : b; }
+static int64_t lmax(int64_t a, int64_t b) { return a > b ? a : b; }
+
+enum { DC_PRED = 0, V_PRED = 1, H_PRED = 2, D45_PRED = 3, D67_PRED = 8,
+       SMOOTH_PRED = 9, SMOOTH_V_PRED = 10, SMOOTH_H_PRED = 11,
+       PAETH_PRED = 12, UV_CFL = 13 };
+
+/* row shift per tx size (recon_ref._ROW_SHIFT) */
+static const int8_t ROW_SHIFT[19] = {0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1,
+                                     1, 0, 0, 1, 1, 2, 2};
+
+/* 1-D kinds per tx type (vertical, horizontal); 0 dct 1 adst 2 flip 3 id */
+static const int8_t TX_1D[16][2] = {
+    {0, 0}, {1, 0}, {0, 1}, {1, 1}, {2, 0}, {0, 2}, {2, 2}, {1, 2},
+    {2, 1}, {3, 3}, {0, 3}, {3, 0}, {1, 3}, {3, 1}, {2, 3}, {3, 2}};
+
+/* ------------------------------------------------------------------ */
+/* 2-D inverse transform (recon_ref.inverse_transform)                 */
+
+static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
+                   int bitdepth, int64_t *out /* h*w */) {
+    int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
+    int adj = av1_adj_tx[tx_size];
+    int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
+    int64_t mn = -((int64_t)1 << (bitdepth + 7));
+    int64_t mx = ((int64_t)1 << (bitdepth + 7)) - 1;
+    int vkind = TX_1D[tx_type][0], hkind = TX_1D[tx_type][1];
+
+    int64_t buf[64 * 64];
+    memset(buf, 0, sizeof(int64_t) * (size_t)(w * h));
+    for (int i = 0; i < ah; i++)
+        for (int j = 0; j < aw; j++)
+            buf[i * w + j] = coeffs[i * aw + j];
+
+    /* rectangular scaling when the aspect ratio is 2:1 */
+    int lw = 0, lh = 0;
+    for (int v = w; v > 1; v >>= 1) lw++;
+    for (int v = h; v > 1; v >>= 1) lh++;
+    if ((lw > lh ? lw - lh : lh - lw) == 1)
+        for (int i = 0; i < w * h; i++)
+            buf[i] = (buf[i] * 2896 + 2048) >> 12;
+
+    /* row pass along the width, then row shift + clamp */
+    int shift = ROW_SHIFT[tx_size];
+    int64_t vec[64];
+    for (int i = 0; i < h; i++) {
+        memcpy(vec, buf + i * w, sizeof(int64_t) * (size_t)w);
+        itx_1d(hkind, vec, w, mn, mx);
+        for (int j = 0; j < w; j++) {
+            int64_t v = (vec[j] + ((1 << shift) >> 1)) >> shift;
+            buf[i * w + j] = icl(v, mn, mx);
+        }
+    }
+    /* column pass along the height, then final shift 4 */
+    for (int j = 0; j < w; j++) {
+        for (int i = 0; i < h; i++) vec[i] = buf[i * w + j];
+        itx_1d(vkind, vec, h, mn, mx);
+        for (int i = 0; i < h; i++) out[i * w + j] = (vec[i] + 8) >> 4;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* intra prediction (recon_ref._predict_intra)                         */
+
+typedef struct {
+    const ReconParams *rp;
+    const TileOut *o;
+    int32_t *planes[3];
+    int pw[3], ph[3];            /* mi-aligned plane dims */
+    uint8_t *decoded[3];         /* 4x4 BlockDecoded bitmaps */
+    int dw[3], dh[3];
+} Recon;
+
+static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
+    if (rr < 0 || cc < 0 || rr >= rc->dh[plane] || cc >= rc->dw[plane])
+        return 0;
+    return rc->decoded[plane][rr * rc->dw[plane] + cc];
+}
+
+/* spec get_filter_type: above/left BLOCK neighbour used a smooth mode */
+static int filter_type(const Recon *rc, int br, int bc, int plane) {
+    const int8_t *modes = plane == 0 ? rc->o->y_mode : rc->o->uv_mode;
+    int mc = rc->rp->mi_cols;
+    int above = 0, left = 0;
+    if (br > 0) {
+        int m = modes[(br - 1) * mc + bc];
+        above = m >= SMOOTH_PRED && m <= SMOOTH_H_PRED;
+    }
+    if (bc > 0) {
+        int m = modes[br * mc + (bc - 1)];
+        left = m >= SMOOTH_PRED && m <= SMOOTH_H_PRED;
+    }
+    return (above || left) ? 1 : 0;
+}
+
+static int filter_strength(int blk_wh, int delta, int ftype) {
+    int d = delta < 0 ? -delta : delta;
+    int s = 0;
+    if (ftype == 0) {
+        if (blk_wh <= 8) { if (d >= 56) s = 1; }
+        else if (blk_wh <= 12) { if (d >= 40) s = 1; }
+        else if (blk_wh <= 16) { if (d >= 40) s = 1; }
+        else if (blk_wh <= 24) {
+            if (d >= 8) s = 1;
+            if (d >= 16) s = 2;
+            if (d >= 32) s = 3;
+        } else if (blk_wh <= 32) {
+            s = 1;
+            if (d >= 4) s = 2;
+            if (d >= 32) s = 3;
+        } else s = 3;
+    } else {
+        if (blk_wh <= 8) { if (d >= 40) s = 1; if (d >= 64) s = 2; }
+        else if (blk_wh <= 16) { if (d >= 20) s = 1; if (d >= 48) s = 2; }
+        else if (blk_wh <= 24) { if (d >= 4) s = 3; }
+        else s = 3;
+    }
+    return s;
+}
+
+static const int8_t EDGE_KERNELS[3][5] = {
+    {0, 4, 8, 4, 0}, {0, 5, 6, 5, 0}, {2, 4, 4, 4, 2}};
+
+/* in-place 5-tap smoothing over edge[start..start+sz-1]; first element
+   unfiltered (spec intra_edge_filter) */
+static void edge_filter(int32_t *edge, int start, int sz, int strength) {
+    if (strength == 0 || sz <= 1) return;
+    const int8_t *kern = EDGE_KERNELS[strength - 1];
+    int32_t orig[521];
+    for (int k = 0; k < sz; k++) orig[k] = edge[start + k];
+    for (int i = 1; i < sz; i++) {
+        int s = 0;
+        for (int j = 0; j < 5; j++) {
+            int k = i - 2 + j;
+            if (k < 0) k = 0;
+            if (k > sz - 1) k = sz - 1;
+            s += kern[j] * orig[k];
+        }
+        edge[start + i] = (s + 8) >> 4;
+    }
+}
+
+static int use_upsample(int w, int h, int delta, int ftype) {
+    int d = delta < 0 ? -delta : delta;
+    if (d <= 0 || d >= 40) return 0;
+    return ftype ? (w + h) <= 8 : (w + h) <= 16;
+}
+
+/* spec upsample_intra_edge; corner at start-1 moves to start-2 */
+static void upsample_edge(int32_t *edge, int start, int num_px, int bd) {
+    int mx = (1 << bd) - 1;
+    int32_t dup[262];
+    dup[0] = edge[start - 1];
+    dup[1] = edge[start - 1];
+    for (int i = 0; i < num_px; i++) dup[2 + i] = edge[start + i];
+    dup[num_px + 2] = dup[num_px + 1];
+    edge[start - 2] = dup[0];
+    for (int i = 0; i < num_px; i++) {
+        int s = -dup[i] + 9 * dup[i + 1] + 9 * dup[i + 2] - dup[i + 3];
+        s = (s + 8) >> 4;
+        if (s < 0) s = 0;
+        if (s > mx) s = mx;
+        edge[start + 2 * i - 1] = s;
+        edge[start + 2 * i] = dup[i + 2];
+    }
+}
+
+#define OFF 2
+
+static void directional(const uint16_t *dr, int p_angle,
+                        const int32_t *A, const int32_t *L, int w, int h,
+                        int up_above, int up_left, int64_t *out) {
+    if (p_angle < 90) {
+        int dx = dr[p_angle];
+        int max_base = (w + h - 1) << up_above;
+        for (int i = 0; i < h; i++) {
+            int idx = (i + 1) * dx;
+            for (int j = 0; j < w; j++) {
+                int base = (idx >> (6 - up_above)) + (j << up_above);
+                if (base >= max_base) {
+                    out[i * w + j] = A[OFF + max_base];
+                } else {
+                    int shift = ((idx << up_above) >> 1) & 0x1F;
+                    out[i * w + j] = (A[OFF + base] * (32 - shift)
+                                      + A[OFF + base + 1] * shift + 16) >> 5;
+                }
+            }
+        }
+    } else if (p_angle > 180) {
+        int dy = dr[270 - p_angle];
+        int max_base = (w + h - 1) << up_left;
+        for (int j = 0; j < w; j++) {
+            int idy = (j + 1) * dy;
+            for (int i = 0; i < h; i++) {
+                int base = (idy >> (6 - up_left)) + (i << up_left);
+                if (base >= max_base) {
+                    out[i * w + j] = L[OFF + max_base];
+                } else {
+                    int shift = ((idy << up_left) >> 1) & 0x1F;
+                    out[i * w + j] = (L[OFF + base] * (32 - shift)
+                                      + L[OFF + base + 1] * shift + 16) >> 5;
+                }
+            }
+        }
+    } else {  /* zone 2: 90 < pAngle < 180 */
+        int dx = dr[180 - p_angle];
+        int dy = dr[p_angle - 90];
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int idx = (j << 6) - (i + 1) * dx;
+                int base = idx >> (6 - up_above);
+                if (base >= -(1 << up_above)) {
+                    int shift = ((idx << up_above) >> 1) & 0x1F;
+                    out[i * w + j] = (A[OFF + base] * (32 - shift)
+                                      + A[OFF + base + 1] * shift + 16) >> 5;
+                } else {
+                    int idy = (i << 6) - (j + 1) * dy;
+                    int base_y = idy >> (6 - up_left);
+                    int shift = ((idy << up_left) >> 1) & 0x1F;
+                    out[i * w + j] = (L[OFF + base_y] * (32 - shift)
+                                      + L[OFF + base_y + 1] * shift
+                                      + 16) >> 5;
+                }
+            }
+    }
+}
+
+static const int8_t SM_OFFS[65] = {
+    [4] = 0, [8] = 4, [16] = 12, [32] = 28, [64] = 60};
+
+static void smooth_pred(int mode, const int32_t *A, const int32_t *L,
+                        int w, int h, int64_t *out) {
+    const uint8_t *wy = av1_sm_weights + SM_OFFS[h];
+    const uint8_t *wx = av1_sm_weights + SM_OFFS[w];
+    int64_t below = L[h - 1], right = A[w - 1];
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++) {
+            if (mode == SMOOTH_PRED) {
+                int64_t num = (int64_t)wy[i] * A[j]
+                              + (256 - wy[i]) * below
+                              + (int64_t)wx[j] * L[i]
+                              + (256 - wx[j]) * right;
+                out[i * w + j] = (num + 256) >> 9;
+            } else if (mode == SMOOTH_V_PRED) {
+                int64_t num = (int64_t)wy[i] * A[j] + (256 - wy[i]) * below;
+                out[i * w + j] = (num + 128) >> 8;
+            } else {
+                int64_t num = (int64_t)wx[j] * L[i] + (256 - wx[j]) * right;
+                out[i * w + j] = (num + 128) >> 8;
+            }
+        }
+}
+
+static void predict_intra(Recon *rc, int br, int bc, int plane, int x,
+                          int y, int w, int h, int mode, int angle_delta,
+                          int64_t *out) {
+    const ReconParams *rp = rc->rp;
+    int32_t *buf = rc->planes[plane];
+    int pw = rc->pw[plane], ph = rc->ph[plane];
+    int bd = rp->bitdepth;
+    int base = 1 << (bd - 1);
+    int have_above = y > 0, have_left = x > 0;
+    int max_x = pw - 1, max_y = ph - 1;
+
+    int is_dir = mode >= V_PRED && mode <= D67_PRED;
+    int p_angle = 0;
+    if (is_dir) {
+        static const int16_t BASE_ANGLES[8] = {90, 180, 45, 135, 113, 157,
+                                               203, 67};
+        p_angle = BASE_ANGLES[mode - V_PRED] + angle_delta * 3;
+    }
+
+    int need_edge = 2 * rmax(w, h) + 1;
+    int32_t above[OFF + 2 * 258 + 2], left[OFF + 2 * 258 + 2];
+    int esz = OFF + 2 * need_edge + 2;
+    memset(above, 0, sizeof(int32_t) * (size_t)esz);
+    memset(left, 0, sizeof(int32_t) * (size_t)esz);
+
+    int x4 = x >> 2, y4 = y >> 2;
+    int have_tr = avail_cell(rc, plane, y4 - 1, x4 + (w >> 2));
+    int have_bl = avail_cell(rc, plane, y4 + (h >> 2), x4 - 1);
+
+    if (have_above) {
+        int n_main = w, n_ext = have_tr ? w : 0;
+        for (int i = 0; i < n_main + n_ext; i++)
+            above[OFF + i] = buf[(y - 1) * pw + rmin(x + i, max_x)];
+        for (int i = n_main + n_ext; i < need_edge; i++)
+            above[OFF + i] = above[OFF + n_main + n_ext - 1];
+    } else {
+        int fill = have_left ? buf[y * pw + (x - 1)] : base - 1;
+        for (int i = OFF; i < esz; i++) above[i] = fill;
+    }
+    if (have_left) {
+        int n_main = h, n_ext = have_bl ? h : 0;
+        for (int i = 0; i < n_main + n_ext; i++)
+            left[OFF + i] = buf[rmin(y + i, max_y) * pw + (x - 1)];
+        for (int i = n_main + n_ext; i < need_edge; i++)
+            left[OFF + i] = left[OFF + n_main + n_ext - 1];
+    } else {
+        int fill = have_above ? buf[(y - 1) * pw + x] : base + 1;
+        for (int i = OFF; i < esz; i++) left[i] = fill;
+    }
+    int corner;
+    if (have_above && have_left) corner = buf[(y - 1) * pw + (x - 1)];
+    else if (have_above) corner = buf[(y - 1) * pw + x];
+    else if (have_left) corner = buf[y * pw + (x - 1)];
+    else corner = base;
+    above[OFF - 1] = corner;
+    left[OFF - 1] = corner;
+
+    int up_above = 0, up_left = 0;
+    if (is_dir && p_angle != 90 && p_angle != 180
+        && rp->enable_intra_edge_filter) {
+        int ft = filter_type(rc, br, bc, plane);
+        if (90 < p_angle && p_angle < 180 && (w + h) >= 24
+            && have_above && have_left) {
+            int s = (left[OFF] * 5 + above[OFF - 1] * 6
+                     + above[OFF] * 5 + 8) >> 4;
+            above[OFF - 1] = s;
+            left[OFF - 1] = s;
+        }
+        if (have_above) {
+            int strength = filter_strength(w + h, p_angle - 90, ft);
+            int num_px = rmin(w, pw - x) + (p_angle < 90 ? h : 0) + 1;
+            edge_filter(above, OFF - 1, num_px, strength);
+        }
+        if (have_left) {
+            int strength = filter_strength(w + h, p_angle - 180, ft);
+            int num_px = rmin(h, ph - y) + (p_angle > 180 ? w : 0) + 1;
+            edge_filter(left, OFF - 1, num_px, strength);
+        }
+        up_above = use_upsample(w, h, p_angle - 90, ft);
+        if (up_above)
+            upsample_edge(above, OFF, w + (p_angle < 90 ? h : 0), bd);
+        up_left = use_upsample(w, h, p_angle - 180, ft);
+        if (up_left)
+            upsample_edge(left, OFF, h + (p_angle > 180 ? w : 0), bd);
+    }
+
+    const int32_t *A = above + OFF;
+    const int32_t *L = left + OFF;
+
+    if (mode == DC_PRED) {
+        int64_t avg;
+        if (have_above && have_left) {
+            int64_t s = 0;
+            for (int j = 0; j < w; j++) s += A[j];
+            for (int i = 0; i < h; i++) s += L[i];
+            avg = (s + ((w + h) >> 1)) / (w + h);
+        } else if (have_above) {
+            int64_t s = 0;
+            for (int j = 0; j < w; j++) s += A[j];
+            avg = (s + (w >> 1)) / w;
+        } else if (have_left) {
+            int64_t s = 0;
+            for (int i = 0; i < h; i++) s += L[i];
+            avg = (s + (h >> 1)) / h;
+        } else avg = base;
+        for (int i = 0; i < w * h; i++) out[i] = avg;
+    } else if (is_dir && p_angle == 90) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) out[i * w + j] = A[j];
+    } else if (is_dir && p_angle == 180) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) out[i * w + j] = L[i];
+    } else if (mode == PAETH_PRED) {
+        for (int i = 0; i < h; i++)
+            for (int j = 0; j < w; j++) {
+                int64_t b = A[j], l = L[i];
+                int64_t p = b + l - corner;
+                int64_t pb = p > b ? p - b : b - p;
+                int64_t pl = p > l ? p - l : l - p;
+                int64_t pc = p > corner ? p - corner : corner - p;
+                out[i * w + j] = (pl <= pb && pl <= pc) ? l
+                                 : (pb <= pc ? b : corner);
+            }
+    } else if (mode >= SMOOTH_PRED && mode <= SMOOTH_H_PRED) {
+        smooth_pred(mode, A, L, w, h, out);
+    } else {
+        directional(av1_dr_intra, p_angle, above, left, w, h,
+                    up_above, up_left, out);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* block reconstruction driver (recon_ref._recon_block/_recon_tx)      */
+
+static void cfl_ac_block(Recon *rc, int cx, int cy, int cw, int chh,
+                         int64_t *ac /* chh*cw */) {
+    const ReconParams *rp = rc->rp;
+    const int32_t *luma = rc->planes[0];
+    int pw = rc->pw[0];
+    int ly = cy << rp->ssy, lx = cx << rp->ssx;
+    int64_t total = 0;
+    for (int i = 0; i < chh; i++)
+        for (int j = 0; j < cw; j++) {
+            int64_t v;
+            int yy = ly + (i << rp->ssy), xx = lx + (j << rp->ssx);
+            if (rp->ssx && rp->ssy)
+                v = ((int64_t)luma[yy * pw + xx]
+                     + luma[yy * pw + xx + 1]
+                     + luma[(yy + 1) * pw + xx]
+                     + luma[(yy + 1) * pw + xx + 1]) << 1;
+            else if (rp->ssx)
+                v = ((int64_t)luma[yy * pw + xx]
+                     + luma[yy * pw + xx + 1]) << 2;
+            else
+                v = (int64_t)luma[yy * pw + xx] << 3;
+            ac[i * cw + j] = v;
+            total += v;
+        }
+    int log2sz = 0;
+    for (int v = cw; v > 1; v >>= 1) log2sz++;
+    for (int v = chh; v > 1; v >>= 1) log2sz++;
+    int64_t avg = (total + ((int64_t)1 << (log2sz - 1))) >> log2sz;
+    for (int i = 0; i < chh * cw; i++) ac[i] -= avg;
+}
+
+static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
+                     int tx, int mode, int angle_delta,
+                     const int32_t *coef_or_null, int tx_type,
+                     const int64_t *cfl_ac, int cfl_stride, int cfl_h,
+                     int cfl_alpha) {
+    const ReconParams *rp = rc->rp;
+    int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
+    int32_t *buf = rc->planes[plane];
+    int pw = rc->pw[plane], ph = rc->ph[plane];
+    int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
+    int64_t mxpix = (1 << rp->bitdepth) - 1;
+
+    int64_t pred[64 * 64];
+    predict_intra(rc, br, bc, plane, x, y, fw, fh, mode, angle_delta, pred);
+
+    if (cfl_ac != NULL && cfl_alpha != 0) {
+        for (int i = 0; i < fh && i < cfl_h; i++)
+            for (int j = 0; j < fw && j < cfl_stride; j++) {
+                int64_t diff = (int64_t)cfl_alpha * cfl_ac[i * cfl_stride + j];
+                int64_t mag = diff < 0 ? -diff : diff;
+                int64_t scaled = (mag + 32) >> 6;
+                if (diff < 0) scaled = -scaled;
+                int64_t v = pred[i * fw + j] + scaled;
+                pred[i * fw + j] = lmax(0, lmin(mxpix, v));
+            }
+    }
+    if (coef_or_null != NULL) {
+        int64_t res[64 * 64];
+        itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
+        for (int i = 0; i < fh; i++)
+            for (int j = 0; j < fw; j++)
+                pred[i * fw + j] += res[i * fw + j];
+    }
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+            buf[(y + i) * pw + (x + j)] =
+                (int32_t)lmax(0, lmin(mxpix, pred[i * fw + j]));
+    /* BlockDecoded bitmap over the written cells */
+    for (int rr = y >> 2; rr < (y + h + 3) >> 2 && rr < rc->dh[plane]; rr++)
+        for (int cc = x >> 2; cc < (x + w + 3) >> 2 && cc < rc->dw[plane];
+             cc++)
+            rc->decoded[plane][rr * rc->dw[plane] + cc] = 1;
+}
+
+/* find the coded tx record for (plane,x,y) within a block, or -1 */
+static int64_t find_tx(const TileOut *o, int64_t tx_off, int n_tx,
+                       int plane, int x, int y) {
+    for (int64_t k = tx_off; k < tx_off + n_tx; k++) {
+        const int32_t *rec = o->txs + k * 8;
+        if (rec[0] == plane && rec[1] == x && rec[2] == y) return k;
+    }
+    return -1;
+}
+
+static void recon_block(Recon *rc, const int32_t *b) {
+    const ReconParams *rp = rc->rp;
+    const TileOut *o = rc->o;
+    int br = b[0], bc = b[1], bsize = b[2];
+    int y_mode = b[3], uv_mode = b[4];
+    int angle_y = b[5], angle_uv = b[6];
+    int tx_size = b[8], uv_tx = b[9], has_chroma = b[10];
+    int cfl_u = b[11], cfl_v = b[12];
+    int64_t tx_off = b[14];
+    int n_tx = b[15];
+    int w4 = av1_block_w4[bsize], h4 = av1_block_h4[bsize];
+    int mi_cols = rp->mi_cols, mi_rows = rp->mi_rows;
+
+    int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
+    int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
+    for (int yy = 0; yy < lim_h; yy += sh)
+        for (int xx = 0; xx < lim_w; xx += sw) {
+            int x = (bc + xx) * 4, y = (br + yy) * 4;
+            int64_t k = find_tx(o, tx_off, n_tx, 0, x, y);
+            recon_tx(rc, br, bc, 0, x, y, tx_size, y_mode, angle_y,
+                     k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
+                     k >= 0 ? o->txs[k * 8 + 4] : 0, NULL, 0, 0, 0);
+        }
+    if (has_chroma && rp->num_planes > 1) {
+        int csw = av1_tx_w4[uv_tx], csh = av1_tx_h4[uv_tx];
+        int cb4 = rmax(1, lim_w >> rp->ssx);
+        int ch4 = rmax(1, lim_h >> rp->ssy);
+        int cx = (bc >> rp->ssx) * 4, cy = (br >> rp->ssy) * 4;
+        int mode = uv_mode;
+        int64_t ac[32 * 32];
+        const int64_t *acp = NULL;
+        int acw = cb4 * 4;
+        if (uv_mode == UV_CFL) {
+            mode = DC_PRED;
+            cfl_ac_block(rc, cx, cy, cb4 * 4, ch4 * 4, ac);
+            acp = ac;
+        }
+        for (int yy = 0; yy < ch4; yy += csh)
+            for (int xx = 0; xx < cb4; xx += csw)
+                for (int plane = 1; plane < rp->num_planes; plane++) {
+                    int x = cx + xx * 4, y = cy + yy * 4;
+                    int64_t k = find_tx(o, tx_off, n_tx, plane, x, y);
+                    recon_tx(rc, br, bc, plane, x, y, uv_tx, mode,
+                             angle_uv,
+                             k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
+                             k >= 0 ? o->txs[k * 8 + 4] : 0,
+                             acp, acw, ch4 * 4,
+                             acp ? (plane == 1 ? cfl_u : cfl_v) : 0);
+                }
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* loop filter (lf_ref.py, spec §7.14) — declared in av1_lf.h part     */
+
+#include "av1_lf.h"
+#include "av1_cdef.h"
+
+/* ------------------------------------------------------------------ */
+
+int av1_recon_frame(const ReconParams *rp, const TileOut *o,
+                    int32_t *py, int32_t *pu, int32_t *pv) {
+    Recon rc;
+    memset(&rc, 0, sizeof(rc));
+    rc.rp = rp;
+    rc.o = o;
+    int aw = rp->mi_cols * 4, ah = rp->mi_rows * 4;
+    rc.planes[0] = py;
+    rc.planes[1] = pu;
+    rc.planes[2] = pv;
+    rc.pw[0] = aw; rc.ph[0] = ah;
+    rc.pw[1] = rc.pw[2] = aw >> rp->ssx;
+    rc.ph[1] = rc.ph[2] = ah >> rp->ssy;
+    for (int p = 0; p < 3; p++) {
+        rc.dw[p] = rc.pw[p] >> 2;
+        rc.dh[p] = rc.ph[p] >> 2;
+        rc.decoded[p] = calloc((size_t)rc.dw[p] * rc.dh[p], 1);
+        if (!rc.decoded[p]) {
+            for (int q = 0; q < p; q++) free(rc.decoded[q]);
+            return 2;
+        }
+    }
+    for (int64_t i = 0; i < o->n_blocks; i++)
+        recon_block(&rc, o->blocks + i * 16);
+    for (int p = 0; p < 3; p++) free(rc.decoded[p]);
+
+    av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);
+    av1_cdef(rp, o, rc.planes, rc.pw, rc.ph);
+    return 0;
+}

@@ -131,20 +131,22 @@ class AV1Backend:
         )
         tiles = self._split_tiles(hdr, tile_payloads)
         from easyav1_tpu import native
-        if not native.decode_frame_native(seq, hdr, plan, tiles):
-            cdf = CdfContext.default(hdr.quant.base_q_idx)
-            dec = TileDecoder(seq, hdr, cdf, plan)
-            n_cols = hdr.tile.cols
-            for tile_num, tdata in enumerate(tiles):
-                dec.decode_tile(tdata, tile_num // n_cols,
-                                tile_num % n_cols)
-        recon = FrameRecon(seq, hdr, plan)
-        aligned = recon.run_aligned()
-        from easyav1_tpu.video.av1.lf_ref import LoopFilter
-        from easyav1_tpu.video.av1.cdef_ref import Cdef
-        LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
-        Cdef(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
-        planes = recon.crop(aligned)
+        planes = native.decode_and_recon_native(seq, hdr, tiles)
+        if planes is None:
+            if not native.decode_frame_native(seq, hdr, plan, tiles):
+                cdf = CdfContext.default(hdr.quant.base_q_idx)
+                dec = TileDecoder(seq, hdr, cdf, plan)
+                n_cols = hdr.tile.cols
+                for tile_num, tdata in enumerate(tiles):
+                    dec.decode_tile(tdata, tile_num // n_cols,
+                                    tile_num % n_cols)
+            recon = FrameRecon(seq, hdr, plan)
+            aligned = recon.run_aligned()
+            from easyav1_tpu.video.av1.lf_ref import LoopFilter
+            from easyav1_tpu.video.av1.cdef_ref import Cdef
+            LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+            Cdef(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+            planes = recon.crop(aligned)
         frame = self._make_frame(planes, hdr, ts)
         self.hp.update_refs(hdr)
         for i in range(C.NUM_REF_FRAMES):
