@@ -1,0 +1,307 @@
+"""CDEF on device (JAX, int32, bit-exact vs cdef_ref).
+
+The whole frame filters in one jitted call: the direction search runs
+for every 8x8 luma unit as a batched tensor contraction, and the 12-tap
+constrained filter is applied plane-wide with per-pixel parameter maps
+(strength/shift/direction broadcast from per-unit arrays).  Taps whose
+(dir-dependent) offsets land outside the frame read CDEF_VERY_LARGE
+from the constant padded source, exactly like the scalar reference.
+
+Parity: cdef_ref.py (itself verified bit-exact vs libdav1d); spec §7.15.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+CDEF_VERY_LARGE = 0x4000
+
+# Cdef_Directions[dir][k] = (dy, dx), primary taps k=0,1
+CDEF_DIRECTIONS = np.array([
+    [[-1, 1], [-2, 2]], [[0, 1], [-1, 2]], [[0, 1], [0, 2]],
+    [[0, 1], [1, 2]], [[1, 1], [2, 2]], [[1, 0], [2, 1]],
+    [[1, 0], [2, 0]], [[1, 0], [2, -1]]], np.int32)
+
+DIV_TABLE = np.array([0, 840, 420, 280, 210, 168, 140, 120, 105], np.int64)
+
+CDEF_UV_DIR = np.array([
+    [[0, 1, 2, 3, 4, 5, 6, 7], [1, 2, 2, 2, 3, 4, 6, 0]],
+    [[7, 0, 2, 4, 5, 6, 6, 6], [0, 1, 2, 3, 4, 5, 6, 7]]], np.int32)
+
+
+def _partial_indicators():
+    """IND[d, k, i, j] = 1 where pixel (i,j) of an 8x8 block contributes
+    to partial[d][k] (spec §7.15.2 direction search)."""
+    ind = np.zeros((8, 15, 8, 8), np.int32)
+    for i in range(8):
+        for j in range(8):
+            ind[0, i + j, i, j] = 1
+            ind[1, i + (j >> 1), i, j] = 1
+            ind[2, i, i, j] = 1
+            ind[3, 3 + i - (j >> 1), i, j] = 1
+            ind[4, 7 + i - j, i, j] = 1
+            ind[5, 3 - (i >> 1) + j, i, j] = 1
+            ind[6, j, i, j] = 1
+            ind[7, (i >> 1) + j, i, j] = 1
+    return ind
+
+
+def _cost_weights():
+    """W[d, k] so that cost[d] = sum_k W[d,k] * partial[d,k]^2."""
+    w = np.zeros((8, 15), np.int64)
+    for d in (2, 6):
+        w[d, :8] = 105
+    for d in (0, 4):
+        for i in range(7):
+            w[d, i] = DIV_TABLE[i + 1]
+            w[d, 14 - i] = DIV_TABLE[i + 1]
+        w[d, 7] = 105
+    for d in (1, 3, 5, 7):
+        for i in range(5):
+            w[d, 3 + i] = 105
+        for i in range(3):
+            w[d, i] = DIV_TABLE[2 * i + 2]
+            w[d, 10 - i] = DIV_TABLE[2 * i + 2]
+    return w
+
+
+@functools.lru_cache(maxsize=None)
+def _make_partial_kernel(uh: int, uw: int, coeff_shift: int):
+    """Jitted per-unit direction-search partial sums: luma_pad
+    [uh*8+4, uw*8+4] int32 → partials [uh, uw, 8, 15] int32.
+    |partial| ≤ 8·(CDEF_VERY_LARGE>>shift) < 2^18, safely int32; the
+    squares need int64 and are summed on the host."""
+    import jax
+    import jax.numpy as jnp
+
+    IND = _partial_indicators()
+
+    def kernel(luma_pad):
+        lh = uh * 8
+        lw = uw * 8
+        blocks = luma_pad[2:2 + lh, 2:2 + lw]
+        blocks = blocks.reshape(uh, 8, uw, 8).transpose(0, 2, 1, 3)
+        x = (blocks >> coeff_shift) - 128                 # [uh,uw,8,8]
+        return jnp.einsum("uvij,dkij->uvdk", x, IND,
+                          preferred_element_type=jnp.int32)
+
+    return jax.jit(kernel)
+
+
+def find_dirs_host(partials: np.ndarray):
+    """cost/argmax/variance from device partials (int64 host math,
+    mirror of cdef_ref.find_dir)."""
+    part = partials.astype(np.int64)
+    cost = np.sum((part ** 2) * _cost_weights()[None, None], axis=-1)
+    best = np.argmax(cost, axis=-1).astype(np.int32)     # first max wins
+    bc = np.take_along_axis(cost, best[..., None].astype(np.int64),
+                            axis=-1)[..., 0]
+    oc = np.take_along_axis(cost, (((best + 4) & 7)[..., None]
+                                   .astype(np.int64)), axis=-1)[..., 0]
+    var = ((bc - oc) >> 10).astype(np.int32)
+    return best, var
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel(ph: int, pw: int, ssx: int, ssy: int, plane: int,
+                 bitdepth: int, damping: int):
+    """Jitted CDEF filter for one plane of dims (ph, pw).
+
+    Args of the returned fn:
+      plane_in  [ph, pw] int32 — the deblocked plane
+      dir_u, var_u [uh, uw] int32 — per-unit direction / variance
+      pri_u, sec_u [uh, uw] int32 — per-8x8-unit strengths
+                (shifted by coeff_shift; 0 where the unit is skipped)
+      filt_u   [uh, uw] int32 — 1 where the unit is filtered at all
+    Returns the filtered plane [ph, pw] int32.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    coeff_shift = bitdepth - 8
+    # unit dims in this plane: 8x8 luma → (8>>ssy)x(8>>ssx) here
+    bw = 8 >> (ssx if plane else 0)
+    bh = 8 >> (ssy if plane else 0)
+    pdamp = damping - (1 if plane else 0)
+
+    def kernel(plane_in, dir_u, var_u, pri_u, sec_u, filt_u):
+        if plane == 0:
+            # luma primary scales with direction variance
+            v6 = var_u >> 6
+            lg = 31 - jax.lax.clz(jnp.maximum(v6, 1))
+            i = jnp.minimum(lg, 12)
+            adj = jnp.where(var_u != 0,
+                            (pri_u * (4 + i) + 8) >> 4,
+                            0)
+            pri_u = jnp.where(pri_u != 0, adj, 0)
+            pdir_u = jnp.where(pri_u != 0, dir_u, 0)
+        else:
+            remap = jnp.asarray(CDEF_UV_DIR[ssx][ssy])
+            pdir_u = jnp.where(pri_u != 0, remap[dir_u], 0)
+
+        # damping shifts per unit: max(0, pdamp - floor_log2(strength))
+        def shift_for(thr):
+            lg = 31 - jax.lax.clz(jnp.maximum(thr, 1))
+            return jnp.maximum(0, pdamp - lg)
+
+        pri_sh = shift_for(pri_u)
+        sec_sh = shift_for(sec_u)
+
+        pdir_u = pdir_u.astype(jnp.int32)
+
+        # padded source (constant): border = CDEF_VERY_LARGE
+        src = jnp.full((ph + 4, pw + 4), CDEF_VERY_LARGE, jnp.int32)
+        src = src.at[2:2 + ph, 2:2 + pw].set(plane_in)
+
+        # per-pixel maps (unit grid may overhang the plane; crop)
+        def up(u):  # [uh,uw] -> [ph,pw]
+            e = jnp.repeat(jnp.repeat(u, bh, axis=0), bw, axis=1)
+            return e[:ph, :pw]
+
+        pri_p = up(pri_u)
+        sec_p = up(sec_u)
+        pri_shp = up(pri_sh)
+        sec_shp = up(sec_sh)
+        dir_p = up(pdir_u)
+        filt_p = up(filt_u)
+
+        yy, xx = jnp.mgrid[0:ph, 0:pw]
+        px = plane_in
+
+        # tap tables indexed by dir: primary k=0,1 and secondary
+        # (dir+2)&7, (dir+6)&7 each k=0,1 → 4 distinct (dy,dx) per sign
+        DIRS = jnp.asarray(CDEF_DIRECTIONS)       # [8,2,2]
+
+        pt_even = jnp.asarray(np.array([4, 2], np.int32))
+        pt_odd = jnp.asarray(np.array([3, 3], np.int32))
+        is_odd = (pri_p >> coeff_shift) & 1
+        st = np.array([2, 1], np.int32)
+
+        def gather(dy, dx):
+            return src[yy + 2 + dy, xx + 2 + dx]
+
+        def constr(diff, thr, sh):
+            ad = jnp.abs(diff)
+            rhs = jnp.maximum(thr - (ad >> sh), 0)
+            mag = jnp.minimum(ad, rhs)
+            return jnp.where(diff < 0, -mag, mag)
+
+        s = jnp.zeros((ph, pw), jnp.int32)
+        mx = px
+        mn = px
+
+        # primary taps
+        for k in range(2):
+            dyk = DIRS[dir_p, k, 0]
+            dxk = DIRS[dir_p, k, 1]
+            w_k = jnp.where(is_odd == 1, pt_odd[k], pt_even[k])
+            for sgn in (1, -1):
+                v = gather(sgn * dyk, sgn * dxk)
+                tap = w_k * constr(v - px, pri_p, pri_shp)
+                s = s + jnp.where(pri_p != 0, tap, 0)
+                seen = (pri_p != 0) & (v != CDEF_VERY_LARGE)
+                mx = jnp.where(seen, jnp.maximum(mx, v), mx)
+                mn = jnp.where(seen, jnp.minimum(mn, v), mn)
+        # secondary taps
+        for rot in (2, 6):
+            sdir = (dir_p + rot) & 7
+            for k in range(2):
+                dyk = DIRS[sdir, k, 0]
+                dxk = DIRS[sdir, k, 1]
+                for sgn in (1, -1):
+                    v = gather(sgn * dyk, sgn * dxk)
+                    tap = st[k] * constr(v - px, sec_p, sec_shp)
+                    s = s + jnp.where(sec_p != 0, tap, 0)
+                    seen = (sec_p != 0) & (v != CDEF_VERY_LARGE)
+                    mx = jnp.where(seen, jnp.maximum(mx, v), mx)
+                    mn = jnp.where(seen, jnp.minimum(mn, v), mn)
+
+        val = px + ((8 + s - (s < 0)) >> 4)
+        val = jnp.clip(val, mn, mx)
+        active = (filt_p != 0) & ((pri_p != 0) | (sec_p != 0))
+        return jnp.where(active, val, px)
+
+    return jax.jit(kernel)
+
+
+class CdefDevice:
+    """Drop-in device replacement for cdef_ref.Cdef (same apply())."""
+
+    def __init__(self, hdr, seq, plan, bitdepth=8):
+        self.hdr = hdr
+        self.seq = seq
+        self.plan = plan
+        self.bd = bitdepth
+        self.ssx = plan.subsampling_x
+        self.ssy = plan.subsampling_y
+
+    def apply(self, planes) -> None:
+        hdr = self.hdr
+        cd = hdr.cdef
+        if not getattr(self.seq, "enable_cdef", False):
+            return
+        if hdr.coded_lossless or getattr(hdr, "allow_intrabc", False):
+            return
+        if (max(cd.y_pri_strength) == 0 and max(cd.y_sec_strength) == 0
+                and max(cd.uv_pri_strength) == 0
+                and max(cd.uv_sec_strength) == 0):
+            return
+        plan = self.plan
+        mi_rows, mi_cols = plan.mi_rows, plan.mi_cols
+        uh = (mi_rows + 1) // 2
+        uw = (mi_cols + 1) // 2
+        coeff_shift = self.bd - 8
+
+        # per-unit parameter maps from the plan (host, cheap)
+        skip = plan.skip
+        filt = np.zeros((uh, uw), np.int32)
+        idxm = np.full((uh, uw), -1, np.int32)
+        for u in range(uh):
+            r = u * 2
+            r2 = min(r + 1, mi_rows - 1)
+            for v in range(uw):
+                c = v * 2
+                c2 = min(c + 1, mi_cols - 1)
+                if (skip[r, c] and skip[r, c2] and skip[r2, c]
+                        and skip[r2, c2]):
+                    continue
+                idx = plan.cdef_idx.get((r & ~15, c & ~15), -1)
+                if idx == -1:
+                    continue
+                filt[u, v] = 1
+                idxm[u, v] = idx
+
+        y_pri = np.array(cd.y_pri_strength, np.int32)
+        y_sec = np.array(cd.y_sec_strength, np.int32)
+        uv_pri = np.array(cd.uv_pri_strength, np.int32)
+        uv_sec = np.array(cd.uv_sec_strength, np.int32)
+        safe = np.where(idxm >= 0, idxm, 0)
+        sel = filt != 0
+
+        # direction search: per-unit partials on device, int64 cost and
+        # argmax on host (the squares exceed int32)
+        luma = planes[0]
+        lh, lw = uh * 8, uw * 8
+        lpad = np.full((lh + 4, lw + 4), CDEF_VERY_LARGE, np.int32)
+        lpad[2:2 + luma.shape[0], 2:2 + luma.shape[1]] = luma
+        partials = np.asarray(
+            _make_partial_kernel(uh, uw, coeff_shift)(lpad))
+        dir_u, var_u = find_dirs_host(partials)
+
+        n_planes = len(planes)
+        for plane in range(n_planes):
+            if plane == 0:
+                pri = np.where(sel, y_pri[safe], 0) << coeff_shift
+                sec = np.where(sel, y_sec[safe], 0) << coeff_shift
+            else:
+                pri = np.where(sel, uv_pri[safe], 0) << coeff_shift
+                sec = np.where(sel, uv_sec[safe], 0) << coeff_shift
+            buf = planes[plane]
+            ph, pw = buf.shape
+            kern = _make_kernel(ph, pw, self.ssx, self.ssy, plane,
+                                self.bd, cd.damping + coeff_shift)
+            out = kern(buf.astype(np.int32), dir_u, var_u,
+                       pri.astype(np.int32), sec.astype(np.int32), filt)
+            buf[:, :] = np.asarray(out)

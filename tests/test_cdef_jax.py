@@ -1,0 +1,80 @@
+"""Device (JAX) CDEF vs the scalar numpy reference, bit-exact, on real
+libaom fixtures (deblocked planes in, filtered planes out)."""
+
+import numpy as np
+import pytest
+
+from easyav1_tpu.container.webm import TrackType, WebMDemuxer
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1.backend import AV1Backend
+from easyav1_tpu.video.av1.cdef_ref import Cdef
+from easyav1_tpu.video.av1.cdf import CdfContext
+from easyav1_tpu.video.av1.headers import (HeaderParser, parse_sequence_header,
+                                           split_obus)
+from easyav1_tpu.video.av1.lf_ref import LoopFilter
+from easyav1_tpu.video.av1.recon.cdef_jax import CdefDevice
+from easyav1_tpu.video.av1.recon_ref import FrameRecon
+from easyav1_tpu.video.av1.tile import FramePlan, TileDecoder
+
+from test_av1_real import NEAR_DEFAULT, real_fixture
+
+
+def _pre_cdef_planes(tag, w, h, crf=30, extra=()):
+    out, _ = real_fixture(tag, w, h, crf, 1, extra)
+    dmx = WebMDemuxer(str(out))
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    pkt = None
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            pkt = p.frames[0]
+            break
+    be = AV1Backend(vt)
+    hdr = None
+    tiles = []
+    for obu in split_obus(pkt):
+        if obu.type == C.OBU_SEQUENCE_HEADER:
+            be.seq = parse_sequence_header(obu.payload)
+            be.hp = HeaderParser(be.seq)
+        elif obu.type == C.OBU_FRAME:
+            hdr = be._parse_frame_header(obu.payload)
+            byte_off = (hdr.header_bit_offset + 7) // 8
+            tiles = be._split_tiles(hdr, [obu.payload[byte_off:]])
+    seq = be.seq
+    plan = FramePlan(
+        width=hdr.upscaled_width, height=hdr.frame_height,
+        mi_cols=hdr.mi_cols, mi_rows=hdr.mi_rows,
+        subsampling_x=seq.color.subsampling_x,
+        subsampling_y=seq.color.subsampling_y,
+        y_mode=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        uv_mode=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        angle_y=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        angle_uv=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        skip=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+    )
+    cdf = CdfContext.default(hdr.quant.base_q_idx)
+    dec = TileDecoder(seq, hdr, cdf, plan)
+    for tn, td in enumerate(tiles):
+        dec.decode_tile(td, tn // hdr.tile.cols, tn % hdr.tile.cols)
+    recon = FrameRecon(seq, hdr, plan)
+    aligned = recon.run_aligned()
+    LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+    return hdr, seq, plan, aligned
+
+
+@pytest.mark.parametrize("tag,w,h,crf,extra", [
+    ("neardflt", 96, 96, 30, tuple(NEAR_DEFAULT)),
+    ("neardflt0", 96, 96, 20, tuple(NEAR_DEFAULT + ["content=0"])),
+    ("neardflt_qcif", 176, 144, 35, tuple(NEAR_DEFAULT + ["content=0"])),
+    ("odd", 66, 50, 30, ()),
+])
+def test_cdef_device_bit_exact(tag, w, h, crf, extra):
+    hdr, seq, plan, aligned = _pre_cdef_planes(tag, w, h, crf, extra)
+    ref = [p.copy() for p in aligned]
+    dev = [p.copy() for p in aligned]
+    Cdef(hdr, seq, plan, seq.color.bitdepth).apply(ref)
+    CdefDevice(hdr, seq, plan, seq.color.bitdepth).apply(dev)
+    for i, (a, b) in enumerate(zip(ref, dev)):
+        d = np.abs(a - b)
+        assert d.max() == 0, (
+            f"plane {i}: maxdiff {d.max()} at {np.argwhere(d > 0)[:5]}")
