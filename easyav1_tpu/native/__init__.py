@@ -91,8 +91,8 @@ def _build() -> bool:
         return True
     try:
         r = subprocess.run(
-            ["gcc", "-O3", "-funroll-loops", "-shared", "-fPIC",
-             "-o", _SO] + _SRCS,
+            ["gcc", "-O3", "-funroll-loops", "-march=native", "-shared",
+             "-fPIC", "-o", _SO] + _SRCS,
             capture_output=True, timeout=120)
         return r.returncode == 0
     except (OSError, subprocess.TimeoutExpired):
@@ -119,6 +119,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_recon_frame.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.av1_lf_grids_export.restype = ctypes.c_int
+    lib.av1_lf_grids_export.argtypes = [
+        ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 5
     _lib = lib
     return lib
 
@@ -331,15 +335,61 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
               np.empty((ah >> ssy, aw >> ssx), np.int32))
         _BUF_POOL[pkey] = pl
     py, pu, pv = pl
+    device = os.environ.get("EASYAV1_PIPE", "native") == "device"
+    if device:
+        # dense math only in C; the loop filter and CDEF run as device
+        # (JAX) kernels on the mi-aligned planes
+        rp.lf_level = (ctypes.c_int32 * 4)(0, 0, 0, 0)
+        rp.enable_cdef = 0
     rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
                              _vp(py), _vp(pu), _vp(pv))
     if rc != 0:
         return None
+    n_pl = seq.color.num_planes
+    aligned = [py, pu, pv][:n_pl]
+    if device:
+        _device_postfilter(seq, hdr, out, bufs, aligned, rp)
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
     dt = np.uint8 if seq.color.bitdepth == 8 else np.uint16
     planes = [py[:h, :w].astype(dt)]
-    if seq.color.num_planes > 1:
+    if n_pl > 1:
         planes.append(pu[:ch, :cw].astype(dt))
         planes.append(pv[:ch, :cw].astype(dt))
     return planes
+
+
+def _device_postfilter(seq, hdr, out, bufs, aligned, rp):
+    """Loop filter + CDEF on device using the native decoder's grids."""
+    from easyav1_tpu.video.av1.recon.cdef_jax import (cdef_device_apply,
+                                                      unit_maps)
+    from easyav1_tpu.video.av1.recon.lf_jax import lf_device_apply
+
+    lib = _load()
+    bd = seq.color.bitdepth
+
+    def grids_for(plane, shape):
+        h, w = shape
+        gw, gh = (w + 3) >> 2, (h + 3) >> 2
+        a = [np.empty((gh, gw), np.uint8) for _ in range(5)]
+        rc = lib.av1_lf_grids_export(
+            ctypes.byref(rp), ctypes.byref(out), plane, w, h,
+            _vp(a[0]), _vp(a[1]), _vp(a[2]), _vp(a[3]), _vp(a[4]))
+        if rc != 0:
+            raise RuntimeError("lf grids export failed")
+        return {"txw": a[0].astype(np.int32), "txh": a[1].astype(np.int32),
+                "skip": a[2].astype(np.int32),
+                "edge_left": a[3].astype(bool),
+                "edge_top": a[4].astype(bool), "gw": gw, "gh": gh}
+
+    lf_device_apply(aligned, hdr, bd, grids_for)
+
+    cd = hdr.cdef
+    if (getattr(seq, "enable_cdef", False) and not hdr.coded_lossless
+            and not getattr(hdr, "allow_intrabc", False)
+            and (max(cd.y_pri_strength) or max(cd.y_sec_strength)
+                 or max(cd.uv_pri_strength) or max(cd.uv_sec_strength))):
+        filt, idxm = unit_maps(bufs["grids"]["skip"], bufs["cdef"],
+                               hdr.mi_rows, hdr.mi_cols)
+        cdef_device_apply(aligned, hdr, seq, seq.color.subsampling_x,
+                          seq.color.subsampling_y, bd, filt, idxm)

@@ -85,6 +85,86 @@ static int cdef_shift_for(int threshold, int damping) {
     return shift < 0 ? 0 : shift;
 }
 
+#ifdef __AVX2__
+#include <immintrin.h>
+
+/* vectorized inner loop: one row of 8 (luma) or 4 (chroma) pixels per
+   vector; taps/weights/thresholds are block constants */
+static void cdef_filter_rows_avx2(int32_t *dst, int dstride,
+                                  const int32_t *src, int sstride,
+                                  int x, int y, int w, int h,
+                                  int n_taps, const int64_t *toff,
+                                  const int *tw_, const int *tthr,
+                                  const int *tsh) {
+    __m256i vlarge = _mm256_set1_epi32(CDEF_VERY_LARGE);
+    __m256i zero = _mm256_setzero_si256();
+    __m256i eight = _mm256_set1_epi32(8);
+    for (int i = 0; i < h; i++) {
+        const int32_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;
+        if (w == 8) {
+            __m256i px = _mm256_loadu_si256((const __m256i *)row);
+            __m256i s = zero, mx = px, mn = px;
+            for (int k = 0; k < n_taps; k++) {
+                __m256i v = _mm256_loadu_si256(
+                    (const __m256i *)(row + toff[k]));
+                __m256i diff = _mm256_sub_epi32(v, px);
+                __m256i ad = _mm256_abs_epi32(diff);
+                __m256i rhs = _mm256_sub_epi32(
+                    _mm256_set1_epi32(tthr[k]),
+                    _mm256_srl_epi32(ad, _mm_cvtsi32_si128(tsh[k])));
+                rhs = _mm256_max_epi32(rhs, zero);
+                __m256i mag = _mm256_min_epi32(ad, rhs);
+                __m256i m = _mm256_srai_epi32(diff, 31);
+                __m256i con = _mm256_sub_epi32(
+                    _mm256_xor_si256(mag, m), m);
+                s = _mm256_add_epi32(
+                    s, _mm256_mullo_epi32(_mm256_set1_epi32(tw_[k]), con));
+                __m256i seen = _mm256_xor_si256(
+                    _mm256_cmpeq_epi32(v, vlarge), _mm256_set1_epi32(-1));
+                mx = _mm256_blendv_epi8(mx, _mm256_max_epi32(mx, v), seen);
+                mn = _mm256_blendv_epi8(mn, _mm256_min_epi32(mn, v), seen);
+            }
+            /* val = px + ((8 + s - (s<0)) >> 4) */
+            __m256i adj = _mm256_add_epi32(
+                _mm256_add_epi32(eight, s), _mm256_srai_epi32(s, 31));
+            __m256i val = _mm256_add_epi32(px, _mm256_srai_epi32(adj, 4));
+            val = _mm256_min_epi32(_mm256_max_epi32(val, mn), mx);
+            _mm256_storeu_si256(
+                (__m256i *)(dst + (int64_t)(y + i) * dstride + x), val);
+        } else {   /* w == 4 */
+            __m128i px = _mm_loadu_si128((const __m128i *)row);
+            __m128i s = _mm_setzero_si128(), mx = px, mn = px;
+            for (int k = 0; k < n_taps; k++) {
+                __m128i v = _mm_loadu_si128(
+                    (const __m128i *)(row + toff[k]));
+                __m128i diff = _mm_sub_epi32(v, px);
+                __m128i ad = _mm_abs_epi32(diff);
+                __m128i rhs = _mm_sub_epi32(
+                    _mm_set1_epi32(tthr[k]),
+                    _mm_srl_epi32(ad, _mm_cvtsi32_si128(tsh[k])));
+                rhs = _mm_max_epi32(rhs, _mm_setzero_si128());
+                __m128i mag = _mm_min_epi32(ad, rhs);
+                __m128i m = _mm_srai_epi32(diff, 31);
+                __m128i con = _mm_sub_epi32(_mm_xor_si128(mag, m), m);
+                s = _mm_add_epi32(
+                    s, _mm_mullo_epi32(_mm_set1_epi32(tw_[k]), con));
+                __m128i seen = _mm_xor_si128(
+                    _mm_cmpeq_epi32(v, _mm_set1_epi32(CDEF_VERY_LARGE)),
+                    _mm_set1_epi32(-1));
+                mx = _mm_blendv_epi8(mx, _mm_max_epi32(mx, v), seen);
+                mn = _mm_blendv_epi8(mn, _mm_min_epi32(mn, v), seen);
+            }
+            __m128i adj = _mm_add_epi32(
+                _mm_add_epi32(_mm_set1_epi32(8), s), _mm_srai_epi32(s, 31));
+            __m128i val = _mm_add_epi32(px, _mm_srai_epi32(adj, 4));
+            val = _mm_min_epi32(_mm_max_epi32(val, mn), mx);
+            _mm_storeu_si128(
+                (__m128i *)(dst + (int64_t)(y + i) * dstride + x), val);
+        }
+    }
+}
+#endif
+
 static void cdef_filter_block(int32_t *dst, int dstride,
                               const int32_t *src, int sstride,
                               int x, int y, int w, int h, int pri, int sec,
@@ -127,6 +207,13 @@ static void cdef_filter_block(int32_t *dst, int dstride,
                     n_taps++;
                 }
     }
+#ifdef __AVX2__
+    if (w == 8 || w == 4) {
+        cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
+                              n_taps, toff, tw_, tthr, tsh);
+        return;
+    }
+#endif
     int32_t out[8 * 8];
     for (int i = 0; i < h; i++) {
         const int32_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;

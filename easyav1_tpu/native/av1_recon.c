@@ -553,6 +553,24 @@ static void recon_block(Recon *rc, const int32_t *b) {
 
 /* ------------------------------------------------------------------ */
 
+/* export the loop-filter grids for one plane (device LF consumes them
+   instead of rebuilding from Python block records) */
+int av1_lf_grids_export(const ReconParams *rp, const TileOut *o, int plane,
+                        int pw, int ph, uint8_t *txw, uint8_t *txh,
+                        uint8_t *skip, uint8_t *edge_left,
+                        uint8_t *edge_top) {
+    LfGrids g;
+    if (lf_build_grids(rp, o, plane, pw, ph, &g)) return 2;
+    size_t n = (size_t)g.gw * g.gh;
+    memcpy(txw, g.txw, n);
+    memcpy(txh, g.txh, n);
+    memcpy(skip, g.skip, n);
+    memcpy(edge_left, g.edge_left, n);
+    memcpy(edge_top, g.edge_top, n);
+    free(g.txw);
+    return 0;
+}
+
 int av1_recon_frame(const ReconParams *rp, const TileOut *o,
                     int32_t *py, int32_t *pu, int32_t *pv) {
     Recon rc;

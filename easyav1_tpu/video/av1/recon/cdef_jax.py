@@ -226,6 +226,63 @@ def _make_kernel(ph: int, pw: int, ssx: int, ssy: int, plane: int,
     return jax.jit(kernel)
 
 
+def unit_maps(skip_grid: np.ndarray, cdef_idx_grid: np.ndarray,
+              mi_rows: int, mi_cols: int):
+    """Per-8x8-unit (filtered?, strength index) maps from the mi skip
+    grid and the per-64x64 cdef index grid (vectorized host math)."""
+    uh = (mi_rows + 1) // 2
+    uw = (mi_cols + 1) // 2
+    # pad the skip grid to even dims replicating the last row/col
+    # (matches min(r+1, mi_rows-1) in the scalar walk)
+    sk = np.asarray(skip_grid, np.int8)
+    if mi_rows & 1:
+        sk = np.vstack([sk, sk[-1:]])
+    if mi_cols & 1:
+        sk = np.hstack([sk, sk[:, -1:]])
+    all_skip = (sk[0::2, 0::2] & sk[0::2, 1::2]
+                & sk[1::2, 0::2] & sk[1::2, 1::2])
+    uy, ux = np.mgrid[0:uh, 0:uw]
+    idxm = cdef_idx_grid[(uy * 2) // 16, (ux * 2) // 16].astype(np.int32)
+    filt = ((all_skip == 0) & (idxm >= 0)).astype(np.int32)
+    idxm = np.where(filt, idxm, -1)
+    return filt, idxm
+
+
+def cdef_device_apply(planes, hdr, seq, ssx, ssy, bd, filt, idxm):
+    """Device CDEF on mi-aligned planes given precomputed unit maps."""
+    cd = hdr.cdef
+    coeff_shift = bd - 8
+    y_pri = np.array(cd.y_pri_strength, np.int32)
+    y_sec = np.array(cd.y_sec_strength, np.int32)
+    uv_pri = np.array(cd.uv_pri_strength, np.int32)
+    uv_sec = np.array(cd.uv_sec_strength, np.int32)
+    safe = np.where(idxm >= 0, idxm, 0)
+    sel = filt != 0
+    uh, uw = filt.shape
+
+    luma = planes[0]
+    lh, lw = uh * 8, uw * 8
+    lpad = np.full((lh + 4, lw + 4), CDEF_VERY_LARGE, np.int32)
+    lpad[2:2 + luma.shape[0], 2:2 + luma.shape[1]] = luma
+    partials = np.asarray(_make_partial_kernel(uh, uw, coeff_shift)(lpad))
+    dir_u, var_u = find_dirs_host(partials)
+
+    for plane in range(len(planes)):
+        if plane == 0:
+            pri = np.where(sel, y_pri[safe], 0) << coeff_shift
+            sec = np.where(sel, y_sec[safe], 0) << coeff_shift
+        else:
+            pri = np.where(sel, uv_pri[safe], 0) << coeff_shift
+            sec = np.where(sel, uv_sec[safe], 0) << coeff_shift
+        buf = planes[plane]
+        ph, pw = buf.shape
+        kern = _make_kernel(ph, pw, ssx, ssy, plane, bd,
+                            cd.damping + coeff_shift)
+        out = kern(buf.astype(np.int32), dir_u, var_u,
+                   pri.astype(np.int32), sec.astype(np.int32), filt)
+        buf[:, :] = np.asarray(out)
+
+
 class CdefDevice:
     """Drop-in device replacement for cdef_ref.Cdef (same apply())."""
 
@@ -250,58 +307,11 @@ class CdefDevice:
             return
         plan = self.plan
         mi_rows, mi_cols = plan.mi_rows, plan.mi_cols
-        uh = (mi_rows + 1) // 2
-        uw = (mi_cols + 1) // 2
-        coeff_shift = self.bd - 8
-
-        # per-unit parameter maps from the plan (host, cheap)
-        skip = plan.skip
-        filt = np.zeros((uh, uw), np.int32)
-        idxm = np.full((uh, uw), -1, np.int32)
-        for u in range(uh):
-            r = u * 2
-            r2 = min(r + 1, mi_rows - 1)
-            for v in range(uw):
-                c = v * 2
-                c2 = min(c + 1, mi_cols - 1)
-                if (skip[r, c] and skip[r, c2] and skip[r2, c]
-                        and skip[r2, c2]):
-                    continue
-                idx = plan.cdef_idx.get((r & ~15, c & ~15), -1)
-                if idx == -1:
-                    continue
-                filt[u, v] = 1
-                idxm[u, v] = idx
-
-        y_pri = np.array(cd.y_pri_strength, np.int32)
-        y_sec = np.array(cd.y_sec_strength, np.int32)
-        uv_pri = np.array(cd.uv_pri_strength, np.int32)
-        uv_sec = np.array(cd.uv_sec_strength, np.int32)
-        safe = np.where(idxm >= 0, idxm, 0)
-        sel = filt != 0
-
-        # direction search: per-unit partials on device, int64 cost and
-        # argmax on host (the squares exceed int32)
-        luma = planes[0]
-        lh, lw = uh * 8, uw * 8
-        lpad = np.full((lh + 4, lw + 4), CDEF_VERY_LARGE, np.int32)
-        lpad[2:2 + luma.shape[0], 2:2 + luma.shape[1]] = luma
-        partials = np.asarray(
-            _make_partial_kernel(uh, uw, coeff_shift)(lpad))
-        dir_u, var_u = find_dirs_host(partials)
-
-        n_planes = len(planes)
-        for plane in range(n_planes):
-            if plane == 0:
-                pri = np.where(sel, y_pri[safe], 0) << coeff_shift
-                sec = np.where(sel, y_sec[safe], 0) << coeff_shift
-            else:
-                pri = np.where(sel, uv_pri[safe], 0) << coeff_shift
-                sec = np.where(sel, uv_sec[safe], 0) << coeff_shift
-            buf = planes[plane]
-            ph, pw = buf.shape
-            kern = _make_kernel(ph, pw, self.ssx, self.ssy, plane,
-                                self.bd, cd.damping + coeff_shift)
-            out = kern(buf.astype(np.int32), dir_u, var_u,
-                       pri.astype(np.int32), sec.astype(np.int32), filt)
-            buf[:, :] = np.asarray(out)
+        # cdef idx grid: ceil(mi/16) units of 64x64
+        gi = np.full(((mi_rows + 15) // 16, (mi_cols + 15) // 16), -1,
+                     np.int8)
+        for (r, c), idx in plan.cdef_idx.items():
+            gi[r // 16, c // 16] = idx
+        filt, idxm = unit_maps(plan.skip, gi, mi_rows, mi_cols)
+        cdef_device_apply(planes, hdr, self.seq, self.ssx, self.ssy,
+                          self.bd, filt, idxm)

@@ -224,52 +224,60 @@ def _cell_maps(g, plane, vertical: bool):
     return size
 
 
+def device_pass(buf, hdr, bd, plane, pass_, g):
+    """Run one device LF pass in place on buf given an lf_ref-style
+    grids dict g."""
+    lvl = _filter_levels(hdr, plane, pass_, True)
+    if lvl == 0:
+        return
+    limit, blimit, thresh = _limits(lvl, hdr.lf.sharpness, bd)
+    h, w = buf.shape
+    vertical = pass_ == 0
+    size = _cell_maps(g, plane, vertical)
+    if size.shape[1] <= 0:
+        return
+    if vertical:
+        size_m = np.repeat(size, 4, axis=0)[:h]
+        kern = _make_pass_kernel(h, w, bd)
+        if kern is None:
+            return
+        out = kern(buf.astype(np.int32), size_m,
+                   np.int32(limit), np.int32(blimit), np.int32(thresh))
+        buf[:, :] = np.asarray(out)
+    else:
+        size_m = np.repeat(size, 4, axis=0)[:w]
+        kern = _make_pass_kernel(w, h, bd)
+        if kern is None:
+            return
+        out = kern(np.ascontiguousarray(buf.T).astype(np.int32),
+                   size_m,
+                   np.int32(limit), np.int32(blimit), np.int32(thresh))
+        buf[:, :] = np.asarray(out).T
+
+
+def lf_device_apply(planes, hdr, bd, grids_for) -> None:
+    """Device loop filter over all planes; grids_for(plane, shape)
+    returns the lf_ref-style grids dict (from the Python plan or from
+    the native decoder's exported grids)."""
+    if hdr.lf.level[0] == 0 and hdr.lf.level[1] == 0 and \
+            hdr.lf.level[2] == 0 and hdr.lf.level[3] == 0:
+        return
+    if getattr(hdr, "allow_intrabc", False):
+        return
+    for plane in range(len(planes)):
+        g = grids_for(plane, planes[plane].shape)
+        for pass_ in (0, 1):
+            if plane == 0 and hdr.lf.level[pass_] == 0:
+                continue
+            if plane == 1 and hdr.lf.level[2] == 0:
+                continue
+            if plane == 2 and hdr.lf.level[3] == 0:
+                continue
+            device_pass(planes[plane], hdr, bd, plane, pass_, g)
+
+
 class LoopFilterDevice(LoopFilter):
     """Device loop filter; reuses the reference's grid building."""
 
     def apply(self, planes) -> None:
-        hdr = self.hdr
-        if hdr.lf.level[0] == 0 and hdr.lf.level[1] == 0 and \
-                hdr.lf.level[2] == 0 and hdr.lf.level[3] == 0:
-            return
-        if getattr(hdr, "allow_intrabc", False):
-            return
-        for plane in range(len(planes)):
-            g = self._build_grids(plane, planes[plane].shape)
-            for pass_ in (0, 1):
-                if plane == 0 and hdr.lf.level[pass_] == 0:
-                    continue
-                if plane == 1 and hdr.lf.level[2] == 0:
-                    continue
-                if plane == 2 and hdr.lf.level[3] == 0:
-                    continue
-                self._device_pass(planes[plane], plane, pass_, g)
-
-    def _device_pass(self, buf, plane, pass_, g):
-        hdr = self.hdr
-        lvl = _filter_levels(hdr, plane, pass_, True)
-        if lvl == 0:
-            return
-        limit, blimit, thresh = _limits(lvl, hdr.lf.sharpness, self.bd)
-        h, w = buf.shape
-        vertical = pass_ == 0
-        size = _cell_maps(g, plane, vertical)
-        if size.shape[1] <= 0:
-            return
-        if vertical:
-            size_m = np.repeat(size, 4, axis=0)[:h]
-            kern = _make_pass_kernel(h, w, self.bd)
-            if kern is None:
-                return
-            out = kern(buf.astype(np.int32), size_m,
-                       np.int32(limit), np.int32(blimit), np.int32(thresh))
-            buf[:, :] = np.asarray(out)
-        else:
-            size_m = np.repeat(size, 4, axis=0)[:w]
-            kern = _make_pass_kernel(w, h, self.bd)
-            if kern is None:
-                return
-            out = kern(np.ascontiguousarray(buf.T).astype(np.int32),
-                       size_m,
-                       np.int32(limit), np.int32(blimit), np.int32(thresh))
-            buf[:, :] = np.asarray(out).T
+        lf_device_apply(planes, self.hdr, self.bd, self._build_grids)
