@@ -124,6 +124,12 @@ class EasyAV1:
         self._duration_ms = self._demux.duration_ns // 1_000_000
         self._init_tracks()
         self._sync_packet_queues()
+        if self._fps == 0.0 and len(self._vq) >= 2:
+            # no DefaultDuration in the track header: estimate from the
+            # first cluster's packet spacing
+            dt = self._vq[1].timestamp_ns - self._vq[0].timestamp_ns
+            if dt > 0:
+                self._fps = round(1e9 / dt, 3)
 
     def _init_tracks(self) -> None:
         """Track selection + codec init (parity: init_webm_tracks
