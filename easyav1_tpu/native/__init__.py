@@ -147,6 +147,9 @@ def _run_tiles(lib, seq, hdr, tiles):
     adapted CDFs across tiles; the C decoder re-inits per call)."""
     if len(tiles) != 1:
         return None
+    if not hdr.frame_is_intra:
+        # inter frames run through the Python pipeline for now
+        return None
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
     p = _TileParams(

@@ -38,6 +38,8 @@ class AV1Backend:
         self.seq: Optional[SequenceHeader] = None
         self.hp: Optional[HeaderParser] = None
         self._out_refs: List[Optional[VideoFrame]] = [None] * C.NUM_REF_FRAMES
+        # reference plane store per slot (cropped uint8 planes)
+        self._ref_planes: List[Optional[list]] = [None] * C.NUM_REF_FRAMES
 
     # -- VideoBackend interface -------------------------------------------
 
@@ -115,8 +117,6 @@ class AV1Backend:
     def _decode_frame(self, hdr: FrameHeader, tile_payloads: List[bytes],
                       ts: int) -> Optional[VideoFrame]:
         seq = self.seq
-        if not hdr.frame_is_intra:
-            raise AV1DecodeError("inter frames not yet supported")
         plan = FramePlan(
             width=hdr.upscaled_width, height=hdr.frame_height,
             mi_cols=hdr.mi_cols, mi_rows=hdr.mi_rows,
@@ -140,7 +140,7 @@ class AV1Backend:
                 for tile_num, tdata in enumerate(tiles):
                     dec.decode_tile(tdata, tile_num // n_cols,
                                     tile_num % n_cols)
-            recon = FrameRecon(seq, hdr, plan)
+            recon = FrameRecon(seq, hdr, plan, refs=self._ref_planes)
             aligned = recon.run_aligned()
             from easyav1_tpu.video.av1.lf_ref import LoopFilter
             from easyav1_tpu.video.av1.cdef_ref import Cdef
@@ -152,6 +152,7 @@ class AV1Backend:
         for i in range(C.NUM_REF_FRAMES):
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame
+                self._ref_planes[i] = planes
         return frame if hdr.show_frame else None
 
     def _split_tiles(self, hdr: FrameHeader, payloads: List[bytes]) -> List[bytes]:

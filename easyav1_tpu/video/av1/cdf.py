@@ -58,7 +58,16 @@ class CdfContext:
                      "spatial_seg", "delta_q", "delta_lf", "delta_lf_multi",
                      "cfl_sign", "cfl_alpha", "filter_intra_mode",
                      "switchable_interp", "inter_compound_mode", "wedge_idx",
-                     "mv_joint"]
+                     "mv_joint",
+                     # inter-frame tables (tools/extract_inter_tables.py)
+                     "newmv", "zeromv", "refmv", "drl", "compound_type",
+                     "interintra", "wedge_interintra", "interintra_mode",
+                     "motion_mode", "obmc", "single_ref", "comp_ref",
+                     "comp_bwdref", "compound_index", "comp_group_idx",
+                     "skip_mode", "intrabc", "filter_intra_use",
+                     "switchable_restore", "wiener_restore",
+                     "sgrproj_restore", "comp_inter", "comp_ref_type",
+                     "uni_comp_ref", "txfm_partition"]
         for k in mode_keys:
             t[k] = conv(d[k])
         for ci in range(2):

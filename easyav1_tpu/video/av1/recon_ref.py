@@ -90,10 +90,12 @@ def _morton(r: int, c: int, bits: int) -> int:
 
 
 class FrameRecon:
-    def __init__(self, seq: SequenceHeader, hdr: FrameHeader, plan: FramePlan):
+    def __init__(self, seq: SequenceHeader, hdr: FrameHeader, plan: FramePlan,
+                 refs=None):
         self.seq = seq
         self.hdr = hdr
         self.plan = plan
+        self.refs = refs or [None] * 8
         self.bd = seq.color.bitdepth
         self.ssx = seq.color.subsampling_x
         self.ssy = seq.color.subsampling_y
@@ -137,6 +139,9 @@ class FrameRecon:
     # ------------------------------------------------------------------
 
     def _recon_block(self, blk):
+        if getattr(blk, "is_inter", False):
+            self._recon_block_inter(blk)
+            return
         txmap: Dict[Tuple[int, int, int], TxBlock] = {
             (t.plane, t.x, t.y): t for t in blk.tx_blocks}
         r, c = blk.r, blk.c
@@ -176,6 +181,85 @@ class FrameRecon:
                                        cfl_alpha=(blk.cfl_alphas[plane - 1]
                                                   if cfl_ac is not None
                                                   else 0))
+
+    def _recon_block_inter(self, blk):
+        """Motion compensation (spec §7.11.3, translational single ref)
+        for the whole block, then var-tx residual add."""
+        hdr = self.hdr
+        ref = blk.ref_frame[0]
+        slot = hdr.ref_frame_idx[ref - 1]
+        ref_planes = self.refs[slot]
+        if ref_planes is None:
+            raise ValueError(f"missing reference frame slot {slot}")
+        n_planes = 3 if (blk.has_chroma and self.seq.color.num_planes > 1) \
+            else 1
+        for plane in range(min(n_planes, len(self.planes))):
+            ssx = self.ssx if plane else 0
+            ssy = self.ssy if plane else 0
+            x = (blk.c >> ssx) * 4
+            y = (blk.r >> ssy) * 4
+            w = max(1, C.BLOCK_W4[blk.bsize] >> ssx) * 4
+            h = max(1, C.BLOCK_H4[blk.bsize] >> ssy) * 4
+            buf = self.planes[plane]
+            w = min(w, buf.shape[1] - x)
+            h = min(h, buf.shape[0] - y)
+            pred = self._predict_inter(ref_planes[plane], x, y, w, h,
+                                       blk.mv, ssx, ssy,
+                                       blk.interp_filter, plane)
+            buf[y:y + h, x:x + w] = pred
+            self.decoded[plane][y >> 2:(y + h + 3) >> 2,
+                                x >> 2:(x + w + 3) >> 2] = True
+        # residual add per coded tx
+        mx = (1 << self.bd) - 1
+        for txb in blk.tx_blocks:
+            res = inverse_transform(txb, self.bd)
+            buf = self.planes[txb.plane]
+            h = min(res.shape[0], buf.shape[0] - txb.y)
+            w = min(res.shape[1], buf.shape[1] - txb.x)
+            reg = buf[txb.y:txb.y + h, txb.x:txb.x + w]
+            np.clip(reg + res[:h, :w], 0, mx, out=reg)
+
+    # MC subpel filter selection (spec Subpel_Filters): 4-tap variants
+    # for block dims <= 4; SHARP falls back to the regular 4-tap
+    def _mc_filter(self, interp, dim):
+        d = T.data()
+        if dim <= 4:
+            return (d["mc_filter_smooth4"] if interp == C.EIGHTTAP_SMOOTH
+                    else d["mc_filter_regular4"]).astype(np.int64)
+        key = {C.EIGHTTAP: "mc_filter_regular8",
+               C.EIGHTTAP_SMOOTH: "mc_filter_smooth8",
+               C.EIGHTTAP_SHARP: "mc_filter_sharp8",
+               3: "mc_filter_bilinear"}[interp]
+        return d[key].astype(np.int64)
+
+    def _predict_inter(self, ref, x, y, w, h, mv, ssx, ssy, interp,
+                       plane):
+        """8-tap separable subpel MC with edge-replicating coordinate
+        clamps (spec 7.11.3.2 block_inter_predict, no ref scaling)."""
+        # start positions in 1/16-pel plane units
+        start_x = (x << 4) + (mv[1] << (1 - ssx))
+        start_y = (y << 4) + (mv[0] << (1 - ssy))
+        frac_x = start_x & 15
+        frac_y = start_y & 15
+        ix = start_x >> 4
+        iy = start_y >> 4
+        last_x = ref.shape[1] - 1
+        last_y = ref.shape[0] - 1
+        fh = self._mc_filter(interp[1], w)[frac_x]
+        fv = self._mc_filter(interp[0], h)[frac_y]
+        # horizontal pass into (h+7, w) intermediate
+        rows = np.clip(np.arange(iy - 3, iy + h + 4), 0, last_y)
+        cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, last_x)
+        src = ref[np.ix_(rows, cols)].astype(np.int64)
+        inter = np.zeros((h + 7, w), np.int64)
+        for t in range(8):
+            inter += fh[t] * src[:, t:t + w]
+        inter = (inter + 4) >> 3                      # InterRound0 = 3
+        out = np.zeros((h, w), np.int64)
+        for t in range(8):
+            out += fv[t] * inter[t:t + h]
+        out = (out + 1024) >> 11                      # InterRound1 = 11
+        return np.clip(out, 0, (1 << self.bd) - 1)
 
     def _cfl_ac(self, cx, cy, cw, chh):
         """Zero-mean subsampled-luma AC for CfL (spec §7.11.5.3, 4:2:0):

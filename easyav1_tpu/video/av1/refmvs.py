@@ -1,0 +1,318 @@
+"""Motion-vector reference stack (spec §7.10.2 find_mv_stack).
+
+Spatial candidate scan over the above row / left column / corner
+points, weight accumulation, stack sort, mode-context derivation and
+extra-candidate fill.  Temporal MV projection is a no-op (fixtures run
+with use_ref_frame_mvs disabled / error-resilient frames).
+
+Host-side sequential code by design (SURVEY.md §7: refmvs stays on the
+host next to the entropy decoder, like dav1d's refmvs.c; weights follow
+the candidate-length rule weight = 2*len, len = max(step, min(bw4,
+cand_w4)), validated bit-exact against libdav1d on inter fixtures).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from easyav1_tpu.video.av1 import constants as C
+
+MV_BORDER = 128          # 1/8-pel units of allowed out-of-frame motion
+REF_CAT_LEVEL = 640
+INVALID_MV = None
+
+
+class MvStack:
+    __slots__ = ("mvs", "weights", "num_found", "new_mv_count",
+                 "num_nearest", "new_mv_ctx", "ref_mv_ctx", "zero_mv_ctx",
+                 "global_mvs")
+
+    def __init__(self):
+        self.mvs: List[Tuple[Tuple[int, int], Tuple[int, int]]] = []
+        self.weights: List[int] = []
+        self.num_found = 0
+        self.new_mv_count = 0
+        self.num_nearest = 0
+        self.new_mv_ctx = 0
+        self.ref_mv_ctx = 0
+        self.zero_mv_ctx = 0
+        self.global_mvs = [(0, 0), (0, 0)]
+
+
+def _is_newmv_mode(mode: int) -> bool:
+    return mode in (C.NEWMV, C.NEW_NEWMV, C.NEAR_NEWMV, C.NEW_NEARMV,
+                    C.NEAREST_NEWMV, C.NEW_NEARESTMV)
+
+
+def _is_global_mode(mode: int) -> bool:
+    return mode in (C.GLOBALMV, C.GLOBAL_GLOBALMV)
+
+
+class RefMvFinder:
+    """Spatial MV predictor search over the per-4x4 decode-state grids
+    maintained by the tile decoder (ref_frames0/1, mvs, modes)."""
+
+    def __init__(self, dec):
+        self.dec = dec          # TileDecoder
+
+    # -- global motion ------------------------------------------------------
+
+    def setup_global_mv(self, ref: int, r: int, c: int, bsize: int):
+        """GLOBALMV predictor (spec 7.10.2.1)."""
+        hdr = self.dec.hdr
+        if ref <= C.INTRA_FRAME:
+            return (0, 0)
+        typ = hdr.gm_type[ref]
+        if typ == C.IDENTITY:
+            return (0, 0)
+        p = hdr.gm_params[ref]
+        if typ == C.TRANSLATION:
+            mv = (p[0] >> 13, p[1] >> 13)
+        else:
+            bw = C.BLOCK_W4[bsize] * 4
+            bh = C.BLOCK_H4[bsize] * 4
+            x = c * 4 + bw // 2 - 1
+            y = r * 4 + bh // 2 - 1
+            xc = (p[2] - (1 << 16)) * x + p[3] * y + p[0]
+            yc = p[4] * x + (p[5] - (1 << 16)) * y + p[1]
+
+            def rnd(v, n):
+                return (v + (1 << (n - 1)) + (v >> 31 if False else 0)) >> n
+
+            def round2signed(v, n):
+                return ((v + (1 << (n - 1))) >> n if v >= 0
+                        else -((-v + (1 << (n - 1))) >> n))
+
+            if hdr.allow_high_precision_mv:
+                mv = (round2signed(yc, 13), round2signed(xc, 13))
+            else:
+                mv = (round2signed(yc, 13), round2signed(xc, 13))
+        return self._lower_precision(mv)
+
+    def _lower_precision(self, mv):
+        hdr = self.dec.hdr
+        out = []
+        for v in mv:
+            if getattr(hdr, "force_integer_mv", 0):
+                a = abs(v)
+                a2 = ((a + 3) >> 3) << 3
+                v = a2 if v >= 0 else -a2
+            elif not hdr.allow_high_precision_mv:
+                if v & 1:
+                    v += -1 if v > 0 else 1
+            out.append(int(v))
+        return tuple(out)
+
+    # -- candidate addition ---------------------------------------------------
+
+    def _cand(self, mv_r, mv_c):
+        dec = self.dec
+        return ((int(dec.ref_frames0[mv_r, mv_c]),
+                 int(dec.ref_frames1[mv_r, mv_c])),
+                ((int(dec.mvs[mv_r, mv_c, 0, 0]),
+                  int(dec.mvs[mv_r, mv_c, 0, 1])),
+                 (int(dec.mvs[mv_r, mv_c, 1, 0]),
+                  int(dec.mvs[mv_r, mv_c, 1, 1]))),
+                int(dec.modes[mv_r, mv_c]))
+
+    def _add_candidate(self, st: MvStack, mv_r, mv_c, weight, ref_frames,
+                       is_compound, flags):
+        """spec add_ref_mv_candidate; flags = [found_match] (in/out)."""
+        cand_ref, cand_mvs, cand_mode = self._cand(mv_r, mv_c)
+        if cand_ref[0] <= C.INTRA_FRAME:
+            return
+        glob = _is_global_mode(cand_mode)
+        if not is_compound:
+            for j in range(2):
+                if cand_ref[j] == ref_frames[0]:
+                    mv = (st.global_mvs[0] if glob else cand_mvs[j])
+                    flags[0] = True
+                    if _is_newmv_mode(cand_mode):
+                        st.new_mv_count += 1
+                    for i in range(st.num_found):
+                        if st.mvs[i][0] == mv:
+                            st.weights[i] += weight
+                            return
+                    if st.num_found < 8:
+                        st.mvs.append((mv, (0, 0)))
+                        st.weights.append(weight)
+                        st.num_found += 1
+                    return
+        else:
+            if (cand_ref[0] == ref_frames[0]
+                    and cand_ref[1] == ref_frames[1]):
+                mv0 = st.global_mvs[0] if glob else cand_mvs[0]
+                mv1 = st.global_mvs[1] if glob else cand_mvs[1]
+                flags[0] = True
+                if _is_newmv_mode(cand_mode):
+                    st.new_mv_count += 1
+                for i in range(st.num_found):
+                    if st.mvs[i] == (mv0, mv1):
+                        st.weights[i] += weight
+                        return
+                if st.num_found < 8:
+                    st.mvs.append((mv0, mv1))
+                    st.weights.append(weight)
+                    st.num_found += 1
+
+    # -- scans -----------------------------------------------------------------
+
+    def _scan_row(self, st, r, c, bsize, delta_row, ref_frames,
+                  is_compound):
+        dec = self.dec
+        bw4 = C.BLOCK_W4[bsize]
+        end4 = min(min(bw4, dec.mi_cols - c), 16)
+        d_row = delta_row
+        d_col = 0
+        if abs(delta_row) > 1:
+            d_row += r & 1
+            d_col = 1 - (c & 1)
+        step = 4 if bw4 >= 16 else 1
+        found = [False]
+        i = 0
+        while i < end4:
+            mv_r = r + d_row
+            mv_c = c + d_col + i
+            if not dec._is_inside(mv_r, mv_c):
+                break
+            cand_w4 = C.BLOCK_W4[int(dec.plan.bsize[mv_r, mv_c])]
+            length = max(step, min(bw4, cand_w4))
+            self._add_candidate(st, mv_r, mv_c, 2 * length, ref_frames,
+                                is_compound, found)
+            i += length
+        return found[0]
+
+    def _scan_col(self, st, r, c, bsize, delta_col, ref_frames,
+                  is_compound):
+        dec = self.dec
+        bh4 = C.BLOCK_H4[bsize]
+        end4 = min(min(bh4, dec.mi_rows - r), 16)
+        d_col = delta_col
+        d_row = 0
+        if abs(delta_col) > 1:
+            d_col += c & 1
+            d_row = 1 - (r & 1)
+        step = 4 if bh4 >= 16 else 1
+        found = [False]
+        i = 0
+        while i < end4:
+            mv_r = r + d_row + i
+            mv_c = c + d_col
+            if not dec._is_inside(mv_r, mv_c):
+                break
+            cand_h4 = C.BLOCK_H4[int(dec.plan.bsize[mv_r, mv_c])]
+            length = max(step, min(bh4, cand_h4))
+            self._add_candidate(st, mv_r, mv_c, 2 * length, ref_frames,
+                                is_compound, found)
+            i += length
+        return found[0]
+
+    def _scan_point(self, st, r, c, delta_row, delta_col, ref_frames,
+                    is_compound):
+        dec = self.dec
+        mv_r = r + delta_row
+        mv_c = c + delta_col
+        if not dec._is_inside(mv_r, mv_c):
+            return False
+        if int(dec.ref_frames0[mv_r, mv_c]) == C.NONE_FRAME:
+            return False
+        found = [False]
+        self._add_candidate(st, mv_r, mv_c, 4, ref_frames, is_compound,
+                            found)
+        return found[0]
+
+    # -- main --------------------------------------------------------------------
+
+    def find(self, r, c, bsize, ref_frames, is_compound) -> MvStack:
+        dec = self.dec
+        st = MvStack()
+        bw4 = C.BLOCK_W4[bsize]
+        bh4 = C.BLOCK_H4[bsize]
+
+        st.global_mvs[0] = self.setup_global_mv(ref_frames[0], r, c, bsize)
+        if is_compound:
+            st.global_mvs[1] = self.setup_global_mv(ref_frames[1], r, c,
+                                                    bsize)
+
+        found_above = self._scan_row(st, r, c, bsize, -1, ref_frames,
+                                     is_compound)
+        found_left = self._scan_col(st, r, c, bsize, -1, ref_frames,
+                                    is_compound)
+        if max(bw4, bh4) <= 16 and dec._has_tr(r, c, bsize):
+            if self._scan_point(st, r, c, -1, bw4, ref_frames,
+                                is_compound):
+                found_above = True
+
+        close_matches = int(found_above) + int(found_left)
+        st.num_nearest = st.num_found
+        num_new = st.new_mv_count
+
+        for i in range(st.num_nearest):
+            st.weights[i] += REF_CAT_LEVEL
+
+        # temporal scan disabled: zero-mv context from the global mv
+        gm = st.global_mvs[0]
+        st.zero_mv_ctx = 1 if (abs(gm[0]) >= 8 or abs(gm[1]) >= 8) else 0
+
+        if self._scan_point(st, r, c, -1, -1, ref_frames, is_compound):
+            found_above = True
+        if self._scan_row(st, r, c, bsize, -3, ref_frames, is_compound):
+            found_above = True
+        if self._scan_col(st, r, c, bsize, -3, ref_frames, is_compound):
+            found_left = True
+        if self._scan_row(st, r, c, bsize, -5, ref_frames, is_compound):
+            found_above = True
+        if self._scan_col(st, r, c, bsize, -5, ref_frames, is_compound):
+            found_left = True
+
+        total_matches = int(found_above) + int(found_left)
+
+        def sort_seg(lo, hi):
+            order = sorted(range(lo, hi), key=lambda i: -st.weights[i])
+            st.mvs[lo:hi] = [st.mvs[i] for i in order]
+            st.weights[lo:hi] = [st.weights[i] for i in order]
+
+        sort_seg(0, st.num_nearest)
+        sort_seg(st.num_nearest, st.num_found)
+
+        # mode contexts (spec 7.10.2 step after sorting)
+        if close_matches == 0:
+            st.new_mv_ctx = min(total_matches, 1)
+            st.ref_mv_ctx = total_matches
+        elif close_matches == 1:
+            st.new_mv_ctx = 3 - min(num_new, 1)
+            st.ref_mv_ctx = 2 + total_matches
+        else:
+            st.new_mv_ctx = 5 - min(num_new, 1)
+            st.ref_mv_ctx = 5
+
+        # extra candidate fill up to 2 (spec 7.10.2.12/13 minimal form)
+        while st.num_found < 2:
+            if is_compound:
+                st.mvs.append((st.global_mvs[0], st.global_mvs[1]))
+            else:
+                st.mvs.append((st.global_mvs[0], (0, 0)))
+            st.weights.append(2)
+            st.num_found += 1
+
+        for i in range(len(st.mvs)):
+            st.mvs[i] = (self._clamp_mv(st.mvs[i][0], r, c, bsize),
+                         self._clamp_mv(st.mvs[i][1], r, c, bsize))
+        st.global_mvs[0] = self._clamp_mv(st.global_mvs[0], r, c, bsize)
+        if is_compound:
+            st.global_mvs[1] = self._clamp_mv(st.global_mvs[1], r, c,
+                                              bsize)
+        return st
+
+    def _clamp_mv(self, mv, r, c, bsize):
+        dec = self.dec
+        bw4 = C.BLOCK_W4[bsize]
+        bh4 = C.BLOCK_H4[bsize]
+        row_border = MV_BORDER + bh4 * 4 * 8
+        col_border = MV_BORDER + bw4 * 4 * 8
+        mn_row = -(r * 4 * 8) - row_border
+        mx_row = (dec.mi_rows - bh4 - r) * 4 * 8 + row_border
+        mn_col = -(c * 4 * 8) - col_border
+        mx_col = (dec.mi_cols - bw4 - c) * 4 * 8 + col_border
+        return (max(mn_row, min(mx_row, mv[0])),
+                max(mn_col, min(mx_col, mv[1])))

@@ -54,6 +54,13 @@ class BlockRecord:
     cfl_alphas: Optional[Tuple[int, int]] = None
     filter_intra: Optional[int] = None
     tx_blocks: List[TxBlock] = dataclasses.field(default_factory=list)
+    # inter fields
+    is_inter: bool = False
+    ref_frame: Tuple[int, int] = (0, -1)
+    mv: Tuple[int, int] = (0, 0)          # (row, col) 1/8-pel
+    interp_filter: Tuple[int, int] = (0, 0)
+    # var-tx luma leaves [(x4off, y4off, tx_size)] when is_inter
+    var_txs: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -92,6 +99,10 @@ class FramePlan:
 # which are the same values on an 8x8-unit bit scale).
 _PART_ABOVE = [max(0, 64 - 2 * C.BLOCK_W4[b]) for b in range(22)]
 _PART_LEFT = [max(0, 64 - 2 * C.BLOCK_H4[b]) for b in range(22)]
+
+# spec Size_Group_Lookup (y_mode cdf context for non-key frames)
+SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+              1, 1, 2, 2, 3, 3]
 
 # Partition subsize table (spec Partition_Subsize[10][BLOCK_SIZES_ALL]),
 # entries only needed for square parents 8x8..128x128.
@@ -172,6 +183,18 @@ class TileDecoder:
         self.a_sign = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
         self.l_sign = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
         self.cur_qindex = self.hdr.quant.base_q_idx
+        # inter decode state (per-4x4): ref pair, mvs, modes, interp,
+        # skip-mode, decoded coverage (for has_top_right)
+        self.ref_frames0 = np.full((self.mi_rows, self.mi_cols), -1, np.int8)
+        self.ref_frames1 = np.full((self.mi_rows, self.mi_cols), -1, np.int8)
+        self.mvs = np.zeros((self.mi_rows, self.mi_cols, 2, 2), np.int16)
+        self.modes = np.zeros((self.mi_rows, self.mi_cols), np.int16)
+        self.interp = np.zeros((self.mi_rows, self.mi_cols, 2), np.int8)
+        self.skip_mode_g = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.decoded_mi = np.zeros((self.mi_rows, self.mi_cols), bool)
+        self.tx_types = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        from easyav1_tpu.video.av1.refmvs import RefMvFinder
+        self.refmv = RefMvFinder(self)
 
     # -- entry -------------------------------------------------------------
 
@@ -383,13 +406,27 @@ class TileDecoder:
             if self.ssx and full_w4 == 1 and (c & 1) == 0:
                 has_chroma = False
 
-        # skip
-        skip_ctx = 0
-        if avail_u:
-            skip_ctx += int(self.a_skip[c])
-        if avail_l:
-            skip_ctx += int(self.l_skip[r])
-        skip = msac.decode_symbol(self.cdf["skip"][skip_ctx])
+        # skip mode (spec read_skip_mode), then skip
+        self.skip_mode_flag = False
+        if (not hdr.frame_is_intra and hdr.skip_mode_present
+                and C.BLOCK_W4[bsize] * 4 >= 8
+                and C.BLOCK_H4[bsize] * 4 >= 8):
+            sm_ctx = 0
+            if avail_u:
+                sm_ctx += int(self.skip_mode_g[r - 1, c])
+            if avail_l:
+                sm_ctx += int(self.skip_mode_g[r, c - 1])
+            self.skip_mode_flag = bool(
+                msac.decode_symbol(self.cdf["skip_mode"][sm_ctx]))
+        if self.skip_mode_flag:
+            skip = 1
+        else:
+            skip_ctx = 0
+            if avail_u:
+                skip_ctx += int(self.a_skip[c])
+            if avail_l:
+                skip_ctx += int(self.l_skip[r])
+            skip = msac.decode_symbol(self.cdf["skip"][skip_ctx])
 
         # cdef index (spec read_cdef): one literal per 64x64 unit, read at
         # the first non-skip block touching it
@@ -411,12 +448,131 @@ class TileDecoder:
             self._read_deltas(bsize, skip)
         self.read_deltas = False
 
-        # y mode (intra frame): kf cdf indexed by above/left mode contexts
-        above_mode = int(self.a_mode[c]) if avail_u else C.DC_PRED
-        left_mode = int(self.l_mode[r]) if avail_l else C.DC_PRED
-        actx = T.INTRA_MODE_CONTEXT[above_mode]
-        lctx = T.INTRA_MODE_CONTEXT[left_mode]
-        y_mode = msac.decode_symbol(self.cdf["kf_y_mode"][actx][lctx])
+        # mode info: keyframe intra, inter-frame intra, or inter
+        if hdr.frame_is_intra:
+            is_inter = False
+        else:
+            is_inter = self._read_is_inter(r, c, bsize, skip, avail_u,
+                                           avail_l)
+
+        if not is_inter:
+            (y_mode, angle_y, uv_mode, angle_uv, cfl_alpha_u, cfl_alpha_v,
+             use_filter_intra, filter_intra_mode) = \
+                self._intra_mode_info(r, c, bsize, has_chroma, avail_u,
+                                      avail_l)
+            ref_frame = (C.INTRA_FRAME, C.NONE_FRAME)
+            mv = (0, 0)
+            interp = (C.EIGHTTAP, C.EIGHTTAP)
+            block_mode = y_mode
+        else:
+            (block_mode, ref_frame, mv, interp) = \
+                self._inter_mode_info(r, c, bsize, avail_u, avail_l)
+            y_mode = C.DC_PRED
+            uv_mode = C.DC_PRED
+            angle_y = angle_uv = 0
+            cfl_alpha_u = cfl_alpha_v = 0
+            use_filter_intra = False
+            filter_intra_mode = 0
+
+        # record mode info
+        self._cur_block = BlockRecord(
+            r=r, c=c, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+            angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
+            tx_size=0, uv_tx_size=0, has_chroma=has_chroma,
+            cfl_alphas=((cfl_alpha_u, cfl_alpha_v)
+                        if uv_mode == C.UV_CFL_PRED else None),
+            filter_intra=filter_intra_mode if use_filter_intra else None,
+            is_inter=is_inter, ref_frame=ref_frame, mv=mv,
+            interp_filter=interp,
+        )
+        plan.blocks.append(self._cur_block)
+        plan.y_mode[r:r + h4, c:c + w4] = y_mode
+        plan.uv_mode[r:r + h4, c:c + w4] = uv_mode
+        plan.angle_y[r:r + h4, c:c + w4] = angle_y
+        plan.angle_uv[r:r + h4, c:c + w4] = angle_uv
+        plan.skip[r:r + h4, c:c + w4] = skip
+        plan.bsize[r:r + h4, c:c + w4] = bsize
+        if uv_mode == C.UV_CFL_PRED:
+            plan.cfl_alphas[(r, c)] = (cfl_alpha_u, cfl_alpha_v)
+        if use_filter_intra:
+            plan.filter_intra[(r, c)] = filter_intra_mode
+
+        # inter decode-state grids (scans by later blocks)
+        self.ref_frames0[r:r + h4, c:c + w4] = ref_frame[0]
+        self.ref_frames1[r:r + h4, c:c + w4] = ref_frame[1]
+        self.mvs[r:r + h4, c:c + w4, 0, 0] = mv[0]
+        self.mvs[r:r + h4, c:c + w4, 0, 1] = mv[1]
+        self.modes[r:r + h4, c:c + w4] = block_mode
+        self.interp[r:r + h4, c:c + w4, 0] = interp[0]
+        self.interp[r:r + h4, c:c + w4, 1] = interp[1]
+        self.decoded_mi[r:r + h4, c:c + w4] = True
+        self.skip_mode_g[r:r + h4, c:c + w4] = int(self.skip_mode_flag)
+
+        # tx size + residual
+        if not is_inter:
+            tx_size = self._read_tx_size(r, c, bsize, skip, avail_u,
+                                         avail_l)
+            self._cur_block.tx_size = tx_size
+            self._cur_block.uv_tx_size = (self._uv_tx_size(bsize)
+                                          if has_chroma else 0)
+            if not skip:
+                self._residual(r, c, bsize, tx_size, has_chroma)
+            else:
+                self._clear_coef_ctx(r, c, bsize, tx_size, has_chroma)
+            self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+            self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+        else:
+            tx_size = T.MAX_TX_SIZE_RECT[bsize]
+            if hdr.coded_lossless:
+                tx_size = C.TX_4X4
+            self._cur_block.uv_tx_size = (self._uv_tx_size(bsize)
+                                          if has_chroma else 0)
+            if skip or hdr.tx_mode != C.TX_MODE_SELECT \
+                    or hdr.coded_lossless:
+                # uniform max tx; txfm ctx arrays get the full dims
+                self._cur_block.tx_size = tx_size
+                var_txs = [(xx, yy, tx_size)
+                           for yy in range(0, min(h4, self.mi_row_end - r),
+                                           T.TX_H4[tx_size])
+                           for xx in range(0, min(w4, self.mi_col_end - c),
+                                           T.TX_W4[tx_size])]
+                if skip:
+                    # skipped inter blocks publish the BLOCK dims to the
+                    # txfm-split contexts (libaom set_txfm_ctxs)
+                    self.a_txw[c:c + w4] = C.BLOCK_W4[bsize] * 4
+                    self.l_txh[r:r + h4] = C.BLOCK_H4[bsize] * 4
+                else:
+                    self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+                    self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+            else:
+                var_txs = self._read_var_tx(r, c, bsize)
+                self._cur_block.tx_size = tx_size  # max (for lf grids)
+            self._cur_block.var_txs = var_txs
+            if not skip:
+                self._residual_inter(r, c, bsize, var_txs, has_chroma)
+            else:
+                self._clear_coef_ctx(r, c, bsize, tx_size, has_chroma)
+
+        # context updates
+        self.a_mode[c:c + w4] = y_mode if not is_inter else C.DC_PRED
+        self.l_mode[r:r + h4] = y_mode if not is_inter else C.DC_PRED
+        self.a_skip[c:c + w4] = skip
+        self.l_skip[r:r + h4] = skip
+
+    # -- intra mode info (both frame types) ---------------------------------
+
+    def _intra_mode_info(self, r, c, bsize, has_chroma, avail_u, avail_l):
+        msac = self.msac
+        hdr = self.hdr
+        if hdr.frame_is_intra:
+            above_mode = int(self.a_mode[c]) if avail_u else C.DC_PRED
+            left_mode = int(self.l_mode[r]) if avail_l else C.DC_PRED
+            actx = T.INTRA_MODE_CONTEXT[above_mode]
+            lctx = T.INTRA_MODE_CONTEXT[left_mode]
+            y_mode = msac.decode_symbol(self.cdf["kf_y_mode"][actx][lctx])
+        else:
+            y_mode = msac.decode_symbol(
+                self.cdf["y_mode"][SIZE_GROUP[bsize]])
 
         angle_y = 0
         if bsize >= C.BLOCK_8X8 and C.V_PRED <= y_mode <= C.D67_PRED:
@@ -439,62 +595,339 @@ class TileDecoder:
                 angle_uv = msac.decode_symbol(
                     self.cdf["angle_delta"][uv_mode - C.V_PRED]) - 3
 
-        # filter intra
         use_filter_intra = False
         filter_intra_mode = 0
         if (self.seq.enable_filter_intra and y_mode == C.DC_PRED
                 and C.BLOCK_W4[bsize] * 4 <= 32
                 and C.BLOCK_H4[bsize] * 4 <= 32):
-            # palette not yet supported; once it is, the condition also
-            # requires palette_size_y == 0
             use_filter_intra = bool(msac.decode_symbol(
-                self._filter_intra_cdf(bsize)))
+                self.cdf["filter_intra_use"][bsize]))
             if use_filter_intra:
                 filter_intra_mode = msac.decode_symbol(
                     self.cdf["filter_intra_mode"][0])
+        return (y_mode, angle_y, uv_mode, angle_uv, cfl_alpha_u,
+                cfl_alpha_v, use_filter_intra, filter_intra_mode)
 
-        # record mode info
-        self._cur_block = BlockRecord(
-            r=r, c=c, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
-            angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
-            tx_size=0, uv_tx_size=0, has_chroma=has_chroma,
-            cfl_alphas=((cfl_alpha_u, cfl_alpha_v)
-                        if uv_mode == C.UV_CFL_PRED else None),
-            filter_intra=filter_intra_mode if use_filter_intra else None,
-        )
-        plan.blocks.append(self._cur_block)
-        plan.y_mode[r:r + h4, c:c + w4] = y_mode
-        plan.uv_mode[r:r + h4, c:c + w4] = uv_mode
-        plan.angle_y[r:r + h4, c:c + w4] = angle_y
-        plan.angle_uv[r:r + h4, c:c + w4] = angle_uv
-        plan.skip[r:r + h4, c:c + w4] = skip
-        plan.bsize[r:r + h4, c:c + w4] = bsize
-        if uv_mode == C.UV_CFL_PRED:
-            plan.cfl_alphas[(r, c)] = (cfl_alpha_u, cfl_alpha_v)
-        if use_filter_intra:
-            plan.filter_intra[(r, c)] = filter_intra_mode
+    # -- inter mode info ------------------------------------------------------
 
-        # tx size
-        tx_size = self._read_tx_size(r, c, bsize, skip, avail_u, avail_l)
-        self._cur_block.tx_size = tx_size
-        self._cur_block.uv_tx_size = (self._uv_tx_size(bsize)
-                                      if has_chroma else 0)
-
-        # residual
-        if not skip:
-            self._residual(r, c, bsize, tx_size, has_chroma)
+    def _read_is_inter(self, r, c, bsize, skip, avail_u, avail_l):
+        if self.skip_mode_flag:
+            return True
+        # ctx from neighbor intra/inter (spec intra_inter ctx)
+        if avail_u and avail_l:
+            above_intra = int(self.ref_frames0[r - 1, c]) == C.INTRA_FRAME
+            left_intra = int(self.ref_frames0[r, c - 1]) == C.INTRA_FRAME
+            ctx = 3 if (above_intra and left_intra) else \
+                int(above_intra or left_intra)
+        elif avail_u or avail_l:
+            nb_intra = (int(self.ref_frames0[r - 1, c]) == C.INTRA_FRAME
+                        if avail_u
+                        else int(self.ref_frames0[r, c - 1])
+                        == C.INTRA_FRAME)
+            ctx = 2 * int(nb_intra)
         else:
-            self._clear_coef_ctx(r, c, bsize, tx_size, has_chroma)
+            ctx = 0
+        return bool(self.msac.decode_symbol(self.cdf["intra_inter"][ctx]))
 
-        # context updates
-        self.a_mode[c:c + w4] = y_mode
-        self.l_mode[r:r + h4] = y_mode
-        self.a_skip[c:c + w4] = skip
-        self.l_skip[r:r + h4] = skip
-        self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
-        self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+    def _count_refs(self, r, c, avail_u, avail_l):
+        counts = [0] * 8
+        for rr, cc, av in ((r - 1, c, avail_u), (r, c - 1, avail_l)):
+            if not av:
+                continue
+            f0 = int(self.ref_frames0[rr, cc])
+            f1 = int(self.ref_frames1[rr, cc])
+            if f0 > C.INTRA_FRAME:
+                counts[f0] += 1
+            if f1 > C.INTRA_FRAME:
+                counts[f1] += 1
+        return counts
+
+    @staticmethod
+    def _ref_ctx(c0, c1):
+        if c0 == c1:
+            return 1
+        return 0 if c0 < c1 else 2
+
+    def _read_ref_frames(self, r, c, bsize, skip_mode, avail_u, avail_l):
+        hdr = self.hdr
+        msac = self.msac
+        if skip_mode:
+            return tuple(hdr.skip_mode_frames)
+        if getattr(hdr, "reference_select", False):
+            raise NotImplementedError("compound reference mode")
+        # single reference: p1/p2/p3/p4/p5/p6 tree with count contexts
+        cnt = self._count_refs(r, c, avail_u, avail_l)
+        fwd = cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME] + \
+            cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME]
+        bwd = cnt[C.BWDREF_FRAME] + cnt[C.ALTREF2_FRAME] + \
+            cnt[C.ALTREF_FRAME]
+        sr = self.cdf["single_ref"]
+        if msac.decode_symbol(sr[self._ref_ctx(fwd, bwd)][0]):  # p1: bwd
+            ctx2 = self._ref_ctx(cnt[C.ALTREF2_FRAME]
+                                 + cnt[C.BWDREF_FRAME],
+                                 cnt[C.ALTREF_FRAME])
+            if msac.decode_symbol(sr[ctx2][1]):                 # p2: ALTREF
+                return (C.ALTREF_FRAME, C.NONE_FRAME)
+            ctx6 = self._ref_ctx(cnt[C.BWDREF_FRAME],
+                                 cnt[C.ALTREF2_FRAME])
+            if msac.decode_symbol(sr[ctx6][5]):                 # p6
+                return (C.ALTREF2_FRAME, C.NONE_FRAME)
+            return (C.BWDREF_FRAME, C.NONE_FRAME)
+        ctx3 = self._ref_ctx(cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME],
+                             cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME])
+        if msac.decode_symbol(sr[ctx3][2]):                     # p3
+            ctx5 = self._ref_ctx(cnt[C.LAST3_FRAME], cnt[C.GOLDEN_FRAME])
+            if msac.decode_symbol(sr[ctx5][4]):                 # p5
+                return (C.GOLDEN_FRAME, C.NONE_FRAME)
+            return (C.LAST3_FRAME, C.NONE_FRAME)
+        ctx4 = self._ref_ctx(cnt[C.LAST_FRAME], cnt[C.LAST2_FRAME])
+        if msac.decode_symbol(sr[ctx4][3]):                     # p4
+            return (C.LAST2_FRAME, C.NONE_FRAME)
+        return (C.LAST_FRAME, C.NONE_FRAME)
+
+    def _drl_ctx(self, st, idx):
+        if st.weights[idx] >= 640:
+            return 0 if st.weights[idx + 1] >= 640 else 1
+        return 2
+
+    def _read_inter_mode(self, st):
+        msac = self.msac
+        if not msac.decode_symbol(self.cdf["newmv"][st.new_mv_ctx]):
+            return C.NEWMV
+        if not msac.decode_symbol(self.cdf["zeromv"][st.zero_mv_ctx]):
+            return C.GLOBALMV
+        if not msac.decode_symbol(self.cdf["refmv"][st.ref_mv_ctx]):
+            return C.NEARESTMV
+        return C.NEARMV
+
+    def _read_drl(self, st, mode):
+        msac = self.msac
+        ref_mv_idx = 0
+        if mode in (C.NEWMV, C.NEW_NEWMV):
+            for idx in range(2):
+                if st.num_found > idx + 1:
+                    if not msac.decode_symbol(
+                            self.cdf["drl"][self._drl_ctx(st, idx)]):
+                        break
+                    ref_mv_idx = idx + 1
+        elif mode in (C.NEARMV, C.NEAR_NEARMV):
+            ref_mv_idx = 1
+            for idx in range(1, 3):
+                if st.num_found > idx + 1:
+                    if not msac.decode_symbol(
+                            self.cdf["drl"][self._drl_ctx(st, idx)]):
+                        break
+                    ref_mv_idx = idx + 1
+        return ref_mv_idx
+
+    def _read_mv_component(self, comp):
+        msac = self.msac
+        hdr = self.hdr
+        cdf = self.cdf
+        sign = msac.decode_symbol(cdf[f"mv_sign_{comp}"][0])
+        mv_class = msac.decode_symbol(cdf[f"mv_classes_{comp}"][0])
+        if mv_class == 0:
+            int_bit = msac.decode_symbol(cdf[f"mv_class0_{comp}"][0])
+            if getattr(hdr, "force_integer_mv", 0):
+                fr = 3
+            else:
+                fr = msac.decode_symbol(
+                    cdf[f"mv_class0_fr_{comp}"][int_bit])
+            if hdr.allow_high_precision_mv:
+                hp = msac.decode_symbol(cdf[f"mv_class0_hp_{comp}"][0])
+            else:
+                hp = 1
+            mag = ((int_bit << 3) | (fr << 1) | hp) + 1
+        else:
+            d = 0
+            for i in range(mv_class):
+                d |= msac.decode_symbol(cdf[f"mv_bits_{comp}"][i]) << i
+            mag = 2 << (mv_class + 2)           # CLASS0_SIZE << (cls+2)
+            if getattr(hdr, "force_integer_mv", 0):
+                fr = 3
+            else:
+                fr = msac.decode_symbol(cdf[f"mv_fr_{comp}"][0])
+            if hdr.allow_high_precision_mv:
+                hp = msac.decode_symbol(cdf[f"mv_hp_{comp}"][0])
+            else:
+                hp = 1
+            mag += ((d << 3) | (fr << 1) | hp) + 1
+        return -mag if sign else mag
+
+    def _read_mv(self, pred):
+        joint = self.msac.decode_symbol(self.cdf["mv_joint"][0])
+        dr = dc = 0
+        if joint in (C.MV_JOINT_HZVNZ, C.MV_JOINT_HNZVNZ):
+            dr = self._read_mv_component(0)
+        if joint in (C.MV_JOINT_HNZVZ, C.MV_JOINT_HNZVNZ):
+            dc = self._read_mv_component(1)
+        return (pred[0] + dr, pred[1] + dc)
+
+    def _read_interp_filter(self, r, c, ref_frame, avail_u, avail_l):
+        hdr = self.hdr
+        if hdr.interpolation_filter != C.SWITCHABLE:
+            f = hdr.interpolation_filter
+            return (f, f)
+        filters = []
+        n_dirs = 2 if getattr(self.seq, "enable_dual_filter", False) else 1
+        for d in range(n_dirs):
+            ctx = ((d & 1) * 2 + int(ref_frame[1] > C.INTRA_FRAME)) * 4
+            left_type = 3
+            above_type = 3
+            if avail_l and (int(self.ref_frames0[r, c - 1]) == ref_frame[0]
+                            or int(self.ref_frames1[r, c - 1])
+                            == ref_frame[0]):
+                left_type = int(self.interp[r, c - 1, d])
+            if avail_u and (int(self.ref_frames0[r - 1, c]) == ref_frame[0]
+                            or int(self.ref_frames1[r - 1, c])
+                            == ref_frame[0]):
+                above_type = int(self.interp[r - 1, c, d])
+            if left_type == above_type:
+                ctx += left_type
+            elif left_type == 3:
+                ctx += above_type
+            elif above_type == 3:
+                ctx += left_type
+            else:
+                ctx += 3
+            filters.append(self._decode_ragged(
+                self.cdf["switchable_interp"][ctx], 3))
+        if n_dirs == 1:
+            filters.append(filters[0])
+        return tuple(filters)
+
+    def _inter_mode_info(self, r, c, bsize, avail_u, avail_l):
+        ref_frame = self._read_ref_frames(r, c, bsize,
+                                          self.skip_mode_flag,
+                                          avail_u, avail_l)
+        st = self.refmv.find(r, c, bsize, ref_frame,
+                             ref_frame[1] > C.INTRA_FRAME)
+        if self.skip_mode_flag:
+            mode = C.NEAREST_NEARESTMV
+            mv = st.mvs[0][0]
+        else:
+            mode = self._read_inter_mode(st)
+            ref_mv_idx = self._read_drl(st, mode)
+            if mode == C.NEWMV:
+                pred = self.refmv._lower_precision(st.mvs[ref_mv_idx][0])
+                mv = self._read_mv(pred)
+            elif mode == C.NEARESTMV:
+                mv = st.mvs[0][0]
+            elif mode == C.NEARMV:
+                mv = st.mvs[ref_mv_idx][0]
+            else:                        # GLOBALMV
+                mv = st.global_mvs[0]
+        # motion mode (spec read_motion_mode): with warped motion off
+        # this is the OBMC bool; OBMC itself is not yet reconstructed
+        if (getattr(self.hdr, "is_motion_mode_switchable", False)
+                and not self.skip_mode_flag
+                and min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8
+                and ref_frame[1] <= C.INTRA_FRAME
+                and self._has_overlappable(r, c, bsize, avail_u, avail_l)):
+            if getattr(self.hdr, "allow_warped_motion", False):
+                raise NotImplementedError("warped motion mode symbol")
+            if self.msac.decode_symbol(self.cdf["obmc"][bsize]):
+                raise NotImplementedError("OBMC reconstruction")
+        interp = self._read_interp_filter(r, c, ref_frame, avail_u,
+                                          avail_l)
+        return int(mode), ref_frame, (int(mv[0]), int(mv[1])), interp
+
+    def _has_overlappable(self, r, c, bsize, avail_u, avail_l):
+        if avail_u:
+            for i in range(0, min(C.BLOCK_W4[bsize],
+                                  self.mi_col_end - c)):
+                if int(self.ref_frames0[r - 1, c + i]) > C.INTRA_FRAME:
+                    return True
+        if avail_l:
+            for i in range(0, min(C.BLOCK_H4[bsize],
+                                  self.mi_row_end - r)):
+                if int(self.ref_frames0[r + i, c - 1]) > C.INTRA_FRAME:
+                    return True
+        return False
+
+    # -- inter var-tx tree + residual ----------------------------------------
+
+    def _txfm_split_ctx(self, r, c, bsize, tx_size):
+        txw = T.TX_WIDTH[tx_size]
+        txh = T.TX_HEIGHT[tx_size]
+        above = int(self.a_txw[c]) < txw
+        left = int(self.l_txh[r]) < txh
+        max_rect = T.MAX_TX_SIZE_RECT[bsize]
+        max_sq = T.TX_SIZE_SQR_UP[max_rect]
+        cat = ((T.TX_SIZE_SQR_UP[tx_size] != max_sq and max_sq > C.TX_8X8)
+               + (C.TX_SIZES - 1 - max_sq) * 2)
+        return cat * 3 + int(above) + int(left)
+
+    def _read_var_tx(self, r, c, bsize):
+        """spec read_var_tx_size over the block; returns luma leaves
+        [(x4off, y4off, tx_size)] in raster order of max-tx units."""
+        leaves = []
+        max_tx = T.MAX_TX_SIZE_RECT[bsize]
+        w4 = min(C.BLOCK_W4[bsize], self.mi_col_end - c)
+        h4 = min(C.BLOCK_H4[bsize], self.mi_row_end - r)
+        sw = T.TX_W4[max_tx]
+        sh = T.TX_H4[max_tx]
+        for yy in range(0, h4, sh):
+            for xx in range(0, w4, sw):
+                self._var_tx_node(r, c, bsize, xx, yy, max_tx, 0, leaves)
+        return leaves
+
+    def _var_tx_node(self, r, c, bsize, xx, yy, tx_size, depth, leaves):
+        msac = self.msac
+        split = False
+        if depth < 2 and tx_size != C.TX_4X4:
+            ctx = self._txfm_split_ctx(r + yy, c + xx, bsize, tx_size)
+            split = bool(msac.decode_symbol(
+                self.cdf["txfm_partition"][ctx]))
+        if split:
+            sub = T.SPLIT_TX_SIZE[tx_size]
+            sw = T.TX_W4[sub]
+            sh = T.TX_H4[sub]
+            for dy in range(0, T.TX_H4[tx_size], sh):
+                for dx in range(0, T.TX_W4[tx_size], sw):
+                    self._var_tx_node(r, c, bsize, xx + dx, yy + dy, sub,
+                                      depth + 1, leaves)
+        else:
+            leaves.append((xx, yy, tx_size))
+            # txfm ctx arrays updated with the leaf dims
+            tw4 = T.TX_W4[tx_size]
+            th4 = T.TX_H4[tx_size]
+            self.a_txw[c + xx:c + xx + tw4] = T.TX_WIDTH[tx_size]
+            self.l_txh[r + yy:r + yy + th4] = T.TX_HEIGHT[tx_size]
+
+    def _residual_inter(self, r, c, bsize, var_txs, has_chroma):
+        for (xx, yy, tx) in var_txs:
+            if r + yy >= self.mi_row_end or c + xx >= self.mi_col_end:
+                continue
+            self._transform_block(0, (c + xx) * 4, (r + yy) * 4, tx, r, c)
+        if has_chroma and self.num_planes > 1:
+            tx = self._uv_tx_size(bsize)
+            w4 = C.BLOCK_W4[bsize]
+            h4 = C.BLOCK_H4[bsize]
+            pw4 = max(1, min(w4, self.mi_col_end - c) >> self.ssx)
+            ph4 = max(1, min(h4, self.mi_row_end - r) >> self.ssy)
+            cx = (c >> self.ssx) * 4
+            cy = (r >> self.ssy) * 4
+            for plane in (1, 2):
+                for yy in range(0, ph4, T.TX_H4[tx]):
+                    for xx in range(0, pw4, T.TX_W4[tx]):
+                        self._transform_block(plane, cx + xx * 4,
+                                              cy + yy * 4, tx, r, c)
+
+    def _is_inside(self, r, c):
+        return (self.mi_row_start <= r < self.mi_row_end
+                and self.mi_col_start <= c < self.mi_col_end
+                and self.decoded_mi[r, c])
+
+    def _has_tr(self, r, c, bsize):
+        bw4 = C.BLOCK_W4[bsize]
+        rr, cc = r - 1, c + bw4
+        if rr < 0 or cc >= self.mi_cols:
+            return False
+        return bool(self.decoded_mi[rr, cc])
 
     def _filter_intra_cdf(self, bsize):
+
         # filter_intra use cdf indexed by block size; table not yet
         # located in the binary — fall back to a per-size uniform cdf.
         key = "_filter_intra_use"
@@ -671,6 +1104,9 @@ class TileDecoder:
         # transform type
         if plane == 0:
             tx_type = self._read_tx_type(x4, y4, tx_size, blk_r, blk_c)
+            tw4g = min(T.TX_W4[tx_size], self.mi_cols - x4)
+            th4g = min(T.TX_H4[tx_size], self.mi_rows - y4)
+            self.tx_types[y4:y4 + th4g, x4:x4 + tw4g] = tx_type
         else:
             tx_type = self._uv_tx_type(tx_size, blk_r, blk_c)
         tx_cls = T.tx_type_class(tx_type)
@@ -810,8 +1246,19 @@ class TileDecoder:
         hdr = self.hdr
         if hdr.coded_lossless:
             return C.DCT_DCT
-        if self.hdr.seg.enabled:
-            pass  # lossless segments not yet wired
+        if self._cur_block.is_inter:
+            tx_set = T.get_tx_set_inter(tx_size, hdr.reduced_tx_set)
+            if tx_set == 0:
+                return C.DCT_DCT
+            sq = T.TX_SIZE_SQR[tx_size]
+            if tx_set == 1:
+                row = self.cdf["inter_ext_tx_set1"][sq]
+                return T.TX_SET_INTER_1[self._decode_ragged(row, 16)]
+            if tx_set == 2:
+                row = self.cdf["inter_ext_tx_set2"][sq]
+                return T.TX_SET_INTER_2[self._decode_ragged(row, 12)]
+            row = self.cdf["inter_ext_tx_set3"][sq]
+            return T.TX_SET_INTER_3[self._decode_ragged(row, 2)]
         tx_set = T.get_tx_set_intra(tx_size, hdr.reduced_tx_set)
         if tx_set == 0:
             return C.DCT_DCT
@@ -836,6 +1283,15 @@ class TileDecoder:
         hdr = self.hdr
         if hdr.coded_lossless:
             return C.DCT_DCT
+        if self._cur_block.is_inter:
+            # inter chroma: the co-located luma tx type, clamped by set
+            t = int(self.tx_types[blk_r, blk_c])
+            tx_set = T.get_tx_set_inter(tx_size, hdr.reduced_tx_set)
+            if tx_set == 0:
+                return C.DCT_DCT
+            allowed = (T.TX_SET_INTER_1 if tx_set == 1 else
+                       T.TX_SET_INTER_2 if tx_set == 2 else T.TX_SET_INTER_3)
+            return t if t in allowed else C.DCT_DCT
         uv_mode = int(self.plan.uv_mode[blk_r, blk_c])
         if uv_mode == C.UV_CFL_PRED:
             uv_mode = C.DC_PRED

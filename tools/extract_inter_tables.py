@@ -122,7 +122,11 @@ MEMBERS = {
     "interintra_mode": (0x249C, (4, 5)),
     "motion_mode": (0x24C4, (22, 4)),
     "obmc": (0x2586, (22, 3)),
+    "comp_inter": (0x2C4E, (5, 3)),
     "single_ref": (0x2C6C, (3, 6, 3)),
+    "comp_ref_type": (0x2CD8, (5, 3)),
+    "uni_comp_ref": (0x2CF6, (3, 3, 3)),
+    "txfm_partition": (0x2D86, (21, 3)),
     "comp_ref": (0x2D2C, (3, 3, 3)),
     "comp_bwdref": (0x2D62, (3, 2, 3)),
     "compound_index": (0x2E04, (6, 3)),
@@ -164,8 +168,24 @@ def main():
     assert t["intra_inter"][3][0] == 6230
     assert t["zeromv"][0][0] == 30593 and t["zeromv"][1][0] == 31714
     assert t["intrabc"][0][0] == 2237
+    # subpel interpolation filter tables (spec §7.11.3.3), located in
+    # .rodata by their normative coefficient rows
+    rod = np.fromfile("/tmp/_aom_ro.bin", dtype="<i2")
+    filters = {
+        "mc_filter_regular8": 159104,
+        "mc_filter_smooth8": 158848,
+        "mc_filter_sharp8": 158976,
+        "mc_filter_bilinear": 159232,
+        "mc_filter_regular4": 193152,
+        "mc_filter_smooth4": 193024,
+    }
+    for name, off in filters.items():
+        tab = rod[off:off + 16 * 8].reshape(16, 8).copy()
+        assert tab[0].tolist()[:4] == [0, 0, 0, 128] or "4" in name
+        assert np.all(tab.sum(axis=1) == 128), name
+        t[name] = tab
     np.savez_compressed(OUT, **t)
-    print(f"updated {OUT} with {len(MEMBERS)} inter tables")
+    print(f"updated {OUT} with {len(MEMBERS)} inter tables + 6 filters")
 
 
 if __name__ == "__main__":
