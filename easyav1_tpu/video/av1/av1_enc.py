@@ -483,15 +483,37 @@ class SimpleTileEncoder:
         # blocks >= 32x32 to avoid coding it (set 0).
         # tx type symbol: luma only — chroma tx type is DERIVED from the
         # uv mode, never coded
-        tx_set = T.get_tx_set_intra(tx_size, False) if plane == 0 else 0
+        is_inter = (not getattr(self, "frame_is_intra", True)
+                    and getattr(blk, "is_inter", False))
         tx_type = C.DCT_DCT
-        if tx_set != 0:
-            lst = T.TX_SET_INTRA_1 if tx_set == 1 else T.TX_SET_INTRA_2
-            tx_type = blk.tx_type if blk.tx_type in lst else C.DCT_DCT
-            sym = lst.index(tx_type)
-            sq = T.TX_SIZE_SQR[tx_size]
-            key = "intra_ext_tx_set1" if tx_set == 1 else "intra_ext_tx_set2"
-            self._sym(self.cdf[key][sq][blk.y_mode], sym, len(lst))
+        if is_inter:
+            tx_set = T.get_tx_set_inter(tx_size, False) if plane == 0 else 0
+            if tx_set != 0:
+                lst = (T.TX_SET_INTER_1 if tx_set == 1 else
+                       T.TX_SET_INTER_2 if tx_set == 2 else T.TX_SET_INTER_3)
+                tx_type = blk.tx_type if blk.tx_type in lst else C.DCT_DCT
+                sym = lst.index(tx_type)
+                sq = T.TX_SIZE_SQR[tx_size]
+                key = f"inter_ext_tx_set{tx_set}"
+                self._sym(self.cdf[key][sq], sym, len(lst))
+            elif plane != 0:
+                # inter chroma: co-located luma tx type clamped by set
+                uv_set = T.get_tx_set_inter(tx_size, False)
+                if uv_set != 0:
+                    lst = (T.TX_SET_INTER_1 if uv_set == 1 else
+                           T.TX_SET_INTER_2 if uv_set == 2
+                           else T.TX_SET_INTER_3)
+                    tx_type = blk.tx_type if blk.tx_type in lst \
+                        else C.DCT_DCT
+        else:
+            tx_set = T.get_tx_set_intra(tx_size, False) if plane == 0 else 0
+            if tx_set != 0:
+                lst = T.TX_SET_INTRA_1 if tx_set == 1 else T.TX_SET_INTRA_2
+                tx_type = blk.tx_type if blk.tx_type in lst else C.DCT_DCT
+                sym = lst.index(tx_type)
+                sq = T.TX_SIZE_SQR[tx_size]
+                key = "intra_ext_tx_set1" if tx_set == 1 else "intra_ext_tx_set2"
+                self._sym(self.cdf[key][sq][blk.y_mode], sym, len(lst))
         tx_cls = T.tx_type_class(tx_type)
         eob = len(coeffs)
         self._encode_eob(tx_size, ptype, eob, tx_cls)

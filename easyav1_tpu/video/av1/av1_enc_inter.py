@@ -1,0 +1,584 @@
+"""Minimal inter-frame AV1 encoder for conformance debugging.
+
+Extends the intra synth encoder (av1_enc) with a non-reduced sequence
+header, inter frame headers (error-resilient, order hints off, fixed
+interp filter) and inter block coding: is_inter, single-ref tree,
+new/nearest/near/global modes with the shared refmvs stack, drl, mv
+residuals, optional residual coefficients.
+
+Same methodology as the intra path: dav1d decoding these streams is the
+ground truth for the symbol semantics; our decoder is then compared
+per-pixel (and per-symbol via rng traces when debugging).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1 import tables as T
+from easyav1_tpu.video.av1.av1_enc import (BitWriter, EncBlock, obu,
+                                           SimpleTileEncoder)
+from easyav1_tpu.video.av1.refmvs import RefMvFinder
+
+
+@dataclasses.dataclass
+class InterEncBlock(EncBlock):
+    is_inter: bool = False
+    ref: int = C.LAST_FRAME
+    mode: int = C.NEARESTMV          # NEWMV/NEARESTMV/NEARMV/GLOBALMV
+    mv: Tuple[int, int] = (0, 0)     # final mv (row, col) 1/8 pel
+    ref_mv_idx: int = 0
+
+
+def write_sequence_header_full(w: int, h: int) -> bytes:
+    """Non-reduced profile-0 8-bit 4:2:0 sequence header with order
+    hints, warp, dual filter, superres, cdef, restoration all off."""
+    bw = BitWriter()
+    bw.f(0, 3)    # seq_profile
+    bw.f(0, 1)    # still_picture
+    bw.f(0, 1)    # reduced_still_picture_header
+    bw.f(0, 1)    # timing_info_present
+    bw.f(0, 1)    # initial_display_delay_present
+    bw.f(0, 5)    # operating_points_cnt_minus_1
+    bw.f(0, 12)   # operating_point_idc[0]
+    bw.f(0, 5)    # seq_level_idx[0]
+    bw.f(15, 4)   # frame_width_bits_minus_1
+    bw.f(15, 4)   # frame_height_bits_minus_1
+    bw.f(w - 1, 16)
+    bw.f(h - 1, 16)
+    bw.f(0, 1)    # frame_id_numbers_present
+    bw.f(0, 1)    # use_128x128_superblock
+    bw.f(0, 1)    # enable_filter_intra
+    bw.f(0, 1)    # enable_intra_edge_filter
+    bw.f(0, 1)    # enable_interintra_compound
+    bw.f(0, 1)    # enable_masked_compound
+    bw.f(0, 1)    # enable_warped_motion
+    bw.f(0, 1)    # enable_dual_filter
+    bw.f(0, 1)    # enable_order_hint
+    bw.f(1, 1)    # seq_choose_screen_content_tools -> SELECT
+    bw.f(1, 1)    # seq_choose_integer_mv -> SELECT
+    bw.f(0, 1)    # enable_superres
+    bw.f(0, 1)    # enable_cdef
+    bw.f(0, 1)    # enable_restoration
+    # color_config
+    bw.f(0, 1)    # high_bitdepth
+    bw.f(0, 1)    # mono_chrome
+    bw.f(0, 1)    # color_description_present
+    bw.f(0, 1)    # color_range
+    bw.f(0, 2)    # chroma_sample_position
+    bw.f(0, 1)    # separate_uv_delta_q
+    bw.f(0, 1)    # film_grain_params_present
+    bw.f(1, 1)    # trailing bit
+    return bw.bytes()
+
+
+def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
+                            refresh: int, hp_mv: bool = False,
+                            adapt: bool = False, tx_select: bool = False,
+                            switchable: bool = False,
+                            w: int = 64, h: int = 64) -> None:
+    """Frame header for the full sequence header above (mirrors
+    headers.parse_frame_header bit-for-bit for this configuration)."""
+    is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
+    bw.f(0, 1)              # show_existing_frame
+    bw.f(frame_type, 2)
+    bw.f(1, 1)              # show_frame
+    if not (frame_type == C.KEY_FRAME):
+        bw.f(1, 1)          # error_resilient_mode (KEY+show: implied)
+    bw.f(0 if adapt else 1, 1)   # disable_cdf_update
+    bw.f(0, 1)              # allow_screen_content_tools (SELECT)
+    bw.f(0, 1)              # frame_size_override
+    # primary_ref_frame: intra or error-resilient -> no bits
+    if not (frame_type == C.KEY_FRAME):
+        bw.f(refresh, 8)    # refresh_frame_flags
+    # (error-resilient + no order hints: no ref_order_hint writes)
+    if is_intra:
+        bw.f(0, 1)          # render_and_frame_size_different
+    else:
+        for _ in range(C.REFS_PER_FRAME):
+            bw.f(0, 3)      # ref_frame_idx[i]
+        # frame_size_override==0 -> frame_size() reads nothing; then
+        bw.f(0, 1)          # render_and_frame_size_different
+        if not False:       # force_integer_mv == 0
+            bw.f(int(hp_mv), 1)   # allow_high_precision_mv
+        bw.f(int(switchable), 1)  # is_filter_switchable
+        if not switchable:
+            bw.f(0, 2)      # interpolation_filter = EIGHTTAP
+        bw.f(0, 1)          # is_motion_mode_switchable
+        # error resilient: no use_ref_frame_mvs bit
+    if adapt:
+        bw.f(1, 1)          # disable_frame_end_update_cdf (no carry)
+    bw.f(1, 1)              # uniform_tile_spacing
+    # single tile: emit a 0 increment bit per possible col/row doubling
+    sb_cols = (2 * ((w + 7) >> 3) + 15) >> 4
+    sb_rows = (2 * ((h + 7) >> 3) + 15) >> 4
+    def _tl2(blk, target):
+        k = 0
+        while (blk << k) < target:
+            k += 1
+        return k
+    for _ in range(_tl2(1, sb_cols)):
+        bw.f(0, 1)
+        break                # loop exits at the first 0 bit
+    for _ in range(_tl2(1, sb_rows)):
+        bw.f(0, 1)
+        break
+    bw.f(base_q, 8)         # base_q_idx
+    bw.f(0, 1)              # delta_q_y_dc present
+    if True:
+        bw.f(0, 1)          # delta_q_u_dc
+        bw.f(0, 1)          # delta_q_u_ac
+    bw.f(0, 1)              # using_qmatrix
+    bw.f(0, 1)              # segmentation_enabled
+    bw.f(0, 1)              # delta_q_present
+    # loop filter (levels 0)
+    bw.f(0, 6)
+    bw.f(0, 6)
+    bw.f(0, 3)              # sharpness
+    bw.f(0, 1)              # delta_enabled
+    # cdef/lr skipped (disabled in seq)
+    bw.f(int(tx_select), 1)  # tx_mode_select
+    if not is_intra:
+        bw.f(0, 1)          # reference_select
+    # skip mode: not present (no order hints)
+    # allow_warped_motion: implied 0 (seq + error resilient)
+    bw.f(0, 1)              # reduced_tx_set
+    if not is_intra:
+        for _ in range(C.REFS_PER_FRAME):
+            bw.f(0, 1)      # is_global[ref]
+    # film grain absent
+
+
+class _HdrStub:
+    """Just enough frame-header surface for RefMvFinder."""
+    def __init__(self, hp_mv):
+        self.gm_type = [C.IDENTITY] * 8
+        self.gm_params = [[0] * 6 for _ in range(8)]
+        self.allow_high_precision_mv = hp_mv
+        self.force_integer_mv = False
+
+
+class InterTileEncoder(SimpleTileEncoder):
+    def __init__(self, w, h, base_q, hp_mv=False, switchable=False, **kw):
+        super().__init__(w, h, base_q, **kw)
+        self.switchable = switchable
+        self.interp = np.zeros((2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3), 2),
+                               np.int8)
+        self.frame_is_intra = False
+        self.hp_mv = hp_mv
+        self.hdr = _HdrStub(hp_mv)
+        self.mi_row_start = 0
+        self.mi_col_start = 0
+        self.mi_row_end = self.mi_rows
+        self.mi_col_end = self.mi_cols
+        self.ref_frames0 = np.full((self.mi_rows, self.mi_cols), -1,
+                                   np.int8)
+        self.ref_frames1 = np.full((self.mi_rows, self.mi_cols), -1,
+                                   np.int8)
+        self.mvs = np.zeros((self.mi_rows, self.mi_cols, 2, 2), np.int16)
+        self.modes = np.zeros((self.mi_rows, self.mi_cols), np.int16)
+        self.decoded_mi = np.zeros((self.mi_rows, self.mi_cols), bool)
+        # plan stub for RefMvFinder (bsize grid)
+        class _Plan:
+            pass
+        self.plan = _Plan()
+        self.plan.bsize = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.refmv = RefMvFinder(self)
+
+    def _is_inside(self, r, c):
+        return (0 <= r < self.mi_rows and 0 <= c < self.mi_cols
+                and bool(self.decoded_mi[r, c]))
+
+    def _has_tr(self, r, c, bsize):
+        rr, cc = r - 1, c + C.BLOCK_W4[bsize]
+        if rr < 0 or cc >= self.mi_cols:
+            return False
+        return bool(self.decoded_mi[rr, cc])
+
+    # -- block encode (overrides the intra-only version) -------------------
+
+    def _encode_block(self, blk):
+        if self.frame_is_intra or not getattr(blk, "is_inter", False):
+            if not self.frame_is_intra:
+                self._encode_intra_in_inter(blk)
+                return
+            super()._encode_block(blk)
+            self._post_grids(blk, C.INTRA_FRAME, (0, 0), blk.y_mode)
+            return
+
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        self._enc_skip(blk)
+        self._enc_is_inter(blk, 1)
+
+        # single-ref tree (mirror of TileDecoder._read_ref_frames)
+        avail_u = r > 0
+        avail_l = c > 0
+        cnt = self._count_refs(r, c, avail_u, avail_l)
+        fwd = cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME] + \
+            cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME]
+        bwd = cnt[C.BWDREF_FRAME] + cnt[C.ALTREF2_FRAME] + \
+            cnt[C.ALTREF_FRAME]
+        sr = self.cdf["single_ref"]
+        ref = blk.ref
+        is_bwd = ref >= C.BWDREF_FRAME
+        self._sym(sr[self._ref_ctx(fwd, bwd)][0], int(is_bwd))
+        if is_bwd:
+            ctx2 = self._ref_ctx(cnt[C.ALTREF2_FRAME] + cnt[C.BWDREF_FRAME],
+                                 cnt[C.ALTREF_FRAME])
+            self._sym(sr[ctx2][1], int(ref == C.ALTREF_FRAME))
+            if ref != C.ALTREF_FRAME:
+                ctx6 = self._ref_ctx(cnt[C.BWDREF_FRAME],
+                                     cnt[C.ALTREF2_FRAME])
+                self._sym(sr[ctx6][5], int(ref == C.ALTREF2_FRAME))
+        else:
+            ctx3 = self._ref_ctx(cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME],
+                                 cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME])
+            last34 = ref in (C.LAST3_FRAME, C.GOLDEN_FRAME)
+            self._sym(sr[ctx3][2], int(last34))
+            if last34:
+                ctx5 = self._ref_ctx(cnt[C.LAST3_FRAME],
+                                     cnt[C.GOLDEN_FRAME])
+                self._sym(sr[ctx5][4], int(ref == C.GOLDEN_FRAME))
+            else:
+                ctx4 = self._ref_ctx(cnt[C.LAST_FRAME],
+                                     cnt[C.LAST2_FRAME])
+                self._sym(sr[ctx4][3], int(ref == C.LAST2_FRAME))
+
+        st = self.refmv.find(r, c, bsize, (ref, C.NONE_FRAME), False)
+
+        # inter mode bools
+        mode = blk.mode
+        self._sym(self.cdf["newmv"][st.new_mv_ctx], int(mode != C.NEWMV))
+        if mode != C.NEWMV:
+            self._sym(self.cdf["zeromv"][st.zero_mv_ctx],
+                      int(mode != C.GLOBALMV))
+            if mode != C.GLOBALMV:
+                self._sym(self.cdf["refmv"][st.ref_mv_ctx],
+                          int(mode != C.NEARESTMV))
+        # drl (clamp the requested index to what the stack can code)
+        if mode in (C.NEARMV, C.NEAR_NEARMV):
+            ref_mv_idx = min(max(1, blk.ref_mv_idx),
+                             max(1, st.num_found - 1))
+        else:
+            ref_mv_idx = min(blk.ref_mv_idx, max(0, st.num_found - 1))
+        if mode == C.NEWMV:
+            for idx in range(2):
+                if st.num_found > idx + 1:
+                    stop = ref_mv_idx == idx
+                    self._sym(self.cdf["drl"][self._drl_ctx(st, idx)],
+                              int(not stop))
+                    if stop:
+                        break
+        elif mode == C.NEARMV:
+            for idx in range(1, 3):
+                if st.num_found > idx + 1:
+                    stop = ref_mv_idx == idx
+                    self._sym(self.cdf["drl"][self._drl_ctx(st, idx)],
+                              int(not stop))
+                    if stop:
+                        break
+        # mv
+        if mode == C.NEWMV:
+            pred = self.refmv._lower_precision(st.mvs[ref_mv_idx][0])
+            mv = blk.mv
+            self._enc_mv(mv[0] - pred[0], mv[1] - pred[1])
+        elif mode == C.NEARESTMV:
+            mv = st.mvs[0][0]
+        elif mode == C.NEARMV:
+            mv = st.mvs[ref_mv_idx][0]
+        else:
+            mv = st.global_mvs[0]
+        blk.mv = (int(mv[0]), int(mv[1]))
+        # interp filter (single symbol; dual filter disabled)
+        filt = getattr(blk, "interp", 0)
+        if self.switchable:
+            ctx = (0 * 2 + 0) * 4
+            left_type = 3
+            above_type = 3
+            if avail_l and (int(self.ref_frames0[r, c - 1]) == ref
+                            or int(self.ref_frames1[r, c - 1]) == ref):
+                left_type = int(self.interp[r, c - 1, 0])
+            if avail_u and (int(self.ref_frames0[r - 1, c]) == ref
+                            or int(self.ref_frames1[r - 1, c]) == ref):
+                above_type = int(self.interp[r - 1, c, 0])
+            if left_type == above_type:
+                ctx += left_type
+            elif left_type == 3:
+                ctx += above_type
+            elif above_type == 3:
+                ctx += left_type
+            else:
+                ctx += 3
+            self._sym(self.cdf["switchable_interp"][ctx], filt, 3)
+        w4g = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+        h4g = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+        self.interp[r:r + h4g, c:c + w4g, 0] = filt
+        self.interp[r:r + h4g, c:c + w4g, 1] = filt
+
+        # residual
+        tx_size = T.MAX_TX_SIZE_RECT[bsize]
+        has_chroma = True
+        if not blk.skip:
+            if self.tx_mode_select:
+                self._emit_var_tx_nosplit(r, c, bsize, tx_size)
+            self._encode_residual_inter(blk, tx_size, has_chroma)
+        else:
+            self._clear_skip_ctx(blk, tx_size, has_chroma)
+
+        self._post_grids(blk, blk.ref, blk.mv, blk.mode)
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        if blk.skip:
+            self.a_txw[c:c + w4] = w4 * 4
+            self.l_txh[r:r + h4] = h4 * 4
+        elif not self.tx_mode_select:
+            self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+            self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+        # else: the var-tx tree already published its LEAF dims to the
+        # ctx arrays (parity: dav1d read_vartx_tree leaf set_ctx); a
+        # max-tx overwrite here would desync txfm_partition contexts.
+        self.a_skip[c:c + w4] = int(blk.skip)
+        self.l_skip[r:r + h4] = int(blk.skip)
+        self.a_mode[c:c + w4] = C.DC_PRED
+        self.l_mode[r:r + h4] = C.DC_PRED
+
+    def _emit_var_tx_nosplit(self, r, c, bsize, tx_size):
+        """txfm_partition bits = 0 for every max-tx unit (no split)."""
+        w4 = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+        h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+        if tx_size == C.TX_4X4:
+            return
+        max_sq = T.TX_SIZE_SQR_UP[T.MAX_TX_SIZE_RECT[bsize]]
+        for yy in range(0, h4, T.TX_H4[tx_size]):
+            for xx in range(0, w4, T.TX_W4[tx_size]):
+                txw = T.TX_WIDTH[tx_size]
+                txh = T.TX_HEIGHT[tx_size]
+                above = r + yy > 0 and int(self.a_txw[c + xx]) < txw
+                left = c + xx > 0 and int(self.l_txh[r + yy]) < txh
+                cat = ((T.TX_SIZE_SQR_UP[tx_size] != max_sq
+                        and max_sq > C.TX_8X8)
+                       + (C.TX_SIZES - 1 - max_sq) * 2)
+                ctx = cat * 3 + above + left
+                self._sym(self.cdf["txfm_partition"][ctx], 0)
+                self.a_txw[c + xx:c + xx + T.TX_W4[tx_size]] = txw
+                self.l_txh[r + yy:r + yy + T.TX_H4[tx_size]] = txh
+
+    SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
+                  1, 1, 2, 2, 3, 3]
+
+    def _encode_intra_in_inter(self, blk):
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        self._enc_skip(blk)
+        self._enc_is_inter(blk, 0)
+        self._sym(self.cdf["y_mode"][self.SIZE_GROUP[bsize]], blk.y_mode)
+        if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.y_mode <= C.D67_PRED:
+            self._sym(self.cdf["angle_delta"][blk.y_mode - C.V_PRED],
+                      blk.angle_y + 3)
+        # chroma mode (cfl-capable sizes get the 14-symbol row)
+        cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32
+                       and C.BLOCK_H4[bsize] * 4 <= 32)
+        nsym = 14 if cfl_allowed else 13
+        self._sym(self.cdf["uv_mode"][1 if cfl_allowed else 0][blk.y_mode],
+                  blk.uv_mode, nsym)
+        if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.uv_mode <= C.D67_PRED:
+            self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED],
+                      blk.angle_uv + 3)
+        # tx size (TX_MODE_SELECT: intra blocks code the depth symbol)
+        tx_size = T.MAX_TX_SIZE_RECT[bsize]
+        if self.tx_mode_select and bsize != C.BLOCK_4X4:
+            max_depth = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
+                         2, 2, 3, 3, 4, 4][bsize]
+            cat = max(0, min(T.TX_SIZE_SQR_UP[tx_size] - 1, 3))
+            above = int(self.a_txw[c]) >= T.TX_WIDTH[tx_size]
+            left = int(self.l_txh[r]) >= T.TX_HEIGHT[tx_size]
+            # INTER neighbors contribute their BLOCK dims (libaom
+            # get_tx_size_context), not leaf-tx dims
+            if r > 0 and int(self.ref_frames0[r - 1, c]) > C.INTRA_FRAME:
+                nb = int(self.plan.bsize[r - 1, c])
+                above = C.BLOCK_W4[nb] * 4 >= T.TX_WIDTH[tx_size]
+            if c > 0 and int(self.ref_frames0[r, c - 1]) > C.INTRA_FRAME:
+                nb = int(self.plan.bsize[r, c - 1])
+                left = C.BLOCK_H4[nb] * 4 >= T.TX_HEIGHT[tx_size]
+            actx = int(above) + int(left)
+            nsym2 = 2 if cat == 0 else min(max_depth, 2) + 1
+            self._sym(self.cdf["tx_size"][cat][actx], blk.tx_depth, nsym2)
+            for _ in range(blk.tx_depth):
+                tx_size = T.SPLIT_TX_SIZE[tx_size]
+        if not blk.skip:
+            self._encode_residual(blk, tx_size, True)
+        else:
+            self._clear_skip_ctx(blk, tx_size, True)
+        self._post_grids(blk, C.INTRA_FRAME, (0, 0), blk.y_mode)
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+        self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+        self.a_skip[c:c + w4] = int(blk.skip)
+        self.l_skip[r:r + h4] = int(blk.skip)
+        self.a_mode[c:c + w4] = blk.y_mode
+        self.l_mode[r:r + h4] = blk.y_mode
+
+    def _enc_skip(self, blk):
+        r, c = blk.r, blk.c
+        ctx = 0
+        if r > 0:
+            ctx += int(self.a_skip[c])
+        if c > 0:
+            ctx += int(self.l_skip[r])
+        self._sym(self.cdf["skip"][ctx], int(blk.skip))
+
+    def _enc_is_inter(self, blk, v):
+        r, c = blk.r, blk.c
+        avail_u = r > 0
+        avail_l = c > 0
+        if avail_u and avail_l:
+            ai = int(self.ref_frames0[r - 1, c]) == C.INTRA_FRAME
+            li = int(self.ref_frames0[r, c - 1]) == C.INTRA_FRAME
+            ctx = 3 if (ai and li) else int(ai or li)
+        elif avail_u or avail_l:
+            nb = (int(self.ref_frames0[r - 1, c]) == C.INTRA_FRAME
+                  if avail_u else
+                  int(self.ref_frames0[r, c - 1]) == C.INTRA_FRAME)
+            ctx = 2 * int(nb)
+        else:
+            ctx = 0
+        self._sym(self.cdf["intra_inter"][ctx], v)
+
+    def _count_refs(self, r, c, avail_u, avail_l):
+        counts = [0] * 8
+        for rr, cc, av in ((r - 1, c, avail_u), (r, c - 1, avail_l)):
+            if not av:
+                continue
+            f0 = int(self.ref_frames0[rr, cc])
+            f1 = int(self.ref_frames1[rr, cc])
+            if f0 > C.INTRA_FRAME:
+                counts[f0] += 1
+            if f1 > C.INTRA_FRAME:
+                counts[f1] += 1
+        return counts
+
+    @staticmethod
+    def _ref_ctx(c0, c1):
+        if c0 == c1:
+            return 1
+        return 0 if c0 < c1 else 2
+
+    @staticmethod
+    def _drl_ctx(st, idx):
+        if st.weights[idx] >= 640:
+            return 0 if st.weights[idx + 1] >= 640 else 1
+        return 2
+
+    def _enc_mv(self, dr, dc):
+        joint = (2 if dr else 0) | (1 if dc else 0)
+        jmap = {0: C.MV_JOINT_ZERO, 1: C.MV_JOINT_HNZVZ,
+                2: C.MV_JOINT_HZVNZ, 3: C.MV_JOINT_HNZVNZ}
+        self._sym(self.cdf["mv_joint"][0], jmap[joint])
+        if dr:
+            self._enc_mv_component(0, dr)
+        if dc:
+            self._enc_mv_component(1, dc)
+
+    def _enc_mv_component(self, comp, v):
+        cdf = self.cdf
+        sign = int(v < 0)
+        mag = abs(v)
+        self._sym(cdf[f"mv_sign_{comp}"][0], sign)
+        # find class: mag-1 in [0, 16) -> class0
+        m = mag - 1
+        if m < 16:
+            self._sym(cdf[f"mv_classes_{comp}"][0], 0)
+            int_bit = (m >> 3) & 1
+            fr = (m >> 1) & 3
+            hp = m & 1
+            self._sym(cdf[f"mv_class0_{comp}"][0], int_bit)
+            self._sym(cdf[f"mv_class0_fr_{comp}"][int_bit], fr)
+            if self.hp_mv:
+                self._sym(cdf[f"mv_class0_hp_{comp}"][0], hp)
+            else:
+                assert hp == 1, "1/8-pel diff needs allow_high_precision"
+        else:
+            cls = 1
+            while mag >= (2 << (cls + 3)) + 1 and cls < 10:
+                cls += 1
+            # mag in [CLASS0_SIZE << (cls+2) .. *2): offset encoding
+            base = 2 << (cls + 2)
+            off = mag - base - 1
+            d = off >> 3
+            fr = (off >> 1) & 3
+            hp = off & 1
+            self._sym(cdf[f"mv_classes_{comp}"][0], cls)
+            for i in range(cls):
+                self._sym(cdf[f"mv_bits_{comp}"][i], (d >> i) & 1)
+            self._sym(cdf[f"mv_fr_{comp}"][0], fr)
+            if self.hp_mv:
+                self._sym(cdf[f"mv_hp_{comp}"][0], hp)
+            else:
+                assert hp == 1
+
+    def _post_grids(self, blk, ref, mv, mode):
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        w4 = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+        h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+        self.ref_frames0[r:r + h4, c:c + w4] = ref
+        self.ref_frames1[r:r + h4, c:c + w4] = C.NONE_FRAME
+        self.mvs[r:r + h4, c:c + w4, 0, 0] = mv[0]
+        self.mvs[r:r + h4, c:c + w4, 0, 1] = mv[1]
+        self.modes[r:r + h4, c:c + w4] = mode
+        self.plan.bsize[r:r + h4, c:c + w4] = bsize
+        self.decoded_mi[r:r + h4, c:c + w4] = True
+
+    def _clear_skip_ctx(self, blk, tx_size, has_chroma):
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        for p in range(3):
+            x4 = c >> (1 if p else 0)
+            y4 = r >> (1 if p else 0)
+            ww = max(1, w4 >> (1 if p else 0))
+            hh = max(1, h4 >> (1 if p else 0))
+            self.a_lvl[p][x4:x4 + ww] = 0
+            self.l_lvl[p][y4:y4 + hh] = 0
+            self.a_sign[p][x4:x4 + ww] = 0
+            self.l_sign[p][y4:y4 + hh] = 0
+
+    def _encode_residual_inter(self, blk, tx_size, has_chroma):
+        # inter tx type must be DCT_DCT; _encode_txb's tx-type emission
+        # handles the inter sets via self.frame_is_intra
+        self._encode_residual(blk, tx_size, has_chroma)
+
+
+def encode_inter_sequence(w: int, h: int, q: int, frames,
+                          hp_mv: bool = False, adapt: bool = False,
+                          tx_select: bool = False,
+                          switchable: bool = False) -> List[bytes]:
+    """frames: list of (frame_type, blocks).  Returns one TU per frame
+    (seq header included in the first)."""
+    from easyav1_tpu.video.av1.av1_enc import write_frame_header_bits
+    tus = []
+    seq = write_sequence_header_full(w, h)
+    for i, (ftype, blocks) in enumerate(frames):
+        bw = BitWriter()
+        write_frame_header_full(bw, ftype, q,
+                                refresh=0xFF if ftype == C.KEY_FRAME
+                                else 0x01, hp_mv=hp_mv, adapt=adapt,
+                                tx_select=tx_select,
+                                switchable=switchable, w=w, h=h)
+        bw.byte_align()
+        hdr_bytes = bw.bytes()
+        tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
+                                tx_mode_select=tx_select,
+                                switchable=switchable)
+        if ftype == C.KEY_FRAME:
+            tenc.frame_is_intra = True
+        tile = tenc.encode_blocks(blocks)
+        tu = obu(C.OBU_TEMPORAL_DELIMITER, b"")
+        if i == 0:
+            tu += obu(C.OBU_SEQUENCE_HEADER, seq)
+        tu += obu(C.OBU_FRAME, hdr_bytes + tile)
+        tus.append(tu)
+    return tus

@@ -286,14 +286,22 @@ class RefMvFinder:
             st.new_mv_ctx = 5 - min(num_new, 1)
             st.ref_mv_ctx = 5
 
-        # extra candidate fill up to 2 (spec 7.10.2.12/13 minimal form)
-        while st.num_found < 2:
+        # extra search (spec 7.10.2.12): when fewer than 2 ref-matched
+        # candidates, re-scan the close neighbors taking mvs from ANY
+        # reference (no sign flip needed: order hints disabled).  These
+        # DO count into NumMvFound (verified vs dav1d).
+        if st.num_found < 2 and not is_compound:
+            self._extra_search(st, r, c, bsize)
+
+        # global-mv pad to 2 entries; padding does NOT count into
+        # NumMvFound — drl bits key off genuinely found candidates
+        # (verified vs dav1d)
+        while len(st.mvs) < 2:
             if is_compound:
                 st.mvs.append((st.global_mvs[0], st.global_mvs[1]))
             else:
                 st.mvs.append((st.global_mvs[0], (0, 0)))
             st.weights.append(2)
-            st.num_found += 1
 
         for i in range(len(st.mvs)):
             st.mvs[i] = (self._clamp_mv(st.mvs[i][0], r, c, bsize),
@@ -303,6 +311,36 @@ class RefMvFinder:
             st.global_mvs[1] = self._clamp_mv(st.global_mvs[1], r, c,
                                               bsize)
         return st
+
+    def _extra_search(self, st: MvStack, r, c, bsize):
+        dec = self.dec
+        bw4 = C.BLOCK_W4[bsize]
+        bh4 = C.BLOCK_H4[bsize]
+        for pass_ in range(2):
+            i = 0
+            end = bw4 if pass_ == 0 else bh4
+            while i < end and st.num_found < 2:
+                if pass_ == 0:
+                    mv_r, mv_c = r - 1, c + i
+                else:
+                    mv_r, mv_c = r + i, c - 1
+                if not dec._is_inside(mv_r, mv_c):
+                    break
+                cand_ref, cand_mvs, _mode = self._cand(mv_r, mv_c)
+                if cand_ref[0] > C.INTRA_FRAME:
+                    for j in range(2):
+                        if cand_ref[j] > C.INTRA_FRAME:
+                            mv = cand_mvs[j]
+                            if all(st.mvs[k][0] != mv
+                                   for k in range(st.num_found)):
+                                st.mvs.append((mv, (0, 0)))
+                                st.weights.append(2)
+                                st.num_found += 1
+                                if st.num_found >= 2:
+                                    break
+                cand_bs = int(dec.plan.bsize[mv_r, mv_c])
+                i += (C.BLOCK_W4[cand_bs] if pass_ == 0
+                      else C.BLOCK_H4[cand_bs])
 
     def _clamp_mv(self, mv, r, c, bsize):
         dec = self.dec

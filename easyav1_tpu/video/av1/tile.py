@@ -34,6 +34,7 @@ class TxBlock:
     eob: int
     coeffs: np.ndarray  # (h, w) int32 dequantized coefficients
     lossless: bool = False
+    levels: Optional[list] = None   # [(level, sign)] scan order (debug)
 
 
 @dataclasses.dataclass
@@ -59,6 +60,8 @@ class BlockRecord:
     ref_frame: Tuple[int, int] = (0, -1)
     mv: Tuple[int, int] = (0, 0)          # (row, col) 1/8-pel
     interp_filter: Tuple[int, int] = (0, 0)
+    inter_mode: int = 0
+    ref_mv_idx: int = 0
     # var-tx luma leaves [(x4off, y4off, tx_size)] when is_inter
     var_txs: Optional[list] = None
 
@@ -484,6 +487,9 @@ class TileDecoder:
             filter_intra=filter_intra_mode if use_filter_intra else None,
             is_inter=is_inter, ref_frame=ref_frame, mv=mv,
             interp_filter=interp,
+            inter_mode=block_mode if is_inter else 0,
+            ref_mv_idx=getattr(self, "_last_ref_mv_idx", 0)
+            if is_inter else 0,
         )
         plan.blocks.append(self._cur_block)
         plan.y_mode[r:r + h4, c:c + w4] = y_mode
@@ -802,6 +808,7 @@ class TileDecoder:
                                           avail_u, avail_l)
         st = self.refmv.find(r, c, bsize, ref_frame,
                              ref_frame[1] > C.INTRA_FRAME)
+        ref_mv_idx = 0
         if self.skip_mode_flag:
             mode = C.NEAREST_NEARESTMV
             mv = st.mvs[0][0]
@@ -830,6 +837,7 @@ class TileDecoder:
                 raise NotImplementedError("OBMC reconstruction")
         interp = self._read_interp_filter(r, c, ref_frame, avail_u,
                                           avail_l)
+        self._last_ref_mv_idx = ref_mv_idx
         return int(mode), ref_frame, (int(mv[0]), int(mv[1])), interp
 
     def _has_overlappable(self, r, c, bsize, avail_u, avail_l):
@@ -850,8 +858,8 @@ class TileDecoder:
     def _txfm_split_ctx(self, r, c, bsize, tx_size):
         txw = T.TX_WIDTH[tx_size]
         txh = T.TX_HEIGHT[tx_size]
-        above = int(self.a_txw[c]) < txw
-        left = int(self.l_txh[r]) < txh
+        above = r > self.mi_row_start and int(self.a_txw[c]) < txw
+        left = c > self.mi_col_start and int(self.l_txh[r]) < txh
         max_rect = T.MAX_TX_SIZE_RECT[bsize]
         max_sq = T.TX_SIZE_SQR_UP[max_rect]
         cat = ((T.TX_SIZE_SQR_UP[tx_size] != max_sq and max_sq > C.TX_8X8)
@@ -1002,6 +1010,14 @@ class TileDecoder:
         max_tx_h = T.TX_HEIGHT[max_rect]
         above = int(self.a_txw[c]) >= max_tx_w
         left = int(self.l_txh[r]) >= max_tx_h
+        # libaom get_tx_size_context: INTER neighbors contribute their
+        # BLOCK dims, not their published leaf-tx dims
+        if avail_u and int(self.ref_frames0[r - 1, c]) > C.INTRA_FRAME:
+            nb = int(self.plan.bsize[r - 1, c])
+            above = C.BLOCK_W4[nb] * 4 >= max_tx_w
+        if avail_l and int(self.ref_frames0[r, c - 1]) > C.INTRA_FRAME:
+            nb = int(self.plan.bsize[r, c - 1])
+            left = C.BLOCK_H4[nb] * 4 >= max_tx_h
         ctx = int(above) + int(left)
         row = self.cdf["tx_size"][cat][ctx]
         nsym = min(max_depth, 2) + 1
@@ -1151,10 +1167,12 @@ class TileDecoder:
         shift = self._dq_shift(tx_size)
         coeffs = np.zeros(th * tw, dtype=np.int64)
         dc_category = 0
+        rec_levels = []
         for ci in range(eob):
             pos = int(scan[ci])
             level = int(levels[pos])
             if level == 0:
+                rec_levels.append((0, 0))
                 continue
             if pos == 0:
                 sctx = self._dc_sign_ctx(plane, x4, y4, w4, h4)
@@ -1164,6 +1182,7 @@ class TileDecoder:
             if level == 15:  # base 3 + br 12: golomb suffix (spec: read
                 # in this forward pass, after the sign)
                 level += msac.decode_golomb()
+            rec_levels.append((level, sign))
             dqv = dc_dq if pos == 0 else ac_dq
             v = (level * dqv) & 0xFFFFFF
             v >>= shift
@@ -1179,7 +1198,7 @@ class TileDecoder:
         self._cur_block.tx_blocks.append(TxBlock(
             plane=plane, x=x, y=y, tx_size=tx_size, tx_type=tx_type,
             eob=eob, coeffs=coeffs.reshape(th, tw).astype(np.int32),
-            lossless=lossless))
+            lossless=lossless, levels=rec_levels))
 
     def _dq_delta(self, plane, is_dc) -> int:
         q = self.hdr.quant

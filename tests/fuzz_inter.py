@@ -1,0 +1,135 @@
+"""Randomized inter-frame conformance fuzzer: random mode/mv/skip
+mixes through the synth encoder, verified bit-exact vs libdav1d and our
+decoder.  Run: python tests/fuzz_inter.py [n_seeds]"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "tests")
+sys.path.insert(0, ".")
+
+from fixtures import CACHE, tool  # noqa: E402
+from easyav1_tpu.container.webm import TrackInfo  # noqa: E402
+from easyav1_tpu.video.av1 import constants as C  # noqa: E402
+from easyav1_tpu.video.av1.av1_enc import EncBlock, make_ivf  # noqa: E402
+from easyav1_tpu.video.av1.av1_enc_inter import (  # noqa: E402
+    InterEncBlock, encode_inter_sequence)
+from easyav1_tpu.video.av1.backend import AV1Backend  # noqa: E402
+
+W = H = 96
+
+
+def rand_blocks(rng, intra_frame=False):
+    """16x16/32x32 mixed grid over 96x96 (24x24 mi)."""
+    blocks = []
+    r = 0
+    layout = []
+    # choose per-16mi-SB a split pattern
+    occupied = np.zeros((24, 24), bool)
+    for r in range(0, 24, 4):
+        for c in range(0, 24, 4):
+            if occupied[r, c]:
+                continue
+            if (r % 8 == 0 and c % 8 == 0 and r + 8 <= 24 and c + 8 <= 24
+                    and rng.random() < 0.4):
+                bsize = C.BLOCK_32X32
+                occupied[r:r + 8, c:c + 8] = True
+            else:
+                bsize = C.BLOCK_16X16
+                occupied[r:r + 4, c:c + 4] = True
+            layout.append((r, c, bsize))
+    for (r, c, bsize) in layout:
+        if intra_frame:
+            ncoef = int(rng.integers(0, 8))
+            blocks.append(EncBlock(
+                r=r, c=c, bsize=bsize, skip=ncoef == 0,
+                luma_coeffs=None if ncoef == 0 else
+                [[(int(rng.integers(1, 9)), int(rng.integers(0, 2)))
+                  for _ in range(ncoef)]]))
+            continue
+        if rng.random() < 0.2:
+            # intra block in inter frame
+            blocks.append(InterEncBlock(
+                r=r, c=c, bsize=bsize, is_inter=False, skip=True,
+                y_mode=int(rng.choice([C.DC_PRED, C.V_PRED, C.H_PRED,
+                                       C.SMOOTH_PRED]))))
+            continue
+        mode = int(rng.choice([C.NEWMV, C.NEARESTMV, C.NEARMV,
+                               C.GLOBALMV],
+                              p=[0.4, 0.25, 0.25, 0.1]))
+        blk = InterEncBlock(
+            r=r, c=c, bsize=bsize, is_inter=True,
+            ref=int(rng.choice([C.LAST_FRAME, C.LAST2_FRAME,
+                                C.GOLDEN_FRAME, C.ALTREF_FRAME],
+                               p=[0.7, 0.1, 0.1, 0.1])),
+            mode=mode, skip=bool(rng.random() < 0.6))
+        if mode == C.NEWMV:
+            blk.mv = (int(rng.integers(-48, 49)),
+                      int(rng.integers(-48, 49)))
+        if mode == C.NEARMV:
+            blk.ref_mv_idx = int(rng.integers(1, 3))
+        if not blk.skip:
+            n = int(rng.integers(1, 8))
+            blk.luma_coeffs = [[(int(rng.integers(1, 9)),
+                                 int(rng.integers(0, 2)))
+                                for _ in range(n)]]
+        yield_ok = True
+        blocks.append(blk)
+    return blocks
+
+
+def run_seed(seed):
+    rng = np.random.default_rng(seed)
+    kb = rand_blocks(rng, intra_frame=True)
+    frames = [(C.KEY_FRAME, kb)]
+    for _ in range(int(rng.integers(1, 3))):
+        frames.append((C.INTER_FRAME, rand_blocks(rng)))
+    adapt = bool(rng.random() < 0.5)
+    tx_sel = bool(rng.random() < 0.5)
+    tus = encode_inter_sequence(W, H, int(rng.integers(40, 200)), frames,
+                                hp_mv=True, adapt=adapt, tx_select=tx_sel)
+    p = CACHE / "fuzz_inter.ivf"
+    p.write_bytes(make_ivf(tus, W, H))
+    prefix = CACHE / "fuzz_inter"
+    r = subprocess.run([str(tool("oracle")), str(p), str(prefix)],
+                       capture_output=True)
+    if r.returncode != 0:
+        return f"seed {seed}: dav1d REJECT (encoder bug)"
+    raw = np.fromfile(prefix.with_suffix(".yuv"), dtype=np.uint8)
+    per = W * H + 2 * 48 * 48
+    meta = json.loads(prefix.with_suffix(".json").read_text())
+    if meta["vframes"] != len(frames):
+        return f"seed {seed}: dav1d decoded {meta['vframes']} frames"
+    be = AV1Backend(TrackInfo(number=1, type=None, codec_id="V_AV1"))
+    for fi, tu in enumerate(tus):
+        try:
+            f = be.decode([tu], 0)[0]
+        except Exception as e:  # noqa: BLE001
+            return f"seed {seed}: frame {fi} EXC {type(e).__name__}: {e}"
+        b = fi * per
+        for pi, dim in ((0, 96), (1, 48), (2, 48)):
+            off = b + (0 if pi == 0 else W * H + (pi - 1) * 48 * 48)
+            gold = raw[off:off + dim * dim].reshape(dim, dim)
+            d = np.abs(gold.astype(int) - f.data[pi].astype(int))
+            if d.max():
+                return (f"seed {seed}: frame {fi} plane {pi} maxdiff "
+                        f"{d.max()} n={(d > 0).sum()} "
+                        f"first={np.argwhere(d > 0)[0].tolist()} "
+                        f"(adapt={adapt} txsel={tx_sel})")
+    return None
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    fails = 0
+    for seed in range(n):
+        msg = run_seed(seed)
+        if msg:
+            print("FAIL", msg)
+            fails += 1
+            if fails >= 5:
+                break
+    print(f"done: {fails} failures / {n} seeds")

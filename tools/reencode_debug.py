@@ -1,0 +1,213 @@
+#!/usr/bin/env python3
+"""Bitstream round-trip debugger: decode a frame's tile with the Python
+TileDecoder, re-encode the decoded plan with the synth encoder, and
+byte-compare against the original tile data.  The first differing bit
+localizes the first symbol where our read semantics deviate from
+libaom/dav1d.  Usage:
+
+    python tools/reencode_debug.py <fixture.webm> <frame_index>
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+from easyav1_tpu.container.webm import TrackType, WebMDemuxer  # noqa: E402
+from easyav1_tpu.video.av1 import constants as C  # noqa: E402
+from easyav1_tpu.video.av1 import tables as T  # noqa: E402
+from easyav1_tpu.video.av1.av1_enc_inter import InterTileEncoder  # noqa: E402
+from easyav1_tpu.video.av1.backend import AV1Backend  # noqa: E402
+from easyav1_tpu.video.av1.cdf import CdfContext  # noqa: E402
+from easyav1_tpu.video.av1.headers import split_obus  # noqa: E402
+from easyav1_tpu.video.av1.tile import FramePlan, TileDecoder  # noqa: E402
+
+
+class PlanReencoder(InterTileEncoder):
+    """Re-encodes a decoded FramePlan; block data driven from the plan
+    records (modes, mvs, drl indices, per-tx types and levels)."""
+
+    def __init__(self, plan, hdr, seq, **kw):
+        super().__init__(plan.width, plan.height, hdr.quant.base_q_idx,
+                         hp_mv=hdr.allow_high_precision_mv,
+                         adapt=not hdr.disable_cdf_update,
+                         tx_mode_select=hdr.tx_mode == C.TX_MODE_SELECT,
+                         switchable=hdr.interpolation_filter
+                         == C.SWITCHABLE, **kw)
+        self.mi_cols = hdr.mi_cols
+        self.mi_rows = hdr.mi_rows
+        self.frame_is_intra = hdr.frame_is_intra
+        self.bitlog = []                     # (bit_pos, r, c)
+        self._plan_blocks = {}
+        for b in plan.blocks:
+            self._plan_blocks[(b.r, b.c)] = b
+
+    def _encode_block(self, blk):
+        self.bitlog.append((len(self.enc.precarry) * 16, blk.r, blk.c))
+        pb = self._plan_blocks[(blk.r, blk.c)]
+        self._txmap = {(t.plane, t.x, t.y): t for t in pb.tx_blocks}
+        self._pb = pb
+        super()._encode_block(blk)
+
+    # residual override: levels/types per tx from the plan
+    def _encode_txb(self, plane, x4, y4, tx_size, tx_ctx, blk, coeffs):
+        t = self._txmap.get((plane, x4 * 4, y4 * 4))
+        levels = t.levels if t is not None else []
+        blk.tx_type = t.tx_type if t is not None else C.DCT_DCT
+        super()._encode_txb(plane, x4, y4, tx_size, tx_ctx, blk, levels)
+
+    def _emit_var_tx_nosplit(self, r, c, bsize, tx_size):
+        """Emit the ACTUAL var-tx tree from the plan's leaf set."""
+        leaves = {(xx, yy): tx for (xx, yy, tx) in (self._pb.var_txs or [])}
+        w4 = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+        h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+        max_tx = T.MAX_TX_SIZE_RECT[bsize]
+        if max_tx == C.TX_4X4:
+            return
+        for yy in range(0, h4, T.TX_H4[max_tx]):
+            for xx in range(0, w4, T.TX_W4[max_tx]):
+                self._var_node(r, c, bsize, xx, yy, max_tx, 0, leaves)
+
+    def _var_node(self, r, c, bsize, xx, yy, tx_size, depth, leaves):
+        split = leaves.get((xx, yy)) != tx_size
+        if depth < 2 and tx_size != C.TX_4X4:
+            txw = T.TX_WIDTH[tx_size]
+            txh = T.TX_HEIGHT[tx_size]
+            above = (r + yy > 0) and int(self.a_txw[c + xx]) < txw
+            left = (c + xx > 0) and int(self.l_txh[r + yy]) < txh
+            max_sq = T.TX_SIZE_SQR_UP[T.MAX_TX_SIZE_RECT[bsize]]
+            cat = ((T.TX_SIZE_SQR_UP[tx_size] != max_sq
+                    and max_sq > C.TX_8X8)
+                   + (C.TX_SIZES - 1 - max_sq) * 2)
+            ctx = cat * 3 + int(above) + int(left)
+            self._sym(self.cdf["txfm_partition"][ctx], int(split))
+        else:
+            split = False
+        if split:
+            sub = T.SPLIT_TX_SIZE[tx_size]
+            for dy in range(0, T.TX_H4[tx_size], T.TX_H4[sub]):
+                for dx in range(0, T.TX_W4[tx_size], T.TX_W4[sub]):
+                    self._var_node(r, c, bsize, xx + dx, yy + dy, sub,
+                                   depth + 1, leaves)
+        else:
+            self.a_txw[c + xx:c + xx + T.TX_W4[tx_size]] = \
+                T.TX_WIDTH[tx_size]
+            self.l_txh[r + yy:r + yy + T.TX_H4[tx_size]] = \
+                T.TX_HEIGHT[tx_size]
+
+    def _encode_residual_inter(self, blk, tx_size, has_chroma):
+        pb = self._pb
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        # luma per var-tx leaf
+        for (xx, yy, tx) in (pb.var_txs or []):
+            if r + yy >= self.mi_rows or c + xx >= self.mi_cols:
+                continue
+            tx_ctx = min(T.TX_SIZE_SQR_UP[tx], C.TX_64X64)
+            self._encode_txb(0, c + xx, r + yy, tx, tx_ctx, blk, None)
+        if has_chroma:
+            tx = self._uv_tx(bsize)
+            w4 = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+            h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+            pw4 = max(1, w4 >> 1)
+            ph4 = max(1, h4 >> 1)
+            cx = (c >> 1) * 2
+            cy = (r >> 1) * 2
+            tx_ctx = min(T.TX_SIZE_SQR_UP[tx], C.TX_64X64)
+            for plane in (1, 2):
+                for yy in range(0, ph4, T.TX_H4[tx]):
+                    for xx in range(0, pw4, T.TX_W4[tx]):
+                        self._encode_txb(plane, (c >> 1) + xx,
+                                         (r >> 1) + yy, tx, tx_ctx, blk,
+                                         None)
+
+
+def blocks_from_plan(plan):
+    from easyav1_tpu.video.av1.av1_enc_inter import InterEncBlock
+    out = []
+    for b in plan.blocks:
+        eb = InterEncBlock(
+            r=b.r, c=b.c, bsize=b.bsize, y_mode=b.y_mode,
+            uv_mode=b.uv_mode, skip=b.skip,
+            angle_y=b.angle_y, angle_uv=b.angle_uv,
+            is_inter=b.is_inter, ref=b.ref_frame[0], mode=b.inter_mode,
+            mv=tuple(b.mv), ref_mv_idx=b.ref_mv_idx)
+        if not b.is_inter:
+            # intra tx depth from tx_size
+            tx = T.MAX_TX_SIZE_RECT[b.bsize]
+            depth = 0
+            while tx != b.tx_size and depth < 2:
+                tx = T.SPLIT_TX_SIZE[tx]
+                depth += 1
+            eb.tx_depth = depth
+        out.append(eb)
+    return out
+
+
+def main():
+    path, fidx = sys.argv[1], int(sys.argv[2])
+    dmx = WebMDemuxer(path)
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    pkts = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            pkts.extend(p.frames)
+    be = AV1Backend(vt)
+    for i in range(fidx):
+        be.decode([pkts[i]], 0)
+    hdr = None
+    for obu in split_obus(pkts[fidx]):
+        if obu.type == C.OBU_SEQUENCE_HEADER and be.seq is None:
+            pass
+        if obu.type == C.OBU_FRAME:
+            hdr = be._parse_frame_header(obu.payload)
+            tiles = be._split_tiles(
+                hdr, [obu.payload[(hdr.header_bit_offset + 7) // 8:]])
+    seq = be.seq
+    plan = FramePlan(
+        width=hdr.upscaled_width, height=hdr.frame_height,
+        mi_cols=hdr.mi_cols, mi_rows=hdr.mi_rows,
+        subsampling_x=1, subsampling_y=1,
+        y_mode=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        uv_mode=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        angle_y=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        angle_uv=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        skip=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
+        bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8))
+    cdf = CdfContext.default(hdr.quant.base_q_idx)
+    dec = TileDecoder(seq, hdr, cdf, plan)
+    dec.decode_tile(tiles[0], 0, 0)
+    print(f"decoded {len(plan.blocks)} blocks; consumed "
+          f"{dec.msac.bit_pos}/{len(tiles[0]) * 8} bits")
+
+    enc = PlanReencoder(plan, hdr, seq)
+    tile2 = enc.encode_blocks(blocks_from_plan(plan))
+    orig = tiles[0]
+    n = min(len(orig), len(tile2))
+    first_diff = None
+    for i in range(n):
+        if orig[i] != tile2[i]:
+            x = orig[i] ^ tile2[i]
+            bit = i * 8 + (7 - x.bit_length() + 1)
+            first_diff = i * 8 + (8 - x.bit_length())
+            break
+    if first_diff is None:
+        print(f"re-encode MATCHES for {n} bytes "
+              f"(orig {len(orig)}, ours {len(tile2)})")
+        return
+    print(f"first differing bit: {first_diff} (byte {first_diff // 8})")
+    # map to block
+    prev = None
+    for (bp, r, c) in enc.bitlog:
+        if bp > first_diff:
+            break
+        prev = (bp, r, c)
+    print(f"block at/before diff: {prev}")
+    nxt = [e for e in enc.bitlog if e[0] > first_diff][:1]
+    print(f"next block: {nxt}")
+
+
+if __name__ == "__main__":
+    main()
