@@ -13,6 +13,7 @@ per-pixel (and per-symbol via rng traces when debugging).
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 from typing import List, Optional, Tuple
 
@@ -32,6 +33,8 @@ class InterEncBlock(EncBlock):
     mode: int = C.NEARESTMV          # NEWMV/NEARESTMV/NEARMV/GLOBALMV
     mv: Tuple[int, int] = (0, 0)     # final mv (row, col) 1/8 pel
     ref_mv_idx: int = 0
+    motion_mode: int = 0             # SIMPLE/OBMC_MOTION/WARPED
+    interp: int = 0                  # switchable interp filter
 
 
 def write_sequence_header_full(w: int, h: int) -> bytes:
@@ -80,20 +83,27 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             refresh: int, hp_mv: bool = False,
                             adapt: bool = False, tx_select: bool = False,
                             switchable: bool = False,
-                            w: int = 64, h: int = 64) -> None:
+                            w: int = 64, h: int = 64,
+                            motion_switch: bool = False,
+                            err: bool = True,
+                            primary_ref: int = 7,
+                            carry: bool = False) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
     bw.f(0, 1)              # show_existing_frame
     bw.f(frame_type, 2)
     bw.f(1, 1)              # show_frame
-    if not (frame_type == C.KEY_FRAME):
-        bw.f(1, 1)          # error_resilient_mode (KEY+show: implied)
+    is_key = frame_type == C.KEY_FRAME
+    if not is_key:
+        bw.f(int(err), 1)   # error_resilient_mode (KEY+show: implied)
     bw.f(0 if adapt else 1, 1)   # disable_cdf_update
     bw.f(0, 1)              # allow_screen_content_tools (SELECT)
     bw.f(0, 1)              # frame_size_override
     # primary_ref_frame: intra or error-resilient -> no bits
-    if not (frame_type == C.KEY_FRAME):
+    if not is_key and not err:
+        bw.f(primary_ref, 3)
+    if not is_key:
         bw.f(refresh, 8)    # refresh_frame_flags
     # (error-resilient + no order hints: no ref_order_hint writes)
     if is_intra:
@@ -108,10 +118,10 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
         bw.f(int(switchable), 1)  # is_filter_switchable
         if not switchable:
             bw.f(0, 2)      # interpolation_filter = EIGHTTAP
-        bw.f(0, 1)          # is_motion_mode_switchable
+        bw.f(int(motion_switch), 1)   # is_motion_mode_switchable
         # error resilient: no use_ref_frame_mvs bit
     if adapt:
-        bw.f(1, 1)          # disable_frame_end_update_cdf (no carry)
+        bw.f(0 if carry else 1, 1)   # disable_frame_end_update_cdf
     bw.f(1, 1)              # uniform_tile_spacing
     # single tile: emit a 0 increment bit per possible col/row doubling
     sb_cols = (2 * ((w + 7) >> 3) + 15) >> 4
@@ -160,12 +170,19 @@ class _HdrStub:
         self.gm_params = [[0] * 6 for _ in range(8)]
         self.allow_high_precision_mv = hp_mv
         self.force_integer_mv = False
+        self.order_hint = 0
+        self.order_hints = [0] * 8
+        self.ref_frame_sign_bias = [False] * 8
+        self.use_ref_frame_mvs = False
 
 
 class InterTileEncoder(SimpleTileEncoder):
-    def __init__(self, w, h, base_q, hp_mv=False, switchable=False, **kw):
+    def __init__(self, w, h, base_q, hp_mv=False, switchable=False,
+                 motion_switch=False, allow_warp=False, **kw):
         super().__init__(w, h, base_q, **kw)
         self.switchable = switchable
+        self.motion_switch = motion_switch
+        self.allow_warp = allow_warp
         self.interp = np.zeros((2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3), 2),
                                np.int8)
         self.frame_is_intra = False
@@ -293,9 +310,41 @@ class InterTileEncoder(SimpleTileEncoder):
         else:
             mv = st.global_mvs[0]
         blk.mv = (int(mv[0]), int(mv[1]))
-        # interp filter (single symbol; dual filter disabled)
+        # motion mode (mirror of TileDecoder._inter_mode_info gating)
+        mm = int(getattr(blk, "motion_mode", 0))
+        emitted_mm = 0
+        if self.motion_switch:
+            cands = self._find_warp_samples(r, c, bsize, ref,
+                                            avail_u, avail_l)
+            glob_block = (mode == C.GLOBALMV
+                          and min(C.BLOCK_W4[bsize],
+                                  C.BLOCK_H4[bsize]) * 4 >= 8
+                          and self.hdr.gm_type[ref] > C.TRANSLATION
+                          and not self.hdr.force_integer_mv)
+            if (min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8
+                    and not glob_block
+                    and self._has_overlappable(r, c, bsize, avail_u,
+                                               avail_l)):
+                if (len(cands) >= 1 and self.allow_warp
+                        and not self.hdr.force_integer_mv):
+                    self._sym(self.cdf["motion_mode"][bsize], mm, 3)
+                else:
+                    mm = min(mm, 1)
+                    self._sym(self.cdf["obmc"][bsize],
+                              int(mm == C.OBMC_MOTION))
+                emitted_mm = mm
+        blk.motion_mode = emitted_mm
+        nontrans_global = (mode == C.GLOBALMV
+                           and min(C.BLOCK_W4[bsize],
+                                   C.BLOCK_H4[bsize]) * 4 >= 8
+                           and self.hdr.gm_type[ref] > C.TRANSLATION)
+        # interp filter (single symbol; dual filter disabled); not coded
+        # for warped / non-translational global blocks
         filt = getattr(blk, "interp", 0)
-        if self.switchable:
+        if emitted_mm == C.WARPED or nontrans_global:
+            filt = 0
+            blk.interp = 0
+        elif self.switchable:
             ctx = (0 * 2 + 0) * 4
             left_type = 3
             above_type = 3
@@ -322,6 +371,10 @@ class InterTileEncoder(SimpleTileEncoder):
         # residual
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         has_chroma = True
+        if C.BLOCK_H4[bsize] == 1 and (r & 1) == 0:
+            has_chroma = False
+        if C.BLOCK_W4[bsize] == 1 and (c & 1) == 0:
+            has_chroma = False
         if not blk.skip:
             if self.tx_mode_select:
                 self._emit_var_tx_nosplit(r, c, bsize, tx_size)
@@ -408,10 +461,15 @@ class InterTileEncoder(SimpleTileEncoder):
             self._sym(self.cdf["tx_size"][cat][actx], blk.tx_depth, nsym2)
             for _ in range(blk.tx_depth):
                 tx_size = T.SPLIT_TX_SIZE[tx_size]
+        has_chroma = True
+        if C.BLOCK_H4[bsize] == 1 and (r & 1) == 0:
+            has_chroma = False
+        if C.BLOCK_W4[bsize] == 1 and (c & 1) == 0:
+            has_chroma = False
         if not blk.skip:
-            self._encode_residual(blk, tx_size, True)
+            self._encode_residual(blk, tx_size, has_chroma)
         else:
-            self._clear_skip_ctx(blk, tx_size, True)
+            self._clear_skip_ctx(blk, tx_size, has_chroma)
         self._post_grids(blk, C.INTRA_FRAME, (0, 0), blk.y_mode)
         w4 = C.BLOCK_W4[bsize]
         h4 = C.BLOCK_H4[bsize]
@@ -552,14 +610,31 @@ class InterTileEncoder(SimpleTileEncoder):
         self._encode_residual(blk, tx_size, has_chroma)
 
 
+def _zero_counts(t):
+    """libaom av1_reset_cdf_symbol_counters on the saved state."""
+    if isinstance(t, list):
+        if t and not isinstance(t[0], (list, dict)):
+            t[-1] = 0
+        else:
+            for v in t:
+                _zero_counts(v)
+    elif isinstance(t, dict):
+        for v in t.values():
+            _zero_counts(v)
+
+
 def encode_inter_sequence(w: int, h: int, q: int, frames,
                           hp_mv: bool = False, adapt: bool = False,
                           tx_select: bool = False,
-                          switchable: bool = False) -> List[bytes]:
+                          switchable: bool = False,
+                          motion_switch: bool = False,
+                          err: bool = True,
+                          carry: bool = False) -> List[bytes]:
     """frames: list of (frame_type, blocks).  Returns one TU per frame
     (seq header included in the first)."""
     from easyav1_tpu.video.av1.av1_enc import write_frame_header_bits
     tus = []
+    prev_cdf = None
     seq = write_sequence_header_full(w, h)
     for i, (ftype, blocks) in enumerate(frames):
         bw = BitWriter()
@@ -567,18 +642,36 @@ def encode_inter_sequence(w: int, h: int, q: int, frames,
                                 refresh=0xFF if ftype == C.KEY_FRAME
                                 else 0x01, hp_mv=hp_mv, adapt=adapt,
                                 tx_select=tx_select,
-                                switchable=switchable, w=w, h=h)
+                                switchable=switchable, w=w, h=h,
+                                motion_switch=motion_switch,
+                                err=err, primary_ref=0, carry=carry)
         bw.byte_align()
         hdr_bytes = bw.bytes()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
-                                switchable=switchable)
+                                switchable=switchable,
+                                motion_switch=motion_switch)
         if ftype == C.KEY_FRAME:
             tenc.frame_is_intra = True
+        if carry and prev_cdf is not None and ftype != C.KEY_FRAME:
+            # primary_ref inheritance: start from the previous frame's
+            # end-of-tile entropy state (spec load_cdfs)
+            tenc.cdf = copy.deepcopy(prev_cdf)
         tile = tenc.encode_blocks(blocks)
+        if carry:
+            prev_cdf = tenc.cdf
+            _zero_counts(prev_cdf)
         tu = obu(C.OBU_TEMPORAL_DELIMITER, b"")
         if i == 0:
             tu += obu(C.OBU_SEQUENCE_HEADER, seq)
         tu += obu(C.OBU_FRAME, hdr_bytes + tile)
         tus.append(tu)
     return tus
+
+
+# motion-mode gating shares the decoder's exact sample-gathering and
+# overlappability scans (duck-typed over the shared grid attributes)
+from easyav1_tpu.video.av1.tile import TileDecoder as _TD  # noqa: E402
+
+InterTileEncoder._find_warp_samples = _TD._find_warp_samples
+InterTileEncoder._has_overlappable = _TD._has_overlappable

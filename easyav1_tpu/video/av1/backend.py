@@ -40,6 +40,12 @@ class AV1Backend:
         self._out_refs: List[Optional[VideoFrame]] = [None] * C.NUM_REF_FRAMES
         # reference plane store per slot (cropped uint8 planes)
         self._ref_planes: List[Optional[list]] = [None] * C.NUM_REF_FRAMES
+        # per-slot saved entropy contexts (spec frame_end_update_cdf /
+        # load_cdfs via primary_ref_frame)
+        self._ref_cdfs: List[Optional[CdfContext]] = \
+            [None] * C.NUM_REF_FRAMES
+        # per-slot saved 8x8 motion fields (spec SavedMvs/SavedRefFrames)
+        self._ref_tmvs: List[Optional[tuple]] = [None] * C.NUM_REF_FRAMES
 
     # -- VideoBackend interface -------------------------------------------
 
@@ -130,16 +136,46 @@ class AV1Backend:
             bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
         )
         tiles = self._split_tiles(hdr, tile_payloads)
+        # entropy context: inherit the primary ref's saved state (spec
+        # load_cdfs) or reset to the per-q defaults
+        inherited = None
+        if hdr.primary_ref_frame != C.PRIMARY_REF_NONE:
+            inherited = self._ref_cdfs[
+                hdr.ref_frame_idx[hdr.primary_ref_frame]]
+        init_cdf = (inherited.copy() if inherited is not None
+                    else CdfContext.default(hdr.quant.base_q_idx))
+        end_cdf = init_cdf
         from easyav1_tpu import native
-        planes = native.decode_and_recon_native(seq, hdr, tiles)
+        # the native decoder cannot export its adapted entropy state yet:
+        # only use it when this frame's saved state is knowable (init) or
+        # the frame is never saved for reference
+        native_ok = inherited is None and (
+            hdr.disable_frame_end_update_cdf
+            or hdr.refresh_frame_flags == 0)
+        planes = None
+        if native_ok:
+            planes = native.decode_and_recon_native(seq, hdr, tiles)
         if planes is None:
-            if not native.decode_frame_native(seq, hdr, plan, tiles):
-                cdf = CdfContext.default(hdr.quant.base_q_idx)
-                dec = TileDecoder(seq, hdr, cdf, plan)
+            if not native_ok or \
+                    not native.decode_frame_native(seq, hdr, plan, tiles):
+                dec = TileDecoder(seq, hdr, init_cdf, plan)
+                if hdr.use_ref_frame_mvs:
+                    from easyav1_tpu.video.av1.mfmv import \
+                        setup_motion_field
+                    dec.tpl_mv, dec.tpl_off = setup_motion_field(
+                        hdr, seq, [s if s.valid else None
+                                   for s in self.hp.refs],
+                        self._ref_tmvs)
                 n_cols = hdr.tile.cols
+                update_tid = hdr.tile.context_update_tile_id
                 for tile_num, tdata in enumerate(tiles):
+                    tcdf = init_cdf.copy()
+                    dec.cdf = tcdf.t
                     dec.decode_tile(tdata, tile_num // n_cols,
                                     tile_num % n_cols)
+                    if tile_num == update_tid and \
+                            not hdr.disable_frame_end_update_cdf:
+                        end_cdf = tcdf
             recon = FrameRecon(seq, hdr, plan, refs=self._ref_planes)
             aligned = recon.run_aligned()
             from easyav1_tpu.video.av1.lf_ref import LoopFilter
@@ -147,12 +183,26 @@ class AV1Backend:
             LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
             Cdef(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
             planes = recon.crop(aligned)
+        end_cdf.reset_counters()   # spec: saved contexts carry probs,
+        #                            not counts (av1_reset_cdf_symbol_counters)
         frame = self._make_frame(planes, hdr, ts)
+        # per-8x8 motion storage for later temporal projection
+        if hdr.frame_is_intra or getattr(plan, "ref0_grid", None) is None:
+            h8 = (hdr.mi_rows + 1) >> 1
+            w8 = (hdr.mi_cols + 1) >> 1
+            tmvs = (np.full((h8, w8), C.NONE_FRAME, np.int8),
+                    np.zeros((h8, w8, 2), np.int16))
+        else:
+            from easyav1_tpu.video.av1.mfmv import save_tmvs
+            tmvs = save_tmvs(hdr, plan.ref0_grid, plan.ref1_grid,
+                             plan.mvs_grid)
         self.hp.update_refs(hdr)
         for i in range(C.NUM_REF_FRAMES):
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame
                 self._ref_planes[i] = planes
+                self._ref_cdfs[i] = end_cdf
+                self._ref_tmvs[i] = tmvs
         return frame if hdr.show_frame else None
 
     def _split_tiles(self, hdr: FrameHeader, payloads: List[bytes]) -> List[bytes]:

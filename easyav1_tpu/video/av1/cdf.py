@@ -79,3 +79,20 @@ class CdfContext:
 
     def copy(self) -> "CdfContext":
         return CdfContext(copy.deepcopy(self.t))
+
+    def reset_counters(self) -> None:
+        """Zero every row's adaptation counter (libaom
+        av1_reset_cdf_symbol_counters) — done when a frame's entropy
+        state is saved for later primary_ref inheritance: probabilities
+        carry across frames, counts do not."""
+        def walk(x):
+            if isinstance(x, list):
+                if x and not isinstance(x[0], (list, dict)):
+                    x[-1] = 0
+                else:
+                    for v in x:
+                        walk(v)
+            elif isinstance(x, dict):
+                for v in x.values():
+                    walk(v)
+        walk(self.t)

@@ -389,6 +389,10 @@ class FrameHeader:
     interpolation_filter: int = C.EIGHTTAP
     is_motion_mode_switchable: bool = False
     use_ref_frame_mvs: bool = False
+    order_hints: List[int] = dataclasses.field(
+        default_factory=lambda: [0] * 8)
+    ref_frame_sign_bias: List[bool] = dataclasses.field(
+        default_factory=lambda: [False] * 8)
     disable_frame_end_update_cdf: bool = False
     tile: TileInfo = dataclasses.field(default_factory=TileInfo)
     quant: QuantizationParams = dataclasses.field(default_factory=QuantizationParams)
@@ -429,6 +433,8 @@ class RefFrameState:
     valid: bool = False
     frame_id: int = 0
     order_hint: int = 0
+    # the frame's own OrderHints view (spec SavedOrderHints)
+    saved_order_hints: Optional[List[int]] = None
     frame_type: int = C.KEY_FRAME
     upscaled_width: int = 0
     frame_width: int = 0
@@ -605,6 +611,16 @@ class HeaderParser:
                 h.use_ref_frame_mvs = False
             else:
                 h.use_ref_frame_mvs = bool(r.f1())
+            # OrderHints[ref] / sign bias (spec 5.9.2 tail; used by the
+            # temporal mv projection and extra-search sign flips)
+            h.order_hints = [0] * 8
+            h.ref_frame_sign_bias = [False] * 8
+            if seq.enable_order_hint:
+                for i in range(C.REFS_PER_FRAME):
+                    rh = self.refs[h.ref_frame_idx[i]].order_hint
+                    h.order_hints[C.LAST_FRAME + i] = rh
+                    h.ref_frame_sign_bias[C.LAST_FRAME + i] = \
+                        self.get_relative_dist(rh, h.order_hint) > 0
 
         if seq.reduced_still_picture_header or h.disable_cdf_update:
             h.disable_frame_end_update_cdf = True
@@ -1195,6 +1211,8 @@ class HeaderParser:
                 ref.mi_rows = h.mi_rows
                 ref.header = h
                 ref.film_grain = h.film_grain
+                ref.saved_order_hints = list(getattr(h, "order_hints",
+                                                     [0] * 8))
 
     def _update_refs_show_existing(self, h: FrameHeader) -> None:
         src = self.refs[h.frame_to_show_map_idx]

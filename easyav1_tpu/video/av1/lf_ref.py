@@ -24,7 +24,12 @@ from easyav1_tpu.video.av1.tile import FramePlan
 MAX_LOOP_FILTER = 63
 
 
-def _filter_levels(hdr, plane: int, pass_: int, is_intra_block: bool) -> int:
+# mode_lf_lut (libaom): GLOBALMV / GLOBAL_GLOBALMV use mode_deltas[0],
+# every other inter mode uses mode_deltas[1]; intra always deltas-free
+_MODE_DELTA_IDX0 = (C.GLOBALMV, C.GLOBAL_GLOBALMV)
+
+
+def _filter_levels(hdr, plane: int, pass_: int, blk=None) -> int:
     """Per-block filter level (spec get_filter_level); segmentation and
     delta_lf are not yet wired (fixtures do not use them)."""
     lf = hdr.lf
@@ -36,9 +41,13 @@ def _filter_levels(hdr, plane: int, pass_: int, is_intra_block: bool) -> int:
         base = lf.level[3]
     lvl = base
     if getattr(lf, "delta_enabled", False):
-        n_shift = lvl >> 5
-        # intra frames: every block references INTRA_FRAME (index 0)
-        lvl += lf.ref_deltas[0] << n_shift
+        scale = 1 << (base >> 5)
+        if blk is None or not blk.is_inter:
+            lvl += lf.ref_deltas[0] * scale
+        else:
+            midx = 0 if blk.inter_mode in _MODE_DELTA_IDX0 else 1
+            lvl += (lf.ref_deltas[blk.ref_frame[0]]
+                    + lf.mode_deltas[midx]) * scale
         lvl = max(0, min(MAX_LOOP_FILTER, lvl))
     return lvl
 
@@ -211,6 +220,8 @@ class LoopFilter:
         txw = np.ones((gh, gw), np.int32)
         txh = np.ones((gh, gw), np.int32)
         skip = np.zeros((gh, gw), np.int32)
+        lvl0 = np.zeros((gh, gw), np.int32)
+        lvl1 = np.zeros((gh, gw), np.int32)
         edge_left = np.zeros((gh, gw), bool)
         edge_top = np.zeros((gh, gw), bool)
         ssx = self.ssx if plane else 0
@@ -231,6 +242,8 @@ class LoopFilter:
             txw[by:y1, bx:x1] = T.TX_W4[tx]
             txh[by:y1, bx:x1] = T.TX_H4[tx]
             skip[by:y1, bx:x1] = 1 if b.skip else 0
+            lvl0[by:y1, bx:x1] = _filter_levels(self.hdr, plane, 0, b)
+            lvl1[by:y1, bx:x1] = _filter_levels(self.hdr, plane, 1, b)
             edge_left[by:y1, bx] = True
             edge_top[by, bx:x1] = True
         # overlay actual tx tree (covers tx splitting inside coded blocks)
@@ -246,6 +259,7 @@ class LoopFilter:
             txw[cy:y1, cx:x1] = tw4
             txh[cy:y1, cx:x1] = th4
         return {"txw": txw, "txh": txh, "skip": skip,
+                "lvl0": lvl0, "lvl1": lvl1,
                 "edge_left": edge_left, "edge_top": edge_top,
                 "gw": gw, "gh": gh}
 
@@ -254,14 +268,17 @@ class LoopFilter:
     def _filter_pass(self, buf: np.ndarray, plane: int, pass_: int, g):
         hdr = self.hdr
         bd = self.bd
-        lvl = _filter_levels(hdr, plane, pass_, True)
-        if lvl == 0:
-            return
-        limit, blimit, thresh = _limits(lvl, hdr.lf.sharpness, bd)
+        lvls = g["lvl0"] if pass_ == 0 else g["lvl1"]
         h, w = buf.shape
         gw, gh = g["gw"], g["gh"]
         txw, txh = g["txw"], g["txh"]
         skip = g["skip"]
+        limit_cache = {}
+
+        def limits_for(lvl):
+            if lvl not in limit_cache:
+                limit_cache[lvl] = _limits(lvl, hdr.lf.sharpness, bd)
+            return limit_cache[lvl]
         if pass_ == 0:  # vertical edges, scan columns
             for cy in range(gh):
                 for cx in range(1, gw):
@@ -274,6 +291,10 @@ class LoopFilter:
                     is_block_edge = g["edge_left"][cy, cx]
                     if not is_block_edge and skip[cy, cx] and skip[cy, cx - 1]:
                         continue
+                    lvl = int(lvls[cy, cx]) or int(lvls[cy, cx - 1])
+                    if lvl == 0:
+                        continue
+                    limit, blimit, thresh = limits_for(lvl)
                     min_tx = min(txw[cy, cx], txw[cy, cx - 1]) * 4
                     if plane == 0:
                         size = 14 if min_tx >= 16 else (8 if min_tx >= 8
@@ -296,6 +317,10 @@ class LoopFilter:
                     is_block_edge = g["edge_top"][cy, cx]
                     if not is_block_edge and skip[cy, cx] and skip[cy - 1, cx]:
                         continue
+                    lvl = int(lvls[cy, cx]) or int(lvls[cy - 1, cx])
+                    if lvl == 0:
+                        continue
+                    limit, blimit, thresh = limits_for(lvl)
                     min_tx = min(txh[cy, cx], txh[cy - 1, cx]) * 4
                     if plane == 0:
                         size = 14 if min_tx >= 16 else (8 if min_tx >= 8

@@ -1,0 +1,180 @@
+"""Temporal motion vector projection (spec §7.9 motion field estimation
++ §7.20 mv storage).
+
+Per-frame, per-8x8-cell motion vectors of up to 3 projected reference
+motion fields feed the temporal candidates of find_mv_stack.  Semantics
+mirror libaom av1_setup_motion_field / av1_copy_frame_mvs and were
+validated bit-exact against libdav1d on real inter streams
+(use_ref_frame_mvs=1).
+
+Reference parity: easyav1 gets this behavior from dav1d
+(src/easyav1.c decode path); this module is part of our from-scratch
+AV1 decoder replacing it.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import constants as C
+
+MAX_FRAME_DISTANCE = 31
+REFMVS_LIMIT = (1 << 12) - 1
+MFMV_STACK_SIZE = 3
+
+# div_mult[d] ~ 2^14 / d (libaom table, truncating)
+DIV_MULT = [0, 16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820,
+            1638, 1489, 1365, 1260, 1170, 1092, 1024, 963, 910, 862,
+            819, 780, 744, 712, 682, 655, 630, 606, 585, 564, 546, 528]
+
+
+def _clamp(v, lo, hi):
+    return lo if v < lo else hi if v > hi else v
+
+
+def mv_projection(mv_row: int, mv_col: int, num: int, den: int):
+    """libaom get_mv_projection: scale mv by num/den in Q14."""
+    den = min(den, MAX_FRAME_DISTANCE)
+    num = min(num, MAX_FRAME_DISTANCE) if num > 0 \
+        else max(num, -MAX_FRAME_DISTANCE)
+    out = []
+    for v in (mv_row, mv_col):
+        t = v * num * DIV_MULT[den]
+        r = (t + 8192) >> 14 if t >= 0 else -((-t + 8192) >> 14)
+        out.append(_clamp(r, -(1 << 14) + 1, (1 << 14) - 1))
+    return out[0], out[1]
+
+
+def save_tmvs(hdr, ref0_grid, ref1_grid, mvs_grid):
+    """Per-8x8 mv storage at frame end (libaom av1_copy_frame_mvs,
+    sampled at the odd mi of each cell).  Returns (ref8, mv8)."""
+    mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
+    h8 = (mi_rows + 1) >> 1
+    w8 = (mi_cols + 1) >> 1
+    ref8 = np.full((h8, w8), C.NONE_FRAME, np.int8)
+    mv8 = np.zeros((h8, w8, 2), np.int16)
+    sign = hdr.ref_frame_sign_bias
+    hints = hdr.order_hints
+    cur = hdr.order_hint
+    # ref_frame_side (libaom av1_calculate_ref_frame_side): skip refs
+    # that are future-side or same-hint
+    side = [0] * 8
+    for ref in range(C.LAST_FRAME, C.ALTREF_FRAME + 1):
+        if sign[ref]:
+            side[ref] = 1
+        elif hints[ref] == cur:
+            side[ref] = -1
+    for y8 in range(h8):
+        r = min(2 * y8 + 1, mi_rows - 1)
+        for x8 in range(w8):
+            c = min(2 * x8 + 1, mi_cols - 1)
+            for grid in (ref0_grid, ref1_grid):
+                ref = int(grid[r, c])
+                if ref <= C.INTRA_FRAME or side[ref]:
+                    continue
+                idx = 0 if grid is ref0_grid else 1
+                mr = int(mvs_grid[r, c, idx, 0])
+                mc = int(mvs_grid[r, c, idx, 1])
+                if abs(mr) > REFMVS_LIMIT or abs(mc) > REFMVS_LIMIT:
+                    continue
+                ref8[y8, x8] = ref
+                mv8[y8, x8, 0] = mr
+                mv8[y8, x8, 1] = mc
+    return ref8, mv8
+
+
+def setup_motion_field(hdr, seq, slot_states, slot_tmvs):
+    """Project up to 3 reference motion fields into the current frame
+    (libaom av1_setup_motion_field).
+
+    slot_states: List[RefFrameState]; slot_tmvs: per-slot (ref8, mv8)
+    or None.  Returns (tpl_mv (h8,w8,2) int16, tpl_off (h8,w8) int8)
+    with tpl_off==0 marking invalid cells.
+    """
+    mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
+    h8 = (mi_rows + 1) >> 1
+    w8 = (mi_cols + 1) >> 1
+    tpl_mv = np.zeros((h8, w8, 2), np.int16)
+    tpl_off = np.zeros((h8, w8), np.int8)
+
+    def rel_dist(a, b):
+        if not seq.enable_order_hint:
+            return 0
+        d = a - b
+        m = 1 << (seq.order_hint_bits - 1)
+        return (d & (m - 1)) - (d & m)
+
+    cur = hdr.order_hint
+
+    def project(ref, dir2):
+        slot = hdr.ref_frame_idx[ref - C.LAST_FRAME]
+        st = slot_states[slot]
+        tm = slot_tmvs[slot]
+        if tm is None or st is None:
+            return 0
+        if st.mi_rows != mi_rows or st.mi_cols != mi_cols \
+                or st.frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME):
+            return 0
+        start_hint = st.order_hint
+        saved = st.saved_order_hints or [0] * 8
+        start_to_cur = rel_dist(start_hint, cur)
+        ref_off = [0] * 8
+        for rf in range(C.LAST_FRAME, C.ALTREF_FRAME + 1):
+            ref_off[rf] = rel_dist(start_hint, saved[rf])
+        if dir2:
+            start_to_cur = -start_to_cur
+        ref8, mv8 = tm
+        for y8 in range(h8):
+            base_y = (y8 >> 3) << 3
+            for x8 in range(w8):
+                srcref = int(ref8[y8, x8])
+                if srcref <= C.INTRA_FRAME:
+                    continue
+                off = ref_off[srcref]
+                if not (0 < off <= MAX_FRAME_DISTANCE
+                        and abs(start_to_cur) <= MAX_FRAME_DISTANCE):
+                    continue
+                fr = int(mv8[y8, x8, 0])
+                fc = int(mv8[y8, x8, 1])
+                pr, pc = mv_projection(fr, fc, start_to_cur, off)
+                # get_block_position
+                roff = (pr >> 6) if pr >= 0 else -((-pr) >> 6)
+                coff = (pc >> 6) if pc >= 0 else -((-pc) >> 6)
+                row = y8 - roff if dir2 else y8 + roff
+                col = x8 - coff if dir2 else x8 + coff
+                if not (0 <= row < (mi_rows >> 1)
+                        and 0 <= col < (mi_cols >> 1)):
+                    continue
+                base_x = (x8 >> 3) << 3
+                if not (base_y <= row < base_y + 8
+                        and base_x - 1 <= col < base_x + 9):
+                    continue
+                tpl_mv[row, col, 0] = fr
+                tpl_mv[row, col, 1] = fc
+                tpl_off[row, col] = off
+        return 1
+
+    hints = hdr.order_hints
+    ref_stamp = MFMV_STACK_SIZE - 1
+    last_slot = hdr.ref_frame_idx[0]
+    last_st = slot_states[last_slot]
+    if last_st is not None and slot_tmvs[last_slot] is not None:
+        alt_of_last = (last_st.saved_order_hints or [0] * 8)[C.ALTREF_FRAME]
+        is_overlay = alt_of_last == hints[C.GOLDEN_FRAME]
+        if not is_overlay:
+            project(C.LAST_FRAME, True)
+        ref_stamp -= 1
+    if rel_dist(hints[C.BWDREF_FRAME], cur) > 0:
+        if project(C.BWDREF_FRAME, False):
+            ref_stamp -= 1
+    if rel_dist(hints[C.ALTREF2_FRAME], cur) > 0:
+        if project(C.ALTREF2_FRAME, False):
+            ref_stamp -= 1
+    if rel_dist(hints[C.ALTREF_FRAME], cur) > 0 and ref_stamp >= 0:
+        if project(C.ALTREF_FRAME, False):
+            ref_stamp -= 1
+    if ref_stamp >= 0:
+        project(C.LAST2_FRAME, True)
+    return tpl_mv, tpl_off

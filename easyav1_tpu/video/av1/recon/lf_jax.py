@@ -227,7 +227,7 @@ def _cell_maps(g, plane, vertical: bool):
 def device_pass(buf, hdr, bd, plane, pass_, g):
     """Run one device LF pass in place on buf given an lf_ref-style
     grids dict g."""
-    lvl = _filter_levels(hdr, plane, pass_, True)
+    lvl = _filter_levels(hdr, plane, pass_, None)
     if lvl == 0:
         return
     limit, blimit, thresh = _limits(lvl, hdr.lf.sharpness, bd)

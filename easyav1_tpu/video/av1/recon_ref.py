@@ -19,6 +19,7 @@ from easyav1_tpu.video.av1 import tables as T
 from easyav1_tpu.video.av1.headers import FrameHeader, SequenceHeader
 from easyav1_tpu.video.av1.itx_ref import inv_wht4, transform_1d
 from easyav1_tpu.video.av1.tile import FramePlan, TxBlock
+from easyav1_tpu.video.av1 import warp as warp_mod
 
 _ROW_SHIFT = [0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 1, 1, 2, 2]
 
@@ -182,15 +183,37 @@ class FrameRecon:
                                                   if cfl_ac is not None
                                                   else 0))
 
+    def _gm_shear(self, ref):
+        """Cached shear params for the global warp of `ref` (None if the
+        global model is shear-invalid -> translational fallback)."""
+        if not hasattr(self, "_gm_shear_cache"):
+            self._gm_shear_cache = {}
+        if ref not in self._gm_shear_cache:
+            self._gm_shear_cache[ref] = warp_mod.get_shear_params(
+                list(self.hdr.gm_params[ref]))
+        return self._gm_shear_cache[ref]
+
     def _recon_block_inter(self, blk):
-        """Motion compensation (spec §7.11.3, translational single ref)
-        for the whole block, then var-tx residual add."""
+        """Motion compensation (spec §7.11.3: translational, local warp,
+        global warp, OBMC) for the whole block, then var-tx residual
+        add."""
         hdr = self.hdr
         ref = blk.ref_frame[0]
         slot = hdr.ref_frame_idx[ref - 1]
         ref_planes = self.refs[slot]
         if ref_planes is None:
             raise ValueError(f"missing reference frame slot {slot}")
+        # warp selection: local warp beats global; invalid -> translation
+        wm = None
+        if blk.motion_mode == C.WARPED and blk.warp is not None:
+            wm = blk.warp
+        elif (blk.inter_mode in (C.GLOBALMV,)
+              and min(C.BLOCK_W4[blk.bsize], C.BLOCK_H4[blk.bsize]) * 4 >= 8
+              and hdr.gm_type[ref] > C.TRANSLATION
+              and not hdr.gm_invalid[ref]):
+            shear = self._gm_shear(ref)
+            if shear is not None:
+                wm = (list(hdr.gm_params[ref]), shear)
         n_planes = 3 if (blk.has_chroma and self.seq.color.num_planes > 1) \
             else 1
         for plane in range(min(n_planes, len(self.planes))):
@@ -203,12 +226,21 @@ class FrameRecon:
             buf = self.planes[plane]
             w = min(w, buf.shape[1] - x)
             h = min(h, buf.shape[0] - y)
-            pred = self._predict_inter(ref_planes[plane], x, y, w, h,
-                                       blk.mv, ssx, ssy,
-                                       blk.interp_filter, plane)
+            # spec 7.11.3.1: warp only when the PLANE prediction is at
+            # least 8x8; smaller (chroma of 8x8 luma) -> translational
+            if wm is not None and w >= 8 and h >= 8:
+                pred = warp_mod.warp_affine(ref_planes[plane], wm[0],
+                                            wm[1], x, y, w, h, ssx, ssy,
+                                            self.bd)
+            else:
+                pred = self._predict_inter(ref_planes[plane], x, y, w, h,
+                                           blk.mv, ssx, ssy,
+                                           blk.interp_filter, plane)
             buf[y:y + h, x:x + w] = pred
             self.decoded[plane][y >> 2:(y + h + 3) >> 2,
                                 x >> 2:(x + w + 3) >> 2] = True
+        if blk.motion_mode == C.OBMC_MOTION:
+            self._apply_obmc(blk)
         # residual add per coded tx
         mx = (1 << self.bd) - 1
         for txb in blk.tx_blocks:
@@ -218,6 +250,128 @@ class FrameRecon:
             w = min(res.shape[1], buf.shape[1] - txb.x)
             reg = buf[txb.y:txb.y + h, txb.x:txb.x + w]
             np.clip(reg + res[:h, :w], 0, mx, out=reg)
+
+    _MAX_NB_OBMC = [0, 1, 2, 3, 4, 4, 4]
+
+    def _apply_obmc(self, blk):
+        """Overlapped block motion compensation (spec §7.11.3.9-10,
+        libaom av1_build_obmc_inter_prediction)."""
+        plan = self.plan
+        hdr = self.hdr
+        d = T.data()
+        masks = {1: np.array([64], np.int64),
+                 2: d["obmc_mask_2"].astype(np.int64),
+                 4: d["obmc_mask_4"].astype(np.int64),
+                 8: d["obmc_mask_8"].astype(np.int64),
+                 16: d["obmc_mask_16"].astype(np.int64),
+                 32: d["obmc_mask_32"].astype(np.int64)}
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        bw = w4 * 4
+        bh = h4 * 4
+        w4c = min(w4, plan.mi_cols - c)
+        h4c = min(h4, plan.mi_rows - r)
+        n_planes = 3 if (blk.has_chroma and self.seq.color.num_planes > 1) \
+            else 1
+
+        def nb_pred(plane, nb_r, nb_c, px, py, pw, ph):
+            nref = int(plan.ref0_grid[nb_r, nb_c])
+            mv = (int(plan.mvs_grid[nb_r, nb_c, 0, 0]),
+                  int(plan.mvs_grid[nb_r, nb_c, 0, 1]))
+            interp = (int(plan.interp_grid[nb_r, nb_c, 0]),
+                      int(plan.interp_grid[nb_r, nb_c, 1]))
+            rp = self.refs[hdr.ref_frame_idx[nref - 1]]
+            return self._predict_inter(rp[plane], px, py, pw, ph, mv,
+                                       self.ssx if plane else 0,
+                                       self.ssy if plane else 0,
+                                       interp, plane)
+
+        def plane_skip(above_pass):
+            """libaom av1_skip_u4x4_pred_in_obmc: skip the ABOVE pass for
+            chroma plane-blocks 4x4 / 8x4 / 4x8."""
+            pw4 = max(1, w4 >> self.ssx)
+            ph4 = max(1, h4 >> self.ssy)
+            tiny = (pw4 * 4 <= 4 and ph4 * 4 <= 8) or \
+                   (pw4 * 4 <= 8 and ph4 * 4 <= 4)
+            return tiny and above_pass
+
+        # ---- above pass
+        if r > 0:
+            nb_max = self._MAX_NB_OBMC[(w4 * 4).bit_length() - 3]
+            count = 0
+            i = 0
+            while i < w4c and count < nb_max:
+                nbc = c + i
+                step = min(C.BLOCK_W4[int(plan.bsize[r - 1, nbc])], 16)
+                rel = i
+                nbc_eff = nbc
+                if step == 1:
+                    rel = (nbc & ~1) - c
+                    nbc_eff = (nbc & ~1) + 1
+                    step = 2
+                if int(plan.ref0_grid[r - 1, nbc_eff]) > C.INTRA_FRAME:
+                    count += 1
+                    op_mi = min(w4, step)
+                    overlap = (min(bh, 64) >> 1)
+                    for plane in range(min(n_planes, len(self.planes))):
+                        if plane and plane_skip(True):
+                            continue
+                        ssx = self.ssx if plane else 0
+                        ssy = self.ssy if plane else 0
+                        px = ((c + rel) * 4) >> ssx
+                        py = (r * 4) >> ssy
+                        pw = (op_mi * 4) >> ssx
+                        ph = overlap >> ssy
+                        buf = self.planes[plane]
+                        pw = min(pw, buf.shape[1] - px)
+                        ph = min(ph, buf.shape[0] - py)
+                        if pw <= 0 or ph <= 0:
+                            continue
+                        tmp = nb_pred(plane, r - 1, nbc_eff, px, py, pw,
+                                      ph)
+                        m = masks[overlap >> ssy][:ph, None]
+                        reg = buf[py:py + ph, px:px + pw]
+                        reg[:] = (m * reg + (64 - m) * tmp + 32) >> 6
+                i = rel + step
+        # ---- left pass
+        if c > 0:
+            nb_max = self._MAX_NB_OBMC[(h4 * 4).bit_length() - 3]
+            count = 0
+            i = 0
+            while i < h4c and count < nb_max:
+                nbr = r + i
+                step = min(C.BLOCK_H4[int(plan.bsize[nbr, c - 1])], 16)
+                rel = i
+                nbr_eff = nbr
+                if step == 1:
+                    rel = (nbr & ~1) - r
+                    nbr_eff = (nbr & ~1) + 1
+                    step = 2
+                if int(plan.ref0_grid[nbr_eff, c - 1]) > C.INTRA_FRAME:
+                    count += 1
+                    op_mi = min(h4, step)
+                    overlap = (min(bw, 64) >> 1)
+                    for plane in range(min(n_planes, len(self.planes))):
+                        if plane and plane_skip(False):
+                            continue
+                        ssx = self.ssx if plane else 0
+                        ssy = self.ssy if plane else 0
+                        px = (c * 4) >> ssx
+                        py = ((r + rel) * 4) >> ssy
+                        pw = overlap >> ssx
+                        ph = (op_mi * 4) >> ssy
+                        buf = self.planes[plane]
+                        pw = min(pw, buf.shape[1] - px)
+                        ph = min(ph, buf.shape[0] - py)
+                        if pw <= 0 or ph <= 0:
+                            continue
+                        tmp = nb_pred(plane, nbr_eff, c - 1, px, py, pw,
+                                      ph)
+                        m = masks[overlap >> ssx][None, :pw]
+                        reg = buf[py:py + ph, px:px + pw]
+                        reg[:] = (m * reg + (64 - m) * tmp + 32) >> 6
+                i = rel + step
 
     # MC subpel filter selection (spec Subpel_Filters): 4-tap variants
     # for block dims <= 4; SHARP falls back to the regular 4-tap

@@ -250,9 +250,14 @@ class RefMvFinder:
         for i in range(st.num_nearest):
             st.weights[i] += REF_CAT_LEVEL
 
-        # temporal scan disabled: zero-mv context from the global mv
-        gm = st.global_mvs[0]
-        st.zero_mv_ctx = 1 if (abs(gm[0]) >= 8 or abs(gm[1]) >= 8) else 0
+        if getattr(dec, "tpl_off", None) is not None:
+            # temporal candidates from the projected motion field
+            self._temporal_scan(st, r, c, bsize, ref_frames, is_compound)
+        else:
+            # no temporal mvs: zero-mv context from the global mv
+            gm = st.global_mvs[0]
+            st.zero_mv_ctx = 1 if (abs(gm[0]) >= 8
+                                   or abs(gm[1]) >= 8) else 0
 
         if self._scan_point(st, r, c, -1, -1, ref_frames, is_compound):
             found_above = True
@@ -291,7 +296,7 @@ class RefMvFinder:
         # reference (no sign flip needed: order hints disabled).  These
         # DO count into NumMvFound (verified vs dav1d).
         if st.num_found < 2 and not is_compound:
-            self._extra_search(st, r, c, bsize)
+            self._extra_search(st, r, c, bsize, ref_frames)
 
         # global-mv pad to 2 entries; padding does NOT count into
         # NumMvFound — drl bits key off genuinely found candidates
@@ -312,7 +317,98 @@ class RefMvFinder:
                                               bsize)
         return st
 
-    def _extra_search(self, st: MvStack, r, c, bsize):
+    # -- temporal (projected) candidates (libaom add_tpl_ref_mv) -----------
+
+    def _rel_dist(self, a, b):
+        seq = self.dec.seq
+        if not seq.enable_order_hint:
+            return 0
+        d = a - b
+        m = 1 << (seq.order_hint_bits - 1)
+        return (d & (m - 1)) - (d & m)
+
+    def _temporal_scan(self, st, r, c, bsize, ref_frames, is_compound):
+        dec = self.dec
+        bw4 = min(C.BLOCK_W4[bsize], dec.mi_col_end - c)
+        bh4 = min(C.BLOCK_H4[bsize], dec.mi_row_end - r)
+        step_h = 4 if C.BLOCK_H4[bsize] >= 16 else 2
+        step_w = 4 if C.BLOCK_W4[bsize] >= 16 else 2
+        found00 = False
+        for br in range(0, bh4, step_h):
+            for bc in range(0, bw4, step_w):
+                ret = self._add_tpl(st, r, c, br, bc, ref_frames,
+                                    is_compound)
+                if br == 0 and bc == 0:
+                    found00 = ret
+        if not found00:
+            st.zero_mv_ctx = 1
+        allow_ext = (2 <= bh4 < 16) and (2 <= bw4 < 16)
+        if allow_ext:
+            voff = max(2, bh4)
+            hoff = max(2, bw4)
+            for (br, bc) in ((voff, -2), (voff, hoff), (voff - 2, hoff)):
+                # check_sb_border: stay within the 64x64 neighborhood
+                row = (r & 15) + br
+                col = (c & 15) + bc
+                if not (0 <= row < 16 and -16 <= col < 32):
+                    continue
+                self._add_tpl(st, r, c, br, bc, ref_frames, is_compound)
+
+    def _add_tpl(self, st, r, c, br, bc, ref_frames, is_compound):
+        dec = self.dec
+        pos_r = br if (r & 1) else br + 1
+        pos_c = bc if (c & 1) else bc + 1
+        mv_r = r + pos_r
+        mv_c = c + pos_c
+        if not (dec.mi_row_start <= mv_r < dec.mi_row_end
+                and dec.mi_col_start <= mv_c < dec.mi_col_end):
+            return False
+        y8 = mv_r >> 1
+        x8 = mv_c >> 1
+        if int(dec.tpl_off[y8, x8]) == 0:
+            return False
+        off = int(dec.tpl_off[y8, x8])
+        fr = int(dec.tpl_mv[y8, x8, 0])
+        fc = int(dec.tpl_mv[y8, x8, 1])
+        from easyav1_tpu.video.av1.mfmv import mv_projection
+        hdr = dec.hdr
+        cur0 = self._rel_dist(hdr.order_hint,
+                              hdr.order_hints[ref_frames[0]])
+        mv0 = self._lower_precision(mv_projection(fr, fc, cur0, off))
+        if not is_compound:
+            if br == 0 and bc == 0:
+                gm = st.global_mvs[0]
+                st.zero_mv_ctx = 1 if (abs(mv0[0] - gm[0]) >= 16
+                                       or abs(mv0[1] - gm[1]) >= 16) else 0
+            for i in range(st.num_found):
+                if st.mvs[i][0] == mv0:
+                    st.weights[i] += 2
+                    return True
+            if st.num_found < 8:
+                st.mvs.append((mv0, (0, 0)))
+                st.weights.append(2)
+                st.num_found += 1
+            return True
+        cur1 = self._rel_dist(hdr.order_hint,
+                              hdr.order_hints[ref_frames[1]])
+        mv1 = self._lower_precision(mv_projection(fr, fc, cur1, off))
+        if br == 0 and bc == 0:
+            gm0, gm1 = st.global_mvs
+            st.zero_mv_ctx = 1 if (abs(mv0[0] - gm0[0]) >= 16
+                                   or abs(mv0[1] - gm0[1]) >= 16
+                                   or abs(mv1[0] - gm1[0]) >= 16
+                                   or abs(mv1[1] - gm1[1]) >= 16) else 0
+        for i in range(st.num_found):
+            if st.mvs[i] == (mv0, mv1):
+                st.weights[i] += 2
+                return True
+        if st.num_found < 8:
+            st.mvs.append((mv0, mv1))
+            st.weights.append(2)
+            st.num_found += 1
+        return True
+
+    def _extra_search(self, st: MvStack, r, c, bsize, ref_frames):
         dec = self.dec
         bw4 = C.BLOCK_W4[bsize]
         bh4 = C.BLOCK_H4[bsize]
@@ -328,9 +424,12 @@ class RefMvFinder:
                     break
                 cand_ref, cand_mvs, _mode = self._cand(mv_r, mv_c)
                 if cand_ref[0] > C.INTRA_FRAME:
+                    bias = self.dec.hdr.ref_frame_sign_bias
                     for j in range(2):
                         if cand_ref[j] > C.INTRA_FRAME:
                             mv = cand_mvs[j]
+                            if bias[cand_ref[j]] != bias[ref_frames[0]]:
+                                mv = (-mv[0], -mv[1])
                             if all(st.mvs[k][0] != mv
                                    for k in range(st.num_found)):
                                 st.mvs.append((mv, (0, 0)))

@@ -22,6 +22,7 @@ from easyav1_tpu.video.av1 import tables as T
 from easyav1_tpu.video.av1.cdf import CdfContext
 from easyav1_tpu.video.av1.headers import FrameHeader, SequenceHeader
 from easyav1_tpu.video.av1.msac import Msac
+from easyav1_tpu.video.av1 import warp as warp_mod
 
 
 @dataclasses.dataclass
@@ -64,6 +65,10 @@ class BlockRecord:
     ref_mv_idx: int = 0
     # var-tx luma leaves [(x4off, y4off, tx_size)] when is_inter
     var_txs: Optional[list] = None
+    # motion mode: C.SIMPLE / C.OBMC_MOTION / C.WARPED
+    motion_mode: int = 0
+    # local warp: (wmmat[6], (alpha,beta,gamma,delta)) or None
+    warp: Optional[tuple] = None
 
 
 @dataclasses.dataclass
@@ -150,6 +155,10 @@ class TileDecoder:
         self.hdr = hdr
         self.cdf = cdf.t
         self.plan = plan
+        # projected temporal motion field (set by the backend when
+        # use_ref_frame_mvs; None disables the temporal candidate scan)
+        self.tpl_mv = None
+        self.tpl_off = None
         self.bitdepth = seq.color.bitdepth
         self.num_planes = seq.color.num_planes
         self.ssx = seq.color.subsampling_x
@@ -210,6 +219,11 @@ class TileDecoder:
         row_start = t.row_starts[tile_row] << sb_shift
         row_end = min(t.row_starts[tile_row + 1] << sb_shift, self.mi_rows)
         self._init_tile(col_start, col_end, row_start, row_end)
+        # expose per-mi inter grids to recon (OBMC neighbor lookups)
+        self.plan.mvs_grid = self.mvs
+        self.plan.ref0_grid = self.ref_frames0
+        self.plan.ref1_grid = self.ref_frames1
+        self.plan.interp_grid = self.interp
         self.msac = Msac(data, allow_update_cdf=not hdr.disable_cdf_update)
         sb_mi = 1 << sb_shift
         for r in range(row_start, row_end, sb_mi):
@@ -249,6 +263,9 @@ class TileDecoder:
         else:
             partition = C.PARTITION_SPLIT
 
+        if not hasattr(self.plan, "part_log"):
+            self.plan.part_log = []
+        self.plan.part_log.append((r, c, bsize, partition))
         sub = partition_subsize(partition, bsize) if bsize >= C.BLOCK_8X8 \
             else bsize
         half_px = half
@@ -490,6 +507,9 @@ class TileDecoder:
             inter_mode=block_mode if is_inter else 0,
             ref_mv_idx=getattr(self, "_last_ref_mv_idx", 0)
             if is_inter else 0,
+            motion_mode=getattr(self, "_last_motion_mode", C.SIMPLE)
+            if is_inter else C.SIMPLE,
+            warp=getattr(self, "_last_warp", None) if is_inter else None,
         )
         plan.blocks.append(self._cur_block)
         plan.y_mode[r:r + h4, c:c + w4] = y_mode
@@ -824,21 +844,133 @@ class TileDecoder:
                 mv = st.mvs[ref_mv_idx][0]
             else:                        # GLOBALMV
                 mv = st.global_mvs[0]
-        # motion mode (spec read_motion_mode): with warped motion off
-        # this is the OBMC bool; OBMC itself is not yet reconstructed
-        if (getattr(self.hdr, "is_motion_mode_switchable", False)
+        # motion mode (spec read_motion_mode / libaom motion_mode_allowed)
+        motion_mode = C.SIMPLE
+        self._last_warp = None
+        hdr = self.hdr
+        if (getattr(hdr, "is_motion_mode_switchable", False)
                 and not self.skip_mode_flag
-                and min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8
-                and ref_frame[1] <= C.INTRA_FRAME
-                and self._has_overlappable(r, c, bsize, avail_u, avail_l)):
-            if getattr(self.hdr, "allow_warped_motion", False):
-                raise NotImplementedError("warped motion mode symbol")
-            if self.msac.decode_symbol(self.cdf["obmc"][bsize]):
-                raise NotImplementedError("OBMC reconstruction")
-        interp = self._read_interp_filter(r, c, ref_frame, avail_u,
-                                          avail_l)
+                and ref_frame[1] <= C.INTRA_FRAME):
+            cands = self._find_warp_samples(r, c, bsize, ref_frame[0],
+                                            avail_u, avail_l)
+            glob_block = (mode == C.GLOBALMV
+                          and min(C.BLOCK_W4[bsize],
+                                  C.BLOCK_H4[bsize]) * 4 >= 8
+                          and hdr.gm_type[ref_frame[0]] > C.TRANSLATION
+                          and not hdr.force_integer_mv)
+            if (min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8
+                    and not glob_block
+                    and self._has_overlappable(r, c, bsize, avail_u,
+                                               avail_l)):
+                warp_ok = (len(cands) >= 1
+                           and getattr(hdr, "allow_warped_motion", False)
+                           and not hdr.force_integer_mv)
+                if warp_ok:
+                    motion_mode = self.msac.decode_symbol(
+                        self.cdf["motion_mode"][bsize])
+                else:
+                    motion_mode = (C.OBMC_MOTION if self.msac.decode_symbol(
+                        self.cdf["obmc"][bsize]) else C.SIMPLE)
+            if motion_mode == C.WARPED:
+                # libaom av1_selectSamples: threshold trim, keep >= 1
+                bw = C.BLOCK_W4[bsize] * 4
+                bh = C.BLOCK_H4[bsize] * 4
+                thresh = max(16, min(112, max(bw, bh)))
+                if len(cands) > 1:
+                    sel = [p for p in cands
+                           if (abs(p[2] - p[0] - mv[1])
+                               + abs(p[3] - p[1] - mv[0])) <= thresh]
+                    if not sel:
+                        sel = cands[:1]
+                else:
+                    sel = cands
+                mat = warp_mod.find_affine_int(
+                    sel[:8], r, c, bsize, (int(mv[0]), int(mv[1])))
+                shear = warp_mod.get_shear_params(mat) if mat else None
+                if mat is not None and shear is not None:
+                    self._last_warp = (mat, shear)
+                # invalid warp -> translational fallback at recon
+        # interpolation filter: not coded for warped / non-translational
+        # global blocks (libaom av1_is_interp_needed)
+        nontrans_global = (mode == C.GLOBALMV
+                           and min(C.BLOCK_W4[bsize],
+                                   C.BLOCK_H4[bsize]) * 4 >= 8
+                           and hdr.gm_type[ref_frame[0]] > C.TRANSLATION)
+        if (self.skip_mode_flag or motion_mode == C.WARPED
+                or nontrans_global):
+            f = (C.EIGHTTAP if hdr.interpolation_filter == C.SWITCHABLE
+                 else hdr.interpolation_filter)
+            interp = (f, f)
+        else:
+            interp = self._read_interp_filter(r, c, ref_frame, avail_u,
+                                              avail_l)
         self._last_ref_mv_idx = ref_mv_idx
+        self._last_motion_mode = motion_mode
         return int(mode), ref_frame, (int(mv[0]), int(mv[1])), interp
+
+    def _find_warp_samples(self, r, c, bsize, ref, avail_u, avail_l):
+        """Warp sample gathering (spec §7.10.4 / libaom av1_findSamples).
+        Returns CandList entries (x8, y8, x8+mvx, y8+mvy) in ABSOLUTE
+        1/8-pel luma coords (center of each candidate block)."""
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        cands = []
+        do_tl = True
+        do_tr = True
+
+        def match(rr, cc):
+            return (int(self.ref_frames0[rr, cc]) == ref
+                    and int(self.ref_frames1[rr, cc]) == C.NONE_FRAME)
+
+        def rec(rr, cc, row_off, sign_r, col_off, sign_c):
+            nb = int(self.plan.bsize[rr, cc])
+            bw = C.BLOCK_W4[nb] * 4
+            bh = C.BLOCK_H4[nb] * 4
+            x = (c + col_off) * 4 + sign_c * (bw >> 1) - 1
+            y = (r + row_off) * 4 + sign_r * (bh >> 1) - 1
+            mvr = int(self.mvs[rr, cc, 0, 0])
+            mvc = int(self.mvs[rr, cc, 0, 1])
+            cands.append((x * 8, y * 8, x * 8 + mvc, y * 8 + mvr))
+
+        if avail_u:
+            src_w = C.BLOCK_W4[int(self.plan.bsize[r - 1, c])]
+            if w4 <= src_w:
+                col_off = -(c % src_w)
+                if col_off < 0:
+                    do_tl = False
+                if col_off + src_w > w4:
+                    do_tr = False
+                if match(r - 1, c):
+                    rec(r - 1, c, 0, -1, col_off, 1)
+            else:
+                i = 0
+                while i < min(w4, self.mi_col_end - c) and len(cands) < 8:
+                    src_w = C.BLOCK_W4[int(self.plan.bsize[r - 1, c + i])]
+                    if match(r - 1, c + i):
+                        rec(r - 1, c + i, 0, -1, i, 1)
+                    i += min(w4, src_w)
+        if avail_l and len(cands) < 8:
+            src_h = C.BLOCK_H4[int(self.plan.bsize[r, c - 1])]
+            if h4 <= src_h:
+                row_off = -(r % src_h)
+                if row_off < 0:
+                    do_tl = False
+                if match(r, c - 1):
+                    rec(r, c - 1, row_off, 1, 0, -1)
+            else:
+                i = 0
+                while i < min(h4, self.mi_row_end - r) and len(cands) < 8:
+                    src_h = C.BLOCK_H4[int(self.plan.bsize[r + i, c - 1])]
+                    if match(r + i, c - 1):
+                        rec(r + i, c - 1, i, 1, 0, -1)
+                    i += min(h4, src_h)
+        if do_tl and avail_u and avail_l and len(cands) < 8 \
+                and match(r - 1, c - 1):
+            rec(r - 1, c - 1, 0, -1, 0, -1)
+        if do_tr and len(cands) < 8 and self._has_tr(r, c, bsize) \
+                and c + w4 < self.mi_col_end and match(r - 1, c + w4):
+            rec(r - 1, c + w4, 0, -1, w4, 1)
+        return cands
 
     def _has_overlappable(self, r, c, bsize, avail_u, avail_l):
         if avail_u:

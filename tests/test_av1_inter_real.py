@@ -1,0 +1,129 @@
+"""Inter-frame AV1 conformance against real libaom-encoded streams.
+
+Covers the inter toolset end-to-end vs the libdav1d oracle: NEWMV /
+NEAREST / NEAR / GLOBAL modes, refmvs stacks + drl, var-tx trees,
+inter residuals, OBMC, warped motion, CDF inheritance via
+primary_ref_frame, and temporal MV projection (use_ref_frame_mvs).
+Compound prediction and loop restoration stay disabled (not yet
+implemented).
+"""
+
+import subprocess
+
+import numpy as np
+import pytest
+
+from easyav1_tpu.container.webm import TrackType, WebMDemuxer
+from easyav1_tpu.video.av1.backend import AV1Backend
+
+from fixtures import CACHE, tool
+
+# decoder-scope restrictions (features not implemented yet)
+SCOPE_OPTS = [
+    "vopt:enable-restoration=0", "vopt:enable-palette=0",
+    "vopt:enable-filter-intra=0", "vopt:enable-intrabc=0",
+    "vopt:aom-params=enable-onesided-comp=0",
+    "vopt:lag-in-frames=0",       # no alt-refs -> single-ref prediction
+]
+
+
+def inter_fixture(tag, w=96, h=96, crf=40, frames=4, gop=100, extra=()):
+    out = CACHE / f"ireal_{tag}.webm"
+    if not out.exists():
+        args = [str(tool("make_fixture")), str(out),
+                f"w={w}", f"h={h}", "fps=10", f"frames={frames}",
+                f"gop={gop}", f"crf={crf}", "audio_secs=0"] \
+            + SCOPE_OPTS + list(extra)
+        r = subprocess.run(args, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+    prefix = CACHE / f"ireal_{tag}"
+    if not prefix.with_suffix(".yuv").exists():
+        subprocess.run([str(tool("oracle")), str(out), str(prefix)],
+                       check=True, capture_output=True)
+    return out, prefix
+
+
+def assert_exact(tag, **kw):
+    out, prefix = inter_fixture(tag, **kw)
+    w = kw.get("w", 96)
+    h = kw.get("h", 96)
+    dmx = WebMDemuxer(str(out))
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    pkts = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            pkts.extend(p.frames)
+    raw = np.fromfile(prefix.with_suffix(".yuv"), dtype=np.uint8)
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    per = w * h + 2 * cw * ch
+    be = AV1Backend(vt)
+    for fi, pk in enumerate(pkts):
+        f = be.decode([pk], 0)[0]
+        b = fi * per
+        gold = [raw[b:b + w * h].reshape(h, w),
+                raw[b + w * h:b + w * h + cw * ch].reshape(ch, cw),
+                raw[b + w * h + cw * ch:b + per].reshape(ch, cw)]
+        for i, pname in enumerate("yuv"):
+            d = np.abs(gold[i].astype(int) - f.data[i].astype(int))
+            assert d.max() == 0, (
+                f"{tag} frame {fi} plane {pname}: maxdiff {d.max()} at "
+                f"{np.argwhere(d > 0)[:4].tolist()}")
+
+
+def test_inter_plain():
+    """No order hints / motion modes: base single-ref inter path."""
+    assert_exact("plain", extra=(
+        "vopt:aom-params=enable-order-hint=0:enable-obmc=0:"
+        "enable-warped-motion=0:enable-global-motion=0",))
+
+
+def test_inter_error_resilient():
+    """Error-resilient frames: default CDFs, no temporal mvs, OBMC."""
+    assert_exact("er", extra=(
+        "vopt:error-resilience=1",
+        "vopt:aom-params=enable-order-hint=0:enable-global-motion=0",))
+
+
+def test_inter_motion_modes():
+    """OBMC + local warp with order hints off."""
+    assert_exact("mm", crf=30, frames=6, extra=(
+        "vopt:aom-params=enable-order-hint=0:enable-global-motion=0",))
+
+
+def test_inter_cdf_inheritance():
+    """primary_ref_frame entropy inheritance across frames."""
+    assert_exact("inh", crf=24, extra=(
+        "vopt:aom-params=enable-order-hint=0:enable-obmc=0:"
+        "enable-warped-motion=0:enable-global-motion=0",))
+
+
+@pytest.mark.xfail(reason="temporal-mv stack ordering WIP", strict=False)
+def test_inter_temporal_mvs():
+    """Order hints + use_ref_frame_mvs temporal projection."""
+    assert_exact("tmv", crf=30, frames=6, extra=(
+        "vopt:aom-params=enable-order-hint=1:enable-ref-frame-mvs=1:"
+        "enable-global-motion=0",))
+
+
+@pytest.mark.xfail(reason="temporal-mv stack ordering WIP", strict=False)
+def test_inter_hbd_like_full():
+    """Everything in scope at once, longer sequence."""
+    assert_exact("full", crf=36, frames=8, extra=(
+        "vopt:aom-params=enable-order-hint=1:enable-ref-frame-mvs=1:"
+        "enable-global-motion=0",))
+
+
+def test_inter_cdef_on():
+    """Inter frames with CDEF enabled."""
+    assert_exact("cdef", crf=30, frames=4, extra=(
+        "vopt:enable-cdef=1",
+        "vopt:aom-params=enable-order-hint=1:enable-ref-frame-mvs=1:"
+        "enable-global-motion=0",))
+
+
+@pytest.mark.xfail(reason="frame-edge inter recon WIP", strict=False)
+def test_inter_odd_size():
+    """Partial superblocks on both edges."""
+    assert_exact("odd", w=84, h=52, crf=30, frames=4, extra=(
+        "vopt:aom-params=enable-order-hint=1:enable-ref-frame-mvs=1:"
+        "enable-global-motion=0",))

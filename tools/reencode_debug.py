@@ -36,11 +36,19 @@ class PlanReencoder(InterTileEncoder):
                          adapt=not hdr.disable_cdf_update,
                          tx_mode_select=hdr.tx_mode == C.TX_MODE_SELECT,
                          switchable=hdr.interpolation_filter
-                         == C.SWITCHABLE, **kw)
+                         == C.SWITCHABLE,
+                         motion_switch=getattr(
+                             hdr, "is_motion_mode_switchable", False),
+                         allow_warp=getattr(
+                             hdr, "allow_warped_motion", False), **kw)
         self.mi_cols = hdr.mi_cols
         self.mi_rows = hdr.mi_rows
+        self.mi_row_end = hdr.mi_rows
+        self.mi_col_end = hdr.mi_cols
         self.frame_is_intra = hdr.frame_is_intra
+        self.hdr = hdr                       # real header (gm, refmvs)
         self.bitlog = []                     # (bit_pos, r, c)
+        self._plan = plan
         self._plan_blocks = {}
         for b in plan.blocks:
             self._plan_blocks[(b.r, b.c)] = b
@@ -51,6 +59,119 @@ class PlanReencoder(InterTileEncoder):
         self._txmap = {(t.plane, t.x, t.y): t for t in pb.tx_blocks}
         self._pb = pb
         super()._encode_block(blk)
+
+    # -- exact partition replay from plan.part_log (handles AB/4 exts) --
+
+    def encode_blocks(self, blocks):
+        from easyav1_tpu.video.av1.av1_enc import EncBlock  # noqa
+        self._part_idx = 0
+        self._blk_by_pos = {(b.r, b.c): b for b in blocks}
+        return super().encode_blocks(blocks)
+
+    def _encode_partition(self, r, c, bsize, blkmap):
+        from easyav1_tpu.video.av1.tile import (partition_subsize,
+                                                mi_wlog2, _PART_ABOVE,
+                                                _PART_LEFT, TileDecoder)
+        if r >= self.mi_rows or c >= self.mi_cols:
+            return
+        plog = self._plan.part_log
+        (er, ec, ebs, part) = plog[self._part_idx]
+        assert (er, ec, ebs) == (r, c, bsize), \
+            f"part walk desync: log{(er, ec, ebs)} vs {(r, c, bsize)}"
+        self._part_idx += 1
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        half = w4 >> 1
+        q = half >> 1
+        has_rows = (r + half) < self.mi_rows
+        has_cols = (c + half) < self.mi_cols
+        bsl = mi_wlog2(bsize)
+        if bsize == C.BLOCK_4X4:
+            pass
+        elif has_rows and has_cols:
+            above = (int(self.a_part[c]) >> bsl) & 1
+            left = (int(self.l_part[r]) >> bsl) & 1
+            row_idx = (bsl - 1) * 4 + left * 2 + above
+            nsym = 4 if bsize == C.BLOCK_8X8 else (
+                8 if bsize == C.BLOCK_128X128 else 10)
+            self._sym(self.cdf["partition"][row_idx], part, nsym)
+        elif has_cols or has_rows:
+            above = (int(self.a_part[c]) >> bsl) & 1
+            left = (int(self.l_part[r]) >> bsl) & 1
+            row_idx = (bsl - 1) * 4 + left * 2 + above
+            psplit = TileDecoder.edge_split_prob(
+                self.cdf["partition"][row_idx], bsize, has_cols)
+            self.enc.encode_bool(int(part == C.PARTITION_SPLIT), psplit)
+        sub = partition_subsize(part, bsize) if bsize >= C.BLOCK_8X8 \
+            else bsize
+        sq = partition_subsize(C.PARTITION_SPLIT, bsize) \
+            if bsize >= C.BLOCK_8X8 else bsize
+
+        def blk_at(rr, cc):
+            return self._blk_by_pos[(rr, cc)]
+
+        if part == C.PARTITION_NONE:
+            self._encode_block(blk_at(r, c))
+        elif part == C.PARTITION_HORZ:
+            self._encode_block(blk_at(r, c))
+            if has_rows:
+                self._encode_block(blk_at(r + half, c))
+        elif part == C.PARTITION_VERT:
+            self._encode_block(blk_at(r, c))
+            if has_cols:
+                self._encode_block(blk_at(r, c + half))
+        elif part == C.PARTITION_SPLIT:
+            self._encode_partition(r, c, sub, blkmap)
+            self._encode_partition(r, c + half, sub, blkmap)
+            self._encode_partition(r + half, c, sub, blkmap)
+            self._encode_partition(r + half, c + half, sub, blkmap)
+        elif part == C.PARTITION_HORZ_A:
+            self._encode_block(blk_at(r, c))
+            self._encode_block(blk_at(r, c + half))
+            self._encode_block(blk_at(r + half, c))
+        elif part == C.PARTITION_HORZ_B:
+            self._encode_block(blk_at(r, c))
+            self._encode_block(blk_at(r + half, c))
+            self._encode_block(blk_at(r + half, c + half))
+        elif part == C.PARTITION_VERT_A:
+            self._encode_block(blk_at(r, c))
+            self._encode_block(blk_at(r + half, c))
+            self._encode_block(blk_at(r, c + half))
+        elif part == C.PARTITION_VERT_B:
+            self._encode_block(blk_at(r, c))
+            self._encode_block(blk_at(r, c + half))
+            self._encode_block(blk_at(r + half, c + half))
+        elif part == C.PARTITION_HORZ_4:
+            for i in range(4):
+                if r + i * q >= self.mi_rows:
+                    break
+                self._encode_block(blk_at(r + i * q, c))
+        elif part == C.PARTITION_VERT_4:
+            for i in range(4):
+                if c + i * q >= self.mi_cols:
+                    break
+                self._encode_block(blk_at(r, c + i * q))
+        # ctx updates (mirror decoder)
+        if bsize >= C.BLOCK_8X8:
+            def upd(rr, cc, subsize, bs):
+                self.a_part[cc:cc + C.BLOCK_W4[bs]] = _PART_ABOVE[subsize]
+                self.l_part[rr:rr + C.BLOCK_H4[bs]] = _PART_LEFT[subsize]
+            if part == C.PARTITION_SPLIT and bsize != C.BLOCK_8X8:
+                pass
+            elif part == C.PARTITION_HORZ_A:
+                upd(r, c, sq, sub)
+                upd(r + half, c, sub, sub)
+            elif part == C.PARTITION_HORZ_B:
+                upd(r, c, sub, sub)
+                upd(r + half, c, sq, sub)
+            elif part == C.PARTITION_VERT_A:
+                upd(r, c, sq, sub)
+                upd(r, c + half, sub, sub)
+            elif part == C.PARTITION_VERT_B:
+                upd(r, c, sub, sub)
+                upd(r, c + half, sq, sub)
+            else:
+                upd(r, c, sub, bsize)
 
     # residual override: levels/types per tx from the plan
     def _encode_txb(self, plane, x4, y4, tx_size, tx_ctx, blk, coeffs):
@@ -133,7 +254,8 @@ def blocks_from_plan(plan):
             uv_mode=b.uv_mode, skip=b.skip,
             angle_y=b.angle_y, angle_uv=b.angle_uv,
             is_inter=b.is_inter, ref=b.ref_frame[0], mode=b.inter_mode,
-            mv=tuple(b.mv), ref_mv_idx=b.ref_mv_idx)
+            mv=tuple(b.mv), ref_mv_idx=b.ref_mv_idx,
+            motion_mode=b.motion_mode, interp=b.interp_filter[0])
         if not b.is_inter:
             # intra tx depth from tx_size
             tx = T.MAX_TX_SIZE_RECT[b.bsize]
@@ -176,13 +298,20 @@ def main():
         angle_uv=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
         skip=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
         bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8))
-    cdf = CdfContext.default(hdr.quant.base_q_idx)
+    inherited = None
+    if hdr.primary_ref_frame != C.PRIMARY_REF_NONE:
+        inherited = be._ref_cdfs[hdr.ref_frame_idx[hdr.primary_ref_frame]]
+    cdf = (inherited.copy() if inherited is not None
+           else CdfContext.default(hdr.quant.base_q_idx))
+    enc_cdf = (inherited.copy() if inherited is not None
+               else CdfContext.default(hdr.quant.base_q_idx))
     dec = TileDecoder(seq, hdr, cdf, plan)
     dec.decode_tile(tiles[0], 0, 0)
     print(f"decoded {len(plan.blocks)} blocks; consumed "
           f"{dec.msac.bit_pos}/{len(tiles[0]) * 8} bits")
 
     enc = PlanReencoder(plan, hdr, seq)
+    enc.cdf = enc_cdf.t
     tile2 = enc.encode_blocks(blocks_from_plan(plan))
     orig = tiles[0]
     n = min(len(orig), len(tile2))
