@@ -269,7 +269,16 @@ class LoopFilter:
         hdr = self.hdr
         bd = self.bd
         lvls = g["lvl0"] if pass_ == 0 else g["lvl1"]
-        h, w = buf.shape
+        # deblocking covers only the VISIBLE frame in 4px units (dav1d
+        # h4/w4 = ceil(cropped/4), chroma derived from the luma units);
+        # the mi-aligned extension stays unfiltered -- CDEF later reads
+        # it as plain recon samples
+        ssx = self.ssx if plane else 0
+        ssy = self.ssy if plane else 0
+        h4u = (self.plan.height + 3) >> 2
+        w4u = (self.plan.width + 3) >> 2
+        h = min(buf.shape[0], (((h4u + ssy) >> ssy) << 2))
+        w = min(buf.shape[1], (((w4u + ssx) >> ssx) << 2))
         gw, gh = g["gw"], g["gh"]
         txw, txh = g["txw"], g["txh"]
         skip = g["skip"]

@@ -236,6 +236,23 @@ def device_pass(buf, hdr, bd, plane, pass_, g):
     size = _cell_maps(g, plane, vertical)
     if size.shape[1] <= 0:
         return
+    # visible-frame crop in 4px units (parity: lf_ref._filter_pass)
+    ss_x = 1 if g["gw"] < hdr.mi_cols else 0
+    ss_y = 1 if g["gh"] < hdr.mi_rows else 0
+    h4u = (hdr.frame_height + 3) >> 2
+    w4u = (hdr.upscaled_width + 3) >> 2
+    vis_h = min(h, ((h4u + ss_y) >> ss_y) << 2)
+    vis_w = min(w, ((w4u + ss_x) >> ss_x) << 2)
+    if vertical:
+        size[(vis_h + 3) >> 2:, :] = 0
+        for e in range(size.shape[1]):   # edge e is at x = (e+1)*4
+            if (e + 1) * 4 >= vis_w:
+                size[:, e] = 0
+    else:
+        size[(vis_w + 3) >> 2:, :] = 0
+        for e in range(size.shape[1]):   # edge e is at y = (e+1)*4
+            if (e + 1) * 4 >= vis_h:
+                size[:, e] = 0
     if vertical:
         size_m = np.repeat(size, 4, axis=0)[:h]
         kern = _make_pass_kernel(h, w, bd)

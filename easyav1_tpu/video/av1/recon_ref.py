@@ -224,18 +224,20 @@ class FrameRecon:
             w = max(1, C.BLOCK_W4[blk.bsize] >> ssx) * 4
             h = max(1, C.BLOCK_H4[blk.bsize] >> ssy) * 4
             buf = self.planes[plane]
+            full_w, full_h = w, h
             w = min(w, buf.shape[1] - x)
             h = min(h, buf.shape[0] - y)
             # spec 7.11.3.1: warp only when the PLANE prediction is at
             # least 8x8; smaller (chroma of 8x8 luma) -> translational
-            if wm is not None and w >= 8 and h >= 8:
+            if wm is not None and full_w >= 8 and full_h >= 8:
                 pred = warp_mod.warp_affine(ref_planes[plane], wm[0],
                                             wm[1], x, y, w, h, ssx, ssy,
                                             self.bd)
             else:
                 pred = self._predict_inter(ref_planes[plane], x, y, w, h,
                                            blk.mv, ssx, ssy,
-                                           blk.interp_filter, plane)
+                                           blk.interp_filter, plane,
+                                           filt_w=full_w, filt_h=full_h)
             buf[y:y + h, x:x + w] = pred
             self.decoded[plane][y >> 2:(y + h + 3) >> 2,
                                 x >> 2:(x + w + 3) >> 2] = True
@@ -387,9 +389,11 @@ class FrameRecon:
         return d[key].astype(np.int64)
 
     def _predict_inter(self, ref, x, y, w, h, mv, ssx, ssy, interp,
-                       plane):
+                       plane, filt_w=None, filt_h=None):
         """8-tap separable subpel MC with edge-replicating coordinate
-        clamps (spec 7.11.3.2 block_inter_predict, no ref scaling)."""
+        clamps (spec 7.11.3.2 block_inter_predict, no ref scaling).
+        filt_w/filt_h: UNCLIPPED plane block dims for subpel filter
+        selection (frame-edge blocks keep the full-size filter)."""
         # start positions in 1/16-pel plane units
         start_x = (x << 4) + (mv[1] << (1 - ssx))
         start_y = (y << 4) + (mv[0] << (1 - ssy))
@@ -399,8 +403,8 @@ class FrameRecon:
         iy = start_y >> 4
         last_x = ref.shape[1] - 1
         last_y = ref.shape[0] - 1
-        fh = self._mc_filter(interp[1], w)[frac_x]
-        fv = self._mc_filter(interp[0], h)[frac_y]
+        fh = self._mc_filter(interp[1], filt_w or w)[frac_x]
+        fv = self._mc_filter(interp[0], filt_h or h)[frac_y]
         # horizontal pass into (h+7, w) intermediate
         rows = np.clip(np.arange(iy - 3, iy + h + 4), 0, last_y)
         cols = np.clip(np.arange(ix - 3, ix + w + 4), 0, last_x)

@@ -121,7 +121,6 @@ def test_inter_cdef_on():
         "enable-global-motion=0",))
 
 
-@pytest.mark.xfail(reason="frame-edge inter recon WIP", strict=False)
 def test_inter_odd_size():
     """Partial superblocks on both edges."""
     assert_exact("odd", w=84, h=52, crf=30, frames=4, extra=(

@@ -117,3 +117,11 @@ def test_real_near_default_noisy():
 def test_real_near_default_qcif():
     assert_exact("neardflt_qcif", 176, 144, crf=35,
                  extra=NEAR_DEFAULT + ["content=0"])
+
+
+def test_real_odd_cdef():
+    """Odd dims + CDEF: LF must stop at the visible frame while CDEF
+    reads the unfiltered mi-aligned extension rows/cols as taps."""
+    assert_exact("oddcdef", 84, 52, crf=30, frames=2,
+                 extra=("vopt:enable-restoration=0", "vopt:enable-palette=0",
+                        "vopt:enable-filter-intra=0", "vopt:enable-cdef=1"))
