@@ -37,9 +37,11 @@ class InterEncBlock(EncBlock):
     interp: int = 0                  # switchable interp filter
 
 
-def write_sequence_header_full(w: int, h: int) -> bytes:
-    """Non-reduced profile-0 8-bit 4:2:0 sequence header with order
-    hints, warp, dual filter, superres, cdef, restoration all off."""
+def write_sequence_header_full(w: int, h: int,
+                               order_hints: bool = False) -> bytes:
+    """Non-reduced profile-0 8-bit 4:2:0 sequence header; order hints
+    (+ref_frame_mvs) optional; warp, dual filter, superres, cdef,
+    restoration off."""
     bw = BitWriter()
     bw.f(0, 3)    # seq_profile
     bw.f(0, 1)    # still_picture
@@ -61,9 +63,14 @@ def write_sequence_header_full(w: int, h: int) -> bytes:
     bw.f(0, 1)    # enable_masked_compound
     bw.f(0, 1)    # enable_warped_motion
     bw.f(0, 1)    # enable_dual_filter
-    bw.f(0, 1)    # enable_order_hint
+    bw.f(int(order_hints), 1)    # enable_order_hint
+    if order_hints:
+        bw.f(0, 1)               # enable_jnt_comp
+        bw.f(1, 1)               # enable_ref_frame_mvs
     bw.f(1, 1)    # seq_choose_screen_content_tools -> SELECT
     bw.f(1, 1)    # seq_choose_integer_mv -> SELECT
+    if order_hints:
+        bw.f(6, 3)               # order_hint_bits_minus_1 -> 7 bits
     bw.f(0, 1)    # enable_superres
     bw.f(0, 1)    # enable_cdef
     bw.f(0, 1)    # enable_restoration
@@ -87,7 +94,12 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             motion_switch: bool = False,
                             err: bool = True,
                             primary_ref: int = 7,
-                            carry: bool = False) -> None:
+                            carry: bool = False,
+                            order_hints: bool = False,
+                            order_hint: int = 0,
+                            slot_hints=None,
+                            ref_idx=None,
+                            use_rfm: bool = False) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -100,17 +112,23 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
     bw.f(0 if adapt else 1, 1)   # disable_cdf_update
     bw.f(0, 1)              # allow_screen_content_tools (SELECT)
     bw.f(0, 1)              # frame_size_override
+    if order_hints:
+        bw.f(order_hint & 127, 7)
     # primary_ref_frame: intra or error-resilient -> no bits
     if not is_key and not err:
         bw.f(primary_ref, 3)
     if not is_key:
         bw.f(refresh, 8)    # refresh_frame_flags
-    # (error-resilient + no order hints: no ref_order_hint writes)
+    if order_hints and err and not (is_key and refresh == 0xFF):
+        for i in range(8):
+            bw.f((slot_hints or [0] * 8)[i] & 127, 7)
     if is_intra:
         bw.f(0, 1)          # render_and_frame_size_different
     else:
-        for _ in range(C.REFS_PER_FRAME):
-            bw.f(0, 3)      # ref_frame_idx[i]
+        if order_hints:
+            bw.f(0, 1)      # frame_refs_short_signaling
+        for i in range(C.REFS_PER_FRAME):
+            bw.f((ref_idx or [0] * 7)[i], 3)   # ref_frame_idx[i]
         # frame_size_override==0 -> frame_size() reads nothing; then
         bw.f(0, 1)          # render_and_frame_size_different
         if not False:       # force_integer_mv == 0
@@ -119,7 +137,8 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
         if not switchable:
             bw.f(0, 2)      # interpolation_filter = EIGHTTAP
         bw.f(int(motion_switch), 1)   # is_motion_mode_switchable
-        # error resilient: no use_ref_frame_mvs bit
+        if not err:
+            bw.f(int(use_rfm), 1)     # use_ref_frame_mvs
     if adapt:
         bw.f(0 if carry else 1, 1)   # disable_frame_end_update_cdf
     bw.f(1, 1)              # uniform_tile_spacing
@@ -675,3 +694,117 @@ from easyav1_tpu.video.av1.tile import TileDecoder as _TD  # noqa: E402
 
 InterTileEncoder._find_warp_samples = _TD._find_warp_samples
 InterTileEncoder._has_overlappable = _TD._has_overlappable
+
+
+class _SeqStub:
+    enable_order_hint = True
+    order_hint_bits = 7
+
+
+class _SlotState:
+    """Mirror of the decoder's RefFrameState for the synth encoder."""
+    def __init__(self, order_hint, saved_order_hints, mi_rows, mi_cols,
+                 frame_type):
+        self.valid = True
+        self.order_hint = order_hint
+        self.saved_order_hints = saved_order_hints
+        self.mi_rows = mi_rows
+        self.mi_cols = mi_cols
+        self.frame_type = frame_type
+
+
+def encode_ref_sequence(w: int, h: int, q: int, frames,
+                        hp_mv: bool = False, adapt: bool = True,
+                        tx_select: bool = False, carry: bool = False,
+                        motion_switch: bool = False) -> List[bytes]:
+    """Order-hint sequences with arbitrary ref slot structure.
+
+    frames: list of dicts {type, blocks, refresh (8-bit mask), ref_idx
+    (7 slots), order_hint, use_rfm, err}.  The encoder mirrors the
+    decoder's cross-frame state: slot entropy contexts (carry), slot
+    order hints, and the per-slot 8x8 motion fields feeding the
+    temporal candidate scan (spec 7.9), so streams round-trip through
+    both dav1d and our decoder.
+    """
+    from easyav1_tpu.video.av1 import mfmv
+
+    tus = []
+    seq = write_sequence_header_full(w, h, order_hints=True)
+    mi_cols = 2 * ((w + 7) >> 3)
+    mi_rows = 2 * ((h + 7) >> 3)
+    slot_states = [None] * 8
+    slot_tmvs = [None] * 8
+    slot_cdfs = [None] * 8
+    for i, fr in enumerate(frames):
+        ftype = fr["type"]
+        blocks = fr["blocks"]
+        refresh = fr.get("refresh", 0xFF if ftype == C.KEY_FRAME else 1)
+        ref_idx = fr.get("ref_idx", [0] * 7)
+        order_hint = fr.get("order_hint", i)
+        use_rfm = fr.get("use_rfm", False)
+        err = fr.get("err", False)
+        is_key = ftype == C.KEY_FRAME
+
+        def rel(a, b):
+            d = a - b
+            m = 1 << 6
+            return (d & (m - 1)) - (d & m)
+
+        bw = BitWriter()
+        write_frame_header_full(
+            bw, ftype, q, refresh=refresh, hp_mv=hp_mv, adapt=adapt,
+            tx_select=tx_select, w=w, h=h, motion_switch=motion_switch,
+            err=err, primary_ref=0 if not is_key else 7, carry=carry,
+            order_hints=True, order_hint=order_hint, ref_idx=ref_idx,
+            use_rfm=use_rfm)
+        bw.byte_align()
+        tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
+                                tx_mode_select=tx_select,
+                                motion_switch=motion_switch)
+        tenc.seq = _SeqStub        # order-hint aware refmvs (rel_dist)
+        stub = tenc.hdr
+        stub.order_hint = order_hint
+        stub.order_hints = [0] * 8
+        stub.ref_frame_sign_bias = [False] * 8
+        stub.use_ref_frame_mvs = use_rfm
+        stub.ref_frame_idx = list(ref_idx)
+        stub.mi_rows = mi_rows
+        stub.mi_cols = mi_cols
+        if not is_key:
+            for r in range(C.LAST_FRAME, C.ALTREF_FRAME + 1):
+                st = slot_states[ref_idx[r - C.LAST_FRAME]]
+                hint = st.order_hint if st else 0
+                stub.order_hints[r] = hint
+                stub.ref_frame_sign_bias[r] = rel(hint, order_hint) > 0
+            if use_rfm:
+                tenc.tpl_mv, tenc.tpl_off = mfmv.setup_motion_field(
+                    stub, _SeqStub, slot_states, slot_tmvs)
+        if ftype == C.KEY_FRAME:
+            tenc.frame_is_intra = True
+        if carry and not is_key and slot_cdfs[ref_idx[0]] is not None:
+            tenc.cdf = copy.deepcopy(slot_cdfs[ref_idx[0]])
+        tile = tenc.encode_blocks(blocks)
+        # post-frame slot updates (mirror decoder wrapup)
+        if is_key:
+            tmvs = (np.full(((mi_rows + 1) >> 1, (mi_cols + 1) >> 1),
+                            C.NONE_FRAME, np.int8),
+                    np.zeros(((mi_rows + 1) >> 1, (mi_cols + 1) >> 1, 2),
+                             np.int16))
+        else:
+            tmvs = mfmv.save_tmvs(stub, tenc.ref_frames0,
+                                  tenc.ref_frames1, tenc.mvs)
+        state = _SlotState(order_hint, list(stub.order_hints),
+                           mi_rows, mi_cols, ftype)
+        end_cdf = copy.deepcopy(tenc.cdf)
+        _zero_counts(end_cdf)
+        for sl in range(8):
+            if refresh & (1 << sl):
+                slot_states[sl] = state
+                slot_tmvs[sl] = tmvs
+                slot_cdfs[sl] = end_cdf
+        tu = obu(C.OBU_TEMPORAL_DELIMITER, b"")
+        if i == 0:
+            tu += obu(C.OBU_SEQUENCE_HEADER, seq)
+        tu += obu(C.OBU_FRAME, bw.bytes() + tile)
+        tus.append(tu)
+    return tus

@@ -347,10 +347,13 @@ class RefMvFinder:
             voff = max(2, bh4)
             hoff = max(2, bw4)
             for (br, bc) in ((voff, -2), (voff, hoff), (voff - 2, hoff)):
-                # check_sb_border: stay within the 64x64 neighborhood
+                # extension samples stay within the current superblock
+                # band: row/col in [0, sb) x [0, 2*sb) (validated vs
+                # dav1d: the (bh4,-2) sample is dropped when it crosses
+                # the SB column leftward)
                 row = (r & 15) + br
                 col = (c & 15) + bc
-                if not (0 <= row < 16 and -16 <= col < 32):
+                if not (0 <= row < 16 and 0 <= col < 16):
                     continue
                 self._add_tpl(st, r, c, br, bc, ref_frames, is_compound)
 

@@ -97,7 +97,6 @@ def test_inter_cdf_inheritance():
         "enable-warped-motion=0:enable-global-motion=0",))
 
 
-@pytest.mark.xfail(reason="temporal-mv stack ordering WIP", strict=False)
 def test_inter_temporal_mvs():
     """Order hints + use_ref_frame_mvs temporal projection."""
     assert_exact("tmv", crf=30, frames=6, extra=(
@@ -105,7 +104,6 @@ def test_inter_temporal_mvs():
         "enable-global-motion=0",))
 
 
-@pytest.mark.xfail(reason="temporal-mv stack ordering WIP", strict=False)
 def test_inter_hbd_like_full():
     """Everything in scope at once, longer sequence."""
     assert_exact("full", crf=36, frames=8, extra=(
