@@ -76,6 +76,8 @@ class _ReconParams(ctypes.Structure):
         ("cdef_uv_sec", ctypes.c_int32 * 8),
         ("coded_lossless", ctypes.c_int32),
         ("allow_intrabc", ctypes.c_int32),
+        ("frame_width", ctypes.c_int32),
+        ("frame_height", ctypes.c_int32),
     ]
 
 
@@ -325,6 +327,8 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
         cdef_uv_sec=pad8(cdef.uv_sec_strength if cdef else []),
         coded_lossless=int(hdr.coded_lossless),
         allow_intrabc=int(getattr(hdr, "allow_intrabc", False)),
+        frame_width=hdr.upscaled_width,
+        frame_height=hdr.frame_height,
     )
 
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y

@@ -61,4 +61,5 @@ typedef struct {
     int32_t cdef_y_pri[8], cdef_y_sec[8];
     int32_t cdef_uv_pri[8], cdef_uv_sec[8];
     int32_t coded_lossless, allow_intrabc;
+    int32_t frame_width, frame_height;   /* visible (cropped) dims */
 } ReconParams;

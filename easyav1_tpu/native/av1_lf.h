@@ -240,19 +240,35 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
     int limit, blimit, thresh;
     lf_limits(lvl, rp->lf_sharpness, rp->bitdepth, &limit, &blimit,
               &thresh);
+    const int gstride = g->gw;
+    const int stride = pw;          /* buffer row stride (aligned) */
     int gw = g->gw, gh = g->gh;
+    /* deblocking covers only the VISIBLE frame in 4px units (chroma
+       bound derived from the luma unit count); the mi-aligned
+       extension stays unfiltered for CDEF to read as plain recon */
+    {
+        int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
+        int h4u = (rp->frame_height + 3) >> 2;
+        int w4u = (rp->frame_width + 3) >> 2;
+        int vis_h = (((h4u + ssy) >> ssy) << 2);
+        int vis_w = (((w4u + ssx) >> ssx) << 2);
+        if (vis_h < ph) ph = vis_h;
+        if (vis_w < pw) pw = vis_w;
+        if (((vis_h + 3) >> 2) < gh) gh = (vis_h + 3) >> 2;
+        if (((vis_w + 3) >> 2) < gw) gw = (vis_w + 3) >> 2;
+    }
     if (pass == 0) {   /* vertical edges */
         for (int cy = 0; cy < gh; cy++)
             for (int cx = 1; cx < gw; cx++) {
                 int x = cx * 4;
                 if (x >= pw) break;
-                if ((x >> 2) % g->txw[cy * gw + cx] != 0) continue;
-                int is_edge = g->edge_left[cy * gw + cx];
-                if (!is_edge && g->skip[cy * gw + cx]
-                    && g->skip[cy * gw + cx - 1]) continue;
-                int min_tx = (g->txw[cy * gw + cx] < g->txw[cy * gw + cx - 1]
-                              ? g->txw[cy * gw + cx]
-                              : g->txw[cy * gw + cx - 1]) * 4;
+                if ((x >> 2) % g->txw[cy * gstride + cx] != 0) continue;
+                int is_edge = g->edge_left[cy * gstride + cx];
+                if (!is_edge && g->skip[cy * gstride + cx]
+                    && g->skip[cy * gstride + cx - 1]) continue;
+                int min_tx = (g->txw[cy * gstride + cx] < g->txw[cy * gstride + cx - 1]
+                              ? g->txw[cy * gstride + cx]
+                              : g->txw[cy * gstride + cx - 1]) * 4;
                 int size;
                 if (plane == 0)
                     size = min_tx >= 16 ? 14 : (min_tx >= 8 ? 8 : 4);
@@ -261,7 +277,7 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
                 int y0 = cy * 4;
                 int ymax = ph - y0 < 4 ? ph - y0 : 4;
                 for (int dy = 0; dy < ymax; dy++)
-                    lf_line(buf, (int64_t)(y0 + dy) * pw + x, 1, size,
+                    lf_line(buf, (int64_t)(y0 + dy) * stride + x, 1, size,
                             limit, blimit, thresh, rp->bitdepth);
             }
     } else {           /* horizontal edges */
@@ -269,14 +285,14 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
             int y = cy * 4;
             if (y >= ph) break;
             for (int cx = 0; cx < gw; cx++) {
-                if ((y >> 2) % g->txh[cy * gw + cx] != 0) continue;
-                int is_edge = g->edge_top[cy * gw + cx];
-                if (!is_edge && g->skip[cy * gw + cx]
-                    && g->skip[(cy - 1) * gw + cx]) continue;
-                int min_tx = (g->txh[cy * gw + cx]
-                              < g->txh[(cy - 1) * gw + cx]
-                              ? g->txh[cy * gw + cx]
-                              : g->txh[(cy - 1) * gw + cx]) * 4;
+                if ((y >> 2) % g->txh[cy * gstride + cx] != 0) continue;
+                int is_edge = g->edge_top[cy * gstride + cx];
+                if (!is_edge && g->skip[cy * gstride + cx]
+                    && g->skip[(cy - 1) * gstride + cx]) continue;
+                int min_tx = (g->txh[cy * gstride + cx]
+                              < g->txh[(cy - 1) * gstride + cx]
+                              ? g->txh[cy * gstride + cx]
+                              : g->txh[(cy - 1) * gstride + cx]) * 4;
                 int size;
                 if (plane == 0)
                     size = min_tx >= 16 ? 14 : (min_tx >= 8 ? 8 : 4);
@@ -285,7 +301,7 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
                 int x0 = cx * 4;
                 int xmax = pw - x0 < 4 ? pw - x0 : 4;
                 for (int dx = 0; dx < xmax; dx++)
-                    lf_line(buf, (int64_t)y * pw + x0 + dx, pw, size,
+                    lf_line(buf, (int64_t)y * stride + x0 + dx, stride, size,
                             limit, blimit, thresh, rp->bitdepth);
             }
         }

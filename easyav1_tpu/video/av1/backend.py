@@ -120,10 +120,9 @@ class AV1Backend:
 
     # ------------------------------------------------------------------
 
-    def _decode_frame(self, hdr: FrameHeader, tile_payloads: List[bytes],
-                      ts: int) -> Optional[VideoFrame]:
+    def _empty_plan(self, hdr: FrameHeader) -> FramePlan:
         seq = self.seq
-        plan = FramePlan(
+        return FramePlan(
             width=hdr.upscaled_width, height=hdr.frame_height,
             mi_cols=hdr.mi_cols, mi_rows=hdr.mi_rows,
             subsampling_x=seq.color.subsampling_x,
@@ -135,26 +134,35 @@ class AV1Backend:
             skip=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
             bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8),
         )
+
+    def _decode_frame(self, hdr: FrameHeader, tile_payloads: List[bytes],
+                      ts: int) -> Optional[VideoFrame]:
+        seq = self.seq
+        plan = self._empty_plan(hdr)
         tiles = self._split_tiles(hdr, tile_payloads)
         # entropy context: inherit the primary ref's saved state (spec
         # load_cdfs) or reset to the per-q defaults
         inherited = None
         if hdr.primary_ref_frame != C.PRIMARY_REF_NONE:
-            inherited = self._ref_cdfs[
-                hdr.ref_frame_idx[hdr.primary_ref_frame]]
+            inherited = self._resolve_saved_cdf(
+                hdr.ref_frame_idx[hdr.primary_ref_frame])
         init_cdf = (inherited.copy() if inherited is not None
                     else CdfContext.default(hdr.quant.base_q_idx))
         end_cdf = init_cdf
+        lazy_cdf = None
         from easyav1_tpu import native
-        # the native decoder cannot export its adapted entropy state yet:
-        # only use it when this frame's saved state is knowable (init) or
-        # the frame is never saved for reference
-        native_ok = inherited is None and (
-            hdr.disable_frame_end_update_cdf
-            or hdr.refresh_frame_flags == 0)
+        # the native decoder cannot export its adapted entropy state;
+        # frames it decodes save a LAZY marker (header+tiles) that is
+        # re-run through the Python entropy decoder only if some later
+        # frame actually inherits from that slot
+        native_ok = inherited is None
         planes = None
         if native_ok:
             planes = native.decode_and_recon_native(seq, hdr, tiles)
+            if planes is not None \
+                    and not hdr.disable_frame_end_update_cdf \
+                    and hdr.refresh_frame_flags:
+                lazy_cdf = ("lazy", seq, hdr, tiles)
         if planes is None:
             if not native_ok or \
                     not native.decode_frame_native(seq, hdr, plan, tiles):
@@ -201,9 +209,36 @@ class AV1Backend:
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame
                 self._ref_planes[i] = planes
-                self._ref_cdfs[i] = end_cdf
+                self._ref_cdfs[i] = lazy_cdf or end_cdf
                 self._ref_tmvs[i] = tmvs
         return frame if hdr.show_frame else None
+
+    def _resolve_saved_cdf(self, slot: int) -> Optional[CdfContext]:
+        """Materialize a slot's saved entropy state.  Natively-decoded
+        frames store a lazy (hdr, tiles) marker; the Python entropy
+        decoder reproduces their end-of-tile state on first demand."""
+        saved = self._ref_cdfs[slot]
+        if not (isinstance(saved, tuple) and saved[0] == "lazy"):
+            return saved
+        _, seq, hdr, tiles = saved
+        plan = self._empty_plan(hdr)
+        init_cdf = CdfContext.default(hdr.quant.base_q_idx)
+        end_cdf = init_cdf
+        dec = TileDecoder(seq, hdr, init_cdf, plan)
+        n_cols = hdr.tile.cols
+        update_tid = hdr.tile.context_update_tile_id
+        for tile_num, tdata in enumerate(tiles):
+            tcdf = init_cdf.copy()
+            dec.cdf = tcdf.t
+            dec.decode_tile(tdata, tile_num // n_cols, tile_num % n_cols)
+            if tile_num == update_tid:
+                end_cdf = tcdf
+        end_cdf.reset_counters()
+        # cache under every slot still holding this marker
+        for i in range(C.NUM_REF_FRAMES):
+            if self._ref_cdfs[i] is saved:
+                self._ref_cdfs[i] = end_cdf
+        return end_cdf
 
     def _split_tiles(self, hdr: FrameHeader, payloads: List[bytes]) -> List[bytes]:
         """Tile group parsing (spec §5.11.1)."""

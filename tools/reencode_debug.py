@@ -300,7 +300,8 @@ def main():
         bsize=np.zeros((hdr.mi_rows, hdr.mi_cols), np.int8))
     inherited = None
     if hdr.primary_ref_frame != C.PRIMARY_REF_NONE:
-        inherited = be._ref_cdfs[hdr.ref_frame_idx[hdr.primary_ref_frame]]
+        inherited = be._resolve_saved_cdf(
+            hdr.ref_frame_idx[hdr.primary_ref_frame])
     cdf = (inherited.copy() if inherited is not None
            else CdfContext.default(hdr.quant.base_q_idx))
     enc_cdf = (inherited.copy() if inherited is not None
