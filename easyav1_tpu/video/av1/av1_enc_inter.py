@@ -35,10 +35,14 @@ class InterEncBlock(EncBlock):
     ref_mv_idx: int = 0
     motion_mode: int = 0             # SIMPLE/OBMC_MOTION/WARPED
     interp: int = 0                  # switchable interp filter
+    ref2: int = -1                   # second reference (compound)
+    mv2: Tuple[int, int] = (0, 0)
+    compound_idx: int = 1            # jnt: 1=average, 0=distance
 
 
 def write_sequence_header_full(w: int, h: int,
-                               order_hints: bool = False) -> bytes:
+                               order_hints: bool = False,
+                               jnt: bool = False) -> bytes:
     """Non-reduced profile-0 8-bit 4:2:0 sequence header; order hints
     (+ref_frame_mvs) optional; warp, dual filter, superres, cdef,
     restoration off."""
@@ -65,7 +69,7 @@ def write_sequence_header_full(w: int, h: int,
     bw.f(0, 1)    # enable_dual_filter
     bw.f(int(order_hints), 1)    # enable_order_hint
     if order_hints:
-        bw.f(0, 1)               # enable_jnt_comp
+        bw.f(int(jnt), 1)        # enable_jnt_comp
         bw.f(1, 1)               # enable_ref_frame_mvs
     bw.f(1, 1)    # seq_choose_screen_content_tools -> SELECT
     bw.f(1, 1)    # seq_choose_integer_mv -> SELECT
@@ -99,7 +103,9 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             order_hint: int = 0,
                             slot_hints=None,
                             ref_idx=None,
-                            use_rfm: bool = False) -> None:
+                            use_rfm: bool = False,
+                            ref_select: bool = False,
+                            skip_allowed: bool = False) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -172,8 +178,9 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
     # cdef/lr skipped (disabled in seq)
     bw.f(int(tx_select), 1)  # tx_mode_select
     if not is_intra:
-        bw.f(0, 1)          # reference_select
-    # skip mode: not present (no order hints)
+        bw.f(int(ref_select), 1)   # reference_select
+    if skip_allowed:
+        bw.f(0, 1)          # skip_mode_present = 0
     # allow_warped_motion: implied 0 (seq + error resilient)
     bw.f(0, 1)              # reduced_tx_set
     if not is_intra:
@@ -197,11 +204,14 @@ class _HdrStub:
 
 class InterTileEncoder(SimpleTileEncoder):
     def __init__(self, w, h, base_q, hp_mv=False, switchable=False,
-                 motion_switch=False, allow_warp=False, **kw):
+                 motion_switch=False, allow_warp=False, ref_select=False,
+                 jnt=False, **kw):
         super().__init__(w, h, base_q, **kw)
         self.switchable = switchable
         self.motion_switch = motion_switch
         self.allow_warp = allow_warp
+        self.ref_select = ref_select
+        self.jnt = jnt
         self.interp = np.zeros((2 * ((h + 7) >> 3), 2 * ((w + 7) >> 3), 2),
                                np.int8)
         self.frame_is_intra = False
@@ -217,6 +227,10 @@ class InterTileEncoder(SimpleTileEncoder):
                                    np.int8)
         self.mvs = np.zeros((self.mi_rows, self.mi_cols, 2, 2), np.int16)
         self.modes = np.zeros((self.mi_rows, self.mi_cols), np.int16)
+        self.comp_group_grid = np.zeros((self.mi_rows, self.mi_cols),
+                                        np.int8)
+        self.comp_idx_grid = np.ones((self.mi_rows, self.mi_cols),
+                                     np.int8)
         self.decoded_mi = np.zeros((self.mi_rows, self.mi_cols), bool)
         # plan stub for RefMvFinder (bsize grid)
         class _Plan:
@@ -250,9 +264,19 @@ class InterTileEncoder(SimpleTileEncoder):
         self._enc_skip(blk)
         self._enc_is_inter(blk, 1)
 
-        # single-ref tree (mirror of TileDecoder._read_ref_frames)
         avail_u = r > 0
         avail_l = c > 0
+        ref2 = int(getattr(blk, "ref2", -1))
+        is_comp = ref2 > C.INTRA_FRAME
+        comp_allowed = (min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8)
+        if self.ref_select and comp_allowed:
+            mctx = self._comp_mode_ctx(r, c, avail_u, avail_l)
+            self._sym(self.cdf["comp_inter"][mctx], int(is_comp))
+        if is_comp:
+            self._encode_compound(blk, r, c, bsize, avail_u, avail_l)
+            return
+
+        # single-ref tree (mirror of TileDecoder._read_ref_frames)
         cnt = self._count_refs(r, c, avail_u, avail_l)
         fwd = cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME] + \
             cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME]
@@ -417,6 +441,165 @@ class InterTileEncoder(SimpleTileEncoder):
         self.l_skip[r:r + h4] = int(blk.skip)
         self.a_mode[c:c + w4] = C.DC_PRED
         self.l_mode[r:r + h4] = C.DC_PRED
+
+    def _encode_compound(self, blk, r, c, bsize, avail_u, avail_l):
+        """Compound block emission (mirror of the decoder's compound
+        arms: ref pair tree, compound mode, drl, per-component mvs,
+        compound type)."""
+        from easyav1_tpu.video.av1.tile import TileDecoder as _TDX
+        ref, ref2 = blk.ref, blk.ref2
+        cnt = self._count_refs(r, c, avail_u, avail_l)
+        fwd = cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME] + \
+            cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME]
+        bwd = cnt[C.BWDREF_FRAME] + cnt[C.ALTREF2_FRAME] + \
+            cnt[C.ALTREF_FRAME]
+        uni = not (self._is_backward(ref) ^ self._is_backward(ref2))
+        tctx = self._comp_ref_type_ctx(r, c, avail_u, avail_l)
+        self._sym(self.cdf["comp_ref_type"][tctx], 0 if uni else 1)
+        ucr = self.cdf["uni_comp_ref"]
+        if uni:
+            bwd_pair = ref == C.BWDREF_FRAME
+            self._sym(ucr[self._ref_ctx(bwd, fwd)][0], int(bwd_pair))
+            if not bwd_pair:
+                ctx1 = self._ref_ctx(cnt[C.LAST2_FRAME],
+                                     cnt[C.LAST3_FRAME]
+                                     + cnt[C.GOLDEN_FRAME])
+                not_l2 = ref2 != C.LAST2_FRAME
+                self._sym(ucr[ctx1][1], int(not_l2))
+                if not_l2:
+                    ctx2 = self._ref_ctx(cnt[C.LAST3_FRAME],
+                                         cnt[C.GOLDEN_FRAME])
+                    self._sym(ucr[ctx2][2],
+                              int(ref2 == C.GOLDEN_FRAME))
+        else:
+            cr = self.cdf["comp_ref"]
+            cb = self.cdf["comp_bwdref"]
+            ctx0 = self._ref_ctx(cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME],
+                                 cnt[C.LAST3_FRAME]
+                                 + cnt[C.GOLDEN_FRAME])
+            hi = ref in (C.LAST3_FRAME, C.GOLDEN_FRAME)
+            self._sym(cr[ctx0][0], int(hi))
+            if hi:
+                ctx2 = self._ref_ctx(cnt[C.LAST3_FRAME],
+                                     cnt[C.GOLDEN_FRAME])
+                self._sym(cr[ctx2][2], int(ref == C.GOLDEN_FRAME))
+            else:
+                ctx1 = self._ref_ctx(cnt[C.LAST_FRAME],
+                                     cnt[C.LAST2_FRAME])
+                self._sym(cr[ctx1][1], int(ref == C.LAST2_FRAME))
+            bctx0 = self._ref_ctx(cnt[C.BWDREF_FRAME]
+                                  + cnt[C.ALTREF2_FRAME],
+                                  cnt[C.ALTREF_FRAME])
+            self._sym(cb[bctx0][0], int(ref2 == C.ALTREF_FRAME))
+            if ref2 != C.ALTREF_FRAME:
+                bctx1 = self._ref_ctx(cnt[C.BWDREF_FRAME],
+                                      cnt[C.ALTREF2_FRAME])
+                self._sym(cb[bctx1][1], int(ref2 == C.ALTREF2_FRAME))
+
+        st = self.refmv.find(r, c, bsize, (ref, ref2), True)
+        mode = blk.mode
+        cctx = self._compound_mode_ctx(st, r, c)
+        self._sym(self.cdf["inter_compound_mode"][cctx],
+                  mode - C.NEAREST_NEARESTMV, 8)
+        # drl
+        if mode in (C.NEW_NEWMV,):
+            ref_mv_idx = min(blk.ref_mv_idx, max(0, st.num_found - 1))
+            for idx in range(2):
+                if st.num_found > idx + 1:
+                    stop = ref_mv_idx == idx
+                    self._sym(self.cdf["drl"][self._drl_ctx(st, idx)],
+                              int(not stop))
+                    if stop:
+                        break
+        elif mode in (C.NEAR_NEARMV, C.NEAR_NEWMV, C.NEW_NEARMV):
+            ref_mv_idx = min(max(1, blk.ref_mv_idx),
+                             max(1, st.num_found - 1))
+            for idx in range(1, 3):
+                if st.num_found > idx + 1:
+                    stop = ref_mv_idx == idx
+                    self._sym(self.cdf["drl"][self._drl_ctx(st, idx)],
+                              int(not stop))
+                    if stop:
+                        break
+        else:
+            ref_mv_idx = 0
+        # per-component mvs
+        comps = _TDX._COMP_COMPONENTS[mode]
+        mvs = []
+        want = (blk.mv, blk.mv2)
+        for i, m in enumerate(comps):
+            if m == C.NEARESTMV:
+                mv = st.mvs[0][i]
+            elif m == C.NEARMV:
+                mv = st.mvs[ref_mv_idx][i]
+            elif m == C.GLOBALMV:
+                mv = st.global_mvs[i]
+            else:
+                pred = self.refmv._lower_precision(st.mvs[ref_mv_idx][i])
+                mv = want[i]
+                self._enc_mv(mv[0] - pred[0], mv[1] - pred[1])
+            mvs.append((int(mv[0]), int(mv[1])))
+        blk.mv = mvs[0]
+        blk.mv2 = mvs[1]
+        # compound type: masked compound off in the synth seq header;
+        # jnt (dist-wtd) optional
+        compound_idx = int(getattr(blk, "compound_idx", 1))
+        if self.jnt:
+            ictx = self._comp_index_ctx(r, c, (ref, ref2), avail_u,
+                                        avail_l)
+            self._sym(self.cdf["compound_index"][ictx], compound_idx)
+        else:
+            compound_idx = 1
+        # interp filter (switchable compound emission not wired yet)
+        assert not self.switchable, "switchable interp + compound TODO"
+        filt = getattr(blk, "interp", 0)
+        w4g = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+        h4g = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+        self.interp[r:r + h4g, c:c + w4g, 0] = filt
+        self.interp[r:r + h4g, c:c + w4g, 1] = filt
+        # residual
+        tx_size = T.MAX_TX_SIZE_RECT[bsize]
+        has_chroma = True
+        if C.BLOCK_H4[bsize] == 1 and (r & 1) == 0:
+            has_chroma = False
+        if C.BLOCK_W4[bsize] == 1 and (c & 1) == 0:
+            has_chroma = False
+        if not blk.skip:
+            if self.tx_mode_select:
+                self._emit_var_tx_nosplit(r, c, bsize, tx_size)
+            self._encode_residual_inter(blk, tx_size, has_chroma)
+        else:
+            self._clear_skip_ctx(blk, tx_size, has_chroma)
+        self._post_grids_comp(blk, ref, ref2, blk.mv, blk.mv2, mode,
+                              compound_idx)
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        if blk.skip:
+            self.a_txw[c:c + w4] = w4 * 4
+            self.l_txh[r:r + h4] = h4 * 4
+        elif not self.tx_mode_select:
+            self.a_txw[c:c + w4] = T.TX_WIDTH[tx_size]
+            self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
+        self.a_skip[c:c + w4] = int(blk.skip)
+        self.l_skip[r:r + h4] = int(blk.skip)
+        self.a_mode[c:c + w4] = C.DC_PRED
+        self.l_mode[r:r + h4] = C.DC_PRED
+
+    def _post_grids_comp(self, blk, ref, ref2, mv, mv2, mode, comp_idx):
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        w4 = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+        h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+        self.ref_frames0[r:r + h4, c:c + w4] = ref
+        self.ref_frames1[r:r + h4, c:c + w4] = ref2
+        self.mvs[r:r + h4, c:c + w4, 0, 0] = mv[0]
+        self.mvs[r:r + h4, c:c + w4, 0, 1] = mv[1]
+        self.mvs[r:r + h4, c:c + w4, 1, 0] = mv2[0]
+        self.mvs[r:r + h4, c:c + w4, 1, 1] = mv2[1]
+        self.modes[r:r + h4, c:c + w4] = mode
+        self.comp_group_grid[r:r + h4, c:c + w4] = 0
+        self.comp_idx_grid[r:r + h4, c:c + w4] = comp_idx
+        self.plan.bsize[r:r + h4, c:c + w4] = bsize
+        self.decoded_mi[r:r + h4, c:c + w4] = True
 
     def _emit_var_tx_nosplit(self, r, c, bsize, tx_size):
         """txfm_partition bits = 0 for every max-tx unit (no split)."""
@@ -694,6 +877,14 @@ from easyav1_tpu.video.av1.tile import TileDecoder as _TD  # noqa: E402
 
 InterTileEncoder._find_warp_samples = _TD._find_warp_samples
 InterTileEncoder._has_overlappable = _TD._has_overlappable
+InterTileEncoder._comp_mode_ctx = _TD._comp_mode_ctx
+InterTileEncoder._compound_mode_ctx = _TD._compound_mode_ctx
+InterTileEncoder._COMP_MODE_CTX_MAP = _TD._COMP_MODE_CTX_MAP
+InterTileEncoder._comp_ref_type_ctx = _TD._comp_ref_type_ctx
+InterTileEncoder._comp_group_ctx = _TD._comp_group_ctx
+InterTileEncoder._comp_index_ctx = _TD._comp_index_ctx
+InterTileEncoder._nb_info = _TD._nb_info
+InterTileEncoder._is_backward = _TD._is_backward
 
 
 class _SeqStub:
@@ -716,7 +907,9 @@ class _SlotState:
 def encode_ref_sequence(w: int, h: int, q: int, frames,
                         hp_mv: bool = False, adapt: bool = True,
                         tx_select: bool = False, carry: bool = False,
-                        motion_switch: bool = False) -> List[bytes]:
+                        motion_switch: bool = False,
+                        ref_select: bool = False,
+                        jnt: bool = False) -> List[bytes]:
     """Order-hint sequences with arbitrary ref slot structure.
 
     frames: list of dicts {type, blocks, refresh (8-bit mask), ref_idx
@@ -729,7 +922,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
     from easyav1_tpu.video.av1 import mfmv
 
     tus = []
-    seq = write_sequence_header_full(w, h, order_hints=True)
+    seq = write_sequence_header_full(w, h, order_hints=True, jnt=jnt)
     mi_cols = 2 * ((w + 7) >> 3)
     mi_rows = 2 * ((h + 7) >> 3)
     slot_states = [None] * 8
@@ -750,17 +943,41 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
             m = 1 << 6
             return (d & (m - 1)) - (d & m)
 
+        skip_allowed = False
+        if not is_key and ref_select:
+            fwd_i = bwd_i = -1
+            fwd_h = bwd_h = 0
+            for j in range(7):
+                st0 = slot_states[ref_idx[j]]
+                rh = st0.order_hint if st0 else 0
+                if rel(rh, order_hint) < 0:
+                    if fwd_i < 0 or rel(rh, fwd_h) > 0:
+                        fwd_i, fwd_h = j, rh
+                elif rel(rh, order_hint) > 0:
+                    if bwd_i < 0 or rel(rh, bwd_h) < 0:
+                        bwd_i, bwd_h = j, rh
+            if fwd_i >= 0 and bwd_i >= 0:
+                skip_allowed = True
+            elif fwd_i >= 0:
+                for j in range(7):
+                    st0 = slot_states[ref_idx[j]]
+                    rh = st0.order_hint if st0 else 0
+                    if rel(rh, fwd_h) < 0:
+                        skip_allowed = True
+                        break
         bw = BitWriter()
         write_frame_header_full(
             bw, ftype, q, refresh=refresh, hp_mv=hp_mv, adapt=adapt,
             tx_select=tx_select, w=w, h=h, motion_switch=motion_switch,
             err=err, primary_ref=0 if not is_key else 7, carry=carry,
             order_hints=True, order_hint=order_hint, ref_idx=ref_idx,
-            use_rfm=use_rfm)
+            use_rfm=use_rfm, ref_select=ref_select and not is_key,
+            skip_allowed=skip_allowed)
         bw.byte_align()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
-                                motion_switch=motion_switch)
+                                motion_switch=motion_switch,
+                                ref_select=ref_select, jnt=jnt)
         tenc.seq = _SeqStub        # order-hint aware refmvs (rel_dist)
         stub = tenc.hdr
         stub.order_hint = order_hint

@@ -195,9 +195,13 @@ class FrameRecon:
 
     def _recon_block_inter(self, blk):
         """Motion compensation (spec §7.11.3: translational, local warp,
-        global warp, OBMC) for the whole block, then var-tx residual
-        add."""
+        global warp, OBMC, compound) for the whole block, then var-tx
+        residual add."""
         hdr = self.hdr
+        if blk.ref_frame[1] > C.INTRA_FRAME:
+            self._recon_compound(blk)
+            self._residual_add(blk)
+            return
         ref = blk.ref_frame[0]
         slot = hdr.ref_frame_idx[ref - 1]
         ref_planes = self.refs[slot]
@@ -243,7 +247,9 @@ class FrameRecon:
                                 x >> 2:(x + w + 3) >> 2] = True
         if blk.motion_mode == C.OBMC_MOTION:
             self._apply_obmc(blk)
-        # residual add per coded tx
+        self._residual_add(blk)
+
+    def _residual_add(self, blk):
         mx = (1 << self.bd) - 1
         for txb in blk.tx_blocks:
             res = inverse_transform(txb, self.bd)
@@ -252,6 +258,50 @@ class FrameRecon:
             w = min(res.shape[1], buf.shape[1] - txb.x)
             reg = buf[txb.y:txb.y + h, txb.x:txb.x + w]
             np.clip(reg + res[:h, :w], 0, mx, out=reg)
+
+    def _recon_compound(self, blk):
+        """Two-reference prediction: average / distance-weighted
+        (masked types pending)."""
+        hdr = self.hdr
+        rp = []
+        for ref in blk.ref_frame:
+            slot = hdr.ref_frame_idx[ref - 1]
+            planes = self.refs[slot]
+            if planes is None:
+                raise ValueError(f"missing reference frame slot {slot}")
+            rp.append(planes)
+        if blk.compound_type == C.COMPOUND_DISTANCE:
+            w0, w1 = self._dist_weights(blk.ref_frame)
+        else:
+            w0 = w1 = 8
+        if blk.compound_type in (C.COMPOUND_WEDGE, C.COMPOUND_DIFFWTD):
+            raise NotImplementedError("masked compound recon")
+        n_planes = 3 if (blk.has_chroma and self.seq.color.num_planes > 1) \
+            else 1
+        mx = (1 << self.bd) - 1
+        for plane in range(min(n_planes, len(self.planes))):
+            ssx = self.ssx if plane else 0
+            ssy = self.ssy if plane else 0
+            x = (blk.c >> ssx) * 4
+            y = (blk.r >> ssy) * 4
+            w = max(1, C.BLOCK_W4[blk.bsize] >> ssx) * 4
+            h = max(1, C.BLOCK_H4[blk.bsize] >> ssy) * 4
+            buf = self.planes[plane]
+            full_w, full_h = w, h
+            w = min(w, buf.shape[1] - x)
+            h = min(h, buf.shape[0] - y)
+            p0 = self._predict_inter(rp[0][plane], x, y, w, h, blk.mv,
+                                     ssx, ssy, blk.interp_filter, plane,
+                                     filt_w=full_w, filt_h=full_h,
+                                     comp=True)
+            p1 = self._predict_inter(rp[1][plane], x, y, w, h, blk.mv2,
+                                     ssx, ssy, blk.interp_filter, plane,
+                                     filt_w=full_w, filt_h=full_h,
+                                     comp=True)
+            out = (p0 * w0 + p1 * w1 + 128) >> 8
+            buf[y:y + h, x:x + w] = np.clip(out, 0, mx)
+            self.decoded[plane][y >> 2:(y + h + 3) >> 2,
+                                x >> 2:(x + w + 3) >> 2] = True
 
     _MAX_NB_OBMC = [0, 1, 2, 3, 4, 4, 4]
 
@@ -388,8 +438,37 @@ class FrameRecon:
                3: "mc_filter_bilinear"}[interp]
         return d[key].astype(np.int64)
 
+    # dist-wtd compound weights (libaom quant_dist tables)
+    _QUANT_DIST_WEIGHT = ((2, 3), (2, 5), (2, 7), (1, 31))
+    _QUANT_DIST_LOOKUP = ((9, 7), (11, 5), (13, 3), (15, 1))
+
+    def _dist_weights(self, ref_frame):
+        """(w_ref0, w_ref1) for COMPOUND_DISTANCE, sum 16."""
+        hdr = self.hdr
+
+        def rel(a, b):
+            seq = self.seq
+            if not seq.enable_order_hint:
+                return 0
+            d = a - b
+            m = 1 << (seq.order_hint_bits - 1)
+            return (d & (m - 1)) - (d & m)
+
+        cur = hdr.order_hint
+        bck = min(abs(rel(cur, hdr.order_hints[ref_frame[0]])), 31)
+        fwd = min(abs(rel(hdr.order_hints[ref_frame[1]], cur)), 31)
+        order = int(fwd <= bck)
+        for i in range(4):
+            c0 = self._QUANT_DIST_WEIGHT[i][order]
+            c1 = self._QUANT_DIST_WEIGHT[i][1 - order]
+            if fwd * c0 <= bck * c1:
+                break
+        fwd_off = self._QUANT_DIST_LOOKUP[i][order]
+        bck_off = self._QUANT_DIST_LOOKUP[i][1 - order]
+        return bck_off, fwd_off
+
     def _predict_inter(self, ref, x, y, w, h, mv, ssx, ssy, interp,
-                       plane, filt_w=None, filt_h=None):
+                       plane, filt_w=None, filt_h=None, comp=False):
         """8-tap separable subpel MC with edge-replicating coordinate
         clamps (spec 7.11.3.2 block_inter_predict, no ref scaling).
         filt_w/filt_h: UNCLIPPED plane block dims for subpel filter
@@ -416,6 +495,9 @@ class FrameRecon:
         out = np.zeros((h, w), np.int64)
         for t in range(8):
             out += fv[t] * inter[t:t + h]
+        if comp:
+            # compound intermediates: InterRound1 = 7, no clipping
+            return (out + 64) >> 7
         out = (out + 1024) >> 11                      # InterRound1 = 11
         return np.clip(out, 0, (1 << self.bd) - 1)
 

@@ -295,8 +295,11 @@ class RefMvFinder:
         # candidates, re-scan the close neighbors taking mvs from ANY
         # reference (no sign flip needed: order hints disabled).  These
         # DO count into NumMvFound (verified vs dav1d).
-        if st.num_found < 2 and not is_compound:
-            self._extra_search(st, r, c, bsize, ref_frames)
+        if st.num_found < 2:
+            if is_compound:
+                self._extra_search_comp(st, r, c, bsize, ref_frames)
+            else:
+                self._extra_search(st, r, c, bsize, ref_frames)
 
         # global-mv pad to 2 entries; padding does NOT count into
         # NumMvFound — drl bits key off genuinely found candidates
@@ -318,6 +321,9 @@ class RefMvFinder:
         return st
 
     # -- temporal (projected) candidates (libaom add_tpl_ref_mv) -----------
+
+    def _rel_dist_pub(self, a, b):
+        return self._rel_dist(a, b)
 
     def _rel_dist(self, a, b):
         seq = self.dec.seq
@@ -410,6 +416,64 @@ class RefMvFinder:
             st.weights.append(2)
             st.num_found += 1
         return True
+
+    def _extra_search_comp(self, st: MvStack, r, c, bsize, ref_frames):
+        """Compound extra search (libaom process_compound_ref_mv_candidate
+        + combined-list padding)."""
+        dec = self.dec
+        bias = dec.hdr.ref_frame_sign_bias
+        ref_id = [[], []]
+        ref_diff = [[], []]
+
+        def process(mv_r, mv_c):
+            cand_ref, cand_mvs, _m = self._cand(mv_r, mv_c)
+            for j in range(2):
+                can_rf = cand_ref[j]
+                for k in range(2):
+                    if can_rf == ref_frames[k] and len(ref_id[k]) < 2:
+                        ref_id[k].append(cand_mvs[j])
+                    elif can_rf > C.INTRA_FRAME and len(ref_diff[k]) < 2:
+                        mv = cand_mvs[j]
+                        if bias[can_rf] != bias[ref_frames[k]]:
+                            mv = (-mv[0], -mv[1])
+                        ref_diff[k].append(mv)
+
+        bw4 = C.BLOCK_W4[bsize]
+        bh4 = C.BLOCK_H4[bsize]
+        i = 0
+        while i < min(bw4, dec.mi_col_end - c):
+            mv_r, mv_c = r - 1, c + i
+            if not dec._is_inside(mv_r, mv_c):
+                break
+            process(mv_r, mv_c)
+            i += C.BLOCK_W4[int(dec.plan.bsize[mv_r, mv_c])]
+        i = 0
+        while i < min(bh4, dec.mi_row_end - r):
+            mv_r, mv_c = r + i, c - 1
+            if not dec._is_inside(mv_r, mv_c):
+                break
+            process(mv_r, mv_c)
+            i += C.BLOCK_H4[int(dec.plan.bsize[mv_r, mv_c])]
+
+        comp_list = [[None, None], [None, None]]
+        for k in range(2):
+            pool = ref_id[k] + ref_diff[k]
+            for idx in range(2):
+                comp_list[idx][k] = (pool[idx] if idx < len(pool)
+                                     else st.global_mvs[k])
+        if st.num_found:
+            ent = tuple(comp_list[0])
+            if (comp_list[0][0] == st.mvs[0][0]
+                    and comp_list[0][1] == st.mvs[0][1]):
+                ent = tuple(comp_list[1])
+            st.mvs.append((ent[0], ent[1]))
+            st.weights.append(2)
+            st.num_found += 1
+        else:
+            for idx in range(2):
+                st.mvs.append((comp_list[idx][0], comp_list[idx][1]))
+                st.weights.append(2)
+                st.num_found += 1
 
     def _extra_search(self, st: MvStack, r, c, bsize, ref_frames):
         dec = self.dec

@@ -239,3 +239,10 @@ def ac_q(qindex: int, bitdepth: int = 8) -> int:
     d = data()
     key = {8: "ac_qlookup", 10: "ac_qlookup_10", 12: "ac_qlookup_12"}[bitdepth]
     return int(d[key][max(0, min(255, qindex))])
+
+
+# wedge availability: 4 bits (16 wedge shapes) for the 9 wedge-capable
+# block sizes (libaom av1_wedge_params_lookup), 0 elsewhere
+WEDGE_BITS = [0] * 22
+for _b in (3, 4, 5, 6, 7, 8, 9, 18, 19):
+    WEDGE_BITS[_b] = 4

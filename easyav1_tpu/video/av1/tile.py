@@ -69,6 +69,13 @@ class BlockRecord:
     motion_mode: int = 0
     # local warp: (wmmat[6], (alpha,beta,gamma,delta)) or None
     warp: Optional[tuple] = None
+    # compound prediction
+    mv2: Tuple[int, int] = (0, 0)         # second-list mv (row, col)
+    compound_type: int = 0                # C.COMPOUND_*
+    compound_idx: int = 1
+    wedge_idx: int = 0
+    wedge_sign: int = 0
+    mask_type: int = 0
 
 
 @dataclasses.dataclass
@@ -199,6 +206,8 @@ class TileDecoder:
         # skip-mode, decoded coverage (for has_top_right)
         self.ref_frames0 = np.full((self.mi_rows, self.mi_cols), -1, np.int8)
         self.ref_frames1 = np.full((self.mi_rows, self.mi_cols), -1, np.int8)
+        self.comp_group_grid = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.comp_idx_grid = np.ones((self.mi_rows, self.mi_cols), np.int8)
         self.mvs = np.zeros((self.mi_rows, self.mi_cols, 2, 2), np.int16)
         self.modes = np.zeros((self.mi_rows, self.mi_cols), np.int16)
         self.interp = np.zeros((self.mi_rows, self.mi_cols, 2), np.int8)
@@ -510,6 +519,19 @@ class TileDecoder:
             motion_mode=getattr(self, "_last_motion_mode", C.SIMPLE)
             if is_inter else C.SIMPLE,
             warp=getattr(self, "_last_warp", None) if is_inter else None,
+            mv2=getattr(self, "_last_mv2", (0, 0)) if is_inter else (0, 0),
+            compound_type=getattr(self, "_last_comp",
+                                  (0, 1, 0, 0, 0, 0))[2]
+            if is_inter else 0,
+            compound_idx=getattr(self, "_last_comp",
+                                 (0, 1, 0, 0, 0, 0))[1]
+            if is_inter else 1,
+            wedge_idx=getattr(self, "_last_comp", (0, 1, 0, 0, 0, 0))[3]
+            if is_inter else 0,
+            wedge_sign=getattr(self, "_last_comp", (0, 1, 0, 0, 0, 0))[4]
+            if is_inter else 0,
+            mask_type=getattr(self, "_last_comp", (0, 1, 0, 0, 0, 0))[5]
+            if is_inter else 0,
         )
         plan.blocks.append(self._cur_block)
         plan.y_mode[r:r + h4, c:c + w4] = y_mode
@@ -528,6 +550,13 @@ class TileDecoder:
         self.ref_frames1[r:r + h4, c:c + w4] = ref_frame[1]
         self.mvs[r:r + h4, c:c + w4, 0, 0] = mv[0]
         self.mvs[r:r + h4, c:c + w4, 0, 1] = mv[1]
+        mv2g = getattr(self, "_last_mv2", (0, 0)) if is_inter else (0, 0)
+        self.mvs[r:r + h4, c:c + w4, 1, 0] = mv2g[0]
+        self.mvs[r:r + h4, c:c + w4, 1, 1] = mv2g[1]
+        comp = getattr(self, "_last_comp", (0, 1, 0, 0, 0, 0)) \
+            if is_inter else (0, 1, 0, 0, 0, 0)
+        self.comp_group_grid[r:r + h4, c:c + w4] = comp[0]
+        self.comp_idx_grid[r:r + h4, c:c + w4] = comp[1]
         self.modes[r:r + h4, c:c + w4] = block_mode
         self.interp[r:r + h4, c:c + w4, 0] = interp[0]
         self.interp[r:r + h4, c:c + w4, 1] = interp[1]
@@ -674,13 +703,130 @@ class TileDecoder:
             return 1
         return 0 if c0 < c1 else 2
 
+    def _is_backward(self, ref):
+        return C.BWDREF_FRAME <= ref <= C.ALTREF_FRAME
+
+    def _nb_info(self, rr, cc):
+        """(ref0, ref1, is_inter, has_second, is_uni_comp) of neighbor."""
+        f0 = int(self.ref_frames0[rr, cc])
+        f1 = int(self.ref_frames1[rr, cc])
+        is_inter = f0 > C.INTRA_FRAME
+        has2 = f1 > C.INTRA_FRAME
+        uni = has2 and not (self._is_backward(f0) ^ self._is_backward(f1))
+        return f0, f1, is_inter, has2, uni
+
+    def _compound_mode_ctx(self, st, r, c):
+        """Context for the inter_compound_mode symbol (libaom
+        compound_mode_ctx_map in av1_mode_context_analyzer)."""
+        return self._COMP_MODE_CTX_MAP[st.ref_mv_ctx >> 1][
+            min(st.new_mv_ctx, 4)]
+
+    def _comp_mode_ctx(self, r, c, avail_u, avail_l):
+        """libaom av1_get_reference_mode_context."""
+        bw = self._is_backward
+        if avail_u and avail_l:
+            a0, a1, ainter, a2, _ = self._nb_info(r - 1, c)
+            l0, l1, linter, l2, _ = self._nb_info(r, c - 1)
+            if not a2 and not l2:
+                return int(bw(a0)) ^ int(bw(l0))
+            if not a2:
+                return 2 + int(bw(a0) or not ainter)
+            if not l2:
+                return 2 + int(bw(l0) or not linter)
+            return 4
+        if avail_u or avail_l:
+            e0, e1, einter, e2, _ = self._nb_info(
+                r - 1 if avail_u else r, c if avail_u else c - 1)
+            if not e2:
+                return int(bw(e0))
+            return 3
+        return 1
+
+    def _comp_ref_type_ctx(self, r, c, avail_u, avail_l):
+        """libaom av1_get_comp_reference_type_context."""
+        bw = self._is_backward
+        if avail_u and avail_l:
+            a0, a1, ainter, a2, auni = self._nb_info(r - 1, c)
+            l0, l1, linter, l2, luni = self._nb_info(r, c - 1)
+            if not ainter and not linter:
+                return 2
+            if not ainter or not linter:
+                i0, i1, _, i2, iuni = (self._nb_info(r, c - 1) if not ainter
+                                       else self._nb_info(r - 1, c))
+                if not i2:
+                    return 2
+                return 1 + 2 * int(iuni)
+            a_sg = not a2
+            l_sg = not l2
+            if a_sg and l_sg:
+                return 1 + 2 * int(not (bw(a0) ^ bw(l0)))
+            if a_sg or l_sg:
+                # one single, one compound
+                cuni = luni if a_sg else auni
+                if not cuni:
+                    return 1
+                return 3 + int(not (bw(a0) ^ bw(l0)))
+            # both compound
+            if not auni and not luni:
+                return 0
+            if not auni or not luni:
+                return 2
+            return 3 + int((a0 == C.BWDREF_FRAME) == (l0 == C.BWDREF_FRAME))
+        if avail_u or avail_l:
+            e0, e1, einter, e2, euni = self._nb_info(
+                r - 1 if avail_u else r, c if avail_u else c - 1)
+            if not einter:
+                return 2
+            if not e2:
+                return 2
+            return 4 * int(euni)
+        return 2
+
+    def _comp_group_ctx(self, r, c, avail_u, avail_l):
+        """libaom get_comp_group_idx_context."""
+        above = left = 0
+        if avail_u:
+            if int(self.ref_frames1[r - 1, c]) > C.INTRA_FRAME:
+                above = int(self.comp_group_grid[r - 1, c])
+            elif int(self.ref_frames0[r - 1, c]) == C.ALTREF_FRAME:
+                above = 3
+        if avail_l:
+            if int(self.ref_frames1[r, c - 1]) > C.INTRA_FRAME:
+                left = int(self.comp_group_grid[r, c - 1])
+            elif int(self.ref_frames0[r, c - 1]) == C.ALTREF_FRAME:
+                left = 3
+        return min(5, above + left)
+
+    def _comp_index_ctx(self, r, c, ref_frame, avail_u, avail_l):
+        """libaom get_comp_index_context."""
+        hdr = self.hdr
+        fwd = abs(self.refmv._rel_dist_pub(
+            hdr.order_hints[ref_frame[1]], hdr.order_hint))
+        bck = abs(self.refmv._rel_dist_pub(
+            hdr.order_hint, hdr.order_hints[ref_frame[0]]))
+        above = left = 0
+        if avail_u:
+            if int(self.ref_frames1[r - 1, c]) > C.INTRA_FRAME:
+                above = int(self.comp_idx_grid[r - 1, c])
+            elif int(self.ref_frames0[r - 1, c]) == C.ALTREF_FRAME:
+                above = 1
+        if avail_l:
+            if int(self.ref_frames1[r, c - 1]) > C.INTRA_FRAME:
+                left = int(self.comp_idx_grid[r, c - 1])
+            elif int(self.ref_frames0[r, c - 1]) == C.ALTREF_FRAME:
+                left = 1
+        return above + left + 3 * int(fwd == bck)
+
     def _read_ref_frames(self, r, c, bsize, skip_mode, avail_u, avail_l):
         hdr = self.hdr
         msac = self.msac
         if skip_mode:
             return tuple(hdr.skip_mode_frames)
-        if getattr(hdr, "reference_select", False):
-            raise NotImplementedError("compound reference mode")
+        comp_allowed = (min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8)
+        if getattr(hdr, "reference_select", False) and comp_allowed:
+            ctx = self._comp_mode_ctx(r, c, avail_u, avail_l)
+            if msac.decode_symbol(self.cdf["comp_inter"][ctx]):
+                return self._read_comp_refs(r, c, avail_u, avail_l)
         # single reference: p1/p2/p3/p4/p5/p6 tree with count contexts
         cnt = self._count_refs(r, c, avail_u, avail_l)
         fwd = cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME] + \
@@ -711,6 +857,59 @@ class TileDecoder:
             return (C.LAST2_FRAME, C.NONE_FRAME)
         return (C.LAST_FRAME, C.NONE_FRAME)
 
+    def _read_comp_refs(self, r, c, avail_u, avail_l):
+        """Compound reference pair (spec read_ref_frames compound arm)."""
+        msac = self.msac
+        cnt = self._count_refs(r, c, avail_u, avail_l)
+        fwd = cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME] + \
+            cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME]
+        bwd = cnt[C.BWDREF_FRAME] + cnt[C.ALTREF2_FRAME] + \
+            cnt[C.ALTREF_FRAME]
+        tctx = self._comp_ref_type_ctx(r, c, avail_u, avail_l)
+        uni = msac.decode_symbol(self.cdf["comp_ref_type"][tctx]) == 0
+        ucr = self.cdf["uni_comp_ref"]
+        if uni:
+            if msac.decode_symbol(ucr[self._ref_ctx(bwd, fwd)][0]):
+                return (C.BWDREF_FRAME, C.ALTREF_FRAME)
+            ctx1 = self._ref_ctx(cnt[C.LAST2_FRAME],
+                                 cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME])
+            if msac.decode_symbol(ucr[ctx1][1]):
+                ctx2 = self._ref_ctx(cnt[C.LAST3_FRAME],
+                                     cnt[C.GOLDEN_FRAME])
+                if msac.decode_symbol(ucr[ctx2][2]):
+                    return (C.LAST_FRAME, C.GOLDEN_FRAME)
+                return (C.LAST_FRAME, C.LAST3_FRAME)
+            return (C.LAST_FRAME, C.LAST2_FRAME)
+        cr = self.cdf["comp_ref"]
+        cb = self.cdf["comp_bwdref"]
+        ctx0 = self._ref_ctx(cnt[C.LAST_FRAME] + cnt[C.LAST2_FRAME],
+                             cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME])
+        if msac.decode_symbol(cr[ctx0][0]):
+            ctx2 = self._ref_ctx(cnt[C.LAST3_FRAME], cnt[C.GOLDEN_FRAME])
+            ref0 = (C.GOLDEN_FRAME if msac.decode_symbol(cr[ctx2][2])
+                    else C.LAST3_FRAME)
+        else:
+            ctx1 = self._ref_ctx(cnt[C.LAST_FRAME], cnt[C.LAST2_FRAME])
+            ref0 = (C.LAST2_FRAME if msac.decode_symbol(cr[ctx1][1])
+                    else C.LAST_FRAME)
+        bctx0 = self._ref_ctx(cnt[C.BWDREF_FRAME] + cnt[C.ALTREF2_FRAME],
+                              cnt[C.ALTREF_FRAME])
+        if msac.decode_symbol(cb[bctx0][0]):
+            ref1 = C.ALTREF_FRAME
+        else:
+            bctx1 = self._ref_ctx(cnt[C.BWDREF_FRAME],
+                                  cnt[C.ALTREF2_FRAME])
+            ref1 = (C.ALTREF2_FRAME if msac.decode_symbol(cb[bctx1][1])
+                    else C.BWDREF_FRAME)
+        return (ref0, ref1)
+
+    # compound_mode_ctx_map (libaom av1_mode_context_analyzer); recovered
+    # from libaom .rodata and pinned empirically vs dav1d with forced-ctx
+    # probes (NEW_NEWMV symbol decodes uniquely per ctx).
+    _COMP_MODE_CTX_MAP = [[0, 1, 1, 1, 1],
+                          [1, 2, 3, 4, 4],
+                          [4, 4, 5, 6, 7]]
+
     def _drl_ctx(self, st, idx):
         if st.weights[idx] >= 640:
             return 0 if st.weights[idx + 1] >= 640 else 1
@@ -736,7 +935,8 @@ class TileDecoder:
                             self.cdf["drl"][self._drl_ctx(st, idx)]):
                         break
                     ref_mv_idx = idx + 1
-        elif mode in (C.NEARMV, C.NEAR_NEARMV):
+        elif mode in (C.NEARMV, C.NEAR_NEARMV, C.NEAR_NEWMV,
+                      C.NEW_NEARMV):
             ref_mv_idx = 1
             for idx in range(1, 3):
                 if st.num_found > idx + 1:
@@ -822,16 +1022,51 @@ class TileDecoder:
             filters.append(filters[0])
         return tuple(filters)
 
+    # per-list component modes for the compound inter modes
+    _COMP_COMPONENTS = {
+        C.NEAREST_NEARESTMV: (C.NEARESTMV, C.NEARESTMV),
+        C.NEAR_NEARMV: (C.NEARMV, C.NEARMV),
+        C.NEAREST_NEWMV: (C.NEARESTMV, C.NEWMV),
+        C.NEW_NEARESTMV: (C.NEWMV, C.NEARESTMV),
+        C.NEAR_NEWMV: (C.NEARMV, C.NEWMV),
+        C.NEW_NEARMV: (C.NEWMV, C.NEARMV),
+        C.GLOBAL_GLOBALMV: (C.GLOBALMV, C.GLOBALMV),
+        C.NEW_NEWMV: (C.NEWMV, C.NEWMV),
+    }
+
+    def _assign_comp_mvs(self, mode, st, idx):
+        mvs = []
+        for i, m in enumerate(self._COMP_COMPONENTS[mode]):
+            if m == C.NEARESTMV:
+                mv = st.mvs[0][i]
+            elif m == C.NEARMV:
+                mv = st.mvs[idx][i]
+            elif m == C.GLOBALMV:
+                mv = st.global_mvs[i]
+            else:                        # NEWMV component
+                pred = self.refmv._lower_precision(st.mvs[idx][i])
+                mv = self._read_mv(pred)
+            mvs.append((int(mv[0]), int(mv[1])))
+        return mvs
+
     def _inter_mode_info(self, r, c, bsize, avail_u, avail_l):
         ref_frame = self._read_ref_frames(r, c, bsize,
                                           self.skip_mode_flag,
                                           avail_u, avail_l)
-        st = self.refmv.find(r, c, bsize, ref_frame,
-                             ref_frame[1] > C.INTRA_FRAME)
+        is_compound = ref_frame[1] > C.INTRA_FRAME
+        st = self.refmv.find(r, c, bsize, ref_frame, is_compound)
         ref_mv_idx = 0
+        mv2 = (0, 0)
         if self.skip_mode_flag:
             mode = C.NEAREST_NEARESTMV
-            mv = st.mvs[0][0]
+            mv, mv2 = st.mvs[0][0], st.mvs[0][1]
+        elif is_compound:
+            cctx = self._compound_mode_ctx(st, r, c)
+            sym = self.msac.decode_symbol(
+                self.cdf["inter_compound_mode"][cctx])
+            mode = C.NEAREST_NEARESTMV + sym
+            ref_mv_idx = self._read_drl(st, mode)
+            mv, mv2 = self._assign_comp_mvs(mode, st, ref_mv_idx)
         else:
             mode = self._read_inter_mode(st)
             ref_mv_idx = self._read_drl(st, mode)
@@ -890,6 +1125,43 @@ class TileDecoder:
                 if mat is not None and shear is not None:
                     self._last_warp = (mat, shear)
                 # invalid warp -> translational fallback at recon
+        # compound type (spec read_compound_type)
+        comp_group_idx = 0
+        compound_idx = 1
+        comp_type = C.COMPOUND_AVERAGE
+        wedge_idx = 0
+        wedge_sign = 0
+        mask_type = 0
+        if ref_frame[1] > C.INTRA_FRAME and not self.skip_mode_flag:
+            masked_ok = getattr(self.seq, "enable_masked_compound", False)
+            if masked_ok:
+                gctx = self._comp_group_ctx(r, c, avail_u, avail_l)
+                comp_group_idx = self.msac.decode_symbol(
+                    self.cdf["comp_group_idx"][gctx])
+            if comp_group_idx == 0:
+                if getattr(self.seq, "enable_jnt_comp", False):
+                    ictx = self._comp_index_ctx(r, c, ref_frame,
+                                                avail_u, avail_l)
+                    compound_idx = self.msac.decode_symbol(
+                        self.cdf["compound_index"][ictx])
+                    comp_type = (C.COMPOUND_AVERAGE if compound_idx
+                                 else C.COMPOUND_DISTANCE)
+            else:
+                if T.WEDGE_BITS[bsize] > 0:
+                    comp_type = (C.COMPOUND_WEDGE
+                                 if self.msac.decode_symbol(
+                                     self.cdf["compound_type"][bsize]) == 0
+                                 else C.COMPOUND_DIFFWTD)
+                else:
+                    comp_type = C.COMPOUND_DIFFWTD
+                if comp_type == C.COMPOUND_WEDGE:
+                    wedge_idx = self._decode_ragged(
+                        self.cdf["wedge_idx"][bsize], 16)
+                    wedge_sign = self.msac.decode_bool_equi()
+                else:
+                    mask_type = self.msac.decode_bool_equi()
+        self._last_comp = (comp_group_idx, compound_idx, comp_type,
+                           wedge_idx, wedge_sign, mask_type)
         # interpolation filter: not coded for warped / non-translational
         # global blocks (libaom av1_is_interp_needed)
         nontrans_global = (mode == C.GLOBALMV
@@ -906,6 +1178,7 @@ class TileDecoder:
                                               avail_l)
         self._last_ref_mv_idx = ref_mv_idx
         self._last_motion_mode = motion_mode
+        self._last_mv2 = (int(mv2[0]), int(mv2[1]))
         return int(mode), ref_frame, (int(mv[0]), int(mv[1])), interp
 
     def _find_warp_samples(self, r, c, bsize, ref, avail_u, avail_l):

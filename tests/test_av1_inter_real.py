@@ -3,9 +3,10 @@
 Covers the inter toolset end-to-end vs the libdav1d oracle: NEWMV /
 NEAREST / NEAR / GLOBAL modes, refmvs stacks + drl, var-tx trees,
 inter residuals, OBMC, warped motion, CDF inheritance via
-primary_ref_frame, and temporal MV projection (use_ref_frame_mvs).
-Compound prediction and loop restoration stay disabled (not yet
-implemented).
+primary_ref_frame, temporal MV projection (use_ref_frame_mvs), and
+compound (bidirectional) prediction incl. distance-weighted blending.
+Masked compound (wedge/diffwtd), interintra and loop restoration stay
+disabled (not yet implemented).
 """
 
 import subprocess
@@ -26,14 +27,25 @@ SCOPE_OPTS = [
     "vopt:lag-in-frames=0",       # no alt-refs -> single-ref prediction
 ]
 
+# compound scope: alt-refs enabled (bidirectional prediction), masked
+# compound (wedge/diffwtd) and interintra still out of scope
+COMP_SCOPE = [
+    "vopt:enable-restoration=0", "vopt:enable-palette=0",
+    "vopt:enable-filter-intra=0", "vopt:enable-intrabc=0",
+    "vopt:lag-in-frames=5",
+]
+COMP_BASE = ("enable-masked-comp=0:enable-interintra-comp=0:"
+             "enable-onesided-comp=0")
 
-def inter_fixture(tag, w=96, h=96, crf=40, frames=4, gop=100, extra=()):
+
+def inter_fixture(tag, w=96, h=96, crf=40, frames=4, gop=100, extra=(),
+                  scope=None):
     out = CACHE / f"ireal_{tag}.webm"
     if not out.exists():
         args = [str(tool("make_fixture")), str(out),
                 f"w={w}", f"h={h}", "fps=10", f"frames={frames}",
                 f"gop={gop}", f"crf={crf}", "audio_secs=0"] \
-            + SCOPE_OPTS + list(extra)
+            + (SCOPE_OPTS if scope is None else scope) + list(extra)
         r = subprocess.run(args, capture_output=True, text=True)
         assert r.returncode == 0, r.stderr
     prefix = CACHE / f"ireal_{tag}"
@@ -124,3 +136,35 @@ def test_inter_odd_size():
     assert_exact("odd", w=84, h=52, crf=30, frames=4, extra=(
         "vopt:aom-params=enable-order-hint=1:enable-ref-frame-mvs=1:"
         "enable-global-motion=0",))
+
+
+def test_comp_basic():
+    """Alt-refs -> bidirectional compound prediction, motion modes and
+    global motion off."""
+    assert_exact("comp_basic", frames=6, scope=COMP_SCOPE, extra=(
+        "vopt:aom-params=" + COMP_BASE + ":enable-dist-wtd-comp=0:"
+        "enable-obmc=0:enable-warped-motion=0:enable-global-motion=0",))
+
+
+def test_comp_motion_modes():
+    """Compound + OBMC + warped motion + global motion together."""
+    assert_exact("comp_mm", frames=6, scope=COMP_SCOPE, extra=(
+        "vopt:aom-params=" + COMP_BASE + ":enable-dist-wtd-comp=0",))
+
+
+def test_comp_dist_wtd():
+    """Distance-weighted (jnt_comp) compound blocks."""
+    assert_exact("comp_jnt", frames=6, scope=COMP_SCOPE, extra=(
+        "vopt:aom-params=" + COMP_BASE,))
+
+
+def test_comp_long():
+    """Longer compound sequence at lower crf (denser mode mix)."""
+    assert_exact("comp_long", frames=12, crf=30, scope=COMP_SCOPE,
+                 extra=("vopt:aom-params=" + COMP_BASE,))
+
+
+def test_comp_odd_size():
+    """Compound prediction with partial superblocks on both edges."""
+    assert_exact("comp_odd", w=94, h=98, frames=6, scope=COMP_SCOPE,
+                 extra=("vopt:aom-params=" + COMP_BASE,))
