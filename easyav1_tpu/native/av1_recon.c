@@ -30,7 +30,7 @@ enum { DC_PRED = 0, V_PRED = 1, H_PRED = 2, D45_PRED = 3, D67_PRED = 8,
 
 /* row shift per tx size (recon_ref._ROW_SHIFT) */
 static const int8_t ROW_SHIFT[19] = {0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1,
-                                     1, 0, 0, 1, 1, 2, 2};
+                                     1, 1, 1, 2, 2, 2, 2};
 
 /* 1-D kinds per tx type (vertical, horizontal); 0 dct 1 adst 2 flip 3 id */
 static const int8_t TX_1D[16][2] = {

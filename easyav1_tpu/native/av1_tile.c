@@ -461,7 +461,7 @@ static int read_eob(Ctx *t, int tx_size, int ptype, int cls) {
     if (eob_pt < 3) return eob_pt;
     int eob_shift = eob_pt - 2;
     int eob = (1 << (eob_pt - 2)) + 1;
-    int tx_ctx = imin(av1_tx_sqr_up[tx_size], TX_64X64);
+    int tx_ctx = (av1_tx_sqr[tx_size] + av1_tx_sqr_up[tx_size] + 1) >> 1; /* get_txsize_entropy_ctx */
     int bit = msac_symbol(&t->msac,
                           t->cdf.eob_extra[tx_ctx][ptype][eob_pt - 3], 2);
     if (bit) eob += 1 << (eob_shift - 1);
@@ -524,7 +524,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     int full_w = av1_tx_w[tx_size], full_h = av1_tx_h[tx_size];
     int x4 = x >> 2, y4 = y >> 2;
     int ptype = plane ? 1 : 0;
-    int tx_ctx = imin(av1_tx_sqr_up[tx_size], TX_64X64);
+    int tx_ctx = (av1_tx_sqr[tx_size] + av1_tx_sqr_up[tx_size] + 1) >> 1; /* get_txsize_entropy_ctx */
 
     if (o->n_lf >= o->max_lf) { o->error = 1; return; }
     int32_t *lf = o->lf_txs + o->n_lf * 4;
@@ -593,8 +593,8 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         dqd = dc_q(qidx + p->dq_v_dc, p->bitdepth);
         dqa = ac_q(qidx + p->dq_v_ac, p->bitdepth);
     }
-    int dim = imax(full_w, full_h);
-    int shift = dim == 64 ? 2 : (dim == 32 ? 1 : 0);
+    int pels = full_w * full_h;  /* libaom av1_get_tx_scale: by area */
+    int shift = (pels > 256) + (pels > 1024);
     int64_t lim = 1ll << (p->bitdepth + 7);
 
     if (o->n_txs >= o->max_txs ||

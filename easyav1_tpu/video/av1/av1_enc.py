@@ -98,16 +98,23 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
 def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             disable_cdf_update: bool = True,
                             tx_mode_select: bool = False,
-                            lf_levels=(0, 0), cdef=None) -> None:
+                            lf_levels=(0, 0), cdef=None,
+                            w: int = 64, h: int = 64) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
     bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
     # frame_size_override absent (reduced); no order hint; primary ref none
     # refresh implicitly 0xFF; frame size from seq max (no bits, no superres)
     bw.f(0, 1)            # render_and_frame_size_different
-    # tile info (uniform, single tile; no increment bits while
-    # max_log2_tile_cols == 0, i.e. frames up to one sb column/row)
+    # tile info (uniform, single tile; a zero increment bit per dimension
+    # whenever max_log2_tile_cols/rows > 0 — spec 5.9.15 tile_info)
     bw.f(1, 1)            # uniform_tile_spacing
+    sb_cols = (w + 63) >> 6
+    sb_rows = (h + 63) >> 6
+    if sb_cols > 1:
+        bw.f(0, 1)        # increment_tile_cols_log2 stop
+    if sb_rows > 1:
+        bw.f(0, 1)        # increment_tile_rows_log2 stop
     # quantization_params
     bw.f(base_q_idx, 8)
     bw.f(0, 1)            # delta_q_y_dc coded flag
@@ -240,15 +247,42 @@ class SimpleTileEncoder:
         has_cols = (c + half) < self.mi_cols
         bsl = mi_wlog2(bsize)
         blk = blkmap.get((r, c))
-        # derive partition type from the block map
+        if bsize == C.BLOCK_4X4:
+            self._encode_block(blkmap[(r, c)])
+            return
+        # derive partition type from the block map (incl. AB + 4:1)
+        q = half >> 1
+        sq = (partition_subsize(C.PARTITION_SPLIT, bsize)
+              if bsize > C.BLOCK_8X8 else None)
+        hsub = partition_subsize(C.PARTITION_HORZ, bsize)
+        vsub = partition_subsize(C.PARTITION_VERT, bsize)
+
+        def _at(rr, cc):
+            b = blkmap.get((rr, cc))
+            return b.bsize if b is not None else None
+
         if blk is not None and blk.bsize == bsize:
             part = C.PARTITION_NONE
-        elif blk is not None and blk.bsize == partition_subsize(
-                C.PARTITION_HORZ, bsize):
-            part = C.PARTITION_HORZ
-        elif blk is not None and blk.bsize == partition_subsize(
-                C.PARTITION_VERT, bsize):
-            part = C.PARTITION_VERT
+        elif blk is not None and blk.bsize == hsub:
+            part = (C.PARTITION_HORZ_B
+                    if sq is not None and _at(r + half, c) == sq
+                    else C.PARTITION_HORZ)
+        elif blk is not None and blk.bsize == vsub:
+            part = (C.PARTITION_VERT_B
+                    if sq is not None and _at(r, c + half) == sq
+                    else C.PARTITION_VERT)
+        elif (C.BLOCK_16X16 <= bsize <= C.BLOCK_64X64 and blk is not None
+              and blk.bsize == partition_subsize(C.PARTITION_HORZ_4, bsize)):
+            part = C.PARTITION_HORZ_4
+        elif (C.BLOCK_16X16 <= bsize <= C.BLOCK_64X64 and blk is not None
+              and blk.bsize == partition_subsize(C.PARTITION_VERT_4, bsize)):
+            part = C.PARTITION_VERT_4
+        elif (blk is not None and sq is not None and blk.bsize == sq
+              and _at(r, c + half) == sq and _at(r + half, c) == hsub):
+            part = C.PARTITION_HORZ_A
+        elif (blk is not None and sq is not None and blk.bsize == sq
+              and _at(r + half, c) == sq and _at(r, c + half) == vsub):
+            part = C.PARTITION_VERT_A
         else:
             part = C.PARTITION_SPLIT
         if bsize == C.BLOCK_4X4:
@@ -282,34 +316,73 @@ class SimpleTileEncoder:
             if part != C.PARTITION_SPLIT:
                 raise NotImplementedError("corner must be SPLIT")
         h4 = C.BLOCK_H4[bsize]
+        sub = partition_subsize(part, bsize)
+
+        def _ctx(rr, cc, subsize, over):
+            self.a_part[cc:cc + C.BLOCK_W4[over]] = _PART_ABOVE[subsize]
+            self.l_part[rr:rr + C.BLOCK_H4[over]] = _PART_LEFT[subsize]
+
         if part == C.PARTITION_NONE:
             self._encode_block(blk)
-            self.a_part[c:c + w4] = _PART_ABOVE[bsize]
-            self.l_part[r:r + h4] = _PART_LEFT[bsize]
+            _ctx(r, c, bsize, bsize)
         elif part == C.PARTITION_HORZ:
-            sub = partition_subsize(C.PARTITION_HORZ, bsize)
             self._encode_block(blkmap[(r, c)])
             if (r + half) < self.mi_rows:
                 self._encode_block(blkmap[(r + half, c)])
-            self.a_part[c:c + w4] = _PART_ABOVE[sub]
-            self.l_part[r:r + h4] = _PART_LEFT[sub]
+            _ctx(r, c, sub, bsize)
         elif part == C.PARTITION_VERT:
-            sub = partition_subsize(C.PARTITION_VERT, bsize)
             self._encode_block(blkmap[(r, c)])
             if (c + half) < self.mi_cols:
                 self._encode_block(blkmap[(r, c + half)])
-            self.a_part[c:c + w4] = _PART_ABOVE[sub]
-            self.l_part[r:r + h4] = _PART_LEFT[sub]
-        else:
-            sub = partition_subsize(C.PARTITION_SPLIT, bsize)
+            _ctx(r, c, sub, bsize)
+        elif part == C.PARTITION_HORZ_A:
+            self._encode_block(blkmap[(r, c)])
+            self._encode_block(blkmap[(r, c + half)])
+            self._encode_block(blkmap[(r + half, c)])
+            _ctx(r, c, sq, sub)
+            _ctx(r + half, c, sub, sub)
+        elif part == C.PARTITION_HORZ_B:
+            self._encode_block(blkmap[(r, c)])
+            self._encode_block(blkmap[(r + half, c)])
+            self._encode_block(blkmap[(r + half, c + half)])
+            _ctx(r, c, sub, sub)
+            _ctx(r + half, c, sq, sub)
+        elif part == C.PARTITION_VERT_A:
+            self._encode_block(blkmap[(r, c)])
+            self._encode_block(blkmap[(r + half, c)])
+            self._encode_block(blkmap[(r, c + half)])
+            _ctx(r, c, sq, sub)
+            _ctx(r, c + half, sub, sub)
+        elif part == C.PARTITION_VERT_B:
+            self._encode_block(blkmap[(r, c)])
+            self._encode_block(blkmap[(r, c + half)])
+            self._encode_block(blkmap[(r + half, c + half)])
+            _ctx(r, c, sub, sub)
+            _ctx(r, c + half, sq, sub)
+        elif part == C.PARTITION_HORZ_4:
+            q4 = half >> 1
+            for i in range(4):
+                rr = r + i * q4
+                if rr >= self.mi_rows:
+                    break
+                self._encode_block(blkmap[(rr, c)])
+            _ctx(r, c, sub, bsize)
+        elif part == C.PARTITION_VERT_4:
+            q4 = half >> 1
+            for i in range(4):
+                cc = c + i * q4
+                if cc >= self.mi_cols:
+                    break
+                self._encode_block(blkmap[(r, cc)])
+            _ctx(r, c, sub, bsize)
+        else:  # PARTITION_SPLIT
             self._encode_partition(r, c, sub, blkmap)
             self._encode_partition(r, c + half, sub, blkmap)
             self._encode_partition(r + half, c, sub, blkmap)
             self._encode_partition(r + half, c + half, sub, blkmap)
             if bsize == C.BLOCK_8X8:
                 # 4x4 leaves don't recurse: the parent writes their ctx
-                self.a_part[c:c + w4] = _PART_ABOVE[sub]
-                self.l_part[r:r + h4] = _PART_LEFT[sub]
+                _ctx(r, c, sub, bsize)
 
     def _encode_block(self, blk: EncBlock):
         r, c, bsize = blk.r, blk.c, blk.bsize
@@ -403,7 +476,7 @@ class SimpleTileEncoder:
         # minimal: single luma tx block with given coeffs, chroma all-zero
         r, c = blk.r, blk.c
         coeff_lists = blk.luma_coeffs or [[]]
-        tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+        tx_ctx = (T.TX_SIZE_SQR[tx_size] + T.TX_SIZE_SQR_UP[tx_size] + 1) >> 1
         idx = 0
         w4 = C.BLOCK_W4[blk.bsize]
         h4 = C.BLOCK_H4[blk.bsize]
@@ -417,7 +490,7 @@ class SimpleTileEncoder:
                 idx += 1
         if has_chroma:
             uv_tx = self._uv_tx(blk.bsize)
-            uv_ctx = min(T.TX_SIZE_SQR_UP[uv_tx], C.TX_64X64)
+            uv_ctx = (T.TX_SIZE_SQR[uv_tx] + T.TX_SIZE_SQR_UP[uv_tx] + 1) >> 1
             cc = blk.chroma_coeffs or [[], []]
             for plane in (1, 2):
                 self._encode_txb(plane, c >> 1, r >> 1, uv_tx, uv_ctx,
@@ -617,7 +690,7 @@ class SimpleTileEncoder:
         if eob_pt >= 3:
             shift = eob_pt - 2
             bit = (extra >> (shift - 1)) & 1
-            tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+            tx_ctx = (T.TX_SIZE_SQR[tx_size] + T.TX_SIZE_SQR_UP[tx_size] + 1) >> 1
             self._sym(self.cdf["eob_extra"][tx_ctx][ptype][eob_pt - 3], bit)
             for i in range(1, shift):
                 self.enc.encode_bool_equi((extra >> (shift - 1 - i)) & 1)
@@ -657,7 +730,7 @@ def encode_frame(w: int, h: int, base_q: int,
     bw = BitWriter()
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
-                            lf_levels=lf_levels, cdef=cdef)
+                            lf_levels=lf_levels, cdef=cdef, w=w, h=h)
     bw.byte_align()
     header_bytes = bw.bytes()
     cdef_bits = None

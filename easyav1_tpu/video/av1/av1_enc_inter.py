@@ -623,7 +623,7 @@ class InterTileEncoder(SimpleTileEncoder):
                 self.l_txh[r + yy:r + yy + T.TX_H4[tx_size]] = txh
 
     SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
-                  1, 1, 2, 2, 3, 3]
+                  0, 0, 1, 1, 2, 2]
 
     def _encode_intra_in_inter(self, blk):
         r, c, bsize = blk.r, blk.c, blk.bsize
@@ -633,15 +633,21 @@ class InterTileEncoder(SimpleTileEncoder):
         if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.y_mode <= C.D67_PRED:
             self._sym(self.cdf["angle_delta"][blk.y_mode - C.V_PRED],
                       blk.angle_y + 3)
-        # chroma mode (cfl-capable sizes get the 14-symbol row)
-        cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32
-                       and C.BLOCK_H4[bsize] * 4 <= 32)
-        nsym = 14 if cfl_allowed else 13
-        self._sym(self.cdf["uv_mode"][1 if cfl_allowed else 0][blk.y_mode],
-                  blk.uv_mode, nsym)
-        if bsize >= C.BLOCK_8X8 and C.V_PRED <= blk.uv_mode <= C.D67_PRED:
-            self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED],
-                      blk.angle_uv + 3)
+        # chroma mode (cfl-capable sizes get the 14-symbol row); only
+        # coded when this block carries chroma (4-row/col pairing rule)
+        has_chroma_mi = not (
+            (C.BLOCK_H4[bsize] == 1 and (r & 1) == 0)
+            or (C.BLOCK_W4[bsize] == 1 and (c & 1) == 0))
+        if has_chroma_mi:
+            cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32
+                           and C.BLOCK_H4[bsize] * 4 <= 32)
+            nsym = 14 if cfl_allowed else 13
+            self._sym(self.cdf["uv_mode"][1 if cfl_allowed else 0]
+                      [blk.y_mode], blk.uv_mode, nsym)
+            if (bsize >= C.BLOCK_8X8
+                    and C.V_PRED <= blk.uv_mode <= C.D67_PRED):
+                self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED],
+                          blk.angle_uv + 3)
         # tx size (TX_MODE_SELECT: intra blocks code the depth symbol)
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         if self.tx_mode_select and bsize != C.BLOCK_4X4:

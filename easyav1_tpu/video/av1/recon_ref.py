@@ -20,8 +20,11 @@ from easyav1_tpu.video.av1.headers import FrameHeader, SequenceHeader
 from easyav1_tpu.video.av1.itx_ref import inv_wht4, transform_1d
 from easyav1_tpu.video.av1.tile import FramePlan, TxBlock
 from easyav1_tpu.video.av1 import warp as warp_mod
+from easyav1_tpu.video.av1 import wedge as wedge_mod
 
-_ROW_SHIFT = [0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1, 1, 0, 0, 1, 1, 2, 2]
+# libaom av1/common/av1_inv_txfm2d.c inv_shift_* (first entry, negated);
+# note the 4:1 sizes (4X16/16X4 -> 1, 8X32/32X8 -> 2) — they are NOT 0/1
+_ROW_SHIFT = [0, 1, 2, 2, 2, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2]
 
 # 1-D kinds per tx type: (vertical, horizontal)
 _TX_1D = {
@@ -260,8 +263,9 @@ class FrameRecon:
             np.clip(reg + res[:h, :w], 0, mx, out=reg)
 
     def _recon_compound(self, blk):
-        """Two-reference prediction: average / distance-weighted
-        (masked types pending)."""
+        """Two-reference prediction: average / distance-weighted /
+        wedge / difference-weighted (spec §7.11.3.1, dav1d
+        recon_tmpl.c COMP_INTER_*)."""
         hdr = self.hdr
         rp = []
         for ref in blk.ref_frame:
@@ -274,11 +278,11 @@ class FrameRecon:
             w0, w1 = self._dist_weights(blk.ref_frame)
         else:
             w0 = w1 = 8
-        if blk.compound_type in (C.COMPOUND_WEDGE, C.COMPOUND_DIFFWTD):
-            raise NotImplementedError("masked compound recon")
+        masked = blk.compound_type in (C.COMPOUND_WEDGE, C.COMPOUND_DIFFWTD)
         n_planes = 3 if (blk.has_chroma and self.seq.color.num_planes > 1) \
             else 1
         mx = (1 << self.bd) - 1
+        mask_luma = None
         for plane in range(min(n_planes, len(self.planes))):
             ssx = self.ssx if plane else 0
             ssy = self.ssy if plane else 0
@@ -290,16 +294,32 @@ class FrameRecon:
             full_w, full_h = w, h
             w = min(w, buf.shape[1] - x)
             h = min(h, buf.shape[0] - y)
-            p0 = self._predict_inter(rp[0][plane], x, y, w, h, blk.mv,
+            # masked compound predicts the full (unclipped) block so
+            # the chroma mask subsample matches dav1d's padded buffers
+            pw, ph = (full_w, full_h) if masked else (w, h)
+            p0 = self._predict_inter(rp[0][plane], x, y, pw, ph, blk.mv,
                                      ssx, ssy, blk.interp_filter, plane,
                                      filt_w=full_w, filt_h=full_h,
                                      comp=True)
-            p1 = self._predict_inter(rp[1][plane], x, y, w, h, blk.mv2,
+            p1 = self._predict_inter(rp[1][plane], x, y, pw, ph, blk.mv2,
                                      ssx, ssy, blk.interp_filter, plane,
                                      filt_w=full_w, filt_h=full_h,
                                      comp=True)
-            out = (p0 * w0 + p1 * w1 + 128) >> 8
-            buf[y:y + h, x:x + w] = np.clip(out, 0, mx)
+            if masked:
+                if plane == 0:
+                    if blk.compound_type == C.COMPOUND_WEDGE:
+                        mask_luma = wedge_mod.wedge_mask(
+                            blk.bsize, blk.wedge_idx, blk.wedge_sign)
+                    else:
+                        mask_luma = wedge_mod.diffwtd_mask(
+                            p0, p1, blk.mask_type, self.bd)
+                    m = mask_luma
+                else:
+                    m = wedge_mod.subsample_mask(mask_luma, ssx, ssy)
+                out = wedge_mod.mask_blend(p0, p1, m, self.bd)[:h, :w]
+            else:
+                out = np.clip((p0 * w0 + p1 * w1 + 128) >> 8, 0, mx)
+            buf[y:y + h, x:x + w] = out
             self.decoded[plane][y >> 2:(y + h + 3) >> 2,
                                 x >> 2:(x + w + 3) >> 2] = True
 

@@ -117,7 +117,7 @@ _PART_LEFT = [max(0, 64 - 2 * C.BLOCK_H4[b]) for b in range(22)]
 
 # spec Size_Group_Lookup (y_mode cdf context for non-key frames)
 SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
-              1, 1, 2, 2, 3, 3]
+              0, 0, 1, 1, 2, 2]
 
 # Partition subsize table (spec Partition_Subsize[10][BLOCK_SIZES_ALL]),
 # entries only needed for square parents 8x8..128x128.
@@ -1510,7 +1510,8 @@ class TileDecoder:
         x4 = x >> 2
         y4 = y >> 2
         ptype = 1 if plane else 0
-        tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+        tx_ctx = (T.TX_SIZE_SQR[tx_size]
+                  + T.TX_SIZE_SQR_UP[tx_size] + 1) >> 1  # libaom get_txsize_entropy_ctx
         self.plan.lf_txs.append((plane, x, y, tx_size))
 
         # txb skip context
@@ -1615,14 +1616,11 @@ class TileDecoder:
 
     @staticmethod
     def _dq_shift(tx_size) -> int:
-        """Spec dqDenom: keyed on the square-up size (max dim), NOT area —
-        TX_32X64 shifts by 2 like TX_64X64 (verified vs libdav1d)."""
-        dim = max(T.TX_WIDTH[tx_size], T.TX_HEIGHT[tx_size])
-        if dim == 64:
-            return 2
-        if dim == 32:
-            return 1
-        return 0
+        """Spec dqDenom (libaom av1_get_tx_scale): keyed on tx AREA —
+        >256 pels shifts 1, >1024 shifts 2 (so TX_32X8 shifts 0 and
+        TX_16X64 shifts 1; verified vs libdav1d)."""
+        pels = T.TX_WIDTH[tx_size] * T.TX_HEIGHT[tx_size]
+        return (1 if pels > 256 else 0) + (1 if pels > 1024 else 0)
 
     def _txb_skip_ctx(self, plane, x4, y4, tx_size, blk_r, blk_c) -> int:
         tw4 = T.TX_W4[tx_size]
@@ -1740,7 +1738,8 @@ class TileDecoder:
             return eob_pt
         eob_shift = eob_pt - 2  # number of refinement bits
         eob = (1 << (eob_pt - 2)) + 1
-        tx_ctx = min(T.TX_SIZE_SQR_UP[tx_size], C.TX_64X64)
+        tx_ctx = (T.TX_SIZE_SQR[tx_size]
+                  + T.TX_SIZE_SQR_UP[tx_size] + 1) >> 1  # libaom get_txsize_entropy_ctx
         bit = msac.decode_symbol(
             cdf["eob_extra"][tx_ctx][ptype][eob_pt - 3])
         if bit:

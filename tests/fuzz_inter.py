@@ -22,8 +22,39 @@ from easyav1_tpu.video.av1.backend import AV1Backend  # noqa: E402
 W = H = 96
 
 
+def _split_16(rng, r, c):
+    """Random sub-layout of one 16x16 slot (4x4 mi), incl. rect, 4:1
+    and 8x8-level splits."""
+    kind = rng.choice(["n", "h", "v", "h4", "v4", "q"],
+                      p=[0.4, 0.12, 0.12, 0.13, 0.13, 0.1])
+    if kind == "n":
+        return [(r, c, C.BLOCK_16X16)]
+    if kind == "h":
+        return [(r, c, C.BLOCK_16X8), (r + 2, c, C.BLOCK_16X8)]
+    if kind == "v":
+        return [(r, c, C.BLOCK_8X16), (r, c + 2, C.BLOCK_8X16)]
+    if kind == "h4":
+        return [(r + i, c, C.BLOCK_16X4) for i in range(4)]
+    if kind == "v4":
+        return [(r, c + i, C.BLOCK_4X16) for i in range(4)]
+    out = []
+    for (rr, cc) in ((r, c), (r, c + 2), (r + 2, c), (r + 2, c + 2)):
+        k8 = rng.choice(["n", "h", "v", "q"], p=[0.55, 0.15, 0.15, 0.15])
+        if k8 == "n":
+            out.append((rr, cc, C.BLOCK_8X8))
+        elif k8 == "h":
+            out += [(rr, cc, C.BLOCK_8X4), (rr + 1, cc, C.BLOCK_8X4)]
+        elif k8 == "v":
+            out += [(rr, cc, C.BLOCK_4X8), (rr, cc + 1, C.BLOCK_4X8)]
+        else:
+            out += [(rr + dr, cc + dc, C.BLOCK_4X4)
+                    for dr in (0, 1) for dc in (0, 1)]
+    return out
+
+
 def rand_blocks(rng, intra_frame=False):
-    """16x16/32x32 mixed grid over 96x96 (24x24 mi)."""
+    """Mixed grid over 96x96 (24x24 mi): 32x32 / 16x16 slots with
+    random rect / 4:1 / small-block sub-layouts."""
     blocks = []
     r = 0
     layout = []
@@ -34,13 +65,13 @@ def rand_blocks(rng, intra_frame=False):
             if occupied[r, c]:
                 continue
             if (r % 8 == 0 and c % 8 == 0 and r + 8 <= 24 and c + 8 <= 24
-                    and rng.random() < 0.4):
+                    and rng.random() < 0.3):
                 bsize = C.BLOCK_32X32
                 occupied[r:r + 8, c:c + 8] = True
+                layout.append((r, c, bsize))
             else:
-                bsize = C.BLOCK_16X16
                 occupied[r:r + 4, c:c + 4] = True
-            layout.append((r, c, bsize))
+                layout.extend(_split_16(rng, r, c))
     for (r, c, bsize) in layout:
         if intra_frame:
             ncoef = int(rng.integers(0, 8))
@@ -51,9 +82,13 @@ def rand_blocks(rng, intra_frame=False):
                   for _ in range(ncoef)]]))
             continue
         if rng.random() < 0.2:
-            # intra block in inter frame
+            # intra block in inter frame (optionally with residual)
+            ncoef = int(rng.integers(0, 4))
             blocks.append(InterEncBlock(
-                r=r, c=c, bsize=bsize, is_inter=False, skip=True,
+                r=r, c=c, bsize=bsize, is_inter=False, skip=ncoef == 0,
+                luma_coeffs=None if ncoef == 0 else
+                [[(int(rng.integers(1, 9)), int(rng.integers(0, 2)))
+                  for _ in range(ncoef)]],
                 y_mode=int(rng.choice([C.DC_PRED, C.V_PRED, C.H_PRED,
                                        C.SMOOTH_PRED]))))
             continue

@@ -28,11 +28,13 @@ SCOPE_OPTS = [
 ]
 
 # compound scope: alt-refs enabled (bidirectional prediction), masked
-# compound (wedge/diffwtd) and interintra still out of scope
+# compound (wedge/diffwtd) and interintra still out of scope.
+# cpu-used=2 + auto-alt-ref: the cpu-used=8 default disables the
+# compound tools entirely (verified: zero two-ref blocks emitted).
 COMP_SCOPE = [
     "vopt:enable-restoration=0", "vopt:enable-palette=0",
     "vopt:enable-filter-intra=0", "vopt:enable-intrabc=0",
-    "vopt:lag-in-frames=5",
+    "vopt:lag-in-frames=8", "vopt:auto-alt-ref=1", "cpu-used=2",
 ]
 COMP_BASE = ("enable-masked-comp=0:enable-interintra-comp=0:"
              "enable-onesided-comp=0")
@@ -40,12 +42,17 @@ COMP_BASE = ("enable-masked-comp=0:enable-interintra-comp=0:"
 
 def inter_fixture(tag, w=96, h=96, crf=40, frames=4, gop=100, extra=(),
                   scope=None):
+    args_tail = [f"w={w}", f"h={h}", "fps=10", f"frames={frames}",
+                 f"gop={gop}", f"crf={crf}", "audio_secs=0"] \
+        + (SCOPE_OPTS if scope is None else scope) + list(extra)
+    # key the cache on the full parameter set so edited scopes
+    # invalidate stale fixtures
+    import hashlib
+    phash = hashlib.sha1(" ".join(args_tail).encode()).hexdigest()[:8]
+    tag = f"{tag}_{phash}"
     out = CACHE / f"ireal_{tag}.webm"
     if not out.exists():
-        args = [str(tool("make_fixture")), str(out),
-                f"w={w}", f"h={h}", "fps=10", f"frames={frames}",
-                f"gop={gop}", f"crf={crf}", "audio_secs=0"] \
-            + (SCOPE_OPTS if scope is None else scope) + list(extra)
+        args = [str(tool("make_fixture")), str(out)] + args_tail
         r = subprocess.run(args, capture_output=True, text=True)
         assert r.returncode == 0, r.stderr
     prefix = CACHE / f"ireal_{tag}"
@@ -168,3 +175,28 @@ def test_comp_odd_size():
     """Compound prediction with partial superblocks on both edges."""
     assert_exact("comp_odd", w=94, h=98, frames=6, scope=COMP_SCOPE,
                  extra=("vopt:aom-params=" + COMP_BASE,))
+
+
+# masked compound: wedge + diffwtd on, interintra still out of scope
+MASKED_BASE = "enable-interintra-comp=0"
+
+
+def test_comp_wedge_diffwtd():
+    """Wedge + difference-weighted compound blocks (lower crf densifies
+    the masked-mode mix)."""
+    assert_exact("comp_masked", frames=8, crf=30, scope=COMP_SCOPE, extra=(
+        "vopt:aom-params=" + MASKED_BASE + ":enable-dist-wtd-comp=0:"
+        "enable-obmc=0:enable-warped-motion=0:enable-global-motion=0",))
+
+
+def test_comp_masked_all_modes():
+    """Masked compound together with OBMC/warp/global/jnt_comp."""
+    assert_exact("comp_masked_all", frames=8, crf=26, scope=COMP_SCOPE,
+                 extra=("vopt:aom-params=" + MASKED_BASE,))
+
+
+def test_comp_masked_odd_size():
+    """Masked compound with partial superblocks on both frame edges."""
+    assert_exact("comp_masked_odd", w=94, h=98, frames=8, crf=30,
+                 scope=COMP_SCOPE,
+                 extra=("vopt:aom-params=" + MASKED_BASE,))

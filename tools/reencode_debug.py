@@ -226,7 +226,7 @@ class PlanReencoder(InterTileEncoder):
         for (xx, yy, tx) in (pb.var_txs or []):
             if r + yy >= self.mi_rows or c + xx >= self.mi_cols:
                 continue
-            tx_ctx = min(T.TX_SIZE_SQR_UP[tx], C.TX_64X64)
+            tx_ctx = (T.TX_SIZE_SQR[tx] + T.TX_SIZE_SQR_UP[tx] + 1) >> 1
             self._encode_txb(0, c + xx, r + yy, tx, tx_ctx, blk, None)
         if has_chroma:
             tx = self._uv_tx(bsize)
@@ -236,7 +236,7 @@ class PlanReencoder(InterTileEncoder):
             ph4 = max(1, h4 >> 1)
             cx = (c >> 1) * 2
             cy = (r >> 1) * 2
-            tx_ctx = min(T.TX_SIZE_SQR_UP[tx], C.TX_64X64)
+            tx_ctx = (T.TX_SIZE_SQR[tx] + T.TX_SIZE_SQR_UP[tx] + 1) >> 1
             for plane in (1, 2):
                 for yy in range(0, ph4, T.TX_H4[tx]):
                     for xx in range(0, pw4, T.TX_W4[tx]):
