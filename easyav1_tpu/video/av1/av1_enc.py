@@ -65,7 +65,7 @@ def obu(obu_type: int, payload: bytes) -> bytes:
 
 def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
                           edge_filter: bool = False,
-                          cdef=None) -> bytes:
+                          cdef=None, restoration: bool = False) -> bytes:
     """Minimal profile-0 8-bit 4:2:0 sequence header,
     reduced_still_picture_header form (spec §5.5)."""
     bw = BitWriter()
@@ -82,7 +82,7 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
     bw.f(int(edge_filter), 1)    # enable_intra_edge_filter
     bw.f(0, 1)    # enable_superres
     bw.f(1 if cdef else 0, 1)    # enable_cdef
-    bw.f(0, 1)    # enable_restoration
+    bw.f(1 if restoration else 0, 1)    # enable_restoration
     # color_config
     bw.f(0, 1)    # high_bitdepth
     bw.f(0, 1)    # mono_chrome
@@ -99,7 +99,7 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             disable_cdf_update: bool = True,
                             tx_mode_select: bool = False,
                             lf_levels=(0, 0), cdef=None,
-                            w: int = 64, h: int = 64) -> None:
+                            w: int = 64, h: int = 64, lr=None) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
     bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
@@ -144,7 +144,16 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
             bw.f(3 if ysec == 4 else ysec, 2)
             bw.f(upri, 4)
             bw.f(3 if usec == 4 else usec, 2)
-    # lr skipped (enable_restoration=0)
+    if lr is not None:
+        # lr_params: per-plane frame restoration type (coded order NONE,
+        # SWITCHABLE, WIENER, SGRPROJ == C.RESTORE_* values), then unit
+        # size bits (shift 0 -> 256>>2 = 64px luma units)
+        for p_ in range(3):
+            bw.f(lr[p_], 2)
+        if any(lr):
+            bw.f(0, 1)    # lr_unit_shift = 0
+        if lr[1] or lr[2]:
+            bw.f(0, 1)    # lr_uv_shift = 0
     bw.f(int(tx_mode_select), 1)  # tx_mode_select
     # reference_select / skip_mode / warped skipped (intra)
     bw.f(0, 1)            # reduced_tx_set
@@ -178,8 +187,17 @@ class SimpleTileEncoder:
 
     def __init__(self, w: int, h: int, base_q_idx: int,
                  adapt: bool = False, tx_mode_select: bool = False,
-                 cdef_bits: Optional[int] = None, cdef_vals=None):
+                 cdef_bits: Optional[int] = None, cdef_vals=None,
+                 lr_types=None, lr_units=None):
         self.adapt = adapt
+        # loop restoration: lr_types = per-plane C.RESTORE_* frame type,
+        # lr_units = {(plane, urow, ucol): ("wiener", [[t0..t2]x2]) |
+        #             ("sgr", set, xqd0, xqd1) | None}
+        self.lr_types = lr_types
+        self.lr_units = lr_units or {}
+        self.lr_ref_wiener = [[[3, -7, 15] for _ in range(2)]
+                              for _ in range(3)]
+        self.lr_ref_sgr = [[-32, 31] for _ in range(3)]
         self.tx_mode_select = tx_mode_select
         self.cdef_bits = cdef_bits
         self.cdef_vals = cdef_vals or {}
@@ -235,8 +253,131 @@ class SimpleTileEncoder:
         blkmap = {(b.r, b.c): b for b in blocks}
         for sr in range(0, self.mi_rows, 16):
             for sc in range(0, self.mi_cols, 16):
+                self._emit_lr(sr, sc)
                 self._encode_partition(sr, sc, C.BLOCK_64X64, blkmap)
         return self.enc.done()
+
+    # -- loop restoration emission (mirror of TileDecoder._read_lr) -------
+
+    def _emit_lr(self, r, c):
+        if not self.lr_types:
+            return
+        from easyav1_tpu.video.av1.tile import (
+            _WIENER_TAPS_MIN, _WIENER_TAPS_MAX, _WIENER_TAPS_K, _SGR_RADII,
+            _SGRPROJ_XQD_MIN, _SGRPROJ_XQD_MAX)
+        for plane in range(3):
+            frt = self.lr_types[plane]
+            if frt == C.RESTORE_NONE:
+                continue
+            ssx = ssy = 1 if plane else 0
+            unit_size = 64  # shift 0 luma, uv shift 0 (plane units)
+            ph = (self.h + ssy) >> ssy
+            pw = (self.w + ssx) >> ssx
+            unit_rows = max((ph + (unit_size >> 1)) // unit_size, 1)
+            unit_cols = max((pw + (unit_size >> 1)) // unit_size, 1)
+            num = 4 >> ssy
+            ur0 = (r * num + unit_size - 1) // unit_size
+            ur1 = min(unit_rows, ((r + 16) * num + unit_size - 1)
+                      // unit_size)
+            num = 4 >> ssx
+            uc0 = (c * num + unit_size - 1) // unit_size
+            uc1 = min(unit_cols, ((c + 16) * num + unit_size - 1)
+                      // unit_size)
+            for urow in range(ur0, ur1):
+                for ucol in range(uc0, uc1):
+                    unit = self.lr_units.get((plane, urow, ucol))
+                    self._emit_lr_unit(plane, frt, unit,
+                                       _WIENER_TAPS_MIN, _WIENER_TAPS_MAX,
+                                       _WIENER_TAPS_K, _SGR_RADII,
+                                       _SGRPROJ_XQD_MIN, _SGRPROJ_XQD_MAX)
+
+    def _emit_lr_unit(self, plane, frt, unit, WMIN, WMAX, WK, SRAD,
+                      XMIN, XMAX):
+        kind = None if unit is None else unit[0]
+        if frt == C.RESTORE_WIENER:
+            self._sym(self.cdf["wiener_restore"][0],
+                      1 if kind == "wiener" else 0)
+        elif frt == C.RESTORE_SGRPROJ:
+            self._sym(self.cdf["sgrproj_restore"][0],
+                      1 if kind == "sgr" else 0)
+        else:
+            self._sym(self.cdf["switchable_restore"][0],
+                      {None: 0, "wiener": 1, "sgr": 2}[kind], 3)
+        if kind == "wiener":
+            taps = unit[1]
+            for p in range(2):
+                first = 1 if plane else 0
+                for j in range(first, 3):
+                    ref = self.lr_ref_wiener[plane][p][j]
+                    self._enc_signed_subexp(taps[p][j], WMIN[j],
+                                            WMAX[j] + 1, WK[j], ref)
+                    self.lr_ref_wiener[plane][p][j] = taps[p][j]
+        elif kind == "sgr":
+            _, sgr_set, xqd0, xqd1 = unit
+            # 4-bit literal, MSB first
+            for i in range(3, -1, -1):
+                self.enc.encode_bool_equi((sgr_set >> i) & 1)
+            for i, v in enumerate((xqd0, xqd1)):
+                radius = SRAD[sgr_set][i]
+                ref = self.lr_ref_sgr[plane][i]
+                if radius:
+                    self._enc_signed_subexp(v, XMIN[i], XMAX[i] + 1, 4, ref)
+                self.lr_ref_sgr[plane][i] = v
+
+    # -- subexp-with-ref encoder (forward of msac decode_subexp) ----------
+
+    def _enc_literal(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.enc.encode_bool_equi((v >> i) & 1)
+
+    def _enc_ns(self, v, n):
+        w = n.bit_length()
+        m = (1 << w) - n
+        if v < m:
+            if w > 1:
+                self._enc_literal(v, w - 1)
+            return
+        if w > 1:
+            self._enc_literal((v + m) >> 1, w - 1)
+        self.enc.encode_bool_equi((v + m) & 1)
+
+    def _enc_subexp(self, t, num_syms, k):
+        i = 0
+        mk = 0
+        while True:
+            b2 = k + i - 1 if i else k
+            a = 1 << b2
+            if num_syms <= mk + 3 * a:
+                self._enc_ns(t - mk, num_syms - mk)
+                return
+            if t >= mk + a:
+                self.enc.encode_bool_equi(1)
+                i += 1
+                mk += a
+            else:
+                self.enc.encode_bool_equi(0)
+                self._enc_literal(t - mk, b2)
+                return
+
+    def _enc_signed_subexp(self, x, low, high, k, ref):
+        mx = high - low
+        x -= low
+        r = ref - low
+        if (r << 1) <= mx:
+            t = self._recenter(r, x)
+        else:
+            t = self._recenter(mx - 1 - r, mx - 1 - x)
+        self._enc_subexp(t, mx, k)
+
+    @staticmethod
+    def _recenter(r, x):
+        # forward of spec inverse_recenter: below-ref values get odd
+        # codes, above-ref get even codes
+        if x > 2 * r:
+            return x
+        if x < r:
+            return ((r - x) << 1) - 1
+        return (x - r) << 1
 
     def _encode_partition(self, r, c, bsize, blkmap):
         if r >= self.mi_rows or c >= self.mi_cols:
@@ -720,17 +861,20 @@ def encode_frame(w: int, h: int, base_q: int,
                  blocks: List[EncBlock], adapt: bool = False,
                  tx_mode_select: bool = False,
                  edge_filter: bool = False,
-                 lf_levels=(0, 0), cdef=None) -> bytes:
+                 lf_levels=(0, 0), cdef=None,
+                 lr=None, lr_units=None) -> bytes:
     """Full temporal unit: TD + seq hdr + frame OBU.
 
     cdef: None or (damping, [(ypri, ysec, uvpri, uvsec), ...]) with 1, 2,
     4 or 8 strength entries; cdef_idx literals are emitted per 64x64 at
     the first non-skip block (index 0 always, matching the decoder)."""
-    seq = write_sequence_header(w, h, edge_filter=edge_filter, cdef=cdef)
+    seq = write_sequence_header(w, h, edge_filter=edge_filter, cdef=cdef,
+                                restoration=lr is not None)
     bw = BitWriter()
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
-                            lf_levels=lf_levels, cdef=cdef, w=w, h=h)
+                            lf_levels=lf_levels, cdef=cdef, w=w, h=h,
+                            lr=lr)
     bw.byte_align()
     header_bytes = bw.bytes()
     cdef_bits = None
@@ -740,7 +884,8 @@ def encode_frame(w: int, h: int, base_q: int,
         cdef_vals = cdef[2] if len(cdef) > 2 else None
     tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,
                              tx_mode_select=tx_mode_select,
-                             cdef_bits=cdef_bits, cdef_vals=cdef_vals)
+                             cdef_bits=cdef_bits, cdef_vals=cdef_vals,
+                             lr_types=lr, lr_units=lr_units)
     tile_data = tenc.encode_blocks(blocks)
     frame_payload = header_bytes + tile_data
     return (obu(C.OBU_TEMPORAL_DELIMITER, b"")

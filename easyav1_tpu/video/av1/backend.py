@@ -155,7 +155,9 @@ class AV1Backend:
         # frames it decodes save a LAZY marker (header+tiles) that is
         # re-run through the Python entropy decoder only if some later
         # frame actually inherits from that slot
-        native_ok = inherited is None
+        # the native C path has no loop-restoration stage yet
+        native_ok = inherited is None and \
+            not getattr(getattr(hdr, "lr", None), "uses_lr", False)
         planes = None
         if native_ok:
             planes = native.decode_and_recon_native(seq, hdr, tiles)
@@ -189,7 +191,13 @@ class AV1Backend:
             from easyav1_tpu.video.av1.lf_ref import LoopFilter
             from easyav1_tpu.video.av1.cdef_ref import Cdef
             LoopFilter(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+            uses_lr = getattr(getattr(hdr, "lr", None), "uses_lr", False)
+            deblocked = [p.copy() for p in aligned] if uses_lr else None
             Cdef(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+            if uses_lr:
+                from easyav1_tpu.video.av1.lr_ref import LoopRestoration
+                LoopRestoration(hdr, seq, plan,
+                                seq.color.bitdepth).apply(aligned, deblocked)
             planes = recon.crop(aligned)
         end_cdf.reset_counters()   # spec: saved contexts carry probs,
         #                            not counts (av1_reset_cdf_symbol_counters)

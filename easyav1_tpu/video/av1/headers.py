@@ -1260,11 +1260,12 @@ def _decode_subexp(r: BitReader, num_syms: int) -> int:
 
 
 def _inverse_recenter(r: int, v: int) -> int:
+    # spec 4.10.x / dav1d inv_recenter: odd v steps BELOW the ref
     if v > 2 * r:
         return v
     if v & 1:
-        return r + ((v + 1) >> 1)
-    return r - (v >> 1)
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)
 
 
 def _decode_unsigned_subexp_with_ref(r: BitReader, mx: int, ref: int) -> int:

@@ -166,14 +166,17 @@ class Msac:
         extra = self.decode_bool_equi()
         return (v << 1) - m + extra
 
-    def decode_unsigned_subexp_with_ref(self, mx: int, r: int) -> int:
-        v = self.decode_subexp(mx)
+    def decode_unsigned_subexp_with_ref(self, mx: int, r: int,
+                                        k: int = 3) -> int:
+        v = self.decode_subexp(mx, k)
         if (r << 1) <= mx:
             return _inverse_recenter(r, v)
         return mx - 1 - _inverse_recenter(mx - 1 - r, v)
 
-    def decode_signed_subexp_with_ref(self, low: int, high: int, r: int) -> int:
-        return self.decode_unsigned_subexp_with_ref(high - low, r - low) + low
+    def decode_signed_subexp_with_ref(self, low: int, high: int, r: int,
+                                      k: int = 3) -> int:
+        return self.decode_unsigned_subexp_with_ref(high - low, r - low,
+                                                    k) + low
 
     def decode_golomb(self) -> int:
         """Exp-Golomb for coefficient base_range overflow (spec §5.11.x
@@ -190,8 +193,9 @@ class Msac:
 
 
 def _inverse_recenter(r: int, v: int) -> int:
+    # spec 4.10.x / dav1d inv_recenter: odd v steps BELOW the ref
     if v > 2 * r:
         return v
     if v & 1:
-        return r + ((v + 1) >> 1)
-    return r - (v >> 1)
+        return r - ((v + 1) >> 1)
+    return r + (v >> 1)

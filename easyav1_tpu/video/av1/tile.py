@@ -104,6 +104,11 @@ class FramePlan:
         dataclasses.field(default_factory=list)
     # cdef strength index per 64x64 unit: (mi_r & ~15, mi_c & ~15) -> idx
     cdef_idx: dict = dataclasses.field(default_factory=dict)
+    # loop restoration per unit: (plane, urow, ucol) -> RESTORE_* type,
+    # wiener taps [pass][3], sgr (set, xqd0, xqd1)
+    lr_type: dict = dataclasses.field(default_factory=dict)
+    lr_wiener: dict = dataclasses.field(default_factory=dict)
+    lr_sgr: dict = dataclasses.field(default_factory=dict)
 
 
 # Partition context lookup: stored value = 64 - 2*mi_width — high bits
@@ -118,6 +123,18 @@ _PART_LEFT = [max(0, 64 - 2 * C.BLOCK_H4[b]) for b in range(22)]
 # spec Size_Group_Lookup (y_mode cdf context for non-key frames)
 SIZE_GROUP = [0, 0, 0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3,
               0, 0, 1, 1, 2, 2]
+
+# loop restoration coding constants (spec 5.11.58)
+_WIENER_TAPS_MIN = [-5, -23, -17]
+_WIENER_TAPS_MAX = [10, 8, 46]
+_WIENER_TAPS_K = [1, 2, 3]
+_WIENER_TAPS_MID = [3, -7, 15]
+_SGRPROJ_XQD_MIN = [-96, -32]
+_SGRPROJ_XQD_MAX = [31, 95]
+_SGRPROJ_XQD_MID = [-32, 31]
+# per-set pass radii (Sgr_Params: sets 0-9 both, 10-13 no pass0,
+# 14-15 no pass1)
+_SGR_RADII = [(2, 1)] * 10 + [(0, 1)] * 4 + [(2, 0)] * 2
 
 # Partition subsize table (spec Partition_Subsize[10][BLOCK_SIZES_ALL]),
 # entries only needed for square parents 8x8..128x128.
@@ -234,11 +251,96 @@ class TileDecoder:
         self.plan.ref1_grid = self.ref_frames1
         self.plan.interp_grid = self.interp
         self.msac = Msac(data, allow_update_cdf=not hdr.disable_cdf_update)
+        # loop-restoration predictors reset per tile (spec decode_tile)
+        self.lr_ref_wiener = [[list(_WIENER_TAPS_MID) for _ in range(2)]
+                              for _ in range(3)]
+        self.lr_ref_sgr = [list(_SGRPROJ_XQD_MID) for _ in range(3)]
         sb_mi = 1 << sb_shift
         for r in range(row_start, row_end, sb_mi):
             for c in range(col_start, col_end, sb_mi):
                 self.read_deltas = hdr.delta_q_present
+                self._read_lr(r, c)
                 self._decode_partition(r, c, self.sb_size)
+
+    # -- loop restoration params (spec 5.11.57-58 read_lr) -----------------
+
+    def _read_lr(self, r: int, c: int) -> None:
+        hdr = self.hdr
+        lr = getattr(hdr, "lr", None)
+        if lr is None or not lr.uses_lr \
+                or getattr(hdr, "allow_intrabc", False):
+            return
+        w4 = 1 << (5 if self.seq.use_128x128_superblock else 4)
+        for plane in range(self.seq.color.num_planes):
+            if lr.frame_restoration_type[plane] == C.RESTORE_NONE:
+                continue
+            ssx = self.seq.color.subsampling_x if plane else 0
+            ssy = self.seq.color.subsampling_y if plane else 0
+            unit_size = lr.loop_restoration_size[plane]
+            ph = (hdr.frame_height + ssy) >> ssy
+            pw = (hdr.upscaled_width + ssx) >> ssx
+            unit_rows = max((ph + (unit_size >> 1)) // unit_size, 1)
+            unit_cols = max((pw + (unit_size >> 1)) // unit_size, 1)
+            # no superres: numerator = MI_SIZE >> ss, denominator = unit
+            num = 4 >> ssy
+            den = unit_size
+            ur0 = (r * num + den - 1) // den
+            ur1 = min(unit_rows, ((r + w4) * num + den - 1) // den)
+            num = 4 >> ssx
+            uc0 = (c * num + den - 1) // den
+            uc1 = min(unit_cols, ((c + w4) * num + den - 1) // den)
+            for urow in range(ur0, ur1):
+                for ucol in range(uc0, uc1):
+                    self._read_lr_unit(plane, urow, ucol)
+
+    def _read_lr_unit(self, plane: int, urow: int, ucol: int) -> None:
+        hdr = self.hdr
+        msac = self.msac
+        frt = hdr.lr.frame_restoration_type[plane]
+        if frt == C.RESTORE_WIENER:
+            rtype = (C.RESTORE_WIENER
+                     if msac.decode_symbol(self.cdf["wiener_restore"][0])
+                     else C.RESTORE_NONE)
+        elif frt == C.RESTORE_SGRPROJ:
+            rtype = (C.RESTORE_SGRPROJ
+                     if msac.decode_symbol(self.cdf["sgrproj_restore"][0])
+                     else C.RESTORE_NONE)
+        else:
+            rtype = [C.RESTORE_NONE, C.RESTORE_WIENER, C.RESTORE_SGRPROJ][
+                msac.decode_symbol(self.cdf["switchable_restore"][0])]
+        self.plan.lr_type[(plane, urow, ucol)] = rtype
+        if rtype == C.RESTORE_WIENER:
+            taps = [[0, 0, 0], [0, 0, 0]]
+            for p in range(2):
+                first = 1 if plane else 0
+                for j in range(first, 3):
+                    ref = self.lr_ref_wiener[plane][p][j]
+                    v = msac.decode_signed_subexp_with_ref(
+                        _WIENER_TAPS_MIN[j], _WIENER_TAPS_MAX[j] + 1,
+                        ref, _WIENER_TAPS_K[j])
+                    taps[p][j] = v
+                    self.lr_ref_wiener[plane][p][j] = v
+            self.plan.lr_wiener[(plane, urow, ucol)] = taps
+        elif rtype == C.RESTORE_SGRPROJ:
+            sgr_set = msac.decode_literal(4)
+            xqd = [0, 0]
+            for i in range(2):
+                radius = _SGR_RADII[sgr_set][i]
+                ref = self.lr_ref_sgr[plane][i]
+                if radius:
+                    v = msac.decode_signed_subexp_with_ref(
+                        _SGRPROJ_XQD_MIN[i], _SGRPROJ_XQD_MAX[i] + 1,
+                        ref, 4)
+                else:
+                    v = 0
+                    if i == 1:
+                        # (1 << SGRPROJ_PRJ_BITS) - xqd0, clipped
+                        v = max(_SGRPROJ_XQD_MIN[i],
+                                min(_SGRPROJ_XQD_MAX[i],
+                                    128 - self.lr_ref_sgr[plane][0]))
+                xqd[i] = v
+                self.lr_ref_sgr[plane][i] = v
+            self.plan.lr_sgr[(plane, urow, ucol)] = (sgr_set, xqd[0], xqd[1])
 
     # -- partition tree ----------------------------------------------------
 
