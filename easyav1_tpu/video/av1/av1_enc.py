@@ -65,7 +65,8 @@ def obu(obu_type: int, payload: bytes) -> bytes:
 
 def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
                           edge_filter: bool = False,
-                          cdef=None, restoration: bool = False) -> bytes:
+                          cdef=None, restoration: bool = False,
+                          film_grain: bool = False) -> bytes:
     """Minimal profile-0 8-bit 4:2:0 sequence header,
     reduced_still_picture_header form (spec §5.5)."""
     bw = BitWriter()
@@ -90,7 +91,7 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
     bw.f(0, 1)    # color_range
     bw.f(0, 2)    # chroma_sample_position
     bw.f(0, 1)    # separate_uv_delta_q
-    bw.f(0, 1)    # film_grain_params_present
+    bw.f(1 if film_grain else 0, 1)    # film_grain_params_present
     bw.f(1, 1)    # trailing bit
     return bw.bytes()
 
@@ -99,7 +100,8 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             disable_cdf_update: bool = True,
                             tx_mode_select: bool = False,
                             lf_levels=(0, 0), cdef=None,
-                            w: int = 64, h: int = 64, lr=None) -> None:
+                            w: int = 64, h: int = 64, lr=None,
+                            fg=None) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
     bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
@@ -157,7 +159,62 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
     bw.f(int(tx_mode_select), 1)  # tx_mode_select
     # reference_select / skip_mode / warped skipped (intra)
     bw.f(0, 1)            # reduced_tx_set
-    # global motion / film grain skipped
+    # global motion: none (intra)
+    if fg is not None:
+        # film_grain_params (spec 5.9.30); fg is a dict of fields
+        bw.f(1, 1)                       # apply_grain
+        bw.f(fg["seed"], 16)
+        # update_grain not coded on KEY frames
+        ypts = fg.get("y_points", [])
+        bw.f(len(ypts), 4)
+        for v, sc in ypts:
+            bw.f(v, 8)
+            bw.f(sc, 8)
+        csl = fg.get("chroma_scaling_from_luma", False)
+        bw.f(int(csl), 1)
+        cbpts = fg.get("cb_points", [])
+        crpts = fg.get("cr_points", [])
+        if not (csl or (len(ypts) == 0 and True)):
+            pass
+        # 4:2:0, so points are coded unless csl or (420 and ny==0)
+        if not csl and not (len(ypts) == 0):
+            bw.f(len(cbpts), 4)
+            for v, sc in cbpts:
+                bw.f(v, 8)
+                bw.f(sc, 8)
+            bw.f(len(crpts), 4)
+            for v, sc in crpts:
+                bw.f(v, 8)
+                bw.f(sc, 8)
+        elif not csl and len(ypts) == 0:
+            cbpts = []
+            crpts = []
+        bw.f(fg.get("scaling_shift", 8) - 8, 2)
+        lag = fg.get("lag", 0)
+        bw.f(lag, 2)
+        npos = 2 * lag * (lag + 1)
+        ar_y = fg.get("ar_y", [0] * npos)
+        if ypts:
+            for cst in ar_y:
+                bw.f(cst + 128, 8)
+        if csl or cbpts:
+            for cst in fg.get("ar_cb", [0] * (npos + (1 if ypts else 0))):
+                bw.f(cst + 128, 8)
+        if csl or crpts:
+            for cst in fg.get("ar_cr", [0] * (npos + (1 if ypts else 0))):
+                bw.f(cst + 128, 8)
+        bw.f(fg.get("ar_coeff_shift", 6) - 6, 2)
+        bw.f(fg.get("grain_scale_shift", 0), 2)
+        if cbpts:
+            bw.f(fg.get("cb_mult", 128), 8)
+            bw.f(fg.get("cb_luma_mult", 192), 8)
+            bw.f(fg.get("cb_offset", 256), 9)
+        if crpts:
+            bw.f(fg.get("cr_mult", 128), 8)
+            bw.f(fg.get("cr_luma_mult", 192), 8)
+            bw.f(fg.get("cr_offset", 256), 9)
+        bw.f(int(fg.get("overlap", False)), 1)
+        bw.f(int(fg.get("clip_restricted", False)), 1)
 
 
 @dataclasses.dataclass
@@ -862,19 +919,20 @@ def encode_frame(w: int, h: int, base_q: int,
                  tx_mode_select: bool = False,
                  edge_filter: bool = False,
                  lf_levels=(0, 0), cdef=None,
-                 lr=None, lr_units=None) -> bytes:
+                 lr=None, lr_units=None, fg=None) -> bytes:
     """Full temporal unit: TD + seq hdr + frame OBU.
 
     cdef: None or (damping, [(ypri, ysec, uvpri, uvsec), ...]) with 1, 2,
     4 or 8 strength entries; cdef_idx literals are emitted per 64x64 at
     the first non-skip block (index 0 always, matching the decoder)."""
     seq = write_sequence_header(w, h, edge_filter=edge_filter, cdef=cdef,
-                                restoration=lr is not None)
+                                restoration=lr is not None,
+                                film_grain=fg is not None)
     bw = BitWriter()
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
                             lf_levels=lf_levels, cdef=cdef, w=w, h=h,
-                            lr=lr)
+                            lr=lr, fg=fg)
     bw.byte_align()
     header_bytes = bw.bytes()
     cdef_bits = None

@@ -298,7 +298,15 @@ class AV1Backend:
                 ChromaSamplePosition, cc.chroma_sample_position),
             width=hdr.upscaled_width, height=hdr.frame_height,
         )
-        return VideoFrame(properties=props, timestamp=ts, data=list(planes))
+        fg = getattr(hdr, "film_grain", None)
+        out_planes = list(planes)
+        if fg is not None and fg.apply_grain:
+            # grain is an output-only transform; reference planes stay
+            # grain-free (spec 7.18.1)
+            from easyav1_tpu.video.av1.fg_ref import FilmGrain
+            out_planes = FilmGrain(fg, seq, cc.bitdepth).apply(out_planes)
+        return VideoFrame(properties=props, timestamp=ts,
+                          data=out_planes)
 
 
 def _safe_enum(enum_cls, value):
