@@ -38,6 +38,7 @@ class InterEncBlock(EncBlock):
     ref2: int = -1                   # second reference (compound)
     mv2: Tuple[int, int] = (0, 0)
     compound_idx: int = 1            # jnt: 1=average, 0=distance
+    skip_mode: bool = False          # derived-compound skip mode
 
 
 def write_sequence_header_full(w: int, h: int,
@@ -105,7 +106,8 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             ref_idx=None,
                             use_rfm: bool = False,
                             ref_select: bool = False,
-                            skip_allowed: bool = False) -> None:
+                            skip_allowed: bool = False,
+                            skip_mode: bool = False) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -180,7 +182,7 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
     if not is_intra:
         bw.f(int(ref_select), 1)   # reference_select
     if skip_allowed:
-        bw.f(0, 1)          # skip_mode_present = 0
+        bw.f(int(skip_mode), 1)   # skip_mode_present
     # allow_warped_motion: implied 0 (seq + error resilient)
     bw.f(0, 1)              # reduced_tx_set
     if not is_intra:
@@ -232,6 +234,9 @@ class InterTileEncoder(SimpleTileEncoder):
         self.comp_idx_grid = np.ones((self.mi_rows, self.mi_cols),
                                      np.int8)
         self.decoded_mi = np.zeros((self.mi_rows, self.mi_cols), bool)
+        self.skip_mode_g = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.skip_mode_present = False
+        self.skip_mode_frames = (C.LAST_FRAME, C.ALTREF_FRAME)
         # plan stub for RefMvFinder (bsize grid)
         class _Plan:
             pass
@@ -252,6 +257,27 @@ class InterTileEncoder(SimpleTileEncoder):
     # -- block encode (overrides the intra-only version) -------------------
 
     def _encode_block(self, blk):
+        # skip_mode (spec read_skip_mode: coded before skip/is_inter for
+        # every >=8x8 block when skip_mode_present)
+        sm = False
+        if (not self.frame_is_intra and self.skip_mode_present
+                and C.BLOCK_W4[blk.bsize] * 4 >= 8
+                and C.BLOCK_H4[blk.bsize] * 4 >= 8):
+            r0, c0 = blk.r, blk.c
+            smctx = 0
+            if r0 > 0:
+                smctx += int(self.skip_mode_g[r0 - 1, c0])
+            if c0 > 0:
+                smctx += int(self.skip_mode_g[r0, c0 - 1])
+            sm = bool(getattr(blk, "skip_mode", False)) \
+                and bool(getattr(blk, "is_inter", False))
+            self._sym(self.cdf["skip_mode"][smctx], int(sm))
+            h4g = min(C.BLOCK_H4[blk.bsize], self.mi_rows - r0)
+            w4g = min(C.BLOCK_W4[blk.bsize], self.mi_cols - c0)
+            self.skip_mode_g[r0:r0 + h4g, c0:c0 + w4g] = int(sm)
+        if sm:
+            self._encode_skip_mode_block(blk)
+            return
         if self.frame_is_intra or not getattr(blk, "is_inter", False):
             if not self.frame_is_intra:
                 self._encode_intra_in_inter(blk)
@@ -459,7 +485,7 @@ class InterTileEncoder(SimpleTileEncoder):
         ucr = self.cdf["uni_comp_ref"]
         if uni:
             bwd_pair = ref == C.BWDREF_FRAME
-            self._sym(ucr[self._ref_ctx(bwd, fwd)][0], int(bwd_pair))
+            self._sym(ucr[self._ref_ctx(fwd, bwd)][0], int(bwd_pair))
             if not bwd_pair:
                 ctx1 = self._ref_ctx(cnt[C.LAST2_FRAME],
                                      cnt[C.LAST3_FRAME]
@@ -582,6 +608,37 @@ class InterTileEncoder(SimpleTileEncoder):
             self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
         self.a_skip[c:c + w4] = int(blk.skip)
         self.l_skip[r:r + h4] = int(blk.skip)
+        self.a_mode[c:c + w4] = C.DC_PRED
+        self.l_mode[r:r + h4] = C.DC_PRED
+
+    def _encode_skip_mode_block(self, blk):
+        """Skip-mode block: no further symbols; state mirrors the
+        decoder's derived NEAREST_NEARESTMV compound from the header's
+        skip-mode ref pair."""
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        ref, ref2 = self.skip_mode_frames
+        st = self.refmv.find(r, c, bsize, (ref, ref2), True)
+        mv, mv2 = st.mvs[0]
+        blk.ref, blk.ref2 = ref, ref2
+        blk.mv = (int(mv[0]), int(mv[1]))
+        blk.mv2 = (int(mv2[0]), int(mv2[1]))
+        blk.mode = C.NEAREST_NEARESTMV
+        blk.skip = True
+        blk.motion_mode = 0
+        blk.interp = 0
+        tx_size = T.MAX_TX_SIZE_RECT[bsize]
+        self._clear_skip_ctx(blk, tx_size, True)
+        self._post_grids_comp(blk, ref, ref2, blk.mv, blk.mv2,
+                              C.NEAREST_NEARESTMV, 1)
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        w4g = min(w4, self.mi_cols - c)
+        h4g = min(h4, self.mi_rows - r)
+        self.interp[r:r + h4g, c:c + w4g] = 0
+        self.a_txw[c:c + w4] = w4 * 4
+        self.l_txh[r:r + h4] = h4 * 4
+        self.a_skip[c:c + w4] = 1
+        self.l_skip[r:r + h4] = 1
         self.a_mode[c:c + w4] = C.DC_PRED
         self.l_mode[r:r + h4] = C.DC_PRED
 
@@ -950,6 +1007,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
             return (d & (m - 1)) - (d & m)
 
         skip_allowed = False
+        sm_frames = None
         if not is_key and ref_select:
             fwd_i = bwd_i = -1
             fwd_h = bwd_h = 0
@@ -964,13 +1022,22 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
                         bwd_i, bwd_h = j, rh
             if fwd_i >= 0 and bwd_i >= 0:
                 skip_allowed = True
+                sm_frames = (C.LAST_FRAME + min(fwd_i, bwd_i),
+                             C.LAST_FRAME + max(fwd_i, bwd_i))
             elif fwd_i >= 0:
+                s2_i = -1
+                s2_h = 0
                 for j in range(7):
                     st0 = slot_states[ref_idx[j]]
                     rh = st0.order_hint if st0 else 0
-                    if rel(rh, fwd_h) < 0:
-                        skip_allowed = True
-                        break
+                    if rel(rh, fwd_h) < 0 and (s2_i < 0
+                                               or rel(rh, s2_h) > 0):
+                        s2_i, s2_h = j, rh
+                if s2_i >= 0:
+                    skip_allowed = True
+                    sm_frames = (C.LAST_FRAME + min(fwd_i, s2_i),
+                                 C.LAST_FRAME + max(fwd_i, s2_i))
+        use_skip_mode = bool(fr.get("skip_mode", False)) and skip_allowed
         bw = BitWriter()
         write_frame_header_full(
             bw, ftype, q, refresh=refresh, hp_mv=hp_mv, adapt=adapt,
@@ -978,13 +1045,16 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
             err=err, primary_ref=0 if not is_key else 7, carry=carry,
             order_hints=True, order_hint=order_hint, ref_idx=ref_idx,
             use_rfm=use_rfm, ref_select=ref_select and not is_key,
-            skip_allowed=skip_allowed)
+            skip_allowed=skip_allowed, skip_mode=use_skip_mode)
         bw.byte_align()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
                                 motion_switch=motion_switch,
                                 ref_select=ref_select, jnt=jnt)
         tenc.seq = _SeqStub        # order-hint aware refmvs (rel_dist)
+        if use_skip_mode:
+            tenc.skip_mode_present = True
+            tenc.skip_mode_frames = sm_frames
         stub = tenc.hdr
         stub.order_hint = order_hint
         stub.order_hints = [0] * 8

@@ -65,6 +65,7 @@ class CdfContext:
                      "motion_mode", "obmc", "single_ref", "comp_ref",
                      "comp_bwdref", "compound_index", "comp_group_idx",
                      "skip_mode", "intrabc", "filter_intra_use",
+                     "palette_y_mode", "palette_uv_mode",
                      "switchable_restore", "wiener_restore",
                      "sgrproj_restore", "comp_inter", "comp_ref_type",
                      "uni_comp_ref", "txfm_partition"]

@@ -147,9 +147,12 @@ def setup_motion_field(hdr, seq, slot_states, slot_tmvs):
                 if not (0 <= row < (mi_rows >> 1)
                         and 0 <= col < (mi_cols >> 1)):
                     continue
+                # get_block_position window: rows exactly the 64px band
+                # (MAX_OFFSET_HEIGHT=0), cols within +-64px
+                # (MAX_OFFSET_WIDTH=64 -> 8 cells each side)
                 base_x = (x8 >> 3) << 3
                 if not (base_y <= row < base_y + 8
-                        and base_x - 1 <= col < base_x + 9):
+                        and base_x - 8 <= col < base_x + 16):
                     continue
                 tpl_mv[row, col, 0] = fr
                 tpl_mv[row, col, 1] = fc

@@ -110,9 +110,6 @@ class FrameRecon:
         self.planes = [np.zeros((ah, aw), np.int32),
                        np.zeros((chh, cw), np.int32),
                        np.zeros((chh, cw), np.int32)]
-        # BlockDecoded bitmaps (4x4 granularity per plane, spec §7.11.2)
-        self.decoded = [np.zeros((p.shape[0] >> 2, p.shape[1] >> 2), bool)
-                        for p in self.planes]
         self.widths = [plan.width, (plan.width + self.ssx) >> self.ssx,
                        (plan.width + self.ssx) >> self.ssx]
         self.heights = [plan.height, (plan.height + self.ssy) >> self.ssy,
@@ -236,6 +233,15 @@ class FrameRecon:
             h = min(h, buf.shape[0] - y)
             # spec 7.11.3.1: warp only when the PLANE prediction is at
             # least 8x8; smaller (chroma of 8x8 luma) -> translational
+            w4 = C.BLOCK_W4[blk.bsize]
+            h4 = C.BLOCK_H4[blk.bsize]
+            if plane and ((w4 == 1 and ssx) or (h4 == 1 and ssy)):
+                # sub-8x8 chroma (spec 7.11.3.1): the chroma block spans
+                # 2x1/1x2/2x2 luma blocks; unless one of them is intra,
+                # each 2px-granular piece is predicted with ITS luma
+                # block's mv/ref/filter
+                if self._sub8x8_chroma(blk, plane, x, y, w, h, ssx, ssy):
+                    continue
             if wm is not None and full_w >= 8 and full_h >= 8:
                 pred = warp_mod.warp_affine(ref_planes[plane], wm[0],
                                             wm[1], x, y, w, h, ssx, ssy,
@@ -246,11 +252,52 @@ class FrameRecon:
                                            blk.interp_filter, plane,
                                            filt_w=full_w, filt_h=full_h)
             buf[y:y + h, x:x + w] = pred
-            self.decoded[plane][y >> 2:(y + h + 3) >> 2,
-                                x >> 2:(x + w + 3) >> 2] = True
         if blk.motion_mode == C.OBMC_MOTION:
             self._apply_obmc(blk)
         self._residual_add(blk)
+
+    def _sub8x8_chroma(self, blk, plane, x, y, w, h, ssx, ssy):
+        """Per-quadrant chroma prediction for sub-8x8 luma blocks
+        (spec 7.11.3.1 candRow/candCol loop).  Returns False when a
+        covered luma block is intra (someUseIntra): the caller then
+        predicts the whole chroma block with this block's own mv."""
+        hdr = self.hdr
+        plan = self.plan
+        w4 = C.BLOCK_W4[blk.bsize]
+        h4 = C.BLOCK_H4[blk.bsize]
+        cand_r = (blk.r >> ssy) << ssy
+        cand_c = (blk.c >> ssx) << ssx
+        rows = [cand_r + j
+                for j in range(1 + (ssy if h4 == 1 else 0))]
+        cols = [cand_c + i
+                for i in range(1 + (ssx if w4 == 1 else 0))]
+        for rr in rows:
+            for cc in cols:
+                if int(plan.ref0_grid[rr, cc]) <= C.INTRA_FRAME:
+                    return False
+        buf = self.planes[plane]
+        pw = (4 >> ssx) if w4 == 1 else w
+        ph = (4 >> ssy) if h4 == 1 else h
+        for j, rr in enumerate(rows):
+            for i, cc in enumerate(cols):
+                ref = int(plan.ref0_grid[rr, cc])
+                slot = hdr.ref_frame_idx[ref - 1]
+                rp = self.refs[slot]
+                mv = (int(plan.mvs_grid[rr, cc, 0, 0]),
+                      int(plan.mvs_grid[rr, cc, 0, 1]))
+                filt = (int(plan.interp_grid[rr, cc, 0]),
+                        int(plan.interp_grid[rr, cc, 1]))
+                px = x + i * pw
+                py = y + j * ph
+                cw = min(pw, buf.shape[1] - px)
+                chh = min(ph, buf.shape[0] - py)
+                if cw <= 0 or chh <= 0:
+                    continue
+                pred = self._predict_inter(rp[plane], px, py, cw, chh,
+                                           mv, ssx, ssy, filt, plane,
+                                           filt_w=pw, filt_h=ph)
+                buf[py:py + chh, px:px + cw] = pred
+        return True
 
     def _residual_add(self, blk):
         mx = (1 << self.bd) - 1
@@ -320,8 +367,6 @@ class FrameRecon:
             else:
                 out = np.clip((p0 * w0 + p1 * w1 + 128) >> 8, 0, mx)
             buf[y:y + h, x:x + w] = out
-            self.decoded[plane][y >> 2:(y + h + 3) >> 2,
-                                x >> 2:(x + w + 3) >> 2] = True
 
     _MAX_NB_OBMC = [0, 1, 2, 3, 4, 4, 4]
 
@@ -549,8 +594,11 @@ class FrameRecon:
         ph = buf.shape[0]
         w = min(w, pw - x)
         h = min(h, ph - y)
-        pred = self._predict_intra(blk, plane, x, y, T.TX_WIDTH[tx],
-                                   T.TX_HEIGHT[tx], mode, angle_delta)
+        pred = self._palette_pred(blk, plane, x, y, T.TX_WIDTH[tx],
+                                  T.TX_HEIGHT[tx])
+        if pred is None:
+            pred = self._predict_intra(blk, plane, x, y, T.TX_WIDTH[tx],
+                                       T.TX_HEIGHT[tx], mode, angle_delta)
         if cfl_ac is not None and cfl_alpha:
             diff = cfl_alpha * cfl_ac[:pred.shape[0], :pred.shape[1]]
             scaled = np.sign(diff) * ((np.abs(diff) + 32) >> 6)
@@ -561,26 +609,127 @@ class FrameRecon:
             pred = pred + res[:pred.shape[0], :pred.shape[1]]
         np.clip(pred, 0, (1 << self.bd) - 1, out=pred)
         buf[y:y + h, x:x + w] = pred[:h, :w]
-        self.decoded[plane][y >> 2:(y + h + 3) >> 2,
-                            x >> 2:(x + w + 3) >> 2] = True
+
+    def _palette_pred(self, blk, plane, x, y, w, h):
+        """Palette prediction for a tx block (None when the block/plane
+        has no palette). Coordinates are plane pixels; the color map is
+        block-relative at plane resolution (spec predict_palette)."""
+        pal = self.plan.palette.get((blk.r, blk.c))
+        if not pal or not isinstance(pal, tuple):
+            return None
+        pal_y, pal_cb, pal_cr, map_y, map_uv = pal
+        if plane == 0:
+            if pal_y is None:
+                return None
+            colors, pmap = np.asarray(pal_y, np.int64), map_y
+            bx = blk.c * 4
+            by = blk.r * 4
+        else:
+            if pal_cb is None:
+                return None
+            colors = np.asarray(pal_cb if plane == 1 else pal_cr, np.int64)
+            pmap = map_uv
+            bx = (blk.c >> self.ssx) * 4
+            by = (blk.r >> self.ssy) * 4
+        rx = x - bx
+        ry = y - by
+        mh, mw = pmap.shape
+        rows = np.clip(np.arange(ry, ry + h), 0, mh - 1)
+        cols = np.clip(np.arange(rx, rx + w), 0, mw - 1)
+        return colors[pmap[np.ix_(rows, cols)]]
 
     # ------------------------------------------------------------------
 
-    def _avail_tr_bl(self, plane, x4, y4, w4, h4):
-        """Top-right / bottom-left availability via the BlockDecoded
-        bitmap (spec §7.11.2): a 4x4 sample region is available iff it has
-        already been reconstructed.  Decoding order makes the spec's
-        per-superblock edge rules emerge naturally from a global map."""
-        dec = self.decoded[plane]
-        gh, gw = dec.shape
+    def _avail_tr_bl(self, blk, plane, x4, y4, w4, h4):
+        """Top-right / bottom-left availability (libaom reconintra.c
+        has_top_right / has_bottom_left): position-in-superblock rules
+        plus the Z-order tables extracted from libaom (has_tr/bl_tables,
+        with the vertical variants for PARTITION_VERT_A)."""
+        ssx = self.ssx if plane else 0
+        ssy = self.ssy if plane else 0
+        bsize = blk.bsize
+        mi_row, mi_col = blk.r, blk.c
+        bw_mi = C.BLOCK_W4[bsize]
+        bh_mi = C.BLOCK_H4[bsize]
+        col_off = x4 - (mi_col >> ssx)
+        row_off = y4 - (mi_row >> ssy)
+        plane_bw = max(1, bw_mi >> ssx)
+        plane_bh = max(1, bh_mi >> ssy)
+        mi_rows = self.plan.mi_rows
+        mi_cols = self.plan.mi_cols
+        sb_mi = self.sb4
+        part = getattr(blk, "partition", 0)
+        wl = bw_mi.bit_length() - 1
+        hl = bh_mi.bit_length() - 1
+        d = T.data()
 
-        def avail(rr, cc):
-            if rr < 0 or cc < 0 or rr >= gh or cc >= gw:
-                return False
-            return bool(dec[rr, cc])
+        def table_bit(fam):
+            use_vert = (part == C.PARTITION_VERT_A and bsize < 16)
+            key = fam + ("_vert" if use_vert else "")
+            offs = d[key + "_offs"]
+            flat = d[key + "_flat"]
+            tab = flat[offs[bsize]:offs[bsize + 1]]
+            blk_row = (mi_row & (sb_mi - 1)) >> hl
+            blk_col = (mi_col & (sb_mi - 1)) >> wl
+            idx = (blk_row << (5 - wl)) + blk_col
+            return (int(tab[idx >> 3]) >> (idx & 7)) & 1
 
-        have_tr = avail(y4 - 1, x4 + w4)
-        have_bl = avail(y4 + h4, x4 - 1)
+        # -- has_top_right --------------------------------------------
+        # have_top/have_left per libaom av1_predict_intra_block: inner
+        # tx rows/cols have the neighbor inside the block
+        top_available = row_off > 0 or (mi_row >> ssy) > 0
+        right_available = mi_col + ((col_off + w4) << ssx) < mi_cols
+        if not top_available or not right_available:
+            have_tr = False
+        elif row_off > 0:
+            if bw_mi * 4 > 64:
+                if (row_off == (16 >> ssy)
+                        and col_off + w4 == (16 >> ssx)):
+                    have_tr = True
+                else:
+                    bw64 = 16 >> ssx
+                    have_tr = (col_off % bw64) + w4 < bw64
+            else:
+                have_tr = col_off + w4 < plane_bw
+        elif col_off + w4 < plane_bw:
+            have_tr = True
+        else:
+            blk_row = (mi_row & (sb_mi - 1)) >> hl
+            blk_col = (mi_col & (sb_mi - 1)) >> wl
+            if blk_row == 0:
+                have_tr = True
+            elif ((blk_col + 1) << wl) >= sb_mi:
+                have_tr = False
+            else:
+                have_tr = bool(table_bit("has_tr"))
+
+        # -- has_bottom_left ------------------------------------------
+        yd = (((mi_rows - mi_row - bh_mi) * 4) >> ssy) \
+            + (plane_bh - row_off - h4) * 4
+        bottom_available = yd > 0 and \
+            mi_row + ((row_off + h4) << ssy) < mi_rows
+        left_available = col_off > 0 or (mi_col >> ssx) > 0
+        if not bottom_available or not left_available:
+            have_bl = False
+        elif bw_mi * 4 > 64 and col_off > 0 \
+                and (col_off % (16 >> ssx)) == 0:
+            bh64 = 16 >> ssy
+            row64 = row_off % bh64
+            have_bl = row64 + h4 < min(plane_bh, bh64)
+        elif col_off > 0:
+            have_bl = False
+        elif row_off + h4 < plane_bh:
+            have_bl = True
+        else:
+            blk_row = (mi_row & (sb_mi - 1)) >> hl
+            blk_col = (mi_col & (sb_mi - 1)) >> wl
+            if blk_col == 0:
+                row_off_in_sb = ((blk_row << hl) >> ssy) + row_off
+                have_bl = row_off_in_sb + h4 < (sb_mi >> ssy)
+            elif ((blk_row + 1) << hl) >= sb_mi:
+                have_bl = False
+            else:
+                have_bl = bool(table_bit("has_bl"))
         return have_tr, have_bl
 
     def _predict_intra(self, blk, plane, x, y, w, h, mode, angle_delta):
@@ -610,11 +759,14 @@ class FrameRecon:
 
         x4 = x >> 2
         y4 = y >> 2
-        have_tr, have_bl = self._avail_tr_bl(plane, x4, y4, w >> 2, h >> 2)
+        have_tr, have_bl = self._avail_tr_bl(blk, plane, x4, y4,
+                                             w >> 2, h >> 2)
 
         if have_above:
             n_main = w
-            n_ext = w if have_tr else 0
+            # real top-right extent is min(w, h) (dav1d z1 reads the
+            # edge only to w + min(w, h); beyond is flat)
+            n_ext = min(w, h) if have_tr else 0
             for i in range(n_main + n_ext):
                 above[OFF + i] = buf[y - 1, min(x + i, max_x)]
             for i in range(n_main + n_ext, need_edge):
@@ -624,7 +776,7 @@ class FrameRecon:
             above[OFF:] = fill
         if have_left:
             n_main = h
-            n_ext = h if have_bl else 0
+            n_ext = min(w, h) if have_bl else 0
             for i in range(n_main + n_ext):
                 left[OFF + i] = buf[min(y + i, max_y), x - 1]
             for i in range(n_main + n_ext, need_edge):
@@ -659,11 +811,17 @@ class FrameRecon:
                 num_px = (min(w, buf.shape[1] - x)
                           + (h if p_angle < 90 else 0) + 1)
                 self._edge_filter(above, OFF - 1, num_px, strength)
+                if strength and p_angle < 90:
+                    # dav1d z1 max_base_x = w + h - 1 once filtered:
+                    # beyond is flat from the FILTERED last sample
+                    above[OFF + w + h:] = above[OFF + w + h - 1]
             if have_left:
                 strength = self._filter_strength(w + h, p_angle - 180, ft)
                 num_px = (min(h, buf.shape[0] - y)
                           + (w if p_angle > 180 else 0) + 1)
                 self._edge_filter(left, OFF - 1, num_px, strength)
+                if strength and p_angle > 180:
+                    left[OFF + w + h:] = left[OFF + w + h - 1]
             up_above = int(self._use_upsample(w, h, p_angle - 90, ft))
             if up_above:
                 n = w + (h if p_angle < 90 else 0)

@@ -158,7 +158,11 @@ class RefMvFinder:
     # -- scans -----------------------------------------------------------------
 
     def _scan_row(self, st, r, c, bsize, delta_row, ref_frames,
-                  is_compound):
+                  is_compound, max_row_offset=-6, processed=None):
+        """libaom scan_row_mbmi: len floors (16-wide step-4, far-row
+        step-2), weight = len * max(2, rows-covered) for candidates at
+        least as wide as the block, and processed-row tracking so outer
+        scans skip rows a tall candidate already covered."""
         dec = self.dec
         bw4 = C.BLOCK_W4[bsize]
         end4 = min(min(bw4, dec.mi_cols - c), 16)
@@ -167,7 +171,6 @@ class RefMvFinder:
         if abs(delta_row) > 1:
             d_row += r & 1
             d_col = 1 - (c & 1)
-        step = 4 if bw4 >= 16 else 1
         found = [False]
         i = 0
         while i < end4:
@@ -175,15 +178,27 @@ class RefMvFinder:
             mv_c = c + d_col + i
             if not dec._is_inside(mv_r, mv_c):
                 break
-            cand_w4 = C.BLOCK_W4[int(dec.plan.bsize[mv_r, mv_c])]
-            length = max(step, min(bw4, cand_w4))
-            self._add_candidate(st, mv_r, mv_c, 2 * length, ref_frames,
-                                is_compound, found)
+            cand_bs = int(dec.plan.bsize[mv_r, mv_c])
+            cand_w4 = C.BLOCK_W4[cand_bs]
+            length = min(bw4, cand_w4)
+            if bw4 >= 16:
+                length = max(length, 4)
+            elif abs(d_row) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= bw4 <= cand_w4:
+                inc = min(-max_row_offset + d_row + 1,
+                          C.BLOCK_H4[cand_bs])
+                weight = max(weight, inc)
+                if processed is not None:
+                    processed[0] = inc - d_row - 1
+            self._add_candidate(st, mv_r, mv_c, length * weight,
+                                ref_frames, is_compound, found)
             i += length
         return found[0]
 
     def _scan_col(self, st, r, c, bsize, delta_col, ref_frames,
-                  is_compound):
+                  is_compound, max_col_offset=-6, processed=None):
         dec = self.dec
         bh4 = C.BLOCK_H4[bsize]
         end4 = min(min(bh4, dec.mi_rows - r), 16)
@@ -192,7 +207,6 @@ class RefMvFinder:
         if abs(delta_col) > 1:
             d_col += c & 1
             d_row = 1 - (r & 1)
-        step = 4 if bh4 >= 16 else 1
         found = [False]
         i = 0
         while i < end4:
@@ -200,10 +214,22 @@ class RefMvFinder:
             mv_c = c + d_col
             if not dec._is_inside(mv_r, mv_c):
                 break
-            cand_h4 = C.BLOCK_H4[int(dec.plan.bsize[mv_r, mv_c])]
-            length = max(step, min(bh4, cand_h4))
-            self._add_candidate(st, mv_r, mv_c, 2 * length, ref_frames,
-                                is_compound, found)
+            cand_bs = int(dec.plan.bsize[mv_r, mv_c])
+            cand_h4 = C.BLOCK_H4[cand_bs]
+            length = min(bh4, cand_h4)
+            if bh4 >= 16:
+                length = max(length, 4)
+            elif abs(d_col) > 1:
+                length = max(length, 2)
+            weight = 2
+            if 2 <= bh4 <= cand_h4:
+                inc = min(-max_col_offset + d_col + 1,
+                          C.BLOCK_W4[cand_bs])
+                weight = max(weight, inc)
+                if processed is not None:
+                    processed[0] = inc - d_col - 1
+            self._add_candidate(st, mv_r, mv_c, length * weight,
+                                ref_frames, is_compound, found)
             i += length
         return found[0]
 
@@ -234,10 +260,28 @@ class RefMvFinder:
             st.global_mvs[1] = self.setup_global_mv(ref_frames[1], r, c,
                                                     bsize)
 
+        # scan-range bounds (libaom av1_find_mv_refs): sub-8x8 blocks
+        # only reach 2 rows/cols up (with odd-position adjustment);
+        # bounds also clamp to the tile edge
+        row_adj = 1 if (bh4 < 2 and (r & 1)) else 0
+        col_adj = 1 if (bw4 < 2 and (c & 1)) else 0
+        max_row_offset = 0
+        if dec._is_inside(r - 1, c):
+            max_row_offset = (-4 + row_adj) if bh4 < 2 else -6
+            max_row_offset = max(max_row_offset, dec.mi_row_start - r)
+        max_col_offset = 0
+        if dec._is_inside(r, c - 1):
+            max_col_offset = (-4 + col_adj) if bw4 < 2 else -6
+            max_col_offset = max(max_col_offset, dec.mi_col_start - c)
+        processed_rows = [0]
+        processed_cols = [0]
+
         found_above = self._scan_row(st, r, c, bsize, -1, ref_frames,
-                                     is_compound)
+                                     is_compound, max_row_offset,
+                                     processed_rows)
         found_left = self._scan_col(st, r, c, bsize, -1, ref_frames,
-                                    is_compound)
+                                    is_compound, max_col_offset,
+                                    processed_cols)
         if max(bw4, bh4) <= 16 and dec._has_tr(r, c, bsize):
             if self._scan_point(st, r, c, -1, bw4, ref_frames,
                                 is_compound):
@@ -261,14 +305,23 @@ class RefMvFinder:
 
         if self._scan_point(st, r, c, -1, -1, ref_frames, is_compound):
             found_above = True
-        if self._scan_row(st, r, c, bsize, -3, ref_frames, is_compound):
-            found_above = True
-        if self._scan_col(st, r, c, bsize, -3, ref_frames, is_compound):
-            found_left = True
-        if self._scan_row(st, r, c, bsize, -5, ref_frames, is_compound):
-            found_above = True
-        if self._scan_col(st, r, c, bsize, -5, ref_frames, is_compound):
-            found_left = True
+        for idx in (2, 3):
+            # effective offsets (_scan_row/_scan_col re-apply the same
+            # odd-position adjustment internally)
+            eff_ro = -(idx << 1) + 1 + row_adj
+            eff_co = -(idx << 1) + 1 + col_adj
+            if (abs(eff_ro) <= abs(max_row_offset)
+                    and abs(eff_ro) > processed_rows[0]):
+                if self._scan_row(st, r, c, bsize, -(idx << 1) + 1,
+                                  ref_frames, is_compound,
+                                  max_row_offset, processed_rows):
+                    found_above = True
+            if (abs(eff_co) <= abs(max_col_offset)
+                    and abs(eff_co) > processed_cols[0]):
+                if self._scan_col(st, r, c, bsize, -(idx << 1) + 1,
+                                  ref_frames, is_compound,
+                                  max_col_offset, processed_cols):
+                    found_left = True
 
         total_matches = int(found_above) + int(found_left)
 
@@ -476,12 +529,18 @@ class RefMvFinder:
                 st.num_found += 1
 
     def _extra_search(self, st: MvStack, r, c, bsize, ref_frames):
+        # single-ref extension (libaom av1_find_mv_refs rf[1]==NONE
+        # branch): BOTH the row and the col loop are bounded by
+        # min(block width, block height) in mi units (each clamped to
+        # the frame), so narrow blocks only examine the first neighbor
         dec = self.dec
         bw4 = C.BLOCK_W4[bsize]
         bh4 = C.BLOCK_H4[bsize]
+        mi_w = min(16, bw4, dec.mi_cols - c)
+        mi_h = min(16, bh4, dec.mi_rows - r)
+        end = min(mi_w, mi_h)
         for pass_ in range(2):
             i = 0
-            end = bw4 if pass_ == 0 else bh4
             while i < end and st.num_found < 2:
                 if pass_ == 0:
                     mv_r, mv_c = r - 1, c + i
@@ -491,6 +550,10 @@ class RefMvFinder:
                     break
                 cand_ref, cand_mvs, _mode = self._cand(mv_r, mv_c)
                 if cand_ref[0] > C.INTRA_FRAME:
+                    # libaom process_single_ref_mv_candidate: BOTH mvs
+                    # of a compound neighbor are added without
+                    # rechecking the <2 stop (the cap is only tested
+                    # between candidates), so NumMvFound can reach 3
                     bias = self.dec.hdr.ref_frame_sign_bias
                     for j in range(2):
                         if cand_ref[j] > C.INTRA_FRAME:
@@ -502,8 +565,6 @@ class RefMvFinder:
                                 st.mvs.append((mv, (0, 0)))
                                 st.weights.append(2)
                                 st.num_found += 1
-                                if st.num_found >= 2:
-                                    break
                 cand_bs = int(dec.plan.bsize[mv_r, mv_c])
                 i += (C.BLOCK_W4[cand_bs] if pass_ == 0
                       else C.BLOCK_H4[cand_bs])

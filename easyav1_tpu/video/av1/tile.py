@@ -55,6 +55,7 @@ class BlockRecord:
     has_chroma: bool
     cfl_alphas: Optional[Tuple[int, int]] = None
     filter_intra: Optional[int] = None
+    partition: int = 0
     tx_blocks: List[TxBlock] = dataclasses.field(default_factory=list)
     # inter fields
     is_inter: bool = False
@@ -231,6 +232,13 @@ class TileDecoder:
         self.skip_mode_g = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         self.decoded_mi = np.zeros((self.mi_rows, self.mi_cols), bool)
         self.tx_types = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        # palette state: per-4px-unit sizes + stored colors (dav1d al_pal)
+        self.a_pal_sz = [np.zeros(self.mi_cols, np.int32) for _ in range(2)]
+        self.l_pal_sz = [np.zeros(self.mi_rows, np.int32) for _ in range(2)]
+        self.a_pal = [np.zeros((self.mi_cols, 8), np.int32)
+                      for _ in range(3)]
+        self.l_pal = [np.zeros((self.mi_rows, 8), np.int32)
+                      for _ in range(3)]
         from easyav1_tpu.video.av1.refmvs import RefMvFinder
         self.refmv = RefMvFinder(self)
 
@@ -377,6 +385,7 @@ class TileDecoder:
         if not hasattr(self.plan, "part_log"):
             self.plan.part_log = []
         self.plan.part_log.append((r, c, bsize, partition))
+        self._cur_partition = partition
         sub = partition_subsize(partition, bsize) if bsize >= C.BLOCK_8X8 \
             else bsize
         half_px = half
@@ -608,6 +617,7 @@ class TileDecoder:
         # record mode info
         self._cur_block = BlockRecord(
             r=r, c=c, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
+            partition=getattr(self, "_cur_partition", 0),
             angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
             tx_size=0, uv_tx_size=0, has_chroma=has_chroma,
             cfl_alphas=((cfl_alpha_u, cfl_alpha_v)
@@ -636,6 +646,26 @@ class TileDecoder:
             if is_inter else 0,
         )
         plan.blocks.append(self._cur_block)
+
+        # palette tokens (spec: right after mode info, before tx size)
+        palette = getattr(self, "_last_palette", None) \
+            if not is_inter else None
+        self._last_palette = None
+        if palette is not None:
+            pal_y, pal_cb, pal_cr = palette
+            on_w4 = min(full_w4, self.mi_cols - c)
+            on_h4 = min(full_h4, self.mi_rows - r)
+            map_y = map_uv = None
+            if pal_y is not None:
+                map_y = self._read_palette_map(len(pal_y), on_w4 * 4,
+                                               on_h4 * 4, uv=False)
+            if pal_cb is not None:
+                cw4 = max(1, (on_w4 + self.ssx) >> self.ssx)
+                ch4 = max(1, (on_h4 + self.ssy) >> self.ssy)
+                map_uv = self._read_palette_map(len(pal_cb), cw4 * 4,
+                                                ch4 * 4, uv=True)
+            plan.palette[(r, c)] = (pal_y, pal_cb, pal_cr, map_y, map_uv)
+
         plan.y_mode[r:r + h4, c:c + w4] = y_mode
         plan.uv_mode[r:r + h4, c:c + w4] = uv_mode
         plan.angle_y[r:r + h4, c:c + w4] = angle_y
@@ -715,6 +745,23 @@ class TileDecoder:
         self.l_mode[r:r + h4] = y_mode if not is_inter else C.DC_PRED
         self.a_skip[c:c + w4] = skip
         self.l_skip[r:r + h4] = skip
+        # palette size/color contexts (zeroed for non-palette blocks)
+        pal_y = pal_cb = pal_cr = None
+        if palette is not None:
+            pal_y, pal_cb, pal_cr = palette
+        self.a_pal_sz[0][c:c + w4] = len(pal_y) if pal_y else 0
+        self.l_pal_sz[0][r:r + h4] = len(pal_y) if pal_y else 0
+        self.a_pal_sz[1][c:c + w4] = len(pal_cb) if pal_cb else 0
+        self.l_pal_sz[1][r:r + h4] = len(pal_cb) if pal_cb else 0
+        if pal_y:
+            self.a_pal[0][c:c + w4, :len(pal_y)] = pal_y
+            self.l_pal[0][r:r + h4, :len(pal_y)] = pal_y
+        if pal_cb:
+            self.a_pal[1][c:c + w4, :len(pal_cb)] = pal_cb
+            self.l_pal[1][r:r + h4, :len(pal_cb)] = pal_cb
+        if pal_cr:
+            self.a_pal[2][c:c + w4, :len(pal_cr)] = pal_cr
+            self.l_pal[2][r:r + h4, :len(pal_cr)] = pal_cr
 
     # -- intra mode info (both frame types) ---------------------------------
 
@@ -752,9 +799,38 @@ class TileDecoder:
                 angle_uv = msac.decode_symbol(
                     self.cdf["angle_delta"][uv_mode - C.V_PRED]) - 3
 
+        # palette (spec palette_mode_info, dav1d read_pal_plane/uv)
+        self._last_palette = None
+        hdr = self.hdr
+        if (getattr(hdr, "allow_screen_content_tools", False)
+                and bsize >= C.BLOCK_8X8
+                and C.BLOCK_W4[bsize] * 4 <= 64
+                and C.BLOCK_H4[bsize] * 4 <= 64):
+            sz_ctx = mi_wlog2(bsize) + mi_hlog2(bsize) - 2
+            pal_y = None
+            pal_cb = pal_cr = None
+            if y_mode == C.DC_PRED:
+                pctx = int(int(self.a_pal_sz[0][c]) > 0) \
+                    + int(int(self.l_pal_sz[0][r]) > 0)
+                if msac.decode_symbol(
+                        self.cdf["palette_y_mode"][sz_ctx][pctx]):
+                    n = msac.decode_symbol(
+                        self.cdf["palette_y_size"][sz_ctx]) + 2
+                    pal_y = self._read_palette_colors(0, r, c, n)
+            if has_chroma and uv_mode == C.DC_PRED:
+                pctx = int(pal_y is not None)
+                if msac.decode_symbol(self.cdf["palette_uv_mode"][pctx]):
+                    n = msac.decode_symbol(
+                        self.cdf["palette_uv_size"][sz_ctx]) + 2
+                    pal_cb = self._read_palette_colors(1, r, c, n)
+                    pal_cr = self._read_palette_cr(n)
+            if pal_y is not None or pal_cb is not None:
+                self._last_palette = (pal_y, pal_cb, pal_cr)
+
         use_filter_intra = False
         filter_intra_mode = 0
         if (self.seq.enable_filter_intra and y_mode == C.DC_PRED
+                and self._last_palette is None
                 and C.BLOCK_W4[bsize] * 4 <= 32
                 and C.BLOCK_H4[bsize] * 4 <= 32):
             use_filter_intra = bool(msac.decode_symbol(
@@ -764,6 +840,140 @@ class TileDecoder:
                     self.cdf["filter_intra_mode"][0])
         return (y_mode, angle_y, uv_mode, angle_uv, cfl_alpha_u,
                 cfl_alpha_v, use_filter_intra, filter_intra_mode)
+
+    # -- palette (spec 5.11.46-52, dav1d decode.c read_pal_*) --------------
+
+    def _read_palette_colors(self, plane, r, c, n):
+        """Y (plane 0) / CB (plane 1) palette colors: cache-reuse bools,
+        then ascending delta coding; returns the merged sorted list."""
+        msac = self.msac
+        bd = self.seq.color.bitdepth
+        l_sz = int(self.l_pal_sz[plane][r])
+        a_sz = int(self.a_pal_sz[plane][c]) if (r & 15) else 0
+        lcol = self.l_pal[plane][r]
+        acol = self.a_pal[plane][c]
+        cache = []
+        li = ai = 0
+        while li < l_sz and ai < a_sz:
+            lv = int(lcol[li])
+            av = int(acol[ai])
+            if lv < av:
+                if not cache or cache[-1] != lv:
+                    cache.append(lv)
+                li += 1
+            else:
+                if av == lv:
+                    li += 1
+                if not cache or cache[-1] != av:
+                    cache.append(av)
+                ai += 1
+        while li < l_sz:
+            lv = int(lcol[li])
+            li += 1
+            if not cache or cache[-1] != lv:
+                cache.append(lv)
+        while ai < a_sz:
+            av = int(acol[ai])
+            ai += 1
+            if not cache or cache[-1] != av:
+                cache.append(av)
+        used = []
+        for cval in cache:
+            if len(used) >= n:
+                break
+            if msac.decode_bool_equi():
+                used.append(cval)
+        if len(used) == n:
+            return list(used)
+        mind = 1 if plane == 0 else 0
+        mx = (1 << bd) - 1
+        new = [msac.decode_literal(bd)]
+        if len(used) + len(new) < n:
+            bits = bd - 3 + msac.decode_literal(2)
+            prev = new[0]
+            while len(used) + len(new) < n:
+                delta = msac.decode_literal(bits) + mind
+                prev = min(prev + delta, mx)
+                new.append(prev)
+                if prev + mind >= mx:
+                    while len(used) + len(new) < n:
+                        new.append(mx)
+                    break
+                bits = min(bits, 1 + (mx - prev - mind).bit_length() - 1)
+        # merge two ascending lists
+        out = []
+        ui = ni = 0
+        while ui < len(used) and ni < len(new):
+            if used[ui] <= new[ni]:
+                out.append(used[ui])
+                ui += 1
+            else:
+                out.append(new[ni])
+                ni += 1
+        out.extend(used[ui:])
+        out.extend(new[ni:])
+        return out
+
+    def _read_palette_cr(self, n):
+        """CR palette: optional wraparound signed-delta coding."""
+        msac = self.msac
+        bd = self.seq.color.bitdepth
+        mx = (1 << bd) - 1
+        if msac.decode_bool_equi():
+            bits = bd - 4 + msac.decode_literal(2)
+            prev = msac.decode_literal(bd)
+            out = [prev]
+            for _ in range(n - 1):
+                delta = msac.decode_literal(bits)
+                if delta and msac.decode_bool_equi():
+                    delta = -delta
+                prev = (prev + delta) & mx
+                out.append(prev)
+            return out
+        return [msac.decode_literal(bd) for _ in range(n)]
+
+    def _read_palette_map(self, n, w, h, uv):
+        """Color index map over (h, w) pixels: NS first symbol, then
+        wave-front diagonals with neighbor-ordered symbols (dav1d
+        read_pal_indices/order_palette)."""
+        msac = self.msac
+        m = np.zeros((h, w), np.int32)
+        m[0, 0] = msac._decode_ns(n)
+        cdfs = self.cdf["palette_uv_color_index" if uv
+                        else "palette_y_color_index"][n - 2]
+        for i in range(1, w + h - 1):
+            first = min(i, w - 1)
+            last = max(0, i - h + 1)
+            for x in range(first, last - 1, -1):
+                y = i - x
+                have_left = x > 0
+                have_top = y > 0
+                if not have_left:
+                    ctx = 0
+                    order0 = [int(m[y - 1, x])]
+                elif not have_top:
+                    ctx = 0
+                    order0 = [int(m[y, x - 1])]
+                else:
+                    lft = int(m[y, x - 1])
+                    top = int(m[y - 1, x])
+                    tl = int(m[y - 1, x - 1])
+                    if lft == top and top == tl:
+                        ctx = 4
+                        order0 = [top]
+                    elif top == lft:
+                        ctx = 3
+                        order0 = [top, tl]
+                    elif top == tl or lft == tl:
+                        ctx = 2
+                        order0 = [tl, lft if top == tl else top]
+                    else:
+                        ctx = 1
+                        order0 = [top, lft, tl]
+                order = order0 + [k for k in range(8) if k not in order0]
+                sym = self._decode_ragged(cdfs[ctx], n)
+                m[y, x] = order[sym]
+        return m
 
     # -- inter mode info ------------------------------------------------------
 
@@ -971,7 +1181,7 @@ class TileDecoder:
         uni = msac.decode_symbol(self.cdf["comp_ref_type"][tctx]) == 0
         ucr = self.cdf["uni_comp_ref"]
         if uni:
-            if msac.decode_symbol(ucr[self._ref_ctx(bwd, fwd)][0]):
+            if msac.decode_symbol(ucr[self._ref_ctx(fwd, bwd)][0]):
                 return (C.BWDREF_FRAME, C.ALTREF_FRAME)
             ctx1 = self._ref_ctx(cnt[C.LAST2_FRAME],
                                  cnt[C.LAST3_FRAME] + cnt[C.GOLDEN_FRAME])

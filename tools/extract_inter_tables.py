@@ -121,7 +121,11 @@ MEMBERS = {
     "wedge_interintra": (0x2418, (22, 3)),
     "interintra_mode": (0x249C, (4, 5)),
     "motion_mode": (0x24C4, (22, 4)),
-    "obmc": (0x2586, (22, 3)),
+    "obmc": (0x2574, (22, 3)),
+    # palette_y_mode[7][3] and palette_uv_mode[2] directly precede
+    # comp_inter in FRAME_CONTEXT
+    "palette_y_mode": (0x2BC4, (7, 3, 3)),
+    "palette_uv_mode": (0x2C42, (2, 3)),
     "comp_inter": (0x2C4E, (5, 3)),
     "single_ref": (0x2C6C, (3, 6, 3)),
     "comp_ref_type": (0x2CD8, (5, 3)),
