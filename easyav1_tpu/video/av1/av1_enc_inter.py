@@ -663,6 +663,10 @@ class InterTileEncoder(SimpleTileEncoder):
         w4 = min(C.BLOCK_W4[bsize], self.mi_cols - c)
         h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
         if tx_size == C.TX_4X4:
+            # no symbol, but the leaf still publishes its dims to the
+            # txfm-partition ctx lines (mirror _var_tx_node leaf)
+            self.a_txw[c:c + w4] = 4
+            self.l_txh[r:r + h4] = 4
             return
         max_sq = T.TX_SIZE_SQR_UP[T.MAX_TX_SIZE_RECT[bsize]]
         for yy in range(0, h4, T.TX_H4[tx_size]):
@@ -701,10 +705,34 @@ class InterTileEncoder(SimpleTileEncoder):
             nsym = 14 if cfl_allowed else 13
             self._sym(self.cdf["uv_mode"][1 if cfl_allowed else 0]
                       [blk.y_mode], blk.uv_mode, nsym)
+            if blk.uv_mode == C.UV_CFL_PRED:
+                au, av = getattr(blk, "cfl_alphas", None) or (0, 0)
+                sign_u = 0 if au == 0 else (1 if au < 0 else 2)
+                sign_v = 0 if av == 0 else (1 if av < 0 else 2)
+                joint = sign_u * 3 + sign_v - 1
+                self._sym(self.cdf["cfl_sign"][0], joint, 8)
+                if sign_u:
+                    ctx = (3 if sign_u == 2 else 0) + sign_v
+                    self._sym(self.cdf["cfl_alpha"][ctx], abs(au) - 1, 16)
+                if sign_v:
+                    ctx = (3 if sign_v == 2 else 0) + sign_u
+                    self._sym(self.cdf["cfl_alpha"][ctx], abs(av) - 1, 16)
             if (bsize >= C.BLOCK_8X8
                     and C.V_PRED <= blk.uv_mode <= C.D67_PRED):
                 self._sym(self.cdf["angle_delta"][blk.uv_mode - C.V_PRED],
                           blk.angle_uv + 3)
+        # filter_intra flag (mirrors TileDecoder._intra_mode_info; only
+        # when the sequence enables the tool — synth sequences do not)
+        if (getattr(getattr(self, "seq", None), "enable_filter_intra",
+                    False)
+                and blk.y_mode == C.DC_PRED
+                and C.BLOCK_W4[bsize] * 4 <= 32
+                and C.BLOCK_H4[bsize] * 4 <= 32):
+            fi = getattr(blk, "filter_intra", None)
+            self._sym(self.cdf["filter_intra_use"][bsize],
+                      int(fi is not None))
+            if fi is not None:
+                self._sym(self.cdf["filter_intra_mode"][0], fi, 5)
         # tx size (TX_MODE_SELECT: intra blocks code the depth symbol)
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         if self.tx_mode_select and bsize != C.BLOCK_4X4:
@@ -856,10 +884,13 @@ class InterTileEncoder(SimpleTileEncoder):
         self.decoded_mi[r:r + h4, c:c + w4] = True
 
     def _clear_skip_ctx(self, blk, tx_size, has_chroma):
+        # mirror TileDecoder._clear_coef_ctx: chroma lines are cleared
+        # only when the block carries chroma (4xN pairing rule)
         r, c, bsize = blk.r, blk.c, blk.bsize
         w4 = C.BLOCK_W4[bsize]
         h4 = C.BLOCK_H4[bsize]
-        for p in range(3):
+        planes = (0, 1, 2) if has_chroma else (0,)
+        for p in planes:
             x4 = c >> (1 if p else 0)
             y4 = r >> (1 if p else 0)
             ww = max(1, w4 >> (1 if p else 0))

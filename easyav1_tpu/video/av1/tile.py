@@ -77,6 +77,7 @@ class BlockRecord:
     wedge_idx: int = 0
     wedge_sign: int = 0
     mask_type: int = 0
+    skip_mode: bool = False
 
 
 @dataclasses.dataclass
@@ -527,6 +528,9 @@ class TileDecoder:
     # -- block decode ------------------------------------------------------
 
     def _decode_block(self, r: int, c: int, bsize: int) -> None:
+        import os
+        if os.environ.get("BLK_LOG"):
+            print(f"DECBLK ({r},{c}) bs={bsize} @{self.msac.bit_pos}")
         w4 = min(C.BLOCK_W4[bsize], self.mi_col_end - c)
         h4 = min(C.BLOCK_H4[bsize], self.mi_row_end - r)
         full_w4 = C.BLOCK_W4[bsize]
@@ -585,6 +589,7 @@ class TileDecoder:
 
         # deltas (delta_q / delta_lf) — read at first block of superblock
         if self.read_deltas:
+            self._delta_rc = (r, c)
             self._read_deltas(bsize, skip)
         self.read_deltas = False
 
@@ -618,6 +623,7 @@ class TileDecoder:
         self._cur_block = BlockRecord(
             r=r, c=c, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             partition=getattr(self, "_cur_partition", 0),
+            skip_mode=bool(self.skip_mode_flag),
             angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
             tx_size=0, uv_tx_size=0, has_chroma=has_chroma,
             cfl_alphas=((cfl_alpha_u, cfl_alpha_v)
@@ -1681,8 +1687,11 @@ class TileDecoder:
         msac = self.msac
         if bsize == self.sb_size and skip:
             return
+        events = []
         if hdr.delta_q_present:
             delta_q_abs = msac.decode_symbol(self.cdf["delta_q"][0])
+            rem_bits = None
+            sign = None
             if delta_q_abs == 3:
                 rem_bits = msac.decode_literal(3) + 1
                 delta_q_abs = msac.decode_literal(rem_bits) + (1 << rem_bits) + 1
@@ -1692,6 +1701,7 @@ class TileDecoder:
                 self.cur_qindex = max(1, min(255,
                                              self.cur_qindex
                                              + (delta << hdr.delta_q_res)))
+            events.append(("q", delta_q_abs, rem_bits, sign))
         if hdr.delta_lf_present:
             count = 4 if (hdr.delta_lf_multi and self.num_planes > 1) else \
                 (2 if hdr.delta_lf_multi else 1)
@@ -1700,11 +1710,18 @@ class TileDecoder:
             for i in range(count):
                 row = cdfs[i] if hdr.delta_lf_multi else cdfs[0]
                 v = msac.decode_symbol(row)
+                rem_bits = None
+                sign = None
                 if v == 3:
                     rem_bits = msac.decode_literal(3) + 1
                     v = msac.decode_literal(rem_bits) + (1 << rem_bits) + 1
                 if v:
-                    msac.decode_bool_equi()  # sign (lf deltas unused yet)
+                    sign = msac.decode_bool_equi()  # lf deltas unused yet
+                events.append(("lf", i, v, rem_bits, sign))
+        if events:
+            if not hasattr(self.plan, "delta_events"):
+                self.plan.delta_events = {}
+            self.plan.delta_events[self._delta_rc] = events
 
     # -- tx size -----------------------------------------------------------
 
@@ -1913,6 +1930,10 @@ class TileDecoder:
             culp += level
         culp = min(culp, 63)
         self._set_coef_ctx(plane, x4, y4, w4, h4, culp, dc_category)
+        import os
+        if os.environ.get("TXB_LOG"):
+            print(f"DEC txb p{plane} ({x4},{y4}) tx{tx_size} "
+                  f"end@{self.msac.bit_pos} eob={eob}")
         self._cur_block.tx_blocks.append(TxBlock(
             plane=plane, x=x, y=y, tx_size=tx_size, tx_type=tx_type,
             eob=eob, coeffs=coeffs.reshape(th, tw).astype(np.int32),

@@ -47,11 +47,66 @@ class PlanReencoder(InterTileEncoder):
         self.mi_col_end = hdr.mi_cols
         self.frame_is_intra = hdr.frame_is_intra
         self.hdr = hdr                       # real header (gm, refmvs)
+        self.seq = seq
         self.bitlog = []                     # (bit_pos, r, c)
+        self._cdef_done = set()
         self._plan = plan
         self._plan_blocks = {}
         for b in plan.blocks:
             self._plan_blocks[(b.r, b.c)] = b
+
+    def _enc_skip(self, blk):
+        super()._enc_skip(blk)
+        # cdef index literal (decoder read_cdef): first non-skip block
+        # per 64x64 unit
+        hdr = self.hdr
+        if (not blk.skip and self.seq.enable_cdef
+                and not getattr(hdr, "coded_lossless", False)
+                and not getattr(hdr, "allow_intrabc", False)):
+            r, c, bsize = blk.r, blk.c, blk.bsize
+            mask = ~15
+            for rr in range(r & mask, r + C.BLOCK_H4[bsize], 16):
+                for cc in range(c & mask, c + C.BLOCK_W4[bsize], 16):
+                    if (rr, cc) not in self._cdef_done:
+                        self._cdef_done.add((rr, cc))
+                        v = self._plan.cdef_idx.get((rr, cc), 0)
+                        for b_i in range(hdr.cdef.bits - 1, -1, -1):
+                            self.enc.encode_bool_equi((v >> b_i) & 1)
+        # delta_q / delta_lf replay (decoder read_deltas; recorded per
+        # first-block-of-superblock in plan.delta_events)
+        ev = getattr(self._plan, "delta_events", {}).get((blk.r, blk.c))
+        if ev:
+            for e in ev:
+                if e[0] == "q":
+                    _, absv, rem_bits, sign = e
+                    sym = min(absv, 3)
+                    self._sym(self.cdf["delta_q"][0], sym, 4)
+                    if sym == 3:
+                        for b_i in range(2, -1, -1):
+                            self.enc.encode_bool_equi(
+                                ((rem_bits - 1) >> b_i) & 1)
+                        rem = absv - (1 << rem_bits) - 1
+                        for b_i in range(rem_bits - 1, -1, -1):
+                            self.enc.encode_bool_equi((rem >> b_i) & 1)
+                    if absv:
+                        self.enc.encode_bool_equi(int(sign))
+                else:
+                    _, i, absv, rem_bits, sign = e
+                    hdr2 = self.hdr
+                    row = (self.cdf["delta_lf_multi"][i]
+                           if hdr2.delta_lf_multi
+                           else self.cdf["delta_lf"][0])
+                    sym = min(absv, 3)
+                    self._sym(row, sym, 4)
+                    if sym == 3:
+                        for b_i in range(2, -1, -1):
+                            self.enc.encode_bool_equi(
+                                ((rem_bits - 1) >> b_i) & 1)
+                        rem = absv - (1 << rem_bits) - 1
+                        for b_i in range(rem_bits - 1, -1, -1):
+                            self.enc.encode_bool_equi((rem >> b_i) & 1)
+                    if absv:
+                        self.enc.encode_bool_equi(int(sign))
 
     def _encode_block(self, blk):
         self.bitlog.append((len(self.enc.precarry) * 16, blk.r, blk.c))
@@ -175,6 +230,10 @@ class PlanReencoder(InterTileEncoder):
 
     # residual override: levels/types per tx from the plan
     def _encode_txb(self, plane, x4, y4, tx_size, tx_ctx, blk, coeffs):
+        import os
+        if os.environ.get("TXB_LOG"):
+            print(f"ENC txb p{plane} ({x4},{y4}) tx{tx_size} "
+                  f"@{len(self.enc.precarry)*16}")
         t = self._txmap.get((plane, x4 * 4, y4 * 4))
         levels = t.levels if t is not None else []
         blk.tx_type = t.tx_type if t is not None else C.DCT_DCT
@@ -187,6 +246,8 @@ class PlanReencoder(InterTileEncoder):
         h4 = min(C.BLOCK_H4[bsize], self.mi_rows - r)
         max_tx = T.MAX_TX_SIZE_RECT[bsize]
         if max_tx == C.TX_4X4:
+            self.a_txw[c:c + w4] = 4
+            self.l_txh[r:r + h4] = 4
             return
         for yy in range(0, h4, T.TX_H4[max_tx]):
             for xx in range(0, w4, T.TX_W4[max_tx]):
@@ -255,7 +316,12 @@ def blocks_from_plan(plan):
             angle_y=b.angle_y, angle_uv=b.angle_uv,
             is_inter=b.is_inter, ref=b.ref_frame[0], mode=b.inter_mode,
             mv=tuple(b.mv), ref_mv_idx=b.ref_mv_idx,
-            motion_mode=b.motion_mode, interp=b.interp_filter[0])
+            motion_mode=b.motion_mode, interp=b.interp_filter[0],
+            ref2=b.ref_frame[1], mv2=tuple(b.mv2),
+            compound_idx=b.compound_idx,
+            skip_mode=getattr(b, "skip_mode", False))
+        eb.cfl_alphas = b.cfl_alphas
+        eb.filter_intra = b.filter_intra
         if not b.is_inter:
             # intra tx depth from tx_size
             tx = T.MAX_TX_SIZE_RECT[b.bsize]
@@ -277,16 +343,32 @@ def main():
         if p.track == vt.number:
             pkts.extend(p.frames)
     be = AV1Backend(vt)
-    for i in range(fidx):
-        be.decode([pkts[i]], 0)
-    hdr = None
-    for obu in split_obus(pkts[fidx]):
-        if obu.type == C.OBU_SEQUENCE_HEADER and be.seq is None:
-            pass
-        if obu.type == C.OBU_FRAME:
-            hdr = be._parse_frame_header(obu.payload)
-            tiles = be._split_tiles(
-                hdr, [obu.payload[(hdr.header_bit_offset + 7) // 8:]])
+    # fidx counts CODED frames (a packet can bundle a no-show frame
+    # with the next shown frame): intercept the fidx-th _decode_frame
+    target = {}
+    count = [0]
+    orig_df = AV1Backend._decode_frame
+
+    class _Stop(Exception):
+        pass
+
+    def df(self, hdr_, payloads, ts):
+        if count[0] == fidx:
+            target["hdr"] = hdr_
+            target["tiles"] = self._split_tiles(hdr_, payloads)
+            raise _Stop()
+        count[0] += 1
+        return orig_df(self, hdr_, payloads, ts)
+    AV1Backend._decode_frame = df
+    try:
+        for pk in pkts:
+            be.decode([pk], 0)
+    except _Stop:
+        pass
+    finally:
+        AV1Backend._decode_frame = orig_df
+    hdr = target.get("hdr")
+    tiles = target.get("tiles")
     seq = be.seq
     plan = FramePlan(
         width=hdr.upscaled_width, height=hdr.frame_height,
@@ -307,12 +389,26 @@ def main():
     enc_cdf = (inherited.copy() if inherited is not None
                else CdfContext.default(hdr.quant.base_q_idx))
     dec = TileDecoder(seq, hdr, cdf, plan)
+    tpl = None
+    if hdr.use_ref_frame_mvs:
+        from easyav1_tpu.video.av1.mfmv import setup_motion_field
+        tpl = setup_motion_field(
+            hdr, seq, [s if s.valid else None for s in be.hp.refs],
+            be._ref_tmvs)
+        dec.tpl_mv, dec.tpl_off = tpl
     dec.decode_tile(tiles[0], 0, 0)
     print(f"decoded {len(plan.blocks)} blocks; consumed "
           f"{dec.msac.bit_pos}/{len(tiles[0]) * 8} bits")
 
-    enc = PlanReencoder(plan, hdr, seq)
+    enc = PlanReencoder(plan, hdr, seq,
+                        ref_select=getattr(hdr, "reference_select", False),
+                        jnt=getattr(seq, "enable_jnt_comp", False))
     enc.cdf = enc_cdf.t
+    if getattr(hdr, "skip_mode_present", False):
+        enc.skip_mode_present = True
+        enc.skip_mode_frames = tuple(hdr.skip_mode_frames)
+    if tpl is not None:
+        enc.tpl_mv, enc.tpl_off = tpl
     tile2 = enc.encode_blocks(blocks_from_plan(plan))
     orig = tiles[0]
     n = min(len(orig), len(tile2))
