@@ -92,6 +92,7 @@ typedef struct {
     int pw[3], ph[3];            /* mi-aligned plane dims */
     uint8_t *decoded[3];         /* 4x4 BlockDecoded bitmaps */
     int dw[3], dh[3];
+    int cur_fi;
 } Recon;
 
 static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
@@ -274,6 +275,64 @@ static void smooth_pred(int mode, const int32_t *A, const int32_t *L,
         }
 }
 
+/* recursive filter intra (spec 7.11.2.3; recon_ref._filter_intra_pred) */
+static void predict_filter_intra(Recon *rc, int plane, int x, int y,
+                                 int w, int h, int fi_mode,
+                                 int64_t *out) {
+    const ReconParams *rp = rc->rp;
+    int32_t *buf = rc->planes[plane];
+    int pw = rc->pw[plane];
+    int bd = rp->bitdepth;
+    int base = 1 << (bd - 1);
+    int have_above = y > 0, have_left = x > 0;
+    int max_x = pw - 1;
+    int64_t W[65 * 65];
+    int ws = w + 1;
+    if (have_above) {
+        for (int i = 0; i < w; i++)
+            W[1 + i] = buf[(y - 1) * pw + rmin(x + i, max_x)];
+    } else {
+        int64_t f = have_left ? buf[y * pw + x - 1] : base - 1;
+        for (int i = 0; i < w; i++) W[1 + i] = f;
+    }
+    if (have_left) {
+        for (int i = 0; i < h; i++)
+            W[(1 + i) * ws] = buf[(y + i) * pw + x - 1];
+    } else {
+        int64_t f = have_above ? W[1] : base + 1;
+        for (int i = 0; i < h; i++) W[(1 + i) * ws] = f;
+    }
+    if (have_above && have_left) W[0] = buf[(y - 1) * pw + x - 1];
+    else if (have_above) W[0] = W[1];
+    else if (have_left) W[0] = W[ws];
+    else W[0] = base;
+    int64_t mx = (1 << bd) - 1;
+    for (int y0 = 0; y0 < h; y0 += 2)
+        for (int x0 = 0; x0 < w; x0 += 4) {
+            int64_t p[8];
+            p[0] = W[y0 * ws + x0];
+            p[1] = W[y0 * ws + x0 + 1];
+            p[2] = W[y0 * ws + x0 + 2];
+            p[3] = W[y0 * ws + x0 + 3];
+            p[4] = W[y0 * ws + x0 + 4];
+            p[5] = W[(y0 + 1) * ws + x0];
+            p[6] = W[(y0 + 2) * ws + x0];
+            p[7] = 0;
+            for (int k = 0; k < 8; k++) {
+                int64_t v = 0;
+                for (int i = 0; i < 8; i++)
+                    v += (int64_t)av1_filter_intra_taps[fi_mode][k][i]
+                         * p[i];
+                v = (v + 8) >> 4;   /* dav1d: plain arithmetic shift */
+                v = lmax(0, lmin(mx, v));
+                W[(y0 + 1 + (k >> 2)) * ws + x0 + 1 + (k & 3)] = v;
+            }
+        }
+    for (int i = 0; i < h; i++)
+        for (int j = 0; j < w; j++)
+            out[i * w + j] = W[(1 + i) * ws + 1 + j];
+}
+
 static void predict_intra(Recon *rc, int br, int bc, int plane, int x,
                           int y, int w, int h, int mode, int angle_delta,
                           int64_t *out) {
@@ -452,7 +511,11 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
     int64_t mxpix = (1 << rp->bitdepth) - 1;
 
     int64_t pred[64 * 64];
-    predict_intra(rc, br, bc, plane, x, y, fw, fh, mode, angle_delta, pred);
+    if (plane == 0 && rc->cur_fi >= 0)
+        predict_filter_intra(rc, plane, x, y, fw, fh, rc->cur_fi, pred);
+    else
+        predict_intra(rc, br, bc, plane, x, y, fw, fh, mode, angle_delta,
+                      pred);
 
     if (cfl_ac != NULL && cfl_alpha != 0) {
         for (int i = 0; i < fh && i < cfl_h; i++)
@@ -497,6 +560,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
     const ReconParams *rp = rc->rp;
     const TileOut *o = rc->o;
     int br = b[0], bc = b[1], bsize = b[2];
+    rc->cur_fi = b[13];
     int y_mode = b[3], uv_mode = b[4];
     int angle_y = b[5], angle_uv = b[6];
     int tx_size = b[8], uv_tx = b[9], has_chroma = b[10];
@@ -574,6 +638,7 @@ int av1_lf_grids_export(const ReconParams *rp, const TileOut *o, int plane,
 int av1_recon_frame(const ReconParams *rp, const TileOut *o,
                     int32_t *py, int32_t *pu, int32_t *pv) {
     Recon rc;
+    rc.cur_fi = -1;
     memset(&rc, 0, sizeof(rc));
     rc.rp = rp;
     rc.o = o;

@@ -198,11 +198,8 @@ static void cdf_init(CdfState *c, int qctx) {
     memcpy(c->cfl_alpha, av1_cfl_alpha, sizeof(c->cfl_alpha));
     memcpy(c->filter_intra_mode, av1_filter_intra_mode,
            sizeof(c->filter_intra_mode));
-    for (int i = 0; i < 22; i++) {
-        c->filter_intra_use[i][0] = 16384;
-        c->filter_intra_use[i][1] = 0;
-        c->filter_intra_use[i][2] = 0;
-    }
+    memcpy(c->filter_intra_use, av1_filter_intra_use,
+           sizeof(c->filter_intra_use));
 }
 
 /* ragged decode: CDF row stored wider than the symbol count
@@ -242,7 +239,8 @@ typedef struct {
 enum { BLOCK_4X4 = 0, BLOCK_8X8 = 3, BLOCK_64X64 = 12, BLOCK_128X128 = 15 };
 enum { PART_NONE = 0, PART_HORZ, PART_VERT, PART_SPLIT, PART_HORZ_A,
        PART_HORZ_B, PART_VERT_A, PART_VERT_B, PART_HORZ_4, PART_VERT_4 };
-enum { DC_PRED = 0, V_PRED = 1, D67_PRED = 8, UV_CFL = 13 };
+enum { DC_PRED = 0, V_PRED = 1, H_PRED = 2, D157_PRED = 6,
+       D67_PRED = 8, UV_CFL = 13 };
 enum { TX_4X4 = 0, TX_16X16 = 2, TX_32X32 = 3, TX_64X64 = 4 };
 enum { DCT_DCT = 0 };
 
@@ -501,7 +499,9 @@ static int read_tx_type(Ctx *t, int tx_size, int y_mode, int filter_intra) {
     if (t->p->coded_lossless) return DCT_DCT;
     int set = get_tx_set_intra(tx_size, t->p->reduced_tx_set);
     if (set == 0) return DCT_DCT;
-    int intra_dir = filter_intra >= 0 ? DC_PRED : y_mode;
+    static const int FI_TO_DIR[5] = {DC_PRED, V_PRED, H_PRED, D157_PRED,
+                                     DC_PRED};
+    int intra_dir = filter_intra >= 0 ? FI_TO_DIR[filter_intra] : y_mode;
     int sq = av1_tx_sqr[tx_size];
     if (set == 1) {
         int sym = msac_ragged(&t->msac, t->cdf.intra_tx1[sq][intra_dir],

@@ -279,6 +279,10 @@ class SimpleTileEncoder:
         self.a_sign = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
         self.l_sign = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
 
+    def _emit_deltas_hook(self, blk):
+        """Replay point for per-superblock delta_q/lf symbols (used by
+        the plan re-encoder; synth streams never code deltas)."""
+
     def _sym(self, cdf_row, symbol, nsym=None):
         if nsym is not None and len(cdf_row) != nsym + 1:
             sub = cdf_row[:nsym - 1] + [0, cdf_row[-1]]
@@ -604,6 +608,7 @@ class SimpleTileEncoder:
                         for i in range(self.cdef_bits - 1, -1, -1):
                             self.enc.encode_bool_equi((v >> i) & 1)
                         self.cdef_done[(rr, cc)] = v
+        self._emit_deltas_hook(blk)
         above_mode = int(self.a_mode[c]) if avail_u else C.DC_PRED
         left_mode = int(self.l_mode[r]) if avail_l else C.DC_PRED
         self._sym(self.cdf["kf_y_mode"][T.INTRA_MODE_CONTEXT[above_mode]]
@@ -634,6 +639,18 @@ class SimpleTileEncoder:
             if bsize >= C.BLOCK_8X8 and C.V_PRED <= uv_mode <= C.D67_PRED:
                 self._sym(self.cdf["angle_delta"][uv_mode - C.V_PRED],
                           blk.angle_uv + 3)
+        # filter_intra flag (mirrors TileDecoder._intra_mode_info; only
+        # coded when the sequence enables the tool)
+        if (getattr(getattr(self, "seq", None), "enable_filter_intra",
+                    False)
+                and blk.y_mode == C.DC_PRED
+                and C.BLOCK_W4[bsize] * 4 <= 32
+                and C.BLOCK_H4[bsize] * 4 <= 32):
+            fi = getattr(blk, "filter_intra", None)
+            self._sym(self.cdf["filter_intra_use"][bsize],
+                      int(fi is not None))
+            if fi is not None:
+                self._sym(self.cdf["filter_intra_mode"][0], fi, 5)
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         if self.tx_mode_select and bsize != C.BLOCK_4X4:
             depth_tab = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,

@@ -596,6 +596,12 @@ class FrameRecon:
         h = min(h, ph - y)
         pred = self._palette_pred(blk, plane, x, y, T.TX_WIDTH[tx],
                                   T.TX_HEIGHT[tx])
+        if (pred is None and plane == 0
+                and blk.filter_intra is not None):
+            pred = self._filter_intra_pred(blk, plane, x, y,
+                                           T.TX_WIDTH[tx],
+                                           T.TX_HEIGHT[tx],
+                                           blk.filter_intra)
         if pred is None:
             pred = self._predict_intra(blk, plane, x, y, T.TX_WIDTH[tx],
                                        T.TX_HEIGHT[tx], mode, angle_delta)
@@ -664,7 +670,15 @@ class FrameRecon:
         d = T.data()
 
         def table_bit(fam):
-            use_vert = (part == C.PARTITION_VERT_A and bsize < 16)
+            # libaom get_has_tr_table / get_has_bl_table: the vertical
+            # tables apply to PARTITION_VERT_A for top-right but to BOTH
+            # VERT_A and VERT_B for bottom-left
+            if fam == "has_bl":
+                use_vert = (part in (C.PARTITION_VERT_A,
+                                     C.PARTITION_VERT_B)
+                            and bsize < 16)
+            else:
+                use_vert = (part == C.PARTITION_VERT_A and bsize < 16)
             key = fam + ("_vert" if use_vert else "")
             offs = d[key + "_offs"]
             flat = d[key + "_flat"]
@@ -731,6 +745,54 @@ class FrameRecon:
             else:
                 have_bl = bool(table_bit("has_bl"))
         return have_tr, have_bl
+
+    def _filter_intra_pred(self, blk, plane, x, y, w, h, fi_mode):
+        """Recursive filter intra (spec 7.11.2.3): 4x2 patches predicted
+        from 7 neighbors with the Intra_Filter_Taps table (extracted
+        from libaom .rodata; dav1d ipred filter_intra equivalent)."""
+        buf = self.planes[plane]
+        bd = self.bd
+        base = 1 << (bd - 1)
+        have_above = y > 0
+        have_left = x > 0
+        max_x = buf.shape[1] - 1
+        taps = T.data()["filter_intra_taps"][fi_mode].astype(np.int64)
+        W = np.zeros((h + 1, w + 1), np.int64)
+        # edge preparation (spec intra edge fill, no filtering)
+        if have_above:
+            for i in range(w):
+                W[0, 1 + i] = buf[y - 1, min(x + i, max_x)]
+        else:
+            W[0, 1:] = (buf[y, x - 1] if have_left else base - 1)
+        if have_left:
+            for i in range(h):
+                W[1 + i, 0] = buf[y + i, x - 1]
+        else:
+            W[1:, 0] = (W[0, 1] if have_above else base + 1)
+        if have_above and have_left:
+            W[0, 0] = buf[y - 1, x - 1]
+        elif have_above:
+            W[0, 0] = W[0, 1]
+        elif have_left:
+            W[0, 0] = W[1, 0]
+        else:
+            W[0, 0] = base
+        mx = (1 << bd) - 1
+        for y0 in range(0, h, 2):
+            for x0 in range(0, w, 4):
+                p = np.array([W[y0, x0],
+                              W[y0, x0 + 1], W[y0, x0 + 2],
+                              W[y0, x0 + 3], W[y0, x0 + 4],
+                              W[y0 + 1, x0], W[y0 + 2, x0], 0],
+                             np.int64)
+                for k in range(8):
+                    v = int((taps[k] * p).sum())
+                    # dav1d ipred filter_intra rounds with a plain
+                    # arithmetic shift (floor for negative sums)
+                    v = (v + 8) >> 4
+                    v = min(max(v, 0), mx)
+                    W[y0 + 1 + (k >> 2), x0 + 1 + (k & 3)] = v
+        return W[1:, 1:].copy()
 
     def _predict_intra(self, blk, plane, x, y, w, h, mode, angle_delta):
         buf = self.planes[plane]

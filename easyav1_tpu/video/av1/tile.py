@@ -2019,8 +2019,10 @@ class TileDecoder:
             return C.DCT_DCT
         y_mode = int(self.plan.y_mode[blk_r, blk_c])
         if (blk_r, blk_c) in self.plan.filter_intra:
-            # filter intra uses its own mode->intra dir mapping (DC-ish)
-            intra_dir = C.DC_PRED
+            # libaom fimode_to_intradir: {DC, V, H, D157, DC(PAETH)}
+            fi = self.plan.filter_intra[(blk_r, blk_c)]
+            intra_dir = [C.DC_PRED, C.V_PRED, C.H_PRED, C.D157_PRED,
+                         C.DC_PRED][fi]
         else:
             intra_dir = y_mode
         sq = T.TX_SIZE_SQR[tx_size]

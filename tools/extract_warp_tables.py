@@ -73,6 +73,19 @@ def main():
     for name, seq in masks.items():
         data[name] = np.array(seq, np.uint8)
     np.savez_compressed(OUT, **data)
+    # filter-intra taps (spec 7.11.2.3 Intra_Filter_Taps), located in
+    # libaom .rodata by the normative first rows
+    rod8 = np.fromfile("/tmp/_aom_ro.bin", dtype=np.int8)
+    pat = np.array([-6, 10, 0, 0, 0, 12, 0, 0, -5, 2, 10, 0, 0, 9, 0, 0],
+                   np.int8)
+    pos = -1
+    for i in range(0, len(rod8) - 320):
+        if (rod8[i:i + 16] == pat).all():
+            pos = i
+            break
+    assert pos > 0
+    t["filter_intra_taps"] = rod8[pos:pos + 320].reshape(5, 8, 8).copy()
+    np.savez_compressed(OUT, **t)
     print(f"appended warp/obmc tables -> {OUT}")
 
 

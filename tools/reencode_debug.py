@@ -50,6 +50,12 @@ class PlanReencoder(InterTileEncoder):
         self.seq = seq
         self.bitlog = []                     # (bit_pos, r, c)
         self._cdef_done = set()
+        # keyframe path: the base encoder emits cdef itself
+        if getattr(seq, "enable_cdef", False) and hdr.frame_is_intra \
+                and not getattr(hdr, "coded_lossless", False):
+            self.cdef_bits = hdr.cdef.bits
+            self.cdef_vals = {k: (0 if v < 0 else v)
+                              for k, v in plan.cdef_idx.items()}
         self._plan = plan
         self._plan_blocks = {}
         for b in plan.blocks:
@@ -61,6 +67,7 @@ class PlanReencoder(InterTileEncoder):
         # per 64x64 unit
         hdr = self.hdr
         if (not blk.skip and self.seq.enable_cdef
+                and not hdr.frame_is_intra
                 and not getattr(hdr, "coded_lossless", False)
                 and not getattr(hdr, "allow_intrabc", False)):
             r, c, bsize = blk.r, blk.c, blk.bsize
@@ -72,6 +79,9 @@ class PlanReencoder(InterTileEncoder):
                         v = self._plan.cdef_idx.get((rr, cc), 0)
                         for b_i in range(hdr.cdef.bits - 1, -1, -1):
                             self.enc.encode_bool_equi((v >> b_i) & 1)
+        self._emit_deltas_hook(blk)
+
+    def _emit_deltas_hook(self, blk):
         # delta_q / delta_lf replay (decoder read_deltas; recorded per
         # first-block-of-superblock in plan.delta_events)
         ev = getattr(self._plan, "delta_events", {}).get((blk.r, blk.c))
@@ -321,6 +331,7 @@ def blocks_from_plan(plan):
             compound_idx=b.compound_idx,
             skip_mode=getattr(b, "skip_mode", False))
         eb.cfl_alphas = b.cfl_alphas
+        eb.cfl = b.cfl_alphas
         eb.filter_intra = b.filter_intra
         if not b.is_inter:
             # intra tx depth from tx_size
