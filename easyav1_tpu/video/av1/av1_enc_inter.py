@@ -39,11 +39,15 @@ class InterEncBlock(EncBlock):
     mv2: Tuple[int, int] = (0, 0)
     compound_idx: int = 1            # jnt: 1=average, 0=distance
     skip_mode: bool = False          # derived-compound skip mode
+    interintra_mode: int = -1        # >=0: II_DC/V/H/SMOOTH
+    ii_wedge: int = 0
+    ii_wedge_idx: int = 0
 
 
 def write_sequence_header_full(w: int, h: int,
                                order_hints: bool = False,
-                               jnt: bool = False) -> bytes:
+                               jnt: bool = False,
+                               interintra: bool = False) -> bytes:
     """Non-reduced profile-0 8-bit 4:2:0 sequence header; order hints
     (+ref_frame_mvs) optional; warp, dual filter, superres, cdef,
     restoration off."""
@@ -64,7 +68,7 @@ def write_sequence_header_full(w: int, h: int,
     bw.f(0, 1)    # use_128x128_superblock
     bw.f(0, 1)    # enable_filter_intra
     bw.f(0, 1)    # enable_intra_edge_filter
-    bw.f(0, 1)    # enable_interintra_compound
+    bw.f(int(interintra), 1)    # enable_interintra_compound
     bw.f(0, 1)    # enable_masked_compound
     bw.f(0, 1)    # enable_warped_motion
     bw.f(0, 1)    # enable_dual_filter
@@ -207,8 +211,9 @@ class _HdrStub:
 class InterTileEncoder(SimpleTileEncoder):
     def __init__(self, w, h, base_q, hp_mv=False, switchable=False,
                  motion_switch=False, allow_warp=False, ref_select=False,
-                 jnt=False, **kw):
+                 jnt=False, interintra=False, **kw):
         super().__init__(w, h, base_q, **kw)
+        self.enable_interintra = interintra
         self.switchable = switchable
         self.motion_switch = motion_switch
         self.allow_warp = allow_warp
@@ -379,10 +384,30 @@ class InterTileEncoder(SimpleTileEncoder):
         else:
             mv = st.global_mvs[0]
         blk.mv = (int(mv[0]), int(mv[1]))
+        # interintra (mirror of TileDecoder read order: before motion
+        # mode, single-ref 8x8..32x32 with NEAREST..NEWMV)
+        ii_on = False
+        if (getattr(self, "enable_interintra", False)
+                and C.NEARESTMV <= mode <= C.NEWMV
+                and C.BLOCK_8X8 <= bsize <= C.BLOCK_32X32):
+            from easyav1_tpu.video.av1.tile import SIZE_GROUP
+            szg = SIZE_GROUP[bsize]
+            ii = int(getattr(blk, "interintra_mode", -1))
+            self._sym(self.cdf["interintra"][szg], int(ii >= 0))
+            if ii >= 0:
+                ii_on = True
+                self._sym(self.cdf["interintra_mode"][szg], ii, 4)
+                from easyav1_tpu.video.av1.wedge import wedge_allowed
+                if wedge_allowed(bsize):
+                    self._sym(self.cdf["wedge_interintra"][bsize],
+                              int(blk.ii_wedge))
+                    if blk.ii_wedge:
+                        self._sym(self.cdf["wedge_idx"][bsize],
+                                  blk.ii_wedge_idx, 16)
         # motion mode (mirror of TileDecoder._inter_mode_info gating)
         mm = int(getattr(blk, "motion_mode", 0))
         emitted_mm = 0
-        if self.motion_switch:
+        if self.motion_switch and not ii_on:
             cands = self._find_warp_samples(r, c, bsize, ref,
                                             avail_u, avail_l)
             glob_block = (mode == C.GLOBALMV
@@ -452,6 +477,10 @@ class InterTileEncoder(SimpleTileEncoder):
             self._clear_skip_ctx(blk, tx_size, has_chroma)
 
         self._post_grids(blk, blk.ref, blk.mv, blk.mode)
+        if ii_on:
+            w4g = min(C.BLOCK_W4[bsize], self.mi_cols - c)
+            h4g = min(C.BLOCK_H4[bsize], self.mi_rows - r)
+            self.ref_frames1[r:r + h4g, c:c + w4g] = C.INTRA_FRAME
         w4 = C.BLOCK_W4[bsize]
         h4 = C.BLOCK_H4[bsize]
         if blk.skip:
@@ -1003,7 +1032,8 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
                         tx_select: bool = False, carry: bool = False,
                         motion_switch: bool = False,
                         ref_select: bool = False,
-                        jnt: bool = False) -> List[bytes]:
+                        jnt: bool = False,
+                        interintra: bool = False) -> List[bytes]:
     """Order-hint sequences with arbitrary ref slot structure.
 
     frames: list of dicts {type, blocks, refresh (8-bit mask), ref_idx
@@ -1016,7 +1046,8 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
     from easyav1_tpu.video.av1 import mfmv
 
     tus = []
-    seq = write_sequence_header_full(w, h, order_hints=True, jnt=jnt)
+    seq = write_sequence_header_full(w, h, order_hints=True, jnt=jnt,
+                                     interintra=interintra)
     mi_cols = 2 * ((w + 7) >> 3)
     mi_rows = 2 * ((h + 7) >> 3)
     slot_states = [None] * 8
@@ -1081,7 +1112,8 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
                                 motion_switch=motion_switch,
-                                ref_select=ref_select, jnt=jnt)
+                                ref_select=ref_select, jnt=jnt,
+                                interintra=interintra)
         tenc.seq = _SeqStub        # order-hint aware refmvs (rel_dist)
         if use_skip_mode:
             tenc.skip_mode_present = True

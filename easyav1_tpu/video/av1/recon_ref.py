@@ -251,10 +251,62 @@ class FrameRecon:
                                            blk.mv, ssx, ssy,
                                            blk.interp_filter, plane,
                                            filt_w=full_w, filt_h=full_h)
+            if blk.interintra_mode >= 0:
+                pred = self._interintra_blend(blk, plane, x, y, w, h,
+                                              full_w, full_h, pred,
+                                              ssx, ssy)
             buf[y:y + h, x:x + w] = pred
         if blk.motion_mode == C.OBMC_MOTION:
             self._apply_obmc(blk)
         self._residual_add(blk)
+
+    # interintra mode -> intra predictor (libaom interintra_to_intra_mode)
+    _II_TO_MODE = [C.DC_PRED, C.V_PRED, C.H_PRED, C.SMOOTH_PRED]
+    # libaom ii_size_scales[BLOCK_SIZES_ALL]
+    _II_SIZE_SCALE = [32, 16, 16, 16, 8, 8, 8, 4, 4, 4, 2, 2, 2, 1, 1, 1,
+                      8, 8, 4, 4, 2, 2]
+
+    def _interintra_blend(self, blk, plane, x, y, w, h, full_w, full_h,
+                          inter, ssx, ssy):
+        """Interintra compound (spec 7.11.3.13, libaom
+        av1_combine_interintra): intra prediction over the whole plane
+        block blended with the inter prediction by a wedge or smooth
+        mask (mask weights the INTRA side)."""
+        mode = self._II_TO_MODE[blk.interintra_mode]
+        intra = self._predict_intra(blk, plane, x, y, full_w, full_h,
+                                    mode, 0)
+        intra = intra[:h, :w].astype(np.int64)
+        inter = np.asarray(inter)[:h, :w].astype(np.int64)
+        if blk.ii_wedge:
+            ml = wedge_mod.wedge_mask(blk.bsize, blk.ii_wedge_idx, 0)
+            m = ml if plane == 0 else wedge_mod.subsample_mask(
+                ml, ssx, ssy)
+            m = m[:h, :w].astype(np.int64)
+        else:
+            if plane == 0:
+                pbsize = blk.bsize
+            else:
+                cw4 = max(1, C.BLOCK_W4[blk.bsize] >> ssx)
+                ch4 = max(1, C.BLOCK_H4[blk.bsize] >> ssy)
+                pbsize = next(b for b in range(22)
+                              if C.BLOCK_W4[b] == cw4
+                              and C.BLOCK_H4[b] == ch4)
+            scale = self._II_SIZE_SCALE[pbsize]
+            wts = T.data()["ii_weights1d"].astype(np.int64)
+            ii = blk.interintra_mode
+            if ii == 0:          # II_DC
+                m = np.full((h, w), 32, np.int64)
+            elif ii == 1:        # II_V: weight by row
+                m = wts[np.clip(np.arange(h) * scale, 0, 127)][:, None]
+                m = np.broadcast_to(m, (h, w)).copy()
+            elif ii == 2:        # II_H: weight by col
+                m = wts[np.clip(np.arange(w) * scale, 0, 127)][None, :]
+                m = np.broadcast_to(m, (h, w)).copy()
+            else:                # II_SMOOTH: min(row, col)
+                idx = np.minimum(np.arange(h)[:, None],
+                                 np.arange(w)[None, :])
+                m = wts[np.clip(idx * scale, 0, 127)]
+        return (intra * m + inter * (64 - m) + 32) >> 6
 
     def _sub8x8_chroma(self, blk, plane, x, y, w, h, ssx, ssy):
         """Per-quadrant chroma prediction for sub-8x8 luma blocks

@@ -78,6 +78,10 @@ class BlockRecord:
     wedge_sign: int = 0
     mask_type: int = 0
     skip_mode: bool = False
+    # interintra: (-1 when off); ii_wedge selects the wedge blend
+    interintra_mode: int = -1
+    ii_wedge: int = 0
+    ii_wedge_idx: int = 0
 
 
 @dataclasses.dataclass
@@ -649,6 +653,12 @@ class TileDecoder:
             wedge_sign=getattr(self, "_last_comp", (0, 1, 0, 0, 0, 0))[4]
             if is_inter else 0,
             mask_type=getattr(self, "_last_comp", (0, 1, 0, 0, 0, 0))[5]
+            if is_inter else 0,
+            interintra_mode=getattr(self, "_last_interintra",
+                                    (-1, 0, 0))[0] if is_inter else -1,
+            ii_wedge=getattr(self, "_last_interintra", (-1, 0, 0))[1]
+            if is_inter else 0,
+            ii_wedge_idx=getattr(self, "_last_interintra", (-1, 0, 0))[2]
             if is_inter else 0,
         )
         plan.blocks.append(self._cur_block)
@@ -1397,13 +1407,39 @@ class TileDecoder:
                 mv = st.mvs[ref_mv_idx][0]
             else:                        # GLOBALMV
                 mv = st.global_mvs[0]
+        self._last_interintra = (-1, 0, 0)
+        # interintra (spec read_interintra_mode: coded before motion
+        # mode for single-ref 8x8..32x32 blocks when the sequence
+        # enables the tool)
+        interintra_mode = -1
+        ii_wedge = 0
+        ii_wedge_idx = 0
+        if (getattr(self.seq, "enable_interintra_compound", False)
+                and not self.skip_mode_flag
+                and ref_frame[1] == C.NONE_FRAME
+                and C.NEARESTMV <= mode <= C.NEWMV
+                and C.BLOCK_8X8 <= bsize <= C.BLOCK_32X32):
+            szg = SIZE_GROUP[bsize]
+            if self.msac.decode_symbol(self.cdf["interintra"][szg]):
+                interintra_mode = self.msac.decode_symbol(
+                    self.cdf["interintra_mode"][szg])
+                ref_frame = (ref_frame[0], C.INTRA_FRAME)
+                from easyav1_tpu.video.av1.wedge import wedge_allowed
+                if wedge_allowed(bsize):
+                    ii_wedge = self.msac.decode_symbol(
+                        self.cdf["wedge_interintra"][bsize])
+                    if ii_wedge:
+                        ii_wedge_idx = self._decode_ragged(
+                            self.cdf["wedge_idx"][bsize], 16)
+        self._last_interintra = (interintra_mode, ii_wedge, ii_wedge_idx)
+
         # motion mode (spec read_motion_mode / libaom motion_mode_allowed)
         motion_mode = C.SIMPLE
         self._last_warp = None
         hdr = self.hdr
         if (getattr(hdr, "is_motion_mode_switchable", False)
                 and not self.skip_mode_flag
-                and ref_frame[1] <= C.INTRA_FRAME):
+                and ref_frame[1] == C.NONE_FRAME):
             cands = self._find_warp_samples(r, c, bsize, ref_frame[0],
                                             avail_u, avail_l)
             glob_block = (mode == C.GLOBALMV

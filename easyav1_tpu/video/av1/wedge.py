@@ -62,6 +62,11 @@ _CODEBOOK = {
 }
 
 
+def wedge_allowed(bsize: int) -> bool:
+    """av1_is_wedge_used: sizes with a wedge codebook."""
+    return bsize in _CODEBOOK
+
+
 @lru_cache(maxsize=1)
 def _master_masks() -> np.ndarray:
     """(6, 64, 64) int64 master masks (libaom init_wedge_master_masks)."""

@@ -85,6 +85,16 @@ def main():
             break
     assert pos > 0
     t["filter_intra_taps"] = rod8[pos:pos + 320].reshape(5, 8, 8).copy()
+    # interintra smooth-blend 1-D weights (libaom ii_weights1d)
+    pat2 = np.array([60, 58, 56, 54, 52, 50, 48, 47, 45, 44], np.uint8)
+    rodu = rod8.view(np.uint8)
+    pos2 = -1
+    for i in range(len(rodu) - 128):
+        if (rodu[i:i + 10] == pat2).all():
+            pos2 = i
+            break
+    assert pos2 > 0
+    t["ii_weights1d"] = rodu[pos2:pos2 + 128].copy()
     np.savez_compressed(OUT, **t)
     print(f"appended warp/obmc tables -> {OUT}")
 
