@@ -126,15 +126,18 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
     # segmentation
     bw.f(0, 1)            # segmentation_enabled
     # delta_q_params (base_q > 0)
-    bw.f(0, 1)            # delta_q_present
-    # loop filter
-    bw.f(lf_levels[0], 6)  # level[0]
-    bw.f(lf_levels[1], 6)  # level[1]
-    if lf_levels[0] or lf_levels[1]:
-        bw.f(lf_levels[2] if len(lf_levels) > 2 else 0, 6)  # level[2] (u)
-        bw.f(lf_levels[3] if len(lf_levels) > 3 else 0, 6)  # level[3] (v)
-    bw.f(0, 3)            # sharpness
-    bw.f(0, 1)            # delta_enabled
+    if base_q_idx:
+        bw.f(0, 1)        # delta_q_present
+    lossless = base_q_idx == 0
+    # loop filter (skipped entirely when coded_lossless)
+    if not lossless:
+        bw.f(lf_levels[0], 6)  # level[0]
+        bw.f(lf_levels[1], 6)  # level[1]
+        if lf_levels[0] or lf_levels[1]:
+            bw.f(lf_levels[2] if len(lf_levels) > 2 else 0, 6)
+            bw.f(lf_levels[3] if len(lf_levels) > 3 else 0, 6)
+        bw.f(0, 3)        # sharpness
+        bw.f(0, 1)        # delta_enabled
     if cdef is not None:
         # cdef params: damping-3, bits, then per-idx strengths y/uv
         damping, strengths = cdef[0], cdef[1]
@@ -156,7 +159,8 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
             bw.f(0, 1)    # lr_unit_shift = 0
         if lr[1] or lr[2]:
             bw.f(0, 1)    # lr_uv_shift = 0
-    bw.f(int(tx_mode_select), 1)  # tx_mode_select
+    if not lossless:
+        bw.f(int(tx_mode_select), 1)  # tx_mode_select
     # reference_select / skip_mode / warped skipped (intra)
     bw.f(0, 1)            # reduced_tx_set
     # global motion: none (intra)
@@ -247,6 +251,7 @@ class SimpleTileEncoder:
                  cdef_bits: Optional[int] = None, cdef_vals=None,
                  lr_types=None, lr_units=None):
         self.adapt = adapt
+        self.lossless = base_q_idx == 0
         # loop restoration: lr_types = per-plane C.RESTORE_* frame type,
         # lr_units = {(plane, urow, ucol): ("wiener", [[t0..t2]x2]) |
         #             ("sgr", set, xqd0, xqd1) | None}
@@ -652,7 +657,10 @@ class SimpleTileEncoder:
             if fi is not None:
                 self._sym(self.cdf["filter_intra_mode"][0], fi, 5)
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
-        if self.tx_mode_select and bsize != C.BLOCK_4X4:
+        if getattr(self, "lossless", False):
+            tx_size = C.TX_4X4
+            blk.tx_depth = 0
+        elif self.tx_mode_select and bsize != C.BLOCK_4X4:
             depth_tab = [0, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4, 4, 4, 4,
                          2, 2, 3, 3, 4, 4]
             max_depth = depth_tab[bsize]
@@ -713,6 +721,8 @@ class SimpleTileEncoder:
                                  else [])
 
     def _uv_tx(self, bsize) -> int:
+        if getattr(self, "lossless", False):
+            return C.TX_4X4
         w4 = max(1, C.BLOCK_W4[bsize] >> 1)
         h4 = max(1, C.BLOCK_H4[bsize] >> 1)
         for b in range(C.BLOCK_SIZES_ALL):
@@ -774,7 +784,9 @@ class SimpleTileEncoder:
         is_inter = (not getattr(self, "frame_is_intra", True)
                     and getattr(blk, "is_inter", False))
         tx_type = C.DCT_DCT
-        if is_inter:
+        if getattr(self, "lossless", False):
+            pass    # lossless: WHT implied, no tx-type symbol
+        elif is_inter:
             tx_set = T.get_tx_set_inter(tx_size, False) if plane == 0 else 0
             if tx_set != 0:
                 lst = (T.TX_SET_INTER_1 if tx_set == 1 else

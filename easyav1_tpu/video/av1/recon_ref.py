@@ -53,14 +53,24 @@ def inverse_transform(txb: TxBlock, bitdepth: int) -> np.ndarray:
     w = T.TX_WIDTH[tx]
     h = T.TX_HEIGHT[tx]
     if txb.lossless:
-        x = txb.coeffs.astype(np.int64)
-        # rows (input scaling >> 2 inside), then columns
-        t = np.stack(inv_wht4([x[:, i] for i in range(4)]))  # cols as axis0?
-        # inv_wht4 operates along axis 0 of the list: do rows then cols
-        rows = np.stack(inv_wht4([x[i, :] for i in range(4)]))
-        # Proper order: row transform then column transform without shifts
-        r1 = np.stack(inv_wht4([x[i, :] for i in range(4)]))  # hmm
-        raise NotImplementedError("lossless WHT pending")
+        # inverse 4x4 Walsh-Hadamard (aom_iwht4x4_16_add): input >> 2,
+        # row butterfly pass, then column pass without shift
+        x = txb.coeffs.astype(np.int64) >> 2
+
+        def _wht_pass(a, c_, d, b):
+            a = a + c_
+            d = d - b
+            e = (a - d) >> 1
+            b = e - b
+            c_ = e - c_
+            a = a - b
+            d = d + c_
+            return a, b, c_, d
+
+        r0, r1, r2, r3 = _wht_pass(x[:, 0], x[:, 1], x[:, 2], x[:, 3])
+        t = np.stack([r0, r1, r2, r3], axis=1)   # (4 rows, 4 cols)
+        c0, c1, c2, c3 = _wht_pass(t[0], t[1], t[2], t[3])
+        return np.stack([c0, c1, c2, c3], axis=0)
     mn = -(1 << (bitdepth + 7))
     mx = (1 << (bitdepth + 7)) - 1
     vkind, hkind = _TX_1D[txb.tx_type]
