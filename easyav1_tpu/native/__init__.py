@@ -152,6 +152,10 @@ def _run_tiles(lib, seq, hdr, tiles):
     if not hdr.frame_is_intra:
         # inter frames run through the Python pipeline for now
         return None
+    if getattr(hdr, "allow_screen_content_tools", False):
+        # screen-content syntax (palette flags, intrabc) is not in the
+        # C tile decoder yet
+        return None
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
     p = _TileParams(

@@ -101,13 +101,17 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             tx_mode_select: bool = False,
                             lf_levels=(0, 0), cdef=None,
                             w: int = 64, h: int = 64, lr=None,
-                            fg=None) -> None:
+                            fg=None, intrabc: bool = False) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
-    bw.f(0, 1)            # allow_screen_content_tools (force==SELECT)
+    bw.f(int(intrabc), 1)  # allow_screen_content_tools (force==SELECT)
+    if intrabc:
+        bw.f(1, 1)        # force_integer_mv (seq force == SELECT)
     # frame_size_override absent (reduced); no order hint; primary ref none
     # refresh implicitly 0xFF; frame size from seq max (no bits, no superres)
     bw.f(0, 1)            # render_and_frame_size_different
+    if intrabc:
+        bw.f(1, 1)        # allow_intrabc
     # tile info (uniform, single tile; a zero increment bit per dimension
     # whenever max_log2_tile_cols/rows > 0 — spec 5.9.15 tile_info)
     bw.f(1, 1)            # uniform_tile_spacing
@@ -129,8 +133,8 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
     if base_q_idx:
         bw.f(0, 1)        # delta_q_present
     lossless = base_q_idx == 0
-    # loop filter (skipped entirely when coded_lossless)
-    if not lossless:
+    # loop filter (skipped entirely when coded_lossless or intrabc)
+    if not lossless and not intrabc:
         bw.f(lf_levels[0], 6)  # level[0]
         bw.f(lf_levels[1], 6)  # level[1]
         if lf_levels[0] or lf_levels[1]:
@@ -239,6 +243,9 @@ class EncBlock:
     angle_y: int = 0
     angle_uv: int = 0
     tx_type: int = C.DCT_DCT   # luma tx type (must be legal for the set)
+    # intrabc displacement vector (row, col) in 1/8-pel (full-pel
+    # multiples of 8); None = regular intra block
+    dv: Optional[Tuple[int, int]] = None
 
 
 class SimpleTileEncoder:
@@ -644,6 +651,18 @@ class SimpleTileEncoder:
             if bsize >= C.BLOCK_8X8 and C.V_PRED <= uv_mode <= C.D67_PRED:
                 self._sym(self.cdf["angle_delta"][uv_mode - C.V_PRED],
                           blk.angle_uv + 3)
+        # palette flags: when screen-content tools are on, the decoder
+        # reads has_palette_y/uv for eligible DC blocks; the synth
+        # encoder never uses palette, so emit zeros (ctx 0: no palette
+        # neighbours ever)
+        if (getattr(self, "screen_tools", False) and bsize >= C.BLOCK_8X8
+                and w4 * 4 <= 64 and h4 * 4 <= 64):
+            sz_ctx = (w4 * 4).bit_length() + (h4 * 4).bit_length() - 8
+            if blk.y_mode == C.DC_PRED:
+                self._sym(self.cdf["palette_y_mode"][sz_ctx][0], 0)
+            if has_chroma and (blk.uv_mode == C.DC_PRED
+                               and blk.cfl is None):
+                self._sym(self.cdf["palette_uv_mode"][0], 0)
         # filter_intra flag (mirrors TileDecoder._intra_mode_info; only
         # coded when the sequence enables the tool)
         if (getattr(getattr(self, "seq", None), "enable_filter_intra",
@@ -948,7 +967,8 @@ def encode_frame(w: int, h: int, base_q: int,
                  tx_mode_select: bool = False,
                  edge_filter: bool = False,
                  lf_levels=(0, 0), cdef=None,
-                 lr=None, lr_units=None, fg=None) -> bytes:
+                 lr=None, lr_units=None, fg=None,
+                 intrabc: bool = False) -> bytes:
     """Full temporal unit: TD + seq hdr + frame OBU.
 
     cdef: None or (damping, [(ypri, ysec, uvpri, uvsec), ...]) with 1, 2,
@@ -961,7 +981,7 @@ def encode_frame(w: int, h: int, base_q: int,
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
                             lf_levels=lf_levels, cdef=cdef, w=w, h=h,
-                            lr=lr, fg=fg)
+                            lr=lr, fg=fg, intrabc=intrabc)
     bw.byte_align()
     header_bytes = bw.bytes()
     cdef_bits = None
@@ -969,10 +989,16 @@ def encode_frame(w: int, h: int, base_q: int,
     if cdef is not None:
         cdef_bits = {1: 0, 2: 1, 4: 2, 8: 3}[len(cdef[1])]
         cdef_vals = cdef[2] if len(cdef) > 2 else None
-    tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,
-                             tx_mode_select=tx_mode_select,
-                             cdef_bits=cdef_bits, cdef_vals=cdef_vals,
-                             lr_types=lr, lr_units=lr_units)
+    if intrabc:
+        assert cdef is None and lr is None and lf_levels[:2] == (0, 0)
+        from easyav1_tpu.video.av1.av1_enc_inter import IntraBcTileEncoder
+        tenc = IntraBcTileEncoder(w, h, base_q, adapt=adapt,
+                                  tx_mode_select=tx_mode_select)
+    else:
+        tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,
+                                 tx_mode_select=tx_mode_select,
+                                 cdef_bits=cdef_bits, cdef_vals=cdef_vals,
+                                 lr_types=lr, lr_units=lr_units)
     tile_data = tenc.encode_blocks(blocks)
     frame_payload = header_bytes + tile_data
     return (obu(C.OBU_TEMPORAL_DELIMITER, b"")

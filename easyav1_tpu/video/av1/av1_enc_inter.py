@@ -853,32 +853,36 @@ class InterTileEncoder(SimpleTileEncoder):
             return 0 if st.weights[idx + 1] >= 640 else 1
         return 2
 
-    def _enc_mv(self, dr, dc):
+    def _enc_mv(self, dr, dc, prefix="mv", force_int=False):
         joint = (2 if dr else 0) | (1 if dc else 0)
         jmap = {0: C.MV_JOINT_ZERO, 1: C.MV_JOINT_HNZVZ,
                 2: C.MV_JOINT_HZVNZ, 3: C.MV_JOINT_HNZVNZ}
-        self._sym(self.cdf["mv_joint"][0], jmap[joint])
+        self._sym(self.cdf[f"{prefix}_joint"][0], jmap[joint])
         if dr:
-            self._enc_mv_component(0, dr)
+            self._enc_mv_component(0, dr, prefix, force_int)
         if dc:
-            self._enc_mv_component(1, dc)
+            self._enc_mv_component(1, dc, prefix, force_int)
 
-    def _enc_mv_component(self, comp, v):
+    def _enc_mv_component(self, comp, v, prefix="mv", force_int=False):
         cdf = self.cdf
+        hp_coded = self.hp_mv and prefix == "mv"
         sign = int(v < 0)
         mag = abs(v)
-        self._sym(cdf[f"mv_sign_{comp}"][0], sign)
+        self._sym(cdf[f"{prefix}_sign_{comp}"][0], sign)
         # find class: mag-1 in [0, 16) -> class0
         m = mag - 1
         if m < 16:
-            self._sym(cdf[f"mv_classes_{comp}"][0], 0)
+            self._sym(cdf[f"{prefix}_classes_{comp}"][0], 0)
             int_bit = (m >> 3) & 1
             fr = (m >> 1) & 3
             hp = m & 1
-            self._sym(cdf[f"mv_class0_{comp}"][0], int_bit)
-            self._sym(cdf[f"mv_class0_fr_{comp}"][int_bit], fr)
-            if self.hp_mv:
-                self._sym(cdf[f"mv_class0_hp_{comp}"][0], hp)
+            self._sym(cdf[f"{prefix}_class0_{comp}"][0], int_bit)
+            if force_int:
+                assert fr == 3, "integer-mv diff must be full-pel"
+            else:
+                self._sym(cdf[f"{prefix}_class0_fr_{comp}"][int_bit], fr)
+            if hp_coded:
+                self._sym(cdf[f"{prefix}_class0_hp_{comp}"][0], hp)
             else:
                 assert hp == 1, "1/8-pel diff needs allow_high_precision"
         else:
@@ -891,12 +895,15 @@ class InterTileEncoder(SimpleTileEncoder):
             d = off >> 3
             fr = (off >> 1) & 3
             hp = off & 1
-            self._sym(cdf[f"mv_classes_{comp}"][0], cls)
+            self._sym(cdf[f"{prefix}_classes_{comp}"][0], cls)
             for i in range(cls):
-                self._sym(cdf[f"mv_bits_{comp}"][i], (d >> i) & 1)
-            self._sym(cdf[f"mv_fr_{comp}"][0], fr)
-            if self.hp_mv:
-                self._sym(cdf[f"mv_hp_{comp}"][0], hp)
+                self._sym(cdf[f"{prefix}_bits_{comp}"][i], (d >> i) & 1)
+            if force_int:
+                assert fr == 3, "integer-mv diff must be full-pel"
+            else:
+                self._sym(cdf[f"{prefix}_fr_{comp}"][0], fr)
+            if hp_coded:
+                self._sym(cdf[f"{prefix}_hp_{comp}"][0], hp)
             else:
                 assert hp == 1
 
@@ -933,6 +940,78 @@ class InterTileEncoder(SimpleTileEncoder):
         # inter tx type must be DCT_DCT; _encode_txb's tx-type emission
         # handles the inter sets via self.frame_is_intra
         self._encode_residual(blk, tx_size, has_chroma)
+
+
+class IntraBcTileEncoder(InterTileEncoder):
+    """Keyframe encoder with intra block copy (mirror of the decoder's
+    use_intrabc/DV path; see tile.py _decode_block and libaom
+    decodemv.c read_intrabc_info).  Intrabc blocks must be skip
+    (copy-only); regular blocks follow the keyframe syntax with
+    screen-content palette zero-flags."""
+
+    def __init__(self, w, h, base_q, **kw):
+        super().__init__(w, h, base_q, **kw)
+        self.frame_is_intra = True
+        self.screen_tools = True
+        self.intrabc_g = np.zeros((self.mi_rows, self.mi_cols), bool)
+        self.mib_size = 16        # 64x64 superblocks
+
+    def _emit_deltas_hook(self, blk):
+        # use_intrabc is read right after the deltas, before mode info
+        self._sym(self.cdf["intrabc"][0],
+                  int(getattr(blk, "dv", None) is not None))
+
+    def _encode_block(self, blk):
+        dv = getattr(blk, "dv", None)
+        if dv is None:
+            super()._encode_block(blk)
+            return
+        r, c, bsize = blk.r, blk.c, blk.bsize
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        assert blk.skip, "intrabc synth blocks must be skip (copy-only)"
+        assert dv[0] % 8 == 0 and dv[1] % 8 == 0, "DV must be full-pel"
+        self._enc_skip(blk)
+        self._emit_deltas_hook(blk)          # intrabc = 1
+        # DV prediction (mirror of the decoder): INTRA_FRAME stack,
+        # lowered to even then truncated to full-pel, with the
+        # av1_find_ref_dv fallback
+        st = self.refmv.find(r, c, bsize,
+                             (C.INTRA_FRAME, C.NONE_FRAME), False)
+
+        def _lower(m):
+            return tuple(v + (-1 if v > 0 else 1) if (v & 1) else v
+                         for v in m)
+
+        dv_ref = _lower(st.mvs[0][0])
+        if dv_ref == (0, 0):
+            dv_ref = _lower(st.mvs[1][0])
+        if dv_ref == (0, 0):
+            mib = self.mib_size
+            if r - mib < 0:
+                dv_ref = (0, (-4 * mib - 256) * 8)
+            else:
+                dv_ref = (-4 * mib * 8, 0)
+        dv_ref = ((dv_ref[0] >> 3) * 8, (dv_ref[1] >> 3) * 8)
+        self._enc_mv(dv[0] - dv_ref[0], dv[1] - dv_ref[1],
+                     prefix="dv", force_int=True)
+        # skipped inter-style block: txfm ctx gets the block dims
+        self.a_txw[c:c + w4] = w4 * 4
+        self.l_txh[r:r + h4] = h4 * 4
+        self.a_skip[c:c + w4] = 1
+        self.l_skip[r:r + h4] = 1
+        self.a_mode[c:c + w4] = C.DC_PRED
+        self.l_mode[r:r + h4] = C.DC_PRED
+        has_chroma = True
+        if h4 == 1 and (r & 1) == 0:
+            has_chroma = False
+        if w4 == 1 and (c & 1) == 0:
+            has_chroma = False
+        self._clear_skip_ctx(blk, T.MAX_TX_SIZE_RECT[bsize], has_chroma)
+        self._post_grids(blk, C.INTRA_FRAME, dv, C.NEWMV)
+        h4c = min(h4, self.mi_rows - r)
+        w4c = min(w4, self.mi_cols - c)
+        self.intrabc_g[r:r + h4c, c:c + w4c] = True
 
 
 def _zero_counts(t):

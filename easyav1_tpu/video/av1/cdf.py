@@ -76,6 +76,10 @@ class CdfContext:
                          "hp", "class0", "bits"]:
                 k = f"mv_{part}_{ci}"
                 t[k] = conv(d[k])
+                # intrabc DVs use an independent nmv context (libaom
+                # fc->ndvc) initialized from the same defaults
+                t[f"dv_{part}_{ci}"] = conv(d[k])
+        t["dv_joint"] = conv(d["mv_joint"])
         return cls(t)
 
     def copy(self) -> "CdfContext":

@@ -212,6 +212,32 @@ class FrameRecon:
             self._recon_compound(blk)
             self._residual_add(blk)
             return
+        if blk.ref_frame[0] == C.INTRA_FRAME:
+            # intra block copy (spec 7.11.3, libaom av1_build_inter_
+            # predictors with ref = current frame): integer-pel luma DV,
+            # BILINEAR filter for the chroma half-pel phases; sources
+            # the partially reconstructed current frame
+            n_planes = 3 if (blk.has_chroma
+                             and self.seq.color.num_planes > 1) else 1
+            for plane in range(min(n_planes, len(self.planes))):
+                ssx = self.ssx if plane else 0
+                ssy = self.ssy if plane else 0
+                x = (blk.c >> ssx) * 4
+                y = (blk.r >> ssy) * 4
+                w = max(1, C.BLOCK_W4[blk.bsize] >> ssx) * 4
+                h = max(1, C.BLOCK_H4[blk.bsize] >> ssy) * 4
+                buf = self.planes[plane]
+                full_w, full_h = w, h
+                w = min(w, buf.shape[1] - x)
+                h = min(h, buf.shape[0] - y)
+                pred = self._predict_inter(buf, x, y, w, h, blk.mv,
+                                           ssx, ssy,
+                                           (C.BILINEAR, C.BILINEAR),
+                                           plane, filt_w=full_w,
+                                           filt_h=full_h)
+                buf[y:y + h, x:x + w] = pred
+            self._residual_add(blk)
+            return
         ref = blk.ref_frame[0]
         slot = hdr.ref_frame_idx[ref - 1]
         ref_planes = self.refs[slot]
@@ -557,6 +583,10 @@ class FrameRecon:
     def _mc_filter(self, interp, dim):
         d = T.data()
         if dim <= 4:
+            # libaom av1_interp_4tap remap applies to regular/sharp/
+            # smooth only; BILINEAR keeps its own 2-tap kernel
+            if interp == C.BILINEAR:
+                return d["mc_filter_bilinear"].astype(np.int64)
             return (d["mc_filter_smooth4"] if interp == C.EIGHTTAP_SMOOTH
                     else d["mc_filter_regular4"]).astype(np.int64)
         key = {C.EIGHTTAP: "mc_filter_regular8",

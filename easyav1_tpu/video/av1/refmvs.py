@@ -120,7 +120,12 @@ class RefMvFinder:
         """spec add_ref_mv_candidate; flags = [found_match] (in/out)."""
         cand_ref, cand_mvs, cand_mode = self._cand(mv_r, mv_c)
         if cand_ref[0] <= C.INTRA_FRAME:
-            return
+            # intrabc neighbours (libaom is_intrabc_block) DO act as
+            # mv candidates for an INTRA_FRAME (DV) search
+            if not (ref_frames[0] == C.INTRA_FRAME
+                    and cand_ref[0] == C.INTRA_FRAME
+                    and bool(self.dec.intrabc_g[mv_r, mv_c])):
+                return
         glob = _is_global_mode(cand_mode)
         if not is_compound:
             for j in range(2):
@@ -549,7 +554,16 @@ class RefMvFinder:
                 if not dec._is_inside(mv_r, mv_c):
                     break
                 cand_ref, cand_mvs, _mode = self._cand(mv_r, mv_c)
-                if cand_ref[0] > C.INTRA_FRAME:
+                if ref_frames[0] == C.INTRA_FRAME:
+                    if (cand_ref[0] == C.INTRA_FRAME
+                            and bool(dec.intrabc_g[mv_r, mv_c])):
+                        mv = cand_mvs[0]
+                        if all(st.mvs[k][0] != mv
+                               for k in range(st.num_found)):
+                            st.mvs.append((mv, (0, 0)))
+                            st.weights.append(2)
+                            st.num_found += 1
+                elif cand_ref[0] > C.INTRA_FRAME:
                     # libaom process_single_ref_mv_candidate: BOTH mvs
                     # of a compound neighbor are added without
                     # rechecking the <2 stop (the cap is only tested

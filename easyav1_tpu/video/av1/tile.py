@@ -235,6 +235,7 @@ class TileDecoder:
         self.modes = np.zeros((self.mi_rows, self.mi_cols), np.int16)
         self.interp = np.zeros((self.mi_rows, self.mi_cols, 2), np.int8)
         self.skip_mode_g = np.zeros((self.mi_rows, self.mi_cols), np.int8)
+        self.intrabc_g = np.zeros((self.mi_rows, self.mi_cols), bool)
         self.decoded_mi = np.zeros((self.mi_rows, self.mi_cols), bool)
         self.tx_types = np.zeros((self.mi_rows, self.mi_cols), np.int8)
         # palette state: per-4px-unit sizes + stored colors (dav1d al_pal)
@@ -598,13 +599,57 @@ class TileDecoder:
         self.read_deltas = False
 
         # mode info: keyframe intra, inter-frame intra, or inter
+        use_intrabc = False
         if hdr.frame_is_intra:
             is_inter = False
+            if getattr(hdr, "allow_intrabc", False):
+                use_intrabc = bool(
+                    msac.decode_symbol(self.cdf["intrabc"][0]))
         else:
             is_inter = self._read_is_inter(r, c, bsize, skip, avail_u,
                                            avail_l)
 
-        if not is_inter:
+        if use_intrabc:
+            # intra block copy (spec 5.11.19 read_intrabc_info, libaom
+            # decodemv.c read_intrabc_info / assign_dv): DC modes,
+            # BILINEAR filter, DV from the INTRA_FRAME mv stack with a
+            # fixed fallback, coded with the dedicated ndv contexts at
+            # forced integer precision
+            y_mode = uv_mode = C.DC_PRED
+            angle_y = angle_uv = 0
+            cfl_alpha_u = cfl_alpha_v = 0
+            use_filter_intra = False
+            filter_intra_mode = 0
+            ref_frame = (C.INTRA_FRAME, C.NONE_FRAME)
+            block_mode = C.NEWMV
+            interp = (C.BILINEAR, C.BILINEAR)
+            st = self.refmv.find(r, c, bsize, ref_frame, False)
+
+            def _lower(m):
+                return tuple(v + (-1 if v > 0 else 1) if (v & 1) else v
+                             for v in m)
+
+            dv_ref = _lower(st.mvs[0][0])
+            if dv_ref == (0, 0):
+                dv_ref = _lower(st.mvs[1][0])
+            if dv_ref == (0, 0):
+                # av1_find_ref_dv: one SB up, or (left - 256px) in the
+                # first SB row of the tile
+                mib = 32 if self.seq.use_128x128_superblock else 16
+                if r - mib < self.mi_row_start:
+                    dv_ref = (0, (-4 * mib - 256) * 8)
+                else:
+                    dv_ref = (-4 * mib * 8, 0)
+            dv_ref = ((dv_ref[0] >> 3) * 8, (dv_ref[1] >> 3) * 8)
+            mv = self._read_mv(dv_ref, prefix="dv", force_int=True)
+            is_inter = True
+            self._last_ref_mv_idx = 0
+            self._last_motion_mode = C.SIMPLE
+            self._last_warp = None
+            self._last_mv2 = (0, 0)
+            self._last_comp = (0, 1, 0, 0, 0, 0)
+            self._last_interintra = (-1, 0, 0)
+        elif not is_inter:
             (y_mode, angle_y, uv_mode, angle_uv, cfl_alpha_u, cfl_alpha_v,
              use_filter_intra, filter_intra_mode) = \
                 self._intra_mode_info(r, c, bsize, has_chroma, avail_u,
@@ -710,6 +755,7 @@ class TileDecoder:
         self.interp[r:r + h4, c:c + w4, 1] = interp[1]
         self.decoded_mi[r:r + h4, c:c + w4] = True
         self.skip_mode_g[r:r + h4, c:c + w4] = int(self.skip_mode_flag)
+        self.intrabc_g[r:r + h4, c:c + w4] = use_intrabc
 
         # tx size + residual
         if not is_inter:
@@ -846,7 +892,8 @@ class TileDecoder:
         use_filter_intra = False
         filter_intra_mode = 0
         if (self.seq.enable_filter_intra and y_mode == C.DC_PRED
-                and self._last_palette is None
+                and (self._last_palette is None
+                     or self._last_palette[0] is None)
                 and C.BLOCK_W4[bsize] * 4 <= 32
                 and C.BLOCK_H4[bsize] * 4 <= 32):
             use_filter_intra = bool(msac.decode_symbol(
@@ -1274,47 +1321,52 @@ class TileDecoder:
                     ref_mv_idx = idx + 1
         return ref_mv_idx
 
-    def _read_mv_component(self, comp):
+    def _read_mv_component(self, comp, prefix="mv", force_int=None):
         msac = self.msac
         hdr = self.hdr
         cdf = self.cdf
-        sign = msac.decode_symbol(cdf[f"mv_sign_{comp}"][0])
-        mv_class = msac.decode_symbol(cdf[f"mv_classes_{comp}"][0])
+        if force_int is None:
+            force_int = getattr(hdr, "force_integer_mv", 0)
+        hp_allowed = hdr.allow_high_precision_mv and prefix == "mv"
+        sign = msac.decode_symbol(cdf[f"{prefix}_sign_{comp}"][0])
+        mv_class = msac.decode_symbol(cdf[f"{prefix}_classes_{comp}"][0])
         if mv_class == 0:
-            int_bit = msac.decode_symbol(cdf[f"mv_class0_{comp}"][0])
-            if getattr(hdr, "force_integer_mv", 0):
+            int_bit = msac.decode_symbol(cdf[f"{prefix}_class0_{comp}"][0])
+            if force_int:
                 fr = 3
             else:
                 fr = msac.decode_symbol(
-                    cdf[f"mv_class0_fr_{comp}"][int_bit])
-            if hdr.allow_high_precision_mv:
-                hp = msac.decode_symbol(cdf[f"mv_class0_hp_{comp}"][0])
+                    cdf[f"{prefix}_class0_fr_{comp}"][int_bit])
+            if hp_allowed:
+                hp = msac.decode_symbol(
+                    cdf[f"{prefix}_class0_hp_{comp}"][0])
             else:
                 hp = 1
             mag = ((int_bit << 3) | (fr << 1) | hp) + 1
         else:
             d = 0
             for i in range(mv_class):
-                d |= msac.decode_symbol(cdf[f"mv_bits_{comp}"][i]) << i
+                d |= msac.decode_symbol(
+                    cdf[f"{prefix}_bits_{comp}"][i]) << i
             mag = 2 << (mv_class + 2)           # CLASS0_SIZE << (cls+2)
-            if getattr(hdr, "force_integer_mv", 0):
+            if force_int:
                 fr = 3
             else:
-                fr = msac.decode_symbol(cdf[f"mv_fr_{comp}"][0])
-            if hdr.allow_high_precision_mv:
-                hp = msac.decode_symbol(cdf[f"mv_hp_{comp}"][0])
+                fr = msac.decode_symbol(cdf[f"{prefix}_fr_{comp}"][0])
+            if hp_allowed:
+                hp = msac.decode_symbol(cdf[f"{prefix}_hp_{comp}"][0])
             else:
                 hp = 1
             mag += ((d << 3) | (fr << 1) | hp) + 1
         return -mag if sign else mag
 
-    def _read_mv(self, pred):
-        joint = self.msac.decode_symbol(self.cdf["mv_joint"][0])
+    def _read_mv(self, pred, prefix="mv", force_int=None):
+        joint = self.msac.decode_symbol(self.cdf[f"{prefix}_joint"][0])
         dr = dc = 0
         if joint in (C.MV_JOINT_HZVNZ, C.MV_JOINT_HNZVNZ):
-            dr = self._read_mv_component(0)
+            dr = self._read_mv_component(0, prefix, force_int)
         if joint in (C.MV_JOINT_HNZVZ, C.MV_JOINT_HNZVNZ):
-            dc = self._read_mv_component(1)
+            dc = self._read_mv_component(1, prefix, force_int)
         return (pred[0] + dr, pred[1] + dc)
 
     def _read_interp_filter(self, r, c, ref_frame, avail_u, avail_l):

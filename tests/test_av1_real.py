@@ -125,3 +125,22 @@ def test_real_odd_cdef():
     assert_exact("oddcdef", 84, 52, crf=30, frames=2,
                  extra=("vopt:enable-restoration=0", "vopt:enable-palette=0",
                         "vopt:enable-filter-intra=0", "vopt:enable-cdef=1"))
+
+
+def test_real_screen_tune():
+    """tune-content=screen: allow_screen_content_tools=1 (palette flag
+    syntax present), force_integer_mv, TX_MODE_LARGEST; must route
+    around the native tile decoder (no screen-content syntax there)."""
+    assert_exact("scrtune", 96, 96, extra=(
+        "content=3", "vopt:aom-params=tune-content=screen",
+        "vopt:enable-restoration=0", "vopt:lag-in-frames=0",
+        "vopt:cpu-used=2"))
+
+
+def test_real_screen_repeat_tile():
+    """Screen tune over a repeated 4-colour noise tile (palette +
+    screen syntax stress at very low qindex)."""
+    assert_exact("scrtile", 128, 128, extra=(
+        "content=4", "vopt:aom-params=tune-content=screen",
+        "vopt:enable-restoration=0", "vopt:lag-in-frames=0",
+        "vopt:cpu-used=1"))

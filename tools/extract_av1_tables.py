@@ -94,8 +94,11 @@ def main():
     def pal_syms(i):
         return (i // 5) + 2  # palette sizes 2..8, 5 contexts each
 
-    t["palette_y_color_index"] = take_cdf(rod, 42592, (7, 5, 9), pal_syms)
-    t["palette_uv_color_index"] = take_cdf(rod, 42912, (7, 5, 9), pal_syms)
+    # NOTE: the blob at 42592 is the UV map-index table and 42912 the Y
+    # one (validated empirically: real screen-content streams only
+    # decode bit-exact vs dav1d with this assignment)
+    t["palette_uv_color_index"] = take_cdf(rod, 42592, (7, 5, 9), pal_syms)
+    t["palette_y_color_index"] = take_cdf(rod, 42912, (7, 5, 9), pal_syms)
     t["inter_ext_tx_set1"] = take_cdf(rod, 43684, (4, 17))       # 16 syms
     t["inter_ext_tx_set2"] = take_cdf(rod, 43752, (4, 17),
                                       lambda i: 12)

@@ -45,7 +45,8 @@ static void die(const char *msg, int err) {
  * mild noise — enough structure to exercise intra, inter and transforms.
  * content kinds: 0 = default xor pattern; 1 = diagonal stripes
  * (directional intra); 2 = smooth ramps with luma-correlated chroma
- * (CfL); 3 = flat colour cells (palette / screen content). */
+ * (CfL); 3 = flat colour cells (palette / screen content); 4 = a
+ * repeated 32x32 pseudo-noise tile (text-like; rewards intrabc). */
 static int g_content = 0;
 
 static void fill_frame(AVFrame *f, int t, int depth) {
@@ -61,7 +62,13 @@ static void fill_frame(AVFrame *f, int t, int depth) {
                                               : 170 - ((x - y) & 15);
                 else if (g_content == 2)
                     v = 60 + ((x * 3 + y * 2 + 4 * t) % 160);
-                else
+                else if (g_content == 4) {
+                    unsigned hsh = (unsigned)((x & 31) * 374761393u
+                                   + (y & 31) * 668265263u + 1013904223u);
+                    hsh ^= hsh >> 13; hsh *= 1274126177u; hsh ^= hsh >> 16;
+                    static const int pal4[4] = { 32, 96, 160, 224 };
+                    v = pal4[hsh & 3];
+                } else
                     v = ((x / 16 + y / 16 + t) % 5) * 50 + 20;
                 row[x] = (uint8_t)v;
             }
@@ -77,6 +84,13 @@ static void fill_frame(AVFrame *f, int t, int depth) {
                 } else if (g_content == 3) {
                     u[x] = (uint8_t)(((x / 8 + y / 8) % 3) * 60 + 70);
                     v[x] = (uint8_t)(((x / 8 + 2 * (y / 8)) % 3) * 60 + 70);
+                } else if (g_content == 4) {
+                    unsigned hsh = (unsigned)((x & 15) * 2654435761u
+                                   + (y & 15) * 40503u + 12345u);
+                    hsh ^= hsh >> 11; hsh *= 2246822519u; hsh ^= hsh >> 15;
+                    static const int p4u[4] = { 70, 110, 150, 190 };
+                    u[x] = (uint8_t)p4u[hsh & 3];
+                    v[x] = (uint8_t)p4u[(hsh >> 2) & 3];
                 } else {
                     u[x] = (uint8_t)(128 + 50 * sin(0.02 * (x + y)));
                     v[x] = (uint8_t)(128 - 50 * sin(0.02 * (x - y)));
