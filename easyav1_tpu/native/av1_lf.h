@@ -318,8 +318,12 @@ static void av1_loop_filter(const ReconParams *rp, const TileOut *o,
         LfGrids g;
         if (lf_build_grids(rp, o, plane, pw[plane], ph[plane], &g))
             return;
+        /* spec 7.14.1: luma skipped only when BOTH level[0] and
+           level[1] are zero — a zero base still filters edges whose
+           delta-adjusted level is nonzero */
+        if (plane == 0 && rp->lf_level[0] == 0 && rp->lf_level[1] == 0)
+            { free(g.txw); continue; }
         for (int pass = 0; pass < 2; pass++) {
-            if (plane == 0 && rp->lf_level[pass] == 0) continue;
             if (plane == 1 && rp->lf_level[2] == 0) continue;
             if (plane == 2 && rp->lf_level[3] == 0) continue;
             lf_pass(rp, planes[plane], pw[plane], ph[plane], plane, pass,

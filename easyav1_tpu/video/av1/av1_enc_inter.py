@@ -47,7 +47,8 @@ class InterEncBlock(EncBlock):
 def write_sequence_header_full(w: int, h: int,
                                order_hints: bool = False,
                                jnt: bool = False,
-                               interintra: bool = False) -> bytes:
+                               interintra: bool = False,
+                               warp: bool = False) -> bytes:
     """Non-reduced profile-0 8-bit 4:2:0 sequence header; order hints
     (+ref_frame_mvs) optional; warp, dual filter, superres, cdef,
     restoration off."""
@@ -70,7 +71,7 @@ def write_sequence_header_full(w: int, h: int,
     bw.f(0, 1)    # enable_intra_edge_filter
     bw.f(int(interintra), 1)    # enable_interintra_compound
     bw.f(0, 1)    # enable_masked_compound
-    bw.f(0, 1)    # enable_warped_motion
+    bw.f(int(warp), 1)    # enable_warped_motion
     bw.f(0, 1)    # enable_dual_filter
     bw.f(int(order_hints), 1)    # enable_order_hint
     if order_hints:
@@ -111,7 +112,8 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             use_rfm: bool = False,
                             ref_select: bool = False,
                             skip_allowed: bool = False,
-                            skip_mode: bool = False) -> None:
+                            skip_mode: bool = False,
+                            warp: bool = False) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -149,7 +151,9 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
         if not switchable:
             bw.f(0, 2)      # interpolation_filter = EIGHTTAP
         bw.f(int(motion_switch), 1)   # is_motion_mode_switchable
-        if not err:
+        # use_ref_frame_mvs: only coded when order hints + ref-frame-mvs
+        # are enabled in the sequence and not error-resilient
+        if not err and order_hints:
             bw.f(int(use_rfm), 1)     # use_ref_frame_mvs
     if adapt:
         bw.f(0 if carry else 1, 1)   # disable_frame_end_update_cdf
@@ -187,7 +191,10 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
         bw.f(int(ref_select), 1)   # reference_select
     if skip_allowed:
         bw.f(int(skip_mode), 1)   # skip_mode_present
-    # allow_warped_motion: implied 0 (seq + error resilient)
+    # allow_warped_motion: only coded when inter + not error-resilient
+    # + seq enable_warped_motion (spec uncompressed_header)
+    if warp and not is_intra and not err:
+        bw.f(1, 1)          # allow_warped_motion
     bw.f(0, 1)              # reduced_tx_set
     if not is_intra:
         for _ in range(C.REFS_PER_FRAME):
@@ -1033,13 +1040,14 @@ def encode_inter_sequence(w: int, h: int, q: int, frames,
                           switchable: bool = False,
                           motion_switch: bool = False,
                           err: bool = True,
-                          carry: bool = False) -> List[bytes]:
+                          carry: bool = False,
+                          warp: bool = False) -> List[bytes]:
     """frames: list of (frame_type, blocks).  Returns one TU per frame
     (seq header included in the first)."""
     from easyav1_tpu.video.av1.av1_enc import write_frame_header_bits
     tus = []
     prev_cdf = None
-    seq = write_sequence_header_full(w, h)
+    seq = write_sequence_header_full(w, h, warp=warp)
     for i, (ftype, blocks) in enumerate(frames):
         bw = BitWriter()
         write_frame_header_full(bw, ftype, q,
@@ -1048,13 +1056,16 @@ def encode_inter_sequence(w: int, h: int, q: int, frames,
                                 tx_select=tx_select,
                                 switchable=switchable, w=w, h=h,
                                 motion_switch=motion_switch,
-                                err=err, primary_ref=0, carry=carry)
+                                err=err, primary_ref=0, carry=carry,
+                                warp=warp)
         bw.byte_align()
         hdr_bytes = bw.bytes()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
                                 switchable=switchable,
-                                motion_switch=motion_switch)
+                                motion_switch=motion_switch,
+                                allow_warp=warp and ftype != C.KEY_FRAME
+                                and not err)
         if ftype == C.KEY_FRAME:
             tenc.frame_is_intra = True
         if carry and prev_cdf is not None and ftype != C.KEY_FRAME:
@@ -1112,7 +1123,8 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
                         motion_switch: bool = False,
                         ref_select: bool = False,
                         jnt: bool = False,
-                        interintra: bool = False) -> List[bytes]:
+                        interintra: bool = False,
+                        warp: bool = False) -> List[bytes]:
     """Order-hint sequences with arbitrary ref slot structure.
 
     frames: list of dicts {type, blocks, refresh (8-bit mask), ref_idx
@@ -1126,7 +1138,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
 
     tus = []
     seq = write_sequence_header_full(w, h, order_hints=True, jnt=jnt,
-                                     interintra=interintra)
+                                     interintra=interintra, warp=warp)
     mi_cols = 2 * ((w + 7) >> 3)
     mi_rows = 2 * ((h + 7) >> 3)
     slot_states = [None] * 8
@@ -1186,13 +1198,15 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
             err=err, primary_ref=0 if not is_key else 7, carry=carry,
             order_hints=True, order_hint=order_hint, ref_idx=ref_idx,
             use_rfm=use_rfm, ref_select=ref_select and not is_key,
-            skip_allowed=skip_allowed, skip_mode=use_skip_mode)
+            skip_allowed=skip_allowed, skip_mode=use_skip_mode,
+            warp=warp)
         bw.byte_align()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
                                 motion_switch=motion_switch,
                                 ref_select=ref_select, jnt=jnt,
-                                interintra=interintra)
+                                interintra=interintra,
+                                allow_warp=warp and not is_key and not err)
         tenc.seq = _SeqStub        # order-hint aware refmvs (rel_dist)
         if use_skip_mode:
             tenc.skip_mode_present = True

@@ -199,14 +199,19 @@ class LoopFilter:
             return
         n_planes = len(planes)
         for plane in range(n_planes):
+            # spec 7.14.1: luma is skipped only when BOTH level[0] and
+            # level[1] are zero — a zero base level still filters edges
+            # whose per-block delta-adjusted level is nonzero (e.g. the
+            # intra ref_delta of +1)
+            if plane == 0 and hdr.lf.level[0] == 0 and \
+                    hdr.lf.level[1] == 0:
+                continue
+            if plane == 1 and hdr.lf.level[2] == 0:
+                continue
+            if plane == 2 and hdr.lf.level[3] == 0:
+                continue
             grids = self._build_grids(plane, planes[plane].shape)
             for pass_ in (0, 1):
-                if plane == 0 and hdr.lf.level[pass_] == 0:
-                    continue
-                if plane == 1 and hdr.lf.level[2] == 0:
-                    continue
-                if plane == 2 and hdr.lf.level[3] == 0:
-                    continue
                 self._filter_pass(planes[plane], plane, pass_, grids)
 
     # -- grids -------------------------------------------------------------

@@ -282,14 +282,16 @@ def lf_device_apply(planes, hdr, bd, grids_for) -> None:
     if getattr(hdr, "allow_intrabc", False):
         return
     for plane in range(len(planes)):
+        # spec 7.14.1: luma skipped only when BOTH level[0]/[1] are 0 —
+        # delta-adjusted per-block levels can be nonzero at base 0
+        if plane == 0 and hdr.lf.level[0] == 0 and hdr.lf.level[1] == 0:
+            continue
+        if plane == 1 and hdr.lf.level[2] == 0:
+            continue
+        if plane == 2 and hdr.lf.level[3] == 0:
+            continue
         g = grids_for(plane, planes[plane].shape)
         for pass_ in (0, 1):
-            if plane == 0 and hdr.lf.level[pass_] == 0:
-                continue
-            if plane == 1 and hdr.lf.level[2] == 0:
-                continue
-            if plane == 2 and hdr.lf.level[3] == 0:
-                continue
             device_pass(planes[plane], hdr, bd, plane, pass_, g)
 
 

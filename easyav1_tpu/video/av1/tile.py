@@ -269,6 +269,9 @@ class TileDecoder:
         self.lr_ref_wiener = [[list(_WIENER_TAPS_MID) for _ in range(2)]
                               for _ in range(3)]
         self.lr_ref_sgr = [list(_SGRPROJ_XQD_MID) for _ in range(3)]
+        # delta-q/lf state resets per tile (spec decode_tile:
+        # CurrentQIndex = base_q_idx, DeltaLF[*] = 0)
+        self.cur_qindex = hdr.quant.base_q_idx
         sb_mi = 1 << sb_shift
         for r in range(row_start, row_end, sb_mi):
             for c in range(col_start, col_end, sb_mi):

@@ -86,8 +86,12 @@ int main(int argc, char **argv) {
     for (unsigned i = 0; i < ic->nb_streams; i++) {
         AVCodecParameters *par = ic->streams[i]->codecpar;
         if (par->codec_id == AV_CODEC_ID_AV1 && vidx < 0) {
-            const AVCodec *dec = avcodec_find_decoder_by_name("libdav1d");
-            if (!dec) die("no libdav1d", 0);
+            /* ORACLE_AV1_DECODER=libaom-av1 arbitrates suspected
+               libdav1d bugs with a second independent decoder */
+            const char *name = getenv("ORACLE_AV1_DECODER");
+            if (!name) name = "libdav1d";
+            const AVCodec *dec = avcodec_find_decoder_by_name(name);
+            if (!dec) die("no av1 decoder", 0);
             vc = avcodec_alloc_context3(dec);
             avcodec_parameters_to_context(vc, par);
             vc->thread_count = 1;
