@@ -62,7 +62,7 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
               if b is not None]
     synth = VorbisDeviceSynth(dec.info.channels, dec.info.blocksize0,
                               dec.info.blocksize1,
-                              tuple(blocks[0].coupling), chunk=64)
+                              tuple(blocks[0].coupling), chunk=256)
     synth.process(blocks)  # warm up compile
     synth.reset()
     dec = VorbisDecoder(headers)

@@ -88,6 +88,16 @@ class VorbisDecoder:
         self._mode_bits = ilog(len(self.info.modes) - 1)
         self._imdct = {}
         self._windows = {}
+        # native (C) symbol-decode fast path; Python remains the
+        # verified reference (EASYAV1_NATIVE=0 forces it)
+        self._native = None
+        import os
+        if os.environ.get("EASYAV1_NATIVE", "1") != "0":
+            try:
+                from easyav1_tpu.audio.vorbis.native import NativeVorbis
+                self._native = NativeVorbis(self.info)
+            except Exception:
+                self._native = None
         self.reset()
 
     # -- state -------------------------------------------------------------
@@ -103,6 +113,8 @@ class VorbisDecoder:
         """Entropy-decode one audio packet into dense tensors.
         Returns None for non-audio packets (parity: vorbis_synthesis
         returning OV_ENOTAUDIO)."""
+        if self._native is not None:
+            return self._native.decode_packet(packet)
         info = self.info
         br = BitReader(packet)
         # Mode header: a truncation here means no block at all.

@@ -58,10 +58,12 @@ class VorbisDeviceSynth:
         self._pad = n1  # headroom for negative block offsets
         self._buf_len = self._pad + chunk * (n1 // 2) + n1
         self._fn = jax.jit(self._make_fn())
+        self._cache_dev = None     # device-resident carried tail
 
     def reset(self) -> None:
         self._state_cache = np.zeros((self.ch, self.n1 // 2), np.float32)
         self._prev_n = 0
+        self._cache_dev = None
 
     # ------------------------------------------------------------------
 
@@ -75,12 +77,19 @@ class VorbisDeviceSynth:
         imdct0, imdct1 = self._imdct0, self._imdct1
         hp = jax.lax.Precision.HIGHEST
 
-        def synth(res_long, floor_long, res_short, floor_short,
-                  window_ids, offsets, cache):
-            """res/floor_long: (B, ch, n1//2); res/floor_short: (B, ch, n0//2)
-            window_ids: (B,) int32; offsets: (B,) int32 (absolute buffer
-            offsets, >= 0); cache: (ch, n1//2) carried tail signal.
-            Returns (buf, ) with buf: (ch, BUF)."""
+        def synth(spec_long, spec_short, meta, cache):
+            """spec_long: (2, B, ch, n1//2) stacked [residue, floor];
+            spec_short: (2, B, ch, n0//2); meta: (2*B+1,) int32 =
+            [window_ids | offsets | emit]; cache: (ch, n1//2) carried
+            tail.  Everything for a chunk rides in three uploads so the
+            host->device tunnel is paid once, not per argument.
+            Returns (buf, next_cache); the cache slice is computed on
+            device so chained chunks never round-trip to the host."""
+            res_long, floor_long = spec_long[0], spec_long[1]
+            res_short, floor_short = spec_short[0], spec_short[1]
+            window_ids = meta[:B]
+            offsets = meta[B:2 * B]
+            emit = meta[2 * B]
 
             def couple(res):
                 for m, a in reversed(coupling):
@@ -114,7 +123,9 @@ class VorbisDeviceSynth:
                 return jax.lax.dynamic_update_slice(buf, cur + pcm[k], (0, off))
 
             buf = jax.lax.fori_loop(0, B, body, buf)
-            return buf
+            next_cache = jax.lax.dynamic_slice(
+                buf, (0, P + emit), (ch, n1 // 2))
+            return buf, next_cache
 
         return synth
 
@@ -122,23 +133,44 @@ class VorbisDeviceSynth:
 
     def process(self, blocks: List[DecodedBlock]) -> np.ndarray:
         """Synthesize a list of blocks (any count; internally chunked).
-        Returns (samples, ch) float32 PCM."""
-        out = []
+        Returns (samples, ch) float32 PCM.
+
+        Chunks are dispatched asynchronously: the carried overlap-add
+        tail stays on device between chunks and the result buffers are
+        fetched in one pass at the end, so the host<->device round trip
+        is paid once per call, not once per chunk."""
+        pend = []       # (device buf, emit)
         for i in range(0, len(blocks), self.chunk):
-            out.append(self._process_chunk(blocks[i:i + self.chunk]))
-        if not out:
+            buf, emit = self._dispatch_chunk(blocks[i:i + self.chunk])
+            try:
+                buf.copy_to_host_async()   # overlap D2H with next chunks
+            except AttributeError:
+                pass
+            pend.append((buf, emit))
+        if not pend:
             return np.zeros((0, self.ch), np.float32)
+        P = self._pad
+        bufs = jax.device_get([b for b, _ in pend])
+        out = [np.asarray(buf)[:, P:P + emit].T
+               for buf, (_, emit) in zip(bufs, pend)]
         return np.concatenate(out, axis=0)
 
     def _process_chunk(self, blocks: List[DecodedBlock]) -> np.ndarray:
+        buf, emit = self._dispatch_chunk(blocks)
+        P = self._pad
+        return np.asarray(buf)[:, P:P + emit].T.copy()
+
+    def _dispatch_chunk(self, blocks: List[DecodedBlock]):
         B, ch, n0, n1 = self.chunk, self.ch, self.n0, self.n1
         P = self._pad
-        res_l = np.zeros((B, ch, n1 // 2), np.float32)
-        flo_l = np.zeros((B, ch, n1 // 2), np.float32)
-        res_s = np.zeros((B, ch, n0 // 2), np.float32)
-        flo_s = np.zeros((B, ch, n0 // 2), np.float32)
-        wids = np.full(B, self.W_ZERO, np.int32)
-        offsets = np.full(B, 0, np.int32)
+        spec_l = np.zeros((2, B, ch, n1 // 2), np.float32)
+        spec_s = np.zeros((2, B, ch, n0 // 2), np.float32)
+        res_l, flo_l = spec_l[0], spec_l[1]
+        res_s, flo_s = spec_s[0], spec_s[1]
+        meta = np.zeros(2 * B + 1, np.int32)
+        wids = meta[:B]
+        wids[:] = self.W_ZERO
+        offsets = meta[B:2 * B]
 
         prev_n = self._prev_n
         emit = 0  # emission pointer, buffer coords relative to P
@@ -164,14 +196,12 @@ class VorbisDeviceSynth:
             lengths.append(L)
             prev_n = n
 
-        buf = self._fn(
-            jnp.asarray(res_l), jnp.asarray(flo_l),
-            jnp.asarray(res_s), jnp.asarray(flo_s),
-            jnp.asarray(wids), jnp.asarray(offsets),
-            jnp.asarray(self._state_cache),
+        if self._cache_dev is None:
+            self._cache_dev = jnp.asarray(self._state_cache)
+        meta[2 * B] = emit
+        buf, self._cache_dev = self._fn(
+            jnp.asarray(spec_l), jnp.asarray(spec_s),
+            jnp.asarray(meta), self._cache_dev,
         )
-        buf = np.asarray(buf)
-        pcm = buf[:, P:P + emit].T.copy()
-        self._state_cache = buf[:, P + emit:P + emit + n1 // 2].copy()
         self._prev_n = prev_n
-        return pcm
+        return buf, emit

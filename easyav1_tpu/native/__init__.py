@@ -23,7 +23,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "libeasyav1.so")
-_SRCS = [os.path.join(_DIR, "av1_tile.c"), os.path.join(_DIR, "av1_recon.c")]
+_SRCS = [os.path.join(_DIR, "av1_tile.c"), os.path.join(_DIR, "av1_recon.c"),
+         os.path.join(_DIR, "vorbis_dec.c")]
 _HDRS = [os.path.join(_DIR, n) for n in
          ("av1_tables.h", "av1_common.h", "av1_itx.h", "av1_lf.h",
           "av1_cdef.h")]
@@ -125,6 +126,14 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_lf_grids_export.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
         ctypes.c_int, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 5
+    lib.vorbis_create.restype = ctypes.c_void_p
+    lib.vorbis_create.argtypes = [ctypes.c_char_p, ctypes.c_long]
+    lib.vorbis_destroy.restype = None
+    lib.vorbis_destroy.argtypes = [ctypes.c_void_p]
+    lib.vorbis_decode_packet.restype = ctypes.c_int
+    lib.vorbis_decode_packet.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     _lib = lib
     return lib
 
