@@ -101,10 +101,17 @@ static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
     return rc->decoded[plane][rr * rc->dw[plane] + cc];
 }
 
-/* spec get_filter_type: above/left BLOCK neighbour used a smooth mode */
+/* spec get_filter_type: above/left BLOCK neighbour used a smooth mode.
+ * For chroma the neighbours are those of the CHROMA-ALIGNED position
+ * (libaom chroma_above_mbmi/chroma_left_mbmi): sub-8x8 pairs consult
+ * the mi above/left of the pair, not of the carrier block. */
 static int filter_type(const Recon *rc, int br, int bc, int plane) {
     const int8_t *modes = plane == 0 ? rc->o->y_mode : rc->o->uv_mode;
     int mc = rc->rp->mi_cols;
+    if (plane) {
+        br &= ~rc->rp->ssy;
+        bc &= ~rc->rp->ssx;
+    }
     int above = 0, left = 0;
     if (br > 0) {
         int m = modes[(br - 1) * mc + bc];

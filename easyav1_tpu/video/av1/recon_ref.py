@@ -95,6 +95,31 @@ def inverse_transform(txb: TxBlock, bitdepth: int) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 
+def _scale_chroma_bsize(bsize: int, ssx: int, ssy: int) -> int:
+    """libaom scale_chroma_bsize: minimum prediction block the chroma of
+    a sub-8x8 luma block behaves as, per subsampling."""
+    if bsize == C.BLOCK_4X4:
+        if ssx and ssy:
+            return C.BLOCK_8X8
+        if ssx:
+            return C.BLOCK_8X4
+        if ssy:
+            return C.BLOCK_4X8
+    elif bsize == C.BLOCK_4X8:
+        if ssx:
+            return C.BLOCK_8X8
+    elif bsize == C.BLOCK_8X4:
+        if ssy:
+            return C.BLOCK_8X8
+    elif bsize == C.BLOCK_4X16:
+        if ssx:
+            return C.BLOCK_8X16
+    elif bsize == C.BLOCK_16X4:
+        if ssy:
+            return C.BLOCK_16X8
+    return bsize
+
+
 def _morton(r: int, c: int, bits: int) -> int:
     m = 0
     for b in range(bits):
@@ -746,6 +771,12 @@ class FrameRecon:
         ssx = self.ssx if plane else 0
         ssy = self.ssy if plane else 0
         bsize = blk.bsize
+        if plane:
+            # libaom scale_chroma_bsize: sub-8x8 blocks evaluate the
+            # chroma TR/BL availability with the bsize scaled up to the
+            # chroma sampling grid (e.g. 16X4 pairs act as 16X8 for
+            # 4:2:0) — the SB-position tables index by that size
+            bsize = _scale_chroma_bsize(bsize, ssx, ssy)
         mi_row, mi_col = blk.r, blk.c
         bw_mi = C.BLOCK_W4[bsize]
         bh_mi = C.BLOCK_H4[bsize]
@@ -1023,11 +1054,19 @@ class FrameRecon:
 
     def _filter_type(self, blk, plane) -> int:
         """Spec get_filter_type: 1 if the block's above or left neighbour
-        mi used a smooth prediction mode (per plane)."""
+        mi used a smooth prediction mode (per plane).  For chroma the
+        neighbours are those of the CHROMA-ALIGNED position (libaom
+        chroma_above_mbmi / chroma_left_mbmi): sub-8x8 pairs consult the
+        mi above/left of the pair, not of the carrier block."""
         plan = self.plan
         smooth = (C.SMOOTH_PRED, C.SMOOTH_V_PRED, C.SMOOTH_H_PRED)
-        modes = plan.y_mode if plane == 0 else plan.uv_mode
-        r, c = blk.r, blk.c
+        if plane == 0:
+            modes = plan.y_mode
+            r, c = blk.r, blk.c
+        else:
+            modes = plan.uv_mode
+            r = blk.r & ~self.ssy
+            c = blk.c & ~self.ssx
         above_smooth = r > 0 and int(modes[r - 1, c]) in smooth
         left_smooth = c > 0 and int(modes[r, c - 1]) in smooth
         return 1 if (above_smooth or left_smooth) else 0

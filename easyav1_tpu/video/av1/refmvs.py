@@ -406,10 +406,16 @@ class RefMvFinder:
                     found00 = ret
         if not found00:
             st.zero_mv_ctx = 1
-        allow_ext = (2 <= bh4 < 16) and (2 <= bw4 < 16)
+        # spec allowExtension tests the UNCLIPPED block dims (7.10.2.14
+        # uses Num_4x4_Blocks_*): a 16-unit block overhanging the frame
+        # edge must NOT gain extension samples just because its clipped
+        # height drops below 16
+        full_h4 = C.BLOCK_H4[bsize]
+        full_w4 = C.BLOCK_W4[bsize]
+        allow_ext = (2 <= full_h4 < 16) and (2 <= full_w4 < 16)
         if allow_ext:
-            voff = max(2, bh4)
-            hoff = max(2, bw4)
+            voff = max(2, full_h4)
+            hoff = max(2, full_w4)
             for (br, bc) in ((voff, -2), (voff, hoff), (voff - 2, hoff)):
                 # extension samples stay within the current superblock
                 # band: row/col in [0, sb) x [0, 2*sb) (validated vs

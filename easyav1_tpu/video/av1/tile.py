@@ -1655,15 +1655,21 @@ class TileDecoder:
         return cands
 
     def _has_overlappable(self, r, c, bsize, avail_u, avail_l):
+        """Spec has_overlappable_candidates (5.11.27): samples only the
+        ODD cell of each 8px step — `RefFrames[r-1][(c+i)|1]`, i += 2.
+        An even/odd inter/intra mix at 4x4 granularity therefore differs
+        from scanning every cell (conformance-verified vs dav1d)."""
         if avail_u:
             for i in range(0, min(C.BLOCK_W4[bsize],
-                                  self.mi_col_end - c)):
-                if int(self.ref_frames0[r - 1, c + i]) > C.INTRA_FRAME:
+                                  self.mi_col_end - c), 2):
+                cc = min((c + i) | 1, self.mi_col_end - 1)
+                if int(self.ref_frames0[r - 1, cc]) > C.INTRA_FRAME:
                     return True
         if avail_l:
             for i in range(0, min(C.BLOCK_H4[bsize],
-                                  self.mi_row_end - r)):
-                if int(self.ref_frames0[r + i, c - 1]) > C.INTRA_FRAME:
+                                  self.mi_row_end - r), 2):
+                rr = min((r + i) | 1, self.mi_row_end - 1)
+                if int(self.ref_frames0[rr, c - 1]) > C.INTRA_FRAME:
                     return True
         return False
 
