@@ -101,17 +101,19 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             tx_mode_select: bool = False,
                             lf_levels=(0, 0), cdef=None,
                             w: int = 64, h: int = 64, lr=None,
-                            fg=None, intrabc: bool = False) -> None:
+                            fg=None, intrabc: bool = False,
+                            screen: bool = False) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
+    allow_screen = intrabc or screen
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
-    bw.f(int(intrabc), 1)  # allow_screen_content_tools (force==SELECT)
-    if intrabc:
+    bw.f(int(allow_screen), 1)  # allow_screen_content_tools (force==SELECT)
+    if allow_screen:
         bw.f(1, 1)        # force_integer_mv (seq force == SELECT)
     # frame_size_override absent (reduced); no order hint; primary ref none
     # refresh implicitly 0xFF; frame size from seq max (no bits, no superres)
     bw.f(0, 1)            # render_and_frame_size_different
-    if intrabc:
-        bw.f(1, 1)        # allow_intrabc
+    if allow_screen:
+        bw.f(int(intrabc), 1)  # allow_intrabc
     # tile info (uniform, single tile; a zero increment bit per dimension
     # whenever max_log2_tile_cols/rows > 0 — spec 5.9.15 tile_info)
     bw.f(1, 1)            # uniform_tile_spacing
@@ -242,6 +244,8 @@ class EncBlock:
     cfl: Optional[Tuple[int, int]] = None
     angle_y: int = 0
     angle_uv: int = 0
+    # palette: (colors ascending, (h, w) index map) per plane group
+    palette_y: Optional[tuple] = None
     tx_type: int = C.DCT_DCT   # luma tx type (must be legal for the set)
     # intrabc displacement vector (row, col) in 1/8-pel (full-pel
     # multiples of 8); None = regular intra block
@@ -290,6 +294,13 @@ class SimpleTileEncoder:
         self.l_lvl = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
         self.a_sign = [np.zeros(self.mi_cols, np.int32) for _ in range(3)]
         self.l_sign = [np.zeros(self.mi_rows, np.int32) for _ in range(3)]
+        # palette state (mirrors TileDecoder a_pal/l_pal)
+        self.a_pal_sz = [np.zeros(self.mi_cols, np.int32) for _ in range(2)]
+        self.l_pal_sz = [np.zeros(self.mi_rows, np.int32) for _ in range(2)]
+        self.a_pal = [np.zeros((self.mi_cols, 8), np.int32)
+                      for _ in range(3)]
+        self.l_pal = [np.zeros((self.mi_rows, 8), np.int32)
+                      for _ in range(3)]
 
     def _emit_deltas_hook(self, blk):
         """Replay point for per-superblock delta_q/lf symbols (used by
@@ -305,6 +316,120 @@ class SimpleTileEncoder:
         else:
             self.enc.encode_symbol(cdf_row, symbol)
             self._update(cdf_row, symbol)
+
+    def _emit_palette_colors(self, plane, r, c, colors):
+        """Mirror of TileDecoder._read_palette_colors: cache bools for
+        colors present in the merged above/left cache, then ascending
+        delta coding for the rest."""
+        enc = self.enc
+        bd = 8
+        n = len(colors)
+        l_sz = int(self.l_pal_sz[plane][r])
+        a_sz = int(self.a_pal_sz[plane][c]) if (r & 15) else 0
+        lcol = self.l_pal[plane][r]
+        acol = self.a_pal[plane][c]
+        cache = []
+        li = ai = 0
+        while li < l_sz and ai < a_sz:
+            lv = int(lcol[li])
+            av = int(acol[ai])
+            if lv < av:
+                if not cache or cache[-1] != lv:
+                    cache.append(lv)
+                li += 1
+            else:
+                if av == lv:
+                    li += 1
+                if not cache or cache[-1] != av:
+                    cache.append(av)
+                ai += 1
+        while li < l_sz:
+            lv = int(lcol[li])
+            li += 1
+            if not cache or cache[-1] != lv:
+                cache.append(lv)
+        while ai < a_sz:
+            av = int(acol[ai])
+            ai += 1
+            if not cache or cache[-1] != av:
+                cache.append(av)
+        remaining = set(colors)
+        used = []
+        for cval in cache:
+            if len(used) >= n:
+                break
+            take = cval in remaining
+            enc.encode_bool_equi(int(take))
+            if take:
+                used.append(cval)
+                remaining.discard(cval)
+        new = sorted(remaining)
+        assert len(used) + len(new) == n, "palette colors not representable"
+        if not new:
+            return
+        mind = 1 if plane == 0 else 0
+        mx = (1 << bd) - 1
+        enc.encode_literal(new[0], bd)
+        if len(used) + 1 < n:
+            # choose the minimum bits that can carry every delta
+            deltas = [new[i + 1] - new[i] - mind
+                      for i in range(len(new) - 1)]
+            need = max(d.bit_length() for d in deltas) if deltas else 0
+            bits = max(bd - 3, need)
+            assert bits <= bd - 1, "palette delta too wide"
+            enc.encode_literal(bits - (bd - 3), 2)
+            prev = new[0]
+            for i in range(1, len(new)):
+                delta = new[i] - prev - mind
+                enc.encode_literal(delta, bits)
+                prev = new[i]
+                if prev + mind >= mx:
+                    break
+                bits = min(bits, (mx - prev - mind).bit_length())
+
+    def _emit_palette_map(self, n, m, uv):
+        """Mirror of TileDecoder._read_palette_map."""
+        enc = self.enc
+        h, w = m.shape
+        enc.encode_ns(int(m[0, 0]), n)
+        cdfs = self.cdf["palette_uv_color_index" if uv
+                        else "palette_y_color_index"][n - 2]
+        for i in range(1, w + h - 1):
+            first = min(i, w - 1)
+            last = max(0, i - h + 1)
+            for x in range(first, last - 1, -1):
+                y = i - x
+                have_left = x > 0
+                have_top = y > 0
+                if not have_left:
+                    ctx = 0
+                    order0 = [int(m[y - 1, x])]
+                elif not have_top:
+                    ctx = 0
+                    order0 = [int(m[y, x - 1])]
+                else:
+                    lft = int(m[y, x - 1])
+                    top = int(m[y - 1, x])
+                    tl = int(m[y - 1, x - 1])
+                    if lft == top and top == tl:
+                        ctx = 4
+                        order0 = [top]
+                    elif top == lft:
+                        ctx = 3
+                        order0 = [top, tl]
+                    elif lft == tl:
+                        ctx = 2
+                        order0 = [lft, top]
+                    elif top == tl:
+                        ctx = 2
+                        order0 = [tl, lft]
+                    else:
+                        ctx = 1
+                        order0 = [min(lft, top), max(lft, top), tl]
+                order = order0 + [k for k in range(8)
+                                  if k not in order0]
+                sym = order.index(int(m[y, x]))
+                self._sym(cdfs[ctx], sym, n)
 
     def _update(self, cdf, symbol):
         if not self.adapt:
@@ -651,23 +776,34 @@ class SimpleTileEncoder:
             if bsize >= C.BLOCK_8X8 and C.V_PRED <= uv_mode <= C.D67_PRED:
                 self._sym(self.cdf["angle_delta"][uv_mode - C.V_PRED],
                           blk.angle_uv + 3)
-        # palette flags: when screen-content tools are on, the decoder
-        # reads has_palette_y/uv for eligible DC blocks; the synth
-        # encoder never uses palette, so emit zeros (ctx 0: no palette
-        # neighbours ever)
+        # palette flags + colors (mirrors TileDecoder palette_mode_info)
+        pal_y_colors = None
         if (getattr(self, "screen_tools", False) and bsize >= C.BLOCK_8X8
                 and w4 * 4 <= 64 and h4 * 4 <= 64):
             sz_ctx = (w4 * 4).bit_length() + (h4 * 4).bit_length() - 8
             if blk.y_mode == C.DC_PRED:
-                self._sym(self.cdf["palette_y_mode"][sz_ctx][0], 0)
+                pctx = int(int(self.a_pal_sz[0][c]) > 0) \
+                    + int(int(self.l_pal_sz[0][r]) > 0)
+                use_pal = blk.palette_y is not None
+                self._sym(self.cdf["palette_y_mode"][sz_ctx][pctx],
+                          int(use_pal))
+                if use_pal:
+                    pal_y_colors = list(blk.palette_y[0])
+                    n = len(pal_y_colors)
+                    self._sym(self.cdf["palette_y_size"][sz_ctx], n - 2)
+                    self._emit_palette_colors(0, r, c, pal_y_colors)
             if has_chroma and (blk.uv_mode == C.DC_PRED
                                and blk.cfl is None):
-                self._sym(self.cdf["palette_uv_mode"][0], 0)
+                pctx = int(pal_y_colors is not None)
+                self._sym(self.cdf["palette_uv_mode"][pctx], 0)
+        self._pending_palette = (pal_y_colors, blk.palette_y[1]) \
+            if pal_y_colors is not None else None
         # filter_intra flag (mirrors TileDecoder._intra_mode_info; only
         # coded when the sequence enables the tool)
         if (getattr(getattr(self, "seq", None), "enable_filter_intra",
                     False)
                 and blk.y_mode == C.DC_PRED
+                and getattr(self, "_pending_palette", None) is None
                 and C.BLOCK_W4[bsize] * 4 <= 32
                 and C.BLOCK_H4[bsize] * 4 <= 32):
             fi = getattr(blk, "filter_intra", None)
@@ -675,6 +811,20 @@ class SimpleTileEncoder:
                       int(fi is not None))
             if fi is not None:
                 self._sym(self.cdf["filter_intra_mode"][0], fi, 5)
+        # palette tokens (decoder reads them before tx size)
+        if getattr(self, "_pending_palette", None) is not None:
+            colors, pmap = self._pending_palette
+            self._pending_palette = None
+            self._emit_palette_map(len(colors), pmap, False)
+            self.a_pal_sz[0][c:c + w4] = len(colors)
+            self.l_pal_sz[0][r:r + h4] = len(colors)
+            self.a_pal[0][c:c + w4, :len(colors)] = colors
+            self.l_pal[0][r:r + h4, :len(colors)] = colors
+        elif getattr(self, "screen_tools", False):
+            self.a_pal_sz[0][c:c + w4] = 0
+            self.l_pal_sz[0][r:r + h4] = 0
+            self.a_pal_sz[1][c:c + w4] = 0
+            self.l_pal_sz[1][r:r + h4] = 0
         tx_size = T.MAX_TX_SIZE_RECT[bsize]
         if getattr(self, "lossless", False):
             tx_size = C.TX_4X4
@@ -968,7 +1118,7 @@ def encode_frame(w: int, h: int, base_q: int,
                  edge_filter: bool = False,
                  lf_levels=(0, 0), cdef=None,
                  lr=None, lr_units=None, fg=None,
-                 intrabc: bool = False) -> bytes:
+                 intrabc: bool = False, screen: bool = False) -> bytes:
     """Full temporal unit: TD + seq hdr + frame OBU.
 
     cdef: None or (damping, [(ypri, ysec, uvpri, uvsec), ...]) with 1, 2,
@@ -981,7 +1131,7 @@ def encode_frame(w: int, h: int, base_q: int,
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
                             lf_levels=lf_levels, cdef=cdef, w=w, h=h,
-                            lr=lr, fg=fg, intrabc=intrabc)
+                            lr=lr, fg=fg, intrabc=intrabc, screen=screen)
     bw.byte_align()
     header_bytes = bw.bytes()
     cdef_bits = None
@@ -999,6 +1149,7 @@ def encode_frame(w: int, h: int, base_q: int,
                                  tx_mode_select=tx_mode_select,
                                  cdef_bits=cdef_bits, cdef_vals=cdef_vals,
                                  lr_types=lr, lr_units=lr_units)
+        tenc.screen_tools = screen
     tile_data = tenc.encode_blocks(blocks)
     frame_payload = header_bytes + tile_data
     return (obu(C.OBU_TEMPORAL_DELIMITER, b"")

@@ -92,6 +92,23 @@ class MsacEncoder:
             r -= v
         self._normalize(low, r)
 
+    def encode_literal(self, value: int, bits: int) -> None:
+        for b in range(bits - 1, -1, -1):
+            self.encode_bool_equi((value >> b) & 1)
+
+    def encode_ns(self, v: int, n: int) -> None:
+        """Inverse of Msac._decode_ns (spec NS(n))."""
+        w = n.bit_length()
+        m = (1 << w) - n
+        if v < m:
+            if w > 1:
+                self.encode_literal(v, w - 1)
+            return
+        x = v + m          # (v' << 1) - m + extra = v  ->  v + m = 2*v' + extra
+        if w > 1:
+            self.encode_literal(x >> 1, w - 1)
+        self.encode_bool_equi(x & 1)
+
     def done(self) -> bytes:
         """od_ec_enc_done: round low up, emit, resolve carries."""
         l = self.low

@@ -1035,8 +1035,12 @@ class TileDecoder:
                         order0 = [tl, lft if top == tl else top]
                     else:
                         ctx = 1
-                        order0 = [top, lft, tl]
-                order = order0 + [k for k in range(8) if k not in order0]
+                        # score sort with ties broken by color value
+                        # (libaom av1_get_palette_color_index_context):
+                        # left/top both score 2 -> smaller color first
+                        order0 = [min(lft, top), max(lft, top), tl]
+                order = order0 + [k for k in range(8)
+                                  if k not in order0]
                 sym = self._decode_ragged(cdfs[ctx], n)
                 m[y, x] = order[sym]
         return m
