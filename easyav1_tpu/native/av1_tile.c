@@ -372,15 +372,21 @@ static int max_tx_depth(int bsize) {
     return D[bsize];
 }
 
-/* writes clip at the full mi array extents (numpy-slice parity) */
+/* writes clip at the frame's PLANE-cell grid (libaom
+ * av1_set_entropy_contexts): a bottom/right-overhanging chroma tx must
+ * not leave stale state in cells past the plane grid — the arrays are
+ * luma-cell sized, so an unclipped chroma write would land in a
+ * valid-but-wrong slot and poison a later neighbor ctx read */
 static void set_coef_ctx(Ctx *t, int plane, int x4, int y4, int w4, int h4,
                          int cul, int dc_cat) {
     const TileParams *p = t->p;
-    for (int i = 0; i < w4 && x4 + i < p->mi_cols; i++) {
+    int nc = plane ? (p->mi_cols + p->ssx) >> p->ssx : p->mi_cols;
+    int nr = plane ? (p->mi_rows + p->ssy) >> p->ssy : p->mi_rows;
+    for (int i = 0; i < w4 && x4 + i < nc; i++) {
         t->a_lvl[plane][x4 + i] = cul;
         t->a_sign[plane][x4 + i] = dc_cat;
     }
-    for (int i = 0; i < h4 && y4 + i < p->mi_rows; i++) {
+    for (int i = 0; i < h4 && y4 + i < nr; i++) {
         t->l_lvl[plane][y4 + i] = cul;
         t->l_sign[plane][y4 + i] = dc_cat;
     }

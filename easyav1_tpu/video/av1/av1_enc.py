@@ -1064,6 +1064,15 @@ class SimpleTileEncoder:
         return 1 if total < 0 else 2
 
     def _set_coef_ctx(self, plane, x4, y4, w4, h4, cul, dc_cat):
+        # clip writes to the frame's plane-cell grid (mirrors the tile
+        # decoder / libaom av1_set_entropy_contexts): state must not be
+        # left in cells past the bottom/right frame edge
+        if plane:
+            w4 = min(w4, ((self.mi_cols + 1) >> 1) - x4)
+            h4 = min(h4, ((self.mi_rows + 1) >> 1) - y4)
+        else:
+            w4 = min(w4, self.mi_cols - x4)
+            h4 = min(h4, self.mi_rows - y4)
         self.a_lvl[plane][x4:x4 + w4] = cul
         self.l_lvl[plane][y4:y4 + h4] = cul
         self.a_sign[plane][x4:x4 + w4] = dc_cat

@@ -113,7 +113,8 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             ref_select: bool = False,
                             skip_allowed: bool = False,
                             skip_mode: bool = False,
-                            warp: bool = False) -> None:
+                            warp: bool = False,
+                            lf=None) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -180,11 +181,24 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
     bw.f(0, 1)              # using_qmatrix
     bw.f(0, 1)              # segmentation_enabled
     bw.f(0, 1)              # delta_q_present
-    # loop filter (levels 0)
-    bw.f(0, 6)
-    bw.f(0, 6)
-    bw.f(0, 3)              # sharpness
-    bw.f(0, 1)              # delta_enabled
+    # loop filter: lf = (l0, l1, u, v, sharpness) enables filtering
+    # with delta_enabled=1 / delta_update=0 (spec default ref/mode
+    # deltas apply: INTRA +1, GOLDEN/ALTREF/BWDREF -1)
+    if lf is None:
+        bw.f(0, 6)
+        bw.f(0, 6)
+        bw.f(0, 3)          # sharpness
+        bw.f(0, 1)          # delta_enabled
+    else:
+        l0, l1, lu, lv, sharp = lf
+        bw.f(l0, 6)
+        bw.f(l1, 6)
+        if l0 or l1:
+            bw.f(lu, 6)
+            bw.f(lv, 6)
+        bw.f(sharp, 3)
+        bw.f(1, 1)          # delta_enabled
+        bw.f(0, 1)          # delta_update
     # cdef/lr skipped (disabled in seq)
     bw.f(int(tx_select), 1)  # tx_mode_select
     if not is_intra:
@@ -1041,7 +1055,8 @@ def encode_inter_sequence(w: int, h: int, q: int, frames,
                           motion_switch: bool = False,
                           err: bool = True,
                           carry: bool = False,
-                          warp: bool = False) -> List[bytes]:
+                          warp: bool = False,
+                          lf=None) -> List[bytes]:
     """frames: list of (frame_type, blocks).  Returns one TU per frame
     (seq header included in the first)."""
     from easyav1_tpu.video.av1.av1_enc import write_frame_header_bits
@@ -1057,7 +1072,7 @@ def encode_inter_sequence(w: int, h: int, q: int, frames,
                                 switchable=switchable, w=w, h=h,
                                 motion_switch=motion_switch,
                                 err=err, primary_ref=0, carry=carry,
-                                warp=warp)
+                                warp=warp, lf=lf)
         bw.byte_align()
         hdr_bytes = bw.bytes()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,

@@ -2270,6 +2270,19 @@ class TileDecoder:
         return 1 if total < 0 else 2
 
     def _set_coef_ctx(self, plane, x4, y4, w4, h4, cul, dc_cat):
+        # writes are clipped to the frame's plane-cell grid (libaom
+        # av1_set_entropy_contexts via max_block_wide/high): a tx
+        # overhanging the bottom/right frame edge must not leave state
+        # in cells past the grid, or a later neighbor ctx read picks up
+        # stale levels the reference decoder never sees (the arrays are
+        # luma-cell sized, so chroma indices past the plane grid would
+        # otherwise land in valid-but-wrong slots)
+        if plane:
+            w4 = min(w4, ((self.mi_cols + self.ssx) >> self.ssx) - x4)
+            h4 = min(h4, ((self.mi_rows + self.ssy) >> self.ssy) - y4)
+        else:
+            w4 = min(w4, self.mi_cols - x4)
+            h4 = min(h4, self.mi_rows - y4)
         self.a_lvl[plane][x4:x4 + w4] = cul
         self.l_lvl[plane][y4:y4 + h4] = cul
         self.a_sign[plane][x4:x4 + w4] = dc_cat

@@ -34,9 +34,16 @@ static void dump_video(Sink *s, AVFrame *f) {
     s->depth = d->comp[0].depth;
     s->ss_x = d->log2_chroma_w; s->ss_y = d->log2_chroma_h;
     int bytes = s->depth > 8 ? 2 : 1;
+    /* ORACLE_PAD_ROWS=N: dump N extra sub-visible luma rows (N>>ss_y
+     * chroma rows) per plane — diagnostic only.  Safe because dav1d
+     * allocates pictures with 128-row-aligned height and the decoder
+     * reconstructs + postfilters the full mi grid past the crop. */
+    const char *padenv = getenv("ORACLE_PAD_ROWS");
+    int pad = padenv ? atoi(padenv) : 0;
     for (int p = 0; p < 3; p++) {
         int pw = p ? (f->width + (1 << s->ss_x) - 1) >> s->ss_x : f->width;
         int ph = p ? (f->height + (1 << s->ss_y) - 1) >> s->ss_y : f->height;
+        ph += p ? pad >> s->ss_y : pad;
         for (int y = 0; y < ph; y++)
             fwrite(f->data[p] + y * f->linesize[p], bytes, pw, s->yuv);
     }
