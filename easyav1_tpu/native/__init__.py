@@ -126,6 +126,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_lf_grids_export.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
         ctypes.c_int, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 5
+    lib.av1_export_pred_units.restype = ctypes.c_int
+    lib.av1_export_pred_units.argtypes = [
+        ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
     lib.vorbis_create.restype = ctypes.c_void_p
     lib.vorbis_create.argtypes = [ctypes.c_char_p, ctypes.c_long]
     lib.vorbis_destroy.restype = None
@@ -302,18 +307,7 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
     return True
 
 
-def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
-    """Full native frame path: tile decode + recon + loop filter + CDEF
-    in C.  Returns the cropped output planes (uint8/uint16), or None if
-    the native path is unavailable or declines (caller falls back)."""
-    lib = _load()
-    if lib is None:
-        return None
-    res = _run_tiles(lib, seq, hdr, tiles)
-    if res is None:
-        return None
-    out, bufs = res
-
+def _build_rp(seq, hdr):
     cdef = hdr.cdef
 
     def pad8(v):
@@ -322,7 +316,7 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
             a[i] = v[i]
         return a
 
-    rp = _ReconParams(
+    return _ReconParams(
         bitdepth=seq.color.bitdepth, num_planes=seq.color.num_planes,
         ssx=seq.color.subsampling_x, ssy=seq.color.subsampling_y,
         mi_rows=hdr.mi_rows, mi_cols=hdr.mi_cols,
@@ -343,6 +337,51 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
         frame_width=hdr.upscaled_width,
         frame_height=hdr.frame_height,
     )
+
+
+def export_frame_bridge(seq, hdr, tiles: List[bytes]):
+    """C entropy decode + pred-unit export for the device recon
+    pipeline: returns dict(units[n,24], txs[n,8], coeffs[...] int32,
+    rp) or None when the native path is unavailable/declines.  The
+    arrays are copies (safe to hold across frames for pipelining)."""
+    lib = _load()
+    if lib is None:
+        return None
+    res = _run_tiles(lib, seq, hdr, tiles)
+    if res is None:
+        return None
+    out, bufs = res
+    rp = _build_rp(seq, hdr)
+    # one record per plane per visited tx; lf_txs shares geometry for
+    # u/v so double it for the worst case
+    max_units = int(out.n_lf) * 2 + 64
+    units = np.empty((max_units, 24), np.int32)
+    n_out = ctypes.c_int64(0)
+    rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
+                                   _vp(units), max_units,
+                                   ctypes.byref(n_out))
+    if rc != 0:
+        return None
+    return {
+        "units": units[:n_out.value],
+        "txs": bufs["txs"][:out.n_txs].copy(),
+        "coeffs": bufs["coeffs"][:out.coeffs_used].copy(),
+        "rp": rp, "out": out, "bufs": bufs,
+    }
+
+
+def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
+    """Full native frame path: tile decode + recon + loop filter + CDEF
+    in C.  Returns the cropped output planes (uint8/uint16), or None if
+    the native path is unavailable or declines (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    res = _run_tiles(lib, seq, hdr, tiles)
+    if res is None:
+        return None
+    out, bufs = res
+    rp = _build_rp(seq, hdr)
 
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4

@@ -642,6 +642,144 @@ int av1_lf_grids_export(const ReconParams *rp, const TileOut *o, int plane,
     return 0;
 }
 
+/* ------------------------------------------------------------------ */
+/* Device-pipeline bridge: emit one record per intra pred unit (every
+ * visited tx block, decode order), with all irregular scalar decisions
+ * resolved host-side (availability, edge filter strengths, upsample
+ * flags, resolved angle, CfL geometry).  The device executor (numpy
+ * reference recon/exec_ref.py, pallas kernel recon/intra_pallas.py)
+ * replays these records without re-deriving any block semantics.
+ * Field layout must match exec_ref.UF/U_* constants. */
+
+#define UF 24
+
+static void export_tx(Recon *rc, int br, int bc, int plane, int x, int y,
+                      int tx, int mode, int angle_delta, int is_cfl,
+                      int cfl_alpha, int ac_x, int ac_y, int ac_w,
+                      int ac_h, int fi, int32_t *u) {
+    const ReconParams *rp = rc->rp;
+    int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
+    int pw = rc->pw[plane], ph = rc->ph[plane];
+    int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
+    int have_above = y > 0, have_left = x > 0;
+    int x4 = x >> 2, y4 = y >> 2;
+    int have_tr = avail_cell(rc, plane, y4 - 1, x4 + (fw >> 2));
+    int have_bl = avail_cell(rc, plane, y4 + (fh >> 2), x4 - 1);
+
+    int is_dir = mode >= V_PRED && mode <= D67_PRED;
+    int p_angle = 0;
+    if (is_dir) {
+        static const int16_t BA[8] = {90, 180, 45, 135, 113, 157, 203, 67};
+        p_angle = BA[mode - V_PRED] + angle_delta * 3;
+    }
+    int cls;
+    if (fi >= 0 && plane == 0) cls = 9;          /* filter-intra: no
+                                                    device support yet */
+    else if (is_cfl) cls = 8;
+    else if (mode == DC_PRED) cls = 0;
+    else if (is_dir && p_angle == 90) cls = 1;
+    else if (is_dir && p_angle == 180) cls = 2;
+    else if (is_dir) cls = 3;
+    else if (mode == SMOOTH_PRED) cls = 4;
+    else if (mode == SMOOTH_V_PRED) cls = 5;
+    else if (mode == SMOOTH_H_PRED) cls = 6;
+    else cls = 7;                                /* PAETH */
+
+    int sa = 0, sl = 0, ua = 0, ul = 0, cf = 0;
+    if (is_dir && p_angle != 90 && p_angle != 180
+        && rp->enable_intra_edge_filter) {
+        int ft = filter_type(rc, br, bc, plane);
+        if (90 < p_angle && p_angle < 180 && (fw + fh) >= 24
+            && have_above && have_left)
+            cf = 1;
+        if (have_above) sa = filter_strength(fw + fh, p_angle - 90, ft);
+        if (have_left) sl = filter_strength(fw + fh, p_angle - 180, ft);
+        ua = use_upsample(fw, fh, p_angle - 90, ft);
+        ul = use_upsample(fw, fh, p_angle - 180, ft);
+    }
+
+    u[0] = plane; u[1] = x; u[2] = y; u[3] = fw; u[4] = fh;
+    u[5] = cls; u[6] = p_angle;
+    u[7] = have_above; u[8] = have_left; u[9] = have_tr; u[10] = have_bl;
+    u[11] = sa; u[12] = sl; u[13] = ua; u[14] = ul; u[15] = cf;
+    u[16] = cfl_alpha; u[17] = ac_x; u[18] = ac_y; u[19] = ac_w;
+    u[20] = ac_h; u[21] = tx; u[22] = mode; u[23] = 0;
+
+    for (int rr = y >> 2; rr < (y + h + 3) >> 2 && rr < rc->dh[plane]; rr++)
+        for (int cc = x >> 2; cc < (x + w + 3) >> 2 && cc < rc->dw[plane];
+             cc++)
+            rc->decoded[plane][rr * rc->dw[plane] + cc] = 1;
+}
+
+static int export_block(Recon *rc, const int32_t *b, int32_t *units,
+                        int64_t max_units, int64_t *n) {
+    const ReconParams *rp = rc->rp;
+    int br = b[0], bc = b[1], bsize = b[2];
+    int y_mode = b[3], uv_mode = b[4];
+    int angle_y = b[5], angle_uv = b[6];
+    int tx_size = b[8], uv_tx = b[9], has_chroma = b[10];
+    int cfl_u = b[11], cfl_v = b[12], fi = b[13];
+    int w4 = av1_block_w4[bsize], h4 = av1_block_h4[bsize];
+    int mi_cols = rp->mi_cols, mi_rows = rp->mi_rows;
+    int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
+    int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
+    for (int yy = 0; yy < lim_h; yy += sh)
+        for (int xx = 0; xx < lim_w; xx += sw) {
+            if (*n >= max_units) return 1;
+            export_tx(rc, br, bc, 0, (bc + xx) * 4, (br + yy) * 4,
+                      tx_size, y_mode, angle_y, 0, 0, 0, 0, 0, 0, fi,
+                      units + (*n)++ * UF);
+        }
+    if (has_chroma && rp->num_planes > 1) {
+        int csw = av1_tx_w4[uv_tx], csh = av1_tx_h4[uv_tx];
+        int cb4 = rmax(1, lim_w >> rp->ssx);
+        int ch4 = rmax(1, lim_h >> rp->ssy);
+        int cx = (bc >> rp->ssx) * 4, cy = (br >> rp->ssy) * 4;
+        int mode = uv_mode, is_cfl = uv_mode == UV_CFL;
+        if (is_cfl) mode = DC_PRED;
+        for (int yy = 0; yy < ch4; yy += csh)
+            for (int xx = 0; xx < cb4; xx += csw)
+                for (int plane = 1; plane < rp->num_planes; plane++) {
+                    if (*n >= max_units) return 1;
+                    export_tx(rc, br, bc, plane, cx + xx * 4, cy + yy * 4,
+                              uv_tx, mode, angle_uv, is_cfl,
+                              is_cfl ? (plane == 1 ? cfl_u : cfl_v) : 0,
+                              cx, cy, cb4 * 4, ch4 * 4, -1,
+                              units + (*n)++ * UF);
+                }
+    }
+    return 0;
+}
+
+int av1_export_pred_units(const ReconParams *rp, const TileOut *o,
+                          int32_t *units, int64_t max_units,
+                          int64_t *n_out) {
+    Recon rc;
+    memset(&rc, 0, sizeof(rc));
+    rc.rp = rp;
+    rc.o = o;
+    int aw = rp->mi_cols * 4, ah = rp->mi_rows * 4;
+    rc.pw[0] = aw; rc.ph[0] = ah;
+    rc.pw[1] = rc.pw[2] = aw >> rp->ssx;
+    rc.ph[1] = rc.ph[2] = ah >> rp->ssy;
+    for (int p = 0; p < 3; p++) {
+        rc.dw[p] = rc.pw[p] >> 2;
+        rc.dh[p] = rc.ph[p] >> 2;
+        rc.decoded[p] = calloc((size_t)rc.dw[p] * rc.dh[p], 1);
+        if (!rc.decoded[p]) {
+            for (int q = 0; q < p; q++) free(rc.decoded[q]);
+            return 2;
+        }
+    }
+    int64_t n = 0;
+    int err = 0;
+    for (int64_t i = 0; i < o->n_blocks && !err; i++)
+        err = export_block(&rc, o->blocks + i * 16, units, max_units, &n);
+    for (int p = 0; p < 3; p++) free(rc.decoded[p]);
+    *n_out = n;
+    return err;
+}
+
 int av1_recon_frame(const ReconParams *rp, const TileOut *o,
                     int32_t *py, int32_t *pu, int32_t *pv) {
     Recon rc;
