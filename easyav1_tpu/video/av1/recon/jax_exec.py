@@ -1,0 +1,658 @@
+"""Device intra recon: residual assembly + sequential unit executor.
+
+Implements the bridge contract (native av1_export_pred_units →
+recon/exec_ref.py semantics) on device with JAX:
+
+- Residual planes: dequantized coefficients, grouped by (tx_size,
+  tx_type), run through the bit-exact batched inverse transforms
+  (itx_jax) and scatter-added into padded mi-aligned planes.
+- Intra prediction: one lax.scan per plane over pred units in decode
+  order.  Every unit processes a fixed-size window (64 luma / 32
+  chroma) with masks, so the scan body is one static program; all
+  irregular decisions arrive precomputed in the unit records.  Luma
+  runs first, then chroma (CfL reads the finished luma plane).
+
+Planes carry a PAD px top/left margin and an ES px bottom/right margin
+so dynamic slices never clamp; unit coordinates are pre-shifted by PAD.
+Margin pixels are junk by construction and never read: edge fetches are
+index-clamped to the mi-aligned extent (F_MAXXR/F_MAXYR) exactly like
+the C recon clamps to pw-1/ph-1.
+
+Correctness contract: bit-exact vs exec_ref.UnitExecutor (tested), and
+therefore vs the native C recon.  This is the pre-pallas device path;
+a pallas kernel can replace the scan with a sequential-grid kernel of
+identical semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import tables as T
+
+PAD = 8          # top/left margin in the padded planes
+NF = 30          # fields per preprocessed unit record
+
+(F_X, F_Y, F_W, F_H, F_CLS, F_ANGLE, F_HA, F_HL, F_HTR, F_HBL,
+ F_SA, F_SL, F_UA, F_UL, F_CF, F_ALPHA, F_ACX, F_ACY, F_ACW, F_ACH,
+ F_DX, F_DY, F_MAXXR, F_MAXYR, F_NPXA, F_NPXL, F_NA, F_NL, F_VALID,
+ F_RES) = range(NF)
+
+K_DC, K_V, K_H, K_Z1, K_Z2, K_Z3, K_SM, K_SMV, K_SMH, K_PAETH, \
+    K_CFL = range(11)
+
+_SM_OFFS = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
+
+
+def _tables():
+    d = np.load(T.__file__.replace("tables.py", "tables_data.npz"))
+    return d["dr_intra_derivative"], d["sm_weights"]
+
+
+def pad_dims(ph: int, pw: int, ws: int):
+    es = 2 * ws + 8
+    return ph + PAD + es, pw + PAD + es
+
+
+def preprocess_units(units: np.ndarray, dims,
+                     pad: int = PAD) -> List[np.ndarray]:
+    """Bridge records [N,24] → per-plane field arrays [Np, NF] int32
+    (decode order preserved within each plane; coordinates shifted by
+    PAD).  Raises NotImplementedError on class-9 (filter-intra)."""
+    dr, _ = _tables()
+    out = []
+    for plane in range(len(dims)):
+        sel = units[units[:, 0] == plane]
+        n = sel.shape[0]
+        f = np.zeros((n, NF), np.int32)
+        (x, y, w, h, cls, ang, ha, hl, htr, hbl, sa, sl, ua, ul, cf,
+         alpha, acx, acy, acw, ach) = (sel[:, i] for i in range(1, 21))
+        if np.any(cls == 9):
+            raise NotImplementedError("filter-intra unit in bridge")
+        ph, pw = dims[plane]
+        k = np.select(
+            [cls == 0, cls == 1, cls == 2,
+             (cls == 3) & (ang < 90), (cls == 3) & (ang > 180),
+             cls == 3, cls == 4, cls == 5, cls == 6, cls == 7,
+             cls == 8],
+            [K_DC, K_V, K_H, K_Z1, K_Z3, K_Z2, K_SM, K_SMV, K_SMH,
+             K_PAETH, K_CFL])
+        dx = np.zeros(n, np.int32)
+        dy = np.zeros(n, np.int32)
+        z1 = k == K_Z1
+        z2 = k == K_Z2
+        z3 = k == K_Z3
+        dx[z1] = dr[ang[z1]]
+        dx[z2] = dr[180 - ang[z2]]
+        dy[z2] = dr[ang[z2] - 90]
+        dy[z3] = dr[270 - ang[z3]]
+        f[:, F_X] = x + pad
+        f[:, F_Y] = y + pad
+        f[:, F_W] = w
+        f[:, F_H] = h
+        f[:, F_CLS] = k
+        f[:, F_ANGLE] = ang
+        f[:, F_HA] = ha
+        f[:, F_HL] = hl
+        f[:, F_HTR] = htr
+        f[:, F_HBL] = hbl
+        f[:, F_SA] = sa
+        f[:, F_SL] = sl
+        f[:, F_UA] = ua
+        f[:, F_UL] = ul
+        f[:, F_CF] = cf
+        f[:, F_ALPHA] = alpha
+        f[:, F_ACX] = acx + pad
+        f[:, F_ACY] = acy + pad
+        f[:, F_ACW] = acw
+        f[:, F_ACH] = ach
+        f[:, F_DX] = dx
+        f[:, F_DY] = dy
+        f[:, F_MAXXR] = (pw - 1) - x
+        f[:, F_MAXYR] = (ph - 1) - y
+        is_dir = z1 | z2 | z3
+        f[:, F_NPXA] = np.where(
+            is_dir,
+            np.minimum(w, pw - x) + np.where(ang < 90, h, 0) + 1, 0)
+        f[:, F_NPXL] = np.where(
+            is_dir,
+            np.minimum(h, ph - y) + np.where(ang > 180, w, 0) + 1, 0)
+        f[:, F_NA] = w + np.where(htr != 0, w, 0)
+        f[:, F_NL] = h + np.where(hbl != 0, h, 0)
+        f[:, F_VALID] = 1
+        out.append(f)
+    return out
+
+
+def _pad_pow2(a: np.ndarray) -> np.ndarray:
+    n = max(a.shape[0], 1)
+    b = 1
+    while b < n:
+        b <<= 1
+    if b == a.shape[0]:
+        return a
+    pad = np.zeros((b - a.shape[0],) + a.shape[1:], a.dtype)
+    return np.concatenate([a, pad])
+
+
+def group_txs(txs: np.ndarray, coeffs: np.ndarray):
+    """Coded-tx records → {(tx_size, tx_type): (coeff[N,ah,aw], plane,
+    x, y)} with batch padded to pow2 (pad entries: zero coeffs at
+    (0,0) plane 0 → zero residual, harmless scatter-add).  Returns
+    None if any tx is lossless (WHT not on device yet)."""
+    groups: Dict[Tuple[int, int], list] = {}
+    for k in range(txs.shape[0]):
+        plane, x, y, tsz, ttyp, eob, coff, lossless = \
+            (int(v) for v in txs[k])
+        if lossless:
+            return None
+        adj = T.ADJUSTED_TX_SIZE[tsz]
+        tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
+        groups.setdefault((tsz, ttyp), []).append(
+            (plane, x, y, coeffs[coff:coff + tw * th].reshape(th, tw)))
+    out = {}
+    for key, lst in groups.items():
+        co = np.stack([c for (_, _, _, c) in lst]).astype(np.int32)
+        pl = np.array([p for (p, _, _, _) in lst], np.int32)
+        xs = np.array([x for (_, x, _, _) in lst], np.int32)
+        ys = np.array([y for (_, _, y, _) in lst], np.int32)
+        out[key] = (_pad_pow2(co), _pad_pow2(pl), _pad_pow2(xs),
+                    _pad_pow2(ys))
+    return out
+
+
+# ------------------------------------------------------------------ #
+
+@functools.lru_cache(maxsize=None)
+def _residual_kernel(tx_size, tx_type, n, bitdepth, nplanes,
+                     pad_y=PAD, pad_x=PAD):
+    """jit: scatter-add a batch of itx outputs into padded planes."""
+    import jax
+    import jax.numpy as jnp
+    from easyav1_tpu.video.av1.recon.itx_jax import _make_kernel
+
+    h = T.TX_HEIGHT[tx_size]
+    w = T.TX_WIDTH[tx_size]
+    kern_inner = _make_kernel(tx_size, tx_type, bitdepth)
+
+    def fn(planes, co, pl, xs, ys):
+        res = kern_inner(co)                  # [n, h, w] int32
+        ii = jnp.arange(h)[None, :, None]
+        jj = jnp.arange(w)[None, None, :]
+        yy = ys[:, None, None] + pad_y + ii
+        xx = xs[:, None, None] + pad_x + jj
+        outp = []
+        for p in range(nplanes):
+            m = (pl == p)[:, None, None]
+            contrib = jnp.where(m, res, 0)
+            outp.append(planes[p].at[yy, xx].add(contrib, mode="drop"))
+        return outp
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
+                 with_cfl: bool, ssx: int, ssy: int):
+    """jit: fn(plane_pad, resid_pad, fields[, luma_pad]) -> plane_pad.
+
+    Sequential executor over unit records for one plane.  Bit-exact
+    mirror of exec_ref._unit with fixed [ws, ws] windows + masks."""
+    import jax
+    import jax.numpy as jnp
+
+    _, sm_np = _tables()
+    ES = 2 * ws + 8
+    mxpix = (1 << bitdepth) - 1
+    base = 1 << (bitdepth - 1)
+    sm = jnp.asarray(sm_np.astype(np.int32))
+    sm_off = jnp.asarray(
+        np.array([_SM_OFFS.get(1 << i, 0) for i in range(7)], np.int32))
+
+    iota = jnp.arange(ES, dtype=jnp.int32)
+    ii = jnp.arange(ws, dtype=jnp.int32)[:, None]
+    jj = jnp.arange(ws, dtype=jnp.int32)[None, :]
+
+    # edge layout: slot 0 spare (base -2 after upsample), slot 1 =
+    # corner (base -1), slot 2+k = pixel k
+    def eidx(b):
+        return jnp.clip(2 + b, 0, ES - 1)
+
+    kerns = jnp.asarray(np.array(
+        [[0, 0, 16, 0, 0], [0, 4, 8, 4, 0], [0, 5, 6, 5, 0],
+         [2, 4, 4, 4, 2]], np.int32))
+
+    def edge_filter(edge, sz, strength, active):
+        """5-tap smoothing over view [corner, px...] = slots 1..;
+        element 0 of the view (corner) kept.  sz includes the corner."""
+        view = edge[1:]                        # [ES-1], v[0] = corner
+        n = ES - 1
+        io = jnp.arange(n, dtype=jnp.int32)
+        kern = kerns[jnp.clip(strength, 0, 3)]
+        acc = jnp.zeros(n, jnp.int32)
+        for t in range(5):
+            k = jnp.clip(io - 2 + t, 0, sz - 1)
+            acc = acc + kern[t] * view[k]
+        filt = (acc + 8) >> 4
+        keep = (io < 1) | (io >= sz) | (strength == 0) \
+            | jnp.logical_not(active)
+        view = jnp.where(keep, view, filt)
+        return edge.at[1:].set(view)
+
+    def upsample(edge, num_px, do):
+        """Spec upsample_intra_edge on the slot layout: after it,
+        slot 0 = old corner, slot 1 = s[0], slot 2+k =
+        (px[k//2] if k odd-free...).  new px[2i] = px[i],
+        new px[2i-1] = s[i] (s[0] lands in the corner slot)."""
+        io = jnp.arange(ES + 3, dtype=jnp.int32)
+        corner = edge[1]
+        # dup[k]: k==0,1 -> corner; 2..num_px+1 -> px[k-2] (clamped);
+        # num_px+2 -> px[num_px-1]
+        pxi = jnp.clip(io - 2, 0, jnp.maximum(num_px - 1, 0))
+        dup = jnp.where(io < 2, corner, edge[eidx(pxi)])
+        s = -dup[:ES] + 9 * dup[1:ES + 1] + 9 * dup[2:ES + 2] \
+            - dup[3:ES + 3]
+        s = jnp.clip((s + 8) >> 4, 0, mxpix)     # s[i], i = 0..
+        # rebuild: slot0 = corner, slot1 = s[0],
+        # slot 2+k: k even -> px[k//2], k odd -> s[(k+1)//2]
+        k = iota - 2
+        even = (k & 1) == 0
+        newpx = jnp.where(even, edge[eidx(k >> 1)],
+                          s[jnp.clip((k + 1) >> 1, 0, ES - 1)])
+        # positions past the written run (k > 2*num_px-2) keep the
+        # ORIGINAL edge values — the C upsample leaves them untouched
+        # and zone2 can read one past the run
+        newpx = jnp.where(k <= 2 * num_px - 2, newpx, edge[eidx(k)])
+        out = edge.at[0].set(corner).at[1].set(s[0]).at[2:].set(
+            newpx[2:])
+        return jnp.where(do, out, edge)
+
+    def log2i(v):
+        # FLOOR log2 (spec bit_length-1): CfL ac blocks clipped at the
+        # frame edge have non-pow2 dims (e.g. 12) and the avg shift
+        # uses the floor — float log2 + rounding breaks exactness
+        return 31 - jax.lax.clz(jnp.maximum(v, 1).astype(jnp.int32))
+
+    def make_body(resid, luma):
+        def body(plane, f):
+            x = f[F_X]
+            y = f[F_Y]
+            w = f[F_W]
+            h = f[F_H]
+            cls = f[F_CLS]
+            ha = f[F_HA] != 0
+            hl = f[F_HL] != 0
+            valid = f[F_VALID] != 0
+
+            arow = jax.lax.dynamic_slice(plane, (y - 1, x - 1),
+                                         (1, ES))[0]
+            lcol = jax.lax.dynamic_slice(plane, (y - 1, x - 1),
+                                         (ES, 1))[:, 0]
+            ia = jnp.minimum(jnp.minimum(iota, f[F_NA] - 1),
+                             f[F_MAXXR])
+            above_px = arow[jnp.clip(1 + ia, 0, ES - 1)]
+            il = jnp.minimum(jnp.minimum(iota, f[F_NL] - 1),
+                             f[F_MAXYR])
+            left_px = lcol[jnp.clip(1 + il, 0, ES - 1)]
+            fill_a = jnp.where(hl, lcol[1], base - 1)
+            fill_l = jnp.where(ha, arow[1], base + 1)
+            above_px = jnp.where(ha, above_px, fill_a)
+            left_px = jnp.where(hl, left_px, fill_l)
+            corner = jnp.where(
+                ha & hl, arow[0],
+                jnp.where(ha, arow[1], jnp.where(hl, lcol[1], base)))
+
+            above = jnp.zeros(ES, jnp.int32).at[2:].set(
+                above_px[:ES - 2]).at[1].set(corner).at[0].set(corner)
+            left = jnp.zeros(ES, jnp.int32).at[2:].set(
+                left_px[:ES - 2]).at[1].set(corner).at[0].set(corner)
+
+            is_dir = (cls == K_Z1) | (cls == K_Z2) | (cls == K_Z3)
+            cf = (f[F_CF] != 0) & is_dir
+            cs = (left[2] * 5 + above[1] * 6 + above[2] * 5 + 8) >> 4
+            above = above.at[1].set(jnp.where(cf, cs, above[1]))
+            above = above.at[0].set(above[1])
+            left = left.at[1].set(jnp.where(cf, cs, left[1]))
+            left = left.at[0].set(left[1])
+
+            above = edge_filter(above, f[F_NPXA], f[F_SA],
+                                is_dir & ha)
+            left = edge_filter(left, f[F_NPXL], f[F_SL],
+                               is_dir & hl)
+
+            ua = (f[F_UA] != 0) & is_dir
+            ul = (f[F_UL] != 0) & is_dir
+            nup_a = w + jnp.where(f[F_ANGLE] < 90, h, 0)
+            nup_l = h + jnp.where(f[F_ANGLE] > 180, w, 0)
+            above = upsample(above, nup_a, ua)
+            left = upsample(left, nup_l, ul)
+
+            A = above[2:]
+            L = left[2:]
+            corner2 = above[1]
+
+            def d_zone1():
+                up = f[F_UA]
+                max_base = (w + h - 1) << up
+                idx = (ii + 1) * f[F_DX]
+                bb = (idx >> (6 - up)) + (jj << up)
+                shift = jnp.broadcast_to(((idx << up) >> 1) & 0x1F,
+                                         (ws, ws))
+                b = jnp.minimum(bb, max_base)
+                e0 = above[eidx(b)]
+                e1 = above[eidx(jnp.minimum(b + 1, max_base + 1))]
+                v = (e0 * (32 - shift) + e1 * shift + 16) >> 5
+                return jnp.where(bb >= max_base, above[eidx(max_base)],
+                                 v)
+
+            def d_zone3():
+                up = f[F_UL]
+                max_base = (w + h - 1) << up
+                idy = (jj + 1) * f[F_DY]
+                bb = (idy >> (6 - up)) + (ii << up)
+                shift = jnp.broadcast_to(((idy << up) >> 1) & 0x1F,
+                                         (ws, ws))
+                b = jnp.minimum(bb, max_base)
+                e0 = left[eidx(b)]
+                e1 = left[eidx(jnp.minimum(b + 1, max_base + 1))]
+                v = (e0 * (32 - shift) + e1 * shift + 16) >> 5
+                return jnp.where(bb >= max_base, left[eidx(max_base)],
+                                 v)
+
+            def d_zone2():
+                upa = f[F_UA]
+                upl = f[F_UL]
+                idx = (jj << 6) - (ii + 1) * f[F_DX]
+                bb = idx >> (6 - upa)
+                sh_a = ((idx << upa) >> 1) & 0x1F
+                ba = jnp.maximum(bb, -2)
+                va = (above[eidx(ba)] * (32 - sh_a)
+                      + above[eidx(ba + 1)] * sh_a + 16) >> 5
+                idy = (ii << 6) - (jj + 1) * f[F_DY]
+                by = idy >> (6 - upl)
+                sh_l = ((idy << upl) >> 1) & 0x1F
+                bl = jnp.maximum(by, -2)
+                vl = (left[eidx(bl)] * (32 - sh_l)
+                      + left[eidx(bl + 1)] * sh_l + 16) >> 5
+                return jnp.where(bb >= -(1 << upa), va, vl)
+
+            def p_dc():
+                suma = jnp.sum(jnp.where(jj[0] < w, A[:ws], 0))
+                suml = jnp.sum(jnp.where(ii[:, 0] < h, L[:ws], 0))
+                both = ha & hl
+                num = jnp.where(both, suma + suml,
+                                jnp.where(ha, suma, suml))
+                den = jnp.where(both, w + h, jnp.where(ha, w, h))
+                avg = jnp.where(
+                    ha | hl,
+                    (num + (den >> 1)) // jnp.maximum(den, 1), base)
+                return jnp.full((ws, ws), avg, jnp.int32)
+
+            def p_v():
+                return jnp.broadcast_to(A[:ws][None, :], (ws, ws))
+
+            def p_h():
+                return jnp.broadcast_to(L[:ws][:, None], (ws, ws))
+
+            def p_paeth():
+                b = A[:ws][None, :]
+                ll = L[:ws][:, None]
+                p = b + ll - corner2
+                pb = jnp.abs(p - b)
+                pl = jnp.abs(p - ll)
+                pc = jnp.abs(p - corner2)
+                return jnp.where((pl <= pb) & (pl <= pc), ll,
+                                 jnp.where(pb <= pc, b, corner2))
+
+            def smw(n, idx):
+                off = sm_off[jnp.clip(log2i(n), 0, 6)]
+                return sm[jnp.clip(off + idx, 0, sm.shape[0] - 1)]
+
+            def p_smooth():
+                wy = smw(h, jnp.minimum(ii, h - 1))
+                wx = smw(w, jnp.minimum(jj, w - 1))
+                below = L[jnp.clip(h - 1, 0, ES - 3)]
+                right = A[jnp.clip(w - 1, 0, ES - 3)]
+                num = wy * A[jnp.clip(jj, 0, ES - 3)] \
+                    + (256 - wy) * below \
+                    + wx * L[jnp.clip(ii, 0, ES - 3)] \
+                    + (256 - wx) * right
+                return (num + 256) >> 9
+
+            def p_smooth_v():
+                wy = smw(h, jnp.minimum(ii, h - 1))
+                below = L[jnp.clip(h - 1, 0, ES - 3)]
+                return (wy * A[jnp.clip(jj, 0, ES - 3)]
+                        + (256 - wy) * below + 128) >> 8
+
+            def p_smooth_h():
+                wx = smw(w, jnp.minimum(jj, w - 1))
+                right = A[jnp.clip(w - 1, 0, ES - 3)]
+                return (wx * L[jnp.clip(ii, 0, ES - 3)]
+                        + (256 - wx) * right + 128) >> 8
+
+            pred = jax.lax.switch(
+                jnp.clip(cls, 0, 10),
+                [p_dc, p_v, p_h, d_zone1, d_zone2, d_zone3, p_smooth,
+                 p_smooth_v, p_smooth_h, p_paeth, p_dc])
+
+            if with_cfl:
+                lx = (f[F_ACX] - PAD) * (1 + ssx) + PAD
+                ly = (f[F_ACY] - PAD) * (1 + ssy) + PAD
+                lblk = jax.lax.dynamic_slice(
+                    luma, (ly, lx), (2 * ws, 2 * ws))
+                if ssx and ssy:
+                    v = (lblk[0::2, 0::2] + lblk[0::2, 1::2]
+                         + lblk[1::2, 0::2] + lblk[1::2, 1::2]) << 1
+                elif ssx:
+                    v = (lblk[:ws, 0::2] + lblk[:ws, 1::2]) << 2
+                else:
+                    v = (lblk[:ws, :ws]) << 3
+                acw = f[F_ACW]
+                ach = f[F_ACH]
+                acm = (jj < acw) & (ii < ach)
+                tot = jnp.sum(jnp.where(acm, v, 0))
+                log2sz = log2i(acw) + log2i(ach)
+                avg = (tot + (1 << jnp.clip(log2sz - 1, 0, 30))) \
+                    >> log2sz
+                ac = v - avg
+                offy = y - f[F_ACY]
+                offx = x - f[F_ACX]
+                acs = jax.lax.dynamic_slice(
+                    jnp.pad(ac, ((0, ws), (0, ws))), (offy, offx),
+                    (ws, ws))
+                alpha = f[F_ALPHA]
+                diff = alpha * acs
+                scaled = jnp.sign(diff) * ((jnp.abs(diff) + 32) >> 6)
+                incfl = (cls == K_CFL) & (alpha != 0) \
+                    & (ii < (ach - offy)) & (jj < (acw - offx))
+                pred = jnp.where(
+                    incfl, jnp.clip(pred + scaled, 0, mxpix), pred)
+
+            rwin = jax.lax.dynamic_slice(resid, (y, x), (ws, ws))
+            out = jnp.clip(pred + rwin, 0, mxpix)
+            cur = jax.lax.dynamic_slice(plane, (y, x), (ws, ws))
+            m = (ii < h) & (jj < w) & valid
+            blended = jnp.where(m, out, cur)
+            plane = jax.lax.dynamic_update_slice(plane, blended,
+                                                 (y, x))
+            return plane, 0
+
+        return body
+
+    if with_cfl:
+        def fn(plane_pad, resid_pad, fields, luma_pad):
+            body = make_body(resid_pad, luma_pad)
+            plane, _ = jax.lax.scan(body, plane_pad, fields)
+            return plane
+    else:
+        def fn(plane_pad, resid_pad, fields):
+            body = make_body(resid_pad, None)
+            plane, _ = jax.lax.scan(body, plane_pad, fields)
+            return plane
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+# ------------------------------------------------------------------ #
+
+class DeviceRecon:
+    """Frame orchestrator for the device intra recon path."""
+
+    def __init__(self, mi_rows, mi_cols, ssx, ssy, bitdepth=8,
+                 num_planes=3):
+        self.bd = bitdepth
+        self.ssx, self.ssy = ssx, ssy
+        self.np_ = num_planes
+        aw, ah = mi_cols * 4, mi_rows * 4
+        self.dims = [(ah, aw), (ah >> ssy, aw >> ssx),
+                     (ah >> ssy, aw >> ssx)][:num_planes]
+        self.ws = [64, 32, 32]
+
+    def run(self, units: np.ndarray, txs: np.ndarray,
+            coeffs: np.ndarray):
+        """Returns device arrays (padded planes) or None if the frame
+        uses features the device path lacks (lossless, filter-intra,
+        non-420 CfL)."""
+        import jax.numpy as jnp
+        if self.np_ > 1 and not (self.ssx and self.ssy):
+            if np.any(units[units[:, 0] > 0][:, 5] == 8):
+                return None
+        try:
+            fields = preprocess_units(units, self.dims)
+        except NotImplementedError:
+            return None
+        groups = group_txs(txs, coeffs)
+        if groups is None:
+            return None
+
+        planes = []
+        for p in range(self.np_):
+            ph, pw = pad_dims(*self.dims[p], self.ws[p])
+            planes.append(jnp.zeros((ph, pw), jnp.int32))
+        # residual scatter works on a shared padding = luma margins,
+        # so chroma planes get the luma-sized margin too: regenerate
+        # chroma planes with their own dims is fine since margins are
+        # only read through clamped indices.
+        resid = [jnp.zeros_like(pl) for pl in planes]
+        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
+            kern = _residual_kernel(tsz, ttyp, co.shape[0], self.bd,
+                                    self.np_)
+            resid = kern(resid, jnp.asarray(co), jnp.asarray(pl),
+                         jnp.asarray(xs), jnp.asarray(ys))
+
+        outs = [None] * self.np_
+        f0 = _pad_pow2(fields[0])
+        ph0, pw0 = planes[0].shape
+        k0 = _scan_kernel(64, ph0, pw0, self.bd, False, self.ssx,
+                          self.ssy)
+        outs[0] = k0(planes[0], resid[0], jnp.asarray(f0))
+        for p in range(1, self.np_):
+            fp = _pad_pow2(fields[p])
+            php, pwp = planes[p].shape
+            kp = _scan_kernel(32, php, pwp, self.bd, True, self.ssx,
+                              self.ssy)
+            outs[p] = kp(planes[p], resid[p], jnp.asarray(fp),
+                         outs[0])
+        return outs
+
+    def crop(self, outs):
+        """Padded device planes → mi-aligned numpy planes."""
+        res = []
+        for p, o in enumerate(outs):
+            ph, pw = self.dims[p]
+            res.append(np.asarray(o)[PAD:PAD + ph, PAD:PAD + pw])
+        return res
+
+
+# ------------------------------------------------------------------ #
+# pallas driver                                                      #
+# ------------------------------------------------------------------ #
+
+class PallasRecon:
+    """Frame orchestrator for the pallas strip executor (the fast
+    device path; exec_ref/DeviceRecon are its behavioral oracles)."""
+
+    def __init__(self, mi_rows, mi_cols, ssx, ssy, bitdepth=8,
+                 num_planes=3, sb128=False, interpret=False):
+        from easyav1_tpu.video.av1.recon import intra_pallas as IP
+        self.IP = IP
+        self.bd = bitdepth
+        self.ssx, self.ssy = ssx, ssy
+        self.np_ = num_planes
+        self.interpret = interpret
+        aw, ah = mi_cols * 4, mi_rows * 4
+        self.dims = [(ah, aw), (ah >> ssy, aw >> ssx),
+                     (ah >> ssy, aw >> ssx)][:num_planes]
+        sl = 128 if sb128 else 64
+        self.strips = [sl, sl >> ssy, sl >> ssy][:num_planes]
+        self.layouts = [IP.plane_layout(ph, pw, self.strips[p])
+                        for p, (ph, pw) in enumerate(self.dims)]
+
+    def _strip_fields(self, f, plane):
+        """[N, NF] -> ([nstrips, umax, NF], counts [nstrips, 8])."""
+        sh = self.strips[plane]
+        hp, wp, ns = self.layouts[plane]
+        sidx = f[:, F_Y] // sh
+        counts = np.zeros((ns, 8, 128), np.int32)
+        for s in range(ns):
+            counts[s, 0, 0] = int((sidx == s).sum())
+        umax = max(8, int(counts[:, 0, 0].max()))
+        umax = -(-umax // 8) * 8
+        out = np.zeros((ns, umax, 32), np.int32)
+        for s in range(ns):
+            sel = f[sidx == s]
+            out[s, :sel.shape[0], :NF] = sel
+        return out, counts, umax
+
+    def run(self, units: np.ndarray, txs: np.ndarray,
+            coeffs: np.ndarray):
+        import jax.numpy as jnp
+        IP = self.IP
+        if self.np_ > 1 and not (self.ssx and self.ssy):
+            if np.any(units[units[:, 0] > 0][:, 5] == 8):
+                return None          # CfL only wired for 4:2:0
+        try:
+            fields = preprocess_units(units, self.dims, pad=0)
+        except NotImplementedError:
+            return None
+        groups = group_txs(txs, coeffs)
+        if groups is None:
+            return None
+
+        resid = []
+        for p in range(self.np_):
+            hp, wp, ns = self.layouts[p]
+            resid.append(jnp.zeros((hp, wp), jnp.int32))
+        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
+            kern = _residual_kernel(tsz, ttyp, co.shape[0], self.bd,
+                                    self.np_, 0, IP.LPAD)
+            resid = kern(resid, jnp.asarray(co), jnp.asarray(pl),
+                         jnp.asarray(xs), jnp.asarray(ys))
+
+        outs = [None] * self.np_
+        hp0, wp0, ns0 = self.layouts[0]
+        u3, cnt, umax = self._strip_fields(fields[0], 0)
+        k0 = IP.make_strip_kernel(self.strips[0], wp0, ns0, umax,
+                                  self.bd, False, 0, self.interpret)
+        outs[0] = k0(jnp.asarray(u3), jnp.asarray(cnt), resid[0])
+        for p in range(1, self.np_):
+            hpp, wpp, nsp = self.layouts[p]
+            u3, cnt, umax = self._strip_fields(fields[p], p)
+            kp = IP.make_strip_kernel(self.strips[p], wpp, nsp, umax,
+                                      self.bd, True, wp0,
+                                      self.interpret)
+            outs[p] = kp(jnp.asarray(u3), jnp.asarray(cnt), resid[p],
+                         outs[0])
+        return outs
+
+    def crop(self, outs):
+        res = []
+        for p, o in enumerate(outs):
+            ph, pw = self.dims[p]
+            res.append(np.asarray(o)[:ph,
+                                     self.IP.LPAD:self.IP.LPAD + pw])
+        return res

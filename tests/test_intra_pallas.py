@@ -1,0 +1,131 @@
+"""Pallas intra executor vs the numpy reference (interpret mode).
+
+Random pred-unit programs (all classes, edge filters, upsampling,
+zone1/2/3 angles, CfL with clipped non-pow2 ac blocks) are replayed by
+both exec_ref.UnitExecutor and the pallas strip kernel; outputs must be
+bit-identical.  Runs the Mosaic interpreter on CPU — the same kernel
+compiles for TPU in the device pipeline.  Seeds include past
+regressions: zone2 left base_y < -2 clamp, upsample interleave
+(pltpu.repeat is tile-like), edge slot -2 zero-init.
+"""
+
+import numpy as np
+import pytest
+
+from easyav1_tpu.video.av1.recon.exec_ref import UnitExecutor
+from easyav1_tpu.video.av1.recon import jax_exec as JX
+from easyav1_tpu.video.av1.recon import intra_pallas as IP
+
+MIR, MIC = 30, 26
+SSX = SSY = 1
+
+
+def _base_layer(plane):
+    ph = (MIR * 4) >> (SSY if plane else 0)
+    pw = (MIC * 4) >> (SSX if plane else 0)
+    out = []
+    for y in range(0, ph, 16):
+        for x in range(0, pw, 16):
+            w = min(16, pw - x) // 4 * 4
+            h = min(16, ph - y) // 4 * 4
+            out.append([plane, x, y, w, h, 0, 0, int(y > 0),
+                        int(x > 0), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                        0, 0, 0, 0])
+    return np.array(out, np.int32)
+
+
+def _rand_units(n, plane, rng):
+    ph = (MIR * 4) >> (SSY if plane else 0)
+    pw = (MIC * 4) >> (SSX if plane else 0)
+    sh = 64 >> (1 if plane else 0)
+    units = []
+    for _ in range(n):
+        w = min(int(2 ** rng.integers(2, 6)), 32)
+        h = min(int(2 ** rng.integers(2, 6)), 32)
+        x = int(rng.integers(0, (pw - w) // 4 + 1)) * 4
+        strip = int(rng.integers(0, ph // sh))
+        y = strip * sh + int(rng.integers(0, (sh - h) // 4 + 1)) * 4
+        y = min(y, ph - h)
+        cls = int(rng.integers(0, 9))
+        ang = 0
+        if cls == 3:
+            zone = rng.integers(0, 3)
+            rngs = {0: range(36, 88, 3), 1: range(93, 178, 3),
+                    2: range(183, 268, 3)}[int(zone)]
+            ang = int(rng.choice(list(rngs)))
+        ha, hl = int(y > 0), int(x > 0)
+        htr = int(rng.integers(0, 2)) if ha else 0
+        hbl = int(rng.integers(0, 2)) if hl else 0
+        if hbl and (y % sh) + 2 * h > sh:
+            hbl = 0
+        sa = int(rng.integers(0, 4)) if cls == 3 else 0
+        sl = int(rng.integers(0, 4)) if cls == 3 else 0
+        ua = int(rng.integers(0, 2)) if cls == 3 and w + h <= 16 else 0
+        ul = int(rng.integers(0, 2)) if cls == 3 and w + h <= 16 else 0
+        cf = int(rng.integers(0, 2)) \
+            if cls == 3 and 90 < ang < 180 and ha and hl else 0
+        alpha = acx = acy = acw = ach = 0
+        if cls == 8 and plane:
+            alpha = int(rng.integers(-16, 17))
+            offx = 4 * int(rng.integers(0, 2)) \
+                if (x >= 4 and w <= 28) else 0
+            offy = 4 * int(rng.integers(0, 2)) \
+                if (y % sh >= 4 and h <= 28) else 0
+            acx, acy = x - offx, y - offy
+            acw, ach = offx + w, offy + h
+            if rng.integers(0, 2) and ach > 4:
+                ach -= 4
+            if rng.integers(0, 2) and acw > 4:
+                acw -= 4
+        units.append([plane, x, y, w, h, cls, ang, ha, hl, htr, hbl,
+                      sa, sl, ua, ul, cf, alpha, acx, acy, acw, ach,
+                      0, 0, 0])
+    return np.array(units, np.int32)
+
+
+@pytest.mark.parametrize("seed", [301, 304, 305, 317, 310])
+def test_pallas_vs_exec_ref(seed):
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    plane = int(rng.integers(0, 3))
+    base = _base_layer(plane)
+    rand = _rand_units(8, plane, rng)
+    sh = 64 >> (1 if plane else 0)
+    nstrip = -(-((MIR * 4) >> (1 if plane else 0)) // sh)
+    parts = []
+    for st in range(nstrip):
+        parts.append(base[base[:, 2] // sh == st])
+        parts.append(rand[rand[:, 2] // sh == st])
+    units = np.concatenate(parts)
+
+    ex = UnitExecutor(MIR, MIC, SSX, SSY, 8, 3)
+    resid = [rng.integers(-50, 51, d).astype(np.int64)
+             for d in ex.dims]
+    gold = ex.run(units, resid)
+
+    pr = JX.PallasRecon(MIR, MIC, SSX, SSY, 8, 3, interpret=True)
+    fields = JX.preprocess_units(units, pr.dims, pad=0)
+    hp, wp, ns = pr.layouts[plane]
+    ph, pw = pr.dims[plane]
+    rp = np.zeros((hp, wp), np.int32)
+    rp[:ph, IP.LPAD:IP.LPAD + pw] = resid[plane]
+    u3, cnt, umax = pr._strip_fields(fields[plane], plane)
+    if plane == 0:
+        k = IP.make_strip_kernel(pr.strips[0], wp, ns, umax, 8,
+                                 False, 0, True)
+        out = k(jnp.asarray(u3), jnp.asarray(cnt), jnp.asarray(rp))
+    else:
+        hp0, wp0, _ = pr.layouts[0]
+        lum = np.zeros((hp0, wp0), np.int32)
+        lum[:pr.dims[0][0], IP.LPAD:IP.LPAD + pr.dims[0][1]] = \
+            ex.planes[0]
+        k = IP.make_strip_kernel(pr.strips[plane], wp, ns, umax, 8,
+                                 True, wp0, True)
+        out = k(jnp.asarray(u3), jnp.asarray(cnt), jnp.asarray(rp),
+                jnp.asarray(lum))
+    got = np.asarray(out)[:ph, IP.LPAD:IP.LPAD + pw]
+    d = np.abs(got.astype(np.int64) - gold[plane])
+    assert d.max() == 0, (
+        f"plane {plane}: maxdiff {d.max()} at "
+        f"{np.argwhere(d > 0)[:4].tolist()}")
