@@ -308,7 +308,8 @@ class EasyAV1:
         with self._playback_lock:
             return self._decode_next_locked()
 
-    def _decode_next_locked(self) -> EasyAV1Status:
+    def _decode_next_locked(self,
+                            fire_callbacks: bool = True) -> EasyAV1Status:
         if self._status.is_error:
             return EasyAV1Status.ERROR
         pkt = self._get_next_packet()
@@ -321,6 +322,10 @@ class EasyAV1:
         self._decode_packet(pkt)
         if self._status.is_error:
             return EasyAV1Status.ERROR
+        if fire_callbacks:
+            # push-mode delivery (reference easyav1.c:2668-2671)
+            self._callback_video()
+            self._callback_audio()
         return EasyAV1Status.OK
 
     def _decode_packet(self, pkt: Packet) -> None:
@@ -339,10 +344,14 @@ class EasyAV1:
         seek to catch up (easyav1.c:2696-2713)."""
         if self._status.is_error:
             return EasyAV1Status.ERROR
-        if timestamp_ms > self._position + DECODE_UNTIL_SKIP_MS:
+        if self.settings.skip_unprocessed_frames and \
+                timestamp_ms > self._position + DECODE_UNTIL_SKIP_MS:
+            # catch-up fast seek only in latest-only mode
+            # (easyav1.c:2696-2713)
             cue = self._demux.find_cue(timestamp_ms * 1_000_000)
             if cue is not None and cue.time_ns // 1_000_000 > self._position:
                 self._do_seek(timestamp_ms, fast=True)
+        st = EasyAV1Status.OK
         while self._position < timestamp_ms:
             # peek: only decode packets at or before the target timestamp
             self._sync_packet_queues()
@@ -354,10 +363,15 @@ class EasyAV1:
             if nxt is not None and nxt // 1_000_000 > timestamp_ms:
                 self._position = timestamp_ms
                 break
-            st = self._decode_next_locked()
+            st = self._decode_next_locked(fire_callbacks=False)
             if st != EasyAV1Status.OK:
-                return st
-        return EasyAV1Status.OK
+                break
+        if st != EasyAV1Status.ERROR and not self._status.is_error:
+            # single end-of-drive delivery (easyav1.c:2768-2771):
+            # latest-only video when skip_unprocessed_frames is on
+            self._callback_video()
+            self._callback_audio()
+        return st
 
     def decode_for(self, duration_ms: int) -> EasyAV1Status:
         return self.decode_until(self._position + duration_ms)
@@ -381,12 +395,31 @@ class EasyAV1:
                 self._frame_queue.append(f)
                 while len(self._frame_queue) > VIDEO_FRAME_QUEUE_SIZE:
                     self._frame_queue.pop(0)  # drop oldest (easyav1.c:2139)
-            cb = self.settings.video_callback
-            if cb:
-                if self.settings.skip_unprocessed_frames:
-                    cb(f, self.settings.callback_userdata)
-                else:
-                    cb(f, self.settings.callback_userdata)
+        if not self.settings.skip_unprocessed_frames:
+            # per-frame delivery: every decoded frame reaches the
+            # callback (easyav1.c:2595-2597); in latest-only mode the
+            # decode drivers deliver once at the end instead
+            self._callback_video()
+
+    def _callback_video(self) -> None:
+        """Pop-based push delivery (reference callback_video,
+        easyav1.c:2192-2205): hands the queue head to the callback
+        only when its timestamp has been reached."""
+        cb = self.settings.video_callback
+        if cb is None:
+            return
+        f = self.get_video_frame()
+        if f is not None:
+            cb(f, self.settings.callback_userdata)
+
+    def _callback_audio(self) -> None:
+        """Reference callback_audio (easyav1.c:2207-2220): hands the
+        ring buffer once and marks it consumed."""
+        cb = self.settings.audio_callback
+        if cb and self._audio_buf_fill:
+            cb(self._make_audio_frame(), self.settings.callback_userdata)
+            self._audio_buf_fill = 0
+            self._audio_consumed = True
 
     def has_video_frame(self) -> bool:
         with self._frame_lock:
@@ -419,12 +452,6 @@ class EasyAV1:
                 return
             if pcm.shape[0]:
                 self._push_audio(pcm, ts_ms)
-        # push-mode delivery after each packet (easyav1.c:2668-2671)
-        cb = self.settings.audio_callback
-        if cb and self._audio_buf_fill:
-            cb(self._make_audio_frame(), self.settings.callback_userdata)
-            self._audio_buf_fill = 0
-            self._audio_consumed = True
 
     def _push_audio(self, pcm: np.ndarray, ts_ms: int) -> None:
         """Append to the ring; overflow drops oldest (easyav1.c:2501-2532)."""
@@ -529,28 +556,36 @@ class EasyAV1:
             self._status = EasyAV1Status.OK
             return EasyAV1Status.OK
 
-        # pass 0: find last keyframe <= target without reconstructing
+        # pass 0: find last keyframe <= target without reconstructing;
+        # when a cue window has none, back up one cue point at a time
+        # (reference easyav1.c:3126-3145)
         keyframe_ts: Optional[int] = None
-        probe_packets = 0
+        first_kf: Optional[int] = None
         while True:
-            demux.save_state()
-            pkt = demux.read_packet()
-            if pkt is None:
+            keyframe_ts, first_kf = self._seek_scan_pass0(target_ns)
+            if keyframe_ts is not None or cue is None:
                 break
-            if pkt.track != self._video_track.number:
-                continue
-            if pkt.timestamp_ns > target_ns and keyframe_ts is not None:
-                break
-            if pkt.timestamp_ns > target_ns and probe_packets > 0:
-                break
-            probe_packets += 1
-            if pkt.keyframe and pkt.timestamp_ns <= target_ns:
-                keyframe_ts = pkt.timestamp_ns
+            prev = (demux.find_cue(cue.time_ns - 1,
+                                   self._video_track.number)
+                    if cue.time_ns > 0 else None)
+            if prev is not None and prev.time_ns < cue.time_ns:
+                cue = prev
+                demux.seek_to_cue(cue)
+            else:
+                cue = None
+                demux.seek_to_start()
         if keyframe_ts is None:
-            # no keyframe found forward of cue: fall back to stream start
-            # (reference backs up cue-by-cue, easyav1.c:3126-3145)
-            demux.seek_to_start()
-            keyframe_ts = -1
+            if first_kf is not None:
+                # target precedes the first keyframe: decode from it
+                # (reference keeps last_keyframe_timestamp = 0 and
+                # accepts the first keyframe in pass 1)
+                keyframe_ts = first_kf
+            else:
+                # scanned from the stream start and found no keyframe
+                # (reference easyav1.c:3126-3140)
+                self._set_error(EasyAV1Status.DECODER_ERROR,
+                                "seek: no keyframe found in stream")
+                return EasyAV1Status.ERROR
 
         # pass 1: re-seek and decode forward
         if cue is not None:
@@ -568,7 +603,7 @@ class EasyAV1:
             ts = pkt.timestamp_ns
             if is_video:
                 if not found_key:
-                    if ts == keyframe_ts or (keyframe_ts == -1 and pkt.keyframe):
+                    if ts == keyframe_ts:
                         found_key = True
                     else:
                         continue  # discard pre-keyframe packets
@@ -585,6 +620,42 @@ class EasyAV1:
             self._position = timestamp_ms
         self._status = EasyAV1Status.OK
         return EasyAV1Status.OK
+
+    def _seek_scan_pass0(self, target_ns: int):
+        """One forward scan of seek pass 0: (last keyframe <= target,
+        first keyframe seen).  Packets before a sequence header only
+        probe for one (parity: SEEKING_FOR_SQHDR via
+        dav1d_parse_sequence_header, easyav1.c:2603-2609, 2335-2351) so
+        the keyframe search starts where decoding could succeed."""
+        demux = self._demux
+        keyframe_ts: Optional[int] = None
+        first_kf: Optional[int] = None
+        probe_packets = 0
+        sqhdr_found = self._video_backend is None
+        while True:
+            demux.save_state()
+            pkt = demux.read_packet()
+            if pkt is None:
+                break
+            if pkt.track != self._video_track.number:
+                continue
+            if pkt.timestamp_ns > target_ns and \
+                    (keyframe_ts is not None or probe_packets > 0):
+                if pkt.keyframe and first_kf is None:
+                    first_kf = pkt.timestamp_ns
+                break
+            probe_packets += 1
+            if not sqhdr_found:
+                sqhdr_found = self._video_backend.probe_sequence_header(
+                    pkt.frames)
+                if not sqhdr_found:
+                    continue
+            if pkt.keyframe:
+                if first_kf is None:
+                    first_kf = pkt.timestamp_ns
+                if pkt.timestamp_ns <= target_ns:
+                    keyframe_ts = pkt.timestamp_ns
+        return keyframe_ts, first_kf
 
     def _fetch_any_packet(self) -> Optional[Packet]:
         demux = self._demux
@@ -618,11 +689,13 @@ class EasyAV1:
             if ts_ms >= timestamp_ms:
                 demux.restore_state()
                 break
-            # prime the decoder's window state without emitting PCM
+            # decode-free position tracking: symbols only, no
+            # synthesis (parity: vorbis_synthesis_trackonly,
+            # easyav1.c:2446-2456 / minivorbis.h:12854)
             for chunk in pkt.frames:
                 blk = self._audio_decoder.decode_packet_symbols(chunk)
                 if blk is not None:
-                    self._audio_decoder.synthesize_block_host(blk)
+                    self._audio_decoder.track_block(blk)
             self._position = ts_ms
         self._position = timestamp_ms
 

@@ -261,6 +261,24 @@ class VorbisDecoder:
         self._prev_n = n
         return out.T.astype(np.float32)
 
+    def track_block(self, blk: DecodedBlock) -> int:
+        """Decode-free position tracking (parity:
+        vorbis_synthesis_trackonly + blockin, minivorbis.h:12854):
+        advances the overlap-add bookkeeping without coupling/IMDCT and
+        returns the sample count the block would have produced.  The
+        lap cache is zeroed, so the first synthesized block after a
+        seek overlaps with silence — matching a restarted decoder."""
+        n = blk.n
+        if self._cache is None:
+            self._cache = np.zeros(
+                (self.info.channels, self.info.blocksize1 // 2))
+            self._prev_n = n
+            return 0
+        out = self._prev_n // 4 + n // 4
+        self._cache[:] = 0
+        self._prev_n = n
+        return out
+
     def decode_packet_host(self, packet: bytes) -> np.ndarray:
         """Convenience: symbols + host synthesis. (samples, ch) float32."""
         blk = self.decode_packet_symbols(packet)

@@ -62,10 +62,19 @@ int main(int argc, char **argv) {
     printf("frames_processed=%llu\n",
            (unsigned long long)easyav1_get_total_video_frames_processed(av));
 
-    /* pull path after a seek back to the start */
+    /* pull path after a seek back to the start; push callbacks are
+       cleared first — with a video callback registered, decode_next's
+       push delivery pops the frame queue (reference callback_video,
+       easyav1.c:2192-2205) and the pull path would see nothing */
+    easyav1_settings snocb = easyav1_get_current_settings(av);
+    snocb.callbacks.video = NULL;
+    snocb.callbacks.audio = NULL;
+    easyav1_update_settings(av, &snocb);
     st = easyav1_seek_to_timestamp(av, 0);
     printf("seek_status=%d\n", (int)st);
-    st = easyav1_decode_next(av);
+    while (st == EASYAV1_STATUS_OK &&
+           easyav1_has_video_frame(av) == EASYAV1_FALSE)
+        st = easyav1_decode_next(av);
     const easyav1_video_frame *vf = easyav1_get_video_frame(av);
     printf("pull_frame=%d\n", vf != NULL);
     if (vf) {
