@@ -40,7 +40,8 @@ from easyav1_tpu.video.av1.recon.jax_exec import (
     K_DC, K_V, K_H, K_Z1, K_Z2, K_Z3, K_SM, K_SMV, K_SMH, K_PAETH,
     K_CFL, _tables)
 
-EW = 384          # per-unit aligned window width (lanes)
+EW = 384          # edge-vector width (lanes; post-upsample reach)
+BW = 256          # per-unit 2D window width (covers rel<=128 + w<=64)
 LPAD = 128        # left margin so aligned windows never go negative
 PW = 128          # pred window width (max unit w is 64)
 
@@ -126,10 +127,22 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
             dma_l.wait()
 
         io_e = jax.lax.broadcasted_iota(jnp.int32, (1, EW), 1)
-        io_r = jax.lax.broadcasted_iota(jnp.int32, (SH, EW), 0)
-        io_c = jax.lax.broadcasted_iota(jnp.int32, (SH, EW), 1)
+        io_r = jax.lax.broadcasted_iota(jnp.int32, (SH, BW), 0)
+        io_c = jax.lax.broadcasted_iota(jnp.int32, (SH, BW), 1)
+        io_lc = jax.lax.broadcasted_iota(jnp.int32, (SH, 128), 1)
         io_p = jax.lax.broadcasted_iota(jnp.int32, (SH, PW), 1)
         io_pr = jax.lax.broadcasted_iota(jnp.int32, (SH, PW), 0)
+
+        def _switch(idx, branches):
+            """Mosaic-safe lax.switch: binary tree of lax.cond so only
+            the taken branch's program executes."""
+            def build(lo, hi):
+                if hi - lo == 1:
+                    return branches[lo]
+                mid = (lo + hi) // 2
+                return lambda: jax.lax.cond(
+                    idx < mid, build(lo, mid), build(mid, hi))
+            return build(0, len(branches))()
 
         def lane_extract(vec, idx):
             return jnp.sum(jnp.where(io_e == idx, vec, 0))
@@ -229,21 +242,25 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
             xb = pl.multiple_of(((x - 1) >> 7) * 128, 128)
             rel = x - xb
 
-            wdw = strip[:, pl.ds(xb, EW)]
-            rwin = rstrip[:, pl.ds(xb, EW)]
-            prow = prev_row[0:1, pl.ds(xb, EW)]
+            wdw = strip[:, pl.ds(xb, BW)]
+            rwin = rstrip[:, pl.ds(xb, BW)]
+            prow = prev_row[0:1, pl.ds(xb, BW)]
 
             yra = pl.multiple_of((jnp.maximum(yr - 1, 0) >> 3) * 8, 8)
-            rows8 = strip[pl.ds(yra, 8), pl.ds(xb, EW)]
-            io8 = jax.lax.broadcasted_iota(jnp.int32, (8, EW), 0)
+            rows8 = strip[pl.ds(yra, 8), pl.ds(xb, BW)]
+            io8 = jax.lax.broadcasted_iota(jnp.int32, (8, BW), 0)
             in_row = jnp.sum(
                 jnp.where(io8 == (yr - 1 - yra), rows8, 0), axis=0,
                 keepdims=True)
             araw = jnp.where(yr == 0, prow, in_row)
-            a_n = rot(araw, 2 - rel, axis=1)
+            # edge vectors live in [1, EW]; lanes past the BW source
+            # window are junk but always >= 2+ka_max and get clamped
+            a_n = rot(jnp.pad(araw, ((0, 0), (0, EW - BW))),
+                      2 - rel, axis=1)
 
+            wl = strip[:, pl.ds(xb, 128)]
             lcolv = jnp.sum(
-                jnp.where(io_c == (rel - 1), wdw, 0), axis=1,
+                jnp.where(io_lc == (rel - 1), wl, 0), axis=1,
                 keepdims=True)                    # [SH, 1]
             l_lane = jnp.transpose(lcolv)         # [1, SH]
             l_lane = jnp.pad(l_lane, ((0, 0), (0, EW - SH)))
@@ -274,24 +291,27 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                              jnp.where(io_e == 1, corner, l_px))
 
             is_dir = (cls == K_Z1) | (cls == K_Z2) | (cls == K_Z3)
-            cfil = (f(F_CF) != 0) & is_dir
-            csv = (lane_extract(left, 2) * 5 + corner * 6
-                   + lane_extract(above, 2) * 5 + 8) >> 4
-            above = jnp.where(cfil & (io_e == 1), csv, above)
-            left = jnp.where(cfil & (io_e == 1), csv, left)
-
-            above = edge_filter(above, f(F_NPXA), f(F_SA),
-                                is_dir & ha)
-            left = edge_filter(left, f(F_NPXL), f(F_SL),
-                               is_dir & hl)
-
             ang = f(F_ANGLE)
             ua = jnp.where((f(F_UA) != 0) & is_dir, 1, 0)
             ul = jnp.where((f(F_UL) != 0) & is_dir, 1, 0)
-            above = upsample(above, w + jnp.where(ang < 90, h, 0),
+
+            def prep_dir():
+                a, l = above, left
+                cfil = f(F_CF) != 0
+                csv = (lane_extract(l, 2) * 5 + corner * 6
+                       + lane_extract(a, 2) * 5 + 8) >> 4
+                a = jnp.where(cfil & (io_e == 1), csv, a)
+                l = jnp.where(cfil & (io_e == 1), csv, l)
+                a = edge_filter(a, f(F_NPXA), f(F_SA), ha)
+                l = edge_filter(l, f(F_NPXL), f(F_SL), hl)
+                a = upsample(a, w + jnp.where(ang < 90, h, 0),
                              ua == 1)
-            left = upsample(left, h + jnp.where(ang > 180, w, 0),
-                            ul == 1)
+                l = upsample(l, h + jnp.where(ang > 180, w, 0),
+                             ul == 1)
+                return a, l
+
+            above, left = jax.lax.cond(
+                is_dir, prep_dir, lambda: (above, left))
             corner2 = lane_extract(above, 1)
 
             A1 = rot(above, -2, axis=1)[0:1, 0:PW]
@@ -300,52 +320,64 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
             Arow = jnp.broadcast_to(A1, (SH, PW))
             Lcol = jnp.broadcast_to(Lsub, (SH, PW))
 
-            # ---- elementwise classes -----------------------------
-            both = ha & hl
-            in_a = (io_e >= 2) & (io_e - 2 < w)
-            in_l = (io_e >= 2) & (io_e - 2 < h)
-            suma = jnp.sum(jnp.where(in_a, above, 0))
-            suml = jnp.sum(jnp.where(in_l, left, 0))
-            dnum = jnp.where(both, suma + suml,
-                             jnp.where(ha, suma, suml))
-            dden = jnp.where(both, w + h, jnp.where(ha, w, h))
-            davg = jnp.where(
-                ha | hl,
-                ((dnum + (dden >> 1)).astype(jnp.float32)
-                 / dden.astype(jnp.float32)).astype(jnp.int32),
-                base)
+            # ---- predictor branches (only the taken one runs) ----
+            def br_dc():
+                both = ha & hl
+                in_a = (io_e >= 2) & (io_e - 2 < w)
+                in_l = (io_e >= 2) & (io_e - 2 < h)
+                suma = jnp.sum(jnp.where(in_a, above, 0))
+                suml = jnp.sum(jnp.where(in_l, left, 0))
+                dnum = jnp.where(both, suma + suml,
+                                 jnp.where(ha, suma, suml))
+                dden = jnp.where(both, w + h, jnp.where(ha, w, h))
+                davg = jnp.where(
+                    ha | hl,
+                    ((dnum + (dden >> 1)).astype(jnp.float32)
+                     / dden.astype(jnp.float32)).astype(jnp.int32),
+                    base)
+                return jnp.full((SH, PW), davg, jnp.int32)
 
-            pred = jnp.full((SH, PW), davg, jnp.int32)
-            pred = jnp.where(cls == K_V, Arow, pred)
-            pred = jnp.where(cls == K_H, Lcol, pred)
+            def br_v():
+                return Arow + jnp.zeros((SH, PW), jnp.int32)
 
-            pp = Arow + Lcol - corner2
-            pb = jnp.abs(pp - Arow)
-            plf = jnp.abs(pp - Lcol)
-            pc = jnp.abs(pp - corner2)
-            paeth = jnp.where((plf <= pb) & (plf <= pc), Lcol,
-                              jnp.where(pb <= pc, Arow, corner2))
-            pred = jnp.where(cls == K_PAETH, paeth, pred)
+            def br_h():
+                return Lcol + jnp.zeros((SH, PW), jnp.int32)
 
-            lgw = 29 - jax.lax.clz(w)          # log2(w) - 2
-            lgh = 29 - jax.lax.clz(h)
-            io5 = jax.lax.broadcasted_iota(jnp.int32, (8, PW), 0)
-            wxv = jnp.sum(jnp.where(io5 == lgw, smr[...], 0), axis=0,
-                          keepdims=True)        # [1, PW]
-            wyv = jnp.sum(jnp.where(io5 == lgh, smr[...], 0), axis=0,
-                          keepdims=True)
-            wy_sub = jnp.transpose(wyv[0:1, 0:SH])
-            wyb = jnp.broadcast_to(wy_sub, (SH, PW))
-            wxb = jnp.broadcast_to(wxv, (SH, PW))
-            below = lane_extract(left, 2 + h - 1)
-            right = lane_extract(above, 2 + w - 1)
-            smm = (wyb * Arow + (256 - wyb) * below
-                   + wxb * Lcol + (256 - wxb) * right + 256) >> 9
-            smv = (wyb * Arow + (256 - wyb) * below + 128) >> 8
-            smh = (wxb * Lcol + (256 - wxb) * right + 128) >> 8
-            pred = jnp.where(cls == K_SM, smm, pred)
-            pred = jnp.where(cls == K_SMV, smv, pred)
-            pred = jnp.where(cls == K_SMH, smh, pred)
+            def br_paeth():
+                pp = Arow + Lcol - corner2
+                pb = jnp.abs(pp - Arow)
+                plf = jnp.abs(pp - Lcol)
+                pc = jnp.abs(pp - corner2)
+                return jnp.where((plf <= pb) & (plf <= pc), Lcol,
+                                 jnp.where(pb <= pc, Arow, corner2))
+
+            def _smooth_w():
+                lgw = 29 - jax.lax.clz(w)      # log2(w) - 2
+                lgh = 29 - jax.lax.clz(h)
+                io5 = jax.lax.broadcasted_iota(jnp.int32, (8, PW), 0)
+                wxv = jnp.sum(jnp.where(io5 == lgw, smr[...], 0),
+                              axis=0, keepdims=True)    # [1, PW]
+                wyv = jnp.sum(jnp.where(io5 == lgh, smr[...], 0),
+                              axis=0, keepdims=True)
+                wy_sub = jnp.transpose(wyv[0:1, 0:SH])
+                wyb = jnp.broadcast_to(wy_sub, (SH, PW))
+                wxb = jnp.broadcast_to(wxv, (SH, PW))
+                below = lane_extract(left, 2 + h - 1)
+                right = lane_extract(above, 2 + w - 1)
+                return wyb, wxb, below, right
+
+            def br_sm():
+                wyb, wxb, below, right = _smooth_w()
+                return (wyb * Arow + (256 - wyb) * below
+                        + wxb * Lcol + (256 - wxb) * right + 256) >> 9
+
+            def br_smv():
+                wyb, wxb, below, right = _smooth_w()
+                return (wyb * Arow + (256 - wyb) * below + 128) >> 8
+
+            def br_smh():
+                wyb, wxb, below, right = _smooth_w()
+                return (wxb * Lcol + (256 - wxb) * right + 128) >> 8
 
             # ---- directional zones -------------------------------
             def dir_read(edge, b, up):
@@ -360,56 +392,6 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                 e1 = jnp.where(up == 1, e1u, e1n)
                 return e0, e1
 
-            mba = (w + h - 1) << ua
-            mbl = (w + h - 1) << ul
-            vmax_a = lane_extract(above, 2 + mba)
-            vmax_l = lane_extract(left, 2 + mbl)
-
-            def z1_body(i, acc):
-                idx = (i + 1) * f(F_DX)
-                b = idx >> (6 - ua)
-                sh = ((idx << ua) >> 1) & 0x1F
-                e0, e1 = dir_read(above, b, ua)
-                lanes = io_p[0:1]
-                bb = b + (lanes << ua)
-                row = (e0 * (32 - sh) + e1 * sh + 16) >> 5
-                row = jnp.where(bb >= mba, vmax_a, row)
-                return jnp.where(io_pr == i, row, acc)
-
-            def z3_body(j, acc):
-                idy = (j + 1) * f(F_DY)
-                b = idy >> (6 - ul)
-                sh = ((idy << ul) >> 1) & 0x1F
-                e0, e1 = dir_read(left, b, ul)
-                lanes = io_p[0:1]
-                bb = b + (lanes << ul)
-                col = (e0 * (32 - sh) + e1 * sh + 16) >> 5
-                col = jnp.where(bb >= mbl, vmax_l, col)
-                return jnp.where(io_pr == j, col, acc)
-
-            def z2_row(i, acc):
-                idx0 = -(i + 1) * f(F_DX)
-                b0 = idx0 >> (6 - ua)
-                sh = ((idx0 << ua) >> 1) & 0x1F
-                e0, e1 = dir_read(above, b0, ua)
-                row = (e0 * (32 - sh) + e1 * sh + 16) >> 5
-                return jnp.where(io_pr == i, row, acc)
-
-            v0l = lane_extract(left, 0)
-            v1l = lane_extract(left, 1)
-
-            def z2_col(j, acc):
-                idy0 = -(j + 1) * f(F_DY)
-                b0 = idy0 >> (6 - ul)
-                sh = ((idy0 << ul) >> 1) & 0x1F
-                e0, e1 = dir_read(left, b0, ul)
-                col = (e0 * (32 - sh) + e1 * sh + 16) >> 5
-                # spec clamps base_y at -2: lanes below read slot0/1
-                bbl = b0 + (io_p[0:1] << ul)
-                clv = (v0l * (32 - sh) + v1l * sh + 16) >> 5
-                col = jnp.where(bbl < -2, clv, col)
-                return jnp.where(io_pr == j, col, acc)
-
             zeros = jnp.zeros((SH, PW), jnp.int32)
 
             def tr_to_pred(acc_t):
@@ -420,17 +402,67 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                         [t, jnp.zeros((SH, PW - SH), jnp.int32)],
                         axis=1)
                 return t
-            z1p = jax.lax.cond(
-                cls == K_Z1,
-                lambda: jax.lax.fori_loop(0, h, z1_body, zeros),
-                lambda: zeros)
-            z3p = jax.lax.cond(
-                cls == K_Z3,
-                lambda: tr_to_pred(
-                    jax.lax.fori_loop(0, w, z3_body, zeros)),
-                lambda: zeros)
 
-            def z2_make():
+            def br_z1():
+                mba = (w + h - 1) << ua
+                vmax_a = lane_extract(above, 2 + mba)
+
+                def z1_body(i, acc):
+                    idx = (i + 1) * f(F_DX)
+                    b = idx >> (6 - ua)
+                    sh = ((idx << ua) >> 1) & 0x1F
+                    e0, e1 = dir_read(above, b, ua)
+                    lanes = io_p[0:1]
+                    bb = b + (lanes << ua)
+                    row = (e0 * (32 - sh) + e1 * sh + 16) >> 5
+                    row = jnp.where(bb >= mba, vmax_a, row)
+                    return jnp.where(io_pr == i, row, acc)
+
+                return jax.lax.fori_loop(0, h, z1_body, zeros)
+
+            def br_z3():
+                mbl = (w + h - 1) << ul
+                vmax_l = lane_extract(left, 2 + mbl)
+
+                def z3_body(j, acc):
+                    idy = (j + 1) * f(F_DY)
+                    b = idy >> (6 - ul)
+                    sh = ((idy << ul) >> 1) & 0x1F
+                    e0, e1 = dir_read(left, b, ul)
+                    lanes = io_p[0:1]
+                    bb = b + (lanes << ul)
+                    col = (e0 * (32 - sh) + e1 * sh + 16) >> 5
+                    col = jnp.where(bb >= mbl, vmax_l, col)
+                    return jnp.where(io_pr == j, col, acc)
+
+                return tr_to_pred(
+                    jax.lax.fori_loop(0, w, z3_body, zeros))
+
+            def br_z2():
+                v0l = lane_extract(left, 0)
+                v1l = lane_extract(left, 1)
+
+                def z2_row(i, acc):
+                    idx0 = -(i + 1) * f(F_DX)
+                    b0 = idx0 >> (6 - ua)
+                    sh = ((idx0 << ua) >> 1) & 0x1F
+                    e0, e1 = dir_read(above, b0, ua)
+                    row = (e0 * (32 - sh) + e1 * sh + 16) >> 5
+                    return jnp.where(io_pr == i, row, acc)
+
+                def z2_col(j, acc):
+                    idy0 = -(j + 1) * f(F_DY)
+                    b0 = idy0 >> (6 - ul)
+                    sh = ((idy0 << ul) >> 1) & 0x1F
+                    e0, e1 = dir_read(left, b0, ul)
+                    col = (e0 * (32 - sh) + e1 * sh + 16) >> 5
+                    # spec clamps base_y at -2: lanes below read
+                    # slot0/1
+                    bbl = b0 + (io_p[0:1] << ul)
+                    clv = (v0l * (32 - sh) + v1l * sh + 16) >> 5
+                    col = jnp.where(bbl < -2, clv, col)
+                    return jnp.where(io_pr == j, col, acc)
+
                 rows = jax.lax.fori_loop(0, h, z2_row, zeros)
                 cols = tr_to_pred(
                     jax.lax.fori_loop(0, w, z2_col, zeros))
@@ -438,60 +470,64 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                     + ((-(io_pr + 1) * f(F_DX)) >> (6 - ua))
                 return jnp.where(bb >= -(1 << ua), rows, cols)
 
-            z2p = jax.lax.cond(cls == K_Z2, z2_make, lambda: zeros)
-            pred = jnp.where(cls == K_Z1, z1p, pred)
-            pred = jnp.where(cls == K_Z3, z3p, pred)
-            pred = jnp.where(cls == K_Z2, z2p, pred)
+            pred = _switch(
+                jnp.clip(cls, 0, 10),
+                [br_dc, br_v, br_h, br_z1, br_z2, br_z3, br_sm,
+                 br_smv, br_smh, br_paeth, br_dc])
 
             # ---- CfL ---------------------------------------------
             if with_cfl:
-                acx = f(F_ACX)
-                acy = f(F_ACY)
-                lx = acx * 2 + LPAD
-                lyr = (acy - y0) * 2
-                lxb = pl.multiple_of((lx >> 7) * 128, 128)
-                lrel = lx - lxb
-                lwm = lstrip[:, pl.ds(lxb, 256)]   # [2SH, 256]
-                lsum = jnp.dot(
-                    jnp.dot(d1r[...], lwm.astype(jnp.float32),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST),
-                    d2r[...],
-                    preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-                v = (lsum.astype(jnp.int32)) << 1   # [SH, PW]
-                v = rot(v, -(lyr >> 1), axis=0)
-                v = rot(v, -(lrel >> 1), axis=1)
-                acw = f(F_ACW)
-                ach = f(F_ACH)
-                acm = (io_p < acw) & (io_pr < ach)
-                tot = jnp.sum(jnp.where(acm, v, 0))
-                l2 = (31 - jax.lax.clz(jnp.maximum(acw, 1))) \
-                    + (31 - jax.lax.clz(jnp.maximum(ach, 1)))
-                avg = (tot + (1 << jnp.clip(l2 - 1, 0, 30))) >> l2
-                ac = v - avg
-                offy = y - acy
-                offx = (f(F_X) + LPAD) - (acx + LPAD)
-                offx = f(F_X) - acx
-                ac = rot(ac, -offy, axis=0)
-                ac = rot(ac, -offx, axis=1)
-                alpha = f(F_ALPHA)
-                diff = alpha * ac
-                scaled = jnp.sign(diff) * ((jnp.abs(diff) + 32) >> 6)
-                incfl = (cls == K_CFL) & (alpha != 0) \
-                    & (io_pr < (ach - offy)) & (io_p < (acw - offx))
-                pred = jnp.where(
-                    incfl, jnp.clip(pred + scaled, 0, mx), pred)
+                def cfl_add():
+                    acx = f(F_ACX)
+                    acy = f(F_ACY)
+                    lx = acx * 2 + LPAD
+                    lyr = (acy - y0) * 2
+                    lxb = pl.multiple_of((lx >> 7) * 128, 128)
+                    lrel = lx - lxb
+                    lwm = lstrip[:, pl.ds(lxb, 256)]   # [2SH, 256]
+                    lsum = jnp.dot(
+                        jnp.dot(d1r[...], lwm.astype(jnp.float32),
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST),
+                        d2r[...],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    v = (lsum.astype(jnp.int32)) << 1   # [SH, PW]
+                    v = rot(v, -(lyr >> 1), axis=0)
+                    v = rot(v, -(lrel >> 1), axis=1)
+                    acw = f(F_ACW)
+                    ach = f(F_ACH)
+                    acm = (io_p < acw) & (io_pr < ach)
+                    tot = jnp.sum(jnp.where(acm, v, 0))
+                    l2 = (31 - jax.lax.clz(jnp.maximum(acw, 1))) \
+                        + (31 - jax.lax.clz(jnp.maximum(ach, 1)))
+                    avg = (tot + (1 << jnp.clip(l2 - 1, 0, 30))) >> l2
+                    ac = v - avg
+                    offy = y - acy
+                    offx = f(F_X) - acx
+                    ac = rot(ac, -offy, axis=0)
+                    ac = rot(ac, -offx, axis=1)
+                    alpha = f(F_ALPHA)
+                    diff = alpha * ac
+                    scaled = jnp.sign(diff) \
+                        * ((jnp.abs(diff) + 32) >> 6)
+                    incfl = (alpha != 0) \
+                        & (io_pr < (ach - offy)) & (io_p < (acw - offx))
+                    return jnp.where(
+                        incfl, jnp.clip(pred + scaled, 0, mx), pred)
+
+                pred = jax.lax.cond(cls == K_CFL, cfl_add,
+                                    lambda: pred)
 
             # ---- blend -------------------------------------------
-            pfull = jnp.pad(pred, ((0, 0), (0, EW - PW)))
+            pfull = jnp.pad(pred, ((0, 0), (0, BW - PW)))
             pfull = rot(pfull, rel, axis=1)
             pfull = rot(pfull, yr, axis=0)
             outv = jnp.clip(pfull + rwin, 0, mx)
             msk = (io_r >= yr) & (io_r < yr + h) \
                 & (io_c >= rel) & (io_c < rel + w) \
                 & (f(F_VALID) != 0)
-            strip[:, pl.ds(xb, EW)] = jnp.where(msk, outv, wdw)
+            strip[:, pl.ds(xb, BW)] = jnp.where(msk, outv, wdw)
             return carry
 
         n = counts_ref[0, 0, 0]
