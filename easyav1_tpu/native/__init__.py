@@ -384,6 +384,12 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
     rp = _build_rp(seq, hdr)
 
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
+        planes = _pallas_frame(lib, seq, hdr, out, bufs, rp)
+        if planes is not None:
+            return planes
+        # fall through to the C recon when the device path declines
+
     aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
     pkey = ("planes", ah, aw, ssx, ssy)
     pl = _BUF_POOL.get(pkey)
@@ -418,15 +424,57 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
     return planes
 
 
-def _device_postfilter(seq, hdr, out, bufs, aligned, rp):
-    """Loop filter + CDEF on device using the native decoder's grids."""
-    from easyav1_tpu.video.av1.recon.cdef_jax import (cdef_device_apply,
-                                                      unit_maps)
-    from easyav1_tpu.video.av1.recon.lf_jax import lf_device_apply
+_PALLAS_RECONS: dict = {}
 
-    lib = _load()
-    bd = seq.color.bitdepth
 
+def _pallas_frame(lib, seq, hdr, out, bufs, rp):
+    """TPU recon pipe: the C entropy decoder's per-unit export feeds
+    the Pallas strip executor (residual compose + intra prediction on
+    device); loop filter and CDEF then run as device kernels.  Returns
+    visible planes, or None when the frame uses features the device
+    executor lacks (inter, lossless, filter-intra) — caller falls back
+    to the C recon (entropy work is shared, not redone)."""
+    from easyav1_tpu.video.av1.recon.jax_exec import PallasRecon
+
+    max_units = int(out.n_lf) * 2 + 64
+    units = np.empty((max_units, 24), np.int32)
+    n_out = ctypes.c_int64(0)
+    rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
+                                   _vp(units), max_units,
+                                   ctypes.byref(n_out))
+    if rc != 0:
+        return None
+    ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    key = (hdr.mi_rows, hdr.mi_cols, ssx, ssy, seq.color.bitdepth,
+           seq.color.num_planes, bool(seq.use_128x128_superblock))
+    pr = _PALLAS_RECONS.get(key)
+    if pr is None:
+        pr = _PALLAS_RECONS[key] = PallasRecon(*key[:6], sb128=key[6])
+    outs = pr.run(units[:n_out.value], bufs["txs"][:out.n_txs],
+                  bufs["coeffs"][:out.coeffs_used])
+    if outs is None:
+        return None
+    from easyav1_tpu.video.av1.recon.postfilter_fused import \
+        postfilter_frame
+    import jax.numpy as jnp
+    lpad = pr.IP.LPAD
+    dev = [outs[p][:ph, lpad:lpad + pw]
+           for p, (ph, pw) in enumerate(pr.dims)]
+    dev = postfilter_frame(dev, hdr, seq, _grids_exporter(lib, rp, out),
+                           bufs["grids"]["skip"], bufs["cdef"])
+    w, h = hdr.upscaled_width, hdr.frame_height
+    cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+    dt = jnp.uint8 if seq.color.bitdepth == 8 else jnp.uint16
+    planes = [np.asarray(dev[0][:h, :w].astype(dt))]
+    if seq.color.num_planes > 1:
+        planes.append(np.asarray(dev[1][:ch, :cw].astype(dt)))
+        planes.append(np.asarray(dev[2][:ch, :cw].astype(dt)))
+    return planes
+
+
+def _grids_exporter(lib, rp, out):
+    """grids_for(plane, shape) closure over the C decoder's exported
+    per-4x4-cell loop-filter grids."""
     def grids_for(plane, shape):
         h, w = shape
         gw, gh = (w + 3) >> 2, (h + 3) >> 2
@@ -440,15 +488,18 @@ def _device_postfilter(seq, hdr, out, bufs, aligned, rp):
                 "skip": a[2].astype(np.int32),
                 "edge_left": a[3].astype(bool),
                 "edge_top": a[4].astype(bool), "gw": gw, "gh": gh}
+    return grids_for
 
-    lf_device_apply(aligned, hdr, bd, grids_for)
 
-    cd = hdr.cdef
-    if (getattr(seq, "enable_cdef", False) and not hdr.coded_lossless
-            and not getattr(hdr, "allow_intrabc", False)
-            and (max(cd.y_pri_strength) or max(cd.y_sec_strength)
-                 or max(cd.uv_pri_strength) or max(cd.uv_sec_strength))):
-        filt, idxm = unit_maps(bufs["grids"]["skip"], bufs["cdef"],
-                               hdr.mi_rows, hdr.mi_cols)
-        cdef_device_apply(aligned, hdr, seq, seq.color.subsampling_x,
-                          seq.color.subsampling_y, bd, filt, idxm)
+def _device_postfilter(seq, hdr, out, bufs, aligned, rp):
+    """Loop filter + CDEF on device (fused, device-resident) using the
+    native decoder's grids; results written back into `aligned`."""
+    from easyav1_tpu.video.av1.recon.postfilter_fused import \
+        postfilter_frame
+
+    lib = _load()
+    dev = postfilter_frame(aligned, hdr, seq, _grids_exporter(lib, rp, out),
+                           bufs["grids"]["skip"], bufs["cdef"])
+    for p, d in enumerate(dev):
+        if d is not aligned[p]:
+            aligned[p][:, :] = np.asarray(d)

@@ -104,10 +104,10 @@ def find_dirs_host(partials: np.ndarray):
     return best, var
 
 
-@functools.lru_cache(maxsize=None)
-def _make_kernel(ph: int, pw: int, ssx: int, ssy: int, plane: int,
+def _filter_body(ph: int, pw: int, ssx: int, ssy: int, plane: int,
                  bitdepth: int, damping: int):
-    """Jitted CDEF filter for one plane of dims (ph, pw).
+    """Traceable CDEF filter for one plane of dims (ph, pw) — the body
+    behind `_make_kernel`, reusable inside a larger fused jit.
 
     Args of the returned fn:
       plane_in  [ph, pw] int32 — the deblocked plane
@@ -223,7 +223,52 @@ def _make_kernel(ph: int, pw: int, ssx: int, ssy: int, plane: int,
         active = (filt_p != 0) & ((pri_p != 0) | (sec_p != 0))
         return jnp.where(active, val, px)
 
-    return jax.jit(kernel)
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel(ph: int, pw: int, ssx: int, ssy: int, plane: int,
+                 bitdepth: int, damping: int):
+    """Jitted wrapper over `_filter_body` (see its docstring)."""
+    import jax
+    return jax.jit(_filter_body(ph, pw, ssx, ssy, plane, bitdepth,
+                                damping))
+
+
+def _dirs_body(uh: int, uw: int, coeff_shift: int):
+    """Traceable on-device direction search: deblocked luma plane
+    (padded to the unit grid with CDEF_VERY_LARGE) → (dir, var) int32
+    [uh, uw].
+
+    Exactness: partial sums read real pixels only when the unit grid
+    does not overhang the mi-aligned plane; then |x| <= 128+
+    after the coeff shift, partial k sums n_k <= 8 of them, and
+    cost = sum_k w_k * p_k^2 <= 840*128^2*64 < 2^31 — int32 is exact.
+    Callers must use the host fallback (`find_dirs_host`) when the
+    unit grid overhangs (VERY_LARGE values break the bound).
+    """
+    import jax.numpy as jnp
+
+    IND = _partial_indicators()
+    W32 = _cost_weights().astype(np.int32)
+
+    def body(luma_pad):
+        lh, lw = uh * 8, uw * 8
+        blocks = luma_pad[2:2 + lh, 2:2 + lw]
+        blocks = blocks.reshape(uh, 8, uw, 8).transpose(0, 2, 1, 3)
+        x = (blocks >> coeff_shift) - 128                 # [uh,uw,8,8]
+        part = jnp.einsum("uvij,dkij->uvdk", x, jnp.asarray(IND),
+                          preferred_element_type=jnp.int32)
+        cost = jnp.sum(part * part * jnp.asarray(W32)[None, None],
+                       axis=-1)                           # [uh,uw,8]
+        best = jnp.argmax(cost, axis=-1).astype(jnp.int32)
+        bc = jnp.take_along_axis(cost, best[..., None], axis=-1)[..., 0]
+        oc = jnp.take_along_axis(cost, ((best + 4) & 7)[..., None],
+                                 axis=-1)[..., 0]
+        var = (bc - oc) >> 10
+        return best, var
+
+    return body
 
 
 def unit_maps(skip_grid: np.ndarray, cdef_idx_grid: np.ndarray,

@@ -166,6 +166,180 @@ def group_txs(txs: np.ndarray, coeffs: np.ndarray):
 
 # ------------------------------------------------------------------ #
 
+class ResidualPlanner:
+    """Canonical gather-compose of batched itx outputs.
+
+    Residual blocks tile each plane disjointly, so instead of one
+    XLA scatter per (tx_size, tx_type) group (~70 dispatches/frame),
+    the itx batches for ALL groups run inside ONE jit whose outputs
+    are flattened into a shared value buffer, and each plane is
+    composed with a single gather through a per-frame int32 slot map
+    (0 = no residual).  To keep the jit signature stream-stable (a
+    fresh signature costs ~90 s of XLA compile), buckets get fixed
+    pow2 capacities chosen at the first frame (+50% slack); txs that
+    overflow a bucket, or whose (tx_size, tx_type) pair never
+    appeared, spill to the legacy per-group scatter kernel on top of
+    the composed planes (disjoint adds, so order is irrelevant).
+
+    Mirrors dav1d's role split where itx writes into the frame buffer
+    directly (recon_tmpl.c); on TPU the compose keeps everything as
+    two dense ops (batched itx matmuls + one gather per plane).
+    """
+
+    def __init__(self, layouts, np_, bd, lpad):
+        self.layouts = layouts          # [(hp, wp, nstrips)] per plane
+        self.np_ = np_
+        self.bd = bd
+        self.lpad = lpad
+        self.buckets = None             # {(tsz,ttyp): (cap, base)}
+        self.vtotal = 1                 # value-buffer length (slot 0 = 0)
+
+    @staticmethod
+    def _split(txs):
+        pl, xs, ys = txs[:, 0], txs[:, 1], txs[:, 2]
+        tsz, ttyp, coff = txs[:, 3], txs[:, 4], txs[:, 6]
+        key = tsz * 16 + ttyp
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
+        return pl, xs, ys, tsz, ttyp, coff, order, bounds
+
+    def _init_buckets(self, tsz, ttyp, order, bounds):
+        self.buckets = {}
+        base = 1
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            k = order[b0]
+            ts, tt = int(tsz[k]), int(ttyp[k])
+            n = int(b1 - b0)
+            cap = (n + (n >> 2) + 15) & ~7
+            h, w = T.TX_HEIGHT[ts], T.TX_WIDTH[ts]
+            self.buckets[(ts, tt)] = (cap, base)
+            base += cap * h * w
+        self.vtotal = base
+
+    def build(self, txs, coeffs):
+        """-> (sig, cos, maps, spills) or None (lossless present)."""
+        if txs.shape[0] == 0:
+            maps = [np.zeros((hp, wp), np.int32)
+                    for (hp, wp, _) in self.layouts[:self.np_]]
+            if self.buckets is None:
+                self.buckets = {}
+            sig = tuple((ts, tt, cap) for (ts, tt), (cap, _)
+                        in self.buckets.items())
+            cos = [np.zeros((cap, T.TX_HEIGHT[T.ADJUSTED_TX_SIZE[ts]],
+                             T.TX_WIDTH[T.ADJUSTED_TX_SIZE[ts]]),
+                            np.int32)
+                   for (ts, tt), (cap, _) in self.buckets.items()]
+            return sig, cos, maps, []
+        if np.any(txs[:, 7] != 0):
+            return None                  # lossless (WHT) not on device
+        pl, xs, ys, tsz, ttyp, coff, order, bounds = self._split(txs)
+        if self.buckets is None:
+            self._init_buckets(tsz, ttyp, order, bounds)
+
+        maps = [np.zeros((hp, wp), np.int32)
+                for (hp, wp, _) in self.layouts[:self.np_]]
+        cos = {k: None for k in self.buckets}
+        spills = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            idx = order[b0:b1]
+            ts, tt = int(tsz[idx[0]]), int(ttyp[idx[0]])
+            adj = T.ADJUSTED_TX_SIZE[ts]
+            ah, aw = T.TX_HEIGHT[adj], T.TX_WIDTH[adj]
+            h, w = T.TX_HEIGHT[ts], T.TX_WIDTH[ts]
+            ent = self.buckets.get((ts, tt))
+            if ent is None:
+                spills.append((ts, tt, idx, ah, aw))
+                continue
+            cap, base = ent
+            if idx.shape[0] > cap:
+                spills.append((ts, tt, idx[cap:], ah, aw))
+                idx = idx[:cap]
+            n = idx.shape[0]
+            co = np.zeros((cap, ah, aw), np.int32)
+            co.reshape(cap, -1)[:n] = coeffs[
+                coff[idx, None] + np.arange(ah * aw)]
+            cos[(ts, tt)] = co
+            blk = np.arange(h * w, dtype=np.int32).reshape(h, w)
+            slots = (base + np.arange(n, dtype=np.int32)[:, None, None]
+                     * (h * w) + blk[None])
+            ii = ys[idx, None, None] + np.arange(h)[None, :, None]
+            jj = (xs[idx, None, None] + self.lpad
+                  + np.arange(w)[None, None, :])
+            for p in range(self.np_):
+                m = pl[idx] == p
+                if not np.any(m):
+                    continue
+                hp, wp, _ = self.layouts[p]
+                np.put(maps[p].reshape(-1),
+                       (ii[m].astype(np.int64) * wp + jj[m]).ravel(),
+                       slots[m].ravel())
+        for (ts, tt), (cap, _) in self.buckets.items():
+            if cos[(ts, tt)] is None:
+                adj = T.ADJUSTED_TX_SIZE[ts]
+                cos[(ts, tt)] = np.zeros(
+                    (cap, T.TX_HEIGHT[adj], T.TX_WIDTH[adj]), np.int32)
+        sig = tuple((ts, tt, cap) for (ts, tt), (cap, _)
+                    in self.buckets.items())
+        return sig, list(cos.values()), maps, \
+            [(ts, tt, self._spill_group(idx, pl, xs, ys, coeffs, coff,
+                                        ah, aw))
+             for (ts, tt, idx, ah, aw) in spills]
+
+    @staticmethod
+    def _spill_group(idx, pl, xs, ys, coeffs, coff, ah, aw):
+        co = coeffs[coff[idx, None]
+                    + np.arange(ah * aw)].reshape(-1, ah, aw)
+        return (_pad_pow2(co.astype(np.int32)), _pad_pow2(pl[idx]),
+                _pad_pow2(xs[idx]), _pad_pow2(ys[idx]))
+
+    def compose(self, txs, coeffs):
+        """-> [resid plane device arrays] or None."""
+        import jax.numpy as jnp
+        built = self.build(txs, coeffs)
+        if built is None:
+            return None
+        sig, cos, maps, spills = built
+        kern = _compose_kernel(sig, self.np_, self.bd)
+        resid = kern([jnp.asarray(m) for m in maps],
+                     [jnp.asarray(c) for c in cos])
+        resid = list(resid)
+        for ts, tt, (co, plv, sxs, sys) in spills:
+            k = _residual_kernel(ts, tt, co.shape[0], self.bd,
+                                 self.np_, 0, self.lpad)
+            resid = k(resid, jnp.asarray(co), jnp.asarray(plv),
+                      jnp.asarray(sxs), jnp.asarray(sys))
+        return resid
+
+
+_PLANNERS: Dict[tuple, "ResidualPlanner"] = {}
+
+
+def get_planner(layouts, np_, bd, lpad) -> ResidualPlanner:
+    key = (tuple(layouts), np_, bd, lpad)
+    pl = _PLANNERS.get(key)
+    if pl is None:
+        pl = _PLANNERS[key] = ResidualPlanner(layouts, np_, bd, lpad)
+    return pl
+
+
+@functools.lru_cache(maxsize=None)
+def _compose_kernel(sig, np_, bd):
+    """jit: fn(maps, cos) -> resid planes; signature = bucket list."""
+    import jax
+    import jax.numpy as jnp
+    from easyav1_tpu.video.av1.recon.itx_jax import _make_kernel
+
+    def fn(maps, cos):
+        vals = [jnp.zeros(1, jnp.int32)]
+        for (ts, tt, cap), co in zip(sig, cos):
+            vals.append(_make_kernel(ts, tt, bd)(co).reshape(-1))
+        v = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
+        return [v[maps[p]] for p in range(np_)]
+
+    return jax.jit(fn)
+
+
 @functools.lru_cache(maxsize=None)
 def _residual_kernel(tx_size, tx_type, n, bitdepth, nplanes,
                      pad_y=PAD, pad_x=PAD):
@@ -619,19 +793,11 @@ class PallasRecon:
             fields = preprocess_units(units, self.dims, pad=0)
         except NotImplementedError:
             return None
-        groups = group_txs(txs, coeffs)
-        if groups is None:
+        planner = get_planner(self.layouts, self.np_, self.bd,
+                              IP.LPAD)
+        resid = planner.compose(txs, coeffs)
+        if resid is None:
             return None
-
-        resid = []
-        for p in range(self.np_):
-            hp, wp, ns = self.layouts[p]
-            resid.append(jnp.zeros((hp, wp), jnp.int32))
-        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
-            kern = _residual_kernel(tsz, ttyp, co.shape[0], self.bd,
-                                    self.np_, 0, IP.LPAD)
-            resid = kern(resid, jnp.asarray(co), jnp.asarray(pl),
-                         jnp.asarray(xs), jnp.asarray(ys))
 
         outs = [None] * self.np_
         hp0, wp0, ns0 = self.layouts[0]

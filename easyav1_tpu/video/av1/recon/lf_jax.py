@@ -24,9 +24,10 @@ from easyav1_tpu.video.av1.lf_ref import (LoopFilter, _filter_levels,
                                           _limits)
 
 
-@functools.lru_cache(maxsize=None)
-def _make_pass_kernel(H: int, W: int, bd: int):
-    """Jitted single-pass (vertical-edge) filter core on a [H, W] plane.
+def _pass_body(H: int, W: int, bd: int):
+    """Traceable single-pass (vertical-edge) filter core on a [H, W]
+    plane — the body behind `_make_pass_kernel`, reusable inside a
+    larger fused jit (postfilter_fused).
 
     ne = W//4 - ... edges at x = 4*(e+1) for e in [0, ne); per-row maps:
       size_m  [H, ne] int32 — 0 (inactive), 4, 6, 8, 14
@@ -182,7 +183,15 @@ def _make_pass_kernel(H: int, W: int, bd: int):
                 jnp.where(wm, v, cur))
         return B[:, PAD:PAD + W]
 
-    return jax.jit(kernel)
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_pass_kernel(H: int, W: int, bd: int):
+    """Jitted wrapper over `_pass_body` (see its docstring)."""
+    import jax
+    body = _pass_body(H, W, bd)
+    return jax.jit(body) if body is not None else None
 
 
 def _cell_maps(g, plane, vertical: bool):
@@ -190,38 +199,26 @@ def _cell_maps(g, plane, vertical: bool):
     the reference's per-edge conditions."""
     gw, gh = g["gw"], g["gh"]
     txw, txh = g["txw"], g["txh"]
-    skip = g["skip"]
+    skip = g["skip"].astype(bool)
     if vertical:
-        ne = gw - 1
-        size = np.zeros((gh, ne), np.int32)
-        for e in range(ne):
-            cx = e + 1
-            on_edge = ((cx % txw[:, cx]) == 0)
-            blk = g["edge_left"][:, cx]
-            sk = skip[:, cx].astype(bool) & skip[:, cx - 1].astype(bool)
-            active = on_edge & (blk | ~sk)
-            min_tx = np.minimum(txw[:, cx], txw[:, cx - 1]) * 4
-            if plane == 0:
-                s = np.where(min_tx >= 16, 14, np.where(min_tx >= 8, 8, 4))
-            else:
-                s = np.where(min_tx >= 8, 6, 4)
-            size[:, e] = np.where(active, s, 0)
-        return size
-    ne = gh - 1
-    size = np.zeros((gw, ne), np.int32)
-    for e in range(ne):
-        cy = e + 1
-        on_edge = ((cy % txh[cy, :]) == 0)
-        blk = g["edge_top"][cy, :]
-        sk = skip[cy, :].astype(bool) & skip[cy - 1, :].astype(bool)
+        cx = np.arange(1, gw, dtype=np.int32)[None, :]      # [1, ne]
+        on_edge = (cx % txw[:, 1:]) == 0
+        blk = g["edge_left"][:, 1:]
+        sk = skip[:, 1:] & skip[:, :-1]
         active = on_edge & (blk | ~sk)
-        min_tx = np.minimum(txh[cy, :], txh[cy - 1, :]) * 4
-        if plane == 0:
-            s = np.where(min_tx >= 16, 14, np.where(min_tx >= 8, 8, 4))
-        else:
-            s = np.where(min_tx >= 8, 6, 4)
-        size[:, e] = np.where(active, s, 0)
-    return size
+        min_tx = np.minimum(txw[:, 1:], txw[:, :-1]) * 4
+    else:
+        cy = np.arange(1, gh, dtype=np.int32)[None, :]      # [1, ne]
+        on_edge = (cy % txh[1:, :].T) == 0
+        blk = g["edge_top"][1:, :].T
+        sk = (skip[1:, :] & skip[:-1, :]).T
+        active = on_edge & (blk | ~sk)
+        min_tx = np.minimum(txh[1:, :], txh[:-1, :]).T * 4
+    if plane == 0:
+        s = np.where(min_tx >= 16, 14, np.where(min_tx >= 8, 8, 4))
+    else:
+        s = np.where(min_tx >= 8, 6, 4)
+    return np.where(active, s, 0).astype(np.int32)
 
 
 def device_pass(buf, hdr, bd, plane, pass_, g):
