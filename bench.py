@@ -16,11 +16,16 @@ import os
 import subprocess
 import sys
 import time
+from collections import deque
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
+# persistent XLA compile cache: first-ever run pays the compiles, every
+# later run (and every frame after the warmup) hits the cache
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO / ".jax_cache"))
 
 
 def bench_vorbis(seconds: float = 30.0) -> dict:
@@ -109,6 +114,14 @@ def _av1_fixture(w=1920, h=1080, frames=30, fps=30):
     return out
 
 
+def _touch(frame):
+    """Force the decoded pixels into host memory (decode-to-host parity
+    with the dav1d baseline; device pipes carry lazy async planes)."""
+    if frame is not None:
+        for p in frame.data:
+            _ = p[0, 0]
+
+
 def _decode_all(path, pipe):
     from easyav1_tpu.container import TrackType, WebMDemuxer
     from easyav1_tpu.video.av1.backend import AV1Backend
@@ -121,12 +134,23 @@ def _decode_all(path, pipe):
         if p.track == vt.number:
             pkts.extend(p.frames)
     be = AV1Backend(vt)
-    be.decode([pkts[0]], 0)      # warm (compiles device kernels)
+    for f in be.decode([pkts[0]], 0):     # warm (compiles device kernels)
+        _touch(f)
     t0 = time.perf_counter()
     n = 0
+    # bounded decode-ahead window (reference decodes ~10 frames ahead
+    # on a thread, easyav1.c:2271-2333): materialization of frame k
+    # overlaps decode of frames k+1..k+2, but every frame fully lands
+    # in host memory inside the timed region
+    pending = deque()
     for pk in pkts:
-        be.decode([pk], 0)
+        for f in be.decode([pk], 0):
+            pending.append(f)
+            if len(pending) > 2:
+                _touch(pending.popleft())
         n += 1
+    while pending:
+        _touch(pending.popleft())
     return n, time.perf_counter() - t0
 
 
@@ -143,11 +167,11 @@ def bench_av1(frames=30, fps=30) -> dict:
 
     n_nat, t_nat = _decode_all(path, "native")
     results = {"native": (n_nat, t_nat)}
-    try:
-        n_dev, t_dev = _decode_all(path, "device")
-        results["device"] = (n_dev, t_dev)
-    except Exception:
-        pass
+    for pipe in ("pallas", "device"):
+        try:
+            results[pipe] = _decode_all(path, pipe)
+        except Exception:
+            pass
     best = min(results, key=lambda k: results[k][1] / results[k][0])
     n, wall = results[best]
     video_secs = n / fps

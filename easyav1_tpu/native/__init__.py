@@ -170,6 +170,9 @@ def _run_tiles(lib, seq, hdr, tiles):
         # screen-content syntax (palette flags, intrabc) is not in the
         # C tile decoder yet
         return None
+    if getattr(hdr, "use_superres", False):
+        # superres upscaling runs in the Python pipeline for now
+        return None
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
     p = _TileParams(
@@ -427,6 +430,37 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
 _PALLAS_RECONS: dict = {}
 
 
+class _LazyPlanes:
+    """Sequence of decoded planes whose device→host download completes
+    on first access.  `copy_to_host_async` is issued at construction,
+    so the transfer overlaps the caller's next-frame entropy decode —
+    the TPU-pipe analog of the reference's decode-ahead thread
+    (easyav1.c:2271-2333) at the frame-data level."""
+
+    __slots__ = ("_devs", "_np")
+
+    def __init__(self, devs):
+        self._devs = devs
+        self._np = None
+        for d in devs:
+            d.copy_to_host_async()
+
+    def _mat(self):
+        if self._np is None:
+            self._np = [np.asarray(d) for d in self._devs]
+            self._devs = None
+        return self._np
+
+    def __len__(self):
+        return len(self._np if self._np is not None else self._devs)
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __iter__(self):
+        return iter(self._mat())
+
+
 def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     """TPU recon pipe: the C entropy decoder's per-unit export feeds
     the Pallas strip executor (residual compose + intra prediction on
@@ -465,11 +499,11 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
     dt = jnp.uint8 if seq.color.bitdepth == 8 else jnp.uint16
-    planes = [np.asarray(dev[0][:h, :w].astype(dt))]
+    final = [dev[0][:h, :w].astype(dt)]
     if seq.color.num_planes > 1:
-        planes.append(np.asarray(dev[1][:ch, :cw].astype(dt)))
-        planes.append(np.asarray(dev[2][:ch, :cw].astype(dt)))
-    return planes
+        final.append(dev[1][:ch, :cw].astype(dt))
+        final.append(dev[2][:ch, :cw].astype(dt))
+    return _LazyPlanes(final)
 
 
 def _grids_exporter(lib, rp, out):

@@ -66,7 +66,8 @@ def obu(obu_type: int, payload: bytes) -> bytes:
 def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
                           edge_filter: bool = False,
                           cdef=None, restoration: bool = False,
-                          film_grain: bool = False) -> bytes:
+                          film_grain: bool = False,
+                          superres: bool = False) -> bytes:
     """Minimal profile-0 8-bit 4:2:0 sequence header,
     reduced_still_picture_header form (spec §5.5)."""
     bw = BitWriter()
@@ -81,7 +82,7 @@ def write_sequence_header(w: int, h: int, base_q_unused: int = 0,
     bw.f(0, 1)    # use_128x128_superblock
     bw.f(0, 1)    # enable_filter_intra
     bw.f(int(edge_filter), 1)    # enable_intra_edge_filter
-    bw.f(0, 1)    # enable_superres
+    bw.f(int(superres), 1)    # enable_superres
     bw.f(1 if cdef else 0, 1)    # enable_cdef
     bw.f(1 if restoration else 0, 1)    # enable_restoration
     # color_config
@@ -102,7 +103,9 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
                             lf_levels=(0, 0), cdef=None,
                             w: int = 64, h: int = 64, lr=None,
                             fg=None, intrabc: bool = False,
-                            screen: bool = False) -> None:
+                            screen: bool = False,
+                            superres_seq: bool = False,
+                            superres_denom=None) -> None:
     """Frame header for the reduced_still_picture sequence (KEY, shown)."""
     allow_screen = intrabc or screen
     bw.f(int(disable_cdf_update), 1)  # disable_cdf_update
@@ -110,7 +113,13 @@ def write_frame_header_bits(bw: BitWriter, base_q_idx: int,
     if allow_screen:
         bw.f(1, 1)        # force_integer_mv (seq force == SELECT)
     # frame_size_override absent (reduced); no order hint; primary ref none
-    # refresh implicitly 0xFF; frame size from seq max (no bits, no superres)
+    # refresh implicitly 0xFF; frame size from seq max
+    if superres_seq:      # superres_params (spec 5.9.8)
+        if superres_denom:
+            bw.f(1, 1)                      # use_superres
+            bw.f(superres_denom - 9, 3)     # denom - SUPERRES_DENOM_MIN
+        else:
+            bw.f(0, 1)
     bw.f(0, 1)            # render_and_frame_size_different
     if allow_screen:
         bw.f(int(intrabc), 1)  # allow_intrabc
@@ -1127,7 +1136,8 @@ def encode_frame(w: int, h: int, base_q: int,
                  edge_filter: bool = False,
                  lf_levels=(0, 0), cdef=None,
                  lr=None, lr_units=None, fg=None,
-                 intrabc: bool = False, screen: bool = False) -> bytes:
+                 intrabc: bool = False, screen: bool = False,
+                 superres_denom=None) -> bytes:
     """Full temporal unit: TD + seq hdr + frame OBU.
 
     cdef: None or (damping, [(ypri, ysec, uvpri, uvsec), ...]) with 1, 2,
@@ -1135,12 +1145,19 @@ def encode_frame(w: int, h: int, base_q: int,
     the first non-skip block (index 0 always, matching the decoder)."""
     seq = write_sequence_header(w, h, edge_filter=edge_filter, cdef=cdef,
                                 restoration=lr is not None,
-                                film_grain=fg is not None)
+                                film_grain=fg is not None,
+                                superres=superres_denom is not None)
+    # with superres the frame is CODED at the downscaled width (the
+    # decoder upscales back to w; spec 5.9.8 / 7.16)
+    wd = ((w * 8 + superres_denom // 2) // superres_denom
+          if superres_denom else w)
     bw = BitWriter()
     write_frame_header_bits(bw, base_q, disable_cdf_update=not adapt,
                             tx_mode_select=tx_mode_select,
-                            lf_levels=lf_levels, cdef=cdef, w=w, h=h,
-                            lr=lr, fg=fg, intrabc=intrabc, screen=screen)
+                            lf_levels=lf_levels, cdef=cdef, w=wd, h=h,
+                            lr=lr, fg=fg, intrabc=intrabc, screen=screen,
+                            superres_seq=superres_denom is not None,
+                            superres_denom=superres_denom)
     bw.byte_align()
     header_bytes = bw.bytes()
     cdef_bits = None
@@ -1154,7 +1171,7 @@ def encode_frame(w: int, h: int, base_q: int,
         tenc = IntraBcTileEncoder(w, h, base_q, adapt=adapt,
                                   tx_mode_select=tx_mode_select)
     else:
-        tenc = SimpleTileEncoder(w, h, base_q, adapt=adapt,
+        tenc = SimpleTileEncoder(wd, h, base_q, adapt=adapt,
                                  tx_mode_select=tx_mode_select,
                                  cdef_bits=cdef_bits, cdef_vals=cdef_vals,
                                  lr_types=lr, lr_units=lr_units)

@@ -194,6 +194,14 @@ class AV1Backend:
             uses_lr = getattr(getattr(hdr, "lr", None), "uses_lr", False)
             deblocked = [p.copy() for p in aligned] if uses_lr else None
             Cdef(hdr, seq, plan, seq.color.bitdepth).apply(aligned)
+            if getattr(hdr, "use_superres", False):
+                # spec 7.16: horizontal upscale between CDEF and LR;
+                # LR's deblocked stripe context upscales identically
+                from easyav1_tpu.video.av1.superres_ref import \
+                    superres_upscale
+                aligned = superres_upscale(aligned, hdr, seq)
+                if deblocked is not None:
+                    deblocked = superres_upscale(deblocked, hdr, seq)
             if uses_lr:
                 from easyav1_tpu.video.av1.lr_ref import LoopRestoration
                 LoopRestoration(hdr, seq, plan,
@@ -299,7 +307,7 @@ class AV1Backend:
             width=hdr.upscaled_width, height=hdr.frame_height,
         )
         fg = getattr(hdr, "film_grain", None)
-        out_planes = list(planes)
+        out_planes = planes      # keep lazy device planes unmaterialized
         if fg is not None and fg.apply_grain:
             # grain is an output-only transform; reference planes stay
             # grain-free (spec 7.18.1)

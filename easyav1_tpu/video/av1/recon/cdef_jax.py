@@ -167,20 +167,27 @@ def _filter_body(ph: int, pw: int, ssx: int, ssy: int, plane: int,
         dir_p = up(pdir_u)
         filt_p = up(filt_u)
 
-        yy, xx = jnp.mgrid[0:ph, 0:pw]
         px = plane_in
-
-        # tap tables indexed by dir: primary k=0,1 and secondary
-        # (dir+2)&7, (dir+6)&7 each k=0,1 → 4 distinct (dy,dx) per sign
-        DIRS = jnp.asarray(CDEF_DIRECTIONS)       # [8,2,2]
 
         pt_even = jnp.asarray(np.array([4, 2], np.int32))
         pt_odd = jnp.asarray(np.array([3, 3], np.int32))
         is_odd = (pri_p >> coeff_shift) & 1
         st = np.array([2, 1], np.int32)
 
-        def gather(dy, dx):
-            return src[yy + 2 + dy, xx + 2 + dx]
+        def tap_value(dir_map, k, sgn):
+            """Tap plane for offset sgn*CDEF_DIRECTIONS[d, k] selected
+            per pixel by dir_map — static shifted slices + an 8-way
+            select instead of a per-pixel gather (gathers don't map to
+            the TPU VPU; shifted slices fuse into the selects)."""
+            out = None
+            for d in range(8):
+                dy = int(CDEF_DIRECTIONS[d, k, 0]) * sgn
+                dx = int(CDEF_DIRECTIONS[d, k, 1]) * sgn
+                v = jax.lax.slice(src, (2 + dy, 2 + dx),
+                                  (2 + dy + ph, 2 + dx + pw))
+                out = v if out is None else \
+                    jnp.where(dir_map == d, v, out)
+            return out
 
         def constr(diff, thr, sh):
             ad = jnp.abs(diff)
@@ -194,11 +201,9 @@ def _filter_body(ph: int, pw: int, ssx: int, ssy: int, plane: int,
 
         # primary taps
         for k in range(2):
-            dyk = DIRS[dir_p, k, 0]
-            dxk = DIRS[dir_p, k, 1]
             w_k = jnp.where(is_odd == 1, pt_odd[k], pt_even[k])
             for sgn in (1, -1):
-                v = gather(sgn * dyk, sgn * dxk)
+                v = tap_value(dir_p, k, sgn)
                 tap = w_k * constr(v - px, pri_p, pri_shp)
                 s = s + jnp.where(pri_p != 0, tap, 0)
                 seen = (pri_p != 0) & (v != CDEF_VERY_LARGE)
@@ -208,10 +213,8 @@ def _filter_body(ph: int, pw: int, ssx: int, ssy: int, plane: int,
         for rot in (2, 6):
             sdir = (dir_p + rot) & 7
             for k in range(2):
-                dyk = DIRS[sdir, k, 0]
-                dxk = DIRS[sdir, k, 1]
                 for sgn in (1, -1):
-                    v = gather(sgn * dyk, sgn * dxk)
+                    v = tap_value(sdir, k, sgn)
                     tap = st[k] * constr(v - px, sec_p, sec_shp)
                     s = s + jnp.where(sec_p != 0, tap, 0)
                     seen = (sec_p != 0) & (v != CDEF_VERY_LARGE)

@@ -167,23 +167,26 @@ def group_txs(txs: np.ndarray, coeffs: np.ndarray):
 # ------------------------------------------------------------------ #
 
 class ResidualPlanner:
-    """Canonical gather-compose of batched itx outputs.
+    """Gather-compose of batched itx outputs via a shared value buffer.
 
-    Residual blocks tile each plane disjointly, so instead of one
-    XLA scatter per (tx_size, tx_type) group (~70 dispatches/frame),
-    the itx batches for ALL groups run inside ONE jit whose outputs
-    are flattened into a shared value buffer, and each plane is
-    composed with a single gather through a per-frame int32 slot map
-    (0 = no residual).  To keep the jit signature stream-stable (a
-    fresh signature costs ~90 s of XLA compile), buckets get fixed
-    pow2 capacities chosen at the first frame (+50% slack); txs that
-    overflow a bucket, or whose (tx_size, tx_type) pair never
-    appeared, spill to the legacy per-group scatter kernel on top of
-    the composed planes (disjoint adds, so order is irrelevant).
+    Residual blocks tile each plane disjointly, so the composition is
+    expressible without scatters: every (tx_size, tx_type) group runs
+    its batched bit-exact itx and writes the flattened result into a
+    FIXED-size device value buffer at a dynamic offset
+    (lax.dynamic_update_slice on a donated buffer — in place), then
+    each plane is composed with a single gather through a per-frame
+    int32 slot map (0 = no residual).
+
+    Shape stability: the value buffer length is a static function of
+    the frame geometry (2x the plane pixels bounds any pow2-padded
+    batch total), the gather jit is keyed only by the plane dims, and
+    the small per-(tx_size, tx_type, n_pow2) writer kernels converge
+    after a few frames — no frame-dependent mega-jit signatures, so no
+    recompile storms when the tx mix shifts between frames.
 
     Mirrors dav1d's role split where itx writes into the frame buffer
-    directly (recon_tmpl.c); on TPU the compose keeps everything as
-    two dense ops (batched itx matmuls + one gather per plane).
+    directly (recon_tmpl.c); on TPU everything stays dense (batched
+    itx matmuls + one gather per plane).
     """
 
     def __init__(self, layouts, np_, bd, lpad):
@@ -191,77 +194,41 @@ class ResidualPlanner:
         self.np_ = np_
         self.bd = bd
         self.lpad = lpad
-        self.buckets = None             # {(tsz,ttyp): (cap, base)}
-        self.vtotal = 1                 # value-buffer length (slot 0 = 0)
+        tot = sum(hp * wp for (hp, wp, _) in layouts[:np_])
+        # bound: actual residual pixels <= tot; ladder padding adds
+        # < 8 blocks per (size, type) pair — sum of 7*h*w over every
+        # legal pair is < 2M px
+        self.vtotal = tot + 2_000_000 + 65536
 
-    @staticmethod
-    def _split(txs):
+    def build(self, txs, coeffs):
+        """-> (groups, maps) or None (lossless present).
+        groups: [(ts, tt, co[n_pow2, ah, aw], offset)]."""
+        maps = [np.zeros((hp, wp), np.int32)
+                for (hp, wp, _) in self.layouts[:self.np_]]
+        if txs.shape[0] == 0:
+            return [], maps
+        if np.any(txs[:, 7] != 0):
+            return None                  # lossless (WHT) not on device
         pl, xs, ys = txs[:, 0], txs[:, 1], txs[:, 2]
         tsz, ttyp, coff = txs[:, 3], txs[:, 4], txs[:, 6]
         key = tsz * 16 + ttyp
         order = np.argsort(key, kind="stable")
         ks = key[order]
         bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
-        return pl, xs, ys, tsz, ttyp, coff, order, bounds
 
-    def _init_buckets(self, tsz, ttyp, order, bounds):
-        self.buckets = {}
-        base = 1
-        for b0, b1 in zip(bounds[:-1], bounds[1:]):
-            k = order[b0]
-            ts, tt = int(tsz[k]), int(ttyp[k])
-            n = int(b1 - b0)
-            cap = (n + (n >> 2) + 15) & ~7
-            h, w = T.TX_HEIGHT[ts], T.TX_WIDTH[ts]
-            self.buckets[(ts, tt)] = (cap, base)
-            base += cap * h * w
-        self.vtotal = base
-
-    def build(self, txs, coeffs):
-        """-> (sig, cos, maps, spills) or None (lossless present)."""
-        if txs.shape[0] == 0:
-            maps = [np.zeros((hp, wp), np.int32)
-                    for (hp, wp, _) in self.layouts[:self.np_]]
-            if self.buckets is None:
-                self.buckets = {}
-            sig = tuple((ts, tt, cap) for (ts, tt), (cap, _)
-                        in self.buckets.items())
-            cos = [np.zeros((cap, T.TX_HEIGHT[T.ADJUSTED_TX_SIZE[ts]],
-                             T.TX_WIDTH[T.ADJUSTED_TX_SIZE[ts]]),
-                            np.int32)
-                   for (ts, tt), (cap, _) in self.buckets.items()]
-            return sig, cos, maps, []
-        if np.any(txs[:, 7] != 0):
-            return None                  # lossless (WHT) not on device
-        pl, xs, ys, tsz, ttyp, coff, order, bounds = self._split(txs)
-        if self.buckets is None:
-            self._init_buckets(tsz, ttyp, order, bounds)
-
-        maps = [np.zeros((hp, wp), np.int32)
-                for (hp, wp, _) in self.layouts[:self.np_]]
-        cos = {k: None for k in self.buckets}
-        spills = []
+        groups = []
+        off = 1                          # slot 0 = no residual
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             idx = order[b0:b1]
             ts, tt = int(tsz[idx[0]]), int(ttyp[idx[0]])
             adj = T.ADJUSTED_TX_SIZE[ts]
             ah, aw = T.TX_HEIGHT[adj], T.TX_WIDTH[adj]
             h, w = T.TX_HEIGHT[ts], T.TX_WIDTH[ts]
-            ent = self.buckets.get((ts, tt))
-            if ent is None:
-                spills.append((ts, tt, idx, ah, aw))
-                continue
-            cap, base = ent
-            if idx.shape[0] > cap:
-                spills.append((ts, tt, idx[cap:], ah, aw))
-                idx = idx[:cap]
             n = idx.shape[0]
-            co = np.zeros((cap, ah, aw), np.int32)
-            co.reshape(cap, -1)[:n] = coeffs[
-                coff[idx, None] + np.arange(ah * aw)]
-            cos[(ts, tt)] = co
+            co = coeffs[coff[idx, None] + np.arange(ah * aw)] \
+                .reshape(n, ah, aw).astype(np.int32, copy=False)
             blk = np.arange(h * w, dtype=np.int32).reshape(h, w)
-            slots = (base + np.arange(n, dtype=np.int32)[:, None, None]
+            slots = (off + np.arange(n, dtype=np.int32)[:, None, None]
                      * (h * w) + blk[None])
             ii = ys[idx, None, None] + np.arange(h)[None, :, None]
             jj = (xs[idx, None, None] + self.lpad
@@ -274,24 +241,23 @@ class ResidualPlanner:
                 np.put(maps[p].reshape(-1),
                        (ii[m].astype(np.int64) * wp + jj[m]).ravel(),
                        slots[m].ravel())
-        for (ts, tt), (cap, _) in self.buckets.items():
-            if cos[(ts, tt)] is None:
-                adj = T.ADJUSTED_TX_SIZE[ts]
-                cos[(ts, tt)] = np.zeros(
-                    (cap, T.TX_HEIGHT[adj], T.TX_WIDTH[adj]), np.int32)
-        sig = tuple((ts, tt, cap) for (ts, tt), (cap, _)
-                    in self.buckets.items())
-        return sig, list(cos.values()), maps, \
-            [(ts, tt, self._spill_group(idx, pl, xs, ys, coeffs, coff,
-                                        ah, aw))
-             for (ts, tt, idx, ah, aw) in spills]
-
-    @staticmethod
-    def _spill_group(idx, pl, xs, ys, coeffs, coff, ah, aw):
-        co = coeffs[coff[idx, None]
-                    + np.arange(ah * aw)].reshape(-1, ah, aw)
-        return (_pad_pow2(co.astype(np.int32)), _pad_pow2(pl[idx]),
-                _pad_pow2(xs[idx]), _pad_pow2(ys[idx]))
+            # decompose into the pair's static pow4 chunk ladder: the
+            # kernel shapes never depend on this frame's n, so new XLA
+            # compiles happen only the first time a (size, type) pair
+            # appears in the stream — never on later frames
+            padded = (n + 7) & ~7
+            if padded > n:
+                co = np.concatenate(
+                    [co, np.zeros((padded - n, ah, aw), np.int32)])
+            pos = 0
+            for csz in _chunk_ladder(h * w):
+                while padded - pos >= csz:
+                    groups.append((ts, tt, co[pos:pos + csz], off))
+                    pos += csz
+                    off += csz * h * w
+        if off > self.vtotal:
+            return None                  # can't happen by construction
+        return groups, maps
 
     def compose(self, txs, coeffs):
         """-> [resid plane device arrays] or None."""
@@ -299,17 +265,16 @@ class ResidualPlanner:
         built = self.build(txs, coeffs)
         if built is None:
             return None
-        sig, cos, maps, spills = built
-        kern = _compose_kernel(sig, self.np_, self.bd)
-        resid = kern([jnp.asarray(m) for m in maps],
-                     [jnp.asarray(c) for c in cos])
-        resid = list(resid)
-        for ts, tt, (co, plv, sxs, sys) in spills:
-            k = _residual_kernel(ts, tt, co.shape[0], self.bd,
-                                 self.np_, 0, self.lpad)
-            resid = k(resid, jnp.asarray(co), jnp.asarray(plv),
-                      jnp.asarray(sxs), jnp.asarray(sys))
-        return resid
+        groups, maps = built
+        vals = jnp.zeros(self.vtotal, jnp.int32)
+        for ts, tt, co, off in groups:
+            k = _itx_write_kernel(ts, tt, co.shape[0], self.bd,
+                                  self.vtotal)
+            vals = k(vals, jnp.asarray(co), off)
+        kern = _gather_kernel(tuple((hp, wp) for (hp, wp, _)
+                                    in self.layouts[:self.np_]),
+                              self.vtotal)
+        return list(kern(vals, [jnp.asarray(m) for m in maps]))
 
 
 _PLANNERS: Dict[tuple, "ResidualPlanner"] = {}
@@ -324,18 +289,45 @@ def get_planner(layouts, np_, bd, lpad) -> ResidualPlanner:
 
 
 @functools.lru_cache(maxsize=None)
-def _compose_kernel(sig, np_, bd):
-    """jit: fn(maps, cos) -> resid planes; signature = bucket list."""
+def _chunk_ladder(px_per_block: int):
+    """Static pow4 chunk sizes (in blocks) for a tx size: largest chunk
+    targets ~512K px, smallest is 8 blocks; any 8-aligned count
+    decomposes exactly (base-4 digits)."""
+    top = 8
+    while top * px_per_block < 512 * 1024:
+        top *= 4
+    sizes = []
+    c = top
+    while c >= 8:
+        sizes.append(c)
+        c //= 4
+    return tuple(sizes)
+
+
+@functools.lru_cache(maxsize=None)
+def _itx_write_kernel(ts, tt, n, bd, vtotal):
+    """jit: (vals[vtotal], co[n,ah,aw], offset) -> vals with the
+    batch's itx outputs written at [offset : offset + n*h*w]."""
     import jax
     import jax.numpy as jnp
     from easyav1_tpu.video.av1.recon.itx_jax import _make_kernel
 
-    def fn(maps, cos):
-        vals = [jnp.zeros(1, jnp.int32)]
-        for (ts, tt, cap), co in zip(sig, cos):
-            vals.append(_make_kernel(ts, tt, bd)(co).reshape(-1))
-        v = jnp.concatenate(vals) if len(vals) > 1 else vals[0]
-        return [v[maps[p]] for p in range(np_)]
+    ki = _make_kernel(ts, tt, bd)
+
+    def fn(vals, co, off):
+        return jax.lax.dynamic_update_slice(
+            vals, ki(co).reshape(-1), (off,))
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_kernel(dims, vtotal):
+    """jit: (vals, maps) -> [vals[maps[p]] for p]."""
+    import jax
+
+    def fn(vals, maps):
+        return [vals[maps[p]] for p in range(len(dims))]
 
     return jax.jit(fn)
 
@@ -765,9 +757,14 @@ class PallasRecon:
         self.strips = [sl, sl >> ssy, sl >> ssy][:num_planes]
         self.layouts = [IP.plane_layout(ph, pw, self.strips[p])
                         for p, (ph, pw) in enumerate(self.dims)]
+        self._umax_caps: Dict[int, int] = {}
 
     def _strip_fields(self, f, plane):
-        """[N, NF] -> ([nstrips, umax, NF], counts [nstrips, 8])."""
+        """[N, NF] -> ([nstrips, umax, NF], counts [nstrips, 8]).
+
+        umax is a sticky grow-only capacity (25% slack, 64-aligned) so
+        the strip kernel's shape — and therefore its XLA compile — is
+        stable across the frames of a stream."""
         sh = self.strips[plane]
         hp, wp, ns = self.layouts[plane]
         sidx = f[:, F_Y] // sh
@@ -776,6 +773,11 @@ class PallasRecon:
             counts[s, 0, 0] = int((sidx == s).sum())
         umax = max(8, int(counts[:, 0, 0].max()))
         umax = -(-umax // 8) * 8
+        cap = self._umax_caps.get(plane, 0)
+        if umax > cap:
+            cap = -(-(umax + (umax >> 2)) // 64) * 64
+            self._umax_caps[plane] = cap
+        umax = cap
         out = np.zeros((ns, umax, 32), np.int32)
         for s in range(ns):
             sel = f[sidx == s]
