@@ -19,6 +19,7 @@
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/opt.h>
+#include <libavutil/pixdesc.h>
 #include <libavutil/imgutils.h>
 #include <libavutil/channel_layout.h>
 #include <math.h>
@@ -52,6 +53,11 @@ static int g_content = 0;
 static void fill_frame(AVFrame *f, int t, int depth) {
     int w = f->width, h = f->height;
     int shift = depth - 8;
+    const AVPixFmtDescriptor *desc = av_pix_fmt_desc_get(f->format);
+    const int ssx = desc->log2_chroma_w, ssy = desc->log2_chroma_h;
+    const int has_chroma = desc->nb_components > 1 && f->data[1];
+    const int cw = (w + (1 << ssx) - 1) >> ssx;
+    const int ch = (h + (1 << ssy) - 1) >> ssy;
     if (g_content != 0 && depth == 8) {
         for (int y = 0; y < h; y++) {
             uint8_t *row = f->data[0] + y * f->linesize[0];
@@ -73,14 +79,14 @@ static void fill_frame(AVFrame *f, int t, int depth) {
                 row[x] = (uint8_t)v;
             }
         }
-        for (int y = 0; y < h / 2; y++) {
+        for (int y = 0; has_chroma && y < ch; y++) {
             uint8_t *u = f->data[1] + y * f->linesize[1];
             uint8_t *v = f->data[2] + y * f->linesize[2];
-            const uint8_t *ly = f->data[0] + 2 * y * f->linesize[0];
-            for (int x = 0; x < w / 2; x++) {
+            const uint8_t *ly = f->data[0] + (y << ssy) * f->linesize[0];
+            for (int x = 0; x < cw; x++) {
                 if (g_content == 2) {  /* chroma tracks luma -> CfL */
-                    u[x] = (uint8_t)(90 + (ly[2 * x] >> 2));
-                    v[x] = (uint8_t)(190 - (ly[2 * x] >> 2));
+                    u[x] = (uint8_t)(90 + (ly[x << ssx] >> 2));
+                    v[x] = (uint8_t)(190 - (ly[x << ssx] >> 2));
                 } else if (g_content == 3) {
                     u[x] = (uint8_t)(((x / 8 + y / 8) % 3) * 60 + 70);
                     v[x] = (uint8_t)(((x / 8 + 2 * (y / 8)) % 3) * 60 + 70);
@@ -126,18 +132,18 @@ static void fill_frame(AVFrame *f, int t, int depth) {
             for (int x = bx; x < bx + 64 && x < w; x++) row[x] = 235 << shift;
         }
     }
-    for (int y = 0; y < h / 2; y++) {
+    for (int y = 0; has_chroma && y < ch; y++) {
         if (depth == 8) {
             uint8_t *u = f->data[1] + y * f->linesize[1];
             uint8_t *v = f->data[2] + y * f->linesize[2];
-            for (int x = 0; x < w / 2; x++) {
+            for (int x = 0; x < cw; x++) {
                 u[x] = (uint8_t)(128 + 64 * sin(0.05 * x + 0.1 * t));
                 v[x] = (uint8_t)(128 + 64 * cos(0.04 * y - 0.07 * t));
             }
         } else {
             uint16_t *u = (uint16_t *)(f->data[1] + y * f->linesize[1]);
             uint16_t *v = (uint16_t *)(f->data[2] + y * f->linesize[2]);
-            for (int x = 0; x < w / 2; x++) {
+            for (int x = 0; x < cw; x++) {
                 u[x] = (uint16_t)((128 + 64 * sin(0.05 * x + 0.1 * t))) << shift;
                 v[x] = (uint16_t)((128 + 64 * cos(0.04 * y - 0.07 * t))) << shift;
             }
@@ -164,6 +170,7 @@ int main(int argc, char **argv) {
     if (argc < 2) { fprintf(stderr, "usage: make_fixture out.webm [key=val...]\n"); return 2; }
     const char *outpath = argv[1];
     int w = 320, h = 240, fps = 30, frames = 30, gop = 9999, bitdepth = 8;
+    int ss = 420;
     int audio_rate = 48000, channels = 2, cpu_used = 8, audio_kind = 0;
     double audio_secs = 0.0, vorbis_q = 0.4, crf = 35;
     char vopts[32][128]; int n_vopts = 0;
@@ -180,6 +187,7 @@ int main(int argc, char **argv) {
         else if (!strcmp(key, "frames")) frames = atoi(val);
         else if (!strcmp(key, "gop")) gop = atoi(val);
         else if (!strcmp(key, "bitdepth")) bitdepth = atoi(val);
+        else if (!strcmp(key, "ss")) ss = !strcmp(val, "mono") ? 400 : atoi(val);
         else if (!strcmp(key, "crf")) crf = atof(val);
         else if (!strcmp(key, "cpu-used")) cpu_used = atoi(val);
         else if (!strcmp(key, "audio_rate")) audio_rate = atoi(val);
@@ -206,7 +214,21 @@ int main(int argc, char **argv) {
         vc->width = w; vc->height = h;
         vc->time_base = (AVRational){1, fps};
         vc->framerate = (AVRational){fps, 1};
-        vc->pix_fmt = bitdepth == 10 ? AV_PIX_FMT_YUV420P10LE : AV_PIX_FMT_YUV420P;
+        switch (ss * 100 + bitdepth) {
+            case 42008: vc->pix_fmt = AV_PIX_FMT_YUV420P; break;
+            case 42010: vc->pix_fmt = AV_PIX_FMT_YUV420P10LE; break;
+            case 42012: vc->pix_fmt = AV_PIX_FMT_YUV420P12LE; break;
+            case 42208: vc->pix_fmt = AV_PIX_FMT_YUV422P; break;
+            case 42210: vc->pix_fmt = AV_PIX_FMT_YUV422P10LE; break;
+            case 42212: vc->pix_fmt = AV_PIX_FMT_YUV422P12LE; break;
+            case 44408: vc->pix_fmt = AV_PIX_FMT_YUV444P; break;
+            case 44410: vc->pix_fmt = AV_PIX_FMT_YUV444P10LE; break;
+            case 44412: vc->pix_fmt = AV_PIX_FMT_YUV444P12LE; break;
+            case 40008: vc->pix_fmt = AV_PIX_FMT_GRAY8; break;
+            case 40010: vc->pix_fmt = AV_PIX_FMT_GRAY10LE; break;
+            case 40012: vc->pix_fmt = AV_PIX_FMT_GRAY12LE; break;
+            default: die("bad ss/bitdepth combo", 0);
+        }
         vc->gop_size = gop;
         vc->max_b_frames = 0;
         vc->thread_count = 1;

@@ -41,6 +41,7 @@ static void dump_video(Sink *s, AVFrame *f) {
     const char *padenv = getenv("ORACLE_PAD_ROWS");
     int pad = padenv ? atoi(padenv) : 0;
     for (int p = 0; p < 3; p++) {
+        if (!f->data[p]) break;     /* monochrome: no chroma planes */
         int pw = p ? (f->width + (1 << s->ss_x) - 1) >> s->ss_x : f->width;
         int ph = p ? (f->height + (1 << s->ss_y) - 1) >> s->ss_y : f->height;
         ph += p ? pad >> s->ss_y : pad;
