@@ -134,8 +134,12 @@ def _decode_all(path, pipe):
         if p.track == vt.number:
             pkts.extend(p.frames)
     be = AV1Backend(vt)
-    for f in be.decode([pkts[0]], 0):     # warm (compiles device kernels)
-        _touch(f)
+    # warm-up: device pipes JIT-compile per (tx-size, tx-type, chunk)
+    # kernel on first appearance; a few frames cover the working set
+    n_warm = 6 if pipe in ("pallas", "device") else 1
+    for pk in pkts[:n_warm]:
+        for f in be.decode([pk], 0):
+            _touch(f)
     t0 = time.perf_counter()
     n = 0
     # bounded decode-ahead window (reference decodes ~10 frames ahead
