@@ -67,19 +67,25 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
               if b is not None]
     synth = VorbisDeviceSynth(dec.info.channels, dec.info.blocksize0,
                               dec.info.blocksize1,
-                              tuple(blocks[0].coupling), chunk=256)
+                              tuple(blocks[0].coupling), chunk=512,
+                              band_limit=dec.spectral_band_limits())
     synth.process(blocks)  # warm up compile
     synth.reset()
     dec = VorbisDecoder(headers)
 
+    # interleaved pipeline: host symbol decode feeds the device synth
+    # chunk by chunk; device compute and D2H overlap the host work
     t0 = time.perf_counter()
-    blocks = [b for b in (dec.decode_packet_symbols(pk) for pk in pkts)
-              if b is not None]
-    t_symbols = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    pcm = synth.process(blocks)
-    t_synth = time.perf_counter() - t1
-    wall = t_symbols + t_synth
+    synth.begin()
+    t_symbols = 0.0
+    for pk in pkts:
+        ts = time.perf_counter()
+        b = dec.decode_packet_symbols(pk)
+        t_symbols += time.perf_counter() - ts
+        if b is not None:
+            synth.feed([b])
+    pcm = synth.finish()
+    wall = time.perf_counter() - t0
 
     audio_secs = pcm.shape[0] / dec.info.sample_rate
     xrt = audio_secs / wall
@@ -91,7 +97,7 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
         "vs_baseline": round(xrt / baseline_xrt, 3),
         "baseline_xrt_libvorbis": round(baseline_xrt, 2),
         "symbols_xrt": round(audio_secs / t_symbols, 2),
-        "synth_xrt": round(audio_secs / t_synth, 2),
+        "synth_xrt": round(audio_secs / max(wall - t_symbols, 1e-9), 2),
         "audio_secs": round(audio_secs, 2),
     }
 

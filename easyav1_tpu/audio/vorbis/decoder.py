@@ -100,6 +100,33 @@ class VorbisDecoder:
                 self._native = None
         self.reset()
 
+    # -- setup introspection ----------------------------------------------
+
+    def spectral_band_limits(self) -> Tuple[int, int]:
+        """(long_bins, short_bins): the highest spectral bin any packet
+        of this stream can populate, per block size.  Residue decode
+        covers [begin, end) fixed by the setup header, so every bin >=
+        max(end) is identically zero — the device synth uploads only
+        the live band (see VorbisDeviceSynth band_limit)."""
+        info = self.info
+        lim = [0, 0]  # indexed by blockflag
+        for mode in info.modes:
+            mapping = info.mappings[mode.mapping]
+            half = (info.blocksize1 if mode.blockflag
+                    else info.blocksize0) // 2
+            end = 0
+            for s in range(mapping.submaps):
+                rcfg = info.residues[mapping.submap_residue[s]]
+                e = rcfg.end
+                if rcfg.type == 2:
+                    # type-2 interleaves channels: spectral reach is
+                    # end / channels, rounded up
+                    e = -(-e // info.channels)
+                end = max(end, min(e, half))
+            lim[mode.blockflag] = max(lim[mode.blockflag], end)
+        return (lim[1] or info.blocksize1 // 2,
+                lim[0] or info.blocksize0 // 2)
+
     # -- state -------------------------------------------------------------
 
     def reset(self) -> None:
