@@ -13,7 +13,7 @@ import ctypes
 import numpy as np
 import pytest
 
-from fixtures import CACHE
+from fixtures import make_fixture
 import easyav1_tpu.native as nat
 from easyav1_tpu.container.webm import TrackType, WebMDemuxer
 from easyav1_tpu.video.av1.backend import AV1Backend
@@ -74,9 +74,20 @@ def _first_keyframe_compare(path):
     assert done.get("ok"), "native path never ran (fixture not eligible)"
 
 
-def test_bridge_exec_cl():
-    _first_keyframe_compare(CACHE / "cl_46044ef1.webm")
+# fixtures must be native-path eligible: intra, single tile, no screen
+# content, no superres, no loop restoration
+_SCOPE = dict(fps=10, frames=1, gop=1, audio_secs=0,
+              vopt=["enable-restoration=0", "enable-palette=0",
+                    "enable-intrabc=0", "enable-filter-intra=0"])
+
+
+def test_bridge_exec_plain():
+    _first_keyframe_compare(make_fixture(
+        w=96, h=96, crf=30, content=1,
+        **{**_SCOPE, "vopt": _SCOPE["vopt"] + ["enable-cdef=0"]}))
 
 
 def test_bridge_exec_cdef_fixture():
-    _first_keyframe_compare(CACHE / "ireal_cdef.webm")
+    _first_keyframe_compare(make_fixture(
+        w=128, h=96, crf=45, content=1,
+        **{**_SCOPE, "vopt": _SCOPE["vopt"] + ["enable-cdef=1"]}))
