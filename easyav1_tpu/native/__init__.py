@@ -41,6 +41,34 @@ class _TileParams(ctypes.Structure):
         "col_end", "row_start", "row_end", "qctx")]
 
 
+class _FrameParams(ctypes.Structure):
+    """Per-frame inter header fields + entropy-state chaining
+    (av1_common.h FrameParams)."""
+
+    _fields_ = [(n, ctypes.c_int32) for n in (
+        "frame_is_intra", "reference_select", "skip_mode_present",
+        "skip_mode_frame0", "skip_mode_frame1",
+        "allow_high_precision_mv", "force_integer_mv",
+        "interpolation_filter", "enable_dual_filter",
+        "is_motion_mode_switchable", "allow_warped_motion",
+        "enable_interintra_compound", "enable_masked_compound",
+        "enable_jnt_comp", "enable_order_hint", "order_hint_bits",
+        "order_hint")] + [
+        ("order_hints", ctypes.c_int32 * 8),
+        ("sign_bias", ctypes.c_int32 * 8),
+        ("gm_type", ctypes.c_int32 * 8),
+        ("gm_invalid", ctypes.c_int32 * 8),
+        ("gm_params", (ctypes.c_int32 * 6) * 8),
+        ("use_tpl", ctypes.c_int32),
+        ("w8", ctypes.c_int32), ("h8", ctypes.c_int32),
+        ("tpl_mv", ctypes.c_void_p), ("tpl_off", ctypes.c_void_p),
+        ("cdf_in", ctypes.c_void_p), ("cdf_out", ctypes.c_void_p),
+    ]
+
+
+BLK_FIELDS = 52
+
+
 class _TileOut(ctypes.Structure):
     _fields_ = [
         ("y_mode", ctypes.c_void_p), ("uv_mode", ctypes.c_void_p),
@@ -56,6 +84,11 @@ class _TileOut(ctypes.Structure):
         ("max_lf", ctypes.c_int64), ("n_lf", ctypes.c_int64),
         ("cdef_idx", ctypes.c_void_p),
         ("error", ctypes.c_int32),
+        ("ref0_g", ctypes.c_void_p), ("ref1_g", ctypes.c_void_p),
+        ("mvs_g", ctypes.c_void_p), ("interp_g", ctypes.c_void_p),
+        ("modes_g", ctypes.c_void_p), ("skipmode_g", ctypes.c_void_p),
+        ("compgrp_g", ctypes.c_void_p), ("compidx_g", ctypes.c_void_p),
+        ("intrabc_g", ctypes.c_void_p),
     ]
 
 
@@ -116,8 +149,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     lib.av1_decode_tile.restype = ctypes.c_int
     lib.av1_decode_tile.argtypes = [
-        ctypes.POINTER(_TileParams), ctypes.c_char_p, ctypes.c_int64,
-        ctypes.POINTER(_TileOut)]
+        ctypes.POINTER(_TileParams), ctypes.POINTER(_FrameParams),
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_TileOut)]
+    lib.av1_cdf_blob_size.restype = ctypes.c_int
+    lib.av1_cdf_blob_size.argtypes = []
     lib.av1_recon_frame.restype = ctypes.c_int
     lib.av1_recon_frame.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
@@ -157,21 +192,85 @@ def _qctx(base_q_idx: int) -> int:
     return 3
 
 
-def _run_tiles(lib, seq, hdr, tiles):
-    """Run the C tile decoder over all tiles; returns (TileOut, bufs)
-    or None.  Single-tile frames only (the Python reference carries
-    adapted CDFs across tiles; the C decoder re-inits per call)."""
-    if len(tiles) != 1:
-        return None
-    if not hdr.frame_is_intra:
-        # inter frames run through the Python pipeline for now
-        return None
+def cdf_blob_size(lib) -> int:
+    """sizeof(CdfState); asserted against the generated Python layout."""
+    from easyav1_tpu.native.cdf_layout import CDF_BLOB_BYTES
+    n = lib.av1_cdf_blob_size()
+    assert n == CDF_BLOB_BYTES, (n, CDF_BLOB_BYTES)
+    return n
+
+
+def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
+    """FrameParams from the parsed headers (+ optional temporal-mv
+    projection arrays and CDF chaining buffers).  Returns (fp, keep)
+    where `keep` holds buffers that must outlive the C call."""
+    fp = _FrameParams(
+        frame_is_intra=int(hdr.frame_is_intra),
+        reference_select=int(getattr(hdr, "reference_select", False)),
+        skip_mode_present=int(getattr(hdr, "skip_mode_present", False)),
+        skip_mode_frame0=getattr(hdr, "skip_mode_frames", [0, 0])[0],
+        skip_mode_frame1=getattr(hdr, "skip_mode_frames", [0, 0])[1],
+        allow_high_precision_mv=int(
+            getattr(hdr, "allow_high_precision_mv", False)),
+        force_integer_mv=int(getattr(hdr, "force_integer_mv", False)),
+        interpolation_filter=getattr(hdr, "interpolation_filter", 0),
+        enable_dual_filter=int(getattr(seq, "enable_dual_filter", False)),
+        is_motion_mode_switchable=int(
+            getattr(hdr, "is_motion_mode_switchable", False)),
+        allow_warped_motion=int(
+            getattr(hdr, "allow_warped_motion", False)),
+        enable_interintra_compound=int(
+            getattr(seq, "enable_interintra_compound", False)),
+        enable_masked_compound=int(
+            getattr(seq, "enable_masked_compound", False)),
+        enable_jnt_comp=int(getattr(seq, "enable_jnt_comp", False)),
+        enable_order_hint=int(getattr(seq, "enable_order_hint", False)),
+        order_hint_bits=getattr(seq, "order_hint_bits", 0),
+        order_hint=getattr(hdr, "order_hint", 0),
+    )
+    keep = []
+    for i, v in enumerate(getattr(hdr, "order_hints", [0] * 8)):
+        fp.order_hints[i] = int(v)
+    for i, v in enumerate(getattr(hdr, "ref_frame_sign_bias",
+                                  [False] * 8)):
+        fp.sign_bias[i] = int(v)
+    gm_t = getattr(hdr, "gm_type", [0] * 8)
+    gm_p = getattr(hdr, "gm_params", [[0, 0, 1 << 16, 0, 0, 1 << 16]] * 8)
+    gm_i = getattr(hdr, "gm_invalid", [False] * 8)
+    for i in range(8):
+        fp.gm_type[i] = int(gm_t[i])
+        fp.gm_invalid[i] = int(gm_i[i])
+        for j in range(6):
+            fp.gm_params[i][j] = int(gm_p[i][j])
+    if tpl is not None:
+        tpl_mv, tpl_off = tpl
+        tpl_mv = np.ascontiguousarray(tpl_mv, np.int16)
+        tpl_off = np.ascontiguousarray(tpl_off, np.int8)
+        keep += [tpl_mv, tpl_off]
+        fp.use_tpl = 1
+        fp.h8, fp.w8 = tpl_off.shape
+        fp.tpl_mv = _vp(tpl_mv)
+        fp.tpl_off = _vp(tpl_off)
+    if cdf_in is not None:
+        buf = ctypes.create_string_buffer(cdf_in, len(cdf_in))
+        keep.append(buf)
+        fp.cdf_in = ctypes.cast(buf, ctypes.c_void_p)
+    if cdf_out is not None:
+        fp.cdf_out = ctypes.cast(cdf_out, ctypes.c_void_p)
+    return fp, keep
+
+
+def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
+               tpl=None):
+    """Run the C tile decoder over all tiles of a frame.
+
+    Returns (TileOut, bufs, cdf_blob_or_None) or None when the frame
+    uses syntax outside the C decoder's scope.  cdf_in: packed CdfState
+    blob for inherited entropy state (spec load_cdfs); want_cdf: export
+    the end-of-tile state of the context_update_tile_id tile."""
     if getattr(hdr, "allow_screen_content_tools", False):
         # screen-content syntax (palette flags, intrabc) is not in the
         # C tile decoder yet
-        return None
-    if getattr(hdr, "use_superres", False):
-        # superres upscaling runs in the Python pipeline for now
         return None
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
@@ -203,7 +302,8 @@ def _run_tiles(lib, seq, hdr, tiles):
     max_lf = 3 * n_mi + 64
     coeffs_cap = 2 * n_mi * 16 + 4096
     # buffer pool keyed by mi dims — the C decoder overwrites every
-    # consumed element, so reuse without re-zeroing (cdef grid excepted)
+    # consumed element, so reuse without re-zeroing (cdef grid and the
+    # inter-state grids excepted)
     key = (mi_rows, mi_cols)
     bufs = _BUF_POOL.get(key)
     if bufs is None:
@@ -211,15 +311,30 @@ def _run_tiles(lib, seq, hdr, tiles):
             "grids": {k: np.empty((mi_rows, mi_cols), np.int8)
                       for k in ("y_mode", "uv_mode", "angle_y", "angle_uv",
                                 "skip", "bsize")},
-            "blocks": np.empty((max_blocks, 16), np.int32),
+            "blocks": np.empty((max_blocks, BLK_FIELDS), np.int32),
             "txs": np.empty((max_txs, 8), np.int32),
             "coeffs": np.empty(coeffs_cap, np.int32),
             "lf": np.empty((max_lf, 4), np.int32),
             "cdef": np.empty(((mi_rows + 15) // 16, (mi_cols + 15) // 16),
                              np.int8),
+            "ref0": np.empty((mi_rows, mi_cols), np.int8),
+            "ref1": np.empty((mi_rows, mi_cols), np.int8),
+            "mvs": np.empty((mi_rows, mi_cols, 2, 2), np.int16),
+            "interp": np.empty((mi_rows, mi_cols, 2), np.int8),
+            "modes": np.empty((mi_rows, mi_cols), np.int16),
+            "skipmode": np.empty((mi_rows, mi_cols), np.int8),
+            "compgrp": np.empty((mi_rows, mi_cols), np.int8),
+            "compidx": np.empty((mi_rows, mi_cols), np.int8),
+            "intrabc": np.empty((mi_rows, mi_cols), np.int8),
         }
         _BUF_POOL[key] = bufs
     bufs["cdef"].fill(-1)
+    # inter-state grids: per-frame init mirrors tile.py _init_tile
+    bufs["ref0"].fill(-1)
+    bufs["ref1"].fill(-1)
+    bufs["compidx"].fill(1)
+    for k in ("mvs", "interp", "modes", "skipmode", "compgrp", "intrabc"):
+        bufs[k].fill(0)
     grids = bufs["grids"]
 
     out = _TileOut(
@@ -230,19 +345,38 @@ def _run_tiles(lib, seq, hdr, tiles):
         txs=_vp(bufs["txs"]), max_txs=max_txs, n_txs=0,
         coeffs=_vp(bufs["coeffs"]), coeffs_cap=coeffs_cap, coeffs_used=0,
         lf_txs=_vp(bufs["lf"]), max_lf=max_lf, n_lf=0,
-        cdef_idx=_vp(bufs["cdef"]), error=0)
+        cdef_idx=_vp(bufs["cdef"]), error=0,
+        ref0_g=_vp(bufs["ref0"]), ref1_g=_vp(bufs["ref1"]),
+        mvs_g=_vp(bufs["mvs"]), interp_g=_vp(bufs["interp"]),
+        modes_g=_vp(bufs["modes"]), skipmode_g=_vp(bufs["skipmode"]),
+        compgrp_g=_vp(bufs["compgrp"]), compidx_g=_vp(bufs["compidx"]),
+        intrabc_g=_vp(bufs["intrabc"]))
 
     sb_shift = 5 if seq.use_128x128_superblock else 4
     t = hdr.tile
-    p.col_start = min(t.col_starts[0] << sb_shift, mi_cols)
-    p.col_end = min(t.col_starts[1] << sb_shift, mi_cols)
-    p.row_start = min(t.row_starts[0] << sb_shift, mi_rows)
-    p.row_end = min(t.row_starts[1] << sb_shift, mi_rows)
-    rc = lib.av1_decode_tile(ctypes.byref(p), tiles[0], len(tiles[0]),
-                             ctypes.byref(out))
-    if rc != 0:
+    n_cols = t.cols
+    n_tiles = t.cols * t.rows
+    if len(tiles) != n_tiles:
         return None
-    return out, bufs
+    update_tid = t.context_update_tile_id
+    cdf_out_buf = (ctypes.create_string_buffer(cdf_blob_size(lib))
+                   if want_cdf else None)
+    for tile_num, tdata in enumerate(tiles):
+        tr, tc = tile_num // n_cols, tile_num % n_cols
+        p.col_start = min(t.col_starts[tc] << sb_shift, mi_cols)
+        p.col_end = min(t.col_starts[tc + 1] << sb_shift, mi_cols)
+        p.row_start = min(t.row_starts[tr] << sb_shift, mi_rows)
+        p.row_end = min(t.row_starts[tr + 1] << sb_shift, mi_rows)
+        this_out = (cdf_out_buf if (want_cdf and tile_num == update_tid)
+                    else None)
+        fp, keep = _build_fp(hdr, seq, cdf_in, this_out, tpl)
+        rc = lib.av1_decode_tile(ctypes.byref(p), ctypes.byref(fp),
+                                 tdata, len(tdata), ctypes.byref(out))
+        del keep
+        if rc != 0:
+            return None
+    blob = cdf_out_buf.raw if cdf_out_buf is not None else None
+    return out, bufs, blob
 
 
 def _vp(a):
@@ -252,17 +386,24 @@ def _vp(a):
 _BUF_POOL: dict = {}
 
 
-def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
-    """Decode all tiles of an intra frame into `plan` using the C
-    decoder.  Returns False (plan untouched) when the native path is
-    unavailable or reports an error; caller falls back to Python."""
+def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
+                        want_cdf=False, tpl=None):
+    """Decode all tiles of a frame into `plan` using the C decoder.
+
+    Returns the end-of-frame CDF blob (bytes) when want_cdf, else True;
+    returns None (plan untouched) when the native path is unavailable
+    or declines — caller falls back to Python.  Loop-restoration syntax
+    is not parsed by the C decoder yet, so uses_lr frames decline."""
     lib = _load()
     if lib is None:
-        return False
-    res = _run_tiles(lib, seq, hdr, tiles)
+        return None
+    if getattr(getattr(hdr, "lr", None), "uses_lr", False):
+        return None
+    res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
+                     want_cdf=want_cdf, tpl=tpl)
     if res is None:
-        return False
-    out, bufs = res
+        return None
+    out, bufs, blob = res
     from easyav1_tpu.video.av1 import constants as C
     from easyav1_tpu.video.av1 import tables as T
     from easyav1_tpu.video.av1.tile import BlockRecord, TxBlock
@@ -272,7 +413,12 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
     for b in bufs["blocks"][:out.n_blocks]:
         (br, bc, bsize, y_mode, uv_mode, angle_y, angle_uv, skip,
          tx_size, uv_tx, has_chroma, cfl_u, cfl_v, fi, tx_off,
-         n_tx) = (int(v) for v in b)
+         n_tx) = (int(v) for v in b[:16])
+        is_inter = bool(b[16])
+        warp = None
+        if b[28]:  # BLK_WARP_VALID
+            warp = ([int(v) for v in b[29:35]],
+                    tuple(int(v) for v in b[35:39]))
         rec = BlockRecord(
             r=br, c=bc, bsize=bsize, y_mode=y_mode, uv_mode=uv_mode,
             angle_y=angle_y, angle_uv=angle_uv, skip=bool(skip),
@@ -280,7 +426,20 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
             has_chroma=bool(has_chroma),
             cfl_alphas=((cfl_u, cfl_v)
                         if uv_mode == C.UV_CFL_PRED else None),
-            filter_intra=fi if fi >= 0 else None)
+            filter_intra=fi if fi >= 0 else None,
+            is_inter=is_inter,
+            ref_frame=(int(b[17]), int(b[18])),
+            mv=(int(b[19]), int(b[20])),
+            mv2=(int(b[21]), int(b[22])),
+            inter_mode=int(b[23]), ref_mv_idx=int(b[24]),
+            interp_filter=(int(b[25]), int(b[26])),
+            motion_mode=int(b[27]), warp=warp,
+            compound_type=int(b[39]), compound_idx=int(b[40]),
+            wedge_idx=int(b[41]), wedge_sign=int(b[42]),
+            mask_type=int(b[43]),
+            interintra_mode=int(b[44]), ii_wedge=int(b[45]),
+            ii_wedge_idx=int(b[46]),
+            skip_mode=bool(b[47]), partition=int(b[48]))
         for k in range(tx_off, tx_off + n_tx):
             (plane, x, y, tsz, ttyp, eob, coff, lossless) = \
                 (int(v) for v in txs[k])
@@ -302,12 +461,17 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes]) -> bool:
                             int(lf[3])))
     for k, g in bufs["grids"].items():
         getattr(plan, k)[:, :] = g
+    # inter decode-state grids (recon OBMC/sub8x8 + backend save_tmvs)
+    plan.ref0_grid = bufs["ref0"].copy()
+    plan.ref1_grid = bufs["ref1"].copy()
+    plan.mvs_grid = bufs["mvs"].copy()
+    plan.interp_grid = bufs["interp"].copy()
     cdef_buf = bufs["cdef"]
     for ur in range(cdef_buf.shape[0]):
         for uc in range(cdef_buf.shape[1]):
             if cdef_buf[ur, uc] != -1:
                 plan.cdef_idx[(ur * 16, uc * 16)] = int(cdef_buf[ur, uc])
-    return True
+    return blob if want_cdf else True
 
 
 def _build_rp(seq, hdr):
@@ -350,10 +514,13 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
     lib = _load()
     if lib is None:
         return None
+    if not hdr.frame_is_intra or getattr(hdr, "use_superres", False) \
+            or getattr(getattr(hdr, "lr", None), "uses_lr", False):
+        return None
     res = _run_tiles(lib, seq, hdr, tiles)
     if res is None:
         return None
-    out, bufs = res
+    out, bufs, _blob = res
     rp = _build_rp(seq, hdr)
     # one record per plane per visited tx; lf_txs shares geometry for
     # u/v so double it for the worst case
@@ -373,24 +540,33 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
     }
 
 
-def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
+def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
+                            want_cdf=False, tpl=None, refs=None):
     """Full native frame path: tile decode + recon + loop filter + CDEF
-    in C.  Returns the cropped output planes (uint8/uint16), or None if
-    the native path is unavailable or declines (caller falls back)."""
+    in C.  Returns (cropped output planes, cdf_blob_or_None), or None
+    if the native path is unavailable or declines (caller falls back).
+    refs: RefPlanes-compatible list of per-slot cropped uint16 plane
+    triples (required for inter frames)."""
     lib = _load()
     if lib is None:
         return None
-    res = _run_tiles(lib, seq, hdr, tiles)
+    if getattr(hdr, "use_superres", False) \
+            or getattr(getattr(hdr, "lr", None), "uses_lr", False):
+        return None
+    if not hdr.frame_is_intra:
+        return None     # C inter recon lands next; entropy is ready
+    res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
+                     want_cdf=want_cdf, tpl=tpl)
     if res is None:
         return None
-    out, bufs = res
+    out, bufs, blob = res
     rp = _build_rp(seq, hdr)
 
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
         planes = _pallas_frame(lib, seq, hdr, out, bufs, rp)
         if planes is not None:
-            return planes
+            return planes, blob
         # fall through to the C recon when the device path declines
 
     aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
@@ -424,7 +600,7 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes]):
     if n_pl > 1:
         planes.append(pu[:ch, :cw].astype(dt))
         planes.append(pv[:ch, :cw].astype(dt))
-    return planes
+    return planes, blob
 
 
 _PALLAS_RECONS: dict = {}

@@ -24,13 +24,66 @@ typedef struct {
     int32_t qctx;
 } TileParams;
 
+/* per-frame side data: inter header fields + entropy-state chaining.
+ * (headers.py FrameHeader fields the inter symbol decode consumes) */
+typedef struct {
+    int32_t frame_is_intra;
+    int32_t reference_select;
+    int32_t skip_mode_present;
+    int32_t skip_mode_frame0, skip_mode_frame1;
+    int32_t allow_high_precision_mv;
+    int32_t force_integer_mv;
+    int32_t interpolation_filter;      /* 4 = SWITCHABLE */
+    int32_t enable_dual_filter;
+    int32_t is_motion_mode_switchable;
+    int32_t allow_warped_motion;
+    int32_t enable_interintra_compound;
+    int32_t enable_masked_compound;
+    int32_t enable_jnt_comp;
+    int32_t enable_order_hint;
+    int32_t order_hint_bits;
+    int32_t order_hint;
+    int32_t order_hints[8];            /* per ref frame 1..7 (0 unused) */
+    int32_t sign_bias[8];
+    int32_t gm_type[8];
+    int32_t gm_invalid[8];
+    int32_t gm_params[8][6];
+    int32_t use_tpl;                   /* temporal mv field present */
+    int32_t w8, h8;                    /* tpl grid dims */
+    const int16_t *tpl_mv;             /* [h8][w8][2] or NULL */
+    const int8_t *tpl_off;             /* [h8][w8] or NULL */
+    const uint8_t *cdf_in;             /* packed CdfState or NULL */
+    uint8_t *cdf_out;                  /* end-of-tile state or NULL */
+} FrameParams;
+
+/* block record: 48 int32 each (see BLK_* indices) */
+enum {
+    BLK_R = 0, BLK_C, BLK_BSIZE, BLK_YMODE, BLK_UVMODE, BLK_ANGLE_Y,
+    BLK_ANGLE_UV, BLK_SKIP, BLK_TXSZ, BLK_UVTX, BLK_HASCHROMA, BLK_CFL_U,
+    BLK_CFL_V, BLK_FI, BLK_TXOFF, BLK_NTX,
+    BLK_IS_INTER,            /* 16 */
+    BLK_REF0, BLK_REF1,
+    BLK_MV_R, BLK_MV_C, BLK_MV2_R, BLK_MV2_C,
+    BLK_MODE, BLK_REFMVIDX,
+    BLK_INTERP0, BLK_INTERP1,
+    BLK_MOTION_MODE,
+    BLK_WARP_VALID,          /* 28 */
+    BLK_WM0, BLK_WM1, BLK_WM2, BLK_WM3, BLK_WM4, BLK_WM5,
+    BLK_SH_ALPHA, BLK_SH_BETA, BLK_SH_GAMMA, BLK_SH_DELTA,
+    BLK_COMP_TYPE,           /* 39 */
+    BLK_COMP_IDX, BLK_WEDGE_IDX, BLK_WEDGE_SIGN, BLK_MASK_TYPE,
+    BLK_II_MODE,             /* 44: interintra mode, -1 off */
+    BLK_II_WEDGE, BLK_II_WEDGE_IDX,
+    BLK_SKIP_MODE,           /* 47 */
+    BLK_PARTITION,           /* 48: partition type at this block's node
+                                (recon has_tr/has_bl table selection) */
+    BLK_FIELDS = 52          /* padded */
+};
+
 typedef struct {
     /* mi grids, mi_rows x mi_cols row-major int8 */
     int8_t *y_mode, *uv_mode, *angle_y, *angle_uv, *skip, *bsize;
-    /* block records, 16 int32 each:
-       r, c, bsize, y_mode, uv_mode, angle_y, angle_uv, skip, tx_size,
-       uv_tx_size, has_chroma, cfl_u, cfl_v, filter_intra(-1 none),
-       tx_off, n_tx */
+    /* block records, BLK_FIELDS int32 each */
     int32_t *blocks;
     int64_t max_blocks, n_blocks;
     /* coded (non-all-zero) tx records, 8 int32 each:
@@ -46,6 +99,16 @@ typedef struct {
        -1 = unset */
     int8_t *cdef_idx;
     int32_t error;
+    /* inter decode-state grids (frame-sized, shared across tiles; the
+       caller zero/init-fills per frame: ref0 = -1, compidx = 1) */
+    int8_t *ref0_g, *ref1_g;   /* mi grids, per-4x4 reference pair */
+    int16_t *mvs_g;            /* [mi_rows][mi_cols][2][2] (row,col) */
+    int8_t *interp_g;          /* [mi_rows][mi_cols][2] */
+    int16_t *modes_g;          /* [mi_rows][mi_cols] prediction mode */
+    int8_t *skipmode_g;        /* per-4x4 skip-mode flag */
+    int8_t *compgrp_g;         /* comp_group_idx grid */
+    int8_t *compidx_g;         /* compound_index grid (init 1) */
+    int8_t *intrabc_g;         /* intrabc flag grid */
 } TileOut;
 
 /* frame reconstruction parameters (recon + loop filter + cdef) */
@@ -63,3 +126,10 @@ typedef struct {
     int32_t coded_lossless, allow_intrabc;
     int32_t frame_width, frame_height;   /* visible (cropped) dims */
 } ReconParams;
+
+/* reference-frame planes for inter reconstruction: cropped (visible)
+ * uint16 planes per slot; NULL when a slot is empty */
+typedef struct {
+    const uint16_t *plane[8][3];
+    int32_t w[8][3], h[8][3];
+} RefPlanes;

@@ -195,7 +195,7 @@ static int lf_build_grids(const ReconParams *rp, const TileOut *o,
     int ssx = plane ? rp->ssx : 0;
     int ssy = plane ? rp->ssy : 0;
     for (int64_t bi = 0; bi < o->n_blocks; bi++) {
-        const int32_t *b = o->blocks + bi * 16;
+        const int32_t *b = o->blocks + bi * BLK_FIELDS;
         if (plane && !b[10]) continue;   /* has_chroma */
         int bx = b[1] >> ssx, by = b[0] >> ssy;
         int bw = av1_block_w4[b[2]] >> ssx;

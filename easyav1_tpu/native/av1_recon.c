@@ -774,7 +774,7 @@ int av1_export_pred_units(const ReconParams *rp, const TileOut *o,
     int64_t n = 0;
     int err = 0;
     for (int64_t i = 0; i < o->n_blocks && !err; i++)
-        err = export_block(&rc, o->blocks + i * 16, units, max_units, &n);
+        err = export_block(&rc, o->blocks + i * BLK_FIELDS, units, max_units, &n);
     for (int p = 0; p < 3; p++) free(rc.decoded[p]);
     *n_out = n;
     return err;
@@ -804,7 +804,7 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
         }
     }
     for (int64_t i = 0; i < o->n_blocks; i++)
-        recon_block(&rc, o->blocks + i * 16);
+        recon_block(&rc, o->blocks + i * BLK_FIELDS);
     for (int p = 0; p < 3; p++) free(rc.decoded[p]);
 
     av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);

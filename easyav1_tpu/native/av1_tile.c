@@ -134,73 +134,10 @@ static int msac_golomb(Msac *s) {
 }
 
 /* ------------------------------------------------------------------ */
-/* CDF state: working copies of every table used by the intra path.    */
-/* Shapes follow tables_data.npz after the qctx dimension is selected. */
+/* CDF state: generated full-state struct (av1_cdf_state.h) covering   */
+/* every adaptive table; blob-compatible with the Python CdfContext.   */
 
-typedef struct {
-    uint16_t txb_skip[5][13][3];
-    uint16_t eob_extra[5][2][9][3];
-    uint16_t dc_sign[2][3][3];
-    uint16_t coeff_base_eob[5][2][4][4];
-    uint16_t coeff_base[5][2][42][5];
-    uint16_t coeff_br[5][2][21][5];
-    uint16_t eob16[2][2][6];
-    uint16_t eob32[2][2][7];
-    uint16_t eob64[2][2][8];
-    uint16_t eob128[2][2][9];
-    uint16_t eob256[2][2][10];
-    uint16_t eob512[2][2][11];
-    uint16_t eob1024[2][2][12];
-    uint16_t partition[20][11];
-    uint16_t kf_y_mode[5][5][14];
-    uint16_t uv_mode[2][13][15];
-    uint16_t angle_delta[8][8];
-    uint16_t intra_tx1[4][13][17];
-    uint16_t intra_tx2[4][13][17];
-    uint16_t tx_size[4][3][4];
-    uint16_t skip[3][3];
-    uint16_t delta_q[1][5];
-    uint16_t delta_lf[1][5];
-    uint16_t delta_lf_multi[4][5];
-    uint16_t cfl_sign[1][9];
-    uint16_t cfl_alpha[6][17];
-    uint16_t filter_intra_mode[1][6];
-    uint16_t filter_intra_use[22][3];
-} CdfState;
-
-static void cdf_init(CdfState *c, int qctx) {
-    memcpy(c->txb_skip, av1_txb_skip[qctx], sizeof(c->txb_skip));
-    memcpy(c->eob_extra, av1_eob_extra[qctx], sizeof(c->eob_extra));
-    memcpy(c->dc_sign, av1_dc_sign[qctx], sizeof(c->dc_sign));
-    memcpy(c->coeff_base_eob, av1_coeff_base_eob[qctx],
-           sizeof(c->coeff_base_eob));
-    memcpy(c->coeff_base, av1_coeff_base[qctx], sizeof(c->coeff_base));
-    memcpy(c->coeff_br, av1_coeff_br[qctx], sizeof(c->coeff_br));
-    memcpy(c->eob16, av1_eob_multi16[qctx], sizeof(c->eob16));
-    memcpy(c->eob32, av1_eob_multi32[qctx], sizeof(c->eob32));
-    memcpy(c->eob64, av1_eob_multi64[qctx], sizeof(c->eob64));
-    memcpy(c->eob128, av1_eob_multi128[qctx], sizeof(c->eob128));
-    memcpy(c->eob256, av1_eob_multi256[qctx], sizeof(c->eob256));
-    memcpy(c->eob512, av1_eob_multi512[qctx], sizeof(c->eob512));
-    memcpy(c->eob1024, av1_eob_multi1024[qctx], sizeof(c->eob1024));
-    memcpy(c->partition, av1_partition, sizeof(c->partition));
-    memcpy(c->kf_y_mode, av1_kf_y_mode, sizeof(c->kf_y_mode));
-    memcpy(c->uv_mode, av1_uv_mode, sizeof(c->uv_mode));
-    memcpy(c->angle_delta, av1_angle_delta, sizeof(c->angle_delta));
-    memcpy(c->intra_tx1, av1_intra_ext_tx_set1, sizeof(c->intra_tx1));
-    memcpy(c->intra_tx2, av1_intra_ext_tx_set2, sizeof(c->intra_tx2));
-    memcpy(c->tx_size, av1_tx_size, sizeof(c->tx_size));
-    memcpy(c->skip, av1_skip, sizeof(c->skip));
-    memcpy(c->delta_q, av1_delta_q, sizeof(c->delta_q));
-    memcpy(c->delta_lf, av1_delta_lf, sizeof(c->delta_lf));
-    memcpy(c->delta_lf_multi, av1_delta_lf_multi, sizeof(c->delta_lf_multi));
-    memcpy(c->cfl_sign, av1_cfl_sign, sizeof(c->cfl_sign));
-    memcpy(c->cfl_alpha, av1_cfl_alpha, sizeof(c->cfl_alpha));
-    memcpy(c->filter_intra_mode, av1_filter_intra_mode,
-           sizeof(c->filter_intra_mode));
-    memcpy(c->filter_intra_use, av1_filter_intra_use,
-           sizeof(c->filter_intra_use));
-}
+#include "av1_cdf_state.h"
 
 /* ragged decode: CDF row stored wider than the symbol count
    (tile.py _decode_ragged) */
@@ -220,6 +157,7 @@ static int msac_ragged(Msac *s, uint16_t *row, int row_len, int nsym) {
 
 typedef struct {
     const TileParams *p;
+    const FrameParams *fp;
     TileOut *o;
     Msac msac;
     CdfState cdf;
@@ -234,6 +172,11 @@ typedef struct {
     int32_t cur_qindex;
     int32_t read_deltas;
     int64_t cur_block;
+    /* inter decode state (per av1_decode_tile call) */
+    uint8_t *decoded_mi;      /* mi grid: cell decoded by THIS tile */
+    int8_t *tx_types;         /* mi grid: luma tx type per 4x4 */
+    int skip_mode_flag;
+    int cur_partition;        /* partition type at the current node */
 } Ctx;
 
 enum { BLOCK_4X4 = 0, BLOCK_8X8 = 3, BLOCK_64X64 = 12, BLOCK_128X128 = 15 };
@@ -289,6 +232,9 @@ static int ac_q(int qindex, int bitdepth) {
 
 static int imin(int a, int b) { return a < b ? a : b; }
 static int imax(int a, int b) { return a > b ? a : b; }
+
+/* refmvs stack, warp estimation, inter mode parse (same TU) */
+#include "av1_inter.h"
 
 /* ------------------------------------------------------------------ */
 /* coefficient contexts (tile.py statics)                              */
@@ -445,13 +391,13 @@ static int dc_sign_ctx(Ctx *t, int plane, int x4, int y4, int w4, int h4) {
 static uint16_t *eob_row(Ctx *t, int area, int ptype, int cls2d, int *len) {
     CdfState *c = &t->cdf;
     switch (area) {
-    case 16: *len = 6; return c->eob16[ptype][cls2d];
-    case 32: *len = 7; return c->eob32[ptype][cls2d];
-    case 64: *len = 8; return c->eob64[ptype][cls2d];
-    case 128: *len = 9; return c->eob128[ptype][cls2d];
-    case 256: *len = 10; return c->eob256[ptype][cls2d];
-    case 512: *len = 11; return c->eob512[ptype][cls2d];
-    default: *len = 12; return c->eob1024[ptype][cls2d];
+    case 16: *len = 6; return c->eob_multi16[ptype][cls2d];
+    case 32: *len = 7; return c->eob_multi32[ptype][cls2d];
+    case 64: *len = 8; return c->eob_multi64[ptype][cls2d];
+    case 128: *len = 9; return c->eob_multi128[ptype][cls2d];
+    case 256: *len = 10; return c->eob_multi256[ptype][cls2d];
+    case 512: *len = 11; return c->eob_multi512[ptype][cls2d];
+    default: *len = 12; return c->eob_multi1024[ptype][cls2d];
     }
 }
 
@@ -510,19 +456,62 @@ static int read_tx_type(Ctx *t, int tx_size, int y_mode, int filter_intra) {
     int intra_dir = filter_intra >= 0 ? FI_TO_DIR[filter_intra] : y_mode;
     int sq = av1_tx_sqr[tx_size];
     if (set == 1) {
-        int sym = msac_ragged(&t->msac, t->cdf.intra_tx1[sq][intra_dir],
+        int sym = msac_ragged(&t->msac, t->cdf.intra_ext_tx_set1[sq][intra_dir],
                               17, 7);
         return av1_tx_set_intra_1[sym];
     }
-    int sym = msac_ragged(&t->msac, t->cdf.intra_tx2[sq][intra_dir], 17, 5);
+    int sym = msac_ragged(&t->msac, t->cdf.intra_ext_tx_set2[sq][intra_dir], 17, 5);
     return av1_tx_set_intra_2[sym];
+}
+
+/* tables.py get_tx_set_inter (spec get_ext_tx_set) */
+static int get_tx_set_inter(int tx_size, int reduced) {
+    int sqr_up = av1_tx_sqr_up[tx_size];
+    if (sqr_up > TX_32X32) return 0;
+    if (sqr_up == TX_32X32) return 3;
+    if (reduced) return 3;
+    if (av1_tx_sqr[tx_size] == TX_16X16) return 2;
+    return 1;
+}
+
+/* tile.py _read_tx_type inter arm */
+static int read_tx_type_inter(Ctx *t, int tx_size) {
+    if (t->p->coded_lossless) return DCT_DCT;
+    int set = get_tx_set_inter(tx_size, t->p->reduced_tx_set);
+    if (set == 0) return DCT_DCT;
+    int sq = av1_tx_sqr[tx_size];
+    if (set == 1)
+        return av1_tx_set_inter_1[msac_ragged(
+            &t->msac, t->cdf.inter_ext_tx_set1[sq], 17, 16)];
+    if (set == 2)
+        return av1_tx_set_inter_2[msac_ragged(
+            &t->msac, t->cdf.inter_ext_tx_set2[sq], 17, 12)];
+    return av1_tx_set_inter_3[msac_ragged(
+        &t->msac, t->cdf.inter_ext_tx_set3[sq], 17, 2)];
+}
+
+/* tile.py _uv_tx_type inter arm: co-located luma type clamped by set */
+static int uv_tx_type_inter(Ctx *t, int tx_size, int blk_r, int blk_c) {
+    if (t->p->coded_lossless) return DCT_DCT;
+    int tt = t->tx_types[(int64_t)blk_r * t->p->mi_cols + blk_c];
+    int set = get_tx_set_inter(tx_size, t->p->reduced_tx_set);
+    if (set == 0) return DCT_DCT;
+    const int8_t *lst;
+    int n;
+    if (set == 1) { lst = av1_tx_set_inter_1; n = 16; }
+    else if (set == 2) { lst = av1_tx_set_inter_2; n = 12; }
+    else { lst = av1_tx_set_inter_3; n = 2; }
+    for (int i = 0; i < n; i++)
+        if (lst[i] == tt) return tt;
+    return DCT_DCT;
 }
 
 /* ------------------------------------------------------------------ */
 
 static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
                             int bsize, int y_mode, int uv_mode,
-                            int filter_intra) {
+                            int filter_intra, int is_inter, int blk_r,
+                            int blk_c) {
     const TileParams *p = t->p;
     TileOut *o = t->o;
     int adj = av1_adj_tx[tx_size];
@@ -546,8 +535,19 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     }
 
     int tx_type;
-    if (plane == 0) tx_type = read_tx_type(t, tx_size, y_mode, filter_intra);
-    else tx_type = uv_tx_type_for(t, tx_size, uv_mode);
+    if (plane == 0) {
+        tx_type = is_inter ? read_tx_type_inter(t, tx_size)
+                           : read_tx_type(t, tx_size, y_mode, filter_intra);
+        int tw4g = imin(av1_tx_w4[tx_size], p->mi_cols - x4);
+        int th4g = imin(av1_tx_h4[tx_size], p->mi_rows - y4);
+        for (int i = 0; i < th4g; i++)
+            for (int j = 0; j < tw4g; j++)
+                t->tx_types[(int64_t)(y4 + i) * p->mi_cols + (x4 + j)] =
+                    (int8_t)tx_type;
+    } else {
+        tx_type = is_inter ? uv_tx_type_inter(t, tx_size, blk_r, blk_c)
+                           : uv_tx_type_for(t, tx_size, uv_mode);
+    }
     int cls = av1_tx_type_class[tx_type];
     const int16_t *scan = av1_scans[tx_size][cls];
 
@@ -640,7 +640,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     rec[7] = p->coded_lossless;
     o->n_txs++;
     o->coeffs_used += tw * th;
-    o->blocks[t->cur_block * 16 + 15]++;   /* n_tx for the current block */
+    o->blocks[t->cur_block * BLK_FIELDS + BLK_NTX]++;
 }
 
 /* ------------------------------------------------------------------ */
@@ -679,8 +679,50 @@ static void read_deltas(Ctx *t, int bsize, int skip) {
     }
 }
 
+/* tile.py _txfm_split_ctx */
+static int txfm_split_ctx(Ctx *t, int r, int c, int bsize, int tx_size) {
+    int txw = av1_tx_w[tx_size], txh = av1_tx_h[tx_size];
+    int above = r > t->p->row_start && t->a_txw[c] < txw;
+    int left = c > t->p->col_start && t->l_txh[r] < txh;
+    int max_rect = av1_max_tx_rect[bsize];
+    int max_sq = av1_tx_sqr_up[max_rect];
+    int cat = (av1_tx_sqr_up[tx_size] != max_sq && max_sq > 1 /*TX_8X8*/)
+              + (5 /*TX_SIZES*/ - 1 - max_sq) * 2;
+    return cat * 3 + above + left;
+}
+
+/* tile.py _var_tx_node (spec read_var_tx_size) */
+static void var_tx_node(Ctx *t, int r, int c, int bsize, int xx, int yy,
+                        int tx_size, int depth, int32_t (*leaves)[3],
+                        int *n) {
+    int split = 0;
+    if (depth < 2 && tx_size != TX_4X4) {
+        int ctx = txfm_split_ctx(t, r + yy, c + xx, bsize, tx_size);
+        split = msac_symbol(&t->msac, t->cdf.txfm_partition[ctx], 2);
+    }
+    if (split) {
+        int sub = av1_split_tx[tx_size];
+        int sw = av1_tx_w4[sub], sh = av1_tx_h4[sub];
+        for (int dy = 0; dy < av1_tx_h4[tx_size]; dy += sh)
+            for (int dx = 0; dx < av1_tx_w4[tx_size]; dx += sw)
+                var_tx_node(t, r, c, bsize, xx + dx, yy + dy, sub,
+                            depth + 1, leaves, n);
+    } else {
+        leaves[*n][0] = xx;
+        leaves[*n][1] = yy;
+        leaves[*n][2] = tx_size;
+        (*n)++;
+        int tw4 = av1_tx_w4[tx_size], th4 = av1_tx_h4[tx_size];
+        for (int i = 0; i < tw4 && c + xx + i < t->p->mi_cols; i++)
+            t->a_txw[c + xx + i] = av1_tx_w[tx_size];
+        for (int i = 0; i < th4 && r + yy + i < t->p->mi_rows; i++)
+            t->l_txh[r + yy + i] = av1_tx_h[tx_size];
+    }
+}
+
 static void decode_block(Ctx *t, int r, int c, int bsize) {
     const TileParams *p = t->p;
+    const FrameParams *fp = t->fp;
     TileOut *o = t->o;
     int full_w4 = av1_block_w4[bsize], full_h4 = av1_block_h4[bsize];
     int w4 = imin(full_w4, p->col_end - c);
@@ -693,9 +735,24 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
         if (p->ssx && full_w4 == 1 && (c & 1) == 0) has_chroma = 0;
     }
 
-    int skip_ctx = (avail_u ? t->a_skip[c] : 0)
-                 + (avail_l ? t->l_skip[r] : 0);
-    int skip = msac_symbol(&t->msac, t->cdf.skip[skip_ctx], 2);
+    /* skip mode (spec read_skip_mode), then skip */
+    t->skip_mode_flag = 0;
+    if (!fp->frame_is_intra && fp->skip_mode_present && full_w4 * 4 >= 8
+        && full_h4 * 4 >= 8) {
+        int sm_ctx = 0;
+        if (avail_u) sm_ctx += t->o->skipmode_g[GIDX(t, r - 1, c)];
+        if (avail_l) sm_ctx += t->o->skipmode_g[GIDX(t, r, c - 1)];
+        t->skip_mode_flag = msac_symbol(&t->msac,
+                                        t->cdf.skip_mode[sm_ctx], 2);
+    }
+    int skip;
+    if (t->skip_mode_flag) {
+        skip = 1;
+    } else {
+        int skip_ctx = (avail_u ? t->a_skip[c] : 0)
+                     + (avail_l ? t->l_skip[r] : 0);
+        skip = msac_symbol(&t->msac, t->cdf.skip[skip_ctx], 2);
+    }
 
     /* cdef idx: one literal per 64x64 unit at the first non-skip block */
     if (!skip && p->enable_cdef && !p->coded_lossless && !p->allow_intrabc) {
@@ -711,21 +768,59 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     if (t->read_deltas) read_deltas(t, bsize, skip);
     t->read_deltas = 0;
 
-    int above_mode = avail_u ? t->a_mode[c] : DC_PRED;
-    int left_mode = avail_l ? t->l_mode[r] : DC_PRED;
-    int y_mode = msac_symbol(
-        &t->msac,
-        t->cdf.kf_y_mode[av1_intra_mode_ctx[above_mode]]
-                        [av1_intra_mode_ctx[left_mode]], 13);
+    /* is_inter (spec read_is_inter; intrabc streams are declined) */
+    int is_inter = 0;
+    if (!fp->frame_is_intra) {
+        if (t->skip_mode_flag) {
+            is_inter = 1;
+        } else {
+            int ctx;
+            if (avail_u && avail_l) {
+                int ai = REF0_AT(t, r - 1, c) == INTRA_FRAME;
+                int li = REF0_AT(t, r, c - 1) == INTRA_FRAME;
+                ctx = (ai && li) ? 3 : (ai || li);
+            } else if (avail_u || avail_l) {
+                int ni = avail_u ? REF0_AT(t, r - 1, c) == INTRA_FRAME
+                                 : REF0_AT(t, r, c - 1) == INTRA_FRAME;
+                ctx = 2 * ni;
+            } else {
+                ctx = 0;
+            }
+            is_inter = msac_symbol(&t->msac, t->cdf.intra_inter[ctx], 2);
+        }
+    }
 
+    int y_mode = DC_PRED;
     int angle_y = 0;
-    if (bsize >= BLOCK_8X8 && y_mode >= V_PRED && y_mode <= D67_PRED)
+    InterInfo ii;
+    memset(&ii, 0, sizeof(ii));
+    ii.compound_idx = 1;
+    ii.ii_mode = -1;
+    ii.rf[0] = INTRA_FRAME;
+    ii.rf[1] = NONE_FRAME;
+    ii.interp[0] = ii.interp[1] = FILTER_EIGHTTAP;
+
+    if (is_inter) {
+        inter_mode_info(t, r, c, bsize, avail_u, avail_l, &ii);
+    } else if (fp->frame_is_intra) {
+        int above_mode = avail_u ? t->a_mode[c] : DC_PRED;
+        int left_mode = avail_l ? t->l_mode[r] : DC_PRED;
+        y_mode = msac_symbol(
+            &t->msac,
+            t->cdf.kf_y_mode[av1_intra_mode_ctx[above_mode]]
+                            [av1_intra_mode_ctx[left_mode]], 13);
+    } else {
+        y_mode = msac_symbol(&t->msac,
+                             t->cdf.y_mode[av1_size_group[bsize]], 13);
+    }
+    if (!is_inter && bsize >= BLOCK_8X8 && y_mode >= V_PRED
+        && y_mode <= D67_PRED)
         angle_y = msac_symbol(&t->msac, t->cdf.angle_delta[y_mode - V_PRED],
                               7) - 3;
 
     int uv_mode = DC_PRED, angle_uv = 0;
     int cfl_u = 0, cfl_v = 0;
-    if (has_chroma) {
+    if (!is_inter && has_chroma) {
         int cfl_allowed = full_w4 * 4 <= 32 && full_h4 * 4 <= 32;
         int nsym = cfl_allowed ? 14 : 13;
         uv_mode = msac_ragged(&t->msac,
@@ -753,13 +848,16 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     }
 
     int filter_intra = -1;
-    if (p->enable_filter_intra && y_mode == DC_PRED && full_w4 * 4 <= 32
-        && full_h4 * 4 <= 32) {
+    if (!is_inter && p->enable_filter_intra && y_mode == DC_PRED
+        && full_w4 * 4 <= 32 && full_h4 * 4 <= 32) {
         int use = msac_symbol(&t->msac, t->cdf.filter_intra_use[bsize], 2);
         if (use)
             filter_intra = msac_symbol(&t->msac,
                                        t->cdf.filter_intra_mode[0], 5);
     }
+
+    /* block_mode for the modes grid: y_mode for intra, inter mode else */
+    int block_mode = is_inter ? ii.mode : y_mode;
 
     /* mi grids (written before residual; clipped at the tile edge) */
     for (int i = 0; i < h4; i++)
@@ -771,55 +869,169 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
             o->angle_uv[at] = (int8_t)angle_uv;
             o->skip[at] = (int8_t)skip;
             o->bsize[at] = (int8_t)bsize;
+            o->ref0_g[at] = (int8_t)ii.rf[0];
+            o->ref1_g[at] = (int8_t)ii.rf[1];
+            o->mvs_g[at * 4 + 0] = (int16_t)ii.mv[0];
+            o->mvs_g[at * 4 + 1] = (int16_t)ii.mv[1];
+            o->mvs_g[at * 4 + 2] = (int16_t)ii.mv2[0];
+            o->mvs_g[at * 4 + 3] = (int16_t)ii.mv2[1];
+            o->modes_g[at] = (int16_t)block_mode;
+            o->interp_g[at * 2 + 0] = (int8_t)ii.interp[0];
+            o->interp_g[at * 2 + 1] = (int8_t)ii.interp[1];
+            o->skipmode_g[at] = (int8_t)t->skip_mode_flag;
+            o->compgrp_g[at] = (int8_t)ii.comp_group_idx;
+            o->compidx_g[at] = (int8_t)ii.compound_idx;
+            o->intrabc_g[at] = 0;
+            t->decoded_mi[at] = 1;
         }
 
-    /* tx size (depth symbol is coded even for intra skip blocks) */
     int tx_size = av1_max_tx_rect[bsize];
-    if (p->coded_lossless) {
-        tx_size = TX_4X4;
-    } else if (bsize == BLOCK_4X4) {
-        tx_size = TX_4X4;
-    } else if (p->tx_mode == 2) {
-        int maxd = max_tx_depth(bsize);
-        int cat = imax(0, imin(av1_tx_sqr_up[tx_size] - 1, 3));
-        int max_tx_w = av1_tx_w[tx_size], max_tx_h = av1_tx_h[tx_size];
-        int actx = (t->a_txw[c] >= max_tx_w) + (t->l_txh[r] >= max_tx_h);
-        int nsym = imin(maxd, 2) + 1;
-        int depth = msac_ragged(&t->msac, t->cdf.tx_size[cat][actx], 4,
-                                cat == 0 ? 2 : nsym);
-        for (int i = 0; i < depth; i++) tx_size = av1_split_tx[tx_size];
-    }
     int uv_tx = has_chroma ? uv_tx_size_for(p, bsize) : 0;
+    int32_t leaves[1024][3];
+    int n_leaves = 0;
+
+    if (!is_inter) {
+        /* tx size (depth symbol coded even for intra skip blocks) */
+        if (p->coded_lossless) {
+            tx_size = TX_4X4;
+        } else if (bsize == BLOCK_4X4) {
+            tx_size = TX_4X4;
+        } else if (p->tx_mode == 2) {
+            int maxd = max_tx_depth(bsize);
+            int cat = imax(0, imin(av1_tx_sqr_up[tx_size] - 1, 3));
+            int max_tx_w = av1_tx_w[tx_size];
+            int max_tx_h = av1_tx_h[tx_size];
+            int above = t->a_txw[c] >= max_tx_w;
+            int left = t->l_txh[r] >= max_tx_h;
+            /* libaom get_tx_size_context: INTER neighbors contribute
+               their BLOCK dims, not their published leaf-tx dims */
+            if (avail_u && REF0_AT(t, r - 1, c) > INTRA_FRAME)
+                above = av1_block_w4[BSIZE_AT(t, r - 1, c)] * 4
+                        >= max_tx_w;
+            if (avail_l && REF0_AT(t, r, c - 1) > INTRA_FRAME)
+                left = av1_block_h4[BSIZE_AT(t, r, c - 1)] * 4
+                       >= max_tx_h;
+            int actx = above + left;
+            int nsym = imin(maxd, 2) + 1;
+            int depth = msac_ragged(&t->msac, t->cdf.tx_size[cat][actx],
+                                    4, cat == 0 ? 2 : nsym);
+            for (int i = 0; i < depth; i++)
+                tx_size = av1_split_tx[tx_size];
+        }
+    } else {
+        if (p->coded_lossless) tx_size = TX_4X4;
+        if (skip || p->tx_mode != 2 || p->coded_lossless) {
+            /* uniform max tx over the clipped extent */
+            int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
+            for (int yy = 0; yy < h4; yy += sh)
+                for (int xx = 0; xx < w4; xx += sw) {
+                    leaves[n_leaves][0] = xx;
+                    leaves[n_leaves][1] = yy;
+                    leaves[n_leaves][2] = tx_size;
+                    n_leaves++;
+                }
+            if (skip) {
+                /* skipped inter blocks publish BLOCK dims to the
+                   txfm-split contexts (libaom set_txfm_ctxs) */
+                for (int i = 0; i < w4; i++)
+                    t->a_txw[c + i] = full_w4 * 4;
+                for (int i = 0; i < h4; i++)
+                    t->l_txh[r + i] = full_h4 * 4;
+            } else {
+                for (int i = 0; i < w4; i++)
+                    t->a_txw[c + i] = av1_tx_w[tx_size];
+                for (int i = 0; i < h4; i++)
+                    t->l_txh[r + i] = av1_tx_h[tx_size];
+            }
+        } else {
+            /* spec read_var_tx_size over max-tx units in raster order */
+            int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
+            for (int yy = 0; yy < h4; yy += sh)
+                for (int xx = 0; xx < w4; xx += sw)
+                    var_tx_node(t, r, c, bsize, xx, yy, tx_size, 0,
+                                leaves, &n_leaves);
+        }
+    }
 
     if (o->n_blocks >= o->max_blocks) { o->error = 1; return; }
     t->cur_block = o->n_blocks;
-    int32_t *b = o->blocks + o->n_blocks * 16;
-    b[0] = r; b[1] = c; b[2] = bsize; b[3] = y_mode; b[4] = uv_mode;
-    b[5] = angle_y; b[6] = angle_uv; b[7] = skip; b[8] = tx_size;
-    b[9] = uv_tx; b[10] = has_chroma; b[11] = cfl_u; b[12] = cfl_v;
-    b[13] = filter_intra; b[14] = (int32_t)o->n_txs; b[15] = 0;
+    int32_t *b = o->blocks + o->n_blocks * BLK_FIELDS;
+    b[BLK_R] = r; b[BLK_C] = c; b[BLK_BSIZE] = bsize;
+    b[BLK_YMODE] = y_mode; b[BLK_UVMODE] = uv_mode;
+    b[BLK_ANGLE_Y] = angle_y; b[BLK_ANGLE_UV] = angle_uv;
+    b[BLK_SKIP] = skip; b[BLK_TXSZ] = tx_size; b[BLK_UVTX] = uv_tx;
+    b[BLK_HASCHROMA] = has_chroma; b[BLK_CFL_U] = cfl_u;
+    b[BLK_CFL_V] = cfl_v; b[BLK_FI] = filter_intra;
+    b[BLK_TXOFF] = (int32_t)o->n_txs; b[BLK_NTX] = 0;
+    b[BLK_IS_INTER] = is_inter;
+    b[BLK_REF0] = ii.rf[0]; b[BLK_REF1] = ii.rf[1];
+    b[BLK_MV_R] = ii.mv[0]; b[BLK_MV_C] = ii.mv[1];
+    b[BLK_MV2_R] = ii.mv2[0]; b[BLK_MV2_C] = ii.mv2[1];
+    b[BLK_MODE] = is_inter ? ii.mode : 0;
+    b[BLK_REFMVIDX] = ii.ref_mv_idx;
+    b[BLK_INTERP0] = ii.interp[0]; b[BLK_INTERP1] = ii.interp[1];
+    b[BLK_MOTION_MODE] = ii.motion_mode;
+    b[BLK_WARP_VALID] = ii.warp_valid;
+    for (int k = 0; k < 6; k++) b[BLK_WM0 + k] = ii.wm[k];
+    for (int k = 0; k < 4; k++) b[BLK_SH_ALPHA + k] = ii.sh[k];
+    b[BLK_COMP_TYPE] = ii.comp_type; b[BLK_COMP_IDX] = ii.compound_idx;
+    b[BLK_WEDGE_IDX] = ii.wedge_idx; b[BLK_WEDGE_SIGN] = ii.wedge_sign;
+    b[BLK_MASK_TYPE] = ii.mask_type;
+    b[BLK_II_MODE] = ii.ii_mode; b[BLK_II_WEDGE] = ii.ii_wedge;
+    b[BLK_II_WEDGE_IDX] = ii.ii_wedge_idx;
+    b[BLK_SKIP_MODE] = t->skip_mode_flag;
+    b[BLK_PARTITION] = t->cur_partition;
+    b[BLK_FIELDS - 3] = b[BLK_FIELDS - 2] = b[BLK_FIELDS - 1] = 0;
     o->n_blocks++;
 
     if (!skip) {
-        /* residual: planes in order, tx raster within each plane */
-        int n_pl = has_chroma ? p->num_planes : 1;
-        for (int plane = 0; plane < n_pl; plane++) {
-            int tx, px, py, pw4, ph4;
-            if (plane == 0) {
-                tx = tx_size;
-                px = c * 4; py = r * 4;
-                pw4 = w4; ph4 = h4;
-            } else {
-                tx = uv_tx;
-                px = (c >> p->ssx) * 4; py = (r >> p->ssy) * 4;
-                pw4 = imax(1, w4 >> p->ssx);
-                ph4 = imax(1, h4 >> p->ssy);
+        if (!is_inter) {
+            /* residual: planes in order, tx raster within each plane */
+            int n_pl = has_chroma ? p->num_planes : 1;
+            for (int plane = 0; plane < n_pl; plane++) {
+                int tx, px, py, pw4, ph4;
+                if (plane == 0) {
+                    tx = tx_size;
+                    px = c * 4; py = r * 4;
+                    pw4 = w4; ph4 = h4;
+                } else {
+                    tx = uv_tx;
+                    px = (c >> p->ssx) * 4; py = (r >> p->ssy) * 4;
+                    pw4 = imax(1, w4 >> p->ssx);
+                    ph4 = imax(1, h4 >> p->ssy);
+                }
+                int sx = av1_tx_w4[tx], sy = av1_tx_h4[tx];
+                for (int yy = 0; yy < ph4; yy += sy)
+                    for (int xx = 0; xx < pw4; xx += sx)
+                        transform_block(t, plane, px + xx * 4,
+                                        py + yy * 4, tx, bsize, y_mode,
+                                        uv_mode, filter_intra, 0, r, c);
             }
-            int sx = av1_tx_w4[tx], sy = av1_tx_h4[tx];
-            for (int yy = 0; yy < ph4; yy += sy)
-                for (int xx = 0; xx < pw4; xx += sx)
-                    transform_block(t, plane, px + xx * 4, py + yy * 4, tx,
-                                    bsize, y_mode, uv_mode, filter_intra);
+        } else {
+            /* tile.py _residual_inter: luma var-tx leaves, then chroma */
+            for (int k = 0; k < n_leaves; k++) {
+                int xx = leaves[k][0], yy = leaves[k][1];
+                int tx = leaves[k][2];
+                if (r + yy >= p->row_end || c + xx >= p->col_end)
+                    continue;
+                transform_block(t, 0, (c + xx) * 4, (r + yy) * 4, tx,
+                                bsize, y_mode, uv_mode, filter_intra, 1,
+                                r, c);
+            }
+            if (has_chroma && p->num_planes > 1) {
+                int tx = uv_tx;
+                int pw4 = imax(1, w4 >> p->ssx);
+                int ph4 = imax(1, h4 >> p->ssy);
+                int cx = (c >> p->ssx) * 4, cy = (r >> p->ssy) * 4;
+                int sx = av1_tx_w4[tx], sy = av1_tx_h4[tx];
+                for (int plane = 1; plane < 3; plane++)
+                    for (int yy = 0; yy < ph4; yy += sy)
+                        for (int xx = 0; xx < pw4; xx += sx)
+                            transform_block(t, plane, cx + xx * 4,
+                                            cy + yy * 4, tx, bsize,
+                                            y_mode, uv_mode,
+                                            filter_intra, 1, r, c);
+            }
         }
     } else {
         /* clear coef ctx over the full (unclipped) block extent */
@@ -834,14 +1046,14 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     }
 
     for (int i = 0; i < w4; i++) {
-        t->a_mode[c + i] = y_mode;
+        t->a_mode[c + i] = is_inter ? DC_PRED : y_mode;
         t->a_skip[c + i] = skip;
-        t->a_txw[c + i] = av1_tx_w[tx_size];
+        if (!is_inter) t->a_txw[c + i] = av1_tx_w[tx_size];
     }
     for (int i = 0; i < h4; i++) {
-        t->l_mode[r + i] = y_mode;
+        t->l_mode[r + i] = is_inter ? DC_PRED : y_mode;
         t->l_skip[r + i] = skip;
-        t->l_txh[r + i] = av1_tx_h[tx_size];
+        if (!is_inter) t->l_txh[r + i] = av1_tx_h[tx_size];
     }
 }
 
@@ -918,6 +1130,7 @@ static void decode_partition(Ctx *t, int r, int c, int bsize) {
         part = PART_SPLIT;
     }
 
+    t->cur_partition = part;
     int sub = bsize >= BLOCK_8X8 ? partition_subsize(part, bsize) : bsize;
     int q = half >> 1;
 
@@ -1011,25 +1224,40 @@ static void decode_partition(Ctx *t, int r, int c, int bsize) {
 
 /* ------------------------------------------------------------------ */
 
-int av1_decode_tile(const TileParams *p, const uint8_t *data, int64_t size,
-                    TileOut *o) {
+int av1_decode_tile(const TileParams *p, const FrameParams *fp,
+                    const uint8_t *data, int64_t size, TileOut *o) {
     Ctx t;
     memset(&t, 0, sizeof(t));
     t.p = p;
+    t.fp = fp;
     t.o = o;
+    /* counters accumulate across tiles; the caller zeroes them per
+       frame (multi-tile frames call once per tile) */
     o->error = 0;
-    o->n_blocks = 0;
-    o->n_txs = 0;
-    o->n_lf = 0;
-    o->coeffs_used = 0;
 
-    cdf_init(&t.cdf, p->qctx);
+    if (fp->cdf_in != NULL)
+        memcpy(&t.cdf, fp->cdf_in, sizeof(CdfState));
+    else
+        cdf_init(&t.cdf, p->qctx);
     msac_init(&t.msac, data, size, p->allow_update_cdf);
 
     int mc = p->mi_cols, mr = p->mi_rows;
+    t.decoded_mi = calloc((size_t)mc * mr, 1);
+    t.tx_types = calloc((size_t)mc * mr, 1);
+    if (!t.decoded_mi || !t.tx_types) {
+        free(t.decoded_mi);
+        free(t.tx_types);
+        o->error = 2;
+        return 2;
+    }
     /* 4 pairs mode/skip/txw/part + 3 pairs lvl + 3 pairs sign */
     int32_t *mem = calloc((size_t)(mc + mr) * 10, sizeof(int32_t));
-    if (!mem) { o->error = 2; return 2; }
+    if (!mem) {
+        free(t.decoded_mi);
+        free(t.tx_types);
+        o->error = 2;
+        return 2;
+    }
     int32_t *q = mem;
     t.a_part = q; q += mc; t.l_part = q; q += mr;
     t.a_mode = q; q += mc; t.l_mode = q; q += mr;
@@ -1055,6 +1283,18 @@ int av1_decode_tile(const TileParams *p, const uint8_t *data, int64_t size,
             t.read_deltas = p->delta_q_present;
             decode_partition(&t, r, c, sb_bsize);
         }
+    /* end-of-tile entropy state for frame chaining (spec save_cdfs;
+       probabilities carry, adaptation counts do not) */
+    if (fp->cdf_out != NULL && !o->error) {
+        memcpy(fp->cdf_out, &t.cdf, sizeof(CdfState));
+        cdf_reset_counters((CdfState *)fp->cdf_out);
+    }
     free(mem);
+    free(t.decoded_mi);
+    free(t.tx_types);
     return o->error;
 }
+
+/* packed CdfState blob size (Python asserts == cdf_layout.CDF_BLOB_BYTES,
+   guarding struct-layout drift between the two sides) */
+int av1_cdf_blob_size(void) { return (int)sizeof(CdfState); }

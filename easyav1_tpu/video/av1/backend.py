@@ -140,42 +140,45 @@ class AV1Backend:
         seq = self.seq
         plan = self._empty_plan(hdr)
         tiles = self._split_tiles(hdr, tile_payloads)
-        # entropy context: inherit the primary ref's saved state (spec
-        # load_cdfs) or reset to the per-q defaults
-        inherited = None
-        if hdr.primary_ref_frame != C.PRIMARY_REF_NONE:
-            inherited = self._resolve_saved_cdf(
-                hdr.ref_frame_idx[hdr.primary_ref_frame])
-        init_cdf = (inherited.copy() if inherited is not None
-                    else CdfContext.default(hdr.quant.base_q_idx))
-        end_cdf = init_cdf
-        lazy_cdf = None
         from easyav1_tpu import native
-        # the native decoder cannot export its adapted entropy state;
-        # frames it decodes save a LAZY marker (header+tiles) that is
-        # re-run through the Python entropy decoder only if some later
-        # frame actually inherits from that slot
-        # the native C path has no loop-restoration stage yet
-        native_ok = inherited is None and \
-            not getattr(getattr(hdr, "lr", None), "uses_lr", False)
+        from easyav1_tpu.native.cdf_layout import blob_to_cdf, cdf_to_blob
+        # entropy context: inherit the primary ref's saved state (spec
+        # load_cdfs) or reset to the per-q defaults.  States are kept as
+        # packed blobs — the same bytes feed the C decoder (CdfState
+        # memcpy) and the Python decoder (blob_to_cdf), so the two
+        # entropy engines chain interchangeably across frames.
+        init_blob: Optional[bytes] = None
+        if hdr.primary_ref_frame != C.PRIMARY_REF_NONE:
+            init_blob = self._ref_cdfs[
+                hdr.ref_frame_idx[hdr.primary_ref_frame]]
+        want_cdf = (not hdr.disable_frame_end_update_cdf
+                    and hdr.refresh_frame_flags != 0)
+        # temporal mv projection (host-side numpy; feeds C and Python)
+        tpl = None
+        if hdr.use_ref_frame_mvs:
+            from easyav1_tpu.video.av1.mfmv import setup_motion_field
+            tpl = setup_motion_field(
+                hdr, seq, [s if s.valid else None for s in self.hp.refs],
+                self._ref_tmvs)
+        out_blob: Optional[bytes] = None
         planes = None
-        if native_ok:
-            planes = native.decode_and_recon_native(seq, hdr, tiles)
-            if planes is not None \
-                    and not hdr.disable_frame_end_update_cdf \
-                    and hdr.refresh_frame_flags:
-                lazy_cdf = ("lazy", seq, hdr, tiles)
+        res = native.decode_and_recon_native(
+            seq, hdr, tiles, cdf_in=init_blob, want_cdf=want_cdf,
+            tpl=tpl, refs=self._ref_planes)
+        if res is not None:
+            planes, out_blob = res
         if planes is None:
-            if not native_ok or \
-                    not native.decode_frame_native(seq, hdr, plan, tiles):
+            nres = native.decode_frame_native(
+                seq, hdr, plan, tiles, cdf_in=init_blob,
+                want_cdf=want_cdf, tpl=tpl)
+            if nres is None:
+                init_cdf = (blob_to_cdf(init_blob)
+                            if init_blob is not None
+                            else CdfContext.default(hdr.quant.base_q_idx))
+                end_cdf = init_cdf
                 dec = TileDecoder(seq, hdr, init_cdf, plan)
-                if hdr.use_ref_frame_mvs:
-                    from easyav1_tpu.video.av1.mfmv import \
-                        setup_motion_field
-                    dec.tpl_mv, dec.tpl_off = setup_motion_field(
-                        hdr, seq, [s if s.valid else None
-                                   for s in self.hp.refs],
-                        self._ref_tmvs)
+                if tpl is not None:
+                    dec.tpl_mv, dec.tpl_off = tpl
                 n_cols = hdr.tile.cols
                 update_tid = hdr.tile.context_update_tile_id
                 for tile_num, tdata in enumerate(tiles):
@@ -186,6 +189,13 @@ class AV1Backend:
                     if tile_num == update_tid and \
                             not hdr.disable_frame_end_update_cdf:
                         end_cdf = tcdf
+                if want_cdf:
+                    # spec: saved contexts carry probs, not counts
+                    # (av1_reset_cdf_symbol_counters)
+                    end_cdf.reset_counters()
+                    out_blob = cdf_to_blob(end_cdf)
+            elif want_cdf:
+                out_blob = nres
             recon = FrameRecon(seq, hdr, plan, refs=self._ref_planes)
             aligned = recon.run_aligned()
             from easyav1_tpu.video.av1.lf_ref import LoopFilter
@@ -207,8 +217,11 @@ class AV1Backend:
                 LoopRestoration(hdr, seq, plan,
                                 seq.color.bitdepth).apply(aligned, deblocked)
             planes = recon.crop(aligned)
-        end_cdf.reset_counters()   # spec: saved contexts carry probs,
-        #                            not counts (av1_reset_cdf_symbol_counters)
+        if not want_cdf:
+            # spec: when frame-end update is disabled the INIT state is
+            # what a later frame inherits
+            out_blob = (init_blob if init_blob is not None
+                        else self._default_blob(hdr.quant.base_q_idx))
         frame = self._make_frame(planes, hdr, ts)
         # per-8x8 motion storage for later temporal projection
         if hdr.frame_is_intra or getattr(plan, "ref0_grid", None) is None:
@@ -225,36 +238,23 @@ class AV1Backend:
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame
                 self._ref_planes[i] = planes
-                self._ref_cdfs[i] = lazy_cdf or end_cdf
+                self._ref_cdfs[i] = out_blob
                 self._ref_tmvs[i] = tmvs
         return frame if hdr.show_frame else None
 
-    def _resolve_saved_cdf(self, slot: int) -> Optional[CdfContext]:
-        """Materialize a slot's saved entropy state.  Natively-decoded
-        frames store a lazy (hdr, tiles) marker; the Python entropy
-        decoder reproduces their end-of-tile state on first demand."""
-        saved = self._ref_cdfs[slot]
-        if not (isinstance(saved, tuple) and saved[0] == "lazy"):
-            return saved
-        _, seq, hdr, tiles = saved
-        plan = self._empty_plan(hdr)
-        init_cdf = CdfContext.default(hdr.quant.base_q_idx)
-        end_cdf = init_cdf
-        dec = TileDecoder(seq, hdr, init_cdf, plan)
-        n_cols = hdr.tile.cols
-        update_tid = hdr.tile.context_update_tile_id
-        for tile_num, tdata in enumerate(tiles):
-            tcdf = init_cdf.copy()
-            dec.cdf = tcdf.t
-            dec.decode_tile(tdata, tile_num // n_cols, tile_num % n_cols)
-            if tile_num == update_tid:
-                end_cdf = tcdf
-        end_cdf.reset_counters()
-        # cache under every slot still holding this marker
-        for i in range(C.NUM_REF_FRAMES):
-            if self._ref_cdfs[i] is saved:
-                self._ref_cdfs[i] = end_cdf
-        return end_cdf
+    _DEFAULT_BLOBS: dict = {}
+
+    @classmethod
+    def _default_blob(cls, base_q_idx: int) -> bytes:
+        """Packed default entropy state for the quantizer context."""
+        from easyav1_tpu.native.cdf_layout import cdf_to_blob
+        qctx = 0 if base_q_idx <= 20 else 1 if base_q_idx <= 60 \
+            else 2 if base_q_idx <= 120 else 3
+        blob = cls._DEFAULT_BLOBS.get(qctx)
+        if blob is None:
+            blob = cdf_to_blob(CdfContext.default(base_q_idx))
+            cls._DEFAULT_BLOBS[qctx] = blob
+        return blob
 
     def _split_tiles(self, hdr: FrameHeader, payloads: List[bytes]) -> List[bytes]:
         """Tile group parsing (spec §5.11.1)."""

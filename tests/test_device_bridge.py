@@ -33,11 +33,11 @@ def _first_keyframe_compare(path):
 
     orig = nat.decode_and_recon_native
 
-    def hook(seq, hdr, tiles):
+    def hook(seq, hdr, tiles, **kw):
         res = nat._run_tiles(lib, seq, hdr, tiles)
         if res is None:
-            return orig(seq, hdr, tiles)
-        out, bufs = res
+            return orig(seq, hdr, tiles, **kw)
+        out, bufs, _blob = res
         rp = nat._build_rp(seq, hdr)
         rp.lf_level = (ctypes.c_int32 * 4)(0, 0, 0, 0)
         rp.enable_cdef = 0
