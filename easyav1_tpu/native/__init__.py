@@ -59,6 +59,7 @@ class _FrameParams(ctypes.Structure):
         ("gm_type", ctypes.c_int32 * 8),
         ("gm_invalid", ctypes.c_int32 * 8),
         ("gm_params", (ctypes.c_int32 * 6) * 8),
+        ("ref_frame_idx", ctypes.c_int32 * 8),
         ("use_tpl", ctypes.c_int32),
         ("w8", ctypes.c_int32), ("h8", ctypes.c_int32),
         ("tpl_mv", ctypes.c_void_p), ("tpl_off", ctypes.c_void_p),
@@ -67,6 +68,16 @@ class _FrameParams(ctypes.Structure):
 
 
 BLK_FIELDS = 52
+
+
+class _RefPlanes(ctypes.Structure):
+    """Cropped uint16 reference planes per slot (av1_common.h)."""
+
+    _fields_ = [
+        ("plane", (ctypes.c_void_p * 3) * 8),
+        ("w", (ctypes.c_int32 * 3) * 8),
+        ("h", (ctypes.c_int32 * 3) * 8),
+    ]
 
 
 class _TileOut(ctypes.Structure):
@@ -101,7 +112,8 @@ class _ReconParams(ctypes.Structure):
         ("lf_level", ctypes.c_int32 * 4),
         ("lf_sharpness", ctypes.c_int32),
         ("lf_delta_enabled", ctypes.c_int32),
-        ("lf_ref_delta_intra", ctypes.c_int32),
+        ("lf_ref_deltas", ctypes.c_int32 * 8),
+        ("lf_mode_deltas", ctypes.c_int32 * 2),
         ("enable_cdef", ctypes.c_int32),
         ("cdef_damping", ctypes.c_int32),
         ("cdef_y_pri", ctypes.c_int32 * 8),
@@ -156,6 +168,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_recon_frame.restype = ctypes.c_int
     lib.av1_recon_frame.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
+        ctypes.POINTER(_FrameParams), ctypes.POINTER(_RefPlanes),
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
     lib.av1_lf_grids_export.restype = ctypes.c_int
     lib.av1_lf_grids_export.argtypes = [
@@ -242,6 +255,9 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
         fp.gm_invalid[i] = int(gm_i[i])
         for j in range(6):
             fp.gm_params[i][j] = int(gm_p[i][j])
+    rfi = getattr(hdr, "ref_frame_idx", [0] * 7)
+    for i, v in enumerate(rfi[:7]):
+        fp.ref_frame_idx[1 + i] = int(v)   # indexed by ref frame 1..7
     if tpl is not None:
         tpl_mv, tpl_off = tpl
         tpl_mv = np.ascontiguousarray(tpl_mv, np.int16)
@@ -492,7 +508,8 @@ def _build_rp(seq, hdr):
         lf_level=(ctypes.c_int32 * 4)(*hdr.lf.level),
         lf_sharpness=hdr.lf.sharpness,
         lf_delta_enabled=int(hdr.lf.delta_enabled),
-        lf_ref_delta_intra=hdr.lf.ref_deltas[0],
+        lf_ref_deltas=(ctypes.c_int32 * 8)(*hdr.lf.ref_deltas),
+        lf_mode_deltas=(ctypes.c_int32 * 2)(*hdr.lf.mode_deltas),
         enable_cdef=int(getattr(seq, "enable_cdef", False)),
         cdef_damping=cdef.damping if cdef else 3,
         cdef_y_pri=pad8(cdef.y_pri_strength if cdef else []),
@@ -543,30 +560,53 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
 def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                             want_cdf=False, tpl=None, refs=None):
     """Full native frame path: tile decode + recon + loop filter + CDEF
-    in C.  Returns (cropped output planes, cdf_blob_or_None), or None
-    if the native path is unavailable or declines (caller falls back).
-    refs: RefPlanes-compatible list of per-slot cropped uint16 plane
-    triples (required for inter frames)."""
+    in C.  Returns (cropped planes, cdf_blob_or_None, mv_grids), or
+    None if the native path is unavailable or declines (caller falls
+    back).  mv_grids = (ref0, ref1, mvs) per-4x4 copies for the
+    backend's temporal-mv storage (save_tmvs), None on intra frames.
+    refs: per-slot cropped uint16 plane triples (inter frames)."""
     lib = _load()
     if lib is None:
         return None
     if getattr(hdr, "use_superres", False) \
             or getattr(getattr(hdr, "lr", None), "uses_lr", False):
         return None
+    rfl = _RefPlanes()
+    keep_refs = []
     if not hdr.frame_is_intra:
-        return None     # C inter recon lands next; entropy is ready
+        if refs is None:
+            return None
+        for slot in set(hdr.ref_frame_idx):
+            if refs[slot] is None:
+                return None
+        for slot in range(8):
+            pls = refs[slot]
+            if pls is None:
+                continue
+            for pi, arr in enumerate(pls):
+                if arr.dtype != np.uint16 or not arr.flags.c_contiguous:
+                    arr = np.ascontiguousarray(arr, np.uint16)
+                keep_refs.append(arr)
+                rfl.plane[slot][pi] = _vp(arr).value
+                rfl.h[slot][pi], rfl.w[slot][pi] = arr.shape
     res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
                      want_cdf=want_cdf, tpl=tpl)
     if res is None:
         return None
     out, bufs, blob = res
     rp = _build_rp(seq, hdr)
+    fp_rc, keep_fp = _build_fp(hdr, seq, None, None, None)
 
+    mv_grids = None
+    if not hdr.frame_is_intra:
+        mv_grids = (bufs["ref0"].copy(), bufs["ref1"].copy(),
+                    bufs["mvs"].copy())
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
-        planes = _pallas_frame(lib, seq, hdr, out, bufs, rp)
+        planes = (_pallas_frame(lib, seq, hdr, out, bufs, rp)
+                  if hdr.frame_is_intra else None)
         if planes is not None:
-            return planes, blob
+            return planes, blob, mv_grids
         # fall through to the C recon when the device path declines
 
     aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
@@ -586,7 +626,9 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         rp.lf_level = (ctypes.c_int32 * 4)(0, 0, 0, 0)
         rp.enable_cdef = 0
     rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
+                             ctypes.byref(fp_rc), ctypes.byref(rfl),
                              _vp(py), _vp(pu), _vp(pv))
+    del keep_fp, keep_refs
     if rc != 0:
         return None
     n_pl = seq.color.num_planes
@@ -600,7 +642,7 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     if n_pl > 1:
         planes.append(pu[:ch, :cw].astype(dt))
         planes.append(pv[:ch, :cw].astype(dt))
-    return planes, blob
+    return planes, blob, mv_grids
 
 
 _PALLAS_RECONS: dict = {}

@@ -48,6 +48,7 @@ typedef struct {
     int32_t gm_type[8];
     int32_t gm_invalid[8];
     int32_t gm_params[8][6];
+    int32_t ref_frame_idx[8];          /* ref frame 1..7 -> slot (recon) */
     int32_t use_tpl;                   /* temporal mv field present */
     int32_t w8, h8;                    /* tpl grid dims */
     const int16_t *tpl_mv;             /* [h8][w8][2] or NULL */
@@ -119,7 +120,8 @@ typedef struct {
     int32_t lf_level[4];
     int32_t lf_sharpness;
     int32_t lf_delta_enabled;
-    int32_t lf_ref_delta_intra;
+    int32_t lf_ref_deltas[8];     /* per reference frame (0 = intra) */
+    int32_t lf_mode_deltas[2];    /* [0] global modes, [1] other inter */
     int32_t enable_cdef, cdef_damping;
     int32_t cdef_y_pri[8], cdef_y_sec[8];
     int32_t cdef_uv_pri[8], cdef_uv_sec[8];

@@ -7,16 +7,25 @@
 
 #define MAX_LOOP_FILTER 63
 
-static int lf_level_for(const ReconParams *rp, int plane, int pass) {
+/* per-block filter level (spec get_filter_level; lf_ref._filter_levels):
+ * inter blocks add their reference's ref_delta + the mode delta
+ * (GLOBALMV family -> mode_deltas[0], other inter -> [1]) */
+static int lf_level_for_blk(const ReconParams *rp, int plane, int pass,
+                            const int32_t *b) {
     int base;
     if (plane == 0) base = rp->lf_level[pass];
     else if (plane == 1) base = rp->lf_level[2];
     else base = rp->lf_level[3];
     int lvl = base;
     if (rp->lf_delta_enabled) {
-        int n_shift = lvl >> 5;
-        /* intra frames: every block references INTRA_FRAME (index 0) */
-        lvl += rp->lf_ref_delta_intra << n_shift;
+        int n_shift = base >> 5;
+        if (b == NULL || !b[BLK_IS_INTER]) {
+            lvl += rp->lf_ref_deltas[0] << n_shift;
+        } else {
+            int midx = (b[BLK_MODE] == 15 || b[BLK_MODE] == 23) ? 0 : 1;
+            lvl += (rp->lf_ref_deltas[b[BLK_REF0]]
+                    + rp->lf_mode_deltas[midx]) << n_shift;
+        }
         if (lvl < 0) lvl = 0;
         if (lvl > MAX_LOOP_FILTER) lvl = MAX_LOOP_FILTER;
     }
@@ -175,7 +184,7 @@ static void lf_line(int32_t *buf, int64_t base, int64_t stride, int size,
 
 typedef struct {
     int gw, gh;
-    uint8_t *txw, *txh, *skip, *edge_left, *edge_top;
+    uint8_t *txw, *txh, *skip, *edge_left, *edge_top, *lvl0, *lvl1;
 } LfGrids;
 
 static int lf_build_grids(const ReconParams *rp, const TileOut *o,
@@ -184,14 +193,16 @@ static int lf_build_grids(const ReconParams *rp, const TileOut *o,
     g->gw = gw;
     g->gh = gh;
     size_t n = (size_t)gw * gh;
-    g->txw = malloc(n * 5);
+    g->txw = malloc(n * 7);
     if (!g->txw) return 1;
     g->txh = g->txw + n;
     g->skip = g->txh + n;
     g->edge_left = g->skip + n;
     g->edge_top = g->edge_left + n;
+    g->lvl0 = g->edge_top + n;
+    g->lvl1 = g->lvl0 + n;
     memset(g->txw, 1, n * 2);
-    memset(g->skip, 0, n * 3);
+    memset(g->skip, 0, n * 5);
     int ssx = plane ? rp->ssx : 0;
     int ssy = plane ? rp->ssy : 0;
     for (int64_t bi = 0; bi < o->n_blocks; bi++) {
@@ -206,11 +217,15 @@ static int lf_build_grids(const ReconParams *rp, const TileOut *o,
         int y1 = by + bh < gh ? by + bh : gh;
         if (bx >= gw || by >= gh) continue;
         int tx = plane == 0 ? b[8] : b[9];
+        int l0 = lf_level_for_blk(rp, plane, 0, b);
+        int l1 = lf_level_for_blk(rp, plane, 1, b);
         for (int r = by; r < y1; r++)
             for (int c = bx; c < x1; c++) {
                 g->txw[r * gw + c] = (uint8_t)av1_tx_w4[tx];
                 g->txh[r * gw + c] = (uint8_t)av1_tx_h4[tx];
                 g->skip[r * gw + c] = (uint8_t)b[7];
+                g->lvl0[r * gw + c] = (uint8_t)l0;
+                g->lvl1[r * gw + c] = (uint8_t)l1;
             }
         for (int r = by; r < y1; r++) g->edge_left[r * gw + bx] = 1;
         for (int c = bx; c < x1; c++) g->edge_top[by * gw + c] = 1;
@@ -235,11 +250,10 @@ static int lf_build_grids(const ReconParams *rp, const TileOut *o,
 
 static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
                     int plane, int pass, const LfGrids *g) {
-    int lvl = lf_level_for(rp, plane, pass);
-    if (lvl == 0) return;
-    int limit, blimit, thresh;
-    lf_limits(lvl, rp->lf_sharpness, rp->bitdepth, &limit, &blimit,
-              &thresh);
+    const uint8_t *lvls = pass == 0 ? g->lvl0 : g->lvl1;
+    int lim_c[64], blim_c[64], thr_c[64];
+    uint8_t have[64];
+    memset(have, 0, sizeof(have));
     const int gstride = g->gw;
     const int stride = pw;          /* buffer row stride (aligned) */
     int gw = g->gw, gh = g->gh;
@@ -266,6 +280,16 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
                 int is_edge = g->edge_left[cy * gstride + cx];
                 if (!is_edge && g->skip[cy * gstride + cx]
                     && g->skip[cy * gstride + cx - 1]) continue;
+                int lvl = lvls[cy * gstride + cx];
+                if (!lvl) lvl = lvls[cy * gstride + cx - 1];
+                if (!lvl) continue;
+                if (!have[lvl]) {
+                    lf_limits(lvl, rp->lf_sharpness, rp->bitdepth,
+                              &lim_c[lvl], &blim_c[lvl], &thr_c[lvl]);
+                    have[lvl] = 1;
+                }
+                int limit = lim_c[lvl], blimit = blim_c[lvl];
+                int thresh = thr_c[lvl];
                 int min_tx = (g->txw[cy * gstride + cx] < g->txw[cy * gstride + cx - 1]
                               ? g->txw[cy * gstride + cx]
                               : g->txw[cy * gstride + cx - 1]) * 4;
@@ -289,6 +313,16 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
                 int is_edge = g->edge_top[cy * gstride + cx];
                 if (!is_edge && g->skip[cy * gstride + cx]
                     && g->skip[(cy - 1) * gstride + cx]) continue;
+                int lvl = lvls[cy * gstride + cx];
+                if (!lvl) lvl = lvls[(cy - 1) * gstride + cx];
+                if (!lvl) continue;
+                if (!have[lvl]) {
+                    lf_limits(lvl, rp->lf_sharpness, rp->bitdepth,
+                              &lim_c[lvl], &blim_c[lvl], &thr_c[lvl]);
+                    have[lvl] = 1;
+                }
+                int limit = lim_c[lvl], blimit = blim_c[lvl];
+                int thresh = thr_c[lvl];
                 int min_tx = (g->txh[cy * gstride + cx]
                               < g->txh[(cy - 1) * gstride + cx]
                               ? g->txh[cy * gstride + cx]

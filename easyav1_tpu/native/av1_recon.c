@@ -93,6 +93,10 @@ typedef struct {
     uint8_t *decoded[3];         /* 4x4 BlockDecoded bitmaps */
     int dw[3], dh[3];
     int cur_fi;
+    int error;
+    /* inter reconstruction inputs (NULL for intra-only frames) */
+    const FrameParams *fp;
+    const RefPlanes *refs;
 } Recon;
 
 static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
@@ -472,6 +476,11 @@ static void predict_intra(Recon *rc, int br, int bc, int plane, int x,
 }
 
 /* ------------------------------------------------------------------ */
+/* inter reconstruction (MC/compound/OBMC/warp), same TU               */
+
+#include "av1_mc.h"
+
+/* ------------------------------------------------------------------ */
 /* block reconstruction driver (recon_ref._recon_block/_recon_tx)      */
 
 static void cfl_ac_block(Recon *rc, int cx, int cy, int cw, int chh,
@@ -566,6 +575,10 @@ static int64_t find_tx(const TileOut *o, int64_t tx_off, int n_tx,
 static void recon_block(Recon *rc, const int32_t *b) {
     const ReconParams *rp = rc->rp;
     const TileOut *o = rc->o;
+    if (b[BLK_IS_INTER]) {
+        if (recon_block_inter(rc, b)) rc->error = 1;
+        return;
+    }
     int br = b[0], bc = b[1], bsize = b[2];
     rc->cur_fi = b[13];
     int y_mode = b[3], uv_mode = b[4];
@@ -781,12 +794,15 @@ int av1_export_pred_units(const ReconParams *rp, const TileOut *o,
 }
 
 int av1_recon_frame(const ReconParams *rp, const TileOut *o,
+                    const FrameParams *fp, const RefPlanes *refs,
                     int32_t *py, int32_t *pu, int32_t *pv) {
     Recon rc;
-    rc.cur_fi = -1;
     memset(&rc, 0, sizeof(rc));
+    rc.cur_fi = -1;
     rc.rp = rp;
     rc.o = o;
+    rc.fp = fp;
+    rc.refs = refs;
     int aw = rp->mi_cols * 4, ah = rp->mi_rows * 4;
     rc.planes[0] = py;
     rc.planes[1] = pu;
@@ -803,9 +819,10 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
             return 2;
         }
     }
-    for (int64_t i = 0; i < o->n_blocks; i++)
+    for (int64_t i = 0; i < o->n_blocks && !rc.error; i++)
         recon_block(&rc, o->blocks + i * BLK_FIELDS);
     for (int p = 0; p < 3; p++) free(rc.decoded[p]);
+    if (rc.error) return 3;
 
     av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);
     av1_cdef(rp, o, rc.planes, rc.pw, rc.ph);

@@ -40,6 +40,8 @@ class AV1Backend:
         self._out_refs: List[Optional[VideoFrame]] = [None] * C.NUM_REF_FRAMES
         # reference plane store per slot (cropped uint8 planes)
         self._ref_planes: List[Optional[list]] = [None] * C.NUM_REF_FRAMES
+        # uint16 copies for the native C motion-compensation path
+        self._ref_u16: List[Optional[list]] = [None] * C.NUM_REF_FRAMES
         # per-slot saved entropy contexts (spec frame_end_update_cdf /
         # load_cdfs via primary_ref_frame)
         self._ref_cdfs: List[Optional[CdfContext]] = \
@@ -162,11 +164,12 @@ class AV1Backend:
                 self._ref_tmvs)
         out_blob: Optional[bytes] = None
         planes = None
+        nat_grids = None
         res = native.decode_and_recon_native(
             seq, hdr, tiles, cdf_in=init_blob, want_cdf=want_cdf,
-            tpl=tpl, refs=self._ref_planes)
+            tpl=tpl, refs=self._ref_u16)
         if res is not None:
-            planes, out_blob = res
+            planes, out_blob, nat_grids = res
         if planes is None:
             nres = native.decode_frame_native(
                 seq, hdr, plan, tiles, cdf_in=init_blob,
@@ -224,20 +227,27 @@ class AV1Backend:
                         else self._default_blob(hdr.quant.base_q_idx))
         frame = self._make_frame(planes, hdr, ts)
         # per-8x8 motion storage for later temporal projection
-        if hdr.frame_is_intra or getattr(plan, "ref0_grid", None) is None:
+        from easyav1_tpu.video.av1.mfmv import save_tmvs
+        if nat_grids is not None:
+            tmvs = save_tmvs(hdr, nat_grids[0], nat_grids[1],
+                             nat_grids[2])
+        elif hdr.frame_is_intra \
+                or getattr(plan, "ref0_grid", None) is None:
             h8 = (hdr.mi_rows + 1) >> 1
             w8 = (hdr.mi_cols + 1) >> 1
             tmvs = (np.full((h8, w8), C.NONE_FRAME, np.int8),
                     np.zeros((h8, w8, 2), np.int16))
         else:
-            from easyav1_tpu.video.av1.mfmv import save_tmvs
             tmvs = save_tmvs(hdr, plan.ref0_grid, plan.ref1_grid,
                              plan.mvs_grid)
         self.hp.update_refs(hdr)
+        if hdr.refresh_frame_flags:
+            u16 = [np.ascontiguousarray(p, np.uint16) for p in planes]
         for i in range(C.NUM_REF_FRAMES):
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame
                 self._ref_planes[i] = planes
+                self._ref_u16[i] = u16
                 self._ref_cdfs[i] = out_blob
                 self._ref_tmvs[i] = tmvs
         return frame if hdr.show_frame else None

@@ -46,7 +46,10 @@ def _first_keyframe_compare(path):
         gold = [np.empty((ah, aw), np.int32),
                 np.empty((ah >> ssy, aw >> ssx), np.int32),
                 np.empty((ah >> ssy, aw >> ssx), np.int32)]
+        fp_rc, _keep = nat._build_fp(hdr, seq, None, None, None)
         rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
+                                 ctypes.byref(fp_rc),
+                                 ctypes.byref(nat._RefPlanes()),
                                  *(nat._vp(g) for g in gold))
         assert rc == 0
         br = nat.export_frame_bridge(seq, hdr, tiles)
