@@ -60,6 +60,11 @@ class _FrameParams(ctypes.Structure):
         ("gm_invalid", ctypes.c_int32 * 8),
         ("gm_params", (ctypes.c_int32 * 6) * 8),
         ("ref_frame_idx", ctypes.c_int32 * 8),
+        ("lr_uses", ctypes.c_int32),
+        ("lr_frame_type", ctypes.c_int32 * 3),
+        ("lr_unit_size", ctypes.c_int32 * 3),
+        ("frame_width", ctypes.c_int32),
+        ("frame_height", ctypes.c_int32),
         ("use_tpl", ctypes.c_int32),
         ("w8", ctypes.c_int32), ("h8", ctypes.c_int32),
         ("tpl_mv", ctypes.c_void_p), ("tpl_off", ctypes.c_void_p),
@@ -100,6 +105,8 @@ class _TileOut(ctypes.Structure):
         ("modes_g", ctypes.c_void_p), ("skipmode_g", ctypes.c_void_p),
         ("compgrp_g", ctypes.c_void_p), ("compidx_g", ctypes.c_void_p),
         ("intrabc_g", ctypes.c_void_p),
+        ("lr_units", ctypes.c_void_p),
+        ("max_lr_units", ctypes.c_int64), ("n_lr_units", ctypes.c_int64),
     ]
 
 
@@ -258,6 +265,14 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
     rfi = getattr(hdr, "ref_frame_idx", [0] * 7)
     for i, v in enumerate(rfi[:7]):
         fp.ref_frame_idx[1 + i] = int(v)   # indexed by ref frame 1..7
+    lr = getattr(hdr, "lr", None)
+    if lr is not None and getattr(lr, "uses_lr", False):
+        fp.lr_uses = 1
+        for i in range(3):
+            fp.lr_frame_type[i] = int(lr.frame_restoration_type[i])
+            fp.lr_unit_size[i] = int(lr.loop_restoration_size[i])
+    fp.frame_width = hdr.upscaled_width
+    fp.frame_height = hdr.frame_height
     if tpl is not None:
         tpl_mv, tpl_off = tpl
         tpl_mv = np.ascontiguousarray(tpl_mv, np.int16)
@@ -342,6 +357,10 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
             "compgrp": np.empty((mi_rows, mi_cols), np.int8),
             "compidx": np.empty((mi_rows, mi_cols), np.int8),
             "intrabc": np.empty((mi_rows, mi_cols), np.int8),
+            # LR units: ceil over 64px min unit size per plane, 3 planes
+            "lr": np.empty(((mi_rows * 4 // 64 + 2)
+                            * (mi_cols * 4 // 64 + 2) * 3 + 64, 13),
+                           np.int32),
         }
         _BUF_POOL[key] = bufs
     bufs["cdef"].fill(-1)
@@ -366,7 +385,9 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         mvs_g=_vp(bufs["mvs"]), interp_g=_vp(bufs["interp"]),
         modes_g=_vp(bufs["modes"]), skipmode_g=_vp(bufs["skipmode"]),
         compgrp_g=_vp(bufs["compgrp"]), compidx_g=_vp(bufs["compidx"]),
-        intrabc_g=_vp(bufs["intrabc"]))
+        intrabc_g=_vp(bufs["intrabc"]),
+        lr_units=_vp(bufs["lr"]), max_lr_units=bufs["lr"].shape[0],
+        n_lr_units=0)
 
     sb_shift = 5 if seq.use_128x128_superblock else 4
     t = hdr.tile
@@ -408,12 +429,9 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
 
     Returns the end-of-frame CDF blob (bytes) when want_cdf, else True;
     returns None (plan untouched) when the native path is unavailable
-    or declines — caller falls back to Python.  Loop-restoration syntax
-    is not parsed by the C decoder yet, so uses_lr frames decline."""
+    or declines — caller falls back to Python."""
     lib = _load()
     if lib is None:
-        return None
-    if getattr(getattr(hdr, "lr", None), "uses_lr", False):
         return None
     res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
                      want_cdf=want_cdf, tpl=tpl)
@@ -482,6 +500,15 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
     plan.ref1_grid = bufs["ref1"].copy()
     plan.mvs_grid = bufs["mvs"].copy()
     plan.interp_grid = bufs["interp"].copy()
+    # loop-restoration unit params (Python LR fallback stage)
+    for u in bufs["lr"][:out.n_lr_units]:
+        key = (int(u[0]), int(u[1]), int(u[2]))
+        plan.lr_type[key] = int(u[3])
+        if u[3] == 2:       # RESTORE_WIENER
+            plan.lr_wiener[key] = [[int(u[4]), int(u[5]), int(u[6])],
+                                   [int(u[7]), int(u[8]), int(u[9])]]
+        elif u[3] == 3:     # RESTORE_SGRPROJ
+            plan.lr_sgr[key] = (int(u[10]), int(u[11]), int(u[12]))
     cdef_buf = bufs["cdef"]
     for ur in range(cdef_buf.shape[0]):
         for uc in range(cdef_buf.shape[1]):
@@ -568,8 +595,8 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     lib = _load()
     if lib is None:
         return None
-    if getattr(hdr, "use_superres", False) \
-            or getattr(getattr(hdr, "lr", None), "uses_lr", False):
+    if getattr(hdr, "use_superres", False):
+        # superres upscaling (between CDEF and LR) is not in C yet
         return None
     rfl = _RefPlanes()
     keep_refs = []
@@ -603,8 +630,10 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                     bufs["mvs"].copy())
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
+        # pallas executor: intra only, no LR stage yet
+        lr_on = getattr(getattr(hdr, "lr", None), "uses_lr", False)
         planes = (_pallas_frame(lib, seq, hdr, out, bufs, rp)
-                  if hdr.frame_is_intra else None)
+                  if hdr.frame_is_intra and not lr_on else None)
         if planes is not None:
             return planes, blob, mv_grids
         # fall through to the C recon when the device path declines
@@ -619,7 +648,8 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
               np.empty((ah >> ssy, aw >> ssx), np.int32))
         _BUF_POOL[pkey] = pl
     py, pu, pv = pl
-    device = os.environ.get("EASYAV1_PIPE", "native") == "device"
+    device = os.environ.get("EASYAV1_PIPE", "native") == "device" \
+        and not getattr(getattr(hdr, "lr", None), "uses_lr", False)
     if device:
         # dense math only in C; the loop filter and CDEF run as device
         # (JAX) kernels on the mi-aligned planes

@@ -49,6 +49,12 @@ typedef struct {
     int32_t gm_invalid[8];
     int32_t gm_params[8][6];
     int32_t ref_frame_idx[8];          /* ref frame 1..7 -> slot (recon) */
+    /* loop restoration (spec 5.9.20 / 5.11.57): frame type per plane,
+       unit sizes in plane pixels, visible dims for the unit counts */
+    int32_t lr_uses;
+    int32_t lr_frame_type[3];
+    int32_t lr_unit_size[3];
+    int32_t frame_width, frame_height; /* upscaled visible dims */
     int32_t use_tpl;                   /* temporal mv field present */
     int32_t w8, h8;                    /* tpl grid dims */
     const int16_t *tpl_mv;             /* [h8][w8][2] or NULL */
@@ -110,6 +116,10 @@ typedef struct {
     int8_t *compgrp_g;         /* comp_group_idx grid */
     int8_t *compidx_g;         /* compound_index grid (init 1) */
     int8_t *intrabc_g;         /* intrabc flag grid */
+    /* loop-restoration units, 13 int32 each: plane, urow, ucol, rtype,
+       wiener[2][3], sgr_set, xqd0, xqd1 */
+    int32_t *lr_units;
+    int64_t max_lr_units, n_lr_units;
 } TileOut;
 
 /* frame reconstruction parameters (recon + loop filter + cdef) */

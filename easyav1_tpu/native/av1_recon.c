@@ -634,6 +634,11 @@ static void recon_block(Recon *rc, const int32_t *b) {
 
 #include "av1_lf.h"
 #include "av1_cdef.h"
+/* SGR radii shared with the tile decoder's LR syntax tables */
+static const int8_t SGR_R0[16] = {2,2,2,2,2,2,2,2,2,2,0,0,0,0,2,2};
+static const int8_t SGR_R1[16] = {1,1,1,1,1,1,1,1,1,1,1,1,1,1,0,0};
+enum { RESTORE_NONE = 0, RESTORE_WIENER = 2, RESTORE_SGRPROJ = 3 };
+#include "av1_lrf.h"
 
 /* ------------------------------------------------------------------ */
 
@@ -825,6 +830,24 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     if (rc.error) return 3;
 
     av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);
+    int use_lr = fp != NULL && fp->lr_uses;
+    int32_t *debl[3] = {NULL, NULL, NULL};
+    if (use_lr) {
+        /* LR reads the pre-CDEF deblocked rows at stripe boundaries */
+        for (int p = 0; p < rp->num_planes; p++) {
+            size_t n = (size_t)rc.pw[p] * rc.ph[p];
+            debl[p] = malloc(n * sizeof(int32_t));
+            if (!debl[p]) {
+                for (int q = 0; q < p; q++) free(debl[q]);
+                return 2;
+            }
+            memcpy(debl[p], rc.planes[p], n * sizeof(int32_t));
+        }
+    }
     av1_cdef(rp, o, rc.planes, rc.pw, rc.ph);
+    if (use_lr) {
+        av1_loop_restoration(rp, fp, o, rc.planes, debl, rc.pw, rc.ph);
+        for (int p = 0; p < rp->num_planes; p++) free(debl[p]);
+    }
     return 0;
 }

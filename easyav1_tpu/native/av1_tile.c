@@ -177,6 +177,9 @@ typedef struct {
     int8_t *tx_types;         /* mi grid: luma tx type per 4x4 */
     int skip_mode_flag;
     int cur_partition;        /* partition type at the current node */
+    /* loop-restoration predictors, reset per tile (spec decode_tile) */
+    int lr_ref_wiener[3][2][3];
+    int lr_ref_sgr[3][2];
 } Ctx;
 
 enum { BLOCK_4X4 = 0, BLOCK_8X8 = 3, BLOCK_64X64 = 12, BLOCK_128X128 = 15 };
@@ -717,6 +720,146 @@ static void var_tx_node(Ctx *t, int r, int c, int bsize, int xx, int yy,
             t->a_txw[c + xx + i] = av1_tx_w[tx_size];
         for (int i = 0; i < th4 && r + yy + i < t->p->mi_rows; i++)
             t->l_txh[r + yy + i] = av1_tx_h[tx_size];
+    }
+}
+
+/* ---- loop-restoration syntax (tile.py _read_lr, spec 5.11.57-58) --- */
+
+static int msac_decode_ns(Msac *s, int n) {
+    int w = floor_log2((uint32_t)n) + 1;
+    int m = (1 << w) - n;
+    int v = w > 1 ? (int)msac_literal(s, w - 1) : 0;
+    if (v < m) return v;
+    int extra = msac_bool_equi(s);
+    return (v << 1) - m + extra;
+}
+
+static int msac_subexp(Msac *s, int num_syms, int k) {
+    int i = 0, mk = 0;
+    for (;;) {
+        int b2 = i ? k + i - 1 : k;
+        int a = 1 << b2;
+        if (num_syms <= mk + 3 * a)
+            return msac_decode_ns(s, num_syms - mk) + mk;
+        if (msac_bool_equi(s)) {
+            i++;
+            mk += a;
+        } else {
+            return (int)msac_literal(s, b2) + mk;
+        }
+    }
+}
+
+static int inv_recenter(int r, int v) {
+    if (v > 2 * r) return v;
+    if (v & 1) return r - ((v + 1) >> 1);
+    return r + (v >> 1);
+}
+
+static int msac_signed_subexp(Msac *s, int low, int high, int r, int k) {
+    int mx = high - low;
+    int ref = r - low;
+    int v = msac_subexp(s, mx, k);
+    int out = (ref << 1) <= mx ? inv_recenter(ref, v)
+                               : mx - 1 - inv_recenter(mx - 1 - ref, v);
+    return out + low;
+}
+
+static const int8_t WIENER_MIN[3] = {-5, -23, -17};
+static const int8_t WIENER_MAX[3] = {10, 8, 46};
+static const int8_t WIENER_K[3] = {1, 2, 3};
+static const int8_t WIENER_MID[3] = {3, -7, 15};
+static const int8_t SGR_XQD_MIN[2] = {-96, -32};
+static const int8_t SGR_XQD_MAX[2] = {31, 95};
+static const int8_t SGR_XQD_MID[2] = {-32, 31};
+/* per-set pass radii (lr_ref.SGR_RADII) */
+static const int8_t SGR_R0[16] = {2,2,2,2,2,2,2,2,2,2,0,0,0,0,2,2};
+static const int8_t SGR_R1[16] = {1,1,1,1,1,1,1,1,1,1,1,1,1,1,0,0};
+
+enum { RESTORE_NONE = 0, RESTORE_SWITCHABLE = 1, RESTORE_WIENER = 2,
+       RESTORE_SGRPROJ = 3 };
+
+static void read_lr_unit(Ctx *t, int plane, int urow, int ucol) {
+    const FrameParams *fp = t->fp;
+    TileOut *o = t->o;
+    Msac *ms = &t->msac;
+    int frt = fp->lr_frame_type[plane];
+    int rtype;
+    if (frt == RESTORE_WIENER)
+        rtype = msac_symbol(ms, t->cdf.wiener_restore[0], 2)
+                ? RESTORE_WIENER : RESTORE_NONE;
+    else if (frt == RESTORE_SGRPROJ)
+        rtype = msac_symbol(ms, t->cdf.sgrproj_restore[0], 2)
+                ? RESTORE_SGRPROJ : RESTORE_NONE;
+    else {
+        static const int8_t SW_MAP[3] = {RESTORE_NONE, RESTORE_WIENER,
+                                         RESTORE_SGRPROJ};
+        rtype = SW_MAP[msac_symbol(ms, t->cdf.switchable_restore[0], 3)];
+    }
+    if (o->n_lr_units >= o->max_lr_units) { o->error = 1; return; }
+    int32_t *u = o->lr_units + o->n_lr_units * 13;
+    o->n_lr_units++;
+    memset(u, 0, 13 * sizeof(int32_t));
+    u[0] = plane; u[1] = urow; u[2] = ucol; u[3] = rtype;
+    if (rtype == RESTORE_WIENER) {
+        for (int pass = 0; pass < 2; pass++) {
+            int first = plane ? 1 : 0;
+            for (int j = first; j < 3; j++) {
+                int ref = t->lr_ref_wiener[plane][pass][j];
+                int v = msac_signed_subexp(ms, WIENER_MIN[j],
+                                           WIENER_MAX[j] + 1, ref,
+                                           WIENER_K[j]);
+                u[4 + pass * 3 + j] = v;
+                t->lr_ref_wiener[plane][pass][j] = v;
+            }
+        }
+    } else if (rtype == RESTORE_SGRPROJ) {
+        int sgr_set = (int)msac_literal(ms, 4);
+        u[10] = sgr_set;
+        for (int i = 0; i < 2; i++) {
+            int radius = i == 0 ? SGR_R0[sgr_set] : SGR_R1[sgr_set];
+            int ref = t->lr_ref_sgr[plane][i];
+            int v;
+            if (radius) {
+                v = msac_signed_subexp(ms, SGR_XQD_MIN[i],
+                                       SGR_XQD_MAX[i] + 1, ref, 4);
+            } else {
+                v = 0;
+                if (i == 1) {
+                    v = 128 - t->lr_ref_sgr[plane][0];
+                    if (v < SGR_XQD_MIN[i]) v = SGR_XQD_MIN[i];
+                    if (v > SGR_XQD_MAX[i]) v = SGR_XQD_MAX[i];
+                }
+            }
+            u[11 + i] = v;
+            t->lr_ref_sgr[plane][i] = v;
+        }
+    }
+}
+
+static void read_lr(Ctx *t, int r, int c) {
+    const FrameParams *fp = t->fp;
+    const TileParams *p = t->p;
+    if (!fp->lr_uses || p->allow_intrabc) return;
+    int w4 = p->sb128 ? 32 : 16;
+    for (int plane = 0; plane < p->num_planes; plane++) {
+        if (fp->lr_frame_type[plane] == RESTORE_NONE) continue;
+        int ssx = plane ? p->ssx : 0;
+        int ssy = plane ? p->ssy : 0;
+        int unit_size = fp->lr_unit_size[plane];
+        int ph = (fp->frame_height + ssy) >> ssy;
+        int pw = (fp->frame_width + ssx) >> ssx;
+        int unit_rows = imax((ph + (unit_size >> 1)) / unit_size, 1);
+        int unit_cols = imax((pw + (unit_size >> 1)) / unit_size, 1);
+        int num = 4 >> ssy, den = unit_size;
+        int ur0 = (r * num + den - 1) / den;
+        int ur1 = imin(unit_rows, ((r + w4) * num + den - 1) / den);
+        num = 4 >> ssx;
+        int uc0 = (c * num + den - 1) / den;
+        int uc1 = imin(unit_cols, ((c + w4) * num + den - 1) / den);
+        for (int urow = ur0; urow < ur1; urow++)
+            for (int ucol = uc0; ucol < uc1; ucol++)
+                read_lr_unit(t, plane, urow, ucol);
     }
 }
 
@@ -1276,11 +1419,21 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
 
     t.cur_qindex = p->base_q_idx;
 
+    /* loop-restoration predictors reset per tile (spec decode_tile) */
+    for (int pl = 0; pl < 3; pl++) {
+        for (int pass = 0; pass < 2; pass++)
+            for (int j = 0; j < 3; j++)
+                t.lr_ref_wiener[pl][pass][j] = WIENER_MID[j];
+        for (int i = 0; i < 2; i++)
+            t.lr_ref_sgr[pl][i] = SGR_XQD_MID[i];
+    }
+
     int sb_mi = p->sb128 ? 32 : 16;
     int sb_bsize = p->sb128 ? BLOCK_128X128 : BLOCK_64X64;
     for (int r = p->row_start; r < p->row_end && !o->error; r += sb_mi)
         for (int c = p->col_start; c < p->col_end && !o->error; c += sb_mi) {
             t.read_deltas = p->delta_q_present;
+            read_lr(&t, r, c);
             decode_partition(&t, r, c, sb_bsize);
         }
     /* end-of-tile entropy state for frame chaining (spec save_cdfs;
