@@ -264,12 +264,20 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             for (int q = 0; q < p; q++) free(srcs[q]);
             return;
         }
-        for (int i = 0; i < sh; i++)
-            for (int j = 0; j < sw; j++)
+        /* VERY_LARGE border only; the interior is copied over */
+        for (int i = 0; i < 2; i++)
+            for (int j = 0; j < sw; j++) {
                 srcs[p][i * sw + j] = CDEF_VERY_LARGE;
-        for (int i = 0; i < ph[p]; i++)
-            for (int j = 0; j < pw[p]; j++)
-                srcs[p][(i + 2) * sw + (j + 2)] = planes[p][i * pw[p] + j];
+                srcs[p][(sh - 1 - i) * sw + j] = CDEF_VERY_LARGE;
+            }
+        for (int i = 2; i < sh - 2; i++) {
+            srcs[p][i * sw] = CDEF_VERY_LARGE;
+            srcs[p][i * sw + 1] = CDEF_VERY_LARGE;
+            srcs[p][i * sw + sw - 2] = CDEF_VERY_LARGE;
+            srcs[p][i * sw + sw - 1] = CDEF_VERY_LARGE;
+            memcpy(srcs[p] + i * sw + 2, planes[p] + (i - 2) * pw[p],
+                   (size_t)pw[p] * sizeof(int32_t));
+        }
     }
 
     const int8_t *skip = o->skip;

@@ -37,7 +37,11 @@ static const int16_t *mc_filter(int interp, int dim) {
 
 /* 8-tap separable subpel MC with edge-replicating clamps (spec
  * 7.11.3.2, no ref scaling).  out: [h][w] int32.  comp: keep the
- * InterRound1=7 compound-intermediate scale, no clipping. */
+ * InterRound1=7 compound-intermediate scale, no clipping.
+ *
+ * Fast paths (bit-exact by the rounding identities): integer MV is a
+ * plain copy (comp: << 4); interior blocks skip the per-sample clamps
+ * so the 8-tap loops vectorize. */
 static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                               int x, int y, int w, int h,
                               const int32_t *mv, int ssx, int ssy,
@@ -49,37 +53,82 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     int frac_x = start_x & 15, frac_y = start_y & 15;
     int ix = start_x >> 4, iy = start_y >> 4;
     int last_x = rw - 1, last_y = rh - 1;
+
+    if (frac_x == 0 && frac_y == 0) {
+        /* integer motion: (128*px rounds exactly through both stages) */
+        for (int r = 0; r < h; r++) {
+            int sy = iy + r;
+            sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+            const uint16_t *row = ref + (int64_t)sy * rw;
+            if (ix >= 0 && ix + w <= rw) {
+                if (comp)
+                    for (int c = 0; c < w; c++)
+                        out[r * w + c] = row[ix + c] << 4;
+                else
+                    for (int c = 0; c < w; c++)
+                        out[r * w + c] = row[ix + c];
+            } else {
+                for (int c = 0; c < w; c++) {
+                    int sx = ix + c;
+                    sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                    out[r * w + c] = comp ? (row[sx] << 4) : row[sx];
+                }
+            }
+        }
+        return;
+    }
+
     const int16_t *fh = mc_filter(interp[1], filt_w) + frac_x * 8;
     const int16_t *fv = mc_filter(interp[0], filt_h) + frac_y * 8;
     int32_t mid[(128 + 7) * 128];
+    int inside_x = (ix - 3 >= 0) && (ix + w + 3 < rw);
     /* horizontal pass into (h+7, w) */
     for (int r = 0; r < h + 7; r++) {
         int sy = iy - 3 + r;
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
         const uint16_t *row = ref + (int64_t)sy * rw;
-        for (int c = 0; c < w; c++) {
-            int32_t acc = 0;
-            for (int t = 0; t < 8; t++) {
-                int sx = ix - 3 + c + t;
-                sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
-                acc += fh[t] * row[sx];
+        int32_t *m = mid + r * w;
+        if (inside_x) {
+            const uint16_t *src = row + ix - 3;
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fh[t] * src[c + t];
+                m[c] = (acc + 4) >> 3;                /* InterRound0=3 */
             }
-            mid[r * w + c] = (acc + 4) >> 3;          /* InterRound0=3 */
+        } else {
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int t = 0; t < 8; t++) {
+                    int sx = ix - 3 + c + t;
+                    sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                    acc += fh[t] * row[sx];
+                }
+                m[c] = (acc + 4) >> 3;
+            }
         }
     }
-    int64_t mx = (1 << bd) - 1;
-    for (int r = 0; r < h; r++)
-        for (int c = 0; c < w; c++) {
-            int32_t acc = 0;
-            for (int t = 0; t < 8; t++)
-                acc += fv[t] * mid[(r + t) * w + c];
-            if (comp) {
-                out[r * w + c] = (acc + 64) >> 7;     /* InterRound1=7 */
-            } else {
+    int32_t mx = (1 << bd) - 1;
+    for (int r = 0; r < h; r++) {
+        const int32_t *m = mid + r * w;
+        int32_t *o = out + r * w;
+        if (comp) {
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fv[t] * m[t * w + c];
+                o[c] = (acc + 64) >> 7;               /* InterRound1=7 */
+            }
+        } else {
+            for (int c = 0; c < w; c++) {
+                int32_t acc = 0;
+                for (int t = 0; t < 8; t++)
+                    acc += fv[t] * m[t * w + c];
                 int32_t v = (acc + 1024) >> 11;       /* InterRound1=11 */
-                out[r * w + c] = (int32_t)(v < 0 ? 0 : (v > mx ? mx : v));
+                o[c] = v < 0 ? 0 : (v > mx ? mx : v);
             }
         }
+    }
 }
 
 /* ---- affine warp (warp.py warp_affine, spec 7.11.3.5) ------------- */
@@ -745,6 +794,10 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
     }
     if (b[BLK_MOTION_MODE] == MC_MM_OBMC)
         apply_obmc(rc, b);
-    residual_add(rc, b);
+    {
+        double tr0 = rc_now();
+        residual_add(rc, b);
+        av1_stage_times[5] += rc_now() - tr0;
+    }
     return 0;
 }

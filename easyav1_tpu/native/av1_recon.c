@@ -19,6 +19,24 @@
 #include "av1_itx.h"
 #include "av1_tables.h"
 
+#include <time.h>
+
+/* cumulative per-stage wall times (profiling; av1_get_stage_times) */
+static double av1_stage_times[8];
+
+static double rc_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+void av1_get_stage_times(double *out) {
+    for (int i = 0; i < 8; i++) {
+        out[i] = av1_stage_times[i];
+        av1_stage_times[i] = 0.0;
+    }
+}
+
 static int rmin(int a, int b) { return a < b ? a : b; }
 static int rmax(int a, int b) { return a > b ? a : b; }
 static int64_t lmin(int64_t a, int64_t b) { return a < b ? a : b; }
@@ -63,10 +81,23 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
         for (int i = 0; i < w * h; i++)
             buf[i] = (buf[i] * 2896 + 2048) >> 12;
 
+    /* zero rows transform to zero rows (all 1-D kernels are linear),
+       so the row pass only needs the coefficient-carrying prefix —
+       the dense coeff block is zero past the scan's bounding rows */
+    int nzh = ah < h ? ah : h;
+    while (nzh > 0) {
+        const int64_t *row = buf + (nzh - 1) * w;
+        int any = 0;
+        for (int j = 0; j < w; j++)
+            if (row[j]) { any = 1; break; }
+        if (any) break;
+        nzh--;
+    }
+
     /* row pass along the width, then row shift + clamp */
     int shift = ROW_SHIFT[tx_size];
     int64_t vec[64];
-    for (int i = 0; i < h; i++) {
+    for (int i = 0; i < nzh; i++) {
         memcpy(vec, buf + i * w, sizeof(int64_t) * (size_t)w);
         itx_1d(hkind, vec, w, mn, mx);
         for (int j = 0; j < w; j++) {
@@ -546,7 +577,9 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
     }
     if (coef_or_null != NULL) {
         int64_t res[64 * 64];
+        double tx0 = rc_now();
         itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
+        av1_stage_times[7] += rc_now() - tx0;
         for (int i = 0; i < fh; i++)
             for (int j = 0; j < fw; j++)
                 pred[i * fw + j] += res[i * fw + j];
@@ -576,9 +609,12 @@ static void recon_block(Recon *rc, const int32_t *b) {
     const ReconParams *rp = rc->rp;
     const TileOut *o = rc->o;
     if (b[BLK_IS_INTER]) {
+        double tb0 = rc_now();
         if (recon_block_inter(rc, b)) rc->error = 1;
+        av1_stage_times[4] += rc_now() - tb0;
         return;
     }
+    double ti0 = rc_now();
     int br = b[0], bc = b[1], bsize = b[2];
     rc->cur_fi = b[13];
     int y_mode = b[3], uv_mode = b[4];
@@ -627,6 +663,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
                              acp ? (plane == 1 ? cfl_u : cfl_v) : 0);
                 }
     }
+    av1_stage_times[6] += rc_now() - ti0;
 }
 
 /* ------------------------------------------------------------------ */
@@ -824,12 +861,15 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
             return 2;
         }
     }
+    double t0 = rc_now();
     for (int64_t i = 0; i < o->n_blocks && !rc.error; i++)
         recon_block(&rc, o->blocks + i * BLK_FIELDS);
     for (int p = 0; p < 3; p++) free(rc.decoded[p]);
     if (rc.error) return 3;
+    double t1 = rc_now();
 
     av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);
+    double t2 = rc_now();
     int use_lr = fp != NULL && fp->lr_uses;
     int32_t *debl[3] = {NULL, NULL, NULL};
     if (use_lr) {
@@ -845,9 +885,15 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
         }
     }
     av1_cdef(rp, o, rc.planes, rc.pw, rc.ph);
+    double t3 = rc_now();
     if (use_lr) {
         av1_loop_restoration(rp, fp, o, rc.planes, debl, rc.pw, rc.ph);
         for (int p = 0; p < rp->num_planes; p++) free(debl[p]);
     }
+    double t4 = rc_now();
+    av1_stage_times[0] += t1 - t0;     /* block recon (pred + itx) */
+    av1_stage_times[1] += t2 - t1;     /* loop filter */
+    av1_stage_times[2] += t3 - t2;     /* cdef */
+    av1_stage_times[3] += t4 - t3;     /* loop restoration */
     return 0;
 }

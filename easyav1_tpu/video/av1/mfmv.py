@@ -49,39 +49,38 @@ def mv_projection(mv_row: int, mv_col: int, num: int, den: int):
 
 def save_tmvs(hdr, ref0_grid, ref1_grid, mvs_grid):
     """Per-8x8 mv storage at frame end (libaom av1_copy_frame_mvs,
-    sampled at the odd mi of each cell).  Returns (ref8, mv8)."""
+    sampled at the odd mi of each cell).  Returns (ref8, mv8).
+    Vectorized: list 1 (when eligible) overwrites list 0, matching the
+    reference's per-cell write order."""
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     h8 = (mi_rows + 1) >> 1
     w8 = (mi_cols + 1) >> 1
-    ref8 = np.full((h8, w8), C.NONE_FRAME, np.int8)
-    mv8 = np.zeros((h8, w8, 2), np.int16)
     sign = hdr.ref_frame_sign_bias
     hints = hdr.order_hints
     cur = hdr.order_hint
     # ref_frame_side (libaom av1_calculate_ref_frame_side): skip refs
     # that are future-side or same-hint
-    side = [0] * 8
+    side = np.zeros(9, np.int8)
     for ref in range(C.LAST_FRAME, C.ALTREF_FRAME + 1):
         if sign[ref]:
             side[ref] = 1
         elif hints[ref] == cur:
             side[ref] = -1
-    for y8 in range(h8):
-        r = min(2 * y8 + 1, mi_rows - 1)
-        for x8 in range(w8):
-            c = min(2 * x8 + 1, mi_cols - 1)
-            for grid in (ref0_grid, ref1_grid):
-                ref = int(grid[r, c])
-                if ref <= C.INTRA_FRAME or side[ref]:
-                    continue
-                idx = 0 if grid is ref0_grid else 1
-                mr = int(mvs_grid[r, c, idx, 0])
-                mc = int(mvs_grid[r, c, idx, 1])
-                if abs(mr) > REFMVS_LIMIT or abs(mc) > REFMVS_LIMIT:
-                    continue
-                ref8[y8, x8] = ref
-                mv8[y8, x8, 0] = mr
-                mv8[y8, x8, 1] = mc
+    r_idx = np.minimum(2 * np.arange(h8) + 1, mi_rows - 1)
+    c_idx = np.minimum(2 * np.arange(w8) + 1, mi_cols - 1)
+    g0 = ref0_grid[r_idx][:, c_idx].astype(np.int32)
+    g1 = ref1_grid[r_idx][:, c_idx].astype(np.int32)
+    mvs = mvs_grid[r_idx][:, c_idx]          # (h8, w8, 2, 2)
+    mv0 = mvs[:, :, 0, :].astype(np.int32)
+    mv1 = mvs[:, :, 1, :].astype(np.int32)
+    ok0 = (g0 > C.INTRA_FRAME) & (side[np.clip(g0, 0, 8)] == 0) \
+        & (np.abs(mv0) <= REFMVS_LIMIT).all(-1)
+    ok1 = (g1 > C.INTRA_FRAME) & (side[np.clip(g1, 0, 8)] == 0) \
+        & (np.abs(mv1) <= REFMVS_LIMIT).all(-1)
+    ref8 = np.where(ok1, g1, np.where(ok0, g0, C.NONE_FRAME)) \
+        .astype(np.int8)
+    mv8 = np.where(ok1[..., None], mv1,
+                   np.where(ok0[..., None], mv0, 0)).astype(np.int16)
     return ref8, mv8
 
 
@@ -120,43 +119,53 @@ def setup_motion_field(hdr, seq, slot_states, slot_tmvs):
         start_hint = st.order_hint
         saved = st.saved_order_hints or [0] * 8
         start_to_cur = rel_dist(start_hint, cur)
-        ref_off = [0] * 8
+        ref_off = np.zeros(9, np.int32)
         for rf in range(C.LAST_FRAME, C.ALTREF_FRAME + 1):
             ref_off[rf] = rel_dist(start_hint, saved[rf])
         if dir2:
             start_to_cur = -start_to_cur
         ref8, mv8 = tm
-        for y8 in range(h8):
-            base_y = (y8 >> 3) << 3
-            for x8 in range(w8):
-                srcref = int(ref8[y8, x8])
-                if srcref <= C.INTRA_FRAME:
-                    continue
-                off = ref_off[srcref]
-                if not (0 < off <= MAX_FRAME_DISTANCE
-                        and abs(start_to_cur) <= MAX_FRAME_DISTANCE):
-                    continue
-                fr = int(mv8[y8, x8, 0])
-                fc = int(mv8[y8, x8, 1])
-                pr, pc = mv_projection(fr, fc, start_to_cur, off)
-                # get_block_position
-                roff = (pr >> 6) if pr >= 0 else -((-pr) >> 6)
-                coff = (pc >> 6) if pc >= 0 else -((-pc) >> 6)
-                row = y8 - roff if dir2 else y8 + roff
-                col = x8 - coff if dir2 else x8 + coff
-                if not (0 <= row < (mi_rows >> 1)
-                        and 0 <= col < (mi_cols >> 1)):
-                    continue
-                # get_block_position window: rows exactly the 64px band
-                # (MAX_OFFSET_HEIGHT=0), cols within +-64px
-                # (MAX_OFFSET_WIDTH=64 -> 8 cells each side)
-                base_x = (x8 >> 3) << 3
-                if not (base_y <= row < base_y + 8
-                        and base_x - 8 <= col < base_x + 16):
-                    continue
-                tpl_mv[row, col, 0] = fr
-                tpl_mv[row, col, 1] = fc
-                tpl_off[row, col] = off
+        # vectorized projection (mv_projection + get_block_position)
+        srcref = ref8.astype(np.int32)
+        off = ref_off[np.clip(srcref, 0, 8)]
+        ok = (srcref > C.INTRA_FRAME) & (off > 0) \
+            & (off <= MAX_FRAME_DISTANCE) \
+            & (abs(start_to_cur) <= MAX_FRAME_DISTANCE)
+        fr = mv8[:, :, 0].astype(np.int64)
+        fc = mv8[:, :, 1].astype(np.int64)
+        den = np.minimum(off, MAX_FRAME_DISTANCE)
+        num = np.clip(start_to_cur, -MAX_FRAME_DISTANCE,
+                      MAX_FRAME_DISTANCE)
+        dmul = np.asarray(DIV_MULT, np.int64)[den]
+        lim = (1 << 14) - 1
+
+        def proj(v):
+            t = v * num * dmul
+            r = np.where(t >= 0, (t + 8192) >> 14, -((-t + 8192) >> 14))
+            return np.clip(r, -lim, lim)
+
+        pr, pc = proj(fr), proj(fc)
+        roff = np.where(pr >= 0, pr >> 6, -((-pr) >> 6))
+        coff = np.where(pc >= 0, pc >> 6, -((-pc) >> 6))
+        ys = np.arange(h8, dtype=np.int64)[:, None]
+        xs = np.arange(w8, dtype=np.int64)[None, :]
+        row = ys - roff if dir2 else ys + roff
+        col = xs - coff if dir2 else xs + coff
+        ok &= (row >= 0) & (row < (mi_rows >> 1)) \
+            & (col >= 0) & (col < (mi_cols >> 1))
+        # get_block_position window: rows exactly the 64px band
+        # (MAX_OFFSET_HEIGHT=0), cols within +-64px (8 cells each side)
+        base_y = (ys >> 3) << 3
+        base_x = (xs >> 3) << 3
+        ok &= (row >= base_y) & (row < base_y + 8) \
+            & (col >= base_x - 8) & (col < base_x + 16)
+        ridx = row[ok]
+        cidx = col[ok]
+        # duplicate targets: numpy fancy assignment keeps the LAST
+        # value in index order, matching the scalar loop's write order
+        tpl_mv[ridx, cidx, 0] = fr[ok]
+        tpl_mv[ridx, cidx, 1] = fc[ok]
+        tpl_off[ridx, cidx] = off[ok]
         return 1
 
     hints = hdr.order_hints
