@@ -22,7 +22,9 @@ from typing import List, Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_DIR, "libeasyav1.so")
+# EASYAV1_SO: use a prebuilt library (e.g. tools/build/libeasyav1_san.so
+# from `make -C tools sanitize`) instead of the gcc-on-import build
+_SO = os.environ.get("EASYAV1_SO", os.path.join(_DIR, "libeasyav1.so"))
 _SRCS = [os.path.join(_DIR, "av1_tile.c"), os.path.join(_DIR, "av1_recon.c"),
          os.path.join(_DIR, "vorbis_dec.c")]
 _HDRS = [os.path.join(_DIR, n) for n in
@@ -138,6 +140,8 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> bool:
+    if "EASYAV1_SO" in os.environ:
+        return os.path.exists(_SO)
     try:
         newest_src = max(os.path.getmtime(f) for f in _SRCS + _HDRS)
     except OSError:

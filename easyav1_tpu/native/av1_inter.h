@@ -732,11 +732,11 @@ static int find_affine_int(const int32_t (*cands)[4], int n_cands,
     int64_t det = a00 * a11 - a01 * a01;
     if (det == 0) return 0;
     int idet_i, shift;
-    resolve_divisor(det < 0 ? (int)(-det) : (int)det, &idet_i, &shift);
+    resolve_divisor64(det < 0 ? -det : det, &idet_i, &shift);
     int64_t idet = apply_sign64(idet_i, det);
     shift -= WM_PREC_BITS;
     if (shift < 0) {
-        idet <<= -shift;
+        idet *= (int64_t)1 << -shift;
         shift = 0;
     }
 
@@ -757,10 +757,10 @@ static int find_affine_int(const int32_t (*cands)[4], int n_cands,
 #undef RND_WM
 
     int64_t tclamp = (1 << 23) - 1;
-    int tx = ws_iclip(((int64_t)mv[1] << 13)
+    int tx = ws_iclip((int64_t)mv[1] * 8192
                    - ((int64_t)mid_x * (m2 - (1 << 16))
                       + (int64_t)mid_y * m3), -tclamp, tclamp);
-    int ty = ws_iclip(((int64_t)mv[0] << 13)
+    int ty = ws_iclip((int64_t)mv[0] * 8192
                    - ((int64_t)mid_x * m4
                       + (int64_t)mid_y * (m5 - (1 << 16))),
                    -tclamp, tclamp);

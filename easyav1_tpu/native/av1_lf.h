@@ -20,11 +20,11 @@ static int lf_level_for_blk(const ReconParams *rp, int plane, int pass,
     if (rp->lf_delta_enabled) {
         int n_shift = base >> 5;
         if (b == NULL || !b[BLK_IS_INTER]) {
-            lvl += rp->lf_ref_deltas[0] << n_shift;
+            lvl += rp->lf_ref_deltas[0] * (1 << n_shift);
         } else {
             int midx = (b[BLK_MODE] == 15 || b[BLK_MODE] == 23) ? 0 : 1;
             lvl += (rp->lf_ref_deltas[b[BLK_REF0]]
-                    + rp->lf_mode_deltas[midx]) << n_shift;
+                    + rp->lf_mode_deltas[midx]) * (1 << n_shift);
         }
         if (lvl < 0) lvl = 0;
         if (lvl > MAX_LOOP_FILTER) lvl = MAX_LOOP_FILTER;

@@ -246,7 +246,7 @@ static void directional(const uint16_t *dr, int p_angle,
                 if (base >= max_base) {
                     out[i * w + j] = A[OFF + max_base];
                 } else {
-                    int shift = ((idx << up_above) >> 1) & 0x1F;
+                    int shift = ((idx * (1 << up_above)) >> 1) & 0x1F;
                     out[i * w + j] = (A[OFF + base] * (32 - shift)
                                       + A[OFF + base + 1] * shift + 16) >> 5;
                 }
@@ -262,7 +262,7 @@ static void directional(const uint16_t *dr, int p_angle,
                 if (base >= max_base) {
                     out[i * w + j] = L[OFF + max_base];
                 } else {
-                    int shift = ((idy << up_left) >> 1) & 0x1F;
+                    int shift = ((idy * (1 << up_left)) >> 1) & 0x1F;
                     out[i * w + j] = (L[OFF + base] * (32 - shift)
                                       + L[OFF + base + 1] * shift + 16) >> 5;
                 }
@@ -276,13 +276,13 @@ static void directional(const uint16_t *dr, int p_angle,
                 int idx = (j << 6) - (i + 1) * dx;
                 int base = idx >> (6 - up_above);
                 if (base >= -(1 << up_above)) {
-                    int shift = ((idx << up_above) >> 1) & 0x1F;
+                    int shift = ((idx * (1 << up_above)) >> 1) & 0x1F;
                     out[i * w + j] = (A[OFF + base] * (32 - shift)
                                       + A[OFF + base + 1] * shift + 16) >> 5;
                 } else {
                     int idy = (i << 6) - (j + 1) * dy;
                     int base_y = idy >> (6 - up_left);
-                    int shift = ((idy << up_left) >> 1) & 0x1F;
+                    int shift = ((idy * (1 << up_left)) >> 1) & 0x1F;
                     out[i * w + j] = (L[OFF + base_y] * (32 - shift)
                                       + L[OFF + base_y + 1] * shift
                                       + 16) >> 5;

@@ -662,7 +662,7 @@ static void read_deltas(Ctx *t, int bsize, int skip) {
         if (abs_) {
             int sign = msac_bool_equi(&t->msac);
             int delta = sign ? -abs_ : abs_;
-            int q = t->cur_qindex + (delta << p->delta_q_res);
+            int q = t->cur_qindex + delta * (1 << p->delta_q_res);
             t->cur_qindex = imax(1, imin(255, q));
         }
     }

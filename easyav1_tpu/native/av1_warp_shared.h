@@ -16,17 +16,25 @@ static int ws_log2(uint32_t x) {
     return n;
 }
 
-static void resolve_divisor(int d, int *idet, int *shift) {
-    int s = ws_log2((uint32_t)d);
-    int e = d - (1 << s);
-    int f;
+/* |d| -> (1/d in Q-lut, shift); d > 0.  64-bit: the affine LS
+ * determinant routinely exceeds 32 bits (warp.py works in Python
+ * bigints). */
+static void resolve_divisor64(int64_t d, int *idet, int *shift) {
+    int s = -1;
+    for (uint64_t v = (uint64_t)d; v; v >>= 1) s++;
+    int64_t e = d - ((int64_t)1 << s);
+    int64_t f;
     if (s > DIV_LUT_PREC_BITS)
-        f = (e + (1 << (s - DIV_LUT_PREC_BITS - 1)))
+        f = (e + ((int64_t)1 << (s - DIV_LUT_PREC_BITS - 1)))
             >> (s - DIV_LUT_PREC_BITS);
     else
         f = e << (DIV_LUT_PREC_BITS - s);
     *idet = av1_div_lut[f];
     *shift = s + DIV_LUT_BITS;
+}
+
+static void resolve_divisor(int d, int *idet, int *shift) {
+    resolve_divisor64(d, idet, shift);
 }
 
 static int64_t apply_sign64(int64_t v, int64_t s) {
@@ -52,7 +60,7 @@ static int get_shear_params(const int32_t *mat, int32_t *sh) {
     int idet, shift;
     resolve_divisor(mat[2], &idet, &shift);
     shift -= WM_PREC_BITS;
-    int64_t v = ((int64_t)mat[4] << WM_PREC_BITS) * idet;
+    int64_t v = (int64_t)mat[4] * (1 << WM_PREC_BITS) * idet;
     int gamma = ws_iclip(round2_signed64(v, shift + WM_PREC_BITS),
                          -32768, 32767);
     int64_t w = (int64_t)mat[3] * mat[4] * idet;
