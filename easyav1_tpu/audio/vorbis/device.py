@@ -129,12 +129,16 @@ class VorbisDeviceSynth:
             buf = jnp.zeros((ch, BUF), jnp.float32)
             buf = jax.lax.dynamic_update_slice(buf, cache, (0, P))
 
-            def body(k, buf):
-                off = offsets[k]
-                cur = jax.lax.dynamic_slice(buf, (0, off), (ch, n1))
-                return jax.lax.dynamic_update_slice(buf, cur + pcm[k], (0, off))
-
-            buf = jax.lax.fori_loop(0, B, body, buf)
+            # Overlap-add as ONE scatter-add: every output sample gets
+            # contributions from at most two windows (vorbis OLA
+            # invariant), and two-operand float addition is commutative,
+            # so the unordered XLA scatter is bit-identical to the
+            # sequential loop it replaces (which cost B serial device
+            # ops per chunk).
+            idx = offsets[:, None] + jnp.arange(n1)[None, :]   # (B, n1)
+            buf = buf.at[:, idx].add(
+                jnp.transpose(pcm, (1, 0, 2)),
+                mode="promise_in_bounds")
             next_cache = jax.lax.dynamic_slice(
                 buf, (0, P + emit), (ch, n1 // 2))
             return buf, next_cache
