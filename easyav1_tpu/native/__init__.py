@@ -67,6 +67,8 @@ class _FrameParams(ctypes.Structure):
         ("lr_unit_size", ctypes.c_int32 * 3),
         ("frame_width", ctypes.c_int32),
         ("frame_height", ctypes.c_int32),
+        ("use_superres", ctypes.c_int32),
+        ("downscaled_width", ctypes.c_int32),
         ("use_tpl", ctypes.c_int32),
         ("w8", ctypes.c_int32), ("h8", ctypes.c_int32),
         ("tpl_mv", ctypes.c_void_p), ("tpl_off", ctypes.c_void_p),
@@ -75,6 +77,91 @@ class _FrameParams(ctypes.Structure):
 
 
 BLK_FIELDS = 52
+
+
+class _FgParams(ctypes.Structure):
+    """headers.FilmGrainParams mirror (av1_fg.h FgParams)."""
+
+    _fields_ = [
+        ("grain_seed", ctypes.c_int32),
+        ("num_y_points", ctypes.c_int32),
+        ("num_cb_points", ctypes.c_int32),
+        ("num_cr_points", ctypes.c_int32),
+        ("point_y_value", ctypes.c_int32 * 15),
+        ("point_y_scaling", ctypes.c_int32 * 15),
+        ("point_cb_value", ctypes.c_int32 * 11),
+        ("point_cb_scaling", ctypes.c_int32 * 11),
+        ("point_cr_value", ctypes.c_int32 * 11),
+        ("point_cr_scaling", ctypes.c_int32 * 11),
+        ("chroma_scaling_from_luma", ctypes.c_int32),
+        ("grain_scaling", ctypes.c_int32),
+        ("ar_coeff_lag", ctypes.c_int32),
+        ("ar_coeffs_y", ctypes.c_int32 * 24),
+        ("ar_coeffs_cb", ctypes.c_int32 * 25),
+        ("ar_coeffs_cr", ctypes.c_int32 * 25),
+        ("n_ar_y", ctypes.c_int32),
+        ("n_ar_cb", ctypes.c_int32),
+        ("n_ar_cr", ctypes.c_int32),
+        ("ar_coeff_shift", ctypes.c_int32),
+        ("grain_scale_shift", ctypes.c_int32),
+        ("cb_mult", ctypes.c_int32),
+        ("cb_luma_mult", ctypes.c_int32),
+        ("cb_offset", ctypes.c_int32),
+        ("cr_mult", ctypes.c_int32),
+        ("cr_luma_mult", ctypes.c_int32),
+        ("cr_offset", ctypes.c_int32),
+        ("overlap_flag", ctypes.c_int32),
+        ("clip_to_restricted_range", ctypes.c_int32),
+    ]
+
+
+def film_grain_native(fg, seq, planes):
+    """Apply film grain via the C path; returns new planes (dtype of
+    the inputs) or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    p = _FgParams(
+        grain_seed=fg.grain_seed, num_y_points=fg.num_y_points,
+        num_cb_points=fg.num_cb_points, num_cr_points=fg.num_cr_points,
+        chroma_scaling_from_luma=int(fg.chroma_scaling_from_luma),
+        grain_scaling=fg.grain_scaling, ar_coeff_lag=fg.ar_coeff_lag,
+        n_ar_y=len(fg.ar_coeffs_y), n_ar_cb=len(fg.ar_coeffs_cb),
+        n_ar_cr=len(fg.ar_coeffs_cr),
+        ar_coeff_shift=fg.ar_coeff_shift,
+        grain_scale_shift=fg.grain_scale_shift,
+        cb_mult=fg.cb_mult, cb_luma_mult=fg.cb_luma_mult,
+        cb_offset=fg.cb_offset, cr_mult=fg.cr_mult,
+        cr_luma_mult=fg.cr_luma_mult, cr_offset=fg.cr_offset,
+        overlap_flag=int(fg.overlap_flag),
+        clip_to_restricted_range=int(fg.clip_to_restricted_range))
+    for name, vals in (("point_y_value", fg.point_y_value),
+                       ("point_y_scaling", fg.point_y_scaling),
+                       ("point_cb_value", fg.point_cb_value),
+                       ("point_cb_scaling", fg.point_cb_scaling),
+                       ("point_cr_value", fg.point_cr_value),
+                       ("point_cr_scaling", fg.point_cr_scaling),
+                       ("ar_coeffs_y", fg.ar_coeffs_y),
+                       ("ar_coeffs_cb", fg.ar_coeffs_cb),
+                       ("ar_coeffs_cr", fg.ar_coeffs_cr)):
+        arr = getattr(p, name)
+        for i, v in enumerate(vals):
+            arr[i] = int(v)
+    src = [np.asarray(pl) for pl in planes]
+    work = [np.ascontiguousarray(pl, np.uint16) for pl in src]
+    luma_orig = np.ascontiguousarray(src[0], np.uint16)
+    ptrs = (ctypes.c_void_p * 3)()
+    for i in range(3):
+        ptrs[i] = _vp(work[i]).value if i < len(work) else None
+    h, w = src[0].shape
+    mono = int(getattr(seq.color, "mono_chrome", False))
+    rc = lib.av1_film_grain(
+        ctypes.byref(p), seq.color.bitdepth, seq.color.subsampling_x,
+        seq.color.subsampling_y, mono, len(work), ptrs, _vp(luma_orig),
+        w, h)
+    if rc != 0:
+        return None
+    return [wk.astype(s.dtype) for wk, s in zip(work, src)]
 
 
 class _RefPlanes(ctypes.Structure):
@@ -190,6 +277,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.av1_film_grain.restype = ctypes.c_int
+    lib.av1_film_grain.argtypes = [
+        ctypes.POINTER(_FgParams), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p * 3), ctypes.c_void_p,
+        ctypes.c_int, ctypes.c_int]
     lib.vorbis_create.restype = ctypes.c_void_p
     lib.vorbis_create.argtypes = [ctypes.c_char_p, ctypes.c_long]
     lib.vorbis_destroy.restype = None
@@ -277,6 +370,8 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
             fp.lr_unit_size[i] = int(lr.loop_restoration_size[i])
     fp.frame_width = hdr.upscaled_width
     fp.frame_height = hdr.frame_height
+    fp.use_superres = int(getattr(hdr, "use_superres", False))
+    fp.downscaled_width = hdr.frame_width
     if tpl is not None:
         tpl_mv, tpl_off = tpl
         tpl_mv = np.ascontiguousarray(tpl_mv, np.int16)
@@ -599,9 +694,6 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     lib = _load()
     if lib is None:
         return None
-    if getattr(hdr, "use_superres", False):
-        # superres upscaling (between CDEF and LR) is not in C yet
-        return None
     rfl = _RefPlanes()
     keep_refs = []
     if not hdr.frame_is_intra:
@@ -643,17 +735,22 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         # fall through to the C recon when the device path declines
 
     aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
-    pkey = ("planes", ah, aw, ssx, ssy)
+    # superres frames land at the upscaled width (C upscales between
+    # CDEF and LR); buffers must fit both the coded and upscaled dims
+    aw_y = max(aw, hdr.upscaled_width)
+    aw_c = max(aw >> ssx, (hdr.upscaled_width + ssx) >> ssx)
+    pkey = ("planes", ah, aw_y, aw_c, ssy)
     pl = _BUF_POOL.get(pkey)
     if pl is None:
         # recon covers every mi-aligned pixel, so no zeroing needed
-        pl = (np.empty((ah, aw), np.int32),
-              np.empty((ah >> ssy, aw >> ssx), np.int32),
-              np.empty((ah >> ssy, aw >> ssx), np.int32))
+        pl = (np.empty((ah, aw_y), np.int32),
+              np.empty((ah >> ssy, aw_c), np.int32),
+              np.empty((ah >> ssy, aw_c), np.int32))
         _BUF_POOL[pkey] = pl
     py, pu, pv = pl
     device = os.environ.get("EASYAV1_PIPE", "native") == "device" \
-        and not getattr(getattr(hdr, "lr", None), "uses_lr", False)
+        and not getattr(getattr(hdr, "lr", None), "uses_lr", False) \
+        and not getattr(hdr, "use_superres", False)
     if device:
         # dense math only in C; the loop filter and CDEF run as device
         # (JAX) kernels on the mi-aligned planes

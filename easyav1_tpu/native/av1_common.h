@@ -55,6 +55,8 @@ typedef struct {
     int32_t lr_frame_type[3];
     int32_t lr_unit_size[3];
     int32_t frame_width, frame_height; /* upscaled visible dims */
+    int32_t use_superres;
+    int32_t downscaled_width;          /* coded width pre-upscale */
     int32_t use_tpl;                   /* temporal mv field present */
     int32_t w8, h8;                    /* tpl grid dims */
     const int16_t *tpl_mv;             /* [h8][w8][2] or NULL */

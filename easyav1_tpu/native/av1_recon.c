@@ -676,6 +676,8 @@ static const int8_t SGR_R0[16] = {2,2,2,2,2,2,2,2,2,2,0,0,0,0,2,2};
 static const int8_t SGR_R1[16] = {1,1,1,1,1,1,1,1,1,1,1,1,1,1,0,0};
 enum { RESTORE_NONE = 0, RESTORE_WIENER = 2, RESTORE_SGRPROJ = 3 };
 #include "av1_lrf.h"
+#include "av1_fg.h"
+#include "av1_sr.h"
 
 /* ------------------------------------------------------------------ */
 
@@ -846,18 +848,47 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     rc.fp = fp;
     rc.refs = refs;
     int aw = rp->mi_cols * 4, ah = rp->mi_rows * 4;
-    rc.planes[0] = py;
-    rc.planes[1] = pu;
-    rc.planes[2] = pv;
+    int sr = fp != NULL && fp->use_superres;
+    /* caller buffers (upscaled-wide when superres) */
+    int32_t *out_pl[3] = {py, pu, pv};
+    int opw[3], oph[3];
+    oph[0] = ah;
+    oph[1] = oph[2] = ah >> rp->ssy;
+    if (sr) {
+        opw[0] = fp->frame_width;
+        opw[1] = opw[2] = (fp->frame_width + rp->ssx) >> rp->ssx;
+        if (opw[0] < aw) opw[0] = aw;
+        if (opw[1] < (aw >> rp->ssx)) opw[1] = opw[2] = aw >> rp->ssx;
+    } else {
+        opw[0] = aw;
+        opw[1] = opw[2] = aw >> rp->ssx;
+    }
+    /* recon/LF/CDEF run at the coded (downscaled) dims: the caller
+       buffers directly, or scratch when superres upscaling follows */
+    int32_t *scratch[3] = {NULL, NULL, NULL};
     rc.pw[0] = aw; rc.ph[0] = ah;
     rc.pw[1] = rc.pw[2] = aw >> rp->ssx;
     rc.ph[1] = rc.ph[2] = ah >> rp->ssy;
+    for (int p = 0; p < 3; p++) {
+        if (sr && p < rp->num_planes) {
+            scratch[p] = malloc((size_t)rc.pw[p] * rc.ph[p]
+                                * sizeof(int32_t));
+            if (!scratch[p]) {
+                for (int q = 0; q < p; q++) free(scratch[q]);
+                return 2;
+            }
+            rc.planes[p] = scratch[p];
+        } else {
+            rc.planes[p] = out_pl[p];
+        }
+    }
     for (int p = 0; p < 3; p++) {
         rc.dw[p] = rc.pw[p] >> 2;
         rc.dh[p] = rc.ph[p] >> 2;
         rc.decoded[p] = calloc((size_t)rc.dw[p] * rc.dh[p], 1);
         if (!rc.decoded[p]) {
             for (int q = 0; q < p; q++) free(rc.decoded[q]);
+            for (int q = 0; q < 3; q++) free(scratch[q]);
             return 2;
         }
     }
@@ -865,7 +896,10 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     for (int64_t i = 0; i < o->n_blocks && !rc.error; i++)
         recon_block(&rc, o->blocks + i * BLK_FIELDS);
     for (int p = 0; p < 3; p++) free(rc.decoded[p]);
-    if (rc.error) return 3;
+    if (rc.error) {
+        for (int q = 0; q < 3; q++) free(scratch[q]);
+        return 3;
+    }
     double t1 = rc_now();
 
     av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);
@@ -873,12 +907,14 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     int use_lr = fp != NULL && fp->lr_uses;
     int32_t *debl[3] = {NULL, NULL, NULL};
     if (use_lr) {
-        /* LR reads the pre-CDEF deblocked rows at stripe boundaries */
+        /* LR reads the pre-CDEF deblocked rows at stripe boundaries;
+           snapshot at the (possibly downscaled) coded dims */
         for (int p = 0; p < rp->num_planes; p++) {
             size_t n = (size_t)rc.pw[p] * rc.ph[p];
             debl[p] = malloc(n * sizeof(int32_t));
             if (!debl[p]) {
                 for (int q = 0; q < p; q++) free(debl[q]);
+                for (int q = 0; q < 3; q++) free(scratch[q]);
                 return 2;
             }
             memcpy(debl[p], rc.planes[p], n * sizeof(int32_t));
@@ -886,6 +922,37 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     }
     av1_cdef(rp, o, rc.planes, rc.pw, rc.ph);
     double t3 = rc_now();
+    if (sr) {
+        /* spec 7.16: horizontal upscale between CDEF and LR; LR's
+           deblocked stripe context upscales identically */
+        for (int p = 0; p < rp->num_planes; p++) {
+            int sx = p ? rp->ssx : 0;
+            int src_w = (fp->downscaled_width + sx) >> sx;
+            int dst_w = (fp->frame_width + sx) >> sx;
+            sr_upscale_plane(rc.planes[p], rc.pw[p], rc.pw[p],
+                             rc.ph[p], src_w, dst_w, rp->bitdepth,
+                             out_pl[p], opw[p]);
+            if (use_lr) {
+                int32_t *ud = malloc((size_t)opw[p] * oph[p]
+                                     * sizeof(int32_t));
+                if (ud == NULL) {
+                    for (int q = 0; q < 3; q++) free(scratch[q]);
+                    for (int q = 0; q < rp->num_planes; q++)
+                        free(debl[q]);
+                    return 2;
+                }
+                sr_upscale_plane(debl[p], rc.pw[p], rc.pw[p], rc.ph[p],
+                                 src_w, dst_w, rp->bitdepth, ud,
+                                 opw[p]);
+                free(debl[p]);
+                debl[p] = ud;
+            }
+            rc.planes[p] = out_pl[p];
+            rc.pw[p] = opw[p];
+            rc.ph[p] = oph[p];
+        }
+        for (int q = 0; q < 3; q++) free(scratch[q]);
+    }
     if (use_lr) {
         av1_loop_restoration(rp, fp, o, rc.planes, debl, rc.pw, rc.ph);
         for (int p = 0; p < rp->num_planes; p++) free(debl[p]);
@@ -894,6 +961,6 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     av1_stage_times[0] += t1 - t0;     /* block recon (pred + itx) */
     av1_stage_times[1] += t2 - t1;     /* loop filter */
     av1_stage_times[2] += t3 - t2;     /* cdef */
-    av1_stage_times[3] += t4 - t3;     /* loop restoration */
+    av1_stage_times[3] += t4 - t3;     /* cdef->out (superres + lr) */
     return 0;
 }

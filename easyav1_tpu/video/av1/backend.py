@@ -319,10 +319,13 @@ class AV1Backend:
         fg = getattr(hdr, "film_grain", None)
         out_planes = planes      # keep lazy device planes unmaterialized
         if fg is not None and fg.apply_grain:
-            # grain is an output-only transform; reference planes stay
+            # grain is an output-only transform; reference frames stay
             # grain-free (spec 7.18.1)
-            from easyav1_tpu.video.av1.fg_ref import FilmGrain
-            out_planes = FilmGrain(fg, seq, cc.bitdepth).apply(out_planes)
+            from easyav1_tpu import native
+            out_planes = native.film_grain_native(fg, seq, out_planes)
+            if out_planes is None:
+                from easyav1_tpu.video.av1.fg_ref import FilmGrain
+                out_planes = FilmGrain(fg, seq, cc.bitdepth).apply(planes)
         return VideoFrame(properties=props, timestamp=ts,
                           data=out_planes)
 
