@@ -40,7 +40,7 @@ class _TileParams(ctypes.Structure):
         "allow_update_cdf", "enable_cdef", "cdef_bits",
         "enable_filter_intra", "allow_intrabc", "delta_q_present",
         "delta_q_res", "delta_lf_present", "delta_lf_multi", "col_start",
-        "col_end", "row_start", "row_end", "qctx")]
+        "col_end", "row_start", "row_end", "qctx", "allow_screen")]
 
 
 class _FrameParams(ctypes.Structure):
@@ -196,6 +196,12 @@ class _TileOut(ctypes.Structure):
         ("intrabc_g", ctypes.c_void_p),
         ("lr_units", ctypes.c_void_p),
         ("max_lr_units", ctypes.c_int64), ("n_lr_units", ctypes.c_int64),
+        ("pal_units", ctypes.c_void_p),
+        ("max_pal_units", ctypes.c_int64),
+        ("n_pal_units", ctypes.c_int64),
+        ("pal_maps", ctypes.c_void_p),
+        ("pal_maps_cap", ctypes.c_int64),
+        ("pal_maps_used", ctypes.c_int64),
     ]
 
 
@@ -398,10 +404,6 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
     uses syntax outside the C decoder's scope.  cdf_in: packed CdfState
     blob for inherited entropy state (spec load_cdfs); want_cdf: export
     the end-of-tile state of the context_update_tile_id tile."""
-    if getattr(hdr, "allow_screen_content_tools", False):
-        # screen-content syntax (palette flags, intrabc) is not in the
-        # C tile decoder yet
-        return None
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
     p = _TileParams(
@@ -424,6 +426,8 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         delta_lf_present=int(getattr(hdr, "delta_lf_present", False)),
         delta_lf_multi=int(getattr(hdr, "delta_lf_multi", False)),
         qctx=_qctx(q.base_q_idx),
+        allow_screen=int(getattr(hdr, "allow_screen_content_tools",
+                                 False)),
     )
 
     n_mi = mi_rows * mi_cols
@@ -460,6 +464,10 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
             "lr": np.empty(((mi_rows * 4 // 64 + 2)
                             * (mi_cols * 4 // 64 + 2) * 3 + 64, 13),
                            np.int32),
+            # palette: one unit per >=8x8 block; maps bounded by ~1.5x
+            # the mi-aligned pixel area (y + subsampled uv)
+            "pal": np.empty((n_mi // 4 + 64, 32), np.int32),
+            "pal_maps": np.empty(2 * n_mi * 16 + 4096, np.int8),
         }
         _BUF_POOL[key] = bufs
     bufs["cdef"].fill(-1)
@@ -486,7 +494,11 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         compgrp_g=_vp(bufs["compgrp"]), compidx_g=_vp(bufs["compidx"]),
         intrabc_g=_vp(bufs["intrabc"]),
         lr_units=_vp(bufs["lr"]), max_lr_units=bufs["lr"].shape[0],
-        n_lr_units=0)
+        n_lr_units=0,
+        pal_units=_vp(bufs["pal"]), max_pal_units=bufs["pal"].shape[0],
+        n_pal_units=0,
+        pal_maps=_vp(bufs["pal_maps"]),
+        pal_maps_cap=bufs["pal_maps"].shape[0], pal_maps_used=0)
 
     sb_shift = 5 if seq.use_128x128_superblock else 4
     t = hdr.tile
@@ -589,6 +601,21 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
             plan.cfl_alphas[(br, bc)] = (cfl_u, cfl_v)
         if fi >= 0:
             plan.filter_intra[(br, bc)] = fi
+        if b[49]:      # BLK_PAL: palette unit index + 1
+            u = bufs["pal"][b[49] - 1]
+            n_y, n_uv = int(u[0]), int(u[1])
+            map_y = map_uv = None
+            if n_y:
+                map_y = bufs["pal_maps"][u[2]:u[2] + u[4] * u[5]] \
+                    .reshape(int(u[5]), int(u[4])).astype(np.int32)
+            if n_uv:
+                map_uv = bufs["pal_maps"][u[3]:u[3] + u[6] * u[7]] \
+                    .reshape(int(u[7]), int(u[6])).astype(np.int32)
+            plan.palette[(br, bc)] = (
+                [int(v) for v in u[8:8 + n_y]] if n_y else None,
+                [int(v) for v in u[16:16 + n_uv]] if n_uv else None,
+                [int(v) for v in u[24:24 + n_uv]] if n_uv else None,
+                map_y, map_uv)
     for lf in bufs["lf"][:out.n_lf]:
         plan.lf_txs.append((int(lf[0]), int(lf[1]), int(lf[2]),
                             int(lf[3])))

@@ -22,6 +22,7 @@ typedef struct {
     int32_t delta_lf_present, delta_lf_multi;
     int32_t col_start, col_end, row_start, row_end;   /* mi units */
     int32_t qctx;
+    int32_t allow_screen;         /* allow_screen_content_tools */
 } TileParams;
 
 /* per-frame side data: inter header fields + entropy-state chaining.
@@ -86,6 +87,8 @@ enum {
     BLK_SKIP_MODE,           /* 47 */
     BLK_PARTITION,           /* 48: partition type at this block's node
                                 (recon has_tr/has_bl table selection) */
+    BLK_PAL,                 /* 49: palette-unit index + 1, 0 = none */
+    BLK_INTRABC,             /* 50: intra block copy flag */
     BLK_FIELDS = 52          /* padded */
 };
 
@@ -122,6 +125,13 @@ typedef struct {
        wiener[2][3], sgr_set, xqd0, xqd1 */
     int32_t *lr_units;
     int64_t max_lr_units, n_lr_units;
+    /* palette units (blocks with a palette), 32 int32 each:
+       n_y, n_cb, map_y_off, map_uv_off, my_w, my_h, muv_w, muv_h,
+       colors y[8] cb[8] cr[8]; maps are int8 color indexes */
+    int32_t *pal_units;
+    int64_t max_pal_units, n_pal_units;
+    int8_t *pal_maps;
+    int64_t pal_maps_cap, pal_maps_used;
 } TileOut;
 
 /* frame reconstruction parameters (recon + loop filter + cdef) */

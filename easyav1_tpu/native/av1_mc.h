@@ -131,6 +131,59 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     }
 }
 
+/* int32-source variant of predict_inter (intra block copy reads the
+ * partially reconstructed CURRENT planes, recon_ref intrabc arm) */
+static void predict_inter_i32(const int32_t *ref, int rw, int rh,
+                              int x, int y, int w, int h,
+                              const int32_t *mv, int ssx, int ssy,
+                              const int32_t *interp, int filt_w,
+                              int filt_h, int bd, int32_t *out) {
+    int start_x = (x << 4) + mv[1] * (ssx ? 1 : 2);
+    int start_y = (y << 4) + mv[0] * (ssy ? 1 : 2);
+    int frac_x = start_x & 15, frac_y = start_y & 15;
+    int ix = start_x >> 4, iy = start_y >> 4;
+    int last_x = rw - 1, last_y = rh - 1;
+    if (frac_x == 0 && frac_y == 0) {
+        for (int r = 0; r < h; r++) {
+            int sy = iy + r;
+            sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+            const int32_t *row = ref + (int64_t)sy * rw;
+            for (int c = 0; c < w; c++) {
+                int sx = ix + c;
+                sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                out[r * w + c] = row[sx];
+            }
+        }
+        return;
+    }
+    const int16_t *fh = mc_filter(interp[1], filt_w) + frac_x * 8;
+    const int16_t *fv = mc_filter(interp[0], filt_h) + frac_y * 8;
+    int32_t mid[(128 + 7) * 128];
+    for (int r = 0; r < h + 7; r++) {
+        int sy = iy - 3 + r;
+        sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+        const int32_t *row = ref + (int64_t)sy * rw;
+        for (int c = 0; c < w; c++) {
+            int32_t acc = 0;
+            for (int t = 0; t < 8; t++) {
+                int sx = ix - 3 + c + t;
+                sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                acc += fh[t] * row[sx];
+            }
+            mid[r * w + c] = (acc + 4) >> 3;
+        }
+    }
+    int32_t mx = (1 << bd) - 1;
+    for (int r = 0; r < h; r++)
+        for (int c = 0; c < w; c++) {
+            int32_t acc = 0;
+            for (int t = 0; t < 8; t++)
+                acc += fv[t] * mid[(r + t) * w + c];
+            int32_t v = (acc + 1024) >> 11;
+            out[r * w + c] = v < 0 ? 0 : (v > mx ? mx : v);
+        }
+}
+
 /* ---- affine warp (warp.py warp_affine, spec 7.11.3.5) ------------- */
 
 static void warp_affine_u16(const uint16_t *ref, int rw, int rh,
@@ -732,13 +785,44 @@ static void recon_compound(Recon *rc, const int32_t *b) {
 static int recon_block_inter(Recon *rc, const int32_t *b) {
     const ReconParams *rp = rc->rp;
     const FrameParams *fp = rc->fp;
-    if (rc->refs == NULL || fp == NULL) return 1;
+    if (b[BLK_REF0] == MC_INTRA_FRAME && b[BLK_INTRABC]) {
+        /* intrabc needs no reference frames (reads the current planes) */
+    } else if (rc->refs == NULL || fp == NULL) {
+        return 1;
+    }
     if (b[BLK_REF1] > MC_INTRA_FRAME) {
         recon_compound(rc, b);
         residual_add(rc, b);
         return 0;
     }
-    if (b[BLK_REF0] == MC_INTRA_FRAME) return 1;  /* intrabc: declined */
+    if (b[BLK_REF0] == MC_INTRA_FRAME) {
+        /* intra block copy: integer-pel DV from the partially
+           reconstructed current frame, BILINEAR chroma phases */
+        int bsz = b[BLK_BSIZE];
+        int n_pl = (b[BLK_HASCHROMA] && rp->num_planes > 1) ? 3 : 1;
+        int32_t mvd[2] = {b[BLK_MV_R], b[BLK_MV_C]};
+        int32_t filt[2] = {b[BLK_INTERP0], b[BLK_INTERP1]};
+        for (int plane = 0; plane < n_pl; plane++) {
+            int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
+            int x = (b[BLK_C] >> ssx) * 4, y = (b[BLK_R] >> ssy) * 4;
+            int full_w = rmax(1, av1_block_w4[bsz] >> ssx) * 4;
+            int full_h = rmax(1, av1_block_h4[bsz] >> ssy) * 4;
+            int32_t *buf = rc->planes[plane];
+            int w = rmin(full_w, rc->pw[plane] - x);
+            int h = rmin(full_h, rc->ph[plane] - y);
+            int32_t pred[128 * 128];
+            predict_inter_i32(buf, rc->pw[plane], rc->ph[plane], x, y,
+                              w, h, mvd, ssx, ssy, filt, full_w, full_h,
+                              rp->bitdepth, pred);
+            for (int r = 0; r < h; r++)
+                for (int c = 0; c < w; c++)
+                    buf[(y + r) * rc->pw[plane] + (x + c)] =
+                        pred[r * w + c];
+            mark_decoded(rc, plane, x, y, w, h);
+        }
+        residual_add(rc, b);
+        return 0;
+    }
     int bsize = b[BLK_BSIZE];
     int ref = b[BLK_REF0];
     /* warp selection: local warp beats global; invalid -> translation */

@@ -549,7 +549,7 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
                      int tx, int mode, int angle_delta,
                      const int32_t *coef_or_null, int tx_type,
                      const int64_t *cfl_ac, int cfl_stride, int cfl_h,
-                     int cfl_alpha) {
+                     int cfl_alpha, const int32_t *pal_u) {
     const ReconParams *rp = rc->rp;
     int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
     int32_t *buf = rc->planes[plane];
@@ -558,7 +558,35 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
     int64_t mxpix = (1 << rp->bitdepth) - 1;
 
     int64_t pred[64 * 64];
-    if (plane == 0 && rc->cur_fi >= 0)
+    int have_pal = 0;
+    if (pal_u != NULL) {
+        int npal = plane == 0 ? pal_u[0] : pal_u[1];
+        if (npal) {
+            /* palette prediction (recon_ref._palette_pred): the color
+               map is block-relative at plane resolution */
+            const int32_t *colors =
+                pal_u + (plane == 0 ? 8 : plane == 1 ? 16 : 24);
+            const int8_t *map =
+                rc->o->pal_maps + pal_u[plane == 0 ? 2 : 3];
+            int mw = pal_u[plane == 0 ? 4 : 6];
+            int mh = pal_u[plane == 0 ? 5 : 7];
+            int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
+            int bx = (bc >> ssx) * 4, by = (br >> ssy) * 4;
+            for (int i = 0; i < fh; i++) {
+                int ry = y - by + i;
+                ry = ry < 0 ? 0 : (ry > mh - 1 ? mh - 1 : ry);
+                for (int j = 0; j < fw; j++) {
+                    int rx = x - bx + j;
+                    rx = rx < 0 ? 0 : (rx > mw - 1 ? mw - 1 : rx);
+                    pred[i * fw + j] = colors[map[ry * mw + rx]];
+                }
+            }
+            have_pal = 1;
+        }
+    }
+    if (have_pal) {
+        /* palette blocks skip intra prediction */
+    } else if (plane == 0 && rc->cur_fi >= 0)
         predict_filter_intra(rc, plane, x, y, fw, fh, rc->cur_fi, pred);
     else
         predict_intra(rc, br, bc, plane, x, y, fw, fh, mode, angle_delta,
@@ -625,6 +653,8 @@ static void recon_block(Recon *rc, const int32_t *b) {
     int n_tx = b[15];
     int w4 = av1_block_w4[bsize], h4 = av1_block_h4[bsize];
     int mi_cols = rp->mi_cols, mi_rows = rp->mi_rows;
+    const int32_t *pal_u = b[BLK_PAL]
+        ? o->pal_units + (int64_t)(b[BLK_PAL] - 1) * 32 : NULL;
 
     int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
     int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
@@ -634,7 +664,8 @@ static void recon_block(Recon *rc, const int32_t *b) {
             int64_t k = find_tx(o, tx_off, n_tx, 0, x, y);
             recon_tx(rc, br, bc, 0, x, y, tx_size, y_mode, angle_y,
                      k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
-                     k >= 0 ? o->txs[k * 8 + 4] : 0, NULL, 0, 0, 0);
+                     k >= 0 ? o->txs[k * 8 + 4] : 0, NULL, 0, 0, 0,
+                     pal_u);
         }
     if (has_chroma && rp->num_planes > 1) {
         int csw = av1_tx_w4[uv_tx], csh = av1_tx_h4[uv_tx];
@@ -660,7 +691,8 @@ static void recon_block(Recon *rc, const int32_t *b) {
                              k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
                              k >= 0 ? o->txs[k * 8 + 4] : 0,
                              acp, acw, ch4 * 4,
-                             acp ? (plane == 1 ? cfl_u : cfl_v) : 0);
+                             acp ? (plane == 1 ? cfl_u : cfl_v) : 0,
+                             pal_u);
                 }
     }
     av1_stage_times[6] += rc_now() - ti0;

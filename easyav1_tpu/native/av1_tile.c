@@ -180,6 +180,9 @@ typedef struct {
     /* loop-restoration predictors, reset per tile (spec decode_tile) */
     int lr_ref_wiener[3][2][3];
     int lr_ref_sgr[3][2];
+    /* palette contexts (dav1d al_pal): sizes per 4px unit + colors */
+    int32_t *a_pal_sz[2], *l_pal_sz[2];
+    int32_t *a_pal[3], *l_pal[3];     /* [mi][8] color stores */
 } Ctx;
 
 enum { BLOCK_4X4 = 0, BLOCK_8X8 = 3, BLOCK_64X64 = 12, BLOCK_128X128 = 15 };
@@ -218,6 +221,7 @@ static int partition_subsize(int part, int bsize) {
 }
 
 static int mi_wlog2(int b) { return floor_log2((uint32_t)av1_block_w4[b]); }
+static int mi_hlog2(int b) { return floor_log2((uint32_t)av1_block_h4[b]); }
 
 static int dc_q(int qindex, int bitdepth) {
     int q = qindex < 0 ? 0 : (qindex > 255 ? 255 : qindex);
@@ -863,6 +867,9 @@ static void read_lr(Ctx *t, int r, int c) {
     }
 }
 
+/* palette + intrabc syntax (uses find_mv_stack / msac helpers) */
+#include "av1_pal.h"
+
 static void decode_block(Ctx *t, int r, int c, int bsize) {
     const TileParams *p = t->p;
     const FrameParams *fp = t->fp;
@@ -911,9 +918,13 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     if (t->read_deltas) read_deltas(t, bsize, skip);
     t->read_deltas = 0;
 
-    /* is_inter (spec read_is_inter; intrabc streams are declined) */
+    /* is_inter (spec read_is_inter) / intra block copy */
     int is_inter = 0;
-    if (!fp->frame_is_intra) {
+    int use_intrabc = 0;
+    if (fp->frame_is_intra) {
+        if (p->allow_intrabc)
+            use_intrabc = msac_symbol(&t->msac, t->cdf.intrabc[0], 2);
+    } else {
         if (t->skip_mode_flag) {
             is_inter = 1;
         } else {
@@ -943,7 +954,14 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     ii.rf[1] = NONE_FRAME;
     ii.interp[0] = ii.interp[1] = FILTER_EIGHTTAP;
 
-    if (is_inter) {
+    if (use_intrabc) {
+        /* intra block copy (spec 5.11.19): DC modes, BILINEAR filter,
+           DV from the INTRA_FRAME mv stack at forced integer precision */
+        is_inter = 1;
+        ii.mode = NEWMV;
+        ii.interp[0] = ii.interp[1] = FILTER_BILINEAR;
+        read_intrabc_dv(t, r, c, bsize, ii.mv);
+    } else if (is_inter) {
         inter_mode_info(t, r, c, bsize, avail_u, avail_l, &ii);
     } else if (fp->frame_is_intra) {
         int above_mode = avail_u ? t->a_mode[c] : DC_PRED;
@@ -990,13 +1008,88 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
                                    7) - 3;
     }
 
+    /* palette (spec palette_mode_info, dav1d read_pal_plane/uv) */
+    int32_t pal_y[8], pal_cb[8], pal_cr[8];
+    int n_pal_y = 0, n_pal_uv = 0;
+    if (!is_inter && p->allow_screen && bsize >= BLOCK_8X8
+        && full_w4 * 4 <= 64 && full_h4 * 4 <= 64) {
+        int sz_ctx = mi_wlog2(bsize) + mi_hlog2(bsize) - 2;
+        if (y_mode == DC_PRED) {
+            int pctx = (t->a_pal_sz[0][c] > 0) + (t->l_pal_sz[0][r] > 0);
+            if (msac_symbol(&t->msac,
+                            t->cdf.palette_y_mode[sz_ctx][pctx], 2)) {
+                n_pal_y = msac_symbol(&t->msac,
+                                      t->cdf.palette_y_size[sz_ctx],
+                                      7) + 2;
+                read_palette_colors(t, 0, r, c, n_pal_y, pal_y);
+            }
+        }
+        if (has_chroma && uv_mode == DC_PRED) {
+            int pctx = n_pal_y > 0;
+            if (msac_symbol(&t->msac, t->cdf.palette_uv_mode[pctx], 2)) {
+                n_pal_uv = msac_symbol(&t->msac,
+                                       t->cdf.palette_uv_size[sz_ctx],
+                                       7) + 2;
+                read_palette_colors(t, 1, r, c, n_pal_uv, pal_cb);
+                read_palette_cr(t, n_pal_uv, pal_cr);
+            }
+        }
+    }
+
     int filter_intra = -1;
     if (!is_inter && p->enable_filter_intra && y_mode == DC_PRED
+        && n_pal_y == 0
         && full_w4 * 4 <= 32 && full_h4 * 4 <= 32) {
         int use = msac_symbol(&t->msac, t->cdf.filter_intra_use[bsize], 2);
         if (use)
             filter_intra = msac_symbol(&t->msac,
                                        t->cdf.filter_intra_mode[0], 5);
+    }
+
+    /* palette index maps (spec: right after mode info) */
+    int pal_idx = 0;
+    if (n_pal_y || n_pal_uv) {
+        if (o->n_pal_units >= o->max_pal_units) { o->error = 1; return; }
+        int32_t *u = o->pal_units + o->n_pal_units * 32;
+        pal_idx = (int)++o->n_pal_units;
+        memset(u, 0, 32 * sizeof(int32_t));
+        int on_w4 = imin(full_w4, p->mi_cols - c);
+        int on_h4 = imin(full_h4, p->mi_rows - r);
+        u[0] = n_pal_y;
+        u[1] = n_pal_uv;
+        for (int k = 0; k < n_pal_y; k++) u[8 + k] = pal_y[k];
+        for (int k = 0; k < n_pal_uv; k++) {
+            u[16 + k] = pal_cb[k];
+            u[24 + k] = pal_cr[k];
+        }
+        if (n_pal_y) {
+            int mw = on_w4 * 4, mh = on_h4 * 4;
+            if (o->pal_maps_used + mw * mh > o->pal_maps_cap) {
+                o->error = 1;
+                return;
+            }
+            u[2] = (int32_t)o->pal_maps_used;
+            u[4] = mw;
+            u[5] = mh;
+            read_palette_map(t, n_pal_y, mw, mh, 0,
+                             o->pal_maps + o->pal_maps_used);
+            o->pal_maps_used += mw * mh;
+        }
+        if (n_pal_uv) {
+            int cw4 = imax(1, (on_w4 + p->ssx) >> p->ssx);
+            int ch4 = imax(1, (on_h4 + p->ssy) >> p->ssy);
+            int mw = cw4 * 4, mh = ch4 * 4;
+            if (o->pal_maps_used + mw * mh > o->pal_maps_cap) {
+                o->error = 1;
+                return;
+            }
+            u[3] = (int32_t)o->pal_maps_used;
+            u[6] = mw;
+            u[7] = mh;
+            read_palette_map(t, n_pal_uv, mw, mh, 1,
+                             o->pal_maps + o->pal_maps_used);
+            o->pal_maps_used += mw * mh;
+        }
     }
 
     /* block_mode for the modes grid: y_mode for intra, inter mode else */
@@ -1024,7 +1117,7 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
             o->skipmode_g[at] = (int8_t)t->skip_mode_flag;
             o->compgrp_g[at] = (int8_t)ii.comp_group_idx;
             o->compidx_g[at] = (int8_t)ii.compound_idx;
-            o->intrabc_g[at] = 0;
+            o->intrabc_g[at] = (int8_t)use_intrabc;
             t->decoded_mi[at] = 1;
         }
 
@@ -1124,7 +1217,9 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     b[BLK_II_WEDGE_IDX] = ii.ii_wedge_idx;
     b[BLK_SKIP_MODE] = t->skip_mode_flag;
     b[BLK_PARTITION] = t->cur_partition;
-    b[BLK_FIELDS - 3] = b[BLK_FIELDS - 2] = b[BLK_FIELDS - 1] = 0;
+    b[BLK_PAL] = pal_idx;
+    b[BLK_INTRABC] = use_intrabc;
+    b[BLK_FIELDS - 1] = 0;
     o->n_blocks++;
 
     if (!skip) {
@@ -1198,6 +1293,38 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
         t->l_skip[r + i] = skip;
         if (!is_inter) t->l_txh[r + i] = av1_tx_h[tx_size];
     }
+    /* palette size/color contexts (sizes zeroed for non-palette) */
+    for (int i = 0; i < w4; i++) {
+        t->a_pal_sz[0][c + i] = n_pal_y;
+        t->a_pal_sz[1][c + i] = n_pal_uv;
+    }
+    for (int i = 0; i < h4; i++) {
+        t->l_pal_sz[0][r + i] = n_pal_y;
+        t->l_pal_sz[1][r + i] = n_pal_uv;
+    }
+    if (n_pal_y)
+        for (int i = 0; i < w4; i++) {
+            memcpy(t->a_pal[0] + (int64_t)(c + i) * 8, pal_y,
+                   8 * sizeof(int32_t));
+        }
+    if (n_pal_y)
+        for (int i = 0; i < h4; i++)
+            memcpy(t->l_pal[0] + (int64_t)(r + i) * 8, pal_y,
+                   8 * sizeof(int32_t));
+    if (n_pal_uv)
+        for (int i = 0; i < w4; i++) {
+            memcpy(t->a_pal[1] + (int64_t)(c + i) * 8, pal_cb,
+                   8 * sizeof(int32_t));
+            memcpy(t->a_pal[2] + (int64_t)(c + i) * 8, pal_cr,
+                   8 * sizeof(int32_t));
+        }
+    if (n_pal_uv)
+        for (int i = 0; i < h4; i++) {
+            memcpy(t->l_pal[1] + (int64_t)(r + i) * 8, pal_cb,
+                   8 * sizeof(int32_t));
+            memcpy(t->l_pal[2] + (int64_t)(r + i) * 8, pal_cr,
+                   8 * sizeof(int32_t));
+        }
 }
 
 /* edge-partition split probability (tile.py edge_split_prob) */
@@ -1393,8 +1520,9 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
         o->error = 2;
         return 2;
     }
-    /* 4 pairs mode/skip/txw/part + 3 pairs lvl + 3 pairs sign */
-    int32_t *mem = calloc((size_t)(mc + mr) * 10, sizeof(int32_t));
+    /* 4 pairs mode/skip/txw/part + 3 pairs lvl + 3 pairs sign
+       + 2 pairs pal_sz + 3 pairs pal colors (x8) */
+    int32_t *mem = calloc((size_t)(mc + mr) * (12 + 24), sizeof(int32_t));
     if (!mem) {
         free(t.decoded_mi);
         free(t.tx_types);
@@ -1413,6 +1541,14 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
     for (int pl = 0; pl < 3; pl++) {
         t.a_sign[pl] = q; q += mc;
         t.l_sign[pl] = q; q += mr;
+    }
+    for (int pl = 0; pl < 2; pl++) {
+        t.a_pal_sz[pl] = q; q += mc;
+        t.l_pal_sz[pl] = q; q += mr;
+    }
+    for (int pl = 0; pl < 3; pl++) {
+        t.a_pal[pl] = q; q += (int64_t)mc * 8;
+        t.l_pal[pl] = q; q += (int64_t)mr * 8;
     }
     for (int i = 0; i < mc; i++) t.a_mode[i] = DC_PRED;
     for (int i = 0; i < mr; i++) t.l_mode[i] = DC_PRED;
