@@ -500,7 +500,8 @@ static void residual_add(Recon *rc, const int32_t *b) {
         int plane = rec[0], x = rec[1], y = rec[2];
         int tsz = rec[3], ttyp = rec[4];
         int64_t res[64 * 64];
-        itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth, res);
+        if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
+        else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth, res);
         int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
         int32_t *buf = rc->planes[plane];
         int pw = rc->pw[plane], ph = rc->ph[plane];

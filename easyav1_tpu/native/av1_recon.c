@@ -58,6 +58,35 @@ static const int8_t TX_1D[16][2] = {
 /* ------------------------------------------------------------------ */
 /* 2-D inverse transform (recon_ref.inverse_transform)                 */
 
+/* inverse 4x4 Walsh-Hadamard (recon_ref lossless arm,
+ * aom_iwht4x4_16_add): input >> 2, row butterflies, column pass */
+static void wht4_1d(int64_t *v) {
+    int64_t a = v[0], c_ = v[1], d = v[2], b = v[3];
+    a = a + c_;
+    d = d - b;
+    int64_t e = (a - d) >> 1;
+    b = e - b;
+    c_ = e - c_;
+    a = a - b;
+    d = d + c_;
+    v[0] = a; v[1] = b; v[2] = c_; v[3] = d;
+}
+
+static void itx_wht4(const int32_t *coeffs, int64_t *out) {
+    int64_t t[4][4];
+    for (int i = 0; i < 4; i++) {
+        int64_t v[4] = {coeffs[i * 4 + 0] >> 2, coeffs[i * 4 + 1] >> 2,
+                        coeffs[i * 4 + 2] >> 2, coeffs[i * 4 + 3] >> 2};
+        wht4_1d(v);
+        for (int j = 0; j < 4; j++) t[i][j] = v[j];
+    }
+    for (int j = 0; j < 4; j++) {
+        int64_t v[4] = {t[0][j], t[1][j], t[2][j], t[3][j]};
+        wht4_1d(v);
+        for (int i = 0; i < 4; i++) out[i * 4 + j] = v[i];
+    }
+}
+
 static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
                    int bitdepth, int64_t *out /* h*w */) {
     int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
@@ -549,7 +578,7 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
                      int tx, int mode, int angle_delta,
                      const int32_t *coef_or_null, int tx_type,
                      const int64_t *cfl_ac, int cfl_stride, int cfl_h,
-                     int cfl_alpha, const int32_t *pal_u) {
+                     int cfl_alpha, const int32_t *pal_u, int lossless) {
     const ReconParams *rp = rc->rp;
     int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
     int32_t *buf = rc->planes[plane];
@@ -606,7 +635,8 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
     if (coef_or_null != NULL) {
         int64_t res[64 * 64];
         double tx0 = rc_now();
-        itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
+        if (lossless) itx_wht4(coef_or_null, res);
+        else itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
         av1_stage_times[7] += rc_now() - tx0;
         for (int i = 0; i < fh; i++)
             for (int j = 0; j < fw; j++)
@@ -665,7 +695,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
             recon_tx(rc, br, bc, 0, x, y, tx_size, y_mode, angle_y,
                      k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
                      k >= 0 ? o->txs[k * 8 + 4] : 0, NULL, 0, 0, 0,
-                     pal_u);
+                     pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0);
         }
     if (has_chroma && rp->num_planes > 1) {
         int csw = av1_tx_w4[uv_tx], csh = av1_tx_h4[uv_tx];
@@ -692,7 +722,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
                              k >= 0 ? o->txs[k * 8 + 4] : 0,
                              acp, acw, ch4 * 4,
                              acp ? (plane == 1 ? cfl_u : cfl_v) : 0,
-                             pal_u);
+                             pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0);
                 }
     }
     av1_stage_times[6] += rc_now() - ti0;

@@ -371,10 +371,11 @@ static int txb_skip_ctx(Ctx *t, int plane, int x4, int y4, int tx_size,
         if (x4 + i < p->mi_cols && t->a_lvl[plane][x4 + i]) above = 1;
     for (int i = 0; i < th4; i++)
         if (y4 + i < p->mi_rows && t->l_lvl[plane][y4 + i]) left_nz = 1;
-    int ctx = 7 + above + left_nz;
     int bw4 = imax(1, av1_block_w4[bsize] >> p->ssx);
     int bh4 = imax(1, av1_block_h4[bsize] >> p->ssy);
-    if (tw4 * th4 > bw4 * bh4) ctx += 3;
+    /* libaom av1_get_txb_ctx: offset 10 when the chroma plane block is
+     * LARGER than the tx (multi-tx chroma, e.g. lossless >=16x16) */
+    int ctx = (bw4 * bh4 > tw4 * th4 ? 10 : 7) + above + left_nz;
     return ctx;
 }
 
@@ -427,8 +428,9 @@ static int read_eob(Ctx *t, int tx_size, int ptype, int cls) {
     return eob;
 }
 
-/* tile.py _uv_tx_size */
+/* tile.py _uv_tx_size; lossless forces 4x4 on every plane */
 static int uv_tx_size_for(const TileParams *p, int bsize) {
+    if (p->coded_lossless) return TX_4X4;
     int w4 = imax(1, av1_block_w4[bsize] >> p->ssx);
     int h4 = imax(1, av1_block_h4[bsize] >> p->ssy);
     for (int b = 0; b < 22; b++) {
@@ -982,7 +984,12 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     int uv_mode = DC_PRED, angle_uv = 0;
     int cfl_u = 0, cfl_v = 0;
     if (!is_inter && has_chroma) {
-        int cfl_allowed = full_w4 * 4 <= 32 && full_h4 * 4 <= 32;
+        /* lossless: CfL only when the chroma plane block is 4x4
+         * (libaom is_cfl_allowed; spec get_plane_residual_size) */
+        int cfl_allowed = t->p->coded_lossless
+            ? (imax(1, full_w4 >> t->p->ssx) == 1 &&
+               imax(1, full_h4 >> t->p->ssy) == 1)
+            : (full_w4 * 4 <= 32 && full_h4 * 4 <= 32);
         int nsym = cfl_allowed ? 14 : 13;
         uv_mode = msac_ragged(&t->msac,
                               t->cdf.uv_mode[cfl_allowed ? 1 : 0][y_mode],

@@ -763,7 +763,11 @@ class SimpleTileEncoder:
             self._sym(self.cdf["angle_delta"][blk.y_mode - C.V_PRED],
                       blk.angle_y + 3)
         if has_chroma:
-            cfl_allowed = w4 * 4 <= 32 and h4 * 4 <= 32
+            if getattr(self, "lossless", False):
+                # lossless: CfL only when the chroma plane block is 4x4
+                cfl_allowed = (w4 >> 1) <= 1 and (h4 >> 1) <= 1
+            else:
+                cfl_allowed = w4 * 4 <= 32 and h4 * 4 <= 32
             uv_mode = blk.uv_mode
             if blk.cfl is not None:
                 assert cfl_allowed
@@ -893,10 +897,23 @@ class SimpleTileEncoder:
             uv_tx = self._uv_tx(blk.bsize)
             uv_ctx = (T.TX_SIZE_SQR[uv_tx] + T.TX_SIZE_SQR_UP[uv_tx] + 1) >> 1
             cc = blk.chroma_coeffs or [[], []]
+            cw4 = max(1, w4 >> 1)
+            ch4 = max(1, h4 >> 1)
+            usw, ush = T.TX_W4[uv_tx], T.TX_H4[uv_tx]
             for plane in (1, 2):
-                self._encode_txb(plane, c >> 1, r >> 1, uv_tx, uv_ctx,
-                                 blk, cc[plane - 1] if plane - 1 < len(cc)
-                                 else [])
+                lists = cc[plane - 1] if plane - 1 < len(cc) else []
+                # back-compat: a flat [(lvl, sign), ...] list means "first
+                # tx only"; a list of lists is one per chroma tx in raster
+                if lists and isinstance(lists[0], tuple):
+                    lists = [lists]
+                ci = 0
+                for vy in range(0, ch4, ush):
+                    for vx in range(0, cw4, usw):
+                        co = lists[ci] if ci < len(lists) else []
+                        self._encode_txb(plane, (c >> 1) + vx,
+                                         (r >> 1) + vy, uv_tx, uv_ctx,
+                                         blk, co)
+                        ci += 1
 
     def _uv_tx(self, bsize) -> int:
         if getattr(self, "lossless", False):
@@ -944,11 +961,11 @@ class SimpleTileEncoder:
             for i in range(th4):
                 if y4 + i < len(self.l_lvl[plane]) and self.l_lvl[plane][y4 + i]:
                     left_nz = 1
-            ctx = 7 + above + left_nz
             bw4 = max(1, C.BLOCK_W4[blk.bsize] >> 1)
             bh4 = max(1, C.BLOCK_H4[blk.bsize] >> 1)
-            if tw4 * th4 > bw4 * bh4:
-                ctx += 3
+            # libaom av1_get_txb_ctx: offset 10 when the chroma plane
+            # block is larger than the tx, else 7
+            ctx = (10 if bw4 * bh4 > tw4 * th4 else 7) + above + left_nz
         all_zero = 0 if coeffs else 1
         self._sym(cdf["txb_skip"][tx_ctx][ctx], all_zero)
         if all_zero:

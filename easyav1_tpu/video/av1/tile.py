@@ -852,8 +852,15 @@ class TileDecoder:
         angle_uv = 0
         cfl_alpha_u = cfl_alpha_v = 0
         if has_chroma:
-            cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32
-                           and C.BLOCK_H4[bsize] * 4 <= 32)
+            if self.hdr.coded_lossless:
+                # lossless: CfL only when the chroma plane block is 4x4
+                # (libaom is_cfl_allowed; spec get_plane_residual_size)
+                cfl_allowed = (max(1, C.BLOCK_W4[bsize] >> self.ssx) == 1
+                               and max(1, C.BLOCK_H4[bsize] >> self.ssy)
+                               == 1)
+            else:
+                cfl_allowed = (C.BLOCK_W4[bsize] * 4 <= 32
+                               and C.BLOCK_H4[bsize] * 4 <= 32)
             row = self.cdf["uv_mode"][1 if cfl_allowed else 0][y_mode]
             nsym = 14 if cfl_allowed else 13
             uv_mode = self._decode_ragged(row, nsym)
@@ -1898,7 +1905,10 @@ class TileDecoder:
                                           tx, r, c)
 
     def _uv_tx_size(self, bsize) -> int:
-        # chroma: max rect tx of the subsampled block size, clamped to 32
+        # chroma: max rect tx of the subsampled block size, clamped to
+        # 32; lossless forces 4x4 on every plane (spec get_tx_size)
+        if self.hdr.coded_lossless:
+            return C.TX_4X4
         w4 = max(1, C.BLOCK_W4[bsize] >> self.ssx)
         h4 = max(1, C.BLOCK_H4[bsize] >> self.ssy)
         for b in range(C.BLOCK_SIZES_ALL):
@@ -2090,13 +2100,14 @@ class TileDecoder:
         for i in range(th4):
             if y4 + i < len(self.l_lvl[plane]) and self.l_lvl[plane][y4 + i]:
                 left_nz = 1
-        ctx = 7 + above + left_nz
         bsize = int(self.plan.bsize[blk_r, blk_c])
         bw4 = max(1, C.BLOCK_W4[bsize] >> self.ssx)
         bh4 = max(1, C.BLOCK_H4[bsize] >> self.ssy)
-        if tw4 * th4 > bw4 * bh4:
-            ctx += 3
-        return ctx
+        # libaom av1_get_txb_ctx: offset 10 when the chroma plane block
+        # is LARGER than the tx (multi-tx chroma, e.g. lossless >=16x16),
+        # else 7
+        base = 10 if bw4 * bh4 > tw4 * th4 else 7
+        return base + above + left_nz
 
     def _read_tx_type(self, x4, y4, tx_size, blk_r, blk_c) -> int:
         hdr = self.hdr
