@@ -1,5 +1,9 @@
 /* AV1 CDEF, C port of cdef_ref.py (spec §7.15).
- * Header-only; included by av1_recon.c after the Recon definitions. */
+ * Header-only; included by av1_recon.c after the Recon definitions.
+ *
+ * The padded source planes are int16 (pixels <= 4095 and the padding
+ * sentinel 0x4000 both fit), which doubles SIMD lane count versus the
+ * int32 frame planes; the filter processes two rows per vector. */
 #pragma once
 
 #include <stdint.h>
@@ -20,8 +24,59 @@ static const int8_t CDEF_UV_DIR[2][2][8] = {
     {{0, 1, 2, 3, 4, 5, 6, 7}, {1, 2, 2, 2, 3, 4, 6, 0}},
     {{7, 0, 2, 4, 5, 6, 6, 6}, {0, 1, 2, 3, 4, 5, 6, 7}}};
 
-static void cdef_find_dir(const int32_t *src, int stride, int coeff_shift,
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
+static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
                           int *out_dir, int *out_var) {
+#ifdef __AVX2__
+    /* row-vector accumulation: each of the 8 direction projections is a
+       sliding-window add of the row (or its reverse / pair-sums) */
+    int32_t part[8][16];
+    memset(part, 0, sizeof(part));
+    const __m256i c128 = _mm256_set1_epi32(128);
+    const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+    for (int i = 0; i < 8; i++) {
+        __m256i x = _mm256_cvtepi16_epi32(_mm_loadu_si128(
+            (const __m128i *)(src + (int64_t)i * stride)));
+        if (coeff_shift) x = _mm256_srai_epi32(x, coeff_shift);
+        x = _mm256_sub_epi32(x, c128);
+        __m256i p = _mm256_loadu_si256((__m256i *)(part[0] + i));
+        _mm256_storeu_si256((__m256i *)(part[0] + i),
+                            _mm256_add_epi32(p, x));
+        p = _mm256_loadu_si256((__m256i *)part[6]);
+        _mm256_storeu_si256((__m256i *)part[6], _mm256_add_epi32(p, x));
+        __m256i xr = _mm256_permutevar8x32_epi32(x, rev);
+        p = _mm256_loadu_si256((__m256i *)(part[4] + i));
+        _mm256_storeu_si256((__m256i *)(part[4] + i),
+                            _mm256_add_epi32(p, xr));
+        int o5 = 3 - (i >> 1);
+        p = _mm256_loadu_si256((__m256i *)(part[5] + o5));
+        _mm256_storeu_si256((__m256i *)(part[5] + o5),
+                            _mm256_add_epi32(p, x));
+        int o7 = i >> 1;
+        p = _mm256_loadu_si256((__m256i *)(part[7] + o7));
+        _mm256_storeu_si256((__m256i *)(part[7] + o7),
+                            _mm256_add_epi32(p, x));
+        __m128i lo = _mm256_castsi256_si128(x);
+        __m128i hi = _mm256_extracti128_si256(x, 1);
+        __m128i ps = _mm_hadd_epi32(lo, hi);
+        __m128i q = _mm_loadu_si128((__m128i *)(part[1] + i));
+        _mm_storeu_si128((__m128i *)(part[1] + i), _mm_add_epi32(q, ps));
+        __m128i psr = _mm_shuffle_epi32(ps, _MM_SHUFFLE(0, 1, 2, 3));
+        q = _mm_loadu_si128((__m128i *)(part[3] + i));
+        _mm_storeu_si128((__m128i *)(part[3] + i), _mm_add_epi32(q, psr));
+        __m128i s = _mm_add_epi32(lo, hi);
+        s = _mm_add_epi32(s, _mm_srli_si128(s, 8));
+        s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
+        part[2][i] = _mm_cvtsi128_si32(s);
+    }
+    int64_t partial[8][15];
+    for (int d = 0; d < 8; d++)
+        for (int i = 0; i < 15; i++)
+            partial[d][i] = part[d][i];
+#else
     int64_t partial[8][15];
     memset(partial, 0, sizeof(partial));
     for (int i = 0; i < 8; i++)
@@ -36,6 +91,7 @@ static void cdef_find_dir(const int32_t *src, int stride, int coeff_shift,
             partial[6][j] += x;
             partial[7][(i >> 1) + j] += x;
         }
+#endif
     int64_t cost[8];
     memset(cost, 0, sizeof(cost));
     for (int i = 0; i < 8; i++) {
@@ -86,87 +142,91 @@ static int cdef_shift_for(int threshold, int damping) {
 }
 
 #ifdef __AVX2__
-#include <immintrin.h>
-
-/* vectorized inner loop: one row of 8 (luma) or 4 (chroma) pixels per
-   vector; taps/weights/thresholds are block constants */
+/* int16 lanes, two rows per vector, per-tap constants hoisted out of
+   the row loop */
 static void cdef_filter_rows_avx2(int32_t *dst, int dstride,
-                                  const int32_t *src, int sstride,
+                                  const int16_t *src, int sstride,
                                   int x, int y, int w, int h,
                                   int n_taps, const int64_t *toff,
                                   const int *tw_, const int *tthr,
                                   const int *tsh) {
-    __m256i vlarge = _mm256_set1_epi32(CDEF_VERY_LARGE);
-    __m256i zero = _mm256_setzero_si256();
-    __m256i eight = _mm256_set1_epi32(8);
-    for (int i = 0; i < h; i++) {
-        const int32_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;
+    const __m256i vlarge = _mm256_set1_epi16(CDEF_VERY_LARGE);
+    const __m256i zero = _mm256_setzero_si256();
+    const __m256i eight = _mm256_set1_epi16(8);
+    const __m256i ones = _mm256_set1_epi16(-1);
+    __m256i vthr[12], vw[12];
+    __m128i vsh[12];
+    for (int k = 0; k < n_taps; k++) {
+        vthr[k] = _mm256_set1_epi16((short)tthr[k]);
+        vw[k] = _mm256_set1_epi16((short)tw_[k]);
+        vsh[k] = _mm_cvtsi32_si128(tsh[k]);
+    }
+    for (int i = 0; i < h; i += 2) {
+        const int16_t *r0 = src + (int64_t)(y + i + 2) * sstride + x + 2;
+        const int16_t *r1 = r0 + sstride;
+        __m256i px, s = zero;
+        if (w == 8)
+            px = _mm256_inserti128_si256(
+                _mm256_castsi128_si256(
+                    _mm_loadu_si128((const __m128i *)r0)),
+                _mm_loadu_si128((const __m128i *)r1), 1);
+        else /* w == 4: both rows fit one 128-bit half */
+            px = _mm256_castsi128_si256(_mm_unpacklo_epi64(
+                _mm_loadl_epi64((const __m128i *)r0),
+                _mm_loadl_epi64((const __m128i *)r1)));
+        __m256i mx = px, mn = px;
+        for (int k = 0; k < n_taps; k++) {
+            __m256i v;
+            if (w == 8)
+                v = _mm256_inserti128_si256(
+                    _mm256_castsi128_si256(
+                        _mm_loadu_si128((const __m128i *)(r0 + toff[k]))),
+                    _mm_loadu_si128((const __m128i *)(r1 + toff[k])), 1);
+            else
+                v = _mm256_castsi128_si256(_mm_unpacklo_epi64(
+                    _mm_loadl_epi64((const __m128i *)(r0 + toff[k])),
+                    _mm_loadl_epi64((const __m128i *)(r1 + toff[k]))));
+            __m256i diff = _mm256_sub_epi16(v, px);
+            __m256i ad = _mm256_abs_epi16(diff);
+            __m256i rhs = _mm256_sub_epi16(vthr[k],
+                                           _mm256_srl_epi16(ad, vsh[k]));
+            rhs = _mm256_max_epi16(rhs, zero);
+            __m256i mag = _mm256_min_epi16(ad, rhs);
+            __m256i m = _mm256_srai_epi16(diff, 15);
+            __m256i con =
+                _mm256_sub_epi16(_mm256_xor_si256(mag, m), m);
+            s = _mm256_add_epi16(s, _mm256_mullo_epi16(vw[k], con));
+            __m256i seen =
+                _mm256_xor_si256(_mm256_cmpeq_epi16(v, vlarge), ones);
+            mx = _mm256_blendv_epi8(mx, _mm256_max_epi16(mx, v), seen);
+            mn = _mm256_blendv_epi8(mn, _mm256_min_epi16(mn, v), seen);
+        }
+        /* val = px + ((8 + s - (s<0)) >> 4) */
+        __m256i adj = _mm256_add_epi16(_mm256_add_epi16(eight, s),
+                                       _mm256_srai_epi16(s, 15));
+        __m256i val = _mm256_add_epi16(px, _mm256_srai_epi16(adj, 4));
+        val = _mm256_min_epi16(_mm256_max_epi16(val, mn), mx);
+        int32_t *d0 = dst + (int64_t)(y + i) * dstride + x;
+        int32_t *d1 = d0 + dstride;
         if (w == 8) {
-            __m256i px = _mm256_loadu_si256((const __m256i *)row);
-            __m256i s = zero, mx = px, mn = px;
-            for (int k = 0; k < n_taps; k++) {
-                __m256i v = _mm256_loadu_si256(
-                    (const __m256i *)(row + toff[k]));
-                __m256i diff = _mm256_sub_epi32(v, px);
-                __m256i ad = _mm256_abs_epi32(diff);
-                __m256i rhs = _mm256_sub_epi32(
-                    _mm256_set1_epi32(tthr[k]),
-                    _mm256_srl_epi32(ad, _mm_cvtsi32_si128(tsh[k])));
-                rhs = _mm256_max_epi32(rhs, zero);
-                __m256i mag = _mm256_min_epi32(ad, rhs);
-                __m256i m = _mm256_srai_epi32(diff, 31);
-                __m256i con = _mm256_sub_epi32(
-                    _mm256_xor_si256(mag, m), m);
-                s = _mm256_add_epi32(
-                    s, _mm256_mullo_epi32(_mm256_set1_epi32(tw_[k]), con));
-                __m256i seen = _mm256_xor_si256(
-                    _mm256_cmpeq_epi32(v, vlarge), _mm256_set1_epi32(-1));
-                mx = _mm256_blendv_epi8(mx, _mm256_max_epi32(mx, v), seen);
-                mn = _mm256_blendv_epi8(mn, _mm256_min_epi32(mn, v), seen);
-            }
-            /* val = px + ((8 + s - (s<0)) >> 4) */
-            __m256i adj = _mm256_add_epi32(
-                _mm256_add_epi32(eight, s), _mm256_srai_epi32(s, 31));
-            __m256i val = _mm256_add_epi32(px, _mm256_srai_epi32(adj, 4));
-            val = _mm256_min_epi32(_mm256_max_epi32(val, mn), mx);
-            _mm256_storeu_si256(
-                (__m256i *)(dst + (int64_t)(y + i) * dstride + x), val);
-        } else {   /* w == 4 */
-            __m128i px = _mm_loadu_si128((const __m128i *)row);
-            __m128i s = _mm_setzero_si128(), mx = px, mn = px;
-            for (int k = 0; k < n_taps; k++) {
-                __m128i v = _mm_loadu_si128(
-                    (const __m128i *)(row + toff[k]));
-                __m128i diff = _mm_sub_epi32(v, px);
-                __m128i ad = _mm_abs_epi32(diff);
-                __m128i rhs = _mm_sub_epi32(
-                    _mm_set1_epi32(tthr[k]),
-                    _mm_srl_epi32(ad, _mm_cvtsi32_si128(tsh[k])));
-                rhs = _mm_max_epi32(rhs, _mm_setzero_si128());
-                __m128i mag = _mm_min_epi32(ad, rhs);
-                __m128i m = _mm_srai_epi32(diff, 31);
-                __m128i con = _mm_sub_epi32(_mm_xor_si128(mag, m), m);
-                s = _mm_add_epi32(
-                    s, _mm_mullo_epi32(_mm_set1_epi32(tw_[k]), con));
-                __m128i seen = _mm_xor_si128(
-                    _mm_cmpeq_epi32(v, _mm_set1_epi32(CDEF_VERY_LARGE)),
-                    _mm_set1_epi32(-1));
-                mx = _mm_blendv_epi8(mx, _mm_max_epi32(mx, v), seen);
-                mn = _mm_blendv_epi8(mn, _mm_min_epi32(mn, v), seen);
-            }
-            __m128i adj = _mm_add_epi32(
-                _mm_add_epi32(_mm_set1_epi32(8), s), _mm_srai_epi32(s, 31));
-            __m128i val = _mm_add_epi32(px, _mm_srai_epi32(adj, 4));
-            val = _mm_min_epi32(_mm_max_epi32(val, mn), mx);
-            _mm_storeu_si128(
-                (__m128i *)(dst + (int64_t)(y + i) * dstride + x), val);
+            _mm256_storeu_si256((__m256i *)d0, _mm256_cvtepi16_epi32(
+                _mm256_castsi256_si128(val)));
+            _mm256_storeu_si256((__m256i *)d1, _mm256_cvtepi16_epi32(
+                _mm256_extracti128_si256(val, 1)));
+        } else {
+            __m256i wide =
+                _mm256_cvtepi16_epi32(_mm256_castsi256_si128(val));
+            _mm_storeu_si128((__m128i *)d0,
+                             _mm256_castsi256_si128(wide));
+            _mm_storeu_si128((__m128i *)d1,
+                             _mm256_extracti128_si256(wide, 1));
         }
     }
 }
 #endif
 
 static void cdef_filter_block(int32_t *dst, int dstride,
-                              const int32_t *src, int sstride,
+                              const int16_t *src, int sstride,
                               int x, int y, int w, int h, int pri, int sec,
                               int damping, int dir, int bd) {
     int pt[2];
@@ -208,7 +268,7 @@ static void cdef_filter_block(int32_t *dst, int dstride,
                 }
     }
 #ifdef __AVX2__
-    if (w == 8 || w == 4) {
+    if ((w == 8 || w == 4) && (h & 1) == 0) {
         cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
                               n_taps, toff, tw_, tthr, tsh);
         return;
@@ -216,7 +276,7 @@ static void cdef_filter_block(int32_t *dst, int dstride,
 #endif
     int32_t out[8 * 8];
     for (int i = 0; i < h; i++) {
-        const int32_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;
+        const int16_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;
         for (int j = 0; j < w; j++) {
             int px = row[j];
             int s = 0, mx = px, mn = px;
@@ -255,28 +315,28 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     int mi_rows = rp->mi_rows, mi_cols = rp->mi_cols;
     int ucols = (mi_cols + 15) / 16;
 
-    /* constant padded sources per plane */
-    int32_t *srcs[3] = {NULL, NULL, NULL};
+    /* constant padded int16 sources per plane */
+    int16_t *srcs[3] = {NULL, NULL, NULL};
     for (int p = 0; p < rp->num_planes; p++) {
         int sw = pw[p] + 4, sh = ph[p] + 4;
-        srcs[p] = malloc(sizeof(int32_t) * (size_t)sw * sh);
+        srcs[p] = malloc(sizeof(int16_t) * (size_t)sw * sh);
         if (!srcs[p]) {
             for (int q = 0; q < p; q++) free(srcs[q]);
             return;
         }
-        /* VERY_LARGE border only; the interior is copied over */
+        /* VERY_LARGE border only; the interior is converted over */
         for (int i = 0; i < 2; i++)
             for (int j = 0; j < sw; j++) {
                 srcs[p][i * sw + j] = CDEF_VERY_LARGE;
                 srcs[p][(sh - 1 - i) * sw + j] = CDEF_VERY_LARGE;
             }
         for (int i = 2; i < sh - 2; i++) {
-            srcs[p][i * sw] = CDEF_VERY_LARGE;
-            srcs[p][i * sw + 1] = CDEF_VERY_LARGE;
-            srcs[p][i * sw + sw - 2] = CDEF_VERY_LARGE;
-            srcs[p][i * sw + sw - 1] = CDEF_VERY_LARGE;
-            memcpy(srcs[p] + i * sw + 2, planes[p] + (i - 2) * pw[p],
-                   (size_t)pw[p] * sizeof(int32_t));
+            int16_t *row = srcs[p] + (int64_t)i * sw;
+            const int32_t *src = planes[p] + (int64_t)(i - 2) * pw[p];
+            row[0] = row[1] = CDEF_VERY_LARGE;
+            row[sw - 2] = row[sw - 1] = CDEF_VERY_LARGE;
+            for (int j = 0; j < pw[p]; j++)
+                row[2 + j] = (int16_t)src[j];
         }
     }
 

@@ -80,9 +80,170 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
 
     const int16_t *fh = mc_filter(interp[1], filt_w) + frac_x * 8;
     const int16_t *fv = mc_filter(interp[0], filt_h) + frac_y * 8;
-    int32_t mid[(128 + 7) * 128];
+    int32_t mx = (1 << bd) - 1;
+
+    if (frac_y == 0) {
+        /* horizontal-only: the vertical identity filter is a *128, so
+         * the two-stage rounding collapses exactly:
+         *   m = (acc+4)>>3; comp: (128m+64)>>7 == m;
+         *   noncomp: (128m+1024)>>11 == (m+8)>>4 */
+        int inside_x = (ix - 3 >= 0) && (ix + w + 3 < rw);
+        for (int r = 0; r < h; r++) {
+            int sy = iy + r;
+            sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+            const uint16_t *row = ref + (int64_t)sy * rw;
+            int32_t *restrict o = out + r * w;
+            if (inside_x) {
+                const uint16_t *restrict src = row + ix - 3;
+                if (comp) {
+                    for (int c = 0; c < w; c++) {
+                        int32_t acc = 0;
+                        for (int t = 0; t < 8; t++)
+                            acc += fh[t] * src[c + t];
+                        o[c] = (acc + 4) >> 3;
+                    }
+                } else {
+                    for (int c = 0; c < w; c++) {
+                        int32_t acc = 0;
+                        for (int t = 0; t < 8; t++)
+                            acc += fh[t] * src[c + t];
+                        int32_t v = (((acc + 4) >> 3) + 8) >> 4;
+                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                    }
+                }
+            } else {
+                for (int c = 0; c < w; c++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++) {
+                        int sx = ix - 3 + c + t;
+                        sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                        acc += fh[t] * row[sx];
+                    }
+                    int32_t m = (acc + 4) >> 3;
+                    if (comp) {
+                        o[c] = m;
+                    } else {
+                        int32_t v = (m + 8) >> 4;
+                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                    }
+                }
+            }
+        }
+        return;
+    }
+
+    if (frac_x == 0) {
+        /* vertical-only: the horizontal identity stage is exactly
+         * m = px<<4, so feed the reference rows straight into the
+         * vertical filter with a <<4 folded into the final shift. */
+        int inside = (ix >= 0) && (ix + w <= rw);
+        const uint16_t *rows[8 + 128];
+        for (int t = 0; t < h + 7; t++) {
+            int sy = iy - 3 + t;
+            sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+            rows[t] = ref + (int64_t)sy * rw;
+        }
+        for (int r = 0; r < h; r++) {
+            int32_t *restrict o = out + r * w;
+            if (inside) {
+                const uint16_t *r0 = rows[r] + ix, *r1 = rows[r + 1] + ix,
+                               *r2 = rows[r + 2] + ix,
+                               *r3 = rows[r + 3] + ix,
+                               *r4 = rows[r + 4] + ix,
+                               *r5 = rows[r + 5] + ix,
+                               *r6 = rows[r + 6] + ix,
+                               *r7 = rows[r + 7] + ix;
+                if (comp) {
+                    for (int c = 0; c < w; c++) {
+                        int32_t s = fv[0] * r0[c] + fv[1] * r1[c]
+                                  + fv[2] * r2[c] + fv[3] * r3[c]
+                                  + fv[4] * r4[c] + fv[5] * r5[c]
+                                  + fv[6] * r6[c] + fv[7] * r7[c];
+                        o[c] = ((s << 4) + 64) >> 7;
+                    }
+                } else {
+                    for (int c = 0; c < w; c++) {
+                        int32_t s = fv[0] * r0[c] + fv[1] * r1[c]
+                                  + fv[2] * r2[c] + fv[3] * r3[c]
+                                  + fv[4] * r4[c] + fv[5] * r5[c]
+                                  + fv[6] * r6[c] + fv[7] * r7[c];
+                        int32_t v = ((s << 4) + 1024) >> 11;
+                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                    }
+                }
+            } else {
+                for (int c = 0; c < w; c++) {
+                    int sx = ix + c;
+                    sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                    int32_t s = 0;
+                    for (int t = 0; t < 8; t++)
+                        s += fv[t] * rows[r + t][sx];
+                    if (comp) {
+                        o[c] = ((s << 4) + 64) >> 7;
+                    } else {
+                        int32_t v = ((s << 4) + 1024) >> 11;
+                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                    }
+                }
+            }
+        }
+        return;
+    }
+
+    /* both fractional: separable two-pass.  The round0 intermediate
+     * fits int16 for bd<=10 (|acc| <= ~170*1023 -> >>3 <= ~21.8k),
+     * which halves the mid-buffer traffic on the hot 8-bit path. */
     int inside_x = (ix - 3 >= 0) && (ix + w + 3 < rw);
-    /* horizontal pass into (h+7, w) */
+    if (bd <= 10) {
+        int16_t mid[(128 + 7) * 128];
+        for (int r = 0; r < h + 7; r++) {
+            int sy = iy - 3 + r;
+            sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+            const uint16_t *row = ref + (int64_t)sy * rw;
+            int16_t *restrict m = mid + r * w;
+            if (inside_x) {
+                const uint16_t *restrict src = row + ix - 3;
+                for (int c = 0; c < w; c++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += fh[t] * src[c + t];
+                    m[c] = (int16_t)((acc + 4) >> 3);  /* InterRound0=3 */
+                }
+            } else {
+                for (int c = 0; c < w; c++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++) {
+                        int sx = ix - 3 + c + t;
+                        sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                        acc += fh[t] * row[sx];
+                    }
+                    m[c] = (int16_t)((acc + 4) >> 3);
+                }
+            }
+        }
+        for (int r = 0; r < h; r++) {
+            const int16_t *restrict m = mid + r * w;
+            int32_t *restrict o = out + r * w;
+            if (comp) {
+                for (int c = 0; c < w; c++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += fv[t] * m[t * w + c];
+                    o[c] = (acc + 64) >> 7;           /* InterRound1=7 */
+                }
+            } else {
+                for (int c = 0; c < w; c++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += fv[t] * m[t * w + c];
+                    int32_t v = (acc + 1024) >> 11;   /* InterRound1=11 */
+                    o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                }
+            }
+        }
+        return;
+    }
+    int32_t mid[(128 + 7) * 128];
     for (int r = 0; r < h + 7; r++) {
         int sy = iy - 3 + r;
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
@@ -108,7 +269,6 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
             }
         }
     }
-    int32_t mx = (1 << bd) - 1;
     for (int r = 0; r < h; r++) {
         const int32_t *m = mid + r * w;
         int32_t *o = out + r * w;

@@ -30,24 +30,56 @@ typedef struct {
     int allow_update;
 } Msac;
 
-static int floor_log2(uint32_t x) {
-    int n = -1;
-    while (x) { n++; x >>= 1; }
-    return n;
+static inline int floor_log2(uint32_t x) {
+    return x ? 31 - __builtin_clz(x) : -1;
 }
 
-static uint32_t read_bits_raw(const Msac *s, int64_t pos, int n) {
-    uint32_t out = 0;
-    for (int i = 0; i < n; i++) {
-        int64_t p = pos + i;
-        uint8_t byte = (p >> 3) < s->size ? s->data[p >> 3] : 0;
-        out = (out << 1) | ((byte >> (7 - (p & 7))) & 1);
+/* fetch up to 15 bits starting at bit `pos` (bits past the buffer end
+ * read as zero) via a 3-byte big-endian word */
+static inline uint32_t read_bits_raw(const Msac *s, int64_t pos, int n) {
+    if (!n) return 0;
+    int64_t byte = pos >> 3;
+    int shift = (int)(pos & 7);
+    uint32_t v;
+    if (byte + 3 <= s->size) {
+        v = ((uint32_t)s->data[byte] << 16)
+            | ((uint32_t)s->data[byte + 1] << 8)
+            | s->data[byte + 2];
+    } else {
+        v = 0;
+        for (int i = 0; i < 3; i++) {
+            uint8_t b = byte + i < s->size ? s->data[byte + i] : 0;
+            v = (v << 8) | b;
+        }
     }
-    return out;
+    return (v >> (24 - shift - n)) & ((1u << n) - 1);
 }
+
+#ifdef __AVX2__
+#include <immintrin.h>
+/* per-n constants for the vector symbol search: the EC_MIN_PROB ramp
+ * 4*(n-1-i) and masks selecting the boundary / updatable lanes */
+static uint16_t msac_ramp[17][16];
+static uint16_t msac_vmask[17][16];   /* lanes i < n-1 (boundaries) */
+static uint16_t msac_umask[17][16];   /* lanes i < n   (adapted)    */
+static int msac_tables_ready = 0;
+static void msac_tables_init(void) {
+    for (int n = 2; n <= 16; n++)
+        for (int i = 0; i < 16; i++) {
+            msac_ramp[n][i] =
+                i < n - 1 ? (uint16_t)(EC_MIN_PROB * (n - 1 - i)) : 0;
+            msac_vmask[n][i] = i < n - 1 ? 0xFFFF : 0;
+            msac_umask[n][i] = i < n ? 0xFFFF : 0;
+        }
+    msac_tables_ready = 1;
+}
+#endif
 
 static void msac_init(Msac *s, const uint8_t *data, int64_t size,
                       int allow_update) {
+#ifdef __AVX2__
+    if (!msac_tables_ready) msac_tables_init();
+#endif
     s->data = data;
     s->size = size;
     int num_bits = size * 8 < 15 ? (int)(size * 8) : 15;
@@ -72,8 +104,104 @@ static void msac_renorm(Msac *s, uint32_t rng, uint32_t value) {
     s->rng = rng;
 }
 
+
 /* cdf: n+1 uint16 entries (n-1 boundaries, 0 terminator, counter) */
 static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
+#ifdef __AVX2__
+    /* vector search: v_i = ((rng>>8)*(cdf_i>>6)>>1) + 4*(n-1-i); the
+     * mulhi trick computes ((rng&0xff00)*((cdf>>6)<<7))>>16 exactly.
+     * sym = #lanes with v_i > value (v decreasing).  CdfState carries a
+     * 16-lane tail pad so over-reads stay in the struct. */
+    if (n <= 9) {
+        __m128i cdfv = _mm_loadu_si128((const __m128i *)cdf);
+        __m128i c6 = _mm_slli_epi16(_mm_srli_epi16(cdfv, 6), 7);
+        __m128i rv = _mm_set1_epi16((short)(s->rng & 0xff00));
+        __m128i v = _mm_add_epi16(
+            _mm_mulhi_epu16(rv, c6),
+            _mm_loadu_si128((const __m128i *)msac_ramp[n]));
+        v = _mm_and_si128(v,
+                          _mm_loadu_si128((const __m128i *)msac_vmask[n]));
+        __m128i bias = _mm_set1_epi16((short)0x8000);
+        __m128i gt = _mm_cmpgt_epi16(
+            _mm_xor_si128(v, bias),
+            _mm_set1_epi16((short)(s->value ^ 0x8000)));
+        int sym = __builtin_popcount(_mm_movemask_epi8(gt)) >> 1;
+        uint16_t va[9];
+        va[8] = 0;                    /* terminator lane for n == 9 */
+        _mm_storeu_si128((__m128i *)va, v);
+        uint32_t cur = va[sym];
+        uint32_t prev = sym ? va[sym - 1] : s->rng;
+        uint32_t value = s->value;
+        if (s->allow_update) {
+            int count = cdf[n];
+            int l2 = floor_log2((uint32_t)n);
+            int rate = 3 + (count > 15) + (count > 31) + (l2 < 2 ? l2 : 2);
+            __m128i idx = _mm_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7);
+            __m128i lt = _mm_cmplt_epi16(idx, _mm_set1_epi16((short)sym));
+            __m128i sh = _mm_cvtsi32_si128(rate);
+            __m128i up = _mm_srl_epi16(
+                _mm_sub_epi16(bias, cdfv), sh);        /* (32768-cdf)>>r */
+            __m128i dn = _mm_srl_epi16(cdfv, sh);      /* cdf>>r */
+            __m128i delta = _mm_or_si128(
+                _mm_and_si128(lt, up),
+                _mm_andnot_si128(lt, _mm_sub_epi16(_mm_setzero_si128(),
+                                                   dn)));
+            delta = _mm_and_si128(
+                delta, _mm_loadu_si128((const __m128i *)msac_umask[n]));
+            _mm_storeu_si128((__m128i *)cdf,
+                             _mm_add_epi16(cdfv, delta));
+            cdf[n] = count + (count < 32);
+        }
+        msac_renorm(s, prev - cur, value - cur);
+        return sym;
+    }
+    if (n <= 16) {
+        __m256i cdfv = _mm256_loadu_si256((const __m256i *)cdf);
+        __m256i c6 = _mm256_slli_epi16(_mm256_srli_epi16(cdfv, 6), 7);
+        __m256i rv = _mm256_set1_epi16((short)(s->rng & 0xff00));
+        __m256i v = _mm256_add_epi16(
+            _mm256_mulhi_epu16(rv, c6),
+            _mm256_loadu_si256((const __m256i *)msac_ramp[n]));
+        v = _mm256_and_si256(
+            v, _mm256_loadu_si256((const __m256i *)msac_vmask[n]));
+        __m256i bias = _mm256_set1_epi16((short)0x8000);
+        __m256i gt = _mm256_cmpgt_epi16(
+            _mm256_xor_si256(v, bias),
+            _mm256_set1_epi16((short)(s->value ^ 0x8000)));
+        int sym = __builtin_popcount(
+                      (unsigned)_mm256_movemask_epi8(gt)) >> 1;
+        uint16_t va[16];
+        _mm256_storeu_si256((__m256i *)va, v);
+        uint32_t cur = va[sym];
+        uint32_t prev = sym ? va[sym - 1] : s->rng;
+        uint32_t value = s->value;
+        if (s->allow_update) {
+            int count = cdf[n];
+            int l2 = floor_log2((uint32_t)n);
+            int rate = 3 + (count > 15) + (count > 31) + (l2 < 2 ? l2 : 2);
+            __m256i idx = _mm256_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7, 8, 9,
+                                            10, 11, 12, 13, 14, 15);
+            __m256i lt = _mm256_cmpgt_epi16(_mm256_set1_epi16((short)sym),
+                                            idx);
+            __m128i sh = _mm_cvtsi32_si128(rate);
+            __m256i up = _mm256_srl_epi16(_mm256_sub_epi16(bias, cdfv),
+                                          sh);
+            __m256i dn = _mm256_srl_epi16(cdfv, sh);
+            __m256i delta = _mm256_or_si256(
+                _mm256_and_si256(lt, up),
+                _mm256_andnot_si256(
+                    lt, _mm256_sub_epi16(_mm256_setzero_si256(), dn)));
+            delta = _mm256_and_si256(
+                delta,
+                _mm256_loadu_si256((const __m256i *)msac_umask[n]));
+            _mm256_storeu_si256((__m256i *)cdf,
+                                _mm256_add_epi16(cdfv, delta));
+            cdf[n] = count + (count < 32);
+        }
+        msac_renorm(s, prev - cur, value - cur);
+        return sym;
+    }
+#endif
     uint32_t rng = s->rng, value = s->value;
     uint32_t cur = rng, prev;
     int sym = -1;
@@ -1230,20 +1358,26 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     o->n_blocks++;
 
     if (!skip) {
+        /* spec 5.11.34 residual(): blocks wider/taller than 64px are
+         * split into 64x64 chunks with the planes (and var-tx leaves)
+         * interleaved PER CHUNK */
+        for (int cy4 = 0; cy4 < h4; cy4 += 16)
+        for (int cx4 = 0; cx4 < w4; cx4 += 16) {
+            int cw4 = imin(16, w4 - cx4), ch4 = imin(16, h4 - cy4);
+            int rr = r + cy4, cc = c + cx4;
         if (!is_inter) {
-            /* residual: planes in order, tx raster within each plane */
             int n_pl = has_chroma ? p->num_planes : 1;
             for (int plane = 0; plane < n_pl; plane++) {
                 int tx, px, py, pw4, ph4;
                 if (plane == 0) {
                     tx = tx_size;
-                    px = c * 4; py = r * 4;
-                    pw4 = w4; ph4 = h4;
+                    px = cc * 4; py = rr * 4;
+                    pw4 = cw4; ph4 = ch4;
                 } else {
                     tx = uv_tx;
-                    px = (c >> p->ssx) * 4; py = (r >> p->ssy) * 4;
-                    pw4 = imax(1, w4 >> p->ssx);
-                    ph4 = imax(1, h4 >> p->ssy);
+                    px = (cc >> p->ssx) * 4; py = (rr >> p->ssy) * 4;
+                    pw4 = imax(1, cw4 >> p->ssx);
+                    ph4 = imax(1, ch4 >> p->ssy);
                 }
                 int sx = av1_tx_w4[tx], sy = av1_tx_h4[tx];
                 for (int yy = 0; yy < ph4; yy += sy)
@@ -1253,10 +1387,13 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
                                         uv_mode, filter_intra, 0, r, c);
             }
         } else {
-            /* tile.py _residual_inter: luma var-tx leaves, then chroma */
+            /* luma var-tx leaves inside this chunk, then its chroma */
             for (int k = 0; k < n_leaves; k++) {
                 int xx = leaves[k][0], yy = leaves[k][1];
                 int tx = leaves[k][2];
+                if (xx < cx4 || xx >= cx4 + cw4 || yy < cy4
+                    || yy >= cy4 + ch4)
+                    continue;
                 if (r + yy >= p->row_end || c + xx >= p->col_end)
                     continue;
                 transform_block(t, 0, (c + xx) * 4, (r + yy) * 4, tx,
@@ -1265,9 +1402,9 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
             }
             if (has_chroma && p->num_planes > 1) {
                 int tx = uv_tx;
-                int pw4 = imax(1, w4 >> p->ssx);
-                int ph4 = imax(1, h4 >> p->ssy);
-                int cx = (c >> p->ssx) * 4, cy = (r >> p->ssy) * 4;
+                int pw4 = imax(1, cw4 >> p->ssx);
+                int ph4 = imax(1, ch4 >> p->ssy);
+                int cx = (cc >> p->ssx) * 4, cy = (rr >> p->ssy) * 4;
                 int sx = av1_tx_w4[tx], sy = av1_tx_h4[tx];
                 for (int plane = 1; plane < 3; plane++)
                     for (int yy = 0; yy < ph4; yy += sy)
@@ -1277,6 +1414,7 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
                                             y_mode, uv_mode,
                                             filter_intra, 1, r, c);
             }
+        }
         }
     } else {
         /* clear coef ctx over the full (unclipped) block extent */
@@ -1513,7 +1651,7 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
     o->error = 0;
 
     if (fp->cdf_in != NULL)
-        memcpy(&t.cdf, fp->cdf_in, sizeof(CdfState));
+        memcpy(&t.cdf, fp->cdf_in, CDF_BLOB_SIZE);
     else
         cdf_init(&t.cdf, p->qctx);
     msac_init(&t.msac, data, size, p->allow_update_cdf);
@@ -1582,7 +1720,7 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
     /* end-of-tile entropy state for frame chaining (spec save_cdfs;
        probabilities carry, adaptation counts do not) */
     if (fp->cdf_out != NULL && !o->error) {
-        memcpy(fp->cdf_out, &t.cdf, sizeof(CdfState));
+        memcpy(fp->cdf_out, &t.cdf, CDF_BLOB_SIZE);
         cdf_reset_counters((CdfState *)fp->cdf_out);
     }
     free(mem);
@@ -1593,4 +1731,4 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
 
 /* packed CdfState blob size (Python asserts == cdf_layout.CDF_BLOB_BYTES,
    guarding struct-layout drift between the two sides) */
-int av1_cdf_blob_size(void) { return (int)sizeof(CdfState); }
+int av1_cdf_blob_size(void) { return CDF_BLOB_SIZE; }

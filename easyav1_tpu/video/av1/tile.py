@@ -1735,23 +1735,41 @@ class TileDecoder:
             self.l_txh[r + yy:r + yy + th4] = T.TX_HEIGHT[tx_size]
 
     def _residual_inter(self, r, c, bsize, var_txs, has_chroma):
-        for (xx, yy, tx) in var_txs:
-            if r + yy >= self.mi_row_end or c + xx >= self.mi_col_end:
-                continue
-            self._transform_block(0, (c + xx) * 4, (r + yy) * 4, tx, r, c)
-        if has_chroma and self.num_planes > 1:
-            tx = self._uv_tx_size(bsize)
-            w4 = C.BLOCK_W4[bsize]
-            h4 = C.BLOCK_H4[bsize]
-            pw4 = max(1, min(w4, self.mi_col_end - c) >> self.ssx)
-            ph4 = max(1, min(h4, self.mi_row_end - r) >> self.ssy)
-            cx = (c >> self.ssx) * 4
-            cy = (r >> self.ssy) * 4
-            for plane in (1, 2):
-                for yy in range(0, ph4, T.TX_H4[tx]):
-                    for xx in range(0, pw4, T.TX_W4[tx]):
-                        self._transform_block(plane, cx + xx * 4,
-                                              cy + yy * 4, tx, r, c)
+        # spec 5.11.34: 64x64 chunks, var-tx leaves + chroma per chunk
+        w4 = C.BLOCK_W4[bsize]
+        h4 = C.BLOCK_H4[bsize]
+        for cy4 in range(0, h4, 16):
+            for cx4 in range(0, w4, 16):
+                cw4 = min(16, w4 - cx4)
+                ch4 = min(16, h4 - cy4)
+                rr = r + cy4
+                cc = c + cx4
+                for (xx, yy, tx) in var_txs:
+                    if not (cx4 <= xx < cx4 + cw4
+                            and cy4 <= yy < cy4 + ch4):
+                        continue
+                    if (r + yy >= self.mi_row_end
+                            or c + xx >= self.mi_col_end):
+                        continue
+                    self._transform_block(0, (c + xx) * 4, (r + yy) * 4,
+                                          tx, r, c)
+                if has_chroma and self.num_planes > 1:
+                    tx = self._uv_tx_size(bsize)
+                    pw4 = max(1, min(cw4, self.mi_col_end - cc)
+                              >> self.ssx)
+                    ph4 = max(1, min(ch4, self.mi_row_end - rr)
+                              >> self.ssy)
+                    if min(cw4, self.mi_col_end - cc) <= 0 or \
+                       min(ch4, self.mi_row_end - rr) <= 0:
+                        continue
+                    cx = (cc >> self.ssx) * 4
+                    cy = (rr >> self.ssy) * 4
+                    for plane in (1, 2):
+                        for yy in range(0, ph4, T.TX_H4[tx]):
+                            for xx in range(0, pw4, T.TX_W4[tx]):
+                                self._transform_block(plane, cx + xx * 4,
+                                                      cy + yy * 4, tx,
+                                                      r, c)
 
     def _is_inside(self, r, c):
         return (self.mi_row_start <= r < self.mi_row_end
@@ -1882,27 +1900,40 @@ class TileDecoder:
     # -- residual ----------------------------------------------------------
 
     def _residual(self, r, c, bsize, tx_size, has_chroma):
+        # spec 5.11.34 residual(): blocks wider/taller than 64px are
+        # split into 64x64 chunks with the planes interleaved PER CHUNK
+        # (only 128-wide/high blocks have >1 chunk)
         w4 = C.BLOCK_W4[bsize]
         h4 = C.BLOCK_H4[bsize]
-        for plane in range(self.num_planes if has_chroma else 1):
-            if plane == 0:
-                tx = tx_size
-                px = c * 4
-                py = r * 4
-                pw4 = min(w4, self.mi_col_end - c)
-                ph4 = min(h4, self.mi_row_end - r)
-            else:
-                tx = self._uv_tx_size(bsize)
-                px = (c >> self.ssx) * 4
-                py = (r >> self.ssy) * 4
-                pw4 = max(1, min(w4, self.mi_col_end - c) >> self.ssx)
-                ph4 = max(1, min(h4, self.mi_row_end - r) >> self.ssy)
-            step_x = T.TX_W4[tx]
-            step_y = T.TX_H4[tx]
-            for yy in range(0, ph4, step_y):
-                for xx in range(0, pw4, step_x):
-                    self._transform_block(plane, px + xx * 4, py + yy * 4,
-                                          tx, r, c)
+        for cy4 in range(0, h4, 16):
+            for cx4 in range(0, w4, 16):
+                cw4_full = min(16, w4 - cx4)
+                ch4_full = min(16, h4 - cy4)
+                rr = r + cy4
+                cc = c + cx4
+                for plane in range(self.num_planes if has_chroma else 1):
+                    if plane == 0:
+                        tx = tx_size
+                        px = cc * 4
+                        py = rr * 4
+                        pw4 = min(cw4_full, self.mi_col_end - cc)
+                        ph4 = min(ch4_full, self.mi_row_end - rr)
+                    else:
+                        tx = self._uv_tx_size(bsize)
+                        px = (cc >> self.ssx) * 4
+                        py = (rr >> self.ssy) * 4
+                        pw4 = max(1, min(cw4_full, self.mi_col_end - cc)
+                                  >> self.ssx)
+                        ph4 = max(1, min(ch4_full, self.mi_row_end - rr)
+                                  >> self.ssy)
+                    if pw4 <= 0 or ph4 <= 0:
+                        continue
+                    step_x = T.TX_W4[tx]
+                    step_y = T.TX_H4[tx]
+                    for yy in range(0, ph4, step_y):
+                        for xx in range(0, pw4, step_x):
+                            self._transform_block(plane, px + xx * 4,
+                                                  py + yy * 4, tx, r, c)
 
     def _uv_tx_size(self, bsize) -> int:
         # chroma: max rect tx of the subsampled block size, clamped to
