@@ -655,24 +655,26 @@ static void residual_add(Recon *rc, const int32_t *b) {
     int64_t mx = (1 << rc->rp->bitdepth) - 1;
     int64_t tx_off = b[BLK_TXOFF];
     int n_tx = b[BLK_NTX];
+    int32_t mx32 = (int32_t)mx;
     for (int64_t k = tx_off; k < tx_off + n_tx; k++) {
         const int32_t *rec = o->txs + k * 8;
         int plane = rec[0], x = rec[1], y = rec[2];
         int tsz = rec[3], ttyp = rec[4];
-        int64_t res[64 * 64];
+        int32_t res[64 * 64];
         if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
         else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth, res);
         int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
         int32_t *buf = rc->planes[plane];
         int pw = rc->pw[plane], ph = rc->ph[plane];
         int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
-        for (int r = 0; r < h; r++)
+        for (int r = 0; r < h; r++) {
+            int32_t *restrict row = buf + (int64_t)(y + r) * pw + x;
+            const int32_t *restrict rr_ = res + r * fw;
             for (int c = 0; c < w; c++) {
-                int64_t v = buf[(y + r) * pw + (x + c)]
-                            + res[r * fw + c];
-                buf[(y + r) * pw + (x + c)] =
-                    (int32_t)(v < 0 ? 0 : (v > mx ? mx : v));
+                int32_t v = row[c] + rr_[c];
+                row[c] = v < 0 ? 0 : (v > mx32 ? mx32 : v);
             }
+        }
     }
 }
 

@@ -72,7 +72,7 @@ static void wht4_1d(int64_t *v) {
     v[0] = a; v[1] = b; v[2] = c_; v[3] = d;
 }
 
-static void itx_wht4(const int32_t *coeffs, int64_t *out) {
+static void itx_wht4(const int32_t *coeffs, int32_t *out) {
     int64_t t[4][4];
     for (int i = 0; i < 4; i++) {
         int64_t v[4] = {coeffs[i * 4 + 0] >> 2, coeffs[i * 4 + 1] >> 2,
@@ -83,12 +83,12 @@ static void itx_wht4(const int32_t *coeffs, int64_t *out) {
     for (int j = 0; j < 4; j++) {
         int64_t v[4] = {t[0][j], t[1][j], t[2][j], t[3][j]};
         wht4_1d(v);
-        for (int i = 0; i < 4; i++) out[i * 4 + j] = v[i];
+        for (int i = 0; i < 4; i++) out[i * 4 + j] = (int32_t)v[i];
     }
 }
 
 static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
-                   int bitdepth, int64_t *out /* h*w */) {
+                   int bitdepth, int32_t *out /* h*w */) {
     int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
     int adj = av1_adj_tx[tx_size];
     int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
@@ -138,7 +138,8 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
     for (int j = 0; j < w; j++) {
         for (int i = 0; i < h; i++) vec[i] = buf[i * w + j];
         itx_1d(vkind, vec, h, mn, mx);
-        for (int i = 0; i < h; i++) out[i * w + j] = (vec[i] + 8) >> 4;
+        for (int i = 0; i < h; i++)
+            out[i * w + j] = (int32_t)((vec[i] + 8) >> 4);
     }
 }
 
@@ -633,7 +634,7 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
             }
     }
     if (coef_or_null != NULL) {
-        int64_t res[64 * 64];
+        int32_t res[64 * 64];
         double tx0 = rc_now();
         if (lossless) itx_wht4(coef_or_null, res);
         else itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
@@ -688,10 +689,38 @@ static void recon_block(Recon *rc, const int32_t *b) {
 
     int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
     int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
+    /* O(1) tx-record lookup: index records by (plane, 4x4-rel pos)
+     * instead of a linear scan per tx (quadratic on 128px blocks) */
+    int32_t txmap[3][32 * 32];
+    int base4[3];
+    base4[0] = bc;
+    base4[1] = base4[2] = (bc >> rp->ssx);
+    int basey4[3];
+    basey4[0] = br;
+    basey4[1] = basey4[2] = (br >> rp->ssy);
+    for (int pl = 0; pl < 3; pl++)
+        for (int i = 0; i < 32 * 32; i++) txmap[pl][i] = -1;
+    for (int64_t k = tx_off; k < tx_off + n_tx; k++) {
+        const int32_t *rec = o->txs + k * 8;
+        int pl = rec[0];
+        int rx = (rec[1] >> 2) - base4[pl];
+        int ry = (rec[2] >> 2) - basey4[pl];
+        if (pl < 3 && rx >= 0 && rx < 32 && ry >= 0 && ry < 32)
+            txmap[pl][ry * 32 + rx] = (int32_t)(k - tx_off);
+    }
+#define TXFIND(pl, px_, py_) \
+    ((((px_) >> 2) - base4[pl] >= 0 && ((px_) >> 2) - base4[pl] < 32 && \
+      ((py_) >> 2) - basey4[pl] >= 0 && \
+      ((py_) >> 2) - basey4[pl] < 32 && \
+      txmap[pl][(((py_) >> 2) - basey4[pl]) * 32 + \
+                (((px_) >> 2) - base4[pl])] >= 0) \
+         ? tx_off + txmap[pl][(((py_) >> 2) - basey4[pl]) * 32 + \
+                              (((px_) >> 2) - base4[pl])] \
+         : -1)
     for (int yy = 0; yy < lim_h; yy += sh)
         for (int xx = 0; xx < lim_w; xx += sw) {
             int x = (bc + xx) * 4, y = (br + yy) * 4;
-            int64_t k = find_tx(o, tx_off, n_tx, 0, x, y);
+            int64_t k = TXFIND(0, x, y);
             recon_tx(rc, br, bc, 0, x, y, tx_size, y_mode, angle_y,
                      k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
                      k >= 0 ? o->txs[k * 8 + 4] : 0, NULL, 0, 0, 0,
@@ -715,7 +744,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
             for (int xx = 0; xx < cb4; xx += csw)
                 for (int plane = 1; plane < rp->num_planes; plane++) {
                     int x = cx + xx * 4, y = cy + yy * 4;
-                    int64_t k = find_tx(o, tx_off, n_tx, plane, x, y);
+                    int64_t k = TXFIND(plane, x, y);
                     recon_tx(rc, br, bc, plane, x, y, uv_tx, mode,
                              angle_uv,
                              k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
@@ -725,6 +754,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
                              pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0);
                 }
     }
+#undef TXFIND
     av1_stage_times[6] += rc_now() - ti0;
 }
 

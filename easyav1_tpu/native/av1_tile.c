@@ -382,23 +382,27 @@ static int coeff_base_eob_ctx(int ci, int tw, int th) {
     return 3;
 }
 
-static int coeff_base_ctx(const int32_t *levels, int pos, int bwl, int th,
-                          int cls, const int8_t *base_offsets) {
+/* coefficient neighbour contexts over a PADDED uint8 level map:
+ * stride = tx_width + 4 with >=2 zero rows/cols of slack below/right,
+ * so no bounds checks are needed (dav1d's levels layout) */
+static inline int coeff_base_ctx(const uint8_t *lvl, int pos, int bwl,
+                                 int stride, int cls,
+                                 const int8_t *base_offsets) {
     int w = 1 << bwl;
     int row = pos >> bwl;
     int col = pos & (w - 1);
-    static const int8_t NB2D[5][2] = {{0,1},{1,0},{1,1},{0,2},{2,0}};
-    static const int8_t NBH[5][2] = {{0,1},{1,0},{0,2},{0,3},{0,4}};
-    static const int8_t NBV[5][2] = {{0,1},{1,0},{2,0},{3,0},{4,0}};
-    const int8_t (*nbrs)[2] = cls == 0 ? NB2D : (cls == 1 ? NBH : NBV);
-    int mag = 0;
-    for (int k = 0; k < 5; k++) {
-        int rr = row + nbrs[k][0], cc = col + nbrs[k][1];
-        if (rr < th && cc < w) {
-            int v = levels[(rr << bwl) + cc];
-            mag += v < 3 ? v : 3;
-        }
-    }
+    const uint8_t *p = lvl + row * stride + col;
+    int mag;
+    if (cls == 0)
+        mag = imin(p[1], 3) + imin(p[stride], 3) + imin(p[stride + 1], 3)
+              + imin(p[2], 3) + imin(p[2 * stride], 3);
+    else if (cls == 1)
+        mag = imin(p[1], 3) + imin(p[stride], 3) + imin(p[2], 3)
+              + imin(p[3], 3) + imin(p[4], 3);
+    else
+        mag = imin(p[1], 3) + imin(p[stride], 3)
+              + imin(p[2 * stride], 3) + imin(p[3 * stride], 3)
+              + imin(p[4 * stride], 3);
     int ctx = imin((mag + 1) >> 1, 4);
     if (cls == 0) {
         if (pos == 0) return 0;
@@ -408,23 +412,21 @@ static int coeff_base_ctx(const int32_t *levels, int pos, int bwl, int th,
     return ctx + 26 + imin(major, 2) * 5;
 }
 
-static int coeff_br_ctx(const int32_t *levels, int pos, int bwl, int th,
-                        int cls) {
+static inline int coeff_br_ctx(const uint8_t *lvl, int pos, int bwl,
+                               int stride, int cls) {
     int w = 1 << bwl;
     int row = pos >> bwl;
     int col = pos & (w - 1);
-    static const int8_t NB2D[3][2] = {{0,1},{1,0},{1,1}};
-    static const int8_t NBH[3][2] = {{0,1},{1,0},{0,2}};
-    static const int8_t NBV[3][2] = {{0,1},{1,0},{2,0}};
-    const int8_t (*nbrs)[2] = cls == 0 ? NB2D : (cls == 1 ? NBH : NBV);
-    int mag = 0;
-    for (int k = 0; k < 3; k++) {
-        int rr = row + nbrs[k][0], cc = col + nbrs[k][1];
-        if (rr < th && cc < w) {
-            int v = levels[(rr << bwl) + cc];
-            mag += v < 15 ? v : 15;
-        }
-    }
+    const uint8_t *p = lvl + row * stride + col;
+    int mag;
+    if (cls == 0)
+        mag = imin(p[1], 15) + imin(p[stride], 15)
+              + imin(p[stride + 1], 15);
+    else if (cls == 1)
+        mag = imin(p[1], 15) + imin(p[stride], 15) + imin(p[2], 15);
+    else
+        mag = imin(p[1], 15) + imin(p[stride], 15)
+              + imin(p[2 * stride], 15);
     mag = imin((mag + 1) >> 1, 6);
     if (pos == 0) return mag;
     if (cls == 0) {
@@ -691,8 +693,13 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     int eob = read_eob(t, tx_size, ptype, cls);
 
     int bwl = floor_log2((uint32_t)tw);
-    int32_t levels[32 * 32];
-    memset(levels, 0, sizeof(int32_t) * (size_t)(tw * th));
+    int stride = tw + 4;
+    /* clamped uint8 level map with 4 rows/cols of zero slack so the
+     * neighbour context reads need no bounds checks; the exact levels
+     * go into lvl_exact for the dequant pass */
+    uint8_t lvl[(32 + 4) * (32 + 4)];
+    memset(lvl, 0, (size_t)stride * (th + 4));
+    int32_t lvl_exact[32 * 32];
     const int8_t *base_offsets = av1_base_ctx_offsets[tx_size];
 
     for (int ci = eob - 1; ci >= 0; ci--) {
@@ -704,13 +711,13 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
                                 t->cdf.coeff_base_eob[tx_ctx][ptype][c2],
                                 3) + 1;
         } else {
-            int bctx = coeff_base_ctx(levels, pos, bwl, th, cls,
+            int bctx = coeff_base_ctx(lvl, pos, bwl, stride, cls,
                                       base_offsets);
             level = msac_symbol(&t->msac,
                                 t->cdf.coeff_base[tx_ctx][ptype][bctx], 4);
         }
         if (level > 2) {
-            int brctx = coeff_br_ctx(levels, pos, bwl, th, cls);
+            int brctx = coeff_br_ctx(lvl, pos, bwl, stride, cls);
             int br_tx = imin(tx_ctx, TX_32X32);
             for (int it = 0; it < 4; it++) {
                 int k = msac_symbol(&t->msac,
@@ -719,7 +726,9 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
                 if (k < 3) break;
             }
         }
-        levels[pos] = level;
+        lvl[(pos >> bwl) * stride + (pos & (tw - 1))] =
+            (uint8_t)(level < 255 ? level : 255);
+        lvl_exact[pos] = level;
     }
 
     /* signs + dequant (spec §7.13.3: dqDenom by square-up size, result
@@ -751,7 +760,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     int culp = 0, dc_cat = 0;
     for (int ci = 0; ci < eob; ci++) {
         int pos = scan[ci];
-        int level = levels[pos];
+        int level = lvl_exact[pos];
         if (level == 0) continue;
         int sign;
         if (pos == 0) {
