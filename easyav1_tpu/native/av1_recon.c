@@ -17,6 +17,7 @@
 
 #include "av1_common.h"
 #include "av1_itx.h"
+#include "av1_itx_vec.h"
 #include "av1_tables.h"
 
 #include <time.h>
@@ -134,7 +135,39 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
             buf[i * w + j] = icl(v, mn, mx);
         }
     }
-    /* column pass along the height, then final shift 4 */
+    /* column pass along the height, then final shift 4.  For bd==8
+       every clamped intermediate fits int32 (see av1_itx_vec.h), so
+       run 8 (or 4) columns per GCC vector — bit-exact with the
+       scalar int64 kernels. */
+    if (bitdepth == 8) {
+        int32_t b32[64 * 64];
+        for (int i = 0; i < h * w; i++) b32[i] = (int32_t)buf[i];
+        int32_t mn32 = (int32_t)mn, mx32 = (int32_t)mx;
+        if (w >= 8) {
+            v8si col[64];
+            v8si vmn = mn32 - (v8si){0}, vmx = mx32 - (v8si){0};
+            for (int j = 0; j < w; j += 8) {
+                for (int i = 0; i < h; i++)
+                    memcpy(&col[i], b32 + i * w + j, sizeof(v8si));
+                itx_1d_v8(vkind, col, h, vmn, vmx);
+                for (int i = 0; i < h; i++) {
+                    v8si o = (col[i] + 8) >> 4;
+                    memcpy(out + i * w + j, &o, sizeof(v8si));
+                }
+            }
+        } else {
+            v4si col[64];
+            v4si vmn = mn32 - (v4si){0}, vmx = mx32 - (v4si){0};
+            for (int i = 0; i < h; i++)
+                memcpy(&col[i], b32 + i * 4, sizeof(v4si));
+            itx_1d_v4(vkind, col, h, vmn, vmx);
+            for (int i = 0; i < h; i++) {
+                v4si o = (col[i] + 8) >> 4;
+                memcpy(out + i * 4, &o, sizeof(v4si));
+            }
+        }
+        return;
+    }
     for (int j = 0; j < w; j++) {
         for (int i = 0; i < h; i++) vec[i] = buf[i * w + j];
         itx_1d(vkind, vec, h, mn, mx);
