@@ -283,6 +283,20 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
         ctypes.c_void_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.av1_save_tmvs.restype = ctypes.c_int
+    lib.av1_save_tmvs.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.av1_project_mvfield.restype = ctypes.c_int
+    lib.av1_project_mvfield.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_void_p]
+    lib.av1_pack8.restype = ctypes.c_int
+    lib.av1_pack8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.av1_film_grain.restype = ctypes.c_int
     lib.av1_film_grain.argtypes = [
         ctypes.POINTER(_FgParams), ctypes.c_int, ctypes.c_int,
@@ -711,7 +725,8 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
 
 
 def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
-                            want_cdf=False, tpl=None, refs=None):
+                            want_cdf=False, tpl=None, refs=None,
+                            want_u16=False):
     """Full native frame path: tile decode + recon + loop filter + CDEF
     in C.  Returns (cropped planes, cdf_blob_or_None, mv_grids), or
     None if the native path is unavailable or declines (caller falls
@@ -795,11 +810,27 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         _device_postfilter(seq, hdr, out, bufs, aligned, rp)
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+    if want_u16 and seq.color.bitdepth == 8:
+        # one C pass fills the u8 display plane and the u16 ref plane
+        planes = []
+        planes16 = []
+        for src, (pw_, ph_) in zip((py, pu, pv)[:n_pl],
+                                   ((w, h), (cw, ch), (cw, ch))):
+            o8 = np.empty((ph_, pw_), np.uint8)
+            o16 = np.empty((ph_, pw_), np.uint16)
+            lib.av1_pack8(_vp(src), src.shape[1], pw_, ph_, _vp(o8),
+                          _vp(o16))
+            planes.append(o8)
+            planes16.append(o16)
+        return planes, blob, mv_grids, planes16
     dt = np.uint8 if seq.color.bitdepth == 8 else np.uint16
     planes = [py[:h, :w].astype(dt)]
     if n_pl > 1:
         planes.append(pu[:ch, :cw].astype(dt))
         planes.append(pv[:ch, :cw].astype(dt))
+    if want_u16:
+        return planes, blob, mv_grids, \
+            [np.ascontiguousarray(p, np.uint16) for p in planes]
     return planes, blob, mv_grids
 
 

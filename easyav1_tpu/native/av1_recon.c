@@ -1089,3 +1089,117 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     av1_stage_times[3] += t4 - t3;     /* cdef->out (superres + lr) */
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* temporal-mv helpers (mfmv.py save_tmvs / setup_motion_field inner
+ * loops; libaom av1_copy_frame_mvs / av1_setup_motion_field) — called
+ * from Python with the orchestration (ref selection, order-hint math)
+ * staying in mfmv.py */
+
+static const int16_t MF_DIV_MULT[32] = {
+    0, 16384, 8192, 5461, 4096, 3276, 2730, 2340, 2048, 1820, 1638,
+    1489, 1365, 1260, 1170, 1092, 1024, 963, 910, 862, 819, 780, 744,
+    712, 682, 655, 630, 606, 585, 564, 546, 528};
+
+#define MF_LIMIT ((1 << 12) - 1)
+#define MF_MAXD 31
+
+int av1_save_tmvs(int mi_rows, int mi_cols, const int8_t *side /*[9]*/,
+                  const int8_t *ref0_grid, const int8_t *ref1_grid,
+                  const int16_t *mvs_grid /*(rows,cols,2,2)*/,
+                  int8_t *ref8_out, int16_t *mv8_out) {
+    int h8 = (mi_rows + 1) >> 1, w8 = (mi_cols + 1) >> 1;
+    for (int r = 0; r < h8; r++) {
+        int rr = 2 * r + 1 < mi_rows ? 2 * r + 1 : mi_rows - 1;
+        for (int c = 0; c < w8; c++) {
+            int cc = 2 * c + 1 < mi_cols ? 2 * c + 1 : mi_cols - 1;
+            int64_t gi = (int64_t)rr * mi_cols + cc;
+            const int16_t *mv = mvs_grid + gi * 4;
+            int g0 = ref0_grid[gi], g1 = ref1_grid[gi];
+            int ref = -1;       /* NONE_FRAME */
+            int16_t m0 = 0, m1 = 0;
+            if (g0 > 0 && g0 <= 8 && side[g0] == 0
+                && mv[0] <= MF_LIMIT && mv[0] >= -MF_LIMIT
+                && mv[1] <= MF_LIMIT && mv[1] >= -MF_LIMIT) {
+                ref = g0; m0 = mv[0]; m1 = mv[1];
+            }
+            if (g1 > 0 && g1 <= 8 && side[g1] == 0
+                && mv[2] <= MF_LIMIT && mv[2] >= -MF_LIMIT
+                && mv[3] <= MF_LIMIT && mv[3] >= -MF_LIMIT) {
+                ref = g1; m0 = mv[2]; m1 = mv[3];
+            }
+            ref8_out[r * w8 + c] = (int8_t)ref;
+            mv8_out[(r * w8 + c) * 2] = m0;
+            mv8_out[(r * w8 + c) * 2 + 1] = m1;
+        }
+    }
+    return 0;
+}
+
+int av1_project_mvfield(int mi_rows, int mi_cols,
+                        const int8_t *ref8, const int16_t *mv8,
+                        const int32_t *ref_off /*[9]*/,
+                        int start_to_cur, int dir2,
+                        int16_t *tpl_mv, int8_t *tpl_off) {
+    int h8 = (mi_rows + 1) >> 1, w8 = (mi_cols + 1) >> 1;
+    if (start_to_cur > MF_MAXD || start_to_cur < -MF_MAXD)
+        ;  /* num clamps below match the numpy path */
+    int num = start_to_cur;
+    if (num > MF_MAXD) num = MF_MAXD;
+    if (num < -MF_MAXD) num = -MF_MAXD;
+    int s2c_ok = start_to_cur <= MF_MAXD && start_to_cur >= -MF_MAXD;
+    int row_lim = mi_rows >> 1, col_lim = mi_cols >> 1;
+    for (int y = 0; y < h8; y++) {
+        int base_y = (y >> 3) << 3;
+        for (int x = 0; x < w8; x++) {
+            int64_t i = (int64_t)y * w8 + x;
+            int sr = ref8[i];
+            if (sr <= 0 || sr > 8) continue;
+            int off = ref_off[sr];
+            if (off <= 0 || off > MF_MAXD || !s2c_ok) continue;
+            int den = off;  /* <= MF_MAXD already */
+            int64_t dm = MF_DIV_MULT[den];
+            int fr = mv8[i * 2], fc = mv8[i * 2 + 1];
+            int64_t tr = (int64_t)fr * num * dm;
+            int64_t tc = (int64_t)fc * num * dm;
+            int lim = (1 << 14) - 1;
+            int pr = tr >= 0 ? (int)((tr + 8192) >> 14)
+                             : -(int)((-tr + 8192) >> 14);
+            int pc = tc >= 0 ? (int)((tc + 8192) >> 14)
+                             : -(int)((-tc + 8192) >> 14);
+            pr = pr < -lim ? -lim : (pr > lim ? lim : pr);
+            pc = pc < -lim ? -lim : (pc > lim ? lim : pc);
+            int roff = pr >= 0 ? pr >> 6 : -((-pr) >> 6);
+            int coff = pc >= 0 ? pc >> 6 : -((-pc) >> 6);
+            int row = dir2 ? y - roff : y + roff;
+            int col = dir2 ? x - coff : x + coff;
+            if (row < 0 || row >= row_lim || col < 0 || col >= col_lim)
+                continue;
+            int base_x = (x >> 3) << 3;
+            if (row < base_y || row >= base_y + 8
+                || col < base_x - 8 || col >= base_x + 16)
+                continue;
+            int64_t t = (int64_t)row * w8 + col;
+            tpl_mv[t * 2] = (int16_t)fr;
+            tpl_mv[t * 2 + 1] = (int16_t)fc;
+            tpl_off[t] = (int8_t)off;
+        }
+    }
+    return 0;
+}
+
+/* int32 plane -> u8 display copy + u16 reference copy in one pass */
+int av1_pack8(const int32_t *p, int stride, int w, int h,
+              uint8_t *out8, uint16_t *out16) {
+    for (int r = 0; r < h; r++) {
+        const int32_t *row = p + (int64_t)r * stride;
+        uint8_t *o8 = out8 + (int64_t)r * w;
+        uint16_t *o16 = out16 + (int64_t)r * w;
+        for (int c = 0; c < w; c++) {
+            int32_t v = row[c];
+            o8[c] = (uint8_t)v;
+            o16[c] = (uint16_t)v;
+        }
+    }
+    return 0;
+}

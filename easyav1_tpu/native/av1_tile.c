@@ -1648,7 +1648,19 @@ static void decode_partition(Ctx *t, int r, int c, int bsize) {
 
 /* ------------------------------------------------------------------ */
 
-int av1_decode_tile(const TileParams *p, const FrameParams *fp,
+#include <time.h>
+double av1_tile_time;
+static double tile_now(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+double av1_get_tile_time(void) {
+    double v = av1_tile_time;
+    av1_tile_time = 0.0;
+    return v;
+}
+static int av1_decode_tile_impl(const TileParams *p, const FrameParams *fp,
                     const uint8_t *data, int64_t size, TileOut *o) {
     Ctx t;
     memset(&t, 0, sizeof(t));
@@ -1741,3 +1753,12 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
 /* packed CdfState blob size (Python asserts == cdf_layout.CDF_BLOB_BYTES,
    guarding struct-layout drift between the two sides) */
 int av1_cdf_blob_size(void) { return CDF_BLOB_SIZE; }
+
+
+int av1_decode_tile(const TileParams *p, const FrameParams *fp,
+                    const uint8_t *data, int64_t size, TileOut *o) {
+    double t0 = tile_now();
+    int rc = av1_decode_tile_impl(p, fp, data, size, o);
+    av1_tile_time += tile_now() - t0;
+    return rc;
+}

@@ -165,11 +165,15 @@ class AV1Backend:
         out_blob: Optional[bytes] = None
         planes = None
         nat_grids = None
+        planes16 = None
         res = native.decode_and_recon_native(
             seq, hdr, tiles, cdf_in=init_blob, want_cdf=want_cdf,
-            tpl=tpl, refs=self._ref_u16)
+            tpl=tpl, refs=self._ref_u16, want_u16=True)
         if res is not None:
-            planes, out_blob, nat_grids = res
+            if len(res) == 4:
+                planes, out_blob, nat_grids, planes16 = res
+            else:
+                planes, out_blob, nat_grids = res
         if planes is None:
             nres = native.decode_frame_native(
                 seq, hdr, plan, tiles, cdf_in=init_blob,
@@ -242,7 +246,8 @@ class AV1Backend:
                              plan.mvs_grid)
         self.hp.update_refs(hdr)
         if hdr.refresh_frame_flags:
-            u16 = [np.ascontiguousarray(p, np.uint16) for p in planes]
+            u16 = (planes16 if planes16 is not None else
+                   [np.ascontiguousarray(p, np.uint16) for p in planes])
         for i in range(C.NUM_REF_FRAMES):
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame

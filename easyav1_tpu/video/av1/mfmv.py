@@ -66,6 +66,20 @@ def save_tmvs(hdr, ref0_grid, ref1_grid, mvs_grid):
             side[ref] = 1
         elif hints[ref] == cur:
             side[ref] = -1
+    import easyav1_tpu.native as _nat
+    _lib = _nat._load() if _nat.available() else None
+    if _lib is not None and ref0_grid.dtype == np.int8 \
+            and mvs_grid.dtype == np.int16:
+        from easyav1_tpu.native import _vp
+        ref8 = np.empty((h8, w8), np.int8)
+        mv8 = np.empty((h8, w8, 2), np.int16)
+        r0 = np.ascontiguousarray(ref0_grid)
+        r1 = np.ascontiguousarray(ref1_grid)
+        mg = np.ascontiguousarray(mvs_grid)
+        sd = np.ascontiguousarray(side)
+        _lib.av1_save_tmvs(mi_rows, mi_cols, _vp(sd), _vp(r0), _vp(r1),
+                           _vp(mg), _vp(ref8), _vp(mv8))
+        return ref8, mv8
     r_idx = np.minimum(2 * np.arange(h8) + 1, mi_rows - 1)
     c_idx = np.minimum(2 * np.arange(w8) + 1, mi_cols - 1)
     g0 = ref0_grid[r_idx][:, c_idx].astype(np.int32)
@@ -125,6 +139,19 @@ def setup_motion_field(hdr, seq, slot_states, slot_tmvs):
         if dir2:
             start_to_cur = -start_to_cur
         ref8, mv8 = tm
+        import easyav1_tpu.native as _nat
+        _lib = _nat._load() if _nat.available() else None
+        if _lib is not None and ref8.dtype == np.int8 \
+                and mv8.dtype == np.int16:
+            from easyav1_tpu.native import _vp
+            ro = np.ascontiguousarray(ref_off, np.int32)
+            r8c = np.ascontiguousarray(ref8)
+            m8c = np.ascontiguousarray(mv8)
+            _lib.av1_project_mvfield(mi_rows, mi_cols, _vp(r8c),
+                                     _vp(m8c), _vp(ro),
+                                     int(start_to_cur), int(bool(dir2)),
+                                     _vp(tpl_mv), _vp(tpl_off))
+            return 1
         # vectorized projection (mv_projection + get_block_position)
         srcref = ref8.astype(np.int32)
         off = ref_off[np.clip(srcref, 0, 8)]
