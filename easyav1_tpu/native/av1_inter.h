@@ -374,8 +374,11 @@ static int add_tpl(Ctx *t, MvStack *st, int r, int c, int br, int bc,
 /* refmvs.py _temporal_scan */
 static void temporal_scan(Ctx *t, MvStack *st, int r, int c, int bsize,
                           const int *rf, int is_compound) {
-    int bw4 = imin(av1_block_w4[bsize], t->p->col_end - c);
-    int bh4 = imin(av1_block_h4[bsize], t->p->row_end - r);
+    /* spec 7.10.2: the temporal scan covers at most 16 units (64px)
+     * in each direction — 128px blocks do NOT scan their lower/right
+     * halves */
+    int bw4 = imin(imin(av1_block_w4[bsize], t->p->col_end - c), 16);
+    int bh4 = imin(imin(av1_block_h4[bsize], t->p->row_end - r), 16);
     int step_h = av1_block_h4[bsize] >= 16 ? 4 : 2;
     int step_w = av1_block_w4[bsize] >= 16 ? 4 : 2;
     int found00 = 0;

@@ -1045,13 +1045,19 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
 
     /* cdef idx: one literal per 64x64 unit at the first non-skip block */
     if (!skip && p->enable_cdef && !p->coded_lossless && !p->allow_intrabc) {
+        /* spec read_cdef: ONE literal at the block's anchor 64x64 unit,
+         * copied to every unit the block covers (a 128px block reads a
+         * single cdef_idx, not four) */
         int ucols = (p->mi_cols + 15) / 16;
-        for (int rr = r & ~15; rr < r + full_h4; rr += 16)
-            for (int cc = c & ~15; cc < c + full_w4; cc += 16) {
-                int8_t *cell = &o->cdef_idx[(rr / 16) * ucols + (cc / 16)];
-                if (*cell == -1)
-                    *cell = (int8_t)msac_literal(&t->msac, p->cdef_bits);
-            }
+        int ar = r & ~15, ac = c & ~15;
+        int8_t *anchor = &o->cdef_idx[(ar / 16) * ucols + (ac / 16)];
+        if (*anchor == -1) {
+            int v = msac_literal(&t->msac, p->cdef_bits);
+            for (int rr = ar; rr < r + full_h4; rr += 16)
+                for (int cc = ac; cc < c + full_w4; cc += 16)
+                    o->cdef_idx[(rr / 16) * ucols + (cc / 16)] =
+                        (int8_t)v;
+        }
     }
 
     if (t->read_deltas) read_deltas(t, bsize, skip);

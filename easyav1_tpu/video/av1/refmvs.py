@@ -393,8 +393,10 @@ class RefMvFinder:
 
     def _temporal_scan(self, st, r, c, bsize, ref_frames, is_compound):
         dec = self.dec
-        bw4 = min(C.BLOCK_W4[bsize], dec.mi_col_end - c)
-        bh4 = min(C.BLOCK_H4[bsize], dec.mi_row_end - r)
+        # spec 7.10.2: the temporal scan covers at most 16 units (64px)
+        # per direction — 128px blocks do NOT scan their lower halves
+        bw4 = min(C.BLOCK_W4[bsize], dec.mi_col_end - c, 16)
+        bh4 = min(C.BLOCK_H4[bsize], dec.mi_row_end - r, 16)
         step_h = 4 if C.BLOCK_H4[bsize] >= 16 else 2
         step_w = 4 if C.BLOCK_W4[bsize] >= 16 else 2
         found00 = False

@@ -580,8 +580,9 @@ class TileDecoder:
                 skip_ctx += int(self.l_skip[r])
             skip = msac.decode_symbol(self.cdf["skip"][skip_ctx])
 
-        # cdef index (spec read_cdef): one literal per 64x64 unit, read at
-        # the first non-skip block touching it
+        # cdef index (spec read_cdef): ONE literal at the block's anchor
+        # 64x64 unit, copied to every unit the block covers — a 128px
+        # block reads a single cdef_idx, not four
         hdr = self.hdr
         if (not skip and self.seq.enable_cdef
                 and not hdr.coded_lossless
@@ -589,11 +590,11 @@ class TileDecoder:
             mask = ~15
             r1 = r & mask
             c1 = c & mask
-            for rr in range(r1, r + C.BLOCK_H4[bsize], 16):
-                for cc in range(c1, c + C.BLOCK_W4[bsize], 16):
-                    if self.plan.cdef_idx.get((rr, cc), -1) == -1:
-                        self.plan.cdef_idx[(rr, cc)] = \
-                            msac.decode_literal(hdr.cdef.bits)
+            if self.plan.cdef_idx.get((r1, c1), -1) == -1:
+                v = msac.decode_literal(hdr.cdef.bits)
+                for rr in range(r1, r + C.BLOCK_H4[bsize], 16):
+                    for cc in range(c1, c + C.BLOCK_W4[bsize], 16):
+                        self.plan.cdef_idx[(rr, cc)] = v
 
         # deltas (delta_q / delta_lf) — read at first block of superblock
         if self.read_deltas:
