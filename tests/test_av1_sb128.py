@@ -80,3 +80,18 @@ import pytest
 def test_sb128_odd_size():
     # partial superblocks on both axes
     _roundtrip(500, 380, 3, 100)
+
+
+@pytest.mark.xfail(
+    strict=True,
+    reason="known gap: 1280x720 content=1 inter streams diverge from "
+           "frame 5 (the second frame whose temporal-mv projection "
+           "consumes a projected field built from another projected "
+           "frame).  Evidence: frames 0-4 bit-exact; tpl-driven "
+           "NEARESTMV/NEARMV blocks get slightly different mvs (no "
+           "entropy desync: block geometry stays identical and diffs "
+           "grow gradually, 14 -> 170).  512x512/832x480/1920x1080 "
+           "streams with equally dense tpl fields are bit-exact, so "
+           "the defect is input-specific, not generic projection.")
+def test_sb128_inter_720p():
+    _roundtrip(1280, 720, 8, 9999)
