@@ -159,7 +159,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                                   + fv[2] * r2[c] + fv[3] * r3[c]
                                   + fv[4] * r4[c] + fv[5] * r5[c]
                                   + fv[6] * r6[c] + fv[7] * r7[c];
-                        o[c] = ((s << 4) + 64) >> 7;
+                        o[c] = ((s * 16) + 64) >> 7;
                     }
                 } else {
                     for (int c = 0; c < w; c++) {
@@ -167,7 +167,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                                   + fv[2] * r2[c] + fv[3] * r3[c]
                                   + fv[4] * r4[c] + fv[5] * r5[c]
                                   + fv[6] * r6[c] + fv[7] * r7[c];
-                        int32_t v = ((s << 4) + 1024) >> 11;
+                        int32_t v = ((s * 16) + 1024) >> 11;
                         o[c] = v < 0 ? 0 : (v > mx ? mx : v);
                     }
                 }
@@ -179,9 +179,9 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                     for (int t = 0; t < 8; t++)
                         s += fv[t] * rows[r + t][sx];
                     if (comp) {
-                        o[c] = ((s << 4) + 64) >> 7;
+                        o[c] = ((s * 16) + 64) >> 7;
                     } else {
-                        int32_t v = ((s << 4) + 1024) >> 11;
+                        int32_t v = ((s * 16) + 1024) >> 11;
                         o[c] = v < 0 ? 0 : (v > mx ? mx : v);
                     }
                 }
