@@ -84,14 +84,15 @@ def test_sb128_odd_size():
 
 @pytest.mark.xfail(
     strict=True,
-    reason="known gap: 1280x720 content=1 inter streams diverge from "
-           "frame 5 (the second frame whose temporal-mv projection "
-           "consumes a projected field built from another projected "
-           "frame).  Evidence: frames 0-4 bit-exact; tpl-driven "
-           "NEARESTMV/NEARMV blocks get slightly different mvs (no "
-           "entropy desync: block geometry stays identical and diffs "
-           "grow gradually, 14 -> 170).  512x512/832x480/1920x1080 "
-           "streams with equally dense tpl fields are bit-exact, so "
-           "the defect is input-specific, not generic projection.")
+    reason="known gap in temporal-mv handling: this 1280x720 content=1 "
+           "inter stream diverges from frame 5 via slightly different "
+           "tpl-driven mv candidates (no entropy desync; diffs grow "
+           "gradually 14 -> 170).  CONFIRMED subsystem: re-encoding "
+           "with enable-ref-frame-mvs=0 decodes all frames bit-exact, "
+           "while obmc/warp/global-motion toggles do not help.  "
+           "512x512/832x480/1920x1080 streams with equally dense tpl "
+           "fields (30k+ nonzero cells) are bit-exact, so the defect "
+           "is a narrow case of projection/candidate semantics, not "
+           "the main path.")
 def test_sb128_inter_720p():
     _roundtrip(1280, 720, 8, 9999)
