@@ -88,8 +88,105 @@ static void itx_wht4(const int32_t *coeffs, int32_t *out) {
     }
 }
 
+/* bd==8 full-int32 path: both 1-D passes run 8 lanes per GCC vector
+ * (rows via a transposed slab for the row pass, columns directly);
+ * bit-exact with the scalar int64 kernels — see av1_itx_vec.h. */
+static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
+                     int32_t *out /* h*w */) {
+    int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
+    int adj = av1_adj_tx[tx_size];
+    int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
+    int32_t mn32 = -(1 << 15), mx32 = (1 << 15) - 1;
+    int vkind = TX_1D[tx_type][0], hkind = TX_1D[tx_type][1];
+
+    int32_t b32[64 * 64];
+    memset(b32, 0, sizeof(int32_t) * (size_t)(w * h));
+    for (int i = 0; i < ah; i++)
+        for (int j = 0; j < aw; j++)
+            b32[i * w + j] = coeffs[i * aw + j];
+    int lw = 0, lh = 0;
+    for (int v = w; v > 1; v >>= 1) lw++;
+    for (int v = h; v > 1; v >>= 1) lh++;
+    if ((lw > lh ? lw - lh : lh - lw) == 1)
+        for (int i = 0; i < w * h; i++)
+            b32[i] = (b32[i] * 2896 + 2048) >> 12;
+    int nzh = ah < h ? ah : h;
+    while (nzh > 0) {
+        const int32_t *row = b32 + (nzh - 1) * w;
+        int any = 0;
+        for (int j = 0; j < w; j++)
+            if (row[j]) { any = 1; break; }
+        if (any) break;
+        nzh--;
+    }
+    int shift = ROW_SHIFT[tx_size];
+    int rnd = (1 << shift) >> 1;
+    v8si vmn = mn32 - (v8si){0}, vmx = mx32 - (v8si){0};
+    if (nzh >= 8 && w >= 16) {
+        /* row pass on transposed 8-row slabs (the transpose overhead
+         * only pays off once the kernel work per slab is large) */
+        for (int i0 = 0; i0 < nzh; i0 += 8) {
+            int nr = nzh - i0 < 8 ? nzh - i0 : 8;
+            v8si tb[64];
+            for (int j = 0; j < w; j++) {
+                int32_t tmp[8] = {0};
+                for (int r = 0; r < nr; r++)
+                    tmp[r] = b32[(i0 + r) * w + j];
+                memcpy(&tb[j], tmp, sizeof(tmp));
+            }
+            itx_1d_v8(hkind, tb, w, vmn, vmx);
+            for (int j = 0; j < w; j++) {
+                v8si v = (tb[j] + rnd) >> shift;
+                v = vicl_v8(v, vmn, vmx);
+                int32_t tmp[8];
+                memcpy(tmp, &v, sizeof(tmp));
+                for (int r = 0; r < nr; r++)
+                    b32[(i0 + r) * w + j] = tmp[r];
+            }
+        }
+    } else {
+        int64_t vec[64];
+        int64_t mn = -(int64_t)(1 << 15), mx = (1 << 15) - 1;
+        for (int i = 0; i < nzh; i++) {
+            for (int j = 0; j < w; j++) vec[j] = b32[i * w + j];
+            itx_1d(hkind, vec, w, mn, mx);
+            for (int j = 0; j < w; j++) {
+                int64_t v = (vec[j] + rnd) >> shift;
+                b32[i * w + j] = (int32_t)icl(v, mn, mx);
+            }
+        }
+    }
+    /* column pass */
+    if (w >= 8) {
+        v8si col[64];
+        for (int j = 0; j < w; j += 8) {
+            for (int i = 0; i < h; i++)
+                memcpy(&col[i], b32 + i * w + j, sizeof(v8si));
+            itx_1d_v8(vkind, col, h, vmn, vmx);
+            for (int i = 0; i < h; i++) {
+                v8si o = (col[i] + 8) >> 4;
+                memcpy(out + i * w + j, &o, sizeof(v8si));
+            }
+        }
+    } else {
+        v4si col[64];
+        v4si vmn4 = mn32 - (v4si){0}, vmx4 = mx32 - (v4si){0};
+        for (int i = 0; i < h; i++)
+            memcpy(&col[i], b32 + i * 4, sizeof(v4si));
+        itx_1d_v4(vkind, col, h, vmn4, vmx4);
+        for (int i = 0; i < h; i++) {
+            v4si o = (col[i] + 8) >> 4;
+            memcpy(out + i * 4, &o, sizeof(v4si));
+        }
+    }
+}
+
 static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
                    int bitdepth, int32_t *out /* h*w */) {
+    if (bitdepth == 8) {
+        itx_2d_v(coeffs, tx_size, tx_type, out);
+        return;
+    }
     int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
     int adj = av1_adj_tx[tx_size];
     int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
@@ -135,39 +232,7 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
             buf[i * w + j] = icl(v, mn, mx);
         }
     }
-    /* column pass along the height, then final shift 4.  For bd==8
-       every clamped intermediate fits int32 (see av1_itx_vec.h), so
-       run 8 (or 4) columns per GCC vector — bit-exact with the
-       scalar int64 kernels. */
-    if (bitdepth == 8) {
-        int32_t b32[64 * 64];
-        for (int i = 0; i < h * w; i++) b32[i] = (int32_t)buf[i];
-        int32_t mn32 = (int32_t)mn, mx32 = (int32_t)mx;
-        if (w >= 8) {
-            v8si col[64];
-            v8si vmn = mn32 - (v8si){0}, vmx = mx32 - (v8si){0};
-            for (int j = 0; j < w; j += 8) {
-                for (int i = 0; i < h; i++)
-                    memcpy(&col[i], b32 + i * w + j, sizeof(v8si));
-                itx_1d_v8(vkind, col, h, vmn, vmx);
-                for (int i = 0; i < h; i++) {
-                    v8si o = (col[i] + 8) >> 4;
-                    memcpy(out + i * w + j, &o, sizeof(v8si));
-                }
-            }
-        } else {
-            v4si col[64];
-            v4si vmn = mn32 - (v4si){0}, vmx = mx32 - (v4si){0};
-            for (int i = 0; i < h; i++)
-                memcpy(&col[i], b32 + i * 4, sizeof(v4si));
-            itx_1d_v4(vkind, col, h, vmn, vmx);
-            for (int i = 0; i < h; i++) {
-                v4si o = (col[i] + 8) >> 4;
-                memcpy(out + i * 4, &o, sizeof(v4si));
-            }
-        }
-        return;
-    }
+    /* column pass along the height, then final shift 4 */
     for (int j = 0; j < w; j++) {
         for (int i = 0; i < h; i++) vec[i] = buf[i * w + j];
         itx_1d(vkind, vec, h, mn, mx);
@@ -191,6 +256,11 @@ typedef struct {
     /* inter reconstruction inputs (NULL for intra-only frames) */
     const FrameParams *fp;
     const RefPlanes *refs;
+    /* per-block tx-record index (generation-tagged so no per-block
+       clearing is needed; see recon_block) */
+    int32_t txmap_idx[3][32 * 32];
+    int32_t txmap_gen[3][32 * 32];
+    int32_t txgen;
 } Recon;
 
 static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
@@ -724,31 +794,32 @@ static void recon_block(Recon *rc, const int32_t *b) {
     int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
     /* O(1) tx-record lookup: index records by (plane, 4x4-rel pos)
      * instead of a linear scan per tx (quadratic on 128px blocks) */
-    int32_t txmap[3][32 * 32];
     int base4[3];
     base4[0] = bc;
     base4[1] = base4[2] = (bc >> rp->ssx);
     int basey4[3];
     basey4[0] = br;
     basey4[1] = basey4[2] = (br >> rp->ssy);
-    for (int pl = 0; pl < 3; pl++)
-        for (int i = 0; i < 32 * 32; i++) txmap[pl][i] = -1;
+    rc->txgen++;
+    int32_t gen = rc->txgen;
     for (int64_t k = tx_off; k < tx_off + n_tx; k++) {
         const int32_t *rec = o->txs + k * 8;
         int pl = rec[0];
         int rx = (rec[1] >> 2) - base4[pl];
         int ry = (rec[2] >> 2) - basey4[pl];
-        if (pl < 3 && rx >= 0 && rx < 32 && ry >= 0 && ry < 32)
-            txmap[pl][ry * 32 + rx] = (int32_t)(k - tx_off);
+        if (pl < 3 && rx >= 0 && rx < 32 && ry >= 0 && ry < 32) {
+            rc->txmap_idx[pl][ry * 32 + rx] = (int32_t)(k - tx_off);
+            rc->txmap_gen[pl][ry * 32 + rx] = gen;
+        }
     }
+#define TXAT(pl, px_, py_) \
+    ((((py_) >> 2) - basey4[pl]) * 32 + (((px_) >> 2) - base4[pl]))
 #define TXFIND(pl, px_, py_) \
     ((((px_) >> 2) - base4[pl] >= 0 && ((px_) >> 2) - base4[pl] < 32 && \
       ((py_) >> 2) - basey4[pl] >= 0 && \
       ((py_) >> 2) - basey4[pl] < 32 && \
-      txmap[pl][(((py_) >> 2) - basey4[pl]) * 32 + \
-                (((px_) >> 2) - base4[pl])] >= 0) \
-         ? tx_off + txmap[pl][(((py_) >> 2) - basey4[pl]) * 32 + \
-                              (((px_) >> 2) - base4[pl])] \
+      rc->txmap_gen[pl][TXAT(pl, px_, py_)] == gen) \
+         ? tx_off + rc->txmap_idx[pl][TXAT(pl, px_, py_)] \
          : -1)
     for (int yy = 0; yy < lim_h; yy += sh)
         for (int xx = 0; xx < lim_w; xx += sw) {
@@ -788,6 +859,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
                 }
     }
 #undef TXFIND
+#undef TXAT
     av1_stage_times[6] += rc_now() - ti0;
 }
 
