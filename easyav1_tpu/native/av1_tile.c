@@ -21,39 +21,24 @@
 /* msac range decoder (spec §8.2; mirror of msac.py)                   */
 
 typedef struct {
-    const uint8_t *data;
-    int64_t size;
-    int64_t bit_pos;
-    int64_t max_bits;
+    /* dav1d-style 64-bit inverted window: the top 16 bits are the
+     * arithmetic-decoder value, lower bits are future bitstream bits
+     * (bits past the buffer end read as spec zero padding) */
+    const uint8_t *buf_pos;
+    const uint8_t *buf_end;
+    uint64_t dif;
+    int cnt;
     uint32_t rng;
-    uint32_t value;
     int allow_update;
 } Msac;
+
+#define MSAC_VAL(s) ((uint32_t)((s)->dif >> 48))
 
 static inline int floor_log2(uint32_t x) {
     return x ? 31 - __builtin_clz(x) : -1;
 }
 
-/* fetch up to 15 bits starting at bit `pos` (bits past the buffer end
- * read as zero) via a 3-byte big-endian word */
-static inline uint32_t read_bits_raw(const Msac *s, int64_t pos, int n) {
-    if (!n) return 0;
-    int64_t byte = pos >> 3;
-    int shift = (int)(pos & 7);
-    uint32_t v;
-    if (byte + 3 <= s->size) {
-        v = ((uint32_t)s->data[byte] << 16)
-            | ((uint32_t)s->data[byte + 1] << 8)
-            | s->data[byte + 2];
-    } else {
-        v = 0;
-        for (int i = 0; i < 3; i++) {
-            uint8_t b = byte + i < s->size ? s->data[byte + i] : 0;
-            v = (v << 8) | b;
-        }
-    }
-    return (v >> (24 - shift - n)) & ((1u << n) - 1);
-}
+
 
 #ifdef __AVX2__
 #include <immintrin.h>
@@ -75,33 +60,40 @@ static void msac_tables_init(void) {
 }
 #endif
 
+static void msac_refill(Msac *s) {
+    int c = 64 - s->cnt - 24;          /* only entered with cnt < 0 */
+    uint64_t dif = s->dif;
+    const uint8_t *p = s->buf_pos;
+    do {
+        if (p < s->buf_end) dif ^= (uint64_t)(*p++) << c;
+        c -= 8;
+    } while (c >= 0);
+    s->dif = dif;
+    s->cnt = 64 - c - 24;
+    s->buf_pos = p;
+}
+
 static void msac_init(Msac *s, const uint8_t *data, int64_t size,
                       int allow_update) {
 #ifdef __AVX2__
     if (!msac_tables_ready) msac_tables_init();
 #endif
-    s->data = data;
-    s->size = size;
-    int num_bits = size * 8 < 15 ? (int)(size * 8) : 15;
-    uint32_t buf = read_bits_raw(s, 0, num_bits);
-    s->bit_pos = num_bits;
-    s->value = ((1u << 15) - 1) ^ (buf << (15 - num_bits));
+    s->buf_pos = data;
+    s->buf_end = data + size;
+    s->dif = ((uint64_t)1 << 63) - 1;
     s->rng = 1u << 15;
-    s->max_bits = size * 8 - 15;
+    s->cnt = -15;
     s->allow_update = allow_update;
+    msac_refill(s);
 }
 
-static void msac_renorm(Msac *s, uint32_t rng, uint32_t value) {
-    int bits = 15 - floor_log2(rng);
-    rng <<= bits;
-    int64_t avail = s->max_bits > 0 ? s->max_bits : 0;
-    int num_bits = bits < avail ? bits : (int)avail;
-    uint32_t new_data = read_bits_raw(s, s->bit_pos, num_bits);
-    s->bit_pos += num_bits;
-    uint32_t padded = new_data << (bits - num_bits);
-    s->value = padded ^ (((value + 1) << bits) - 1);
-    s->max_bits -= bits;
-    s->rng = rng;
+/* renorm: dif already has the chosen interval subtracted */
+static inline void msac_norm(Msac *s, uint64_t dif, uint32_t rng) {
+    int d = 15 ^ (31 ^ __builtin_clz(rng));
+    s->cnt -= d;
+    s->dif = ((dif + 1) << d) - 1;
+    s->rng = rng << d;
+    if (s->cnt < 0) msac_refill(s);
 }
 
 
@@ -124,14 +116,14 @@ static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
         __m128i bias = _mm_set1_epi16((short)0x8000);
         __m128i gt = _mm_cmpgt_epi16(
             _mm_xor_si128(v, bias),
-            _mm_set1_epi16((short)(s->value ^ 0x8000)));
+            _mm_set1_epi16((short)(MSAC_VAL(s) ^ 0x8000)));
         int sym = __builtin_popcount(_mm_movemask_epi8(gt)) >> 1;
         uint16_t va[9];
         va[8] = 0;                    /* terminator lane for n == 9 */
         _mm_storeu_si128((__m128i *)va, v);
         uint32_t cur = va[sym];
         uint32_t prev = sym ? va[sym - 1] : s->rng;
-        uint32_t value = s->value;
+        uint32_t value = MSAC_VAL(s);
         if (s->allow_update) {
             int count = cdf[n];
             int l2 = floor_log2((uint32_t)n);
@@ -152,7 +144,7 @@ static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
                              _mm_add_epi16(cdfv, delta));
             cdf[n] = count + (count < 32);
         }
-        msac_renorm(s, prev - cur, value - cur);
+        msac_norm(s, s->dif - ((uint64_t)cur << 48), prev - cur);
         return sym;
     }
     if (n <= 16) {
@@ -167,14 +159,14 @@ static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
         __m256i bias = _mm256_set1_epi16((short)0x8000);
         __m256i gt = _mm256_cmpgt_epi16(
             _mm256_xor_si256(v, bias),
-            _mm256_set1_epi16((short)(s->value ^ 0x8000)));
+            _mm256_set1_epi16((short)(MSAC_VAL(s) ^ 0x8000)));
         int sym = __builtin_popcount(
                       (unsigned)_mm256_movemask_epi8(gt)) >> 1;
         uint16_t va[16];
         _mm256_storeu_si256((__m256i *)va, v);
         uint32_t cur = va[sym];
         uint32_t prev = sym ? va[sym - 1] : s->rng;
-        uint32_t value = s->value;
+        uint32_t value = MSAC_VAL(s);
         if (s->allow_update) {
             int count = cdf[n];
             int l2 = floor_log2((uint32_t)n);
@@ -198,11 +190,11 @@ static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
                                 _mm256_add_epi16(cdfv, delta));
             cdf[n] = count + (count < 32);
         }
-        msac_renorm(s, prev - cur, value - cur);
+        msac_norm(s, s->dif - ((uint64_t)cur << 48), prev - cur);
         return sym;
     }
 #endif
-    uint32_t rng = s->rng, value = s->value;
+    uint32_t rng = s->rng, value = MSAC_VAL(s);
     uint32_t cur = rng, prev;
     int sym = -1;
     uint32_t r8 = rng >> 8;
@@ -212,7 +204,7 @@ static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
         cur = ((r8 * (cdf[sym] >> EC_PROB_SHIFT)) >> (7 - EC_PROB_SHIFT))
               + EC_MIN_PROB * (n - 1 - sym);
     } while (value < cur);
-    msac_renorm(s, prev - cur, value - cur);
+    msac_norm(s, s->dif - ((uint64_t)cur << 48), prev - cur);
     if (s->allow_update) {
         int count = cdf[n];
         int l2 = floor_log2((uint32_t)n);
@@ -227,19 +219,19 @@ static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
 }
 
 static int msac_bool(Msac *s, uint32_t f) {
-    uint32_t rng = s->rng, value = s->value;
+    uint32_t rng = s->rng, value = MSAC_VAL(s);
     uint32_t cur = ((rng >> 8) * (f >> EC_PROB_SHIFT) >> (7 - EC_PROB_SHIFT))
                    + EC_MIN_PROB;
-    if (value >= cur) { msac_renorm(s, rng - cur, value - cur); return 0; }
-    msac_renorm(s, cur, value);
+    if (value >= cur) { msac_norm(s, s->dif - ((uint64_t)cur << 48), rng - cur); return 0; }
+    msac_norm(s, s->dif, cur);
     return 1;
 }
 
 static int msac_bool_equi(Msac *s) {
-    uint32_t rng = s->rng, value = s->value;
+    uint32_t rng = s->rng, value = MSAC_VAL(s);
     uint32_t cur = ((rng >> 8) << 7) + EC_MIN_PROB;
-    if (value >= cur) { msac_renorm(s, rng - cur, value - cur); return 0; }
-    msac_renorm(s, cur, value);
+    if (value >= cur) { msac_norm(s, s->dif - ((uint64_t)cur << 48), rng - cur); return 0; }
+    msac_norm(s, s->dif, cur);
     return 1;
 }
 
