@@ -75,6 +75,30 @@ def imdct_matrix(n: int) -> np.ndarray:
     return np.cos(2 * np.pi / n * np.outer(k + 0.5, j + 0.5 + n / 4))
 
 
+_IMDCT_TW: dict = {}
+
+
+def imdct_fft(spec: np.ndarray, n: int) -> np.ndarray:
+    """O(n log n) IMDCT of (ch, n/2) spectra -> (ch, n) samples; same
+    definition as imdct_matrix:
+        y[j] = sum_k X[k] cos(2pi/n (j+.5+n/4)(k+.5))
+             = Re[e^{i pi (j+.5+n/4)/n} * n*ifft(X[k] e^{i pi k (1/n + 1/2)})]
+    (host hot path; the device path keeps the MXU matmul form)."""
+    tw = _IMDCT_TW.get(n)
+    if tw is None:
+        k = np.arange(n // 2, dtype=np.float64)
+        pre = np.exp(1j * np.pi * k * (1.0 / n + 0.5))
+        j = np.arange(n, dtype=np.float64)
+        post = np.exp(1j * np.pi * (j + 0.5 + n / 4.0) / n)
+        tw = (pre, post)
+        _IMDCT_TW[n] = tw
+    pre, post = tw
+    a = np.zeros(spec.shape[:-1] + (n,), np.complex128)
+    a[..., :n // 2] = spec * pre
+    f = np.fft.ifft(a, axis=-1) * n
+    return (post * f).real
+
+
 class VorbisDecoder:
     """Stateful Vorbis decoder for one stream."""
 
@@ -262,8 +286,9 @@ class VorbisDecoder:
         ch = info.channels
         res = self.inverse_coupling(blk.residue, blk.coupling)
         spec = res * blk.floor  # (ch, n2); floor==0 for unused channels
-        # IMDCT: (ch, n2) @ (n2, n) -> (ch, n)
-        pcm = spec.astype(np.float64) @ self._get_imdct(n)
+        # IMDCT: O(n log n) FFT form (bit-matches the matrix within
+        # float tolerance; the device path keeps the MXU matmul)
+        pcm = imdct_fft(spec.astype(np.float64), n)
         w = self._get_window((n, blk.long_block, blk.prev_flag, blk.next_flag))
         pcm *= w
 
