@@ -186,7 +186,8 @@ def bench_av1(frames=30, fps=30) -> dict:
     # shape — alt-refs, compound, CDEF, restoration all encoder-chosen)
     inter = _av1_fixture(frames=60, fps=fps, gop=9999, tag="inter")
     t0 = time.perf_counter()
-    subprocess.run([str(tool("oracle")), str(inter), "/tmp/bench_av1i"],
+    # decode-only ('-'): the baseline must not pay YUV file writes
+    subprocess.run([str(tool("oracle")), str(inter), "-"],
                    check=True, capture_output=True)
     t_dav1d_inter = time.perf_counter() - t0
     n_i, t_i = _decode_all(inter, "native")
@@ -196,7 +197,7 @@ def bench_av1(frames=30, fps=30) -> dict:
     # secondary: all-intra 1080p (keyframe-decode throughput)
     path = _av1_fixture(frames=frames, fps=fps, gop=1, tag="intra")
     t0 = time.perf_counter()
-    subprocess.run([str(tool("oracle")), str(path), "/tmp/bench_av1"],
+    subprocess.run([str(tool("oracle")), str(path), "-"],
                    check=True, capture_output=True)
     t_dav1d = time.perf_counter() - t0
 

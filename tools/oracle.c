@@ -82,7 +82,11 @@ static void drain(AVCodecContext *cc, Sink *s, int is_video) {
 }
 
 int main(int argc, char **argv) {
-    if (argc != 3) { fprintf(stderr, "usage: oracle in.webm outprefix\n"); return 2; }
+    if (argc != 3) { fprintf(stderr, "usage: oracle in.webm outprefix\n"
+                             "       (outprefix '-' = decode only, no"
+                             " output files; for fair benchmarking)\n");
+        return 2; }
+    int no_out = argv[2][0] == '-' && argv[2][1] == 0;
     AVFormatContext *ic = NULL;
     int ret = avformat_open_input(&ic, argv[1], NULL, NULL);
     if (ret < 0) die("open input", ret);
@@ -120,9 +124,16 @@ int main(int argc, char **argv) {
     char path[1024];
     Sink s = {0};
     s.first = 1;
-    snprintf(path, sizeof path, "%s.yuv", argv[2]); s.yuv = fopen(path, "wb");
-    snprintf(path, sizeof path, "%s.f32", argv[2]); s.pcm = fopen(path, "wb");
-    snprintf(path, sizeof path, "%s.json", argv[2]); s.json = fopen(path, "w");
+    if (no_out) {
+        s.yuv = fopen("/dev/null", "wb");
+        s.pcm = fopen("/dev/null", "wb");
+    } else {
+        snprintf(path, sizeof path, "%s.yuv", argv[2]); s.yuv = fopen(path, "wb");
+        snprintf(path, sizeof path, "%s.f32", argv[2]); s.pcm = fopen(path, "wb");
+    }
+    if (no_out) s.json = fopen("/dev/null", "w");
+    else { snprintf(path, sizeof path, "%s.json", argv[2]);
+           s.json = fopen(path, "w"); }
     fprintf(s.json, "{\n  \"frames\": [");
 
     AVPacket *pkt = av_packet_alloc();
