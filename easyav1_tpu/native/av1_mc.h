@@ -640,6 +640,110 @@ static void interintra_blend(Recon *rc, const int32_t *b, int plane,
 
 /* ---- helpers -------------------------------------------------------- */
 
+/* scaled-reference prediction (spec 7.11.3.3 motion vector scaling +
+ * 7.11.3.4 block inter predict, scaled arm): the reference frame is
+ * stored at a different resolution than the current coded frame
+ * (superres inter frames, resize mode).  Positions step through the
+ * reference in 1/1024-pel units. */
+static void predict_inter_scaled_u16(const uint16_t *ref, int rw, int rh,
+                                     int x, int y, int w, int h,
+                                     const int32_t *mv, int ssx, int ssy,
+                                     int xscale, int yscale,
+                                     const int32_t *interp, int filt_w,
+                                     int filt_h, int comp, int bd,
+                                     int32_t *out) {
+    const int16_t *fh = mc_filter(interp[1], filt_w);
+    const int16_t *fv = mc_filter(interp[0], filt_h);
+    int last_x = rw - 1, last_y = rh - 1;
+    /* motion_vector_scaling */
+    int64_t orig_x = ((int64_t)x << 4) + (ssx ? mv[1] : 2 * (int64_t)mv[1])
+                     + 8;
+    int64_t orig_y = ((int64_t)y << 4) + (ssy ? mv[0] : 2 * (int64_t)mv[0])
+                     + 8;
+    int64_t base_x = orig_x * xscale - ((int64_t)8 << 14);
+    int64_t base_y = orig_y * yscale - ((int64_t)8 << 14);
+    int off = (1 << (10 - 4)) / 2;                      /* 32 */
+    int64_t start_x = round2_signed64(base_x, 14 + 4 - 10) + off;
+    int64_t start_y = round2_signed64(base_y, 14 + 4 - 10) + off;
+    int step_x = (xscale + 8) >> 4;                     /* xscale >= 0 */
+    int step_y = (yscale + 8) >> 4;
+
+    int inter_h = (int)((((int64_t)(h - 1) * step_y + (1 << 10) - 1)
+                         >> 10) + 8);
+    static int32_t im[(2 * 128 + 16) * 128];
+    int32_t mx = (1 << bd) - 1;
+    int64_t row0 = start_y >> 10;
+    for (int r = 0; r < inter_h; r++) {
+        int sy = (int)(row0 + r - 3);
+        sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+        const uint16_t *row = ref + (int64_t)sy * rw;
+        for (int c = 0; c < w; c++) {
+            int64_t p = start_x + (int64_t)step_x * c;
+            int sx0 = (int)(p >> 10);
+            const int16_t *f = fh + (((int)(p >> 6)) & 15) * 8;
+            int32_t acc = 0;
+            for (int t = 0; t < 8; t++) {
+                int sx = sx0 + t - 3;
+                sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                acc += f[t] * row[sx];
+            }
+            im[r * w + c] = (acc + 4) >> 3;             /* InterRound0 */
+        }
+    }
+    int64_t fracy0 = start_y & 1023;
+    for (int r = 0; r < h; r++) {
+        int64_t p = fracy0 + (int64_t)step_y * r;
+        const int16_t *f = fv + (((int)(p >> 6)) & 15) * 8;
+        int base_r = (int)(p >> 10);
+        for (int c = 0; c < w; c++) {
+            int32_t acc = 0;
+            for (int t = 0; t < 8; t++)
+                acc += f[t] * im[(base_r + t) * w + c];
+            if (comp) {
+                out[r * w + c] = (acc + 64) >> 7;       /* InterRound1 */
+            } else {
+                int32_t v = (acc + 1024) >> 11;
+                out[r * w + c] = v < 0 ? 0 : (v > mx ? mx : v);
+            }
+        }
+    }
+}
+
+/* per-ref scale factors (1<<14 = unscaled); cur dims are the CODED
+ * (pre-superres-upscale) frame dims */
+static int mc_is_scaled(const Recon *rc, int ref, int *xs, int *ys) {
+    const FrameParams *fp = rc->fp;
+    int slot = fp->ref_frame_idx[ref];
+    int ruw = rc->refs->w[slot][0];
+    int rfh = rc->refs->h[slot][0];
+    int cw = fp->use_superres ? fp->downscaled_width : fp->frame_width;
+    int ch = fp->frame_height;
+    if (cw <= 0 || ch <= 0 || (ruw == cw && rfh == ch)) {
+        *xs = 1 << 14;
+        *ys = 1 << 14;
+        return 0;
+    }
+    *xs = (int)((((int64_t)ruw << 14) + cw / 2) / cw);
+    *ys = (int)((((int64_t)rfh << 14) + ch / 2) / ch);
+    return *xs != (1 << 14) || *ys != (1 << 14);
+}
+
+/* dispatch: same-scale fast paths or the scaled predictor */
+static void mc_predict(Recon *rc, int ref, const uint16_t *rpl, int rw,
+                       int rh, int px, int py, int w, int h,
+                       const int32_t *mv, int ssx, int ssy,
+                       const int32_t *interp, int fw, int fh, int comp,
+                       int bd, int32_t *out) {
+    int xs, ys;
+    if (!mc_is_scaled(rc, ref, &xs, &ys)) {
+        predict_inter_u16(rpl, rw, rh, px, py, w, h, mv, ssx, ssy,
+                          interp, fw, fh, comp, bd, out);
+        return;
+    }
+    predict_inter_scaled_u16(rpl, rw, rh, px, py, w, h, mv, ssx, ssy,
+                             xs, ys, interp, fw, fh, comp, bd, out);
+}
+
 static const uint16_t *mc_ref_plane(Recon *rc, int ref, int plane,
                                     int *rw, int *rh) {
     int slot = rc->fp->ref_frame_idx[ref];
@@ -721,8 +825,8 @@ static int sub8x8_chroma(Recon *rc, const int32_t *b, int plane, int x,
             int cw = rmin(pw, bw - px), chh = rmin(ph, bh - py);
             if (cw <= 0 || chh <= 0) continue;
             int32_t pred[8 * 8];
-            predict_inter_u16(rp, rw, rh, px, py, cw, chh, mv, ssx, ssy,
-                              filt, pw, ph, 0, rc->rp->bitdepth, pred);
+            mc_predict(rc, ref, rp, rw, rh, px, py, cw, chh, mv, ssx,
+                       ssy, filt, pw, ph, 0, rc->rp->bitdepth, pred);
             for (int r = 0; r < chh; r++)
                 for (int c = 0; c < cw; c++)
                     buf[(py + r) * bw + (px + c)] = pred[r * cw + c];
@@ -752,8 +856,8 @@ static void obmc_nb_pred(Recon *rc, int plane, int64_t at, int px,
     const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh);
     int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
     int32_t filt[2] = {o->interp_g[at * 2 + 0], o->interp_g[at * 2 + 1]};
-    predict_inter_u16(rp, rw, rh, px, py, pw, ph, mv, ssx, ssy, filt,
-                      pw, ph, 0, rc->rp->bitdepth, out);
+    mc_predict(rc, ref, rp, rw, rh, px, py, pw, ph, mv, ssx, ssy, filt,
+               pw, ph, 0, rc->rp->bitdepth, out);
 }
 
 static void apply_obmc(Recon *rc, const int32_t *b) {
@@ -901,10 +1005,10 @@ static void recon_compound(Recon *rc, const int32_t *b) {
         const uint16_t *r1 = mc_ref_plane(rc, b[BLK_REF1], plane, &rw1,
                                           &rh1);
         int32_t p0[128 * 128], p1[128 * 128];
-        predict_inter_u16(r0, rw0, rh0, x, y, pw, ph, mv0, ssx, ssy,
-                          filt, full_w, full_h, 1, rp->bitdepth, p0);
-        predict_inter_u16(r1, rw1, rh1, x, y, pw, ph, mv1, ssx, ssy,
-                          filt, full_w, full_h, 1, rp->bitdepth, p1);
+        mc_predict(rc, b[BLK_REF0], r0, rw0, rh0, x, y, pw, ph, mv0,
+                   ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth, p0);
+        mc_predict(rc, b[BLK_REF1], r1, rw1, rh1, x, y, pw, ph, mv1,
+                   ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth, p1);
         if (masked) {
             int8_t msk[128 * 128];
             if (plane == 0) {
@@ -1024,13 +1128,14 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
         int rw, rh;
         const uint16_t *rpl = mc_ref_plane(rc, ref, plane, &rw, &rh);
         int32_t pred[128 * 128];
-        if (wm != NULL && full_w >= 8 && full_h >= 8)
+        int sxs, sys;
+        int scaled = mc_is_scaled(rc, ref, &sxs, &sys);
+        if (wm != NULL && full_w >= 8 && full_h >= 8 && !scaled)
             warp_affine_u16(rpl, rw, rh, wm, shear, x, y, w, h, ssx, ssy,
                             rp->bitdepth, pred);
         else
-            predict_inter_u16(rpl, rw, rh, x, y, w, h, mv, ssx, ssy,
-                              filt, full_w, full_h, 0, rp->bitdepth,
-                              pred);
+            mc_predict(rc, ref, rpl, rw, rh, x, y, w, h, mv, ssx, ssy,
+                       filt, full_w, full_h, 0, rp->bitdepth, pred);
         if (b[BLK_II_MODE] >= 0)
             interintra_blend(rc, b, plane, x, y, w, h, full_w, full_h,
                              ssx, ssy, pred);

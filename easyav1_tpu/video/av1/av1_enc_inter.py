@@ -114,7 +114,8 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             skip_allowed: bool = False,
                             skip_mode: bool = False,
                             warp: bool = False,
-                            lf=None) -> None:
+                            lf=None,
+                            coded_size=None) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -126,7 +127,7 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
         bw.f(int(err), 1)   # error_resilient_mode (KEY+show: implied)
     bw.f(0 if adapt else 1, 1)   # disable_cdf_update
     bw.f(0, 1)              # allow_screen_content_tools (SELECT)
-    bw.f(0, 1)              # frame_size_override
+    bw.f(1 if (coded_size and not is_intra) else 0, 1)  # frame_size_override
     if order_hints:
         bw.f(order_hint & 127, 7)
     # primary_ref_frame: intra or error-resilient -> no bits
@@ -144,7 +145,14 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
             bw.f(0, 1)      # frame_refs_short_signaling
         for i in range(C.REFS_PER_FRAME):
             bw.f((ref_idx or [0] * 7)[i], 3)   # ref_frame_idx[i]
-        # frame_size_override==0 -> frame_size() reads nothing; then
+        if coded_size:
+            # frame_size(): explicit coded dims (scaled references);
+            # requires error_resilient so frame_size_with_refs is not
+            # taken (spec 5.9.5)
+            assert err, "coded_size needs error_resilient_mode"
+            bw.f(coded_size[0] - 1, 16)
+            bw.f(coded_size[1] - 1, 16)
+        # then render_size()
         bw.f(0, 1)          # render_and_frame_size_different
         if not False:       # force_integer_mv == 0
             bw.f(int(hp_mv), 1)   # allow_high_precision_mv
@@ -1063,19 +1071,25 @@ def encode_inter_sequence(w: int, h: int, q: int, frames,
     tus = []
     prev_cdf = None
     seq = write_sequence_header_full(w, h, warp=warp)
-    for i, (ftype, blocks) in enumerate(frames):
+    for i, entry in enumerate(frames):
+        if len(entry) == 3:
+            ftype, blocks, fsize = entry
+        else:
+            (ftype, blocks), fsize = entry, None
+        fw, fh2 = fsize if fsize else (w, h)
         bw = BitWriter()
         write_frame_header_full(bw, ftype, q,
                                 refresh=0xFF if ftype == C.KEY_FRAME
                                 else 0x01, hp_mv=hp_mv, adapt=adapt,
                                 tx_select=tx_select,
-                                switchable=switchable, w=w, h=h,
+                                switchable=switchable, w=fw, h=fh2,
                                 motion_switch=motion_switch,
                                 err=err, primary_ref=0, carry=carry,
-                                warp=warp, lf=lf)
+                                warp=warp, lf=lf,
+                                coded_size=fsize)
         bw.byte_align()
         hdr_bytes = bw.bytes()
-        tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
+        tenc = InterTileEncoder(fw, fh2, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
                                 switchable=switchable,
                                 motion_switch=motion_switch,
