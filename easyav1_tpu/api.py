@@ -95,6 +95,19 @@ class EasyAV1:
         self._frame_queue: List[VideoFrame] = []
         self._frame_lock = threading.Lock()
 
+        # video decode-ahead thread (reference video_decoder_thread,
+        # easyav1.c:2271-2333): decode_next hands video packets to this
+        # worker and returns; the worker decodes into the frame ring,
+        # throttled to VIDEO_FRAMES_TO_PREFETCH undisplayed frames.
+        # ctypes releases the GIL during the C decode, so packet fetch
+        # and audio decode genuinely overlap video decode on multicore
+        # hosts.
+        self._vwork: List[Packet] = []
+        self._vwork_cv = threading.Condition()
+        self._vworker_busy = False
+        self._vthread_stop = False
+        self._vthread: Optional[threading.Thread] = None
+
         # audio ring buffer
         self._audio_buf: Optional[np.ndarray] = None
         self._audio_buf_fill = 0
@@ -304,6 +317,63 @@ class EasyAV1:
     # ------------------------------------------------------------------
     # decode drivers (easyav1.c:2618-2792)
 
+    # -- video decode-ahead thread -------------------------------------
+
+    def _video_worker(self) -> None:
+        while True:
+            with self._vwork_cv:
+                while not self._vthread_stop and (
+                        not self._vwork or self._vworker_throttled()):
+                    self._vwork_cv.wait(0.005)
+                if self._vthread_stop:
+                    return
+                pkt = self._vwork.pop(0)
+                self._vworker_busy = True
+            try:
+                self._decode_video_packet(pkt)
+            finally:
+                with self._vwork_cv:
+                    self._vworker_busy = False
+                    self._vwork_cv.notify_all()
+
+    def _vworker_throttled(self) -> bool:
+        with self._frame_lock:
+            return len(self._frame_queue) >= VIDEO_FRAMES_TO_PREFETCH
+
+    def _ensure_vthread(self) -> None:
+        if self._vthread is None or not self._vthread.is_alive():
+            self._vthread_stop = False
+            self._vthread = threading.Thread(target=self._video_worker,
+                                             daemon=True,
+                                             name="easyav1-video-decode")
+            self._vthread.start()
+
+    def _queue_video_packet(self, pkt: Packet) -> None:
+        self._ensure_vthread()
+        with self._vwork_cv:
+            self._vwork.append(pkt)
+            self._vwork_cv.notify_all()
+
+    def _drain_video(self) -> None:
+        """Block until the worker is idle (seek, finish, teardown;
+        reference pause_video_decoder_thread easyav1.c:2222)."""
+        if self._vthread is None:
+            return
+        with self._vwork_cv:
+            while self._vwork or self._vworker_busy:
+                self._vwork_cv.notify_all()
+                self._vwork_cv.wait(0.005)
+
+    def _stop_vthread(self) -> None:
+        if self._vthread is None:
+            return
+        self._drain_video()
+        with self._vwork_cv:
+            self._vthread_stop = True
+            self._vwork_cv.notify_all()
+        self._vthread.join(timeout=5.0)
+        self._vthread = None
+
     def decode_next(self) -> EasyAV1Status:
         with self._playback_lock:
             return self._decode_next_locked()
@@ -314,16 +384,33 @@ class EasyAV1:
             return EasyAV1Status.ERROR
         pkt = self._get_next_packet()
         if pkt is None:
+            self._drain_video()
+            if fire_callbacks:
+                # deliver frames the worker finished after the last
+                # packet advanced the position
+                self._callback_video()
+                while (not self.settings.skip_unprocessed_frames
+                       and self.settings.video_callback is not None
+                       and self.has_video_frame()):
+                    self._callback_video()
+                self._callback_audio()
             self._status = EasyAV1Status.FINISHED
             return EasyAV1Status.FINISHED
         ts_ms = pkt.timestamp_ns // 1_000_000
         if ts_ms > self._position:
             self._position = ts_ms
-        self._decode_packet(pkt)
+        if self._video_track and pkt.track == self._video_track.number:
+            self._queue_video_packet(pkt)
+        else:
+            self._decode_packet(pkt)
         if self._status.is_error:
             return EasyAV1Status.ERROR
         if fire_callbacks:
-            # push-mode delivery (reference easyav1.c:2668-2671)
+            # push-mode delivery (reference easyav1.c:2668-2671); settle
+            # the decode-ahead worker so each decode_next delivers the
+            # frame its packet produced
+            if self.settings.video_callback is not None:
+                self._drain_video()
             self._callback_video()
             self._callback_audio()
         return EasyAV1Status.OK
@@ -369,6 +456,7 @@ class EasyAV1:
         if st != EasyAV1Status.ERROR and not self._status.is_error:
             # single end-of-drive delivery (easyav1.c:2768-2771):
             # latest-only video when skip_unprocessed_frames is on
+            self._drain_video()
             self._callback_video()
             self._callback_audio()
         return st
@@ -398,8 +486,15 @@ class EasyAV1:
         if not self.settings.skip_unprocessed_frames:
             # per-frame delivery: every decoded frame reaches the
             # callback (easyav1.c:2595-2597); in latest-only mode the
-            # decode drivers deliver once at the end instead
-            self._callback_video()
+            # decode drivers deliver once at the end instead.  The
+            # decode-ahead worker may run ahead of the position, so
+            # drain every currently-displayable frame.
+            cb = self.settings.video_callback
+            while cb is not None:
+                f = self.get_video_frame()
+                if f is None:
+                    break
+                cb(f, self.settings.callback_userdata)
 
     def _callback_video(self) -> None:
         """Pop-based push delivery (reference callback_video,
@@ -423,6 +518,18 @@ class EasyAV1:
 
     def has_video_frame(self) -> bool:
         with self._frame_lock:
+            if (self._frame_queue
+                    and self._frame_queue[0].timestamp <= self._position):
+                return True
+        # a displayable frame may still be in flight on the decode-ahead
+        # worker; settle it so pull-mode callers keep the synchronous
+        # decode_next -> has_video_frame contract
+        if self._vthread is not None:
+            with self._vwork_cv:
+                busy = bool(self._vwork) or self._vworker_busy
+            if busy:
+                self._drain_video()
+        with self._frame_lock:
             return bool(self._frame_queue
                         and self._frame_queue[0].timestamp <= self._position)
 
@@ -434,7 +541,12 @@ class EasyAV1:
                 return None
             if self._frame_queue[0].timestamp > self._position:
                 return None
-            return self._frame_queue.pop(0)
+            f = self._frame_queue.pop(0)
+        if self._vthread is not None:
+            # un-throttle the decode-ahead worker
+            with self._vwork_cv:
+                self._vwork_cv.notify_all()
+        return f
 
     # ------------------------------------------------------------------
     # audio path
@@ -523,6 +635,12 @@ class EasyAV1:
         pass 0 scans from the cue cluster for the last keyframe <= target
         (no reconstruction); pass 1 re-seeks and decodes forward from that
         keyframe — to the keyframe only (fast) or to the exact target."""
+        # pre-seek packets are obsolete: drop queued work, wait for the
+        # in-flight decode (pause_video_decoder_thread parity)
+        if self._vthread is not None:
+            with self._vwork_cv:
+                self._vwork.clear()
+            self._drain_video()
         demux = self._demux
         if timestamp_ms > self._duration_ms:
             timestamp_ms = self._duration_ms
@@ -763,6 +881,7 @@ class EasyAV1:
         self.log.level = new.log_level
         if needs_reinit:
             pos = self._position
+            self._stop_vthread()
             self._video_track = None
             self._audio_track = None
             self._video_backend = None
@@ -791,6 +910,7 @@ class EasyAV1:
         if self._destroyed:
             return
         self.stop()
+        self._stop_vthread()
         self._vq.clear()
         self._aq.clear()
         with self._frame_lock:
