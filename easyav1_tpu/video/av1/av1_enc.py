@@ -458,10 +458,12 @@ class SimpleTileEncoder:
         # tree for the (single) 64x64 superblock grid
         from collections import defaultdict
         blkmap = {(b.r, b.c): b for b in blocks}
-        for sr in range(0, self.mi_rows, 16):
-            for sc in range(0, self.mi_cols, 16):
+        sb_mi = getattr(self, "sb_mi", 16)
+        root = C.BLOCK_128X128 if sb_mi == 32 else C.BLOCK_64X64
+        for sr in range(0, self.mi_rows, sb_mi):
+            for sc in range(0, self.mi_cols, sb_mi):
                 self._emit_lr(sr, sc)
-                self._encode_partition(sr, sc, C.BLOCK_64X64, blkmap)
+                self._encode_partition(sr, sc, root, blkmap)
         return self.enc.done()
 
     # -- loop restoration emission (mirror of TileDecoder._read_lr) -------
@@ -878,42 +880,61 @@ class SimpleTileEncoder:
         self.l_txh[r:r + h4] = T.TX_HEIGHT[tx_size]
 
     def _encode_residual(self, blk, tx_size, has_chroma):
-        # minimal: single luma tx block with given coeffs, chroma all-zero
+        # spec 5.11.34 residual(): blocks wider/taller than 64px split
+        # into 64x64 chunks with planes interleaved PER CHUNK (mirror of
+        # the decoder's _residual); luma tx index is block-raster, the
+        # chroma tx index is chroma-block-raster
         r, c = blk.r, blk.c
         coeff_lists = blk.luma_coeffs or [[]]
         tx_ctx = (T.TX_SIZE_SQR[tx_size] + T.TX_SIZE_SQR_UP[tx_size] + 1) >> 1
-        idx = 0
         w4 = C.BLOCK_W4[blk.bsize]
         h4 = C.BLOCK_H4[blk.bsize]
         sw = T.TX_W4[tx_size]
         sh = T.TX_H4[tx_size]
-        for yy in range(0, h4, sh):
-            for xx in range(0, w4, sw):
-                coeffs = coeff_lists[idx] if idx < len(coeff_lists) else []
-                self._encode_txb(0, (c + xx), (r + yy), tx_size, tx_ctx,
-                                 blk, coeffs)
-                idx += 1
+        uv_tx = self._uv_tx(blk.bsize) if has_chroma else 0
         if has_chroma:
-            uv_tx = self._uv_tx(blk.bsize)
-            uv_ctx = (T.TX_SIZE_SQR[uv_tx] + T.TX_SIZE_SQR_UP[uv_tx] + 1) >> 1
+            uv_ctx = (T.TX_SIZE_SQR[uv_tx]
+                      + T.TX_SIZE_SQR_UP[uv_tx] + 1) >> 1
             cc = blk.chroma_coeffs or [[], []]
             cw4 = max(1, w4 >> 1)
             ch4 = max(1, h4 >> 1)
             usw, ush = T.TX_W4[uv_tx], T.TX_H4[uv_tx]
+            clists = []
             for plane in (1, 2):
                 lists = cc[plane - 1] if plane - 1 < len(cc) else []
-                # back-compat: a flat [(lvl, sign), ...] list means "first
-                # tx only"; a list of lists is one per chroma tx in raster
+                # back-compat: a flat [(lvl, sign), ...] list means
+                # "first tx only"; a list of lists is one per chroma tx
                 if lists and isinstance(lists[0], tuple):
                     lists = [lists]
-                ci = 0
-                for vy in range(0, ch4, ush):
-                    for vx in range(0, cw4, usw):
-                        co = lists[ci] if ci < len(lists) else []
-                        self._encode_txb(plane, (c >> 1) + vx,
-                                         (r >> 1) + vy, uv_tx, uv_ctx,
-                                         blk, co)
-                        ci += 1
+                clists.append(lists)
+        ntx_row = w4 // sw if sw else 0
+        for cy4 in range(0, h4, 16):
+            for cx4 in range(0, w4, 16):
+                cw4_full = min(16, w4 - cx4)
+                ch4_full = min(16, h4 - cy4)
+                for yy in range(cy4, cy4 + ch4_full, sh):
+                    for xx in range(cx4, cx4 + cw4_full, sw):
+                        idx = (yy // sh) * ntx_row + (xx // sw)
+                        coeffs = (coeff_lists[idx]
+                                  if idx < len(coeff_lists) else [])
+                        self._encode_txb(0, c + xx, r + yy, tx_size,
+                                         tx_ctx, blk, coeffs)
+                if not has_chroma:
+                    continue
+                ccw = max(1, cw4_full >> 1)
+                cch = max(1, ch4_full >> 1)
+                cbase_x = cx4 >> 1
+                cbase_y = cy4 >> 1
+                ntx_crow = cw4 // usw if usw else 0
+                for plane in (1, 2):
+                    lists = clists[plane - 1]
+                    for vy in range(cbase_y, cbase_y + cch, ush):
+                        for vx in range(cbase_x, cbase_x + ccw, usw):
+                            ci = (vy // ush) * ntx_crow + (vx // usw)
+                            co = lists[ci] if ci < len(lists) else []
+                            self._encode_txb(plane, (c >> 1) + vx,
+                                             (r >> 1) + vy, uv_tx,
+                                             uv_ctx, blk, co)
 
     def _uv_tx(self, bsize) -> int:
         if getattr(self, "lossless", False):

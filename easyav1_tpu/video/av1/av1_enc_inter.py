@@ -48,7 +48,8 @@ def write_sequence_header_full(w: int, h: int,
                                order_hints: bool = False,
                                jnt: bool = False,
                                interintra: bool = False,
-                               warp: bool = False) -> bytes:
+                               warp: bool = False,
+                               sb128: bool = False) -> bytes:
     """Non-reduced profile-0 8-bit 4:2:0 sequence header; order hints
     (+ref_frame_mvs) optional; warp, dual filter, superres, cdef,
     restoration off."""
@@ -66,7 +67,7 @@ def write_sequence_header_full(w: int, h: int,
     bw.f(w - 1, 16)
     bw.f(h - 1, 16)
     bw.f(0, 1)    # frame_id_numbers_present
-    bw.f(0, 1)    # use_128x128_superblock
+    bw.f(int(sb128), 1)    # use_128x128_superblock
     bw.f(0, 1)    # enable_filter_intra
     bw.f(0, 1)    # enable_intra_edge_filter
     bw.f(int(interintra), 1)    # enable_interintra_compound
@@ -115,7 +116,8 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
                             skip_mode: bool = False,
                             warp: bool = False,
                             lf=None,
-                            coded_size=None) -> None:
+                            coded_size=None,
+                            sb128: bool = False) -> None:
     """Frame header for the full sequence header above (mirrors
     headers.parse_frame_header bit-for-bit for this configuration)."""
     is_intra = frame_type in (C.KEY_FRAME, C.INTRA_ONLY_FRAME)
@@ -168,8 +170,9 @@ def write_frame_header_full(bw: BitWriter, frame_type: int, base_q: int,
         bw.f(0 if carry else 1, 1)   # disable_frame_end_update_cdf
     bw.f(1, 1)              # uniform_tile_spacing
     # single tile: emit a 0 increment bit per possible col/row doubling
-    sb_cols = (2 * ((w + 7) >> 3) + 15) >> 4
-    sb_rows = (2 * ((h + 7) >> 3) + 15) >> 4
+    sb_shift = 5 if sb128 else 4
+    sb_cols = (2 * ((w + 7) >> 3) + (1 << sb_shift) - 1) >> sb_shift
+    sb_rows = (2 * ((h + 7) >> 3) + (1 << sb_shift) - 1) >> sb_shift
     def _tl2(blk, target):
         k = 0
         while (blk << k) < target:
@@ -1153,7 +1156,8 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
                         ref_select: bool = False,
                         jnt: bool = False,
                         interintra: bool = False,
-                        warp: bool = False) -> List[bytes]:
+                        warp: bool = False,
+                        sb128: bool = False) -> List[bytes]:
     """Order-hint sequences with arbitrary ref slot structure.
 
     frames: list of dicts {type, blocks, refresh (8-bit mask), ref_idx
@@ -1167,7 +1171,8 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
 
     tus = []
     seq = write_sequence_header_full(w, h, order_hints=True, jnt=jnt,
-                                     interintra=interintra, warp=warp)
+                                     interintra=interintra, warp=warp,
+                                     sb128=sb128)
     mi_cols = 2 * ((w + 7) >> 3)
     mi_rows = 2 * ((h + 7) >> 3)
     slot_states = [None] * 8
@@ -1228,7 +1233,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
             order_hints=True, order_hint=order_hint, ref_idx=ref_idx,
             use_rfm=use_rfm, ref_select=ref_select and not is_key,
             skip_allowed=skip_allowed, skip_mode=use_skip_mode,
-            warp=warp)
+            warp=warp, sb128=sb128)
         bw.byte_align()
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
@@ -1236,6 +1241,9 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
                                 ref_select=ref_select, jnt=jnt,
                                 interintra=interintra,
                                 allow_warp=warp and not is_key and not err)
+        if sb128:
+            tenc.sb_mi = 32
+            tenc.mib_size = 32
         tenc.seq = _SeqStub        # order-hint aware refmvs (rel_dist)
         if use_skip_mode:
             tenc.skip_mode_present = True
