@@ -15,6 +15,7 @@ the Python tile decoder.
 from __future__ import annotations
 
 import ctypes
+import glob
 import os
 import subprocess
 from typing import List, Optional
@@ -27,9 +28,9 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.environ.get("EASYAV1_SO", os.path.join(_DIR, "libeasyav1.so"))
 _SRCS = [os.path.join(_DIR, "av1_tile.c"), os.path.join(_DIR, "av1_recon.c"),
          os.path.join(_DIR, "vorbis_dec.c")]
-_HDRS = [os.path.join(_DIR, n) for n in
-         ("av1_tables.h", "av1_common.h", "av1_itx.h", "av1_lf.h",
-          "av1_cdef.h")]
+# every header participates in the staleness check — a missing entry
+# here silently ships a stale .so
+_HDRS = sorted(glob.glob(os.path.join(_DIR, "*.h")))
 
 
 class _TileParams(ctypes.Structure):

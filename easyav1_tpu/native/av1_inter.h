@@ -1423,10 +1423,20 @@ static void inter_mode_info(Ctx *t, int r, int c, int bsize, int avail_u,
         }
     }
 
-    /* interp filter: not coded for warped / non-translational global */
+    /* interp filter: not coded for warped / non-translational global
+     * (spec needs_interp_filter: a large GLOBALMV block reads it ONLY
+     * when GmType == TRANSLATION — IDENTITY also suppresses the read;
+     * GLOBAL_GLOBALMV reads it when EITHER ref is TRANSLATION) */
     int dim_min = imin(av1_block_w4[bsize], av1_block_h4[bsize]) * 4;
-    int nontrans_global = mode == GLOBALMV && dim_min >= 8
-        && fp->gm_type[ii->rf[0]] > GM_TRANSLATION;
+    int nontrans_global = 0;
+    if (dim_min >= 8) {
+        if (mode == GLOBALMV)
+            nontrans_global = fp->gm_type[ii->rf[0]] != GM_TRANSLATION;
+        else if (mode == GLOBAL_GLOBALMV)
+            nontrans_global =
+                fp->gm_type[ii->rf[0]] != GM_TRANSLATION
+                && fp->gm_type[ii->rf[1]] != GM_TRANSLATION;
+    }
     if (t->skip_mode_flag || motion_mode == MM_WARPED
         || nontrans_global) {
         int f = fp->interpolation_filter == FILTER_SWITCHABLE

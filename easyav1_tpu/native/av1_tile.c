@@ -833,6 +833,10 @@ static int txfm_split_ctx(Ctx *t, int r, int c, int bsize, int tx_size) {
 static void var_tx_node(Ctx *t, int r, int c, int bsize, int xx, int yy,
                         int tx_size, int depth, int32_t (*leaves)[3],
                         int *n) {
+    /* spec read_var_tx_size: nodes past the frame edge read NOTHING
+     * (split subnodes of a straddling unit can land out of frame) */
+    if (r + yy >= t->p->mi_rows || c + xx >= t->p->mi_cols)
+        return;
     int split = 0;
     if (depth < 2 && tx_size != TX_4X4) {
         int ctx = txfm_split_ctx(t, r + yy, c + xx, bsize, tx_size);

@@ -460,10 +460,12 @@ class InterTileEncoder(SimpleTileEncoder):
                               int(mm == C.OBMC_MOTION))
                 emitted_mm = mm
         blk.motion_mode = emitted_mm
+        # spec needs_interp_filter: a large GLOBALMV block codes the
+        # filter ONLY when GmType == TRANSLATION (IDENTITY suppresses)
         nontrans_global = (mode == C.GLOBALMV
                            and min(C.BLOCK_W4[bsize],
                                    C.BLOCK_H4[bsize]) * 4 >= 8
-                           and self.hdr.gm_type[ref] > C.TRANSLATION)
+                           and self.hdr.gm_type[ref] != C.TRANSLATION)
         # interp filter (single symbol; dual filter disabled); not coded
         # for warped / non-translational global blocks
         filt = getattr(blk, "interp", 0)
@@ -1153,6 +1155,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
                         hp_mv: bool = False, adapt: bool = True,
                         tx_select: bool = False, carry: bool = False,
                         motion_switch: bool = False,
+                        switchable: bool = False,
                         ref_select: bool = False,
                         jnt: bool = False,
                         interintra: bool = False,
@@ -1229,6 +1232,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
         write_frame_header_full(
             bw, ftype, q, refresh=refresh, hp_mv=hp_mv, adapt=adapt,
             tx_select=tx_select, w=w, h=h, motion_switch=motion_switch,
+            switchable=switchable and not is_key,
             err=err, primary_ref=0 if not is_key else 7, carry=carry,
             order_hints=True, order_hint=order_hint, ref_idx=ref_idx,
             use_rfm=use_rfm, ref_select=ref_select and not is_key,
@@ -1238,6 +1242,7 @@ def encode_ref_sequence(w: int, h: int, q: int, frames,
         tenc = InterTileEncoder(w, h, q, hp_mv=hp_mv, adapt=adapt,
                                 tx_mode_select=tx_select,
                                 motion_switch=motion_switch,
+                                switchable=switchable and not is_key,
                                 ref_select=ref_select, jnt=jnt,
                                 interintra=interintra,
                                 allow_warp=warp and not is_key and not err)

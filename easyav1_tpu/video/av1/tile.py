@@ -1584,11 +1584,18 @@ class TileDecoder:
         self._last_comp = (comp_group_idx, compound_idx, comp_type,
                            wedge_idx, wedge_sign, mask_type)
         # interpolation filter: not coded for warped / non-translational
-        # global blocks (libaom av1_is_interp_needed)
-        nontrans_global = (mode == C.GLOBALMV
-                           and min(C.BLOCK_W4[bsize],
-                                   C.BLOCK_H4[bsize]) * 4 >= 8
-                           and hdr.gm_type[ref_frame[0]] > C.TRANSLATION)
+        # global blocks (spec needs_interp_filter: a large GLOBALMV
+        # block reads it ONLY when GmType == TRANSLATION; IDENTITY also
+        # suppresses the read, and GLOBAL_GLOBALMV checks both refs)
+        large = min(C.BLOCK_W4[bsize], C.BLOCK_H4[bsize]) * 4 >= 8
+        nontrans_global = False
+        if large and mode == C.GLOBALMV:
+            nontrans_global = (hdr.gm_type[ref_frame[0]]
+                               != C.TRANSLATION)
+        elif large and mode == C.GLOBAL_GLOBALMV:
+            nontrans_global = (
+                hdr.gm_type[ref_frame[0]] != C.TRANSLATION
+                and hdr.gm_type[ref_frame[1]] != C.TRANSLATION)
         if (self.skip_mode_flag or motion_mode == C.WARPED
                 or nontrans_global):
             f = (C.EIGHTTAP if hdr.interpolation_filter == C.SWITCHABLE
@@ -1713,6 +1720,10 @@ class TileDecoder:
         return leaves
 
     def _var_tx_node(self, r, c, bsize, xx, yy, tx_size, depth, leaves):
+        # spec read_var_tx_size: nodes past the frame edge read NOTHING
+        # (split subnodes of a straddling unit can land out of frame)
+        if r + yy >= self.mi_rows or c + xx >= self.mi_cols:
+            return
         msac = self.msac
         split = False
         if depth < 2 and tx_size != C.TX_4X4:

@@ -82,17 +82,11 @@ def test_sb128_odd_size():
     _roundtrip(500, 380, 3, 100)
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="known gap in temporal-mv handling: this 1280x720 content=1 "
-           "inter stream diverges from frame 5 via slightly different "
-           "tpl-driven mv candidates (no entropy desync; diffs grow "
-           "gradually 14 -> 170).  CONFIRMED subsystem: re-encoding "
-           "with enable-ref-frame-mvs=0 decodes all frames bit-exact, "
-           "while obmc/warp/global-motion toggles do not help.  "
-           "512x512/832x480/1920x1080 streams with equally dense tpl "
-           "fields (30k+ nonzero cells) are bit-exact, so the defect "
-           "is a narrow case of projection/candidate semantics, not "
-           "the main path.")
 def test_sb128_inter_720p():
+    # regression for two formerly-open gaps fixed together: (a) spec
+    # read_var_tx_size returns WITHOUT reading for split subnodes past
+    # the frame edge (the bottom partial superblock row straddles), and
+    # (b) spec needs_interp_filter suppresses the interp-filter symbol
+    # for large GLOBALMV blocks whose GmType != TRANSLATION (IDENTITY
+    # included).  Either bug desyncs this stream from frame 4.
     _roundtrip(1280, 720, 8, 9999)
