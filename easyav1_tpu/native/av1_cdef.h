@@ -72,56 +72,56 @@ static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
         s = _mm_add_epi32(s, _mm_srli_si128(s, 4));
         part[2][i] = _mm_cvtsi128_si32(s);
     }
-    int64_t partial[8][15];
-    for (int d = 0; d < 8; d++)
-        for (int i = 0; i < 15; i++)
-            partial[d][i] = part[d][i];
 #else
-    int64_t partial[8][15];
-    memset(partial, 0, sizeof(partial));
+    int32_t part[8][16];
+    memset(part, 0, sizeof(part));
     for (int i = 0; i < 8; i++)
         for (int j = 0; j < 8; j++) {
             int x = (src[i * stride + j] >> coeff_shift) - 128;
-            partial[0][i + j] += x;
-            partial[1][i + (j >> 1)] += x;
-            partial[2][i] += x;
-            partial[3][3 + i - (j >> 1)] += x;
-            partial[4][7 + i - j] += x;
-            partial[5][3 - (i >> 1) + j] += x;
-            partial[6][j] += x;
-            partial[7][(i >> 1) + j] += x;
+            part[0][i + j] += x;
+            part[1][i + (j >> 1)] += x;
+            part[2][i] += x;
+            part[3][3 + i - (j >> 1)] += x;
+            part[4][7 + i - j] += x;
+            part[5][3 - (i >> 1) + j] += x;
+            part[6][j] += x;
+            part[7][(i >> 1) + j] += x;
         }
 #endif
-    int64_t cost[8];
-    memset(cost, 0, sizeof(cost));
-    for (int i = 0; i < 8; i++) {
-        cost[2] += partial[2][i] * partial[2][i];
-        cost[6] += partial[6][i] * partial[6][i];
-    }
-    cost[2] *= 105;
-    cost[6] *= 105;
-    for (int d = 0; d < 8; d += 4) {
-        for (int i = 0; i < 7; i++) {
-            cost[d] += partial[d][i] * partial[d][i] * CDEF_DIV[i + 1];
-            cost[d] += partial[d][14 - i] * partial[d][14 - i]
-                       * CDEF_DIV[i + 1];
-        }
-        cost[d] += partial[d][7] * partial[d][7] * 105;
-    }
-    for (int d = 1; d < 8; d += 2) {
-        for (int i = 0; i < 5; i++)
-            cost[d] += partial[d][3 + i] * partial[d][3 + i];
-        cost[d] *= 105;
-        for (int i = 0; i < 3; i++)
-            cost[d] += (partial[d][i] * partial[d][i]
-                        + partial[d][10 - i] * partial[d][10 - i])
-                       * CDEF_DIV[2 * i + 2];
+    /* cost[d] = sum_i part[d][i]^2 * divtbl[d][i]; everything fits
+       int32 for 8-bit-normalized inputs (max total < 2^30), so the
+       whole 8x16 reduction auto-vectorizes as int32 lanes */
+    static const int32_t divtbl[8][16] __attribute__((aligned(64))) = {
+        /* d even, 15 diagonals (lengths 1..8..1) */
+        {840, 420, 280, 210, 168, 140, 120, 105,
+         120, 140, 168, 210, 280, 420, 840, 0},
+        /* d odd, 11 entries: 3 edge pairs + 5 center */
+        {420, 210, 140, 105, 105, 105, 105, 105, 140, 210, 420, 0, 0, 0,
+         0, 0},
+        /* horizontal/vertical: 8 full rows */
+        {105, 105, 105, 105, 105, 105, 105, 105, 0, 0, 0, 0, 0, 0, 0, 0},
+        {420, 210, 140, 105, 105, 105, 105, 105, 140, 210, 420, 0, 0, 0,
+         0, 0},
+        {840, 420, 280, 210, 168, 140, 120, 105,
+         120, 140, 168, 210, 280, 420, 840, 0},
+        {420, 210, 140, 105, 105, 105, 105, 105, 140, 210, 420, 0, 0, 0,
+         0, 0},
+        {105, 105, 105, 105, 105, 105, 105, 105, 0, 0, 0, 0, 0, 0, 0, 0},
+        {420, 210, 140, 105, 105, 105, 105, 105, 140, 210, 420, 0, 0, 0,
+         0, 0},
+    };
+    int32_t cost[8];
+    for (int d = 0; d < 8; d++) {
+        int32_t s = 0;
+        for (int i = 0; i < 16; i++)
+            s += part[d][i] * part[d][i] * divtbl[d][i];
+        cost[d] = s;
     }
     int best = 0;
     for (int d = 1; d < 8; d++)
         if (cost[d] > cost[best]) best = d;
     *out_dir = best;
-    *out_var = (int)((cost[best] - cost[(best + 4) & 7]) >> 10);
+    *out_var = (cost[best] - cost[(best + 4) & 7]) >> 10;
 }
 
 /* constrain with the damping shift precomputed per strength */
@@ -142,83 +142,118 @@ static int cdef_shift_for(int threshold, int damping) {
 }
 
 #ifdef __AVX2__
-/* int16 lanes, two rows per vector, per-tap constants hoisted out of
-   the row loop */
+/* two-row int16 load at a tap offset */
+static inline __m256i cdef_ld2(const int16_t *r0, const int16_t *r1,
+                               int w, int64_t off) {
+    if (w == 8)
+        return _mm256_inserti128_si256(
+            _mm256_castsi128_si256(
+                _mm_loadu_si128((const __m128i *)(r0 + off))),
+            _mm_loadu_si128((const __m128i *)(r1 + off)), 1);
+    return _mm256_castsi128_si256(_mm_unpacklo_epi64(
+        _mm_loadl_epi64((const __m128i *)(r0 + off)),
+        _mm_loadl_epi64((const __m128i *)(r1 + off))));
+}
+
+/* one constrained tap: s += w * constrain(v - px); min/max track
+   non-sentinel neighbors */
+static inline __m256i cdef_tap(__m256i v, __m256i px, __m256i vthr,
+                               __m128i vsh, __m256i vw, __m256i s,
+                               __m256i *mx, __m256i *mn,
+                               __m256i vlarge, __m256i ones) {
+    __m256i diff = _mm256_sub_epi16(v, px);
+    __m256i ad = _mm256_abs_epi16(diff);
+    __m256i rhs = _mm256_sub_epi16(vthr, _mm256_srl_epi16(ad, vsh));
+    rhs = _mm256_max_epi16(rhs, _mm256_setzero_si256());
+    __m256i mag = _mm256_min_epi16(ad, rhs);
+    __m256i m = _mm256_srai_epi16(diff, 15);
+    __m256i con = _mm256_sub_epi16(_mm256_xor_si256(mag, m), m);
+    __m256i seen = _mm256_xor_si256(_mm256_cmpeq_epi16(v, vlarge), ones);
+    *mx = _mm256_blendv_epi8(*mx, _mm256_max_epi16(*mx, v), seen);
+    *mn = _mm256_blendv_epi8(*mn, _mm256_min_epi16(*mn, v), seen);
+    return _mm256_add_epi16(s, _mm256_mullo_epi16(vw, con));
+}
+
+/* int16 lanes, two rows per vector; the pri(4) + sec(8) tap structure
+   is hardcoded (spec 7.15.3) so per-block setup is a handful of
+   broadcasts instead of generic per-tap arrays */
 static void cdef_filter_rows_avx2(int32_t *dst, int dstride,
                                   const int16_t *src, int sstride,
                                   int x, int y, int w, int h,
-                                  int n_taps, const int64_t *toff,
-                                  const int *tw_, const int *tthr,
-                                  const int *tsh) {
+                                  int pri, int sec, int pt0, int pt1,
+                                  int pri_shift, int sec_shift, int dir) {
     const __m256i vlarge = _mm256_set1_epi16(CDEF_VERY_LARGE);
     const __m256i zero = _mm256_setzero_si256();
     const __m256i eight = _mm256_set1_epi16(8);
     const __m256i ones = _mm256_set1_epi16(-1);
-    __m256i vthr[12], vw[12];
-    __m128i vsh[12];
-    for (int k = 0; k < n_taps; k++) {
-        vthr[k] = _mm256_set1_epi16((short)tthr[k]);
-        vw[k] = _mm256_set1_epi16((short)tw_[k]);
-        vsh[k] = _mm_cvtsi32_si128(tsh[k]);
-    }
+    const __m256i vpthr = _mm256_set1_epi16((short)pri);
+    const __m256i vsthr = _mm256_set1_epi16((short)sec);
+    const __m128i vpsh = _mm_cvtsi32_si128(pri_shift);
+    const __m128i vssh = _mm_cvtsi32_si128(sec_shift);
+    const __m256i vw0 = _mm256_set1_epi16((short)pt0);
+    const __m256i vw1 = _mm256_set1_epi16((short)pt1);
+    const __m256i vw2 = _mm256_set1_epi16(2);
+    const __m256i vw3 = _mm256_set1_epi16(1);
+    const int8_t (*d0)[2] = CDEF_DIRS[dir];
+    const int64_t po0 = (int64_t)d0[0][0] * sstride + d0[0][1];
+    const int64_t po1 = (int64_t)d0[1][0] * sstride + d0[1][1];
+    const int8_t (*s1)[2] = CDEF_DIRS[(dir + 2) & 7];
+    const int8_t (*s2)[2] = CDEF_DIRS[(dir + 6) & 7];
+    const int64_t so0 = (int64_t)s1[0][0] * sstride + s1[0][1];
+    const int64_t so1 = (int64_t)s1[1][0] * sstride + s1[1][1];
+    const int64_t so2 = (int64_t)s2[0][0] * sstride + s2[0][1];
+    const int64_t so3 = (int64_t)s2[1][0] * sstride + s2[1][1];
     for (int i = 0; i < h; i += 2) {
         const int16_t *r0 = src + (int64_t)(y + i + 2) * sstride + x + 2;
         const int16_t *r1 = r0 + sstride;
-        __m256i px, s = zero;
-        if (w == 8)
-            px = _mm256_inserti128_si256(
-                _mm256_castsi128_si256(
-                    _mm_loadu_si128((const __m128i *)r0)),
-                _mm_loadu_si128((const __m128i *)r1), 1);
-        else /* w == 4: both rows fit one 128-bit half */
-            px = _mm256_castsi128_si256(_mm_unpacklo_epi64(
-                _mm_loadl_epi64((const __m128i *)r0),
-                _mm_loadl_epi64((const __m128i *)r1)));
+        __m256i px = cdef_ld2(r0, r1, w, 0), s = zero;
         __m256i mx = px, mn = px;
-        for (int k = 0; k < n_taps; k++) {
-            __m256i v;
-            if (w == 8)
-                v = _mm256_inserti128_si256(
-                    _mm256_castsi128_si256(
-                        _mm_loadu_si128((const __m128i *)(r0 + toff[k]))),
-                    _mm_loadu_si128((const __m128i *)(r1 + toff[k])), 1);
-            else
-                v = _mm256_castsi128_si256(_mm_unpacklo_epi64(
-                    _mm_loadl_epi64((const __m128i *)(r0 + toff[k])),
-                    _mm_loadl_epi64((const __m128i *)(r1 + toff[k]))));
-            __m256i diff = _mm256_sub_epi16(v, px);
-            __m256i ad = _mm256_abs_epi16(diff);
-            __m256i rhs = _mm256_sub_epi16(vthr[k],
-                                           _mm256_srl_epi16(ad, vsh[k]));
-            rhs = _mm256_max_epi16(rhs, zero);
-            __m256i mag = _mm256_min_epi16(ad, rhs);
-            __m256i m = _mm256_srai_epi16(diff, 15);
-            __m256i con =
-                _mm256_sub_epi16(_mm256_xor_si256(mag, m), m);
-            s = _mm256_add_epi16(s, _mm256_mullo_epi16(vw[k], con));
-            __m256i seen =
-                _mm256_xor_si256(_mm256_cmpeq_epi16(v, vlarge), ones);
-            mx = _mm256_blendv_epi8(mx, _mm256_max_epi16(mx, v), seen);
-            mn = _mm256_blendv_epi8(mn, _mm256_min_epi16(mn, v), seen);
+        if (pri) {
+            s = cdef_tap(cdef_ld2(r0, r1, w, po0), px, vpthr, vpsh, vw0,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, -po0), px, vpthr, vpsh, vw0,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, po1), px, vpthr, vpsh, vw1,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, -po1), px, vpthr, vpsh, vw1,
+                         s, &mx, &mn, vlarge, ones);
+        }
+        if (sec) {
+            s = cdef_tap(cdef_ld2(r0, r1, w, so0), px, vsthr, vssh, vw2,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, -so0), px, vsthr, vssh, vw2,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, so2), px, vsthr, vssh, vw2,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, -so2), px, vsthr, vssh, vw2,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, so1), px, vsthr, vssh, vw3,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, -so1), px, vsthr, vssh, vw3,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, so3), px, vsthr, vssh, vw3,
+                         s, &mx, &mn, vlarge, ones);
+            s = cdef_tap(cdef_ld2(r0, r1, w, -so3), px, vsthr, vssh, vw3,
+                         s, &mx, &mn, vlarge, ones);
         }
         /* val = px + ((8 + s - (s<0)) >> 4) */
         __m256i adj = _mm256_add_epi16(_mm256_add_epi16(eight, s),
                                        _mm256_srai_epi16(s, 15));
         __m256i val = _mm256_add_epi16(px, _mm256_srai_epi16(adj, 4));
         val = _mm256_min_epi16(_mm256_max_epi16(val, mn), mx);
-        int32_t *d0 = dst + (int64_t)(y + i) * dstride + x;
-        int32_t *d1 = d0 + dstride;
+        int32_t *d0_ = dst + (int64_t)(y + i) * dstride + x;
+        int32_t *d1_ = d0_ + dstride;
         if (w == 8) {
-            _mm256_storeu_si256((__m256i *)d0, _mm256_cvtepi16_epi32(
+            _mm256_storeu_si256((__m256i *)d0_, _mm256_cvtepi16_epi32(
                 _mm256_castsi256_si128(val)));
-            _mm256_storeu_si256((__m256i *)d1, _mm256_cvtepi16_epi32(
+            _mm256_storeu_si256((__m256i *)d1_, _mm256_cvtepi16_epi32(
                 _mm256_extracti128_si256(val, 1)));
         } else {
             __m256i wide =
                 _mm256_cvtepi16_epi32(_mm256_castsi256_si128(val));
-            _mm_storeu_si128((__m128i *)d0,
+            _mm_storeu_si128((__m128i *)d0_,
                              _mm256_castsi256_si128(wide));
-            _mm_storeu_si128((__m128i *)d1,
+            _mm_storeu_si128((__m128i *)d1_,
                              _mm256_extracti128_si256(wide, 1));
         }
     }
@@ -235,6 +270,14 @@ static void cdef_filter_block(int32_t *dst, int dstride,
     static const int st[2] = {2, 1};
     int pri_shift = cdef_shift_for(pri, damping);
     int sec_shift = cdef_shift_for(sec, damping);
+#ifdef __AVX2__
+    if ((w == 8 || w == 4) && (h & 1) == 0) {
+        cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
+                              pri, sec, pt[0], pt[1], pri_shift,
+                              sec_shift, dir);
+        return;
+    }
+#endif
     /* precompute the up-to-12 tap offsets (in padded-src units) and
        their weights/thresholds/shifts once per block */
     int n_taps = 0;
@@ -267,13 +310,6 @@ static void cdef_filter_block(int32_t *dst, int dstride,
                     n_taps++;
                 }
     }
-#ifdef __AVX2__
-    if ((w == 8 || w == 4) && (h & 1) == 0) {
-        cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
-                              n_taps, toff, tw_, tthr, tsh);
-        return;
-    }
-#endif
     int32_t out[8 * 8];
     for (int i = 0; i < h; i++) {
         const int16_t *row = src + (int64_t)(y + i + 2) * sstride + x + 2;
@@ -315,15 +351,22 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     int mi_rows = rp->mi_rows, mi_cols = rp->mi_cols;
     int ucols = (mi_cols + 15) / 16;
 
-    /* constant padded int16 sources per plane */
+    /* constant padded int16 sources per plane; the buffers persist
+       across frames (single-threaded decode) so steady-state frames
+       pay no page faults for the ~6MB of scratch */
+    static int16_t *src_buf[3];
+    static size_t src_cap[3];
     int16_t *srcs[3] = {NULL, NULL, NULL};
     for (int p = 0; p < rp->num_planes; p++) {
         int sw = pw[p] + 4, sh = ph[p] + 4;
-        srcs[p] = malloc(sizeof(int16_t) * (size_t)sw * sh);
-        if (!srcs[p]) {
-            for (int q = 0; q < p; q++) free(srcs[q]);
-            return;
+        size_t need = (size_t)sw * sh;
+        if (src_cap[p] < need) {
+            free(src_buf[p]);
+            src_buf[p] = malloc(sizeof(int16_t) * need);
+            src_cap[p] = src_buf[p] ? need : 0;
         }
+        srcs[p] = src_buf[p];
+        if (!srcs[p]) return;
         /* VERY_LARGE border only; the interior is converted over */
         for (int i = 0; i < 2; i++)
             for (int j = 0; j < sw; j++) {
@@ -389,10 +432,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         adj_pri = 0;
                     }
                 }
+                if (adj_pri == 0 && sec == 0)
+                    continue;  /* zero taps: the filter is an identity */
                 cdef_filter_block(planes[plane], pw[plane], srcs[plane],
                                   pw[plane] + 4, px, py2, w, h, adj_pri,
                                   sec, pdamp, pdir, bd);
             }
         }
-    for (int p = 0; p < rp->num_planes; p++) free(srcs[p]);
 }
