@@ -227,6 +227,10 @@ class _ReconParams(ctypes.Structure):
         ("allow_intrabc", ctypes.c_int32),
         ("frame_width", ctypes.c_int32),
         ("frame_height", ctypes.c_int32),
+        ("tile_cols", ctypes.c_int32),
+        ("tile_rows", ctypes.c_int32),
+        ("tile_col_starts", ctypes.c_int32 * 65),
+        ("tile_row_starts", ctypes.c_int32 * 65),
     ]
 
 
@@ -667,6 +671,14 @@ def _build_rp(seq, hdr):
             a[i] = v[i]
         return a
 
+    def starts_mi(starts_sb, mi_max):
+        # tile starts, sb -> mi units, clamped to the frame
+        sbl = 5 if seq.use_128x128_superblock else 4
+        a = (ctypes.c_int32 * 65)()
+        for i, s in enumerate(starts_sb[:65]):
+            a[i] = min(s << sbl, mi_max)
+        return a
+
     return _ReconParams(
         bitdepth=seq.color.bitdepth, num_planes=seq.color.num_planes,
         ssx=seq.color.subsampling_x, ssy=seq.color.subsampling_y,
@@ -688,6 +700,9 @@ def _build_rp(seq, hdr):
         allow_intrabc=int(getattr(hdr, "allow_intrabc", False)),
         frame_width=hdr.upscaled_width,
         frame_height=hdr.frame_height,
+        tile_cols=hdr.tile.cols, tile_rows=hdr.tile.rows,
+        tile_col_starts=starts_mi(hdr.tile.col_starts, hdr.mi_cols),
+        tile_row_starts=starts_mi(hdr.tile.row_starts, hdr.mi_rows),
     )
 
 

@@ -149,6 +149,11 @@ typedef struct {
     int32_t cdef_uv_pri[8], cdef_uv_sec[8];
     int32_t coded_lossless, allow_intrabc;
     int32_t frame_width, frame_height;   /* visible (cropped) dims */
+    /* tile grid in luma mi units: starts[i]..starts[i+1] spans tile i;
+       neighbor availability never crosses a tile edge (spec 5.11.5
+       is_inside) */
+    int32_t tile_cols, tile_rows;
+    int32_t tile_col_starts[65], tile_row_starts[65];
 } ReconParams;
 
 /* reference-frame planes for inter reconstruction: cropped (visible)

@@ -875,7 +875,7 @@ static void apply_obmc(Recon *rc, const int32_t *b) {
     int tiny = (pw4 * 4 <= 4 && ph4 * 4 <= 8)
                || (pw4 * 4 <= 8 && ph4 * 4 <= 4);
 
-    if (r > 0) {                     /* above pass */
+    if (r > rc->t_rs) {             /* above pass (tile-bounded) */
         int nb_max = MAX_NB[ws_log2((uint32_t)bw) - 2];
         int count = 0, i = 0;
         while (i < w4c && count < nb_max) {
@@ -923,7 +923,7 @@ static void apply_obmc(Recon *rc, const int32_t *b) {
             i = rel + step;
         }
     }
-    if (c > 0) {                     /* left pass */
+    if (c > rc->t_cs) {             /* left pass (tile-bounded) */
         int nb_max = MAX_NB[ws_log2((uint32_t)bh) - 2];
         int count = 0, i = 0;
         while (i < h4c && count < nb_max) {

@@ -261,10 +261,46 @@ typedef struct {
     int32_t txmap_idx[3][32 * 32];
     int32_t txmap_gen[3][32 * 32];
     int32_t txgen;
+    /* current block's tile bounds, luma mi units (recon_set_tile) */
+    int t_rs, t_re, t_cs, t_ce;
 } Recon;
+
+/* cache tile bounds of the block at (r, c); tiles are few (<=64 per
+ * axis) so a linear scan per block is cheap */
+static void recon_set_tile(Recon *rc, int r, int c) {
+    const ReconParams *rp = rc->rp;
+    if (rp->tile_cols <= 1 && rp->tile_rows <= 1) {
+        rc->t_rs = 0; rc->t_re = rp->mi_rows;
+        rc->t_cs = 0; rc->t_ce = rp->mi_cols;
+        return;
+    }
+    int i = 0;
+    while (i + 1 < rp->tile_cols && c >= rp->tile_col_starts[i + 1]) i++;
+    rc->t_cs = rp->tile_col_starts[i];
+    rc->t_ce = rp->tile_col_starts[i + 1];
+    i = 0;
+    while (i + 1 < rp->tile_rows && r >= rp->tile_row_starts[i + 1]) i++;
+    rc->t_rs = rp->tile_row_starts[i];
+    rc->t_re = rp->tile_row_starts[i + 1];
+}
+
+
+/* tile top/left edge of the current block in PLANE pixel coords */
+static inline int tile_top_px(const Recon *rc, int plane) {
+    return (rc->t_rs * 4) >> (plane ? rc->rp->ssy : 0);
+}
+static inline int tile_left_px(const Recon *rc, int plane) {
+    return (rc->t_cs * 4) >> (plane ? rc->rp->ssx : 0);
+}
 
 static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
     if (rr < 0 || cc < 0 || rr >= rc->dh[plane] || cc >= rc->dw[plane])
+        return 0;
+    /* tile-bounded: a decoded cell in another tile is not a neighbor */
+    int sy = plane ? rc->rp->ssy : 0, sx = plane ? rc->rp->ssx : 0;
+    int mr = rr << sy, mc = cc << sx;
+    if (mr < rc->t_rs || mr >= rc->t_re || mc < rc->t_cs
+        || mc >= rc->t_ce)
         return 0;
     return rc->decoded[plane][rr * rc->dw[plane] + cc];
 }
@@ -281,11 +317,11 @@ static int filter_type(const Recon *rc, int br, int bc, int plane) {
         bc &= ~rc->rp->ssx;
     }
     int above = 0, left = 0;
-    if (br > 0) {
+    if (br > rc->t_rs) {
         int m = modes[(br - 1) * mc + bc];
         above = m >= SMOOTH_PRED && m <= SMOOTH_H_PRED;
     }
-    if (bc > 0) {
+    if (bc > rc->t_cs) {
         int m = modes[br * mc + (bc - 1)];
         left = m >= SMOOTH_PRED && m <= SMOOTH_H_PRED;
     }
@@ -459,7 +495,8 @@ static void predict_filter_intra(Recon *rc, int plane, int x, int y,
     int pw = rc->pw[plane];
     int bd = rp->bitdepth;
     int base = 1 << (bd - 1);
-    int have_above = y > 0, have_left = x > 0;
+    int have_above = y > tile_top_px(rc, plane);
+    int have_left = x > tile_left_px(rc, plane);
     int max_x = pw - 1;
     int64_t W[65 * 65];
     int ws = w + 1;
@@ -516,7 +553,8 @@ static void predict_intra(Recon *rc, int br, int bc, int plane, int x,
     int pw = rc->pw[plane], ph = rc->ph[plane];
     int bd = rp->bitdepth;
     int base = 1 << (bd - 1);
-    int have_above = y > 0, have_left = x > 0;
+    int have_above = y > tile_top_px(rc, plane);
+    int have_left = x > tile_left_px(rc, plane);
     int max_x = pw - 1, max_y = ph - 1;
 
     int is_dir = mode >= V_PRED && mode <= D67_PRED;
@@ -770,6 +808,7 @@ static int64_t find_tx(const TileOut *o, int64_t tx_off, int n_tx,
 static void recon_block(Recon *rc, const int32_t *b) {
     const ReconParams *rp = rc->rp;
     const TileOut *o = rc->o;
+    recon_set_tile(rc, b[BLK_R], b[BLK_C]);
     if (b[BLK_IS_INTER]) {
         double tb0 = rc_now();
         if (recon_block_inter(rc, b)) rc->error = 1;
@@ -915,7 +954,8 @@ static void export_tx(Recon *rc, int br, int bc, int plane, int x, int y,
     int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
     int pw = rc->pw[plane], ph = rc->ph[plane];
     int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
-    int have_above = y > 0, have_left = x > 0;
+    int have_above = y > tile_top_px(rc, plane);
+    int have_left = x > tile_left_px(rc, plane);
     int x4 = x >> 2, y4 = y >> 2;
     int have_tr = avail_cell(rc, plane, y4 - 1, x4 + (fw >> 2));
     int have_bl = avail_cell(rc, plane, y4 + (fh >> 2), x4 - 1);
@@ -968,6 +1008,7 @@ static void export_tx(Recon *rc, int br, int bc, int plane, int x, int y,
 static int export_block(Recon *rc, const int32_t *b, int32_t *units,
                         int64_t max_units, int64_t *n) {
     const ReconParams *rp = rc->rp;
+    recon_set_tile(rc, b[0], b[1]);
     int br = b[0], bc = b[1], bsize = b[2];
     int y_mode = b[3], uv_mode = b[4];
     int angle_y = b[5], angle_uv = b[6];

@@ -99,9 +99,11 @@ class AV1Backend:
                 tile_payloads = []
             elif obu.type == C.OBU_TILE_GROUP:
                 tile_payloads.append(obu.payload)
-                # assume one tile group carries all tiles (single-TG
-                # streams; multi-TG accumulation handled when hit)
-                if hdr is not None:
+                # a frame may split its tiles across several tile-group
+                # OBUs (spec 5.11.1); decode once the group carrying the
+                # last tile arrives (reference behavior: dav1d
+                # accumulates TGs until n_tiles are present)
+                if hdr is not None and self._tg_is_last(hdr, obu.payload):
                     f = self._decode_frame(hdr, tile_payloads, ts)
                     if f is not None:
                         out.append(f)
@@ -270,6 +272,20 @@ class AV1Backend:
             blob = cdf_to_blob(CdfContext.default(base_q_idx))
             cls._DEFAULT_BLOBS[qctx] = blob
         return blob
+
+    @staticmethod
+    def _tg_is_last(hdr: FrameHeader, payload: bytes) -> bool:
+        """True if this tile-group OBU carries the frame's last tile
+        (tile_group header, spec 5.11.1)."""
+        n_tiles = hdr.tile.cols * hdr.tile.rows
+        if n_tiles == 1:
+            return True
+        r = BitReader(payload)
+        if not r.f1():          # tile_start_and_end_present_flag
+            return True         # single TG with all tiles
+        bits = hdr.tile.cols_log2 + hdr.tile.rows_log2
+        r.f(bits)               # tg_start
+        return r.f(bits) == n_tiles - 1
 
     def _split_tiles(self, hdr: FrameHeader, payloads: List[bytes]) -> List[bytes]:
         """Tile group parsing (spec §5.11.1)."""

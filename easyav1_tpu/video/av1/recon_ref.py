@@ -153,6 +153,27 @@ class FrameRecon:
         d = T.data()
         self.sm_weights = d["sm_weights"]
         self.dr_table = d["dr_intra_derivative"]
+        # tile geometry in mi units: neighbor availability (intra
+        # edges, TR/BL, OBMC, smooth-filter type) never crosses a tile
+        # boundary (spec is_inside, 5.11.5)
+        t = hdr.tile
+        sbl = 5 if seq.use_128x128_superblock else 4
+        self._tcs = [min(cs << sbl, plan.mi_cols) for cs in t.col_starts]
+        self._trs = [min(rs << sbl, plan.mi_rows) for rs in t.row_starts]
+        self._tcol_of = np.searchsorted(
+            np.asarray(self._tcs[1:]), np.arange(plan.mi_cols),
+            side="right")
+        self._trow_of = np.searchsorted(
+            np.asarray(self._trs[1:]), np.arange(plan.mi_rows),
+            side="right")
+
+    def _tile_bounds(self, mi_row: int, mi_col: int):
+        """(row_start, row_end, col_start, col_end) in luma mi of the
+        tile containing (mi_row, mi_col)."""
+        tc = int(self._tcol_of[mi_col])
+        tr = int(self._trow_of[mi_row])
+        return (self._trs[tr], self._trs[tr + 1],
+                self._tcs[tc], self._tcs[tc + 1])
 
     def run_aligned(self):
         """Reconstruct and return the mi-aligned planes (loop filtering
@@ -502,6 +523,7 @@ class FrameRecon:
         bh = h4 * 4
         w4c = min(w4, plan.mi_cols - c)
         h4c = min(h4, plan.mi_rows - r)
+        t_rs, _t_re, t_cs, _t_ce = self._tile_bounds(r, c)
         n_planes = 3 if (blk.has_chroma and self.seq.color.num_planes > 1) \
             else 1
 
@@ -527,7 +549,7 @@ class FrameRecon:
             return tiny and above_pass
 
         # ---- above pass
-        if r > 0:
+        if r > t_rs:
             nb_max = self._MAX_NB_OBMC[(w4 * 4).bit_length() - 3]
             count = 0
             i = 0
@@ -565,7 +587,7 @@ class FrameRecon:
                         reg[:] = (m * reg + (64 - m) * tmp + 32) >> 6
                 i = rel + step
         # ---- left pass
-        if c > 0:
+        if c > t_cs:
             nb_max = self._MAX_NB_OBMC[(h4 * 4).bit_length() - 3]
             count = 0
             i = 0
@@ -786,6 +808,7 @@ class FrameRecon:
         plane_bh = max(1, bh_mi >> ssy)
         mi_rows = self.plan.mi_rows
         mi_cols = self.plan.mi_cols
+        t_rs, _t_re, t_cs, t_ce = self._tile_bounds(mi_row, mi_col)
         sb_mi = self.sb4
         part = getattr(blk, "partition", 0)
         wl = bw_mi.bit_length() - 1
@@ -814,8 +837,8 @@ class FrameRecon:
         # -- has_top_right --------------------------------------------
         # have_top/have_left per libaom av1_predict_intra_block: inner
         # tx rows/cols have the neighbor inside the block
-        top_available = row_off > 0 or (mi_row >> ssy) > 0
-        right_available = mi_col + ((col_off + w4) << ssx) < mi_cols
+        top_available = row_off > 0 or (mi_row >> ssy) > (t_rs >> ssy)
+        right_available = mi_col + ((col_off + w4) << ssx) < t_ce
         if not top_available or not right_available:
             have_tr = False
         elif row_off > 0:
@@ -845,7 +868,7 @@ class FrameRecon:
             + (plane_bh - row_off - h4) * 4
         bottom_available = yd > 0 and \
             mi_row + ((row_off + h4) << ssy) < mi_rows
-        left_available = col_off > 0 or (mi_col >> ssx) > 0
+        left_available = col_off > 0 or (mi_col >> ssx) > (t_cs >> ssx)
         if not bottom_available or not left_available:
             have_bl = False
         elif bw_mi * 4 > 64 and col_off > 0 \
@@ -876,8 +899,11 @@ class FrameRecon:
         buf = self.planes[plane]
         bd = self.bd
         base = 1 << (bd - 1)
-        have_above = y > 0
-        have_left = x > 0
+        ssx = self.ssx if plane else 0
+        ssy = self.ssy if plane else 0
+        t_rs, _t_re, t_cs, _t_ce = self._tile_bounds(blk.r, blk.c)
+        have_above = y > (t_rs * 4) >> ssy
+        have_left = x > (t_cs * 4) >> ssx
         max_x = buf.shape[1] - 1
         taps = T.data()["filter_intra_taps"][fi_mode].astype(np.int64)
         W = np.zeros((h + 1, w + 1), np.int64)
@@ -921,8 +947,11 @@ class FrameRecon:
         buf = self.planes[plane]
         bd = self.bd
         base = 1 << (bd - 1)
-        have_above = y > 0
-        have_left = x > 0
+        ssx = self.ssx if plane else 0
+        ssy = self.ssy if plane else 0
+        t_rs, _t_re, t_cs, _t_ce = self._tile_bounds(blk.r, blk.c)
+        have_above = y > (t_rs * 4) >> ssy
+        have_left = x > (t_cs * 4) >> ssx
         max_x = buf.shape[1] - 1
         max_y = buf.shape[0] - 1
 
@@ -1067,8 +1096,9 @@ class FrameRecon:
             modes = plan.uv_mode
             r = blk.r & ~self.ssy
             c = blk.c & ~self.ssx
-        above_smooth = r > 0 and int(modes[r - 1, c]) in smooth
-        left_smooth = c > 0 and int(modes[r, c - 1]) in smooth
+        t_rs, _t_re, t_cs, _t_ce = self._tile_bounds(blk.r, blk.c)
+        above_smooth = r > t_rs and int(modes[r - 1, c]) in smooth
+        left_smooth = c > t_cs and int(modes[r, c - 1]) in smooth
         return 1 if (above_smooth or left_smooth) else 0
 
     def _sm_w(self, n):
