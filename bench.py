@@ -92,16 +92,20 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
 
     # --- host pipeline (C symbols + FFT IMDCT synthesis): the
     # production default on this hardware (the device path is bounded
-    # by the ~30ms tunnel round-trip and PCM D2H) ---
-    dec = VorbisDecoder(headers)
-    t0 = time.perf_counter()
-    tot = 0
-    for pk in pkts:
-        b = dec.decode_packet_symbols(pk)
-        if b is not None:
-            out = dec.synthesize_block_host(b)
-            tot += out.shape[0]
-    wall_host = time.perf_counter() - t0
+    # by the ~30ms tunnel round-trip and PCM D2H).  Best-of-2: the
+    # shared VM host stalls unpredictably and stalls only ever ADD
+    # time, so min is the honest steady-state number. ---
+    wall_host = float("inf")
+    for _ in range(2):
+        dec = VorbisDecoder(headers)
+        t0 = time.perf_counter()
+        tot = 0
+        for pk in pkts:
+            b = dec.decode_packet_symbols(pk)
+            if b is not None:
+                out = dec.synthesize_block_host(b)
+                tot += out.shape[0]
+        wall_host = min(wall_host, time.perf_counter() - t0)
     xrt_host = (tot / dec.info.sample_rate) / wall_host
 
     xrt = max(xrt_host, xrt_dev)
@@ -185,23 +189,34 @@ def bench_av1(frames=30, fps=30) -> dict:
     # headline: default-encoded 1080p30 INTER stream (the production
     # shape — alt-refs, compound, CDEF, restoration all encoder-chosen)
     inter = _av1_fixture(frames=60, fps=fps, gop=9999, tag="inter")
-    t0 = time.perf_counter()
-    # decode-only ('-'): the baseline must not pay YUV file writes
-    subprocess.run([str(tool("oracle")), str(inter), "-"],
-                   check=True, capture_output=True)
-    t_dav1d_inter = time.perf_counter() - t0
+    # best-of-2 everywhere: the shared VM host stalls unpredictably and
+    # stalls only ever ADD time, so min is the steady-state number for
+    # both sides of the comparison
+    t_dav1d_inter = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        # decode-only ('-'): the baseline must not pay YUV file writes
+        subprocess.run([str(tool("oracle")), str(inter), "-"],
+                       check=True, capture_output=True)
+        t_dav1d_inter = min(t_dav1d_inter, time.perf_counter() - t0)
     n_i, t_i = _decode_all(inter, "native")
+    n_i2, t_i2 = _decode_all(inter, "native")
+    t_i = min(t_i, t_i2)
     xrt_i = (n_i / fps) / t_i
     dav1d_xrt_i = (60 / fps) / t_dav1d_inter
 
     # secondary: all-intra 1080p (keyframe-decode throughput)
     path = _av1_fixture(frames=frames, fps=fps, gop=1, tag="intra")
-    t0 = time.perf_counter()
-    subprocess.run([str(tool("oracle")), str(path), "-"],
-                   check=True, capture_output=True)
-    t_dav1d = time.perf_counter() - t0
+    t_dav1d = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        subprocess.run([str(tool("oracle")), str(path), "-"],
+                       check=True, capture_output=True)
+        t_dav1d = min(t_dav1d, time.perf_counter() - t0)
 
     n_nat, t_nat = _decode_all(path, "native")
+    _, t_nat2 = _decode_all(path, "native")
+    t_nat = min(t_nat, t_nat2)
     results = {"native": (n_nat, t_nat)}
     for pipe in ("pallas", "device"):
         try:
