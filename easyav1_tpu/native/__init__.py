@@ -800,10 +800,12 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     pkey = ("planes", ah, aw_y, aw_c, ssy)
     pl = _BUF_POOL.get(pkey)
     if pl is None:
-        # recon covers every mi-aligned pixel, so no zeroing needed
-        pl = (np.empty((ah, aw_y), np.int32),
-              np.empty((ah >> ssy, aw_c), np.int32),
-              np.empty((ah >> ssy, aw_c), np.int32))
+        # recon covers every mi-aligned pixel, so no zeroing needed;
+        # uint16 (pel): every stage writes clamped pixel values, and
+        # half-width planes halve the LF/CDEF/LR/pack memory traffic
+        pl = (np.empty((ah, aw_y), np.uint16),
+              np.empty((ah >> ssy, aw_c), np.uint16),
+              np.empty((ah >> ssy, aw_c), np.uint16))
         _BUF_POOL[pkey] = pl
     py, pu, pv = pl
     device = os.environ.get("EASYAV1_PIPE", "native") == "device" \

@@ -177,7 +177,7 @@ static inline __m256i cdef_tap(__m256i v, __m256i px, __m256i vthr,
 /* int16 lanes, two rows per vector; the pri(4) + sec(8) tap structure
    is hardcoded (spec 7.15.3) so per-block setup is a handful of
    broadcasts instead of generic per-tap arrays */
-static void cdef_filter_rows_avx2(int32_t *dst, int dstride,
+static void cdef_filter_rows_avx2(pel *dst, int dstride,
                                   const int16_t *src, int sstride,
                                   int x, int y, int w, int h,
                                   int pri, int sec, int pt0, int pt1,
@@ -241,26 +241,23 @@ static void cdef_filter_rows_avx2(int32_t *dst, int dstride,
                                        _mm256_srai_epi16(s, 15));
         __m256i val = _mm256_add_epi16(px, _mm256_srai_epi16(adj, 4));
         val = _mm256_min_epi16(_mm256_max_epi16(val, mn), mx);
-        int32_t *d0_ = dst + (int64_t)(y + i) * dstride + x;
-        int32_t *d1_ = d0_ + dstride;
+        pel *d0_ = dst + (int64_t)(y + i) * dstride + x;
+        pel *d1_ = d0_ + dstride;
         if (w == 8) {
-            _mm256_storeu_si256((__m256i *)d0_, _mm256_cvtepi16_epi32(
-                _mm256_castsi256_si128(val)));
-            _mm256_storeu_si256((__m256i *)d1_, _mm256_cvtepi16_epi32(
-                _mm256_extracti128_si256(val, 1)));
-        } else {
-            __m256i wide =
-                _mm256_cvtepi16_epi32(_mm256_castsi256_si128(val));
             _mm_storeu_si128((__m128i *)d0_,
-                             _mm256_castsi256_si128(wide));
+                             _mm256_castsi256_si128(val));
             _mm_storeu_si128((__m128i *)d1_,
-                             _mm256_extracti128_si256(wide, 1));
+                             _mm256_extracti128_si256(val, 1));
+        } else {
+            __m128i v128 = _mm256_castsi256_si128(val);
+            _mm_storel_epi64((__m128i *)d0_, v128);
+            _mm_storel_epi64((__m128i *)d1_, _mm_srli_si128(v128, 8));
         }
     }
 }
 #endif
 
-static void cdef_filter_block(int32_t *dst, int dstride,
+static void cdef_filter_block(pel *dst, int dstride,
                               const int16_t *src, int sstride,
                               int x, int y, int w, int h, int pri, int sec,
                               int damping, int dir, int bd) {
@@ -332,11 +329,11 @@ static void cdef_filter_block(int32_t *dst, int dstride,
     }
     for (int i = 0; i < h; i++)
         for (int j = 0; j < w; j++)
-            dst[(y + i) * dstride + (x + j)] = out[i * w + j];
+            dst[(y + i) * dstride + (x + j)] = (pel)out[i * w + j];
 }
 
 static void av1_cdef(const ReconParams *rp, const TileOut *o,
-                     int32_t *planes[3], const int pw[3], const int ph[3]) {
+                     pel *planes[3], const int pw[3], const int ph[3]) {
     if (!rp->enable_cdef) return;
     if (rp->coded_lossless || rp->allow_intrabc) return;
     int any = 0;
@@ -375,7 +372,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             }
         for (int i = 2; i < sh - 2; i++) {
             int16_t *row = srcs[p] + (int64_t)i * sw;
-            const int32_t *src = planes[p] + (int64_t)(i - 2) * pw[p];
+            const pel *src = planes[p] + (int64_t)(i - 2) * pw[p];
             row[0] = row[1] = CDEF_VERY_LARGE;
             row[sw - 2] = row[sw - 1] = CDEF_VERY_LARGE;
             for (int j = 0; j < pw[p]; j++)

@@ -5,6 +5,11 @@
 
 #include <stdint.h>
 
+/* frame-plane sample: every stage writes clamped [0, (1<<bd)-1] pixel
+ * values, so planes carry uint16 (halves LF/CDEF/LR/pack bandwidth vs
+ * int32; residual headroom lives in per-block scratch only) */
+typedef uint16_t pel;
+
 typedef struct {
     int32_t mi_rows, mi_cols;
     int32_t sb128;

@@ -53,7 +53,7 @@ static int iabs(int x) { return x < 0 ? -x : x; }
 
 /* filter one line across an edge; buf[base + k*stride] is sample q_k,
    buf[base + (-1-k)*stride] is p_k */
-static void lf_line(int32_t *buf, int64_t base, int64_t stride, int size,
+static void lf_line(pel *buf, int64_t base, int64_t stride, int size,
                     int limit, int blimit, int thresh, int bd) {
     int F = 1 << (bd - 8);
 #define P(k) buf[base + (int64_t)(-1 - (k)) * stride]
@@ -248,7 +248,7 @@ static int lf_build_grids(const ReconParams *rp, const TileOut *o,
     return 0;
 }
 
-static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
+static void lf_pass(const ReconParams *rp, pel *buf, int pw, int ph,
                     int plane, int pass, const LfGrids *g) {
     const uint8_t *lvls = pass == 0 ? g->lvl0 : g->lvl1;
     int lim_c[64], blim_c[64], thr_c[64];
@@ -343,7 +343,7 @@ static void lf_pass(const ReconParams *rp, int32_t *buf, int pw, int ph,
 }
 
 static void av1_loop_filter(const ReconParams *rp, const TileOut *o,
-                            int32_t *planes[3], const int pw[3],
+                            pel *planes[3], const int pw[3],
                             const int ph[3]) {
     if (rp->lf_level[0] == 0 && rp->lf_level[1] == 0
         && rp->lf_level[2] == 0 && rp->lf_level[3] == 0) return;

@@ -200,8 +200,8 @@ static void lr_sgrproj(int r0, int r1, int x0, int x1, int pw,
 
 static void av1_loop_restoration(const ReconParams *rp,
                                  const FrameParams *fp, const TileOut *o,
-                                 int32_t *planes[3],
-                                 int32_t *const debl[3], const int pw[3],
+                                 pel *planes[3],
+                                 pel *const debl[3], const int pw[3],
                                  const int ph[3]) {
     if (fp == NULL || !fp->lr_uses) return;
     int bd = rp->bitdepth;
@@ -216,13 +216,13 @@ static void av1_loop_restoration(const ReconParams *rp,
         int unit_cols = (vpw + (unit_size >> 1)) / unit_size;
         if (unit_cols < 1) unit_cols = 1;
         /* copy the CDEF output (LR reads it while overwriting planes) */
-        int32_t *cdef = malloc((size_t)vph * vpw * sizeof(int32_t));
+        pel *cdef = malloc((size_t)vph * vpw * sizeof(pel));
         if (!cdef) return;
         for (int r = 0; r < vph; r++)
             memcpy(cdef + (size_t)r * vpw,
                    planes[plane] + (size_t)r * pw[plane],
-                   (size_t)vpw * sizeof(int32_t));
-        const int32_t *db = debl[plane];
+                   (size_t)vpw * sizeof(pel));
+        const pel *db = debl[plane];
         int stripe_h = 64 >> ssy;
         int stripe_off = 8 >> ssy;
         int n_stripes = (vph + stripe_off + stripe_h - 1) / stripe_h;
@@ -237,7 +237,7 @@ static void av1_loop_restoration(const ReconParams *rp,
             for (int i = 0; i < src_rows; i++) {
                 int y = y0 - 3 + i;
                 int yy = y < 0 ? 0 : (y > vph - 1 ? vph - 1 : y);
-                const int32_t *row;
+                const pel *row;
                 if (yy < ss)
                     row = db + (size_t)(ss - 2 > yy ? ss - 2 : yy)
                           * pw[plane];
@@ -277,7 +277,7 @@ static void av1_loop_restoration(const ReconParams *rp,
                 for (int r = 0; r <= y1 - y0; r++)
                     for (int c = 0; c <= ux1 - ux0; c++)
                         planes[plane][(size_t)(y0 + r) * pw[plane]
-                                      + ux0 + c] = (int32_t)lr_out[r][c];
+                                      + ux0 + c] = (pel)lr_out[r][c];
             }
         }
         free(cdef);

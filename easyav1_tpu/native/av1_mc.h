@@ -291,9 +291,10 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     }
 }
 
-/* int32-source variant of predict_inter (intra block copy reads the
- * partially reconstructed CURRENT planes, recon_ref intrabc arm) */
-static void predict_inter_i32(const int32_t *ref, int rw, int rh,
+/* current-plane-source variant of predict_inter (intra block copy
+ * reads the partially reconstructed CURRENT planes, recon_ref intrabc
+ * arm) */
+static void predict_inter_i32(const pel *ref, int rw, int rh,
                               int x, int y, int w, int h,
                               const int32_t *mv, int ssx, int ssy,
                               const int32_t *interp, int filt_w,
@@ -307,7 +308,7 @@ static void predict_inter_i32(const int32_t *ref, int rw, int rh,
         for (int r = 0; r < h; r++) {
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const int32_t *row = ref + (int64_t)sy * rw;
+            const pel *row = ref + (int64_t)sy * rw;
             for (int c = 0; c < w; c++) {
                 int sx = ix + c;
                 sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
@@ -322,7 +323,7 @@ static void predict_inter_i32(const int32_t *ref, int rw, int rh,
     for (int r = 0; r < h + 7; r++) {
         int sy = iy - 3 + r;
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-        const int32_t *row = ref + (int64_t)sy * rw;
+        const pel *row = ref + (int64_t)sy * rw;
         for (int c = 0; c < w; c++) {
             int32_t acc = 0;
             for (int t = 0; t < 8; t++) {
@@ -768,11 +769,11 @@ static void residual_add(Recon *rc, const int32_t *b) {
         if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
         else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth, res);
         int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
-        int32_t *buf = rc->planes[plane];
+        pel *buf = rc->planes[plane];
         int pw = rc->pw[plane], ph = rc->ph[plane];
         int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
         for (int r = 0; r < h; r++) {
-            int32_t *restrict row = buf + (int64_t)(y + r) * pw + x;
+            pel *restrict row = buf + (int64_t)(y + r) * pw + x;
             const int32_t *restrict rr_ = res + r * fw;
             for (int c = 0; c < w; c++) {
                 int32_t v = row[c] + rr_[c];
@@ -808,7 +809,7 @@ static int sub8x8_chroma(Recon *rc, const int32_t *b, int plane, int x,
             int64_t at = (int64_t)(cand_r + j) * mi_cols + (cand_c + i);
             if (o->ref0_g[at] <= MC_INTRA_FRAME) return 0;
         }
-    int32_t *buf = rc->planes[plane];
+    pel *buf = rc->planes[plane];
     int bw = rc->pw[plane], bh = rc->ph[plane];
     int pw = w4 == 1 ? (4 >> ssx) : w;
     int ph = h4 == 1 ? (4 >> ssy) : h;
@@ -900,7 +901,7 @@ static void apply_obmc(Recon *rc, const int32_t *b) {
                     int py = (r * 4) >> sy;
                     int pw = (op_mi * 4) >> sx;
                     int ph = overlap >> sy;
-                    int32_t *buf = rc->planes[plane];
+                    pel *buf = rc->planes[plane];
                     pw = rmin(pw, rc->pw[plane] - px);
                     ph = rmin(ph, rc->ph[plane] - py);
                     if (pw <= 0 || ph <= 0) continue;
@@ -948,7 +949,7 @@ static void apply_obmc(Recon *rc, const int32_t *b) {
                     int py = ((r + rel) * 4) >> sy;
                     int pw = overlap >> sx;
                     int ph = (op_mi * 4) >> sy;
-                    int32_t *buf = rc->planes[plane];
+                    pel *buf = rc->planes[plane];
                     pw = rmin(pw, rc->pw[plane] - px);
                     ph = rmin(ph, rc->ph[plane] - py);
                     if (pw <= 0 || ph <= 0) continue;
@@ -993,7 +994,7 @@ static void recon_compound(Recon *rc, const int32_t *b) {
         int x = (b[BLK_C] >> ssx) * 4, y = (b[BLK_R] >> ssy) * 4;
         int full_w = rmax(1, av1_block_w4[bsize] >> ssx) * 4;
         int full_h = rmax(1, av1_block_h4[bsize] >> ssy) * 4;
-        int32_t *buf = rc->planes[plane];
+        pel *buf = rc->planes[plane];
         int w = rmin(full_w, rc->pw[plane] - x);
         int h = rmin(full_h, rc->ph[plane] - y);
         /* masked compound predicts the full (unclipped) block so the
@@ -1074,7 +1075,7 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
             int x = (b[BLK_C] >> ssx) * 4, y = (b[BLK_R] >> ssy) * 4;
             int full_w = rmax(1, av1_block_w4[bsz] >> ssx) * 4;
             int full_h = rmax(1, av1_block_h4[bsz] >> ssy) * 4;
-            int32_t *buf = rc->planes[plane];
+            pel *buf = rc->planes[plane];
             int w = rmin(full_w, rc->pw[plane] - x);
             int h = rmin(full_h, rc->ph[plane] - y);
             int32_t pred[128 * 128];
@@ -1116,7 +1117,7 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
         int x = (b[BLK_C] >> ssx) * 4, y = (b[BLK_R] >> ssy) * 4;
         int full_w = rmax(1, w4 >> ssx) * 4;
         int full_h = rmax(1, h4 >> ssy) * 4;
-        int32_t *buf = rc->planes[plane];
+        pel *buf = rc->planes[plane];
         int w = rmin(full_w, rc->pw[plane] - x);
         int h = rmin(full_h, rc->ph[plane] - y);
         if (plane && ((w4 == 1 && ssx) || (h4 == 1 && ssy))) {

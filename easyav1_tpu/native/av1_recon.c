@@ -247,7 +247,7 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
 typedef struct {
     const ReconParams *rp;
     const TileOut *o;
-    int32_t *planes[3];
+    pel *planes[3];
     int pw[3], ph[3];            /* mi-aligned plane dims */
     uint8_t *decoded[3];         /* 4x4 BlockDecoded bitmaps */
     int dw[3], dh[3];
@@ -491,7 +491,7 @@ static void predict_filter_intra(Recon *rc, int plane, int x, int y,
                                  int w, int h, int fi_mode,
                                  int64_t *out) {
     const ReconParams *rp = rc->rp;
-    int32_t *buf = rc->planes[plane];
+    pel *buf = rc->planes[plane];
     int pw = rc->pw[plane];
     int bd = rp->bitdepth;
     int base = 1 << (bd - 1);
@@ -549,7 +549,7 @@ static void predict_intra(Recon *rc, int br, int bc, int plane, int x,
                           int y, int w, int h, int mode, int angle_delta,
                           int64_t *out) {
     const ReconParams *rp = rc->rp;
-    int32_t *buf = rc->planes[plane];
+    pel *buf = rc->planes[plane];
     int pw = rc->pw[plane], ph = rc->ph[plane];
     int bd = rp->bitdepth;
     int base = 1 << (bd - 1);
@@ -688,7 +688,7 @@ static void predict_intra(Recon *rc, int br, int bc, int plane, int x,
 static void cfl_ac_block(Recon *rc, int cx, int cy, int cw, int chh,
                          int64_t *ac /* chh*cw */) {
     const ReconParams *rp = rc->rp;
-    const int32_t *luma = rc->planes[0];
+    const pel *luma = rc->planes[0];
     int pw = rc->pw[0];
     int ly = cy << rp->ssy, lx = cx << rp->ssx;
     int64_t total = 0;
@@ -723,7 +723,7 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
                      int cfl_alpha, const int32_t *pal_u, int lossless) {
     const ReconParams *rp = rc->rp;
     int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
-    int32_t *buf = rc->planes[plane];
+    pel *buf = rc->planes[plane];
     int pw = rc->pw[plane], ph = rc->ph[plane];
     int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
     int64_t mxpix = (1 << rp->bitdepth) - 1;
@@ -1077,7 +1077,7 @@ int av1_export_pred_units(const ReconParams *rp, const TileOut *o,
 
 int av1_recon_frame(const ReconParams *rp, const TileOut *o,
                     const FrameParams *fp, const RefPlanes *refs,
-                    int32_t *py, int32_t *pu, int32_t *pv) {
+                    pel *py, pel *pu, pel *pv) {
     Recon rc;
     memset(&rc, 0, sizeof(rc));
     rc.cur_fi = -1;
@@ -1088,7 +1088,7 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     int aw = rp->mi_cols * 4, ah = rp->mi_rows * 4;
     int sr = fp != NULL && fp->use_superres;
     /* caller buffers (upscaled-wide when superres) */
-    int32_t *out_pl[3] = {py, pu, pv};
+    pel *out_pl[3] = {py, pu, pv};
     int opw[3], oph[3];
     oph[0] = ah;
     oph[1] = oph[2] = ah >> rp->ssy;
@@ -1103,14 +1103,14 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     }
     /* recon/LF/CDEF run at the coded (downscaled) dims: the caller
        buffers directly, or scratch when superres upscaling follows */
-    int32_t *scratch[3] = {NULL, NULL, NULL};
+    pel *scratch[3] = {NULL, NULL, NULL};
     rc.pw[0] = aw; rc.ph[0] = ah;
     rc.pw[1] = rc.pw[2] = aw >> rp->ssx;
     rc.ph[1] = rc.ph[2] = ah >> rp->ssy;
     for (int p = 0; p < 3; p++) {
         if (sr && p < rp->num_planes) {
             scratch[p] = malloc((size_t)rc.pw[p] * rc.ph[p]
-                                * sizeof(int32_t));
+                                * sizeof(pel));
             if (!scratch[p]) {
                 for (int q = 0; q < p; q++) free(scratch[q]);
                 return 2;
@@ -1143,19 +1143,19 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
     av1_loop_filter(rp, o, rc.planes, rc.pw, rc.ph);
     double t2 = rc_now();
     int use_lr = fp != NULL && fp->lr_uses;
-    int32_t *debl[3] = {NULL, NULL, NULL};
+    pel *debl[3] = {NULL, NULL, NULL};
     if (use_lr) {
         /* LR reads the pre-CDEF deblocked rows at stripe boundaries;
            snapshot at the (possibly downscaled) coded dims */
         for (int p = 0; p < rp->num_planes; p++) {
             size_t n = (size_t)rc.pw[p] * rc.ph[p];
-            debl[p] = malloc(n * sizeof(int32_t));
+            debl[p] = malloc(n * sizeof(pel));
             if (!debl[p]) {
                 for (int q = 0; q < p; q++) free(debl[q]);
                 for (int q = 0; q < 3; q++) free(scratch[q]);
                 return 2;
             }
-            memcpy(debl[p], rc.planes[p], n * sizeof(int32_t));
+            memcpy(debl[p], rc.planes[p], n * sizeof(pel));
         }
     }
     av1_cdef(rp, o, rc.planes, rc.pw, rc.ph);
@@ -1171,8 +1171,8 @@ int av1_recon_frame(const ReconParams *rp, const TileOut *o,
                              rc.ph[p], src_w, dst_w, rp->bitdepth,
                              out_pl[p], opw[p]);
             if (use_lr) {
-                int32_t *ud = malloc((size_t)opw[p] * oph[p]
-                                     * sizeof(int32_t));
+                pel *ud = malloc((size_t)opw[p] * oph[p]
+                                     * sizeof(pel));
                 if (ud == NULL) {
                     for (int q = 0; q < 3; q++) free(scratch[q]);
                     for (int q = 0; q < rp->num_planes; q++)
@@ -1302,14 +1302,14 @@ int av1_project_mvfield(int mi_rows, int mi_cols,
 }
 
 /* int32 plane -> u8 display copy + u16 reference copy in one pass */
-int av1_pack8(const int32_t *p, int stride, int w, int h,
+int av1_pack8(const pel *p, int stride, int w, int h,
               uint8_t *out8, uint16_t *out16) {
     for (int r = 0; r < h; r++) {
-        const int32_t *row = p + (int64_t)r * stride;
+        const pel *row = p + (int64_t)r * stride;
         uint8_t *o8 = out8 + (int64_t)r * w;
         uint16_t *o16 = out16 + (int64_t)r * w;
         for (int c = 0; c < w; c++) {
-            int32_t v = row[c];
+            pel v = row[c];
             o8[c] = (uint8_t)v;
             o16[c] = (uint16_t)v;
         }

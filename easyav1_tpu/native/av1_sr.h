@@ -85,9 +85,9 @@ static int sr_trunc_div(int64_t a, int64_t b) {
  * dst [rows][dst_w] stride dstride (spec upscale, bit-exact vs
  * superres_ref.upscale_plane: taps past src_w read real mi-area
  * pixels, clamping only at the aligned width aw) */
-static void sr_upscale_plane(const int32_t *src, int sstride, int aw,
+static void sr_upscale_plane(const pel *src, int sstride, int aw,
                              int rows, int src_w, int dst_w, int bd,
-                             int32_t *dst, int dstride) {
+                             pel *dst, int dstride) {
     int x_step = sr_trunc_div(((int64_t)src_w << RS_SUBPEL_BITS)
                               + dst_w / 2, dst_w);
     int64_t err = (int64_t)x_step * dst_w
@@ -109,14 +109,14 @@ static void sr_upscale_plane(const int32_t *src, int sstride, int aw,
         }
         const int16_t *fil = SR_FILTER[phase];
         for (int r = 0; r < rows; r++) {
-            const int32_t *row = src + (int64_t)r * sstride;
+            const pel *row = src + (int64_t)r * sstride;
             int64_t acc = 0;
             for (int k = 0; k < 8; k++)
                 acc += (int64_t)fil[k] * row[idx[k]];
             int64_t v = (acc + (1 << (SR_FILTER_BITS - 1)))
                         >> SR_FILTER_BITS;
             dst[(int64_t)r * dstride + c] =
-                (int32_t)(v < 0 ? 0 : (v > mx ? mx : v));
+                (pel)(v < 0 ? 0 : (v > mx ? mx : v));
         }
     }
 }

@@ -48,6 +48,8 @@ class AV1Backend:
             [None] * C.NUM_REF_FRAMES
         # per-slot saved 8x8 motion fields (spec SavedMvs/SavedRefFrames)
         self._ref_tmvs: List[Optional[tuple]] = [None] * C.NUM_REF_FRAMES
+        # cached device film-grain synthesizer (keyed by grain params)
+        self._dev_fg: Optional[tuple] = None
 
     # -- VideoBackend interface -------------------------------------------
 
@@ -342,13 +344,32 @@ class AV1Backend:
         if fg is not None and fg.apply_grain:
             # grain is an output-only transform; reference frames stay
             # grain-free (spec 7.18.1)
-            from easyav1_tpu import native
-            out_planes = native.film_grain_native(fg, seq, out_planes)
+            import os
+            if os.environ.get("EASYAV1_PIPE", "native") in ("device",
+                                                            "pallas"):
+                # device pipe: grain synthesized on the TPU (fg_jax);
+                # the synthesizer (grain templates + LUTs) is cached
+                # across frames with unchanged grain params
+                out_planes = self._film_grain_device(fg, seq, planes)
+            else:
+                from easyav1_tpu import native
+                out_planes = native.film_grain_native(fg, seq, out_planes)
             if out_planes is None:
                 from easyav1_tpu.video.av1.fg_ref import FilmGrain
                 out_planes = FilmGrain(fg, seq, cc.bitdepth).apply(planes)
         return VideoFrame(properties=props, timestamp=ts,
                           data=out_planes)
+
+    def _film_grain_device(self, fg, seq, planes):
+        import dataclasses
+        key = tuple(tuple(v) if isinstance(v, list) else v
+                    for v in (getattr(fg, f.name)
+                              for f in dataclasses.fields(fg)))
+        if self._dev_fg is None or self._dev_fg[0] != key:
+            from easyav1_tpu.video.av1.recon.fg_jax import DeviceFilmGrain
+            self._dev_fg = (key, DeviceFilmGrain(
+                fg, seq, seq.color.bitdepth))
+        return self._dev_fg[1].apply(list(planes))
 
 
 def _safe_enum(enum_cls, value):

@@ -43,9 +43,9 @@ def _first_keyframe_compare(path):
         rp.enable_cdef = 0
         aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
         ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
-        gold = [np.empty((ah, aw), np.int32),
-                np.empty((ah >> ssy, aw >> ssx), np.int32),
-                np.empty((ah >> ssy, aw >> ssx), np.int32)]
+        gold = [np.empty((ah, aw), np.uint16),
+                np.empty((ah >> ssy, aw >> ssx), np.uint16),
+                np.empty((ah >> ssy, aw >> ssx), np.uint16)]
         fp_rc, _keep = nat._build_fp(hdr, seq, None, None, None)
         rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
                                  ctypes.byref(fp_rc),
