@@ -156,11 +156,16 @@ static inline __m256i cdef_ld2(const int16_t *r0, const int16_t *r1,
 }
 
 /* one constrained tap: s += w * constrain(v - px); min/max track
-   non-sentinel neighbors */
-static inline __m256i cdef_tap(__m256i v, __m256i px, __m256i vthr,
-                               __m128i vsh, __m256i vw, __m256i s,
-                               __m256i *mx, __m256i *mn,
-                               __m256i vlarge, __m256i ones) {
+   non-sentinel neighbors.  `edged`: sentinels (CDEF_VERY_LARGE) can
+   appear only in frame-border blocks; the sentinel is larger than any
+   real sample, so `mn` needs no masking ever, and `mx` masks the
+   sentinel to 0 (never raises a max that starts at px) only when
+   edged.  always_inline + literal edged -> gcc clones a branch-free
+   interior kernel. */
+static inline __attribute__((always_inline)) __m256i
+cdef_tap(__m256i v, __m256i px, __m256i vthr,
+         __m128i vsh, __m256i vw, __m256i s,
+         __m256i *mx, __m256i *mn, __m256i vlarge, int edged) {
     __m256i diff = _mm256_sub_epi16(v, px);
     __m256i ad = _mm256_abs_epi16(diff);
     __m256i rhs = _mm256_sub_epi16(vthr, _mm256_srl_epi16(ad, vsh));
@@ -168,24 +173,26 @@ static inline __m256i cdef_tap(__m256i v, __m256i px, __m256i vthr,
     __m256i mag = _mm256_min_epi16(ad, rhs);
     __m256i m = _mm256_srai_epi16(diff, 15);
     __m256i con = _mm256_sub_epi16(_mm256_xor_si256(mag, m), m);
-    __m256i seen = _mm256_xor_si256(_mm256_cmpeq_epi16(v, vlarge), ones);
-    *mx = _mm256_blendv_epi8(*mx, _mm256_max_epi16(*mx, v), seen);
-    *mn = _mm256_blendv_epi8(*mn, _mm256_min_epi16(*mn, v), seen);
+    __m256i vx = v;
+    if (edged)
+        vx = _mm256_andnot_si256(_mm256_cmpeq_epi16(v, vlarge), v);
+    *mx = _mm256_max_epi16(*mx, vx);
+    *mn = _mm256_min_epi16(*mn, v);
     return _mm256_add_epi16(s, _mm256_mullo_epi16(vw, con));
 }
 
 /* int16 lanes, two rows per vector; the pri(4) + sec(8) tap structure
    is hardcoded (spec 7.15.3) so per-block setup is a handful of
    broadcasts instead of generic per-tap arrays */
-static void cdef_filter_rows_avx2(pel *dst, int dstride,
-                                  const int16_t *src, int sstride,
-                                  int x, int y, int w, int h,
-                                  int pri, int sec, int pt0, int pt1,
-                                  int pri_shift, int sec_shift, int dir) {
+static inline __attribute__((always_inline)) void
+cdef_filter_rows_avx2(pel *dst, int dstride,
+                      const int16_t *src, int sstride,
+                      int x, int y, int w, int h,
+                      int pri, int sec, int pt0, int pt1,
+                      int pri_shift, int sec_shift, int dir, int edged) {
     const __m256i vlarge = _mm256_set1_epi16(CDEF_VERY_LARGE);
     const __m256i zero = _mm256_setzero_si256();
     const __m256i eight = _mm256_set1_epi16(8);
-    const __m256i ones = _mm256_set1_epi16(-1);
     const __m256i vpthr = _mm256_set1_epi16((short)pri);
     const __m256i vsthr = _mm256_set1_epi16((short)sec);
     const __m128i vpsh = _mm_cvtsi32_si128(pri_shift);
@@ -210,31 +217,31 @@ static void cdef_filter_rows_avx2(pel *dst, int dstride,
         __m256i mx = px, mn = px;
         if (pri) {
             s = cdef_tap(cdef_ld2(r0, r1, w, po0), px, vpthr, vpsh, vw0,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, -po0), px, vpthr, vpsh, vw0,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, po1), px, vpthr, vpsh, vw1,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, -po1), px, vpthr, vpsh, vw1,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
         }
         if (sec) {
             s = cdef_tap(cdef_ld2(r0, r1, w, so0), px, vsthr, vssh, vw2,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, -so0), px, vsthr, vssh, vw2,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, so2), px, vsthr, vssh, vw2,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, -so2), px, vsthr, vssh, vw2,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, so1), px, vsthr, vssh, vw3,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, -so1), px, vsthr, vssh, vw3,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, so3), px, vsthr, vssh, vw3,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
             s = cdef_tap(cdef_ld2(r0, r1, w, -so3), px, vsthr, vssh, vw3,
-                         s, &mx, &mn, vlarge, ones);
+                         s, &mx, &mn, vlarge, edged);
         }
         /* val = px + ((8 + s - (s<0)) >> 4) */
         __m256i adj = _mm256_add_epi16(_mm256_add_epi16(eight, s),
@@ -260,7 +267,7 @@ static void cdef_filter_rows_avx2(pel *dst, int dstride,
 static void cdef_filter_block(pel *dst, int dstride,
                               const int16_t *src, int sstride,
                               int x, int y, int w, int h, int pri, int sec,
-                              int damping, int dir, int bd) {
+                              int damping, int dir, int bd, int edged) {
     int pt[2];
     if (((pri >> (bd - 8)) & 1) == 0) { pt[0] = 4; pt[1] = 2; }
     else { pt[0] = 3; pt[1] = 3; }
@@ -269,9 +276,14 @@ static void cdef_filter_block(pel *dst, int dstride,
     int sec_shift = cdef_shift_for(sec, damping);
 #ifdef __AVX2__
     if ((w == 8 || w == 4) && (h & 1) == 0) {
-        cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
-                              pri, sec, pt[0], pt[1], pri_shift,
-                              sec_shift, dir);
+        if (edged)
+            cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
+                                  pri, sec, pt[0], pt[1], pri_shift,
+                                  sec_shift, dir, 1);
+        else
+            cdef_filter_rows_avx2(dst, dstride, src, sstride, x, y, w, h,
+                                  pri, sec, pt[0], pt[1], pri_shift,
+                                  sec_shift, dir, 0);
         return;
     }
 #endif
@@ -332,6 +344,76 @@ static void cdef_filter_block(pel *dst, int dstride,
             dst[(y + i) * dstride + (x + j)] = (pel)out[i * w + j];
 }
 
+/* Build the (h+4)x(w+4) padded int16 window for one block into tmp
+ * (stride CDEF_TSTRIDE), combining the live plane (block interior,
+ * right/below halos: not yet CDEF-written), the saved pre-CDEF `above`
+ * rows (full width, rows y-2..y-1), the saved pre-CDEF `left` columns
+ * (rows y..y+h-1, cols x-2..x-1) and VERY_LARGE outside the frame.
+ * pel values are < 0x4000 so uint16 -> int16 is bit-identical. */
+#define CDEF_TSTRIDE 16
+
+/* branch-free tmp build for interior blocks (no frame borders in the
+ * (h+4)x(w+4) window): rows -2/-1 from `above`, the rest straight from
+ * the live plane, then the 2 left-halo columns from `left` */
+#ifdef __AVX2__
+static inline void cdef_build_tmp_fast(int16_t *tmp, const pel *plane,
+                                       int pstride, int x, int y, int h,
+                                       const pel *above, int aw,
+                                       const pel *left) {
+    _mm256_storeu_si256((__m256i *)tmp, _mm256_loadu_si256(
+        (const __m256i *)(above + x - 2)));
+    _mm256_storeu_si256((__m256i *)(tmp + CDEF_TSTRIDE),
+                        _mm256_loadu_si256(
+        (const __m256i *)(above + aw + x - 2)));
+    const pel *pr = plane + (int64_t)y * pstride + x - 2;
+    for (int i = 0; i < h + 2; i++) {
+        _mm256_storeu_si256((__m256i *)(tmp + (i + 2) * CDEF_TSTRIDE),
+                            _mm256_loadu_si256((const __m256i *)pr));
+        pr += pstride;
+    }
+    for (int i = 0; i < h; i++) {
+        tmp[(i + 2) * CDEF_TSTRIDE] = (int16_t)left[i * 2];
+        tmp[(i + 2) * CDEF_TSTRIDE + 1] = (int16_t)left[i * 2 + 1];
+    }
+}
+#endif
+
+static void cdef_build_tmp(int16_t *tmp, const pel *plane, int pstride,
+                           int pw_, int ph_, int x, int y, int w, int h,
+                           const pel *above, const pel *left) {
+    int fast = x >= 2 && x + 14 <= pw_;
+    for (int i = -2; i < h + 2; i++) {
+        int16_t *trow = tmp + (int64_t)(i + 2) * CDEF_TSTRIDE;
+        int Y = y + i;
+        if (Y < 0 || Y >= ph_) {
+            for (int j = 0; j < w + 4; j++) trow[j] = CDEF_VERY_LARGE;
+            continue;
+        }
+        const pel *srow = i < 0 ? above + (int64_t)(i + 2) * pw_
+                                : plane + (int64_t)Y * pstride;
+        if (fast) {
+#ifdef __AVX2__
+            _mm256_storeu_si256((__m256i *)trow, _mm256_loadu_si256(
+                (const __m256i *)(srow + x - 2)));
+#else
+            memcpy(trow, srow + x - 2, 16 * sizeof(int16_t));
+#endif
+        } else {
+            for (int j = -2; j < w + 2; j++) {
+                int X = x + j;
+                trow[j + 2] = (X < 0 || X >= pw_) ? CDEF_VERY_LARGE
+                                                  : (int16_t)srow[X];
+            }
+        }
+        /* the left block was already CDEF-written in the plane; its
+           pre-CDEF right columns live in `left` */
+        if (i >= 0 && i < h && x >= 2) {
+            trow[0] = (int16_t)left[i * 2];
+            trow[1] = (int16_t)left[i * 2 + 1];
+        }
+    }
+}
+
 static void av1_cdef(const ReconParams *rp, const TileOut *o,
                      pel *planes[3], const int pw[3], const int ph[3]) {
     if (!rp->enable_cdef) return;
@@ -347,93 +429,140 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     int damping = rp->cdef_damping + coeff_shift;
     int mi_rows = rp->mi_rows, mi_cols = rp->mi_cols;
     int ucols = (mi_cols + 15) / 16;
+    int n_pl = rp->num_planes;
 
-    /* constant padded int16 sources per plane; the buffers persist
-       across frames (single-threaded decode) so steady-state frames
-       pay no page faults for the ~6MB of scratch */
-    static int16_t *src_buf[3];
-    static size_t src_cap[3];
-    int16_t *srcs[3] = {NULL, NULL, NULL};
-    for (int p = 0; p < rp->num_planes; p++) {
-        int sw = pw[p] + 4, sh = ph[p] + 4;
-        size_t need = (size_t)sw * sh;
-        if (src_cap[p] < need) {
-            free(src_buf[p]);
-            src_buf[p] = malloc(sizeof(int16_t) * need);
-            src_cap[p] = src_buf[p] ? need : 0;
+    /* rolling pre-CDEF history (in-place filtering, no full-plane
+       snapshot): above[p] = the 2 plane rows just above the current
+       block row as they were before CDEF; save[p] = pre-CDEF copy of
+       the bottom 2 rows of the current block row (becomes `above`);
+       left[p]/nleft[p] = pre-CDEF right 2 columns of the previous
+       block position in this row */
+    static pel *hist[3];
+    static size_t hist_cap[3];
+    pel *above[3], *save[3];
+    pel left_a[3][16 * 2], left_b[3][16 * 2];
+    int bw[3], bh[3];
+    bw[0] = bh[0] = 8;
+    bw[1] = bw[2] = 8 >> rp->ssx;
+    bh[1] = bh[2] = 8 >> rp->ssy;
+    for (int p = 0; p < n_pl; p++) {
+        size_t need = (size_t)pw[p] * 4;
+        if (hist_cap[p] < need) {
+            free(hist[p]);
+            hist[p] = malloc(sizeof(pel) * need);
+            hist_cap[p] = hist[p] ? need : 0;
         }
-        srcs[p] = src_buf[p];
-        if (!srcs[p]) return;
-        /* VERY_LARGE border only; the interior is converted over */
-        for (int i = 0; i < 2; i++)
-            for (int j = 0; j < sw; j++) {
-                srcs[p][i * sw + j] = CDEF_VERY_LARGE;
-                srcs[p][(sh - 1 - i) * sw + j] = CDEF_VERY_LARGE;
-            }
-        for (int i = 2; i < sh - 2; i++) {
-            int16_t *row = srcs[p] + (int64_t)i * sw;
-            const pel *src = planes[p] + (int64_t)(i - 2) * pw[p];
-            row[0] = row[1] = CDEF_VERY_LARGE;
-            row[sw - 2] = row[sw - 1] = CDEF_VERY_LARGE;
-            for (int j = 0; j < pw[p]; j++)
-                row[2 + j] = (int16_t)src[j];
-        }
+        if (!hist[p]) return;
+        above[p] = hist[p];
+        save[p] = hist[p] + (size_t)pw[p] * 2;
     }
+    int16_t tmp[12 * CDEF_TSTRIDE];
 
     const int8_t *skip = o->skip;
-    for (int r = 0; r < mi_rows; r += 2)
+    for (int r = 0; r < mi_rows; r += 2) {
+        int y = r * 4;
+        /* snapshot the bottom 2 pre-CDEF rows of this block row: they
+           are the next row's `above` context */
+        for (int p = 0; p < n_pl; p++) {
+            int yy = (y >> (p ? rp->ssy : 0)) + bh[p] - 2;
+            if (yy + 1 < ph[p])
+                memcpy(save[p], planes[p] + (int64_t)yy * pw[p],
+                       sizeof(pel) * (size_t)pw[p] * 2);
+        }
+        pel (*left)[16 * 2] = left_a, (*nleft)[16 * 2] = left_b;
         for (int c = 0; c < mi_cols; c += 2) {
+            int x = c * 4;
+            /* save this position's pre-filter right 2 columns for the
+               next block's left halo (unconditionally: skipped blocks
+               keep plane values, which is the same thing) */
+            for (int p = 0; p < n_pl; p++) {
+                int px_ = (x >> (p ? rp->ssx : 0)) + bw[p] - 2;
+                int py_ = y >> (p ? rp->ssy : 0);
+                const pel *pr = planes[p] + (int64_t)py_ * pw[p] + px_;
+                for (int i = 0; i < bh[p]; i++) {
+                    nleft[p][i * 2] = pr[0];
+                    nleft[p][i * 2 + 1] = pr[1];
+                    pr += pw[p];
+                }
+            }
             int r2 = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
             int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
-            if (skip[r * mi_cols + c] && skip[r * mi_cols + c2]
-                && skip[r2 * mi_cols + c] && skip[r2 * mi_cols + c2])
-                continue;
-            int idx = o->cdef_idx[(r / 16) * ucols + (c / 16)];
-            if (idx == -1) continue;
-            int y = r * 4, x = c * 4;
-            int dir = 0, var = 0;
-            if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
-                cdef_find_dir(srcs[0] + (y + 2) * (pw[0] + 4) + (x + 2),
-                              pw[0] + 4, coeff_shift, &dir, &var);
-            for (int plane = 0; plane < rp->num_planes; plane++) {
-                int pri, sec, pdamp, px, py2, w, h, pdir;
-                if (plane == 0) {
-                    pri = rp->cdef_y_pri[idx] << coeff_shift;
-                    sec = rp->cdef_y_sec[idx] << coeff_shift;
-                    pdamp = damping;
-                    px = x; py2 = y; w = 8; h = 8;
-                    pdir = pri ? dir : 0;
-                } else {
-                    pri = rp->cdef_uv_pri[idx] << coeff_shift;
-                    sec = rp->cdef_uv_sec[idx] << coeff_shift;
-                    pdamp = damping - 1;
-                    px = x >> rp->ssx;
-                    py2 = y >> rp->ssy;
-                    w = 8 >> rp->ssx;
-                    h = 8 >> rp->ssy;
-                    pdir = pri ? CDEF_UV_DIR[rp->ssx][rp->ssy][dir] : 0;
-                }
-                if (pri == 0 && sec == 0) continue;
-                int adj_pri = pri;
-                if (plane == 0 && pri) {
-                    if (var) {
-                        int v6 = var >> 6;
-                        int i = 0;
-                        if (v6) {
-                            int bl = 0;
-                            for (int t = v6; t; t >>= 1) bl++;
-                            i = bl - 1 < 12 ? bl - 1 : 12;
-                        }
-                        adj_pri = (pri * (4 + i) + 8) >> 4;
+            int idx;
+            if (!(skip[r * mi_cols + c] && skip[r * mi_cols + c2]
+                  && skip[r2 * mi_cols + c] && skip[r2 * mi_cols + c2])
+                && (idx = o->cdef_idx[(r / 16) * ucols + (c / 16)])
+                   != -1) {
+                int dir = 0, var = 0;
+                if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
+                    /* the 8x8 interior is never touched by earlier
+                       blocks, so the live plane is pre-CDEF here */
+                    cdef_find_dir(
+                        (const int16_t *)(planes[0]
+                                          + (int64_t)y * pw[0] + x),
+                        pw[0], coeff_shift, &dir, &var);
+                for (int plane = 0; plane < n_pl; plane++) {
+                    int pri, sec, pdamp, px, py2, w, h, pdir;
+                    if (plane == 0) {
+                        pri = rp->cdef_y_pri[idx] << coeff_shift;
+                        sec = rp->cdef_y_sec[idx] << coeff_shift;
+                        pdamp = damping;
+                        px = x; py2 = y; w = 8; h = 8;
+                        pdir = pri ? dir : 0;
                     } else {
-                        adj_pri = 0;
+                        pri = rp->cdef_uv_pri[idx] << coeff_shift;
+                        sec = rp->cdef_uv_sec[idx] << coeff_shift;
+                        pdamp = damping - 1;
+                        px = x >> rp->ssx;
+                        py2 = y >> rp->ssy;
+                        w = 8 >> rp->ssx;
+                        h = 8 >> rp->ssy;
+                        pdir = pri ? CDEF_UV_DIR[rp->ssx][rp->ssy][dir]
+                                   : 0;
                     }
+                    if (pri == 0 && sec == 0) continue;
+                    int adj_pri = pri;
+                    if (plane == 0 && pri) {
+                        if (var) {
+                            int v6 = var >> 6;
+                            int i = 0;
+                            if (v6) {
+                                int bl = 0;
+                                for (int t = v6; t; t >>= 1) bl++;
+                                i = bl - 1 < 12 ? bl - 1 : 12;
+                            }
+                            adj_pri = (pri * (4 + i) + 8) >> 4;
+                        } else {
+                            adj_pri = 0;
+                        }
+                    }
+                    if (adj_pri == 0 && sec == 0)
+                        continue;  /* zero taps: identity */
+                    int interior = px >= 2 && px + 14 <= pw[plane]
+                                   && py2 >= 2
+                                   && py2 + h + 2 <= ph[plane];
+#ifdef __AVX2__
+                    if (interior)
+                        cdef_build_tmp_fast(tmp, planes[plane],
+                                            pw[plane], px, py2, h,
+                                            above[plane], pw[plane],
+                                            left[plane]);
+                    else
+#endif
+                        cdef_build_tmp(tmp, planes[plane], pw[plane],
+                                       pw[plane], ph[plane], px, py2,
+                                       w, h, above[plane], left[plane]);
+                    /* read from the tmp window origin, write at the
+                       block's plane position */
+                    cdef_filter_block(
+                        planes[plane] + (int64_t)py2 * pw[plane] + px,
+                        pw[plane], tmp, CDEF_TSTRIDE, 0, 0, w, h,
+                        adj_pri, sec, pdamp, pdir, bd, !interior);
                 }
-                if (adj_pri == 0 && sec == 0)
-                    continue;  /* zero taps: the filter is an identity */
-                cdef_filter_block(planes[plane], pw[plane], srcs[plane],
-                                  pw[plane] + 4, px, py2, w, h, adj_pri,
-                                  sec, pdamp, pdir, bd);
             }
+            pel (*t_)[16 * 2] = left; left = nleft; nleft = t_;
         }
+        for (int p = 0; p < n_pl; p++) {
+            pel *t_ = above[p]; above[p] = save[p]; save[p] = t_;
+        }
+    }
 }

@@ -1308,11 +1308,22 @@ int av1_pack8(const pel *p, int stride, int w, int h,
         const pel *row = p + (int64_t)r * stride;
         uint8_t *o8 = out8 + (int64_t)r * w;
         uint16_t *o16 = out16 + (int64_t)r * w;
-        for (int c = 0; c < w; c++) {
-            pel v = row[c];
-            o8[c] = (uint8_t)v;
-            o16[c] = (uint16_t)v;
+        memcpy(o16, row, (size_t)w * sizeof(uint16_t));
+        int c = 0;
+#ifdef __AVX2__
+        /* 8-bit planes carry values <= 255, so packus is a pure
+           narrowing (no saturation in range) */
+        for (; c + 32 <= w; c += 32) {
+            __m256i a = _mm256_loadu_si256((const __m256i *)(row + c));
+            __m256i b = _mm256_loadu_si256(
+                (const __m256i *)(row + c + 16));
+            __m256i pk = _mm256_permute4x64_epi64(
+                _mm256_packus_epi16(a, b), 0xD8);
+            _mm256_storeu_si256((__m256i *)(o8 + c), pk);
         }
+#endif
+        for (; c < w; c++)
+            o8[c] = (uint8_t)row[c];
     }
     return 0;
 }
