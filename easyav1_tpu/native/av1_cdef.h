@@ -10,6 +10,14 @@
 #include <stdlib.h>
 
 #define CDEF_VERY_LARGE 0x4000
+#define CDEF_TSTRIDE 16
+
+/* profiling counters: [0] luma blocks filtered, [1] chroma blocks,
+   [2] pri!=0 calls, [3] sec!=0 calls, [4] positions past skip check */
+int64_t cdef_stat[8];
+void cdef_get_stats(int64_t *out) {
+    for (int i = 0; i < 8; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
+}
 
 static const int8_t CDEF_DIRS[8][2][2] = {
     {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}},
@@ -262,6 +270,140 @@ cdef_filter_rows_avx2(pel *dst, int dstride,
         }
     }
 }
+
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* AVX-512 U+V-paired chroma filter (ssx=1: 4-wide blocks).  U and V
+ * share direction, strengths and damping (spec 7.15.3), so both
+ * planes filter in one pass: tmp rows are [U window(8) | V window(8)]
+ * int16 with row stride 16, and one 512-bit load at element offset
+ * (row+dy)*16 + dx covers two rows of BOTH planes with element-wise
+ * tap correspondence (useful lanes 0-3/8-11/16-19/24-27). */
+static inline __attribute__((always_inline)) __m512i
+cdef_tap512(__m512i v, __m512i px, __m512i vthr, __m128i vsh,
+            __m512i vw, __m512i s, __m512i *mx, __m512i *mn,
+            __m512i vlarge, int edged) {
+    __m512i diff = _mm512_sub_epi16(v, px);
+    __m512i ad = _mm512_abs_epi16(diff);
+    __m512i rhs = _mm512_sub_epi16(vthr, _mm512_srl_epi16(ad, vsh));
+    rhs = _mm512_max_epi16(rhs, _mm512_setzero_si512());
+    __m512i mag = _mm512_min_epi16(ad, rhs);
+    __m512i m = _mm512_srai_epi16(diff, 15);
+    __m512i con = _mm512_sub_epi16(_mm512_xor_si512(mag, m), m);
+    __m512i vx = v;
+    if (edged)
+        vx = _mm512_maskz_mov_epi16(
+            _mm512_cmpneq_epi16_mask(v, vlarge), v);
+    *mx = _mm512_max_epi16(*mx, vx);
+    *mn = _mm512_min_epi16(*mn, v);
+    return _mm512_add_epi16(s, _mm512_mullo_epi16(vw, con));
+}
+
+static inline __attribute__((always_inline)) void
+cdef_filter_uv_avx512(pel *du, pel *dv, int dstride, const int16_t *tmp,
+                      int h, int pri, int sec, int pt0, int pt1,
+                      int pri_shift, int sec_shift, int dir, int edged) {
+    const __m512i vlarge = _mm512_set1_epi16(CDEF_VERY_LARGE);
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i eight = _mm512_set1_epi16(8);
+    const __m512i vpthr = _mm512_set1_epi16((short)pri);
+    const __m512i vsthr = _mm512_set1_epi16((short)sec);
+    const __m128i vpsh = _mm_cvtsi32_si128(pri_shift);
+    const __m128i vssh = _mm_cvtsi32_si128(sec_shift);
+    const __m512i vw0 = _mm512_set1_epi16((short)pt0);
+    const __m512i vw1 = _mm512_set1_epi16((short)pt1);
+    const __m512i vw2 = _mm512_set1_epi16(2);
+    const __m512i vw3 = _mm512_set1_epi16(1);
+    const int8_t (*d0)[2] = CDEF_DIRS[dir];
+    const int8_t (*s1)[2] = CDEF_DIRS[(dir + 2) & 7];
+    const int8_t (*s2)[2] = CDEF_DIRS[(dir + 6) & 7];
+    const int64_t po0 = (int64_t)d0[0][0] * CDEF_TSTRIDE + d0[0][1];
+    const int64_t po1 = (int64_t)d0[1][0] * CDEF_TSTRIDE + d0[1][1];
+    const int64_t so0 = (int64_t)s1[0][0] * CDEF_TSTRIDE + s1[0][1];
+    const int64_t so1 = (int64_t)s1[1][0] * CDEF_TSTRIDE + s1[1][1];
+    const int64_t so2 = (int64_t)s2[0][0] * CDEF_TSTRIDE + s2[0][1];
+    const int64_t so3 = (int64_t)s2[1][0] * CDEF_TSTRIDE + s2[1][1];
+    for (int i = 0; i < h; i += 2) {
+        const int16_t *b = tmp + (int64_t)(i + 2) * CDEF_TSTRIDE + 2;
+#define LD512(off) _mm512_loadu_si512((const void *)(b + (off)))
+        __m512i px = LD512(0), s = zero;
+        __m512i mx = px, mn = px;
+        if (pri) {
+            s = cdef_tap512(LD512(po0), px, vpthr, vpsh, vw0, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(-po0), px, vpthr, vpsh, vw0, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(po1), px, vpthr, vpsh, vw1, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(-po1), px, vpthr, vpsh, vw1, s, &mx,
+                            &mn, vlarge, edged);
+        }
+        if (sec) {
+            s = cdef_tap512(LD512(so0), px, vsthr, vssh, vw2, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(-so0), px, vsthr, vssh, vw2, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(so2), px, vsthr, vssh, vw2, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(-so2), px, vsthr, vssh, vw2, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(so1), px, vsthr, vssh, vw3, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(-so1), px, vsthr, vssh, vw3, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(so3), px, vsthr, vssh, vw3, s, &mx,
+                            &mn, vlarge, edged);
+            s = cdef_tap512(LD512(-so3), px, vsthr, vssh, vw3, s, &mx,
+                            &mn, vlarge, edged);
+        }
+#undef LD512
+        __m512i adj = _mm512_add_epi16(_mm512_add_epi16(eight, s),
+                                       _mm512_srai_epi16(s, 15));
+        __m512i val = _mm512_add_epi16(px, _mm512_srai_epi16(adj, 4));
+        val = _mm512_min_epi16(_mm512_max_epi16(val, mn), mx);
+        __m128i q0 = _mm512_castsi512_si128(val);
+        __m128i q1 = _mm512_extracti32x4_epi32(val, 1);
+        __m128i q2 = _mm512_extracti32x4_epi32(val, 2);
+        __m128i q3 = _mm512_extracti32x4_epi32(val, 3);
+        _mm_storel_epi64((__m128i *)(du + (int64_t)i * dstride), q0);
+        _mm_storel_epi64((__m128i *)(dv + (int64_t)i * dstride), q1);
+        _mm_storel_epi64((__m128i *)(du + (int64_t)(i + 1) * dstride),
+                         q2);
+        _mm_storel_epi64((__m128i *)(dv + (int64_t)(i + 1) * dstride),
+                         q3);
+    }
+}
+
+/* interior-block build of the interleaved UV tmp */
+static inline void
+cdef_build_tmp_uv_fast(int16_t *tmp, const pel *pu, const pel *pv,
+                       int ps, int x, int y, int h,
+                       const pel *au, const pel *av, int aw,
+                       const pel *lu, const pel *lv) {
+    for (int k = 0; k < 2; k++) {
+        _mm_storeu_si128((__m128i *)(tmp + k * CDEF_TSTRIDE),
+                         _mm_loadu_si128(
+            (const __m128i *)(au + (int64_t)k * aw + x - 2)));
+        _mm_storeu_si128((__m128i *)(tmp + k * CDEF_TSTRIDE + 8),
+                         _mm_loadu_si128(
+            (const __m128i *)(av + (int64_t)k * aw + x - 2)));
+    }
+    const pel *ru = pu + (int64_t)y * ps + x - 2;
+    const pel *rv = pv + (int64_t)y * ps + x - 2;
+    for (int i = 0; i < h + 2; i++) {
+        _mm_storeu_si128((__m128i *)(tmp + (i + 2) * CDEF_TSTRIDE),
+                         _mm_loadu_si128((const __m128i *)ru));
+        _mm_storeu_si128((__m128i *)(tmp + (i + 2) * CDEF_TSTRIDE + 8),
+                         _mm_loadu_si128((const __m128i *)rv));
+        ru += ps; rv += ps;
+    }
+    for (int i = 0; i < h; i++) {
+        tmp[(i + 2) * CDEF_TSTRIDE] = (int16_t)lu[i * 2];
+        tmp[(i + 2) * CDEF_TSTRIDE + 1] = (int16_t)lu[i * 2 + 1];
+        tmp[(i + 2) * CDEF_TSTRIDE + 8] = (int16_t)lv[i * 2];
+        tmp[(i + 2) * CDEF_TSTRIDE + 9] = (int16_t)lv[i * 2 + 1];
+    }
+}
+#endif /* AVX512 */
 #endif
 
 static void cdef_filter_block(pel *dst, int dstride,
@@ -350,7 +492,6 @@ static void cdef_filter_block(pel *dst, int dstride,
  * rows (full width, rows y-2..y-1), the saved pre-CDEF `left` columns
  * (rows y..y+h-1, cols x-2..x-1) and VERY_LARGE outside the frame.
  * pel values are < 0x4000 so uint16 -> int16 is bit-identical. */
-#define CDEF_TSTRIDE 16
 
 /* branch-free tmp build for interior blocks (no frame borders in the
  * (h+4)x(w+4) window): rows -2/-1 from `above`, the rest straight from
@@ -380,8 +521,9 @@ static inline void cdef_build_tmp_fast(int16_t *tmp, const pel *plane,
 
 static void cdef_build_tmp(int16_t *tmp, const pel *plane, int pstride,
                            int pw_, int ph_, int x, int y, int w, int h,
-                           const pel *above, const pel *left) {
-    int fast = x >= 2 && x + 14 <= pw_;
+                           const pel *above, const pel *left,
+                           int full16 /* may store 16-wide rows */) {
+    int fast = full16 && x >= 2 && x + 14 <= pw_;
     for (int i = -2; i < h + 2; i++) {
         int16_t *trow = tmp + (int64_t)(i + 2) * CDEF_TSTRIDE;
         int Y = y + i;
@@ -456,7 +598,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         above[p] = hist[p];
         save[p] = hist[p] + (size_t)pw[p] * 2;
     }
-    int16_t tmp[12 * CDEF_TSTRIDE];
+    int16_t tmp[14 * CDEF_TSTRIDE];
 
     const int8_t *skip = o->skip;
     for (int r = 0; r < mi_rows; r += 2) {
@@ -493,6 +635,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 && (idx = o->cdef_idx[(r / 16) * ucols + (c / 16)])
                    != -1) {
                 int dir = 0, var = 0;
+                cdef_stat[4]++;
                 if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
                     /* the 8x8 interior is never touched by earlier
                        blocks, so the live plane is pre-CDEF here */
@@ -500,8 +643,63 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         (const int16_t *)(planes[0]
                                           + (int64_t)y * pw[0] + x),
                         pw[0], coeff_shift, &dir, &var);
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                /* U+V-paired chroma (4-wide blocks, ssx=1): one pass
+                   filters both planes with full 512-bit lanes */
+                int uv_paired = 0;
+                if (n_pl == 3 && rp->ssx == 1) {
+                    int pri = rp->cdef_uv_pri[idx] << coeff_shift;
+                    int sec = rp->cdef_uv_sec[idx] << coeff_shift;
+                    uv_paired = 1;
+                    if (pri | sec) {
+                        int px = x >> 1, py2 = y >> rp->ssy;
+                        int h = 8 >> rp->ssy;
+                        int pdir = pri ? CDEF_UV_DIR[1][rp->ssy][dir]
+                                       : 0;
+                        cdef_stat[1] += 2;
+                        int interior = px >= 2 && px + 6 <= pw[1]
+                                       && py2 >= 2
+                                       && py2 + h + 2 <= ph[1];
+                        if (interior)
+                            cdef_build_tmp_uv_fast(
+                                tmp, planes[1], planes[2], pw[1], px,
+                                py2, h, above[1], above[2], pw[1],
+                                left[1], left[2]);
+                        else {
+                            cdef_build_tmp(tmp, planes[1], pw[1],
+                                           pw[1], ph[1], px, py2, 4, h,
+                                           above[1], left[1], 0);
+                            cdef_build_tmp(tmp + 8, planes[2], pw[1],
+                                           pw[1], ph[1], px, py2, 4, h,
+                                           above[2], left[2], 0);
+                        }
+                        int pt0, pt1;
+                        if (((pri >> coeff_shift) & 1) == 0) {
+                            pt0 = 4; pt1 = 2;
+                        } else {
+                            pt0 = 3; pt1 = 3;
+                        }
+                        int psh = cdef_shift_for(pri, damping - 1);
+                        int ssh = cdef_shift_for(sec, damping - 1);
+                        int64_t doff = (int64_t)py2 * pw[1] + px;
+                        if (interior)
+                            cdef_filter_uv_avx512(
+                                planes[1] + doff, planes[2] + doff,
+                                pw[1], tmp, h, pri, sec, pt0, pt1,
+                                psh, ssh, pdir, 0);
+                        else
+                            cdef_filter_uv_avx512(
+                                planes[1] + doff, planes[2] + doff,
+                                pw[1], tmp, h, pri, sec, pt0, pt1,
+                                psh, ssh, pdir, 1);
+                    }
+                }
+#endif
                 for (int plane = 0; plane < n_pl; plane++) {
                     int pri, sec, pdamp, px, py2, w, h, pdir;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                    if (plane && uv_paired) break;
+#endif
                     if (plane == 0) {
                         pri = rp->cdef_y_pri[idx] << coeff_shift;
                         sec = rp->cdef_y_sec[idx] << coeff_shift;
@@ -537,6 +735,9 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     }
                     if (adj_pri == 0 && sec == 0)
                         continue;  /* zero taps: identity */
+                    cdef_stat[plane ? 1 : 0]++;
+                    cdef_stat[2] += pri != 0;
+                    cdef_stat[3] += sec != 0;
                     int interior = px >= 2 && px + 14 <= pw[plane]
                                    && py2 >= 2
                                    && py2 + h + 2 <= ph[plane];
@@ -550,7 +751,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
 #endif
                         cdef_build_tmp(tmp, planes[plane], pw[plane],
                                        pw[plane], ph[plane], px, py2,
-                                       w, h, above[plane], left[plane]);
+                                       w, h, above[plane], left[plane],
+                                       1);
                     /* read from the tmp window origin, write at the
                        block's plane position */
                     cdef_filter_block(

@@ -1147,10 +1147,6 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
     }
     if (b[BLK_MOTION_MODE] == MC_MM_OBMC)
         apply_obmc(rc, b);
-    {
-        double tr0 = rc_now();
-        residual_add(rc, b);
-        av1_stage_times[5] += rc_now() - tr0;
-    }
+    residual_add(rc, b);
     return 0;
 }
