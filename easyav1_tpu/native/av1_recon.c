@@ -1303,12 +1303,13 @@ int av1_project_mvfield(int mi_rows, int mi_cols,
 
 /* int32 plane -> u8 display copy + u16 reference copy in one pass */
 int av1_pack8(const pel *p, int stride, int w, int h,
-              uint8_t *out8, uint16_t *out16) {
+              uint8_t *out8, uint16_t *out16 /* optional */) {
     for (int r = 0; r < h; r++) {
         const pel *row = p + (int64_t)r * stride;
         uint8_t *o8 = out8 + (int64_t)r * w;
-        uint16_t *o16 = out16 + (int64_t)r * w;
-        memcpy(o16, row, (size_t)w * sizeof(uint16_t));
+        if (out16)
+            memcpy(out16 + (int64_t)r * w, row,
+                   (size_t)w * sizeof(uint16_t));
         int c = 0;
 #ifdef __AVX2__
         /* 8-bit planes carry values <= 255, so packus is a pure

@@ -250,8 +250,11 @@ class AV1Backend:
                              plan.mvs_grid)
         self.hp.update_refs(hdr)
         if hdr.refresh_frame_flags:
+            # (plane, w, h) triples; native frames hand back their
+            # mi-aligned recon buffers (no copy: C MC reads strided)
             u16 = (planes16 if planes16 is not None else
-                   [np.ascontiguousarray(p, np.uint16) for p in planes])
+                   [(np.ascontiguousarray(p, np.uint16), p.shape[1],
+                     p.shape[0]) for p in planes])
         for i in range(C.NUM_REF_FRAMES):
             if hdr.refresh_frame_flags & (1 << i):
                 self._out_refs[i] = frame
