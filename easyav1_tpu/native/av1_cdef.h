@@ -38,7 +38,63 @@ static const int8_t CDEF_UV_DIR[2][2][8] = {
 
 static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
                           int *out_dir, int *out_var) {
-#ifdef __AVX2__
+#if defined(__AVX512F__) && defined(__AVX2__)
+    /* register-resident partial sums: each direction's projection is a
+       lane-shifted accumulation (valignd against zero), so the 8-row
+       loop never round-trips the part[] arrays through memory */
+    int32_t part[8][16] __attribute__((aligned(64)));
+    {
+        const __m512i z512 = _mm512_setzero_si512();
+        __m512i acc0 = z512, acc1 = z512, acc3 = z512, acc4 = z512,
+                acc5 = z512, acc7 = z512;
+        __m256i acc6 = _mm256_setzero_si256();
+        const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+        const __m256i c128 = _mm256_set1_epi32(128);
+        int32_t rowsum[8];
+/* zmm shifted left by L lanes (L is a literal; 0 folds to identity) */
+#define CDEF_SHL(zv, L) \
+        ((L) == 0 ? (zv) : _mm512_alignr_epi32((zv), z512, (16 - (L)) & 15))
+#define CDEF_ROW(i) do { \
+        __m256i x = _mm256_cvtepi16_epi32(_mm_loadu_si128( \
+            (const __m128i *)(src + (int64_t)(i) * stride))); \
+        if (coeff_shift) x = _mm256_srai_epi32(x, coeff_shift); \
+        x = _mm256_sub_epi32(x, c128); \
+        acc6 = _mm256_add_epi32(acc6, x); \
+        __m256i xr = _mm256_permutevar8x32_epi32(x, rev); \
+        __m512i zx = _mm512_inserti64x4(z512, x, 0); \
+        __m512i zxr = _mm512_inserti64x4(z512, xr, 0); \
+        acc0 = _mm512_add_epi32(acc0, CDEF_SHL(zx, (i))); \
+        acc4 = _mm512_add_epi32(acc4, CDEF_SHL(zxr, (i))); \
+        acc5 = _mm512_add_epi32(acc5, CDEF_SHL(zx, 3 - ((i) >> 1))); \
+        acc7 = _mm512_add_epi32(acc7, CDEF_SHL(zx, (i) >> 1)); \
+        __m128i lo = _mm256_castsi256_si128(x); \
+        __m128i hi = _mm256_extracti128_si256(x, 1); \
+        __m128i ps = _mm_hadd_epi32(lo, hi); \
+        __m128i psr = _mm_shuffle_epi32(ps, 0x1B); \
+        __m512i zp = _mm512_inserti32x4(z512, ps, 0); \
+        __m512i zpr = _mm512_inserti32x4(z512, psr, 0); \
+        acc1 = _mm512_add_epi32(acc1, CDEF_SHL(zp, (i))); \
+        acc3 = _mm512_add_epi32(acc3, CDEF_SHL(zpr, (i))); \
+        __m128i rs = _mm_add_epi32(ps, _mm_srli_si128(ps, 8)); \
+        rs = _mm_add_epi32(rs, _mm_srli_si128(rs, 4)); \
+        rowsum[i] = _mm_cvtsi128_si32(rs); \
+    } while (0)
+        CDEF_ROW(0); CDEF_ROW(1); CDEF_ROW(2); CDEF_ROW(3);
+        CDEF_ROW(4); CDEF_ROW(5); CDEF_ROW(6); CDEF_ROW(7);
+#undef CDEF_ROW
+#undef CDEF_SHL
+        _mm512_store_si512((__m512i *)part[0], acc0);
+        _mm512_store_si512((__m512i *)part[1], acc1);
+        _mm512_store_si512((__m512i *)part[3], acc3);
+        _mm512_store_si512((__m512i *)part[4], acc4);
+        _mm512_store_si512((__m512i *)part[5], acc5);
+        _mm512_store_si512((__m512i *)part[7], acc7);
+        memcpy(part[2], rowsum, sizeof(rowsum));
+        memset(part[2] + 8, 0, 8 * sizeof(int32_t));
+        _mm256_store_si256((__m256i *)part[6], acc6);
+        memset(part[6] + 8, 0, 8 * sizeof(int32_t));
+    }
+#elif defined(__AVX2__)
     /* row-vector accumulation: each of the 8 direction projections is a
        sliding-window add of the row (or its reverse / pair-sums) */
     int32_t part[8][16];
