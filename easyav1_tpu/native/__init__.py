@@ -285,7 +285,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_lf_grids_export.restype = ctypes.c_int
     lib.av1_lf_grids_export.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
-        ctypes.c_int, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 5
+        ctypes.c_int, ctypes.c_int, ctypes.c_int] + [ctypes.c_void_p] * 7
     lib.av1_export_pred_units.restype = ctypes.c_int
     lib.av1_export_pred_units.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
@@ -819,13 +819,15 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         _BUF_POOL[pkey] = pl
     py, pu, pv = pl
     device = os.environ.get("EASYAV1_PIPE", "native") == "device" \
-        and not getattr(getattr(hdr, "lr", None), "uses_lr", False) \
         and not getattr(hdr, "use_superres", False)
+    saved_lf = tuple(rp.lf_level)
+    saved_cdef = rp.enable_cdef
     if device:
-        # dense math only in C; the loop filter and CDEF run as device
-        # (JAX) kernels on the mi-aligned planes
+        # dense math only in C; loop filter, CDEF and loop restoration
+        # run as device (JAX) kernels on the mi-aligned planes
         rp.lf_level = (ctypes.c_int32 * 4)(0, 0, 0, 0)
         rp.enable_cdef = 0
+        fp_rc.lr_uses = 0
     rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
                              ctypes.byref(fp_rc), ctypes.byref(rfl),
                              _vp(py), _vp(pu), _vp(pv))
@@ -835,6 +837,10 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     n_pl = seq.color.num_planes
     aligned = [py, pu, pv][:n_pl]
     if device:
+        # restore the real filter params: the device stages derive
+        # their per-block level grids through this rp
+        rp.lf_level = (ctypes.c_int32 * 4)(*saved_lf)
+        rp.enable_cdef = saved_cdef
         _device_postfilter(seq, hdr, out, bufs, aligned, rp)
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
@@ -948,28 +954,52 @@ def _grids_exporter(lib, rp, out):
     def grids_for(plane, shape):
         h, w = shape
         gw, gh = (w + 3) >> 2, (h + 3) >> 2
-        a = [np.empty((gh, gw), np.uint8) for _ in range(5)]
+        a = [np.empty((gh, gw), np.uint8) for _ in range(7)]
         rc = lib.av1_lf_grids_export(
             ctypes.byref(rp), ctypes.byref(out), plane, w, h,
-            _vp(a[0]), _vp(a[1]), _vp(a[2]), _vp(a[3]), _vp(a[4]))
+            _vp(a[0]), _vp(a[1]), _vp(a[2]), _vp(a[3]), _vp(a[4]),
+            _vp(a[5]), _vp(a[6]))
         if rc != 0:
             raise RuntimeError("lf grids export failed")
         return {"txw": a[0].astype(np.int32), "txh": a[1].astype(np.int32),
                 "skip": a[2].astype(np.int32),
                 "edge_left": a[3].astype(bool),
-                "edge_top": a[4].astype(bool), "gw": gw, "gh": gh}
+                "edge_top": a[4].astype(bool),
+                "lvl0": a[5].astype(np.int32),
+                "lvl1": a[6].astype(np.int32), "gw": gw, "gh": gh}
     return grids_for
 
 
 def _device_postfilter(seq, hdr, out, bufs, aligned, rp):
-    """Loop filter + CDEF on device (fused, device-resident) using the
+    """Loop filter + CDEF + loop restoration on device using the
     native decoder's grids; results written back into `aligned`."""
     from easyav1_tpu.video.av1.recon.postfilter_fused import \
         postfilter_frame
 
     lib = _load()
-    dev = postfilter_frame(aligned, hdr, seq, _grids_exporter(lib, rp, out),
-                           bufs["grids"]["skip"], bufs["cdef"])
+    lr_on = getattr(getattr(hdr, "lr", None), "uses_lr", False)
+    res = postfilter_frame(aligned, hdr, seq, _grids_exporter(lib, rp, out),
+                           bufs["grids"]["skip"], bufs["cdef"],
+                           want_deblocked=lr_on)
+    dev, debl = res if lr_on else (res, None)
     for p, d in enumerate(dev):
         if d is not aligned[p]:
             aligned[p][:, :] = np.asarray(d)
+    if lr_on:
+        from types import SimpleNamespace
+
+        from easyav1_tpu.video.av1.recon.lr_jax import \
+            DeviceLoopRestoration
+
+        plan = SimpleNamespace(lr_type={}, lr_wiener={}, lr_sgr={})
+        for u in bufs["lr"][:out.n_lr_units]:
+            key = (int(u[0]), int(u[1]), int(u[2]))
+            plan.lr_type[key] = int(u[3])
+            if u[3] == 2:       # RESTORE_WIENER
+                plan.lr_wiener[key] = [
+                    [int(u[4]), int(u[5]), int(u[6])],
+                    [int(u[7]), int(u[8]), int(u[9])]]
+            elif u[3] == 3:     # RESTORE_SGRPROJ
+                plan.lr_sgr[key] = (int(u[10]), int(u[11]), int(u[12]))
+        DeviceLoopRestoration(hdr, seq, plan, seq.color.bitdepth).apply(
+            aligned, [np.asarray(d) for d in debl])

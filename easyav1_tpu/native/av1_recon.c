@@ -922,7 +922,8 @@ enum { RESTORE_NONE = 0, RESTORE_WIENER = 2, RESTORE_SGRPROJ = 3 };
 int av1_lf_grids_export(const ReconParams *rp, const TileOut *o, int plane,
                         int pw, int ph, uint8_t *txw, uint8_t *txh,
                         uint8_t *skip, uint8_t *edge_left,
-                        uint8_t *edge_top) {
+                        uint8_t *edge_top, uint8_t *lvl0,
+                        uint8_t *lvl1) {
     LfGrids g;
     if (lf_build_grids(rp, o, plane, pw, ph, &g)) return 2;
     size_t n = (size_t)g.gw * g.gh;
@@ -931,6 +932,8 @@ int av1_lf_grids_export(const ReconParams *rp, const TileOut *o, int plane,
     memcpy(skip, g.skip, n);
     memcpy(edge_left, g.edge_left, n);
     memcpy(edge_top, g.edge_top, n);
+    memcpy(lvl0, g.lvl0, n);
+    memcpy(lvl1, g.lvl1, n);
     free(g.txw);
     return 0;
 }

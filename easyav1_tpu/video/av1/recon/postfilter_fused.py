@@ -54,7 +54,7 @@ def _lf_stage(dims: tuple, bd: int):
 
     np_ = len(dims)
 
-    def fn(planes, sizes_v, sizes_h, limits):
+    def fn(planes, sizes_v, sizes_h, lims_v, lims_h):
         out = []
         for p in range(np_):
             ph, pw = dims[p]
@@ -62,13 +62,13 @@ def _lf_stage(dims: tuple, bd: int):
             body_v = _pass_body(ph, pw, bd)
             if body_v is not None:
                 sm = jnp.repeat(sizes_v[p], 4, axis=0)[:ph]
-                buf = body_v(buf, sm, limits[p, 0, 0], limits[p, 0, 1],
-                             limits[p, 0, 2])
+                lm = jnp.repeat(lims_v[p], 4, axis=1)[:, :ph]
+                buf = body_v(buf, sm, lm[0], lm[1], lm[2])
             body_h = _pass_body(pw, ph, bd)
             if body_h is not None:
                 sm = jnp.repeat(sizes_h[p], 4, axis=0)[:pw]
-                buf = body_h(buf.T, sm, limits[p, 1, 0],
-                             limits[p, 1, 1], limits[p, 1, 2]).T
+                lm = jnp.repeat(lims_h[p], 4, axis=1)[:, :pw]
+                buf = body_h(buf.T, sm, lm[0], lm[1], lm[2]).T
             out.append(buf)
         return out
 
@@ -111,13 +111,19 @@ def _cdef_stage(dims: tuple, bd: int, ssx: int, ssy: int, damping: int,
 
 
 def _lf_size_maps(hdr, bd, dims, num_planes, grids_for):
-    """Host: per-plane (size_v, size_h) cell grids + limits, with the
-    reference's level gates and visible-frame crop applied."""
+    """Host: per-plane (size_v, size_h) cell grids plus PER-EDGE
+    (limit, blimit, thresh) maps (levels vary per block on inter
+    frames via ref/mode deltas, segments and delta_lf; the C decoder
+    exports the resolved per-cell level grids)."""
     sizes_v, sizes_h = [], []
-    limits = np.zeros((num_planes, 2, 3), np.int32)
+    lims_v, lims_h = [], []
     lf_on = not (hdr.lf.level[0] == 0 and hdr.lf.level[1] == 0
                  and hdr.lf.level[2] == 0 and hdr.lf.level[3] == 0) \
         and not getattr(hdr, "allow_intrabc", False)
+    # 64-entry (limit, blimit, thresh) LUTs over the level
+    luts = np.zeros((3, 64), np.int32)
+    for lv in range(1, 64):
+        luts[:, lv] = _limits(lv, hdr.lf.sharpness, bd)
     for p in range(num_planes):
         ph, pw = dims[p]
         g = grids_for(p, (ph, pw)) if lf_on else None
@@ -132,14 +138,21 @@ def _lf_size_maps(hdr, bd, dims, num_planes, grids_for):
             vertical = pass_ == 0
             ne = (g["gw"] - 1 if vertical else g["gh"] - 1) if g else 0
             rows = (ph + 3) // 4 if vertical else (pw + 3) // 4
-            lvl = _filter_levels(hdr, p, pass_, None) if plane_on else 0
-            if lvl == 0 or ne <= 0 or g is None:
+            if not plane_on or ne <= 0 or g is None:
                 size = np.zeros((rows, max(ne, 0)), np.int32)
+                lim = np.zeros((3, rows, max(ne, 0)), np.int32)
             else:
                 size = _cell_maps(g, p, vertical)
-                limit, blimit, thresh = _limits(lvl, hdr.lf.sharpness,
-                                                bd)
-                limits[p, pass_] = (limit, blimit, thresh)
+                # per-edge level: current cell's, else the neighbour's
+                lv = g["lvl0"] if pass_ == 0 else g["lvl1"]
+                if vertical:
+                    lvl_e = np.where(lv[:, 1:] > 0, lv[:, 1:],
+                                     lv[:, :-1])
+                else:
+                    lvl_e = np.where(lv[1:, :] > 0, lv[1:, :],
+                                     lv[:-1, :]).T
+                size = np.where(lvl_e > 0, size, 0)
+                lim = luts[:, lvl_e]
                 # visible-frame crop (parity: lf_ref._filter_pass)
                 ss_x = 1 if g["gw"] < hdr.mi_cols else 0
                 ss_y = 1 if g["gh"] < hdr.mi_rows else 0
@@ -156,13 +169,16 @@ def _lf_size_maps(hdr, bd, dims, num_planes, grids_for):
                     ecap = (vis_h >> 2) - 1
                     size[:, max(ecap, 0):] = 0
             (sizes_v if vertical else sizes_h).append(size)
-    return sizes_v, sizes_h, limits
+            (lims_v if vertical else lims_h).append(lim)
+    return sizes_v, sizes_h, lims_v, lims_h
 
 
 def postfilter_frame(planes, hdr, seq, grids_for, skip_grid,
-                     cdef_idx_grid):
+                     cdef_idx_grid, want_deblocked=False):
     """Apply LF + CDEF on device.  `planes` are mi-aligned int32
-    arrays (numpy or device); returns device arrays.
+    arrays (numpy or device); returns device arrays, or a (devices,
+    deblocked) pair when want_deblocked (the post-LF pre-CDEF planes,
+    needed by the loop-restoration stage's stripe context).
 
     grids_for(plane, shape) -> lf_ref-style grids dict.
     skip_grid / cdef_idx_grid: mi skip grid + per-64x64 cdef indices.
@@ -180,11 +196,14 @@ def postfilter_frame(planes, hdr, seq, grids_for, skip_grid,
                  and hdr.lf.level[2] == 0 and hdr.lf.level[3] == 0) \
         and not getattr(hdr, "allow_intrabc", False)
     if lf_on:
-        sizes_v, sizes_h, limits = _lf_size_maps(
+        sizes_v, sizes_h, lims_v, lims_h = _lf_size_maps(
             hdr, bd, dims, num_planes, grids_for)
         dev = _lf_stage(dims, bd)(
             dev, [jnp.asarray(s) for s in sizes_v],
-            [jnp.asarray(s) for s in sizes_h], jnp.asarray(limits))
+            [jnp.asarray(s) for s in sizes_h],
+            [jnp.asarray(s) for s in lims_v],
+            [jnp.asarray(s) for s in lims_h])
+    deblocked = list(dev) if want_deblocked else None
 
     # --- cdef ---
     cd = hdr.cdef
@@ -228,4 +247,6 @@ def postfilter_frame(planes, hdr, seq, grids_for, skip_grid,
             dir_u, var_u = find_dirs_host(partials)
             args += [jnp.asarray(dir_u), jnp.asarray(var_u)]
         dev = stage(*args)
+    if want_deblocked:
+        return dev, deblocked
     return dev
