@@ -83,19 +83,23 @@ def imdct_fft(spec: np.ndarray, n: int) -> np.ndarray:
     definition as imdct_matrix:
         y[j] = sum_k X[k] cos(2pi/n (j+.5+n/4)(k+.5))
              = Re[e^{i pi (j+.5+n/4)/n} * n*ifft(X[k] e^{i pi k (1/n + 1/2)})]
-    (host hot path; the device path keeps the MXU matmul form)."""
+    Computed in complex64 (libvorbis itself synthesizes in float32, so
+    the tolerance-checked PCM contract is unchanged); the zero-padded
+    upper half means the ifft input is length n but only n/2 lanes are
+    nonzero.  (Host hot path; the device path keeps the MXU matmul.)"""
     tw = _IMDCT_TW.get(n)
     if tw is None:
         k = np.arange(n // 2, dtype=np.float64)
         pre = np.exp(1j * np.pi * k * (1.0 / n + 0.5))
         j = np.arange(n, dtype=np.float64)
         post = np.exp(1j * np.pi * (j + 0.5 + n / 4.0) / n)
-        tw = (pre, post)
+        tw = (pre.astype(np.complex64), post.astype(np.complex64))
         _IMDCT_TW[n] = tw
     pre, post = tw
-    a = np.zeros(spec.shape[:-1] + (n,), np.complex128)
-    a[..., :n // 2] = spec * pre
-    f = np.fft.ifft(a, axis=-1) * n
+    a = np.zeros(spec.shape[:-1] + (n,), np.complex64)
+    a[..., :n // 2] = spec.astype(np.float32) * pre
+    f = np.fft.ifft(a, axis=-1)
+    f *= np.float32(n)
     return (post * f).real
 
 
