@@ -88,6 +88,36 @@ static void itx_wht4(const int32_t *coeffs, int32_t *out) {
     }
 }
 
+/* DC-only DCT_DCT: the 1-D inverse DCT of [v, 0, ...] is uniformly
+ * ihalf(v) at every size (even halves recurse to dct4's ihalf, odd
+ * halves are all zero), so the whole 2-D transform collapses to one
+ * constant. Mirrors the exact clamp/round chain of the generic path. */
+static inline int64_t itx_ihalf64(int64_t x) { return (x * 181 + 128) >> 8; }
+
+static int32_t itx_dc_value(int64_t v0, int tx_size, int64_t mn,
+                            int64_t mx) {
+    int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
+    int lw = 0, lh = 0;
+    for (int v = w; v > 1; v >>= 1) lw++;
+    for (int v = h; v > 1; v >>= 1) lh++;
+    if ((lw > lh ? lw - lh : lh - lw) == 1)
+        v0 = (v0 * 2896 + 2048) >> 12;
+    int shift = ROW_SHIFT[tx_size];
+    int64_t r = icl(itx_ihalf64(v0), mn, mx);           /* row pass */
+    r = icl((r + ((1 << shift) >> 1)) >> shift, mn, mx); /* row shift */
+    r = icl(itx_ihalf64(r), mn, mx);                    /* col pass */
+    return (int32_t)((r + 8) >> 4);
+}
+
+/* detects [v, 0, ...] (dense aw x ah coefficient layout) */
+static inline int itx_is_dc_only(const int32_t *coeffs, int tx_size) {
+    int adj = av1_adj_tx[tx_size];
+    int n = av1_tx_w[adj] * av1_tx_h[adj];
+    for (int i = 1; i < n; i++)
+        if (coeffs[i]) return 0;
+    return 1;
+}
+
 /* bd==8 full-int32 path: both 1-D passes run 8 lanes per GCC vector
  * (rows via a transposed slab for the row pass, columns directly);
  * bit-exact with the scalar int64 kernels — see av1_itx_vec.h. */
@@ -96,6 +126,12 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
     int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
     int adj = av1_adj_tx[tx_size];
     int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
+    if (tx_type == 0 && itx_is_dc_only(coeffs, tx_size)) {
+        int32_t dc = itx_dc_value(coeffs[0], tx_size, -(1 << 15),
+                                  (1 << 15) - 1);
+        for (int i = 0; i < w * h; i++) out[i] = dc;
+        return;
+    }
     int32_t mn32 = -(1 << 15), mx32 = (1 << 15) - 1;
     int vkind = TX_1D[tx_type][0], hkind = TX_1D[tx_type][1];
 
@@ -192,6 +228,11 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
     int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
     int64_t mn = -((int64_t)1 << (bitdepth + 7));
     int64_t mx = ((int64_t)1 << (bitdepth + 7)) - 1;
+    if (tx_type == 0 && itx_is_dc_only(coeffs, tx_size)) {
+        int32_t dc = itx_dc_value(coeffs[0], tx_size, mn, mx);
+        for (int i = 0; i < w * h; i++) out[i] = dc;
+        return;
+    }
     int vkind = TX_1D[tx_type][0], hkind = TX_1D[tx_type][1];
 
     int64_t buf[64 * 64];
