@@ -347,23 +347,30 @@ static int avail_cell(const Recon *rc, int plane, int rr, int cc) {
 }
 
 /* spec get_filter_type: above/left BLOCK neighbour used a smooth mode.
- * For chroma the neighbours are those of the CHROMA-ALIGNED position
- * (libaom chroma_above_mbmi/chroma_left_mbmi): sub-8x8 pairs consult
- * the mi above/left of the pair, not of the carrier block. */
+ * For chroma the neighbours are libaom's chroma_above_mbmi /
+ * chroma_left_mbmi: the mi at the chroma-aligned BOTTOM-RIGHT cell,
+ * stepped up/left — above reads row r0-1 at col c0|ssx, left reads
+ * col c0-1 at row r0|ssy.  A sub-8x8 neighbour pair stores its coded
+ * uv_mode only in the carrier (bottom-right) mi, so the top-row cell
+ * the naive lookup hits holds no chroma mode. */
 static int filter_type(const Recon *rc, int br, int bc, int plane) {
     const int8_t *modes = plane == 0 ? rc->o->y_mode : rc->o->uv_mode;
     int mc = rc->rp->mi_cols;
+    int ra = br, ca = bc, rl = br, cl = bc;
     if (plane) {
-        br &= ~rc->rp->ssy;
-        bc &= ~rc->rp->ssx;
+        int r0 = br & ~rc->rp->ssy, c0 = bc & ~rc->rp->ssx;
+        ra = r0;
+        ca = c0 | rc->rp->ssx;
+        rl = r0 | rc->rp->ssy;
+        cl = c0;
     }
     int above = 0, left = 0;
-    if (br > rc->t_rs) {
-        int m = modes[(br - 1) * mc + bc];
+    if (ra > rc->t_rs) {
+        int m = modes[(ra - 1) * mc + ca];
         above = m >= SMOOTH_PRED && m <= SMOOTH_H_PRED;
     }
-    if (bc > rc->t_cs) {
-        int m = modes[br * mc + (bc - 1)];
+    if (cl > rc->t_cs) {
+        int m = modes[rl * mc + (cl - 1)];
         left = m >= SMOOTH_PRED && m <= SMOOTH_H_PRED;
     }
     return (above || left) ? 1 : 0;

@@ -1084,21 +1084,27 @@ class FrameRecon:
     def _filter_type(self, blk, plane) -> int:
         """Spec get_filter_type: 1 if the block's above or left neighbour
         mi used a smooth prediction mode (per plane).  For chroma the
-        neighbours are those of the CHROMA-ALIGNED position (libaom
-        chroma_above_mbmi / chroma_left_mbmi): sub-8x8 pairs consult the
-        mi above/left of the pair, not of the carrier block."""
+        neighbours are libaom's chroma_above_mbmi / chroma_left_mbmi:
+        the mi at the chroma-aligned BOTTOM-RIGHT cell, stepped up /
+        left — above reads row r0-1 at col c0|ssx, left reads col c0-1
+        at row r0|ssy.  A sub-8x8 neighbour pair stores its coded
+        uv_mode only in the carrier (bottom-right) mi, so the top-row
+        cell the naive lookup hits holds no chroma mode."""
         plan = self.plan
         smooth = (C.SMOOTH_PRED, C.SMOOTH_V_PRED, C.SMOOTH_H_PRED)
         if plane == 0:
             modes = plan.y_mode
-            r, c = blk.r, blk.c
+            ra = rl = blk.r
+            ca = cl = blk.c
         else:
             modes = plan.uv_mode
-            r = blk.r & ~self.ssy
-            c = blk.c & ~self.ssx
+            r0 = blk.r & ~self.ssy
+            c0 = blk.c & ~self.ssx
+            ra, ca = r0, c0 | self.ssx
+            rl, cl = r0 | self.ssy, c0
         t_rs, _t_re, t_cs, _t_ce = self._tile_bounds(blk.r, blk.c)
-        above_smooth = r > t_rs and int(modes[r - 1, c]) in smooth
-        left_smooth = c > t_cs and int(modes[r, c - 1]) in smooth
+        above_smooth = ra > t_rs and int(modes[ra - 1, ca]) in smooth
+        left_smooth = cl > t_cs and int(modes[rl, cl - 1]) in smooth
         return 1 if (above_smooth or left_smooth) else 0
 
     def _sm_w(self, n):

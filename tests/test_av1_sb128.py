@@ -67,18 +67,11 @@ def test_sb128_inter():
     _roundtrip(512, 512, 5, 100)
 
 
-import pytest
-
-
-@pytest.mark.xfail(
-    strict=True,
-    reason="known 1-LSB gap: 4 chroma pixels (plane U) differ by 1 near "
-           "luma col 480-488 / row 338-352 on 500x380 sb128 inter "
-           "content; CDEF ruled out (persists with enable-cdef=0), so a "
-           "chroma loop-filter width/level subtlety at a partial 128px "
-           "superblock; shared by the Python and C decoders")
 def test_sb128_odd_size():
-    # partial superblocks on both axes
+    # partial superblocks on both axes.  Regression for the chroma
+    # intra-edge filter-type lookup: the neighbour uv_mode must be read
+    # at the chroma-aligned bottom-right mi (libaom chroma_left_mbmi) —
+    # a sub-8x8 neighbour pair stores its uv_mode only in the carrier.
     _roundtrip(500, 380, 3, 100)
 
 
