@@ -135,8 +135,12 @@ def _filter_body(ph: int, pw: int, ssx: int, ssy: int, plane: int,
             adj = jnp.where(var_u != 0,
                             (pri_u * (4 + i) + 8) >> 4,
                             0)
-            pri_u = jnp.where(pri_u != 0, adj, 0)
+            # the direction gate uses the PRE-adjustment strength: the
+            # secondary taps keep the searched direction even when the
+            # variance scaling rounds the primary strength to zero
+            # (parity: cdef_ref.apply's `pdir = dir_ if pri else 0`)
             pdir_u = jnp.where(pri_u != 0, dir_u, 0)
+            pri_u = jnp.where(pri_u != 0, adj, 0)
         else:
             remap = jnp.asarray(CDEF_UV_DIR[ssx][ssy])
             pdir_u = jnp.where(pri_u != 0, remap[dir_u], 0)
