@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import ctypes
 import glob
+import sys
 import os
 import subprocess
 from typing import List, Optional
@@ -805,18 +806,37 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     aw_y = max(aw, hdr.upscaled_width)
     aw_c = max(aw >> ssx, (hdr.upscaled_width + ssx) >> ssx)
     pkey = ("planes", ah, aw_y, aw_c, ssy)
-    pl = _BUF_POOL.get(pkey)
-    if pl is None:
+    zero_copy = want_u16 and seq.color.bitdepth == 8
+    if zero_copy:
         # recon covers every mi-aligned pixel, so no zeroing needed;
         # uint16 (pel): every stage writes clamped pixel values, and
         # half-width planes halve the LF/CDEF/LR/pack memory traffic.
-        # ONE set, reused every frame: keeping the recon target hot in
-        # cache beats zero-copy refs on this memory-starved host
-        # (measured: rotating per-frame buffers lose ~7% fps)
-        pl = (np.empty((ah, aw_y), np.uint16),
-              np.empty((ah >> ssy, aw_c), np.uint16),
-              np.empty((ah >> ssy, aw_c), np.uint16))
-        _BUF_POOL[pkey] = pl
+        # Zero-copy refs: the recon target itself is handed to the ref
+        # slots (the C MC reads with an explicit row stride and clamps
+        # to the logical w/h, so the mi-aligned overhang is never
+        # read).  A small rotation of plane sets is kept; a set is
+        # reusable once nothing outside the pool references it, which
+        # kills the 12 MB/frame u16 ref copy the old single-set scheme
+        # paid in av1_pack8 (~2.3 ms/frame at 1080p).
+        pool = _BUF_POOL.setdefault(pkey + ("rot",), [])
+        pl = None
+        for cand in pool:
+            # base refs: pool tuple + genexp binding + getrefcount arg
+            if all(sys.getrefcount(a) == 3 for a in cand):
+                pl = cand
+                break
+        if pl is None:
+            pl = (np.empty((ah, aw_y), np.uint16),
+                  np.empty((ah >> ssy, aw_c), np.uint16),
+                  np.empty((ah >> ssy, aw_c), np.uint16))
+            pool.append(pl)
+    else:
+        pl = _BUF_POOL.get(pkey)
+        if pl is None:
+            pl = (np.empty((ah, aw_y), np.uint16),
+                  np.empty((ah >> ssy, aw_c), np.uint16),
+                  np.empty((ah >> ssy, aw_c), np.uint16))
+            _BUF_POOL[pkey] = pl
     py, pu, pv = pl
     device = os.environ.get("EASYAV1_PIPE", "native") == "device" \
         and not getattr(hdr, "use_superres", False)
@@ -844,18 +864,17 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         _device_postfilter(seq, hdr, out, bufs, aligned, rp)
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
-    if want_u16 and seq.color.bitdepth == 8:
-        # one C pass fills the u8 display plane and the u16 ref copy
+    if zero_copy:
+        # u8 display pack only; the ref slots alias the recon planes
         planes = []
         ref_triples = []
         for src, (pw_, ph_) in zip((py, pu, pv)[:n_pl],
                                    ((w, h), (cw, ch), (cw, ch))):
             o8 = np.empty((ph_, pw_), np.uint8)
-            o16 = np.empty((ph_, pw_), np.uint16)
             lib.av1_pack8(_vp(src), src.shape[1], pw_, ph_, _vp(o8),
-                          _vp(o16))
+                          None)
             planes.append(o8)
-            ref_triples.append((o16, pw_, ph_))
+            ref_triples.append((src, pw_, ph_))
         return planes, blob, mv_grids, ref_triples
     dt = np.uint8 if seq.color.bitdepth == 8 else np.uint16
     planes = [py[:h, :w].astype(dt)]
