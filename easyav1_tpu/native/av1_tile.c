@@ -97,6 +97,70 @@ static inline void msac_norm(Msac *s, uint64_t dif, uint32_t rng) {
 }
 
 
+/* 2-symbol adaptive decode: one boundary, pure scalar (the SIMD
+ * search costs more than it saves at n == 2; mirrors dav1d's
+ * msac_decode_bool_adapt) */
+static inline int msac_bool_adapt(Msac *s, uint16_t *cdf) {
+    uint32_t cur = (((s->rng >> 8) * (cdf[0] >> EC_PROB_SHIFT))
+                    >> (7 - EC_PROB_SHIFT)) + EC_MIN_PROB;
+    uint32_t value = MSAC_VAL(s);
+    int sym = value < cur;
+    if (s->allow_update) {
+        int count = cdf[2];
+        /* general formula: 3 + (c>15) + (c>31) + min(log2(n), 2); n=2 */
+        int rate = 4 + (count > 15) + (count > 31);
+        if (sym) cdf[0] += (32768 - cdf[0]) >> rate;
+        else cdf[0] -= cdf[0] >> rate;
+        cdf[2] = count + (count < 32);
+    }
+    if (sym) msac_norm(s, s->dif, cur);
+    else msac_norm(s, s->dif - ((uint64_t)cur << 48), s->rng - cur);
+    return sym;
+}
+
+#ifdef __AVX2__
+/* constant-n symbol decode with the per-n SIMD tables preloaded by
+ * the caller — lets the coefficient loop keep ramp/vmask/umask in
+ * registers across ~2M calls/frame instead of reloading them */
+static inline __attribute__((always_inline)) int
+msac_sym_pre(Msac *s, uint16_t *cdf, const int n, __m128i ramp,
+             __m128i vmask, __m128i umask) {
+    __m128i cdfv = _mm_loadu_si128((const __m128i *)cdf);
+    __m128i c6 = _mm_slli_epi16(_mm_srli_epi16(cdfv, 6), 7);
+    __m128i rv = _mm_set1_epi16((short)(s->rng & 0xff00));
+    __m128i v = _mm_add_epi16(_mm_mulhi_epu16(rv, c6), ramp);
+    v = _mm_and_si128(v, vmask);
+    __m128i bias = _mm_set1_epi16((short)0x8000);
+    __m128i gt = _mm_cmpgt_epi16(
+        _mm_xor_si128(v, bias),
+        _mm_set1_epi16((short)(MSAC_VAL(s) ^ 0x8000)));
+    int sym = __builtin_popcount(_mm_movemask_epi8(gt)) >> 1;
+    uint16_t va[8];
+    _mm_storeu_si128((__m128i *)va, v);
+    uint32_t cur = va[sym];           /* vmask zeroes lane n-1 */
+    uint32_t prev = sym ? va[sym - 1] : s->rng;
+    if (s->allow_update) {
+        int count = cdf[n];
+        int l2c = n >= 4 ? 2 : (n >= 2 ? 1 : 0);
+        int rate = 3 + (count > 15) + (count > 31) + l2c;
+        __m128i idx = _mm_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7);
+        __m128i lt = _mm_cmplt_epi16(idx, _mm_set1_epi16((short)sym));
+        __m128i sh = _mm_cvtsi32_si128(rate);
+        __m128i up = _mm_srl_epi16(_mm_sub_epi16(bias, cdfv), sh);
+        __m128i dn = _mm_srl_epi16(cdfv, sh);
+        __m128i delta = _mm_or_si128(
+            _mm_and_si128(lt, up),
+            _mm_andnot_si128(lt, _mm_sub_epi16(_mm_setzero_si128(),
+                                               dn)));
+        delta = _mm_and_si128(delta, umask);
+        _mm_storeu_si128((__m128i *)cdf, _mm_add_epi16(cdfv, delta));
+        cdf[n] = count + (count < 32);
+    }
+    msac_norm(s, s->dif - ((uint64_t)cur << 48), prev - cur);
+    return sym;
+}
+#endif
+
 /* cdf: n+1 uint16 entries (n-1 boundaries, 0 terminator, counter) */
 static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
 #ifdef __AVX2__
@@ -658,7 +722,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     o->n_lf++;
 
     int ctx = txb_skip_ctx(t, plane, x4, y4, tx_size, bsize);
-    int all_zero = msac_symbol(&t->msac, t->cdf.txb_skip[tx_ctx][ctx], 2);
+    int all_zero = msac_bool_adapt(&t->msac, t->cdf.txb_skip[tx_ctx][ctx]);
     int w4 = full_w >> 2, h4 = full_h >> 2;
     if (all_zero) {
         set_coef_ctx(t, plane, x4, y4, w4, h4, 0, 0);
@@ -694,26 +758,47 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     int32_t lvl_exact[32 * 32];
     const int8_t *base_offsets = av1_base_ctx_offsets[tx_size];
 
+#ifdef __AVX2__
+    /* hoisted per-n SIMD tables: resident in registers across the
+       whole coefficient loop (~2M symbol decodes per dense 1080p
+       frame reload them otherwise) */
+    const __m128i ramp4 = _mm_loadu_si128((const __m128i *)msac_ramp[4]);
+    const __m128i vmask4 =
+        _mm_loadu_si128((const __m128i *)msac_vmask[4]);
+    const __m128i umask4 =
+        _mm_loadu_si128((const __m128i *)msac_umask[4]);
+    const __m128i ramp3 = _mm_loadu_si128((const __m128i *)msac_ramp[3]);
+    const __m128i vmask3 =
+        _mm_loadu_si128((const __m128i *)msac_vmask[3]);
+    const __m128i umask3 =
+        _mm_loadu_si128((const __m128i *)msac_umask[3]);
+#define MSAC_SYM3(cdfrow) \
+    msac_sym_pre(&t->msac, cdfrow, 3, ramp3, vmask3, umask3)
+#define MSAC_SYM4(cdfrow) \
+    msac_sym_pre(&t->msac, cdfrow, 4, ramp4, vmask4, umask4)
+#else
+#define MSAC_SYM3(cdfrow) msac_symbol(&t->msac, cdfrow, 3)
+#define MSAC_SYM4(cdfrow) msac_symbol(&t->msac, cdfrow, 4)
+#endif
+    uint16_t (*cb_rows)[5] = t->cdf.coeff_base[tx_ctx][ptype];
+    int br_tx = imin(tx_ctx, TX_32X32);
+    uint16_t (*br_rows)[5] = t->cdf.coeff_br[br_tx][ptype];
     for (int ci = eob - 1; ci >= 0; ci--) {
         int pos = scan[ci];
         int level;
         if (ci == eob - 1) {
             int c2 = coeff_base_eob_ctx(ci, tw, th);
-            level = msac_symbol(&t->msac,
-                                t->cdf.coeff_base_eob[tx_ctx][ptype][c2],
-                                3) + 1;
+            level = MSAC_SYM3(
+                t->cdf.coeff_base_eob[tx_ctx][ptype][c2]) + 1;
         } else {
             int bctx = coeff_base_ctx(lvl, pos, bwl, stride, cls,
                                       base_offsets);
-            level = msac_symbol(&t->msac,
-                                t->cdf.coeff_base[tx_ctx][ptype][bctx], 4);
+            level = MSAC_SYM4(cb_rows[bctx]);
         }
         if (level > 2) {
             int brctx = coeff_br_ctx(lvl, pos, bwl, stride, cls);
-            int br_tx = imin(tx_ctx, TX_32X32);
             for (int it = 0; it < 4; it++) {
-                int k = msac_symbol(&t->msac,
-                                    t->cdf.coeff_br[br_tx][ptype][brctx], 4);
+                int k = MSAC_SYM4(br_rows[brctx]);
                 level += k;
                 if (k < 3) break;
             }
@@ -722,6 +807,8 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
             (uint8_t)(level < 255 ? level : 255);
         lvl_exact[pos] = level;
     }
+#undef MSAC_SYM3
+#undef MSAC_SYM4
 
     /* signs + dequant (spec §7.13.3: dqDenom by square-up size, result
        clipped to the signed (bitdepth+8)-bit range) */
@@ -757,7 +844,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         int sign;
         if (pos == 0) {
             int sctx = dc_sign_ctx(t, plane, x4, y4, w4, h4);
-            sign = msac_symbol(&t->msac, t->cdf.dc_sign[ptype][sctx], 2);
+            sign = msac_bool_adapt(&t->msac, t->cdf.dc_sign[ptype][sctx]);
         } else {
             sign = msac_bool_equi(&t->msac);
         }
