@@ -161,6 +161,8 @@ class VorbisDecoder:
         """Parity: vorbis_synthesis_restart (used on seek, easyav1.c:3077)."""
         self._cache: Optional[np.ndarray] = None  # (ch, n1/2) tail signal
         self._prev_n: int = 0
+        if self._native is not None:
+            self._native.synth_reset()
 
     # -- symbol decode (host) ----------------------------------------------
 
@@ -284,6 +286,8 @@ class VorbisDecoder:
     def synthesize_block_host(self, blk: DecodedBlock) -> np.ndarray:
         """Full host synthesis of one block; returns (samples, ch) float32
         PCM ready for output (0 samples for the first block)."""
+        if self._native is not None:
+            return self._native.synth_block(blk)
         info = self.info
         n = blk.n
         n2 = n // 2
@@ -324,6 +328,8 @@ class VorbisDecoder:
         returns the sample count the block would have produced.  The
         lap cache is zeroed, so the first synthesized block after a
         seek overlaps with silence — matching a restarted decoder."""
+        if self._native is not None:
+            return self._native.synth_track(blk.n)
         n = blk.n
         if self._cache is None:
             self._cache = np.zeros(
@@ -336,7 +342,14 @@ class VorbisDecoder:
         return out
 
     def decode_packet_host(self, packet: bytes) -> np.ndarray:
-        """Convenience: symbols + host synthesis. (samples, ch) float32."""
+        """Convenience: symbols + host synthesis. (samples, ch) float32.
+        With the native library this is a single fused C call per packet
+        (no intermediate block tensors cross the FFI)."""
+        if self._native is not None:
+            pcm = self._native.decode_pcm(packet)
+            if pcm is None:
+                return np.zeros((0, self.info.channels), dtype=np.float32)
+            return pcm
         blk = self.decode_packet_symbols(packet)
         if blk is None:
             return np.zeros((0, self.info.channels), dtype=np.float32)

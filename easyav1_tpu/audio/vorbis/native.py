@@ -168,6 +168,50 @@ class NativeVorbis:
             coupling=list(zip(mapping.magnitude, mapping.angle)),
         )
 
+    def synth_block(self, blk) -> np.ndarray:
+        """Full C host synthesis of one DecodedBlock: coupling, floor
+        multiply, FFT IMDCT, window, overlap-add.  Returns (samples,
+        ch) float32 PCM (0 samples for the first block).  Parity:
+        decoder.synthesize_block_host (the Python reference)."""
+        ch = self.info.channels
+        res = np.ascontiguousarray(blk.residue, np.float32)
+        flo = np.ascontiguousarray(blk.floor, np.float32)
+        flags = np.array([blk.n, int(blk.long_block), blk.prev_flag,
+                          blk.next_flag], np.int32)
+        coup = np.asarray([v for mn in blk.coupling for v in mn],
+                          np.int32)
+        out = np.empty((self.info.blocksize1 // 2, ch), np.float32)
+        n = self._lib.vorbis_synth_block(
+            self._handle,
+            res.ctypes.data_as(ctypes.c_void_p),
+            flo.ctypes.data_as(ctypes.c_void_p),
+            res.shape[1],
+            flags.ctypes.data_as(ctypes.c_void_p),
+            coup.ctypes.data_as(ctypes.c_void_p) if coup.size
+            else None,
+            len(blk.coupling),
+            out.ctypes.data_as(ctypes.c_void_p))
+        return out[:n].copy()
+
+    def synth_track(self, n: int) -> int:
+        return int(self._lib.vorbis_synth_track(self._handle, n))
+
+    def decode_pcm(self, packet: bytes):
+        """Fused symbol decode + synthesis: one FFI call per packet.
+        Returns (samples, ch) float32 PCM, or None for non-audio
+        packets."""
+        ch = self.info.channels
+        out = np.empty((self.info.blocksize1 // 2, ch), np.float32)
+        n = self._lib.vorbis_decode_pcm(
+            self._handle, packet, len(packet),
+            out.ctypes.data_as(ctypes.c_void_p))
+        if n < 0:
+            return None
+        return out[:n]
+
+    def synth_reset(self) -> None:
+        self._lib.vorbis_synth_reset(self._handle)
+
     def __del__(self):
         if getattr(self, "_handle", None) and getattr(self, "_lib", None):
             self._lib.vorbis_destroy(self._handle)

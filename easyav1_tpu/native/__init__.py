@@ -320,6 +320,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.vorbis_decode_packet.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.vorbis_synth_block.restype = ctypes.c_long
+    lib.vorbis_synth_block.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p]
+    lib.vorbis_synth_track.restype = ctypes.c_long
+    lib.vorbis_synth_track.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.vorbis_decode_pcm.restype = ctypes.c_long
+    lib.vorbis_decode_pcm.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long, ctypes.c_void_p]
+    lib.vorbis_synth_reset.restype = None
+    lib.vorbis_synth_reset.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 

@@ -129,6 +129,23 @@ typedef struct {
     int32_t *floor_posts;    /* max posts */
     int32_t *icurve;
     double *lsp;
+    /* host synthesis state (lazy-allocated by vorbis_synth_block) */
+    float *syn_lap;          /* ch * (blocksize1/2) overlap cache */
+    int syn_lap_valid;
+    int syn_prev_n;
+    float *syn_win[8];       /* key: long<<2 | prev<<1 | next */
+    float *syn_spec;         /* ch * blocksize1/2 coupled spectrum */
+    float *syn_pcm;          /* ch * blocksize1 windowed imdct */
+    float *fft_re, *fft_im;  /* blocksize1 scratch */
+    /* per-blocksize tables: [0] -> blocksize0, [1] -> blocksize1 */
+    float *tw_pre_re[2], *tw_pre_im[2];   /* n/2 */
+    float *tw_post_re[2], *tw_post_im[2]; /* n */
+    float *fft_wre[2], *fft_wim[2];       /* n/2 stage twiddles */
+    int32_t *fft_brv[2];                  /* n bit-reverse perm */
+    /* fused decode->pcm scratch */
+    float *dec_res, *dec_floor;           /* ch * blocksize1/2 */
+    uint8_t *dec_nores;                   /* ch */
+    const Mapping *last_map;              /* mapping of last decoded mode */
 } VorbisCtx;
 
 /* --------------------------------------------------------------- bit read */
@@ -691,6 +708,25 @@ void vorbis_destroy(void *h) {
     free(ctx->floor_posts);
     free(ctx->icurve);
     free(ctx->lsp);
+    free(ctx->syn_lap);
+    free(ctx->syn_spec);
+    free(ctx->syn_pcm);
+    free(ctx->fft_re);
+    free(ctx->fft_im);
+    for (int i = 0; i < 8; i++)
+        free(ctx->syn_win[i]);
+    for (int i = 0; i < 2; i++) {
+        free(ctx->tw_pre_re[i]);
+        free(ctx->tw_pre_im[i]);
+        free(ctx->tw_post_re[i]);
+        free(ctx->tw_post_im[i]);
+        free(ctx->fft_wre[i]);
+        free(ctx->fft_wim[i]);
+        free(ctx->fft_brv[i]);
+    }
+    free(ctx->dec_res);
+    free(ctx->dec_floor);
+    free(ctx->dec_nores);
     free(ctx);
 }
 
@@ -719,6 +755,7 @@ int vorbis_decode_packet(void *h, const uint8_t *pkt, long pkt_len,
         return 0;
     mode = &ctx->modes[mode_idx];
     map = &ctx->mappings[mode->mapping];
+    ctx->last_map = map;
     long_block = mode->blockflag;
     n = long_block ? ctx->blocksize1 : ctx->blocksize0;
     if (long_block) {
@@ -837,4 +874,275 @@ int vorbis_decode_packet(void *h, const uint8_t *pkt, long pkt_len,
     out_flags[2] = prev_flag;
     out_flags[3] = next_flag;
     return 1;
+}
+
+/* ------------------------------------------------------------------ */
+/* Host synthesis: coupling -> floor multiply -> IMDCT -> window ->    */
+/* overlap-add.  C port of the repo's verified Python reference        */
+/* (decoder.synthesize_block_host / imdct_fft / build_window); float32 */
+/* throughout, matching libvorbis' own synthesis precision (reference  */
+/* parity: minivorbis.h vorbis_synthesis_blockin + mdct_backward).     */
+
+static void syn_fft(float *re, float *im, int n, const float *wre,
+                    const float *wim, const int32_t *brv) {
+    /* iterative radix-2 DIT with e^{+2pi i k/n} twiddles (the
+       unnormalized inverse transform the IMDCT identity needs) */
+    for (int i = 0; i < n; i++) {
+        int j = brv[i];
+        if (j > i) {
+            float t = re[i]; re[i] = re[j]; re[j] = t;
+            t = im[i]; im[i] = im[j]; im[j] = t;
+        }
+    }
+    for (int len = 2; len <= n; len <<= 1) {
+        int half = len >> 1, step = n / len;
+        for (int i = 0; i < n; i += len) {
+            float *restrict r0 = re + i, *restrict i0 = im + i;
+            float *restrict r1 = r0 + half, *restrict i1 = i0 + half;
+            for (int j = 0; j < half; j++) {
+                float wr = wre[j * step], wi = wim[j * step];
+                float vr = r1[j] * wr - i1[j] * wi;
+                float vi = r1[j] * wi + i1[j] * wr;
+                float ur = r0[j], ui = i0[j];
+                r0[j] = ur + vr; i0[j] = ui + vi;
+                r1[j] = ur - vr; i1[j] = ui - vi;
+            }
+        }
+    }
+}
+
+static int syn_size_idx(const VorbisCtx *ctx, int n) {
+    return n == ctx->blocksize1 ? 1 : 0;
+}
+
+static void syn_tables_init(VorbisCtx *ctx, int n) {
+    int si = syn_size_idx(ctx, n);
+    if (ctx->tw_pre_re[si])
+        return;
+    int n2 = n / 2;
+    float *pre_re = malloc(sizeof(float) * n2);
+    float *pre_im = malloc(sizeof(float) * n2);
+    for (int k = 0; k < n2; k++) {
+        double ph = M_PI * k * (1.0 / n + 0.5);
+        pre_re[k] = (float)cos(ph);
+        pre_im[k] = (float)sin(ph);
+    }
+    float *post_re = malloc(sizeof(float) * n);
+    float *post_im = malloc(sizeof(float) * n);
+    for (int j = 0; j < n; j++) {
+        double ph = M_PI * (j + 0.5 + n / 4.0) / n;
+        post_re[j] = (float)cos(ph);
+        post_im[j] = (float)sin(ph);
+    }
+    float *wre = malloc(sizeof(float) * n2);
+    float *wim = malloc(sizeof(float) * n2);
+    for (int k = 0; k < n2; k++) {
+        double ph = 2.0 * M_PI * k / n;
+        wre[k] = (float)cos(ph);
+        wim[k] = (float)sin(ph);      /* +i exponent */
+    }
+    int32_t *brv = malloc(sizeof(int32_t) * n);
+    int lg = 0;
+    for (int v = n; v > 1; v >>= 1) lg++;
+    for (int i = 0; i < n; i++) {
+        int r = 0;
+        for (int b = 0; b < lg; b++) r |= ((i >> b) & 1) << (lg - 1 - b);
+        brv[i] = r;
+    }
+    ctx->tw_pre_re[si] = pre_re; ctx->tw_pre_im[si] = pre_im;
+    ctx->tw_post_re[si] = post_re; ctx->tw_post_im[si] = post_im;
+    ctx->fft_wre[si] = wre; ctx->fft_wim[si] = wim;
+    ctx->fft_brv[si] = brv;
+}
+
+static double syn_slope(double j, double width) {
+    double s = sin(0.5 * M_PI * (j + 0.5) / width);
+    return sin(0.5 * M_PI * s * s);
+}
+
+static const float *syn_window(VorbisCtx *ctx, int n, int lb, int pf,
+                               int nf) {
+    int key = lb ? (4 | (pf << 1) | nf) : 0;
+    if (ctx->syn_win[key])
+        return ctx->syn_win[key];
+    int n0 = ctx->blocksize0, n1 = ctx->blocksize1;
+    int left_w = (lb && pf) ? n1 / 2 : n0 / 2;
+    int right_w = (lb && nf) ? n1 / 2 : n0 / 2;
+    if (!lb) left_w = right_w = n / 2;
+    int left_start = n / 4 - left_w / 2;
+    int right_start = 3 * n / 4 - right_w / 2;
+    float *w = calloc(n, sizeof(float));
+    for (int j = 0; j < left_w; j++)
+        w[left_start + j] = (float)syn_slope(j, left_w);
+    for (int j = left_start + left_w; j < right_start; j++)
+        w[j] = 1.0f;
+    for (int j = 0; j < right_w; j++)
+        w[right_start + j] = (float)syn_slope(right_w - 1 - j, right_w);
+    ctx->syn_win[key] = w;
+    return w;
+}
+
+static void syn_ensure(VorbisCtx *ctx) {
+    if (ctx->syn_lap)
+        return;
+    int ch = ctx->channels, n1 = ctx->blocksize1;
+    ctx->syn_lap = calloc((size_t)ch * (n1 / 2), sizeof(float));
+    ctx->syn_spec = malloc(sizeof(float) * (size_t)ch * (n1 / 2));
+    ctx->syn_pcm = malloc(sizeof(float) * (size_t)ch * n1);
+    ctx->fft_re = malloc(sizeof(float) * n1);
+    ctx->fft_im = malloc(sizeof(float) * n1);
+}
+
+void vorbis_synth_reset(void *h) {
+    VorbisCtx *ctx = h;
+    ctx->syn_lap_valid = 0;
+    ctx->syn_prev_n = 0;
+    if (ctx->syn_lap)
+        memset(ctx->syn_lap, 0,
+               sizeof(float) * (size_t)ctx->channels *
+                   (ctx->blocksize1 / 2));
+}
+
+/* decode-free position tracking (trackonly seek skip): advances the
+ * overlap bookkeeping, zeroing the lap.  Returns the sample count the
+ * block would have produced. */
+long vorbis_synth_track(void *h, int32_t n) {
+    VorbisCtx *ctx = h;
+    syn_ensure(ctx);
+    if (!ctx->syn_lap_valid) {
+        ctx->syn_lap_valid = 1;
+        ctx->syn_prev_n = n;
+        return 0;
+    }
+    long out = ctx->syn_prev_n / 4 + n / 4;
+    memset(ctx->syn_lap, 0,
+           sizeof(float) * (size_t)ctx->channels * (ctx->blocksize1 / 2));
+    ctx->syn_prev_n = n;
+    return out;
+}
+
+/* Synthesize one block: residue/floor rows of `stride` floats per
+ * channel (as produced by vorbis_decode_packet), flags = [n, long,
+ * prev, next], coupling = steps x (magnitude, angle) in forward order.
+ * Writes (L, ch)-interleaved float32 into out; returns L. */
+long vorbis_synth_block(void *h, const float *res_in,
+                        const float *floor_in, long stride,
+                        const int32_t *flags, const int32_t *coup,
+                        int32_t steps, float *out) {
+    VorbisCtx *ctx = h;
+    int n = flags[0], lb = flags[1], pf = flags[2], nf = flags[3];
+    int ch = ctx->channels, n2 = n / 2;
+    syn_ensure(ctx);
+    syn_tables_init(ctx, n);
+    int si = syn_size_idx(ctx, n);
+
+    /* inverse coupling (spec 4.3.5, reverse step order) + floor */
+    float *spec = ctx->syn_spec;
+    for (int c = 0; c < ch; c++)
+        memcpy(spec + (size_t)c * n2, res_in + (size_t)c * stride,
+               sizeof(float) * n2);
+    for (int s = steps - 1; s >= 0; s--) {
+        float *M = spec + (size_t)coup[s * 2] * n2;
+        float *A = spec + (size_t)coup[s * 2 + 1] * n2;
+        for (int k = 0; k < n2; k++) {
+            float m = M[k], a = A[k], nm, na;
+            if (m > 0) {
+                if (a > 0) { nm = m; na = m - a; }
+                else       { nm = m + a; na = m; }
+            } else {
+                if (a > 0) { nm = m; na = m + a; }
+                else       { nm = m - a; na = m; }
+            }
+            M[k] = nm; A[k] = na;
+        }
+    }
+
+    const float *w = syn_window(ctx, n, lb, pf, nf);
+    const float *pre_re = ctx->tw_pre_re[si], *pre_im = ctx->tw_pre_im[si];
+    const float *post_re = ctx->tw_post_re[si];
+    const float *post_im = ctx->tw_post_im[si];
+    for (int c = 0; c < ch; c++) {
+        const float *sp = spec + (size_t)c * n2;
+        const float *fl = floor_in + (size_t)c * stride;
+        float *restrict re = ctx->fft_re, *restrict im = ctx->fft_im;
+        for (int k = 0; k < n2; k++) {
+            float x = sp[k] * fl[k];
+            re[k] = x * pre_re[k];
+            im[k] = x * pre_im[k];
+        }
+        memset(re + n2, 0, sizeof(float) * n2);
+        memset(im + n2, 0, sizeof(float) * n2);
+        syn_fft(re, im, n, ctx->fft_wre[si], ctx->fft_wim[si],
+                ctx->fft_brv[si]);
+        float *restrict pcm = ctx->syn_pcm + (size_t)c * n;
+        for (int j = 0; j < n; j++)
+            pcm[j] = (post_re[j] * re[j] - post_im[j] * im[j]) * w[j];
+    }
+
+    int lap_stride = ctx->blocksize1 / 2;
+    if (!ctx->syn_lap_valid) {
+        for (int c = 0; c < ch; c++)
+            memcpy(ctx->syn_lap + (size_t)c * lap_stride,
+                   ctx->syn_pcm + (size_t)c * n + n2,
+                   sizeof(float) * n2);
+        ctx->syn_lap_valid = 1;
+        ctx->syn_prev_n = n;
+        return 0;
+    }
+    int prev_n = ctx->syn_prev_n;
+    long L = prev_n / 4 + n / 4;
+    long avail = L < prev_n / 2 ? L : prev_n / 2;
+    int l0 = (n - prev_n) / 4;
+    for (int c = 0; c < ch; c++) {
+        const float *lap = ctx->syn_lap + (size_t)c * lap_stride;
+        const float *pcm = ctx->syn_pcm + (size_t)c * n;
+        for (long j = 0; j < L; j++) {
+            float v = j < avail ? lap[j] : 0.0f;
+            if (l0 >= 0)
+                v += pcm[l0 + j];
+            else if (j >= -l0)
+                v += pcm[j + l0];
+            out[j * ch + c] = v;
+        }
+    }
+    for (int c = 0; c < ch; c++) {
+        float *lap = ctx->syn_lap + (size_t)c * lap_stride;
+        memset(lap, 0, sizeof(float) * lap_stride);
+        memcpy(lap, ctx->syn_pcm + (size_t)c * n + n2,
+               sizeof(float) * n2);
+    }
+    ctx->syn_prev_n = n;
+    return L;
+}
+
+/* Fused packet -> PCM: symbol decode + host synthesis in one call (no
+ * intermediate tensors crossing the FFI).  out must hold at least
+ * (blocksize1/2) * ch floats, written (L, ch)-interleaved.  Returns the
+ * sample count L (0 for the first block), or -1 for non-audio packets. */
+long vorbis_decode_pcm(void *h, const uint8_t *pkt, long pkt_len,
+                       float *out) {
+    VorbisCtx *ctx = h;
+    if (!ctx->dec_res) {
+        size_t sz = sizeof(float) * (size_t)ctx->channels *
+                    (ctx->blocksize1 / 2);
+        ctx->dec_res = malloc(sz);
+        ctx->dec_floor = malloc(sz);
+        ctx->dec_nores = malloc((size_t)ctx->channels);
+    }
+    int32_t flags[4];
+    if (!vorbis_decode_packet(h, pkt, pkt_len, ctx->dec_res,
+                              ctx->dec_floor, ctx->dec_nores, flags))
+        return -1;
+    const Mapping *map = ctx->last_map;
+    int32_t coup[512];
+    int steps = map->coupling_steps;
+    if (steps > 256)
+        steps = 256;
+    for (int s = 0; s < steps; s++) {
+        coup[s * 2] = map->magnitude[s];
+        coup[s * 2 + 1] = map->angle[s];
+    }
+    return vorbis_synth_block(h, ctx->dec_res, ctx->dec_floor,
+                              ctx->blocksize1 / 2, flags, coup, steps,
+                              out);
 }
