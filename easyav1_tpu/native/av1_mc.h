@@ -11,6 +11,7 @@
 
 #include "av1_warp_shared.h"
 
+
 enum { MC_INTRA_FRAME = 0, MC_NONE_FRAME = -1 };
 enum { MC_GLOBALMV = 15 };
 enum { MC_MM_SIMPLE = 0, MC_MM_OBMC = 1, MC_MM_WARPED = 2 };
@@ -34,10 +35,12 @@ static const int16_t *mc_filter(int interp, int dim) {
     default: return &av1_mc_filter_regular8[0][0];
     }
 }
-
 /* 8-tap separable subpel MC with edge-replicating clamps (spec
- * 7.11.3.2, no ref scaling).  out: [h][w] int32.  comp: keep the
- * InterRound1=7 compound-intermediate scale, no clipping.
+ * 7.11.3.2, no ref scaling).  comp: keep the InterRound1=7
+ * compound-intermediate scale in `out` ([h][w] int32), no clipping.
+ * Non-compound: when dst != NULL the final clamped pixels are stored
+ * straight into the frame plane at row stride ds (fused store — no
+ * intermediate int32 block buffer); otherwise into out.
  *
  * Fast paths (bit-exact by the rounding identities): integer MV is a
  * plain copy (comp: << 4); interior blocks skip the per-sample clamps
@@ -47,7 +50,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                               const int32_t *mv, int ssx, int ssy,
                               const int32_t *interp, int filt_w,
                               int filt_h, int comp, int bd,
-                              int32_t *out) {
+                              int32_t *out, pel *dst, int64_t ds) {
     int start_x = (x << 4) + mv[1] * (ssx ? 1 : 2);
     int start_y = (y << 4) + mv[0] * (ssy ? 1 : 2);
     int frac_x = start_x & 15, frac_y = start_y & 15;
@@ -64,9 +67,20 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                 if (comp)
                     for (int c = 0; c < w; c++)
                         out[r * w + c] = row[ix + c] << 4;
-                else
+                else if (dst) {
+                    pel *restrict o = dst + r * ds;
+                    for (int c = 0; c < w; c++)
+                        o[c] = row[ix + c];
+                } else
                     for (int c = 0; c < w; c++)
                         out[r * w + c] = row[ix + c];
+            } else if (dst && !comp) {
+                pel *restrict o = dst + r * ds;
+                for (int c = 0; c < w; c++) {
+                    int sx = ix + c;
+                    sx = sx < 0 ? 0 : (sx > last_x ? last_x : sx);
+                    o[c] = row[sx];
+                }
             } else {
                 for (int c = 0; c < w; c++) {
                     int sx = ix + c;
@@ -92,17 +106,27 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
             const uint16_t *row = ref + (int64_t)sy * rs;
-            int32_t *restrict o = out + r * w;
             if (inside_x) {
                 const uint16_t *restrict src = row + ix - 3;
                 if (comp) {
+                    int32_t *restrict o = out + r * w;
                     for (int c = 0; c < w; c++) {
                         int32_t acc = 0;
                         for (int t = 0; t < 8; t++)
                             acc += fh[t] * src[c + t];
                         o[c] = (acc + 4) >> 3;
                     }
+                } else if (dst) {
+                    pel *restrict o = dst + r * ds;
+                    for (int c = 0; c < w; c++) {
+                        int32_t acc = 0;
+                        for (int t = 0; t < 8; t++)
+                            acc += fh[t] * src[c + t];
+                        int32_t v = (((acc + 4) >> 3) + 8) >> 4;
+                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                    }
                 } else {
+                    int32_t *restrict o = out + r * w;
                     for (int c = 0; c < w; c++) {
                         int32_t acc = 0;
                         for (int t = 0; t < 8; t++)
@@ -121,10 +145,12 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                     }
                     int32_t m = (acc + 4) >> 3;
                     if (comp) {
-                        o[c] = m;
+                        out[r * w + c] = m;
                     } else {
                         int32_t v = (m + 8) >> 4;
-                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                        v = v < 0 ? 0 : (v > mx ? mx : v);
+                        if (dst) dst[r * ds + c] = (pel)v;
+                        else out[r * w + c] = v;
                     }
                 }
             }
@@ -144,7 +170,6 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
             rows[t] = ref + (int64_t)sy * rs;
         }
         for (int r = 0; r < h; r++) {
-            int32_t *restrict o = out + r * w;
             if (inside) {
                 const uint16_t *r0 = rows[r] + ix, *r1 = rows[r + 1] + ix,
                                *r2 = rows[r + 2] + ix,
@@ -154,6 +179,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                                *r6 = rows[r + 6] + ix,
                                *r7 = rows[r + 7] + ix;
                 if (comp) {
+                    int32_t *restrict o = out + r * w;
                     for (int c = 0; c < w; c++) {
                         int32_t s = fv[0] * r0[c] + fv[1] * r1[c]
                                   + fv[2] * r2[c] + fv[3] * r3[c]
@@ -161,7 +187,18 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                                   + fv[6] * r6[c] + fv[7] * r7[c];
                         o[c] = ((s * 16) + 64) >> 7;
                     }
+                } else if (dst) {
+                    pel *restrict o = dst + r * ds;
+                    for (int c = 0; c < w; c++) {
+                        int32_t s = fv[0] * r0[c] + fv[1] * r1[c]
+                                  + fv[2] * r2[c] + fv[3] * r3[c]
+                                  + fv[4] * r4[c] + fv[5] * r5[c]
+                                  + fv[6] * r6[c] + fv[7] * r7[c];
+                        int32_t v = ((s * 16) + 1024) >> 11;
+                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                    }
                 } else {
+                    int32_t *restrict o = out + r * w;
                     for (int c = 0; c < w; c++) {
                         int32_t s = fv[0] * r0[c] + fv[1] * r1[c]
                                   + fv[2] * r2[c] + fv[3] * r3[c]
@@ -179,10 +216,12 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
                     for (int t = 0; t < 8; t++)
                         s += fv[t] * rows[r + t][sx];
                     if (comp) {
-                        o[c] = ((s * 16) + 64) >> 7;
+                        out[r * w + c] = ((s * 16) + 64) >> 7;
                     } else {
                         int32_t v = ((s * 16) + 1024) >> 11;
-                        o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                        v = v < 0 ? 0 : (v > mx ? mx : v);
+                        if (dst) dst[r * ds + c] = (pel)v;
+                        else out[r * w + c] = v;
                     }
                 }
             }
@@ -223,15 +262,25 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         }
         for (int r = 0; r < h; r++) {
             const int16_t *restrict m = mid + r * w;
-            int32_t *restrict o = out + r * w;
             if (comp) {
+                int32_t *restrict o = out + r * w;
                 for (int c = 0; c < w; c++) {
                     int32_t acc = 0;
                     for (int t = 0; t < 8; t++)
                         acc += fv[t] * m[t * w + c];
                     o[c] = (acc + 64) >> 7;           /* InterRound1=7 */
                 }
+            } else if (dst) {
+                pel *restrict o = dst + r * ds;
+                for (int c = 0; c < w; c++) {
+                    int32_t acc = 0;
+                    for (int t = 0; t < 8; t++)
+                        acc += fv[t] * m[t * w + c];
+                    int32_t v = (acc + 1024) >> 11;   /* InterRound1=11 */
+                    o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                }
             } else {
+                int32_t *restrict o = out + r * w;
                 for (int c = 0; c < w; c++) {
                     int32_t acc = 0;
                     for (int t = 0; t < 8; t++)
@@ -271,21 +320,17 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     }
     for (int r = 0; r < h; r++) {
         const int32_t *m = mid + r * w;
-        int32_t *o = out + r * w;
-        if (comp) {
-            for (int c = 0; c < w; c++) {
-                int32_t acc = 0;
-                for (int t = 0; t < 8; t++)
-                    acc += fv[t] * m[t * w + c];
-                o[c] = (acc + 64) >> 7;               /* InterRound1=7 */
-            }
-        } else {
-            for (int c = 0; c < w; c++) {
-                int32_t acc = 0;
-                for (int t = 0; t < 8; t++)
-                    acc += fv[t] * m[t * w + c];
+        for (int c = 0; c < w; c++) {
+            int32_t acc = 0;
+            for (int t = 0; t < 8; t++)
+                acc += fv[t] * m[t * w + c];
+            if (comp) {
+                out[r * w + c] = (acc + 64) >> 7;     /* InterRound1=7 */
+            } else {
                 int32_t v = (acc + 1024) >> 11;       /* InterRound1=11 */
-                o[c] = v < 0 ? 0 : (v > mx ? mx : v);
+                v = v < 0 ? 0 : (v > mx ? mx : v);
+                if (dst) dst[r * ds + c] = (pel)v;
+                else out[r * w + c] = v;
             }
         }
     }
@@ -735,16 +780,20 @@ static void mc_predict(Recon *rc, int ref, const uint16_t *rpl, int rw,
                        int rh, int rs, int px, int py, int w, int h,
                        const int32_t *mv, int ssx, int ssy,
                        const int32_t *interp, int fw, int fh, int comp,
-                       int bd, int32_t *out) {
+                       int bd, int32_t *out, pel *dst, int64_t ds) {
     int xs, ys;
     if (!mc_is_scaled(rc, ref, &xs, &ys)) {
         predict_inter_u16(rpl, rw, rh, rs, px, py, w, h, mv, ssx, ssy,
-                          interp, fw, fh, comp, bd, out);
+                          interp, fw, fh, comp, bd, out, dst, ds);
         return;
     }
     predict_inter_scaled_u16(rpl, rw, rh, rs, px, py, w, h, mv, ssx,
                              ssy, xs, ys, interp, fw, fh, comp, bd,
                              out);
+    if (dst != NULL && !comp)
+        for (int r = 0; r < h; r++)
+            for (int c = 0; c < w; c++)
+                dst[(int64_t)r * ds + c] = (pel)out[r * w + c];
 }
 
 static const uint16_t *mc_ref_plane(Recon *rc, int ref, int plane,
@@ -832,10 +881,7 @@ static int sub8x8_chroma(Recon *rc, const int32_t *b, int plane, int x,
             int32_t pred[8 * 8];
             mc_predict(rc, ref, rp, rw, rh, rs, px, py, cw, chh, mv,
                        ssx, ssy, filt, pw, ph, 0, rc->rp->bitdepth,
-                       pred);
-            for (int r = 0; r < chh; r++)
-                for (int c = 0; c < cw; c++)
-                    buf[(py + r) * bw + (px + c)] = pred[r * cw + c];
+                       pred, buf + (int64_t)py * bw + px, bw);
         }
     return 1;
 }
@@ -863,7 +909,7 @@ static void obmc_nb_pred(Recon *rc, int plane, int64_t at, int px,
     int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
     int32_t filt[2] = {o->interp_g[at * 2 + 0], o->interp_g[at * 2 + 1]};
     mc_predict(rc, ref, rp, rw, rh, rs, px, py, pw, ph, mv, ssx, ssy,
-               filt, pw, ph, 0, rc->rp->bitdepth, out);
+               filt, pw, ph, 0, rc->rp->bitdepth, out, NULL, 0);
 }
 
 static void apply_obmc(Recon *rc, const int32_t *b) {
@@ -1013,10 +1059,10 @@ static void recon_compound(Recon *rc, const int32_t *b) {
         int32_t p0[128 * 128], p1[128 * 128];
         mc_predict(rc, b[BLK_REF0], r0, rw0, rh0, rs0, x, y, pw, ph,
                    mv0, ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth,
-                   p0);
+                   p0, NULL, 0);
         mc_predict(rc, b[BLK_REF1], r1, rw1, rh1, rs1, x, y, pw, ph,
                    mv1, ssx, ssy, filt, full_w, full_h, 1, rp->bitdepth,
-                   p1);
+                   p1, NULL, 0);
         if (masked) {
             int8_t msk[128 * 128];
             if (plane == 0) {
@@ -1139,19 +1185,28 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
         int32_t pred[128 * 128];
         int sxs, sys;
         int scaled = mc_is_scaled(rc, ref, &sxs, &sys);
-        if (wm != NULL && full_w >= 8 && full_h >= 8 && !scaled)
+        int use_warp = wm != NULL && full_w >= 8 && full_h >= 8
+                       && !scaled;
+        /* fused store: plain single-ref MC writes the frame plane
+           directly; warp/interintra still stage through pred */
+        int direct = !use_warp && b[BLK_II_MODE] < 0;
+        pel *dpix = buf + (int64_t)y * rc->pw[plane] + x;
+        if (use_warp)
             warp_affine_u16(rpl, rw, rh, rs, wm, shear, x, y, w, h,
                             ssx, ssy, rp->bitdepth, pred);
         else
             mc_predict(rc, ref, rpl, rw, rh, rs, x, y, w, h, mv, ssx,
                        ssy, filt, full_w, full_h, 0, rp->bitdepth,
-                       pred);
-        if (b[BLK_II_MODE] >= 0)
-            interintra_blend(rc, b, plane, x, y, w, h, full_w, full_h,
-                             ssx, ssy, pred);
-        for (int r = 0; r < h; r++)
-            for (int c = 0; c < w; c++)
-                buf[(y + r) * rc->pw[plane] + (x + c)] = pred[r * w + c];
+                       pred, direct ? dpix : NULL, rc->pw[plane]);
+        if (!direct) {
+            if (b[BLK_II_MODE] >= 0)
+                interintra_blend(rc, b, plane, x, y, w, h, full_w,
+                                 full_h, ssx, ssy, pred);
+            for (int r = 0; r < h; r++)
+                for (int c = 0; c < w; c++)
+                    buf[(y + r) * rc->pw[plane] + (x + c)] =
+                        pred[r * w + c];
+        }
         mark_decoded(rc, plane, x, y, w, h);
     }
     if (b[BLK_MOTION_MODE] == MC_MM_OBMC)
