@@ -15,6 +15,7 @@ the Python tile decoder.
 from __future__ import annotations
 
 import ctypes
+import weakref
 import glob
 import sys
 import os
@@ -561,8 +562,24 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
     return out, bufs, blob
 
 
+_VP_CACHE: dict = {}
+
+
 def _vp(a):
-    return a.ctypes.data_as(ctypes.c_void_p)
+    """ctypes data pointer of a numpy array.  Pool buffers are reused
+    across frames and ~70 conversions per frame cost ~1ms/frame in
+    ctypes plumbing, so cache by id with weakref-identity validation
+    (an alive array's data pointer never moves; a recycled id fails
+    the `is` check and recomputes)."""
+    key = id(a)
+    ent = _VP_CACHE.get(key)
+    if ent is not None and ent[0]() is a:
+        return ent[1]
+    p = a.ctypes.data_as(ctypes.c_void_p)
+    _VP_CACHE[key] = (weakref.ref(a), p)
+    if len(_VP_CACHE) > 4096:
+        _VP_CACHE.clear()
+    return p
 
 
 _BUF_POOL: dict = {}
