@@ -320,10 +320,15 @@ class EasyAV1:
     # -- video decode-ahead thread -------------------------------------
 
     def _video_worker(self) -> None:
+        # NB: the worker never stalls on a full frame queue — the
+        # reference decoder thread keeps decoding and the frame ring
+        # drops its oldest entry (easyav1.c:2139-2148).  Throttling
+        # here would livelock _drain_video when a decode driver runs
+        # without a frame consumer (prefetch is bounded on the packet
+        # side instead, as in get_video_packet_to_decode).
         while True:
             with self._vwork_cv:
-                while not self._vthread_stop and (
-                        not self._vwork or self._vworker_throttled()):
+                while not self._vthread_stop and not self._vwork:
                     self._vwork_cv.wait(0.005)
                 if self._vthread_stop:
                     return
@@ -335,10 +340,6 @@ class EasyAV1:
                 with self._vwork_cv:
                     self._vworker_busy = False
                     self._vwork_cv.notify_all()
-
-    def _vworker_throttled(self) -> bool:
-        with self._frame_lock:
-            return len(self._frame_queue) >= VIDEO_FRAMES_TO_PREFETCH
 
     def _ensure_vthread(self) -> None:
         if self._vthread is None or not self._vthread.is_alive():

@@ -428,37 +428,6 @@ cdef_filter_uv_avx512(pel *du, pel *dv, int dstride, const int16_t *tmp,
                          q3);
     }
 }
-
-/* interior-block build of the interleaved UV tmp */
-static inline void
-cdef_build_tmp_uv_fast(int16_t *tmp, const pel *pu, const pel *pv,
-                       int ps, int x, int y, int h,
-                       const pel *au, const pel *av, int aw,
-                       const pel *lu, const pel *lv) {
-    for (int k = 0; k < 2; k++) {
-        _mm_storeu_si128((__m128i *)(tmp + k * CDEF_TSTRIDE),
-                         _mm_loadu_si128(
-            (const __m128i *)(au + (int64_t)k * aw + x - 2)));
-        _mm_storeu_si128((__m128i *)(tmp + k * CDEF_TSTRIDE + 8),
-                         _mm_loadu_si128(
-            (const __m128i *)(av + (int64_t)k * aw + x - 2)));
-    }
-    const pel *ru = pu + (int64_t)y * ps + x - 2;
-    const pel *rv = pv + (int64_t)y * ps + x - 2;
-    for (int i = 0; i < h + 2; i++) {
-        _mm_storeu_si128((__m128i *)(tmp + (i + 2) * CDEF_TSTRIDE),
-                         _mm_loadu_si128((const __m128i *)ru));
-        _mm_storeu_si128((__m128i *)(tmp + (i + 2) * CDEF_TSTRIDE + 8),
-                         _mm_loadu_si128((const __m128i *)rv));
-        ru += ps; rv += ps;
-    }
-    for (int i = 0; i < h; i++) {
-        tmp[(i + 2) * CDEF_TSTRIDE] = (int16_t)lu[i * 2];
-        tmp[(i + 2) * CDEF_TSTRIDE + 1] = (int16_t)lu[i * 2 + 1];
-        tmp[(i + 2) * CDEF_TSTRIDE + 8] = (int16_t)lv[i * 2];
-        tmp[(i + 2) * CDEF_TSTRIDE + 9] = (int16_t)lv[i * 2 + 1];
-    }
-}
 #endif /* AVX512 */
 #endif
 
@@ -542,76 +511,6 @@ static void cdef_filter_block(pel *dst, int dstride,
             dst[(y + i) * dstride + (x + j)] = (pel)out[i * w + j];
 }
 
-/* Build the (h+4)x(w+4) padded int16 window for one block into tmp
- * (stride CDEF_TSTRIDE), combining the live plane (block interior,
- * right/below halos: not yet CDEF-written), the saved pre-CDEF `above`
- * rows (full width, rows y-2..y-1), the saved pre-CDEF `left` columns
- * (rows y..y+h-1, cols x-2..x-1) and VERY_LARGE outside the frame.
- * pel values are < 0x4000 so uint16 -> int16 is bit-identical. */
-
-/* branch-free tmp build for interior blocks (no frame borders in the
- * (h+4)x(w+4) window): rows -2/-1 from `above`, the rest straight from
- * the live plane, then the 2 left-halo columns from `left` */
-#ifdef __AVX2__
-static inline void cdef_build_tmp_fast(int16_t *tmp, const pel *plane,
-                                       int pstride, int x, int y, int h,
-                                       const pel *above, int aw,
-                                       const pel *left) {
-    _mm256_storeu_si256((__m256i *)tmp, _mm256_loadu_si256(
-        (const __m256i *)(above + x - 2)));
-    _mm256_storeu_si256((__m256i *)(tmp + CDEF_TSTRIDE),
-                        _mm256_loadu_si256(
-        (const __m256i *)(above + aw + x - 2)));
-    const pel *pr = plane + (int64_t)y * pstride + x - 2;
-    for (int i = 0; i < h + 2; i++) {
-        _mm256_storeu_si256((__m256i *)(tmp + (i + 2) * CDEF_TSTRIDE),
-                            _mm256_loadu_si256((const __m256i *)pr));
-        pr += pstride;
-    }
-    for (int i = 0; i < h; i++) {
-        tmp[(i + 2) * CDEF_TSTRIDE] = (int16_t)left[i * 2];
-        tmp[(i + 2) * CDEF_TSTRIDE + 1] = (int16_t)left[i * 2 + 1];
-    }
-}
-#endif
-
-static void cdef_build_tmp(int16_t *tmp, const pel *plane, int pstride,
-                           int pw_, int ph_, int x, int y, int w, int h,
-                           const pel *above, const pel *left,
-                           int full16 /* may store 16-wide rows */) {
-    int fast = full16 && x >= 2 && x + 14 <= pw_;
-    for (int i = -2; i < h + 2; i++) {
-        int16_t *trow = tmp + (int64_t)(i + 2) * CDEF_TSTRIDE;
-        int Y = y + i;
-        if (Y < 0 || Y >= ph_) {
-            for (int j = 0; j < w + 4; j++) trow[j] = CDEF_VERY_LARGE;
-            continue;
-        }
-        const pel *srow = i < 0 ? above + (int64_t)(i + 2) * pw_
-                                : plane + (int64_t)Y * pstride;
-        if (fast) {
-#ifdef __AVX2__
-            _mm256_storeu_si256((__m256i *)trow, _mm256_loadu_si256(
-                (const __m256i *)(srow + x - 2)));
-#else
-            memcpy(trow, srow + x - 2, 16 * sizeof(int16_t));
-#endif
-        } else {
-            for (int j = -2; j < w + 2; j++) {
-                int X = x + j;
-                trow[j + 2] = (X < 0 || X >= pw_) ? CDEF_VERY_LARGE
-                                                  : (int16_t)srow[X];
-            }
-        }
-        /* the left block was already CDEF-written in the plane; its
-           pre-CDEF right columns live in `left` */
-        if (i >= 0 && i < h && x >= 2) {
-            trow[0] = (int16_t)left[i * 2];
-            trow[1] = (int16_t)left[i * 2 + 1];
-        }
-    }
-}
-
 static void av1_cdef(const ReconParams *rp, const TileOut *o,
                      pel *planes[3], const int pw[3], const int ph[3]) {
     if (!rp->enable_cdef) return;
@@ -629,60 +528,78 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     int ucols = (mi_cols + 15) / 16;
     int n_pl = rp->num_planes;
 
-    /* rolling pre-CDEF history (in-place filtering, no full-plane
-       snapshot): above[p] = the 2 plane rows just above the current
-       block row as they were before CDEF; save[p] = pre-CDEF copy of
-       the bottom 2 rows of the current block row (becomes `above`);
-       left[p]/nleft[p] = pre-CDEF right 2 columns of the previous
-       block position in this row */
-    static pel *hist[3];
-    static size_t hist_cap[3];
-    pel *above[3], *save[3];
-    pel left_a[3][16 * 2], left_b[3][16 * 2];
+    /* Full-width padded pre-CDEF stripes, one per plane: stripe row i
+       holds plane row yy-2+i (yy = this block row's top) as it was
+       BEFORE this block row was filtered, at column offset +2, with 2
+       CDEF_VERY_LARGE pad columns each side and VERY_LARGE rows
+       outside the frame.  In-place filtering then needs no per-block
+       halo assembly and no left/above bookkeeping at all: kernels
+       read the stripe (taps reach dy/dx in [-2,+2], all inside it)
+       and write the live plane; the next row's two `above` rows are
+       this stripe's bottom two section rows, shifted down before the
+       refill.  Refill traffic is (bh+4)/bh of each plane per frame —
+       linear memcpys instead of ~33k strided per-block snapshots. */
+    static int16_t *stripe[3];
+    static size_t stripe_cap[3];
+    int sst[3];
     int bw[3], bh[3];
     bw[0] = bh[0] = 8;
     bw[1] = bw[2] = 8 >> rp->ssx;
     bh[1] = bh[2] = 8 >> rp->ssy;
     for (int p = 0; p < n_pl; p++) {
-        size_t need = (size_t)pw[p] * 4;
-        if (hist_cap[p] < need) {
-            free(hist[p]);
-            hist[p] = malloc(sizeof(pel) * need);
-            hist_cap[p] = hist[p] ? need : 0;
+        sst[p] = pw[p] + 4;
+        /* +8 slack: the 8-lane AVX2 row loads of a 4-wide block read
+           up to 4 int16 past the window at the right frame edge */
+        size_t need = (size_t)sst[p] * (bh[p] + 4) + 8;
+        if (stripe_cap[p] < need) {
+            free(stripe[p]);
+            stripe[p] = malloc(sizeof(int16_t) * need);
+            stripe_cap[p] = stripe[p] ? need : 0;
         }
-        if (!hist[p]) return;
-        above[p] = hist[p];
-        save[p] = hist[p] + (size_t)pw[p] * 2;
+        if (!stripe[p]) return;
+        for (size_t i = 0; i < need; i++)
+            stripe[p][i] = CDEF_VERY_LARGE;
     }
     int16_t tmp[14 * CDEF_TSTRIDE];
 
     const int8_t *skip = o->skip;
     for (int r = 0; r < mi_rows; r += 2) {
         int y = r * 4;
-        /* snapshot the bottom 2 pre-CDEF rows of this block row: they
-           are the next row's `above` context */
+        /* refill the stripes for this block row: rows 0-1 (the pre-CDEF
+           `above` context) shift down from the previous stripe's bottom
+           section rows; rows 2..bh+3 copy straight from the live plane
+           (pre-CDEF here by construction — this row and everything
+           below it is not yet filtered).  pel (uint16 < 0x4000) to
+           int16 is a bit-identical memcpy. */
         for (int p = 0; p < n_pl; p++) {
-            int yy = (y >> (p ? rp->ssy : 0)) + bh[p] - 2;
-            if (yy + 1 < ph[p])
-                memcpy(save[p], planes[p] + (int64_t)yy * pw[p],
-                       sizeof(pel) * (size_t)pw[p] * 2);
+            int h = bh[p], st = sst[p];
+            int yy = y >> (p ? rp->ssy : 0);
+            int16_t *sp = stripe[p];
+            if (r == 0)
+                for (int j = 0; j < 2 * st; j++)
+                    sp[j] = CDEF_VERY_LARGE;
+            else
+                memcpy(sp, sp + (size_t)h * st,
+                       sizeof(int16_t) * (size_t)st * 2);
+            for (int i = 0; i < h + 2; i++) {
+                int16_t *row = sp + (size_t)(i + 2) * st;
+                int py_ = yy + i;
+                if (py_ < ph[p])
+                    memcpy(row + 2, planes[p] + (int64_t)py_ * pw[p],
+                           sizeof(int16_t) * (size_t)pw[p]);
+                else
+                    for (int j = 0; j < st; j++)
+                        row[j] = CDEF_VERY_LARGE;
+            }
         }
-        pel (*left)[16 * 2] = left_a, (*nleft)[16 * 2] = left_b;
+        /* per-64x64-unit parameter cache: strengths, tap weights and
+           damping shifts depend only on cdef_idx, which changes at
+           most every 8 positions along the row */
+        int last_idx = -2;
+        int u_pri = 0, u_sec = 0, u_pt0 = 0, u_pt1 = 0, u_psh = 0,
+            u_ssh = 0;
         for (int c = 0; c < mi_cols; c += 2) {
             int x = c * 4;
-            /* save this position's pre-filter right 2 columns for the
-               next block's left halo (unconditionally: skipped blocks
-               keep plane values, which is the same thing) */
-            for (int p = 0; p < n_pl; p++) {
-                int px_ = (x >> (p ? rp->ssx : 0)) + bw[p] - 2;
-                int py_ = y >> (p ? rp->ssy : 0);
-                const pel *pr = planes[p] + (int64_t)py_ * pw[p] + px_;
-                for (int i = 0; i < bh[p]; i++) {
-                    nleft[p][i * 2] = pr[0];
-                    nleft[p][i * 2 + 1] = pr[1];
-                    pr += pw[p];
-                }
-            }
             int r2 = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
             int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
             int idx;
@@ -692,6 +609,18 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                    != -1) {
                 int dir = 0, var = 0;
                 cdef_stat[4]++;
+                if (idx != last_idx) {
+                    last_idx = idx;
+                    u_pri = rp->cdef_uv_pri[idx] << coeff_shift;
+                    u_sec = rp->cdef_uv_sec[idx] << coeff_shift;
+                    if (((u_pri >> coeff_shift) & 1) == 0) {
+                        u_pt0 = 4; u_pt1 = 2;
+                    } else {
+                        u_pt0 = 3; u_pt1 = 3;
+                    }
+                    u_psh = cdef_shift_for(u_pri, damping - 1);
+                    u_ssh = cdef_shift_for(u_sec, damping - 1);
+                }
                 if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
                     /* the 8x8 interior is never touched by earlier
                        blocks, so the live plane is pre-CDEF here */
@@ -704,8 +633,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                    filters both planes with full 512-bit lanes */
                 int uv_paired = 0;
                 if (n_pl == 3 && rp->ssx == 1) {
-                    int pri = rp->cdef_uv_pri[idx] << coeff_shift;
-                    int sec = rp->cdef_uv_sec[idx] << coeff_shift;
+                    int pri = u_pri, sec = u_sec;
                     uv_paired = 1;
                     if (pri | sec) {
                         int px = x >> 1, py2 = y >> rp->ssy;
@@ -716,27 +644,23 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         int interior = px >= 2 && px + 6 <= pw[1]
                                        && py2 >= 2
                                        && py2 + h + 2 <= ph[1];
-                        if (interior)
-                            cdef_build_tmp_uv_fast(
-                                tmp, planes[1], planes[2], pw[1], px,
-                                py2, h, above[1], above[2], pw[1],
-                                left[1], left[2]);
-                        else {
-                            cdef_build_tmp(tmp, planes[1], pw[1],
-                                           pw[1], ph[1], px, py2, 4, h,
-                                           above[1], left[1], 0);
-                            cdef_build_tmp(tmp + 8, planes[2], pw[1],
-                                           pw[1], ph[1], px, py2, 4, h,
-                                           above[2], left[2], 0);
+                        /* interleave [U window | V window] rows from
+                           the stripes (halo and edge padding already
+                           resolved there) */
+                        for (int i = 0; i < h + 4; i++) {
+                            const int16_t *su =
+                                stripe[1] + (size_t)i * sst[1] + px;
+                            const int16_t *sv =
+                                stripe[2] + (size_t)i * sst[2] + px;
+                            _mm_storeu_si128(
+                                (__m128i *)(tmp + i * CDEF_TSTRIDE),
+                                _mm_loadu_si128((const __m128i *)su));
+                            _mm_storeu_si128(
+                                (__m128i *)(tmp + i * CDEF_TSTRIDE + 8),
+                                _mm_loadu_si128((const __m128i *)sv));
                         }
-                        int pt0, pt1;
-                        if (((pri >> coeff_shift) & 1) == 0) {
-                            pt0 = 4; pt1 = 2;
-                        } else {
-                            pt0 = 3; pt1 = 3;
-                        }
-                        int psh = cdef_shift_for(pri, damping - 1);
-                        int ssh = cdef_shift_for(sec, damping - 1);
+                        int pt0 = u_pt0, pt1 = u_pt1;
+                        int psh = u_psh, ssh = u_ssh;
                         int64_t doff = (int64_t)py2 * pw[1] + px;
                         if (interior)
                             cdef_filter_uv_avx512(
@@ -794,33 +718,18 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     cdef_stat[plane ? 1 : 0]++;
                     cdef_stat[2] += pri != 0;
                     cdef_stat[3] += sec != 0;
-                    int interior = px >= 2 && px + 14 <= pw[plane]
+                    int interior = px >= 2 && px + w + 2 <= pw[plane]
                                    && py2 >= 2
                                    && py2 + h + 2 <= ph[plane];
-#ifdef __AVX2__
-                    if (interior)
-                        cdef_build_tmp_fast(tmp, planes[plane],
-                                            pw[plane], px, py2, h,
-                                            above[plane], pw[plane],
-                                            left[plane]);
-                    else
-#endif
-                        cdef_build_tmp(tmp, planes[plane], pw[plane],
-                                       pw[plane], ph[plane], px, py2,
-                                       w, h, above[plane], left[plane],
-                                       1);
-                    /* read from the tmp window origin, write at the
-                       block's plane position */
+                    /* read the padded stripe window in place, write at
+                       the block's plane position */
                     cdef_filter_block(
                         planes[plane] + (int64_t)py2 * pw[plane] + px,
-                        pw[plane], tmp, CDEF_TSTRIDE, 0, 0, w, h,
+                        pw[plane], stripe[plane] + px, sst[plane],
+                        0, 0, w, h,
                         adj_pri, sec, pdamp, pdir, bd, !interior);
                 }
             }
-            pel (*t_)[16 * 2] = left; left = nleft; nleft = t_;
-        }
-        for (int p = 0; p < n_pl; p++) {
-            pel *t_ = above[p]; above[p] = save[p]; save[p] = t_;
         }
     }
 }

@@ -167,3 +167,20 @@ def test_status_sticky_after_destroy(audio_fixture):
 def test_bad_data_raises():
     with pytest.raises(Exception):
         init_from_memory(b"not a webm file at all........")
+
+
+def test_decode_until_without_consumer_terminates():
+    """Regression: decode_until over more frames than the frame queue
+    holds, with no get_video_frame consumer, must terminate — the
+    decode-ahead worker drops the oldest ring entry instead of
+    stalling (reference enqueue_video_frame, easyav1.c:2139-2148;
+    a frame-queue throttle here livelocked _drain_video)."""
+    fx = make_fixture(frames=20, w=64, h=64, fps=10, gop=100,
+                      audio_secs=0)
+    av = init_from_filename(str(fx))
+    st = av.decode_until(1800)
+    assert st in (EasyAV1Status.OK, EasyAV1Status.FINISHED)
+    assert av.get_current_timestamp() >= 1700
+    # the ring holds the newest frames; pulling one still works
+    assert av.has_video_frame()
+    av.close()
