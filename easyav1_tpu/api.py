@@ -338,6 +338,7 @@ class EasyAV1:
                 self._decode_video_packet(pkt)
             finally:
                 with self._vwork_cv:
+                    pkt.decoded = True
                     self._vworker_busy = False
                     self._vwork_cv.notify_all()
 
@@ -351,9 +352,20 @@ class EasyAV1:
 
     def _queue_video_packet(self, pkt: Packet) -> None:
         self._ensure_vthread()
+        pkt.decoded = False
         with self._vwork_cv:
             self._vwork.append(pkt)
             self._vwork_cv.notify_all()
+
+    def _wait_packet_decoded(self, pkt: Packet) -> None:
+        """Block until the worker finished this packet — reference
+        decode_packet waits on has_frames_to_display until
+        packet.decoded (easyav1.c:2567-2589), so decode_next's side
+        effects (frame queue, frames-processed counter) are visible
+        when it returns."""
+        with self._vwork_cv:
+            while not getattr(pkt, "decoded", True):
+                self._vwork_cv.wait(0.005)
 
     def _drain_video(self) -> None:
         """Block until the worker is idle (seek, finish, teardown;
@@ -402,6 +414,7 @@ class EasyAV1:
             self._position = ts_ms
         if self._video_track and pkt.track == self._video_track.number:
             self._queue_video_packet(pkt)
+            self._wait_packet_decoded(pkt)
         else:
             self._decode_packet(pkt)
         if self._status.is_error:

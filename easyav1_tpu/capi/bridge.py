@@ -142,7 +142,8 @@ def _settings_from_dict(d: dict) -> EasyAV1Settings:
         audio_track=d["audio_track"],
         use_fast_seeking=bool(d["use_fast_seeking"]),
         audio_offset_time=d["audio_offset_time"],
-        log_level=LogLevel(d["log_level"]),
+        log_level=LogLevel(min(max(int(d["log_level"]), 0),
+                                max(LogLevel))),
     )
     return s
 

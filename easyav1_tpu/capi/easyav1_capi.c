@@ -38,6 +38,24 @@ static int ensure_python(void) {
         PyEval_SaveThread();
     }
     PyGILState_STATE st = PyGILState_Ensure();
+    /* make the package importable regardless of cwd/PYTHONPATH: try
+       the executable's ancestors (tools/build/<tool> -> repo root) and
+       the cwd, appended after any existing entries */
+    PyRun_SimpleString(
+        "import os, sys\n"
+        "cands = [os.getcwd()]\n"
+        "try:\n"
+        "    exe = os.path.realpath('/proc/self/exe')\n"
+        "    d = os.path.dirname(exe)\n"
+        "    for _ in range(4):\n"
+        "        cands.append(d)\n"
+        "        d = os.path.dirname(d)\n"
+        "except OSError:\n"
+        "    pass\n"
+        "for c in cands:\n"
+        "    if (os.path.isdir(os.path.join(c, 'easyav1_tpu'))\n"
+        "            and c not in sys.path):\n"
+        "        sys.path.append(c)\n");
     PyObject *mod = PyImport_ImportModule("easyav1_tpu.capi.bridge");
     if (!mod) {
         PyErr_Print();
