@@ -120,7 +120,8 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
     }
 
 
-def _av1_fixture(w=1920, h=1080, frames=30, fps=30, gop=1, tag="intra"):
+def _av1_fixture(w=1920, h=1080, frames=30, fps=30, gop=1, tag="intra",
+                 extra=()):
     import subprocess as sp
     from fixtures import CACHE, tool
 
@@ -129,7 +130,8 @@ def _av1_fixture(w=1920, h=1080, frames=30, fps=30, gop=1, tag="intra"):
         # default-encoded: every libaom tool the encoder picks stays on
         r = sp.run([str(tool("make_fixture")), str(out),
                     f"w={w}", f"h={h}", f"fps={fps}", f"frames={frames}",
-                    f"gop={gop}", "crf=30", "audio_secs=0", "content=1"],
+                    f"gop={gop}", "crf=30", "audio_secs=0", "content=1",
+                    *extra],
                    capture_output=True, text=True)
         if r.returncode != 0:
             raise RuntimeError(r.stderr[-300:])
@@ -241,12 +243,40 @@ def bench_av1(frames=30, fps=30) -> dict:
     return out
 
 
+def bench_av1_4k() -> dict:
+    """BASELINE config-4 shape (4K): decode throughput vs dav1d on the
+    same host.  Encoded at cpu-used=8 so fixture creation stays cheap;
+    the decode side is unaffected by encoder speed settings."""
+    from fixtures import tool
+
+    fx = _av1_fixture(w=3840, h=2160, frames=24, fps=30, gop=9999,
+                      tag="4k", extra=("vopt:cpu-used=8",))
+    t_dav1d = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        subprocess.run([str(tool("oracle")), str(fx), "-"],
+                       check=True, capture_output=True)
+        t_dav1d = min(t_dav1d, time.perf_counter() - t0)
+    n, t = _decode_all(fx, "native")
+    _, t2 = _decode_all(fx, "native")
+    t = min(t, t2)
+    xrt = (n / 30) / t
+    dav1d_xrt = (n / 30) / t_dav1d
+    return {"av1_4k_xrt": round(xrt, 3),
+            "av1_4k_vs_dav1d": round(xrt / dav1d_xrt, 4),
+            "av1_4k_fps": round(n / t, 2)}
+
+
 def main():
     result = bench_av1()
     try:
         v = bench_vorbis(10.0)
         result["vorbis_decode_xrt"] = v["value"]
         result["vorbis_vs_libvorbis"] = v["vs_baseline"]
+    except Exception:
+        pass
+    try:
+        result.update(bench_av1_4k())
     except Exception:
         pass
     print(json.dumps(result))
