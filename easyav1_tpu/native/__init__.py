@@ -575,7 +575,11 @@ def _vp(a):
     ent = _VP_CACHE.get(key)
     if ent is not None and ent[0]() is a:
         return ent[1]
-    p = a.ctypes.data_as(ctypes.c_void_p)
+    # NOT data_as(): that attaches a strong array reference to the
+    # returned pointer, which would pin pooled planes through this
+    # cache and kill the refcount-gated buffer rotation.  The weakref
+    # identity check above is what keeps the cached pointer valid.
+    p = ctypes.c_void_p(a.ctypes.data)
     _VP_CACHE[key] = (weakref.ref(a), p)
     if len(_VP_CACHE) > 4096:
         _VP_CACHE.clear()
@@ -893,12 +897,27 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
     if zero_copy:
-        # u8 display pack only; the ref slots alias the recon planes
+        # u8 display pack only; the ref slots alias the recon planes.
+        # Output planes come from a refcount-gated pool: np.empty every
+        # frame page-faults ~12 MB at 4K (measured 38 ms/frame in
+        # av1_pack8); a set is reused once the consumer dropped it.
+        o8pool = _BUF_POOL.setdefault(pkey + ("o8",), [])
+        shapes = ((h, w), (ch, cw), (ch, cw))[:n_pl]
+        o8s = None
+        for cand in o8pool:
+            if (all(sys.getrefcount(a) == 3 for a in cand)
+                    and all(a.shape == sh
+                            for a, sh in zip(cand, shapes))):
+                o8s = cand
+                break
+        if o8s is None:
+            o8s = tuple(np.empty(sh, np.uint8) for sh in shapes)
+            if len(o8pool) < 16:
+                o8pool.append(o8s)
         planes = []
         ref_triples = []
-        for src, (pw_, ph_) in zip((py, pu, pv)[:n_pl],
-                                   ((w, h), (cw, ch), (cw, ch))):
-            o8 = np.empty((ph_, pw_), np.uint8)
+        for src, o8, (pw_, ph_) in zip((py, pu, pv)[:n_pl], o8s,
+                                       ((w, h), (cw, ch), (cw, ch))):
             lib.av1_pack8(_vp(src), src.shape[1], pw_, ph_, _vp(o8),
                           None)
             planes.append(o8)
