@@ -29,7 +29,7 @@ _DIR = os.path.dirname(os.path.abspath(__file__))
 # from `make -C tools sanitize`) instead of the gcc-on-import build
 _SO = os.environ.get("EASYAV1_SO", os.path.join(_DIR, "libeasyav1.so"))
 _SRCS = [os.path.join(_DIR, "av1_tile.c"), os.path.join(_DIR, "av1_recon.c"),
-         os.path.join(_DIR, "vorbis_dec.c")]
+         os.path.join(_DIR, "av1_recon8.c"), os.path.join(_DIR, "vorbis_dec.c")]
 # every header participates in the staleness check — a missing entry
 # here silently ships a stale .so
 _HDRS = sorted(glob.glob(os.path.join(_DIR, "*.h")))
@@ -168,9 +168,10 @@ def film_grain_native(fg, seq, planes):
 
 
 class _RefPlanes(ctypes.Structure):
-    """uint16 reference planes per slot (av1_common.h): logical w/h
-    plus the row stride in elements (the planes may be views into the
-    mi-aligned recon buffers, avoiding a per-frame copy)."""
+    """Reference planes per slot (av1_common.h), in the frame's pel
+    dtype (uint8 for the 8bpc recon build, uint16 otherwise): logical
+    w/h plus the row stride in elements (the planes may be views into
+    the mi-aligned recon buffers, avoiding a per-frame copy)."""
 
     _fields_ = [
         ("plane", (ctypes.c_void_p * 3) * 8),
@@ -284,6 +285,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
         ctypes.POINTER(_FrameParams), ctypes.POINTER(_RefPlanes),
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.av1_recon_frame_8.restype = ctypes.c_int
+    lib.av1_recon_frame_8.argtypes = lib.av1_recon_frame.argtypes
     lib.av1_lf_grids_export.restype = ctypes.c_int
     lib.av1_lf_grids_export.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),
@@ -307,6 +310,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_pack8.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p]
+    lib.av1_pack8_8.restype = ctypes.c_int
+    lib.av1_pack8_8.argtypes = lib.av1_pack8.argtypes
     lib.av1_film_grain.restype = ctypes.c_int
     lib.av1_film_grain.argtypes = [
         ctypes.POINTER(_FgParams), ctypes.c_int, ctypes.c_int,
@@ -784,12 +789,18 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     None if the native path is unavailable or declines (caller falls
     back).  mv_grids = (ref0, ref1, mvs) per-4x4 copies for the
     backend's temporal-mv storage (save_tmvs), None on intra frames.
-    refs: per-slot triples of (uint16 plane, logical w, logical h);
-    each plane may be an mi-aligned recon buffer wider than w (the C
-    MC reads with an explicit row stride)."""
+    refs: per-slot triples of (pel plane, logical w, logical h) in
+    the bitdepth's pel dtype; each plane may be an mi-aligned recon
+    buffer wider than w (the C MC reads with an explicit row stride)."""
     lib = _load()
     if lib is None:
         return None
+    # 8bpc streams reconstruct in uint8 planes (av1_recon8.c: half the
+    # pixel memory traffic); 10/12bpc and the device/pallas pipes (whose
+    # JAX kernels take uint16 planes) use the 16-bit build
+    pipe = os.environ.get("EASYAV1_PIPE", "native")
+    pel8 = seq.color.bitdepth == 8 and pipe == "native"
+    pel_dt = np.uint8 if pel8 else np.uint16
     rfl = _RefPlanes()
     keep_refs = []
     if not hdr.frame_is_intra:
@@ -803,8 +814,11 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
             if pls is None:
                 continue
             for pi, (arr, lw, lh) in enumerate(pls):
-                if arr.dtype != np.uint16 or not arr.flags.c_contiguous:
-                    arr = np.ascontiguousarray(arr, np.uint16)
+                if arr.dtype != pel_dt or not arr.flags.c_contiguous:
+                    # dtype conversion is exact both ways for 8-bit
+                    # streams (samples <= 255); only hit when the pipe
+                    # changes mid-stream
+                    arr = np.ascontiguousarray(arr, pel_dt)
                 keep_refs.append(arr)
                 rfl.plane[slot][pi] = _vp(arr).value
                 rfl.w[slot][pi] = lw
@@ -837,12 +851,13 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     # CDEF and LR); buffers must fit both the coded and upscaled dims
     aw_y = max(aw, hdr.upscaled_width)
     aw_c = max(aw >> ssx, (hdr.upscaled_width + ssx) >> ssx)
-    pkey = ("planes", ah, aw_y, aw_c, ssy)
+    pkey = ("planes", ah, aw_y, aw_c, ssy, int(pel8))
     zero_copy = want_u16 and seq.color.bitdepth == 8
     if zero_copy:
         # recon covers every mi-aligned pixel, so no zeroing needed;
-        # uint16 (pel): every stage writes clamped pixel values, and
-        # half-width planes halve the LF/CDEF/LR/pack memory traffic.
+        # pel planes (uint8 for 8bpc via av1_recon8.c, else uint16):
+        # every stage writes clamped pixel values, and narrow planes
+        # halve the MC/LF/CDEF/LR/pack memory traffic.
         # Zero-copy refs: the recon target itself is handed to the ref
         # slots (the C MC reads with an explicit row stride and clamps
         # to the logical w/h, so the mi-aligned overhang is never
@@ -858,16 +873,16 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                 pl = cand
                 break
         if pl is None:
-            pl = (np.empty((ah, aw_y), np.uint16),
-                  np.empty((ah >> ssy, aw_c), np.uint16),
-                  np.empty((ah >> ssy, aw_c), np.uint16))
+            pl = (np.empty((ah, aw_y), pel_dt),
+                  np.empty((ah >> ssy, aw_c), pel_dt),
+                  np.empty((ah >> ssy, aw_c), pel_dt))
             pool.append(pl)
     else:
         pl = _BUF_POOL.get(pkey)
         if pl is None:
-            pl = (np.empty((ah, aw_y), np.uint16),
-                  np.empty((ah >> ssy, aw_c), np.uint16),
-                  np.empty((ah >> ssy, aw_c), np.uint16))
+            pl = (np.empty((ah, aw_y), pel_dt),
+                  np.empty((ah >> ssy, aw_c), pel_dt),
+                  np.empty((ah >> ssy, aw_c), pel_dt))
             _BUF_POOL[pkey] = pl
     py, pu, pv = pl
     device = os.environ.get("EASYAV1_PIPE", "native") == "device" \
@@ -880,9 +895,10 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         rp.lf_level = (ctypes.c_int32 * 4)(0, 0, 0, 0)
         rp.enable_cdef = 0
         fp_rc.lr_uses = 0
-    rc = lib.av1_recon_frame(ctypes.byref(rp), ctypes.byref(out),
-                             ctypes.byref(fp_rc), ctypes.byref(rfl),
-                             _vp(py), _vp(pu), _vp(pv))
+    recon_fn = lib.av1_recon_frame_8 if pel8 else lib.av1_recon_frame
+    rc = recon_fn(ctypes.byref(rp), ctypes.byref(out),
+                  ctypes.byref(fp_rc), ctypes.byref(rfl),
+                  _vp(py), _vp(pu), _vp(pv))
     del keep_fp, keep_refs
     if rc != 0:
         return None
@@ -916,10 +932,10 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                 o8pool.append(o8s)
         planes = []
         ref_triples = []
+        pack_fn = lib.av1_pack8_8 if pel8 else lib.av1_pack8
         for src, o8, (pw_, ph_) in zip((py, pu, pv)[:n_pl], o8s,
                                        ((w, h), (cw, ch), (cw, ch))):
-            lib.av1_pack8(_vp(src), src.shape[1], pw_, ph_, _vp(o8),
-                          None)
+            pack_fn(_vp(src), src.shape[1], pw_, ph_, _vp(o8), None)
             planes.append(o8)
             ref_triples.append((src, pw_, ph_))
         return planes, blob, mv_grids, ref_triples
@@ -929,7 +945,7 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         planes.append(pu[:ch, :cw].astype(dt))
         planes.append(pv[:ch, :cw].astype(dt))
     if want_u16:
-        ref_triples = [(np.ascontiguousarray(p, np.uint16),
+        ref_triples = [(np.ascontiguousarray(p, pel_dt),
                         p.shape[1], p.shape[0]) for p in planes]
         return planes, blob, mv_grids, ref_triples
     return planes, blob, mv_grids

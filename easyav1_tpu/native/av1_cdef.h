@@ -14,10 +14,14 @@
 
 /* profiling counters: [0] luma blocks filtered, [1] chroma blocks,
    [2] pri!=0 calls, [3] sec!=0 calls, [4] positions past skip check */
+#if PEL_BITS == 16
 int64_t cdef_stat[8];
 void cdef_get_stats(int64_t *out) {
     for (int i = 0; i < 8; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
 }
+#else
+extern int64_t cdef_stat[8];
+#endif
 
 static const int8_t CDEF_DIRS[8][2][2] = {
     {{-1, 1}, {-2, 2}}, {{0, 1}, {-1, 2}}, {{0, 1}, {0, 2}},
@@ -26,6 +30,24 @@ static const int8_t CDEF_DIRS[8][2][2] = {
 
 static const int16_t CDEF_DIV[9] = {0, 840, 420, 280, 210, 168, 140, 120,
                                     105};
+
+#if PEL_BITS == 8
+/* unaligned 4-byte store without strict-alignment UB */
+static inline void cdef_st32(void *p, int v) {
+    memcpy(p, &v, 4);
+}
+#endif
+
+/* pel row -> int16 stripe row: bit-identical memcpy for 16-bit pel
+   (values < 0x4000), widening copy for 8-bit pel */
+static inline void cdef_pel_to_i16(int16_t *dst, const pel *src, int n) {
+#if PEL_BITS == 16
+    memcpy(dst, src, sizeof(int16_t) * (size_t)n);
+#else
+    for (int i = 0; i < n; i++)
+        dst[i] = src[i];
+#endif
+}
 
 /* chroma direction conversion (spec Cdef_Uv_Dir[ss_x][ss_y][dir]) */
 static const int8_t CDEF_UV_DIR[2][2][8] = {
@@ -36,7 +58,7 @@ static const int8_t CDEF_UV_DIR[2][2][8] = {
 #include <immintrin.h>
 #endif
 
-static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
+static void cdef_find_dir(const pel *src, int stride, int coeff_shift,
                           int *out_dir, int *out_var) {
 #if defined(__AVX512F__) && defined(__AVX2__)
     /* register-resident partial sums: each direction's projection is a
@@ -54,9 +76,15 @@ static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
 /* zmm shifted left by L lanes (L is a literal; 0 folds to identity) */
 #define CDEF_SHL(zv, L) \
         ((L) == 0 ? (zv) : _mm512_alignr_epi32((zv), z512, (16 - (L)) & 15))
+#if PEL_BITS == 8
+#define CDEF_LDROW(ptr) _mm256_cvtepu8_epi32( \
+        _mm_loadl_epi64((const __m128i *)(ptr)))
+#else
+#define CDEF_LDROW(ptr) _mm256_cvtepi16_epi32( \
+        _mm_loadu_si128((const __m128i *)(ptr)))
+#endif
 #define CDEF_ROW(i) do { \
-        __m256i x = _mm256_cvtepi16_epi32(_mm_loadu_si128( \
-            (const __m128i *)(src + (int64_t)(i) * stride))); \
+        __m256i x = CDEF_LDROW(src + (int64_t)(i) * stride); \
         if (coeff_shift) x = _mm256_srai_epi32(x, coeff_shift); \
         x = _mm256_sub_epi32(x, c128); \
         acc6 = _mm256_add_epi32(acc6, x); \
@@ -83,6 +111,7 @@ static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
         CDEF_ROW(4); CDEF_ROW(5); CDEF_ROW(6); CDEF_ROW(7);
 #undef CDEF_ROW
 #undef CDEF_SHL
+#undef CDEF_LDROW
         _mm512_store_si512((__m512i *)part[0], acc0);
         _mm512_store_si512((__m512i *)part[1], acc1);
         _mm512_store_si512((__m512i *)part[3], acc3);
@@ -102,8 +131,13 @@ static void cdef_find_dir(const int16_t *src, int stride, int coeff_shift,
     const __m256i c128 = _mm256_set1_epi32(128);
     const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
     for (int i = 0; i < 8; i++) {
+#if PEL_BITS == 8
+        __m256i x = _mm256_cvtepu8_epi32(_mm_loadl_epi64(
+            (const __m128i *)(src + (int64_t)i * stride)));
+#else
         __m256i x = _mm256_cvtepi16_epi32(_mm_loadu_si128(
             (const __m128i *)(src + (int64_t)i * stride)));
+#endif
         if (coeff_shift) x = _mm256_srai_epi32(x, coeff_shift);
         x = _mm256_sub_epi32(x, c128);
         __m256i p = _mm256_loadu_si256((__m256i *)(part[0] + i));
@@ -314,6 +348,21 @@ cdef_filter_rows_avx2(pel *dst, int dstride,
         val = _mm256_min_epi16(_mm256_max_epi16(val, mn), mx);
         pel *d0_ = dst + (int64_t)(y + i) * dstride + x;
         pel *d1_ = d0_ + dstride;
+#if PEL_BITS == 8
+        if (w == 8) {
+            /* rows are int16 <= 255: packus narrows exactly */
+            __m128i pk = _mm_packus_epi16(
+                _mm256_castsi256_si128(val),
+                _mm256_extracti128_si256(val, 1));
+            _mm_storel_epi64((__m128i *)d0_, pk);
+            _mm_storel_epi64((__m128i *)d1_, _mm_srli_si128(pk, 8));
+        } else {
+            __m128i v128 = _mm256_castsi256_si128(val);
+            __m128i pk = _mm_packus_epi16(v128, v128);
+            cdef_st32(d0_, _mm_cvtsi128_si32(pk));
+            cdef_st32(d1_, _mm_cvtsi128_si32(_mm_srli_si128(pk, 4)));
+        }
+#else
         if (w == 8) {
             _mm_storeu_si128((__m128i *)d0_,
                              _mm256_castsi256_si128(val));
@@ -324,6 +373,7 @@ cdef_filter_rows_avx2(pel *dst, int dstride,
             _mm_storel_epi64((__m128i *)d0_, v128);
             _mm_storel_epi64((__m128i *)d1_, _mm_srli_si128(v128, 8));
         }
+#endif
     }
 }
 
@@ -420,12 +470,24 @@ cdef_filter_uv_avx512(pel *du, pel *dv, int dstride, const int16_t *tmp,
         __m128i q1 = _mm512_extracti32x4_epi32(val, 1);
         __m128i q2 = _mm512_extracti32x4_epi32(val, 2);
         __m128i q3 = _mm512_extracti32x4_epi32(val, 3);
+#if PEL_BITS == 8
+        __m128i p01 = _mm_packus_epi16(q0, q1);
+        __m128i p23 = _mm_packus_epi16(q2, q3);
+        cdef_st32(du + (int64_t)i * dstride, _mm_cvtsi128_si32(p01));
+        cdef_st32(dv + (int64_t)i * dstride,
+                  _mm_cvtsi128_si32(_mm_srli_si128(p01, 8)));
+        cdef_st32(du + (int64_t)(i + 1) * dstride,
+                  _mm_cvtsi128_si32(p23));
+        cdef_st32(dv + (int64_t)(i + 1) * dstride,
+                  _mm_cvtsi128_si32(_mm_srli_si128(p23, 8)));
+#else
         _mm_storel_epi64((__m128i *)(du + (int64_t)i * dstride), q0);
         _mm_storel_epi64((__m128i *)(dv + (int64_t)i * dstride), q1);
         _mm_storel_epi64((__m128i *)(du + (int64_t)(i + 1) * dstride),
                          q2);
         _mm_storel_epi64((__m128i *)(dv + (int64_t)(i + 1) * dstride),
                          q3);
+#endif
     }
 }
 #endif /* AVX512 */
@@ -585,8 +647,9 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 int16_t *row = sp + (size_t)(i + 2) * st;
                 int py_ = yy + i;
                 if (py_ < ph[p])
-                    memcpy(row + 2, planes[p] + (int64_t)py_ * pw[p],
-                           sizeof(int16_t) * (size_t)pw[p]);
+                    cdef_pel_to_i16(row + 2,
+                                    planes[p] + (int64_t)py_ * pw[p],
+                                    pw[p]);
                 else
                     for (int j = 0; j < st; j++)
                         row[j] = CDEF_VERY_LARGE;
@@ -624,10 +687,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
                     /* the 8x8 interior is never touched by earlier
                        blocks, so the live plane is pre-CDEF here */
-                    cdef_find_dir(
-                        (const int16_t *)(planes[0]
-                                          + (int64_t)y * pw[0] + x),
-                        pw[0], coeff_shift, &dir, &var);
+                    cdef_find_dir(planes[0] + (int64_t)y * pw[0] + x,
+                                  pw[0], coeff_shift, &dir, &var);
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
                 /* U+V-paired chroma (4-wide blocks, ssx=1): one pass
                    filters both planes with full 512-bit lanes */

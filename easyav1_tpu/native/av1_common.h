@@ -6,9 +6,17 @@
 #include <stdint.h>
 
 /* frame-plane sample: every stage writes clamped [0, (1<<bd)-1] pixel
- * values, so planes carry uint16 (halves LF/CDEF/LR/pack bandwidth vs
- * int32; residual headroom lives in per-block scratch only) */
-typedef uint16_t pel;
+ * values.  The recon body (av1_recon_tmpl.h) is compiled twice like
+ * dav1d's *_tmpl.c units (cmake/dav1d.cmake:1001-1015): an 8bpc build
+ * with uint8 planes and a 10/12bpc build with uint16 planes — pixel
+ * memory traffic is THE constraint on the bench host (~11 GB/s), so
+ * 8-bit streams get half-width planes through MC/LF/CDEF/LR/pack.
+ * Residual headroom lives in per-block int32 scratch only. */
+#ifndef PEL_TYPE
+#define PEL_TYPE uint16_t
+#define PEL_BITS 16
+#endif
+typedef PEL_TYPE pel;
 
 typedef struct {
     int32_t mi_rows, mi_cols;
@@ -162,9 +170,11 @@ typedef struct {
 } ReconParams;
 
 /* reference-frame planes for inter reconstruction: cropped (visible)
- * uint16 planes per slot; NULL when a slot is empty */
+ * planes per slot in the frame's pel type (uint8 for the 8bpc recon
+ * build, uint16 for 10/12bpc); NULL when a slot is empty.  void* so
+ * the struct layout is bitdepth-independent across the two recon TUs. */
 typedef struct {
-    const uint16_t *plane[8][3];
+    const void *plane[8][3];
     int32_t w[8][3], h[8][3];
     int32_t stride[8][3];        /* row stride in elements (>= w) */
 } RefPlanes;

@@ -187,7 +187,10 @@ static void fg_grain_block(const int32_t (*grain)[FG_GRAIN_W],
 
 /* Apply grain in place on the cropped output planes (uint16 work
  * copies; luma plane read-only for chroma scaling indexes).
- * planes[p]: (h_p, w_p) with the LUMA dims (h, w) given. */
+ * planes[p]: (h_p, w_p) with the LUMA dims (h, w) given.
+ * Pel-independent (always uint16 work copies from Python) — compiled
+ * once, in the 16-bit recon unit. */
+#if PEL_BITS == 16
 int av1_film_grain(const FgParams *fg, int bd, int ssx, int ssy,
                    int mono, int num_planes, uint16_t *const planes[3],
                    const uint16_t *luma_orig, int w, int h) {
@@ -347,3 +350,4 @@ int av1_film_grain(const FgParams *fg, int bd, int ssx, int ssy,
     free(st);
     return 0;
 }
+#endif  /* PEL_BITS == 16: av1_film_grain compiles once */

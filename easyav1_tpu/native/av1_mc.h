@@ -45,7 +45,7 @@ static const int16_t *mc_filter(int interp, int dim) {
  * Fast paths (bit-exact by the rounding identities): integer MV is a
  * plain copy (comp: << 4); interior blocks skip the per-sample clamps
  * so the 8-tap loops vectorize. */
-static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
+static void predict_inter_u16(const pel *ref, int rw, int rh,
                               int rs, int x, int y, int w, int h,
                               const int32_t *mv, int ssx, int ssy,
                               const int32_t *interp, int filt_w,
@@ -58,11 +58,25 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     int last_x = rw - 1, last_y = rh - 1;
 
     if (frac_x == 0 && frac_y == 0) {
-        /* integer motion: (128*px rounds exactly through both stages) */
+        /* integer motion: (128*px rounds exactly through both stages).
+         * The all-inside non-compound store is the dominant MC shape on
+         * typical streams; make it a straight row memcpy with a
+         * next-row prefetch (the ref plane is usually cache-cold). */
+        if (!comp && dst && ix >= 0 && ix + w <= rw && iy >= 0
+            && iy + h <= rh) {
+            const pel *src = ref + (int64_t)iy * rs + ix;
+            for (int r = 0; r < h; r++) {
+                __builtin_prefetch(src + 2 * rs);
+                memcpy(dst, src, sizeof(pel) * (size_t)w);
+                src += rs;
+                dst += ds;
+            }
+            return;
+        }
         for (int r = 0; r < h; r++) {
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const uint16_t *row = ref + (int64_t)sy * rs;
+            const pel *row = ref + (int64_t)sy * rs;
             if (ix >= 0 && ix + w <= rw) {
                 if (comp)
                     for (int c = 0; c < w; c++)
@@ -105,9 +119,9 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         for (int r = 0; r < h; r++) {
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const uint16_t *row = ref + (int64_t)sy * rs;
+            const pel *row = ref + (int64_t)sy * rs;
             if (inside_x) {
-                const uint16_t *restrict src = row + ix - 3;
+                const pel *restrict src = row + ix - 3;
                 if (comp) {
                     int32_t *restrict o = out + r * w;
                     for (int c = 0; c < w; c++) {
@@ -163,7 +177,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
          * m = px<<4, so feed the reference rows straight into the
          * vertical filter with a <<4 folded into the final shift. */
         int inside = (ix >= 0) && (ix + w <= rw);
-        const uint16_t *rows[8 + 128];
+        const pel *rows[8 + 128];
         for (int t = 0; t < h + 7; t++) {
             int sy = iy - 3 + t;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
@@ -171,7 +185,7 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         }
         for (int r = 0; r < h; r++) {
             if (inside) {
-                const uint16_t *r0 = rows[r] + ix, *r1 = rows[r + 1] + ix,
+                const pel *r0 = rows[r] + ix, *r1 = rows[r + 1] + ix,
                                *r2 = rows[r + 2] + ix,
                                *r3 = rows[r + 3] + ix,
                                *r4 = rows[r + 4] + ix,
@@ -238,10 +252,10 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
         for (int r = 0; r < h + 7; r++) {
             int sy = iy - 3 + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-            const uint16_t *row = ref + (int64_t)sy * rs;
+            const pel *row = ref + (int64_t)sy * rs;
             int16_t *restrict m = mid + r * w;
             if (inside_x) {
-                const uint16_t *restrict src = row + ix - 3;
+                const pel *restrict src = row + ix - 3;
                 for (int c = 0; c < w; c++) {
                     int32_t acc = 0;
                     for (int t = 0; t < 8; t++)
@@ -296,10 +310,10 @@ static void predict_inter_u16(const uint16_t *ref, int rw, int rh,
     for (int r = 0; r < h + 7; r++) {
         int sy = iy - 3 + r;
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-        const uint16_t *row = ref + (int64_t)sy * rs;
+        const pel *row = ref + (int64_t)sy * rs;
         int32_t *m = mid + r * w;
         if (inside_x) {
-            const uint16_t *src = row + ix - 3;
+            const pel *src = row + ix - 3;
             for (int c = 0; c < w; c++) {
                 int32_t acc = 0;
                 for (int t = 0; t < 8; t++)
@@ -392,7 +406,7 @@ static void predict_inter_i32(const pel *ref, int rw, int rh,
 
 /* ---- affine warp (warp.py warp_affine, spec 7.11.3.5) ------------- */
 
-static void warp_affine_u16(const uint16_t *ref, int rw, int rh,
+static void warp_affine_u16(const pel *ref, int rw, int rh,
                             int rs, const int32_t *mat, const int32_t *sh,
                             int x, int y, int w, int h, int ssx, int ssy,
                             int bd, int32_t *out /* [h][w] */) {
@@ -420,7 +434,7 @@ static void warp_affine_u16(const uint16_t *ref, int rw, int rh,
             for (int k = -7; k < 8; k++) {
                 int syy = iy4 + k;
                 syy = syy < 0 ? 0 : (syy > last_y ? last_y : syy);
-                const uint16_t *row = ref + (int64_t)syy * rs;
+                const pel *row = ref + (int64_t)syy * rs;
                 int sx = sx4 + beta * (k + 4);
                 for (int l = -4; l < 4; l++) {
                     int offs = ((sx + 512) >> 10) + 64;
@@ -691,7 +705,7 @@ static void interintra_blend(Recon *rc, const int32_t *b, int plane,
  * stored at a different resolution than the current coded frame
  * (superres inter frames, resize mode).  Positions step through the
  * reference in 1/1024-pel units. */
-static void predict_inter_scaled_u16(const uint16_t *ref, int rw,
+static void predict_inter_scaled_u16(const pel *ref, int rw,
                                      int rh, int rs,
                                      int x, int y, int w, int h,
                                      const int32_t *mv, int ssx, int ssy,
@@ -723,7 +737,7 @@ static void predict_inter_scaled_u16(const uint16_t *ref, int rw,
     for (int r = 0; r < inter_h; r++) {
         int sy = (int)(row0 + r - 3);
         sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
-        const uint16_t *row = ref + (int64_t)sy * rs;
+        const pel *row = ref + (int64_t)sy * rs;
         for (int c = 0; c < w; c++) {
             int64_t p = start_x + (int64_t)step_x * c;
             int sx0 = (int)(p >> 10);
@@ -776,7 +790,7 @@ static int mc_is_scaled(const Recon *rc, int ref, int *xs, int *ys) {
 }
 
 /* dispatch: same-scale fast paths or the scaled predictor */
-static void mc_predict(Recon *rc, int ref, const uint16_t *rpl, int rw,
+static void mc_predict(Recon *rc, int ref, const pel *rpl, int rw,
                        int rh, int rs, int px, int py, int w, int h,
                        const int32_t *mv, int ssx, int ssy,
                        const int32_t *interp, int fw, int fh, int comp,
@@ -796,10 +810,10 @@ static void mc_predict(Recon *rc, int ref, const uint16_t *rpl, int rw,
                 dst[(int64_t)r * ds + c] = (pel)out[r * w + c];
 }
 
-static const uint16_t *mc_ref_plane(Recon *rc, int ref, int plane,
+static const pel *mc_ref_plane(Recon *rc, int ref, int plane,
                                     int *rw, int *rh, int *rs) {
     int slot = rc->fp->ref_frame_idx[ref];
-    const uint16_t *p = rc->refs->plane[slot][plane];
+    const pel *p = (const pel *)rc->refs->plane[slot][plane];
     *rw = rc->refs->w[slot][plane];
     *rh = rc->refs->h[slot][plane];
     *rs = rc->refs->stride[slot][plane];
@@ -870,7 +884,7 @@ static int sub8x8_chroma(Recon *rc, const int32_t *b, int plane, int x,
             int64_t at = (int64_t)(cand_r + j) * mi_cols + (cand_c + i);
             int ref = o->ref0_g[at];
             int rw, rh, rs;
-            const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh,
+            const pel *rp = mc_ref_plane(rc, ref, plane, &rw, &rh,
                                               &rs);
             int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
             int32_t filt[2] = {o->interp_g[at * 2 + 0],
@@ -905,7 +919,7 @@ static void obmc_nb_pred(Recon *rc, int plane, int64_t at, int px,
     int ssy = plane ? rc->rp->ssy : 0;
     int ref = o->ref0_g[at];
     int rw, rh, rs;
-    const uint16_t *rp = mc_ref_plane(rc, ref, plane, &rw, &rh, &rs);
+    const pel *rp = mc_ref_plane(rc, ref, plane, &rw, &rh, &rs);
     int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
     int32_t filt[2] = {o->interp_g[at * 2 + 0], o->interp_g[at * 2 + 1]};
     mc_predict(rc, ref, rp, rw, rh, rs, px, py, pw, ph, mv, ssx, ssy,
@@ -1052,9 +1066,9 @@ static void recon_compound(Recon *rc, const int32_t *b) {
            chroma mask subsample matches dav1d's padded buffers */
         int pw = masked ? full_w : w, ph = masked ? full_h : h;
         int rw0, rh0, rs0, rw1, rh1, rs1;
-        const uint16_t *r0 = mc_ref_plane(rc, b[BLK_REF0], plane, &rw0,
+        const pel *r0 = mc_ref_plane(rc, b[BLK_REF0], plane, &rw0,
                                           &rh0, &rs0);
-        const uint16_t *r1 = mc_ref_plane(rc, b[BLK_REF1], plane, &rw1,
+        const pel *r1 = mc_ref_plane(rc, b[BLK_REF1], plane, &rw1,
                                           &rh1, &rs1);
         int32_t p0[128 * 128], p1[128 * 128];
         mc_predict(rc, b[BLK_REF0], r0, rw0, rh0, rs0, x, y, pw, ph,
@@ -1180,7 +1194,7 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
             }
         }
         int rw, rh, rs;
-        const uint16_t *rpl = mc_ref_plane(rc, ref, plane, &rw, &rh,
+        const pel *rpl = mc_ref_plane(rc, ref, plane, &rw, &rh,
                                            &rs);
         int32_t pred[128 * 128];
         int sxs, sys;

@@ -1,0 +1,102 @@
+"""Per-stage wall-time breakdown of the native AV1 decode path.
+
+Decodes a bench-shaped fixture through the production pipeline and
+prints where the time goes: entropy decode (av1_decode_tile), block
+reconstruction (split intra / inter / itx), loop filter, CDEF,
+superres+LR, plus the Python orchestration remainder.  This is the
+profiling harness the reference lacks (SURVEY §5.1: its only tool is
+the benchmark's per-frame wall clock, tools/easyav1_benchmark.c:124).
+
+Usage: python tools/profile_stages.py [1080|4k|intra] [frames]
+"""
+
+import ctypes
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+STAGE_NAMES = [
+    "block recon (pred+itx)",
+    "loop filter",
+    "cdef",
+    "superres+lr",
+    "  inter pred (in 0)",
+    "(unused)",
+    "  intra pred (in 0)",
+    "  itx (in 0)",
+]
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "1080"
+    import bench
+    from easyav1_tpu.container import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+    from easyav1_tpu import native
+
+    if which == "4k":
+        path = bench._av1_fixture(w=3840, h=2160, frames=24, fps=30,
+                                  gop=9999, tag="4k",
+                                  extra=("vopt:cpu-used=8",))
+    elif which == "intra":
+        path = bench._av1_fixture(frames=30, fps=30, gop=1, tag="intra")
+    else:
+        path = bench._av1_fixture(frames=60, fps=30, gop=9999, tag="inter")
+
+    lib = native._load()
+    lib.av1_get_stage_times.restype = None
+    lib.av1_get_stage_times.argtypes = [ctypes.POINTER(ctypes.c_double)]
+    lib.av1_get_tile_time.restype = ctypes.c_double
+    lib.av1_get_tile_time.argtypes = []
+
+    buf = (ctypes.c_double * 8)()
+    lib.av1_get_stage_times(buf)  # reset
+    lib.av1_get_tile_time()
+
+    os.environ["EASYAV1_PIPE"] = "native"
+    dmx = WebMDemuxer(str(path))
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    pkts = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            pkts.extend(p.frames)
+    be = AV1Backend(vt)
+    for pk in pkts[:1]:
+        for f in be.decode([pk], 0):
+            bench._touch(f)
+    lib.av1_get_stage_times(buf)
+    lib.av1_get_tile_time()
+
+    t0 = time.perf_counter()
+    n = 0
+    for pk in pkts[1:]:
+        for f in be.decode([pk], 0):
+            bench._touch(f)
+        n += 1
+    wall = time.perf_counter() - t0
+
+    lib.av1_get_stage_times(buf)
+    tile_t = lib.av1_get_tile_time()
+    stages = list(buf)
+    accounted = tile_t + sum(stages[:4])
+
+    print(f"fixture: {path.name}  frames={n}  wall={wall*1000:.1f} ms "
+          f"({n/wall:.2f} fps)")
+    print(f"{'stage':<28}{'ms':>9}{'%wall':>8}")
+    print(f"{'entropy decode (tile)':<28}{tile_t*1000:>9.1f}"
+          f"{100*tile_t/wall:>7.1f}%")
+    for i, nm in enumerate(STAGE_NAMES):
+        if stages[i] == 0:
+            continue
+        print(f"{nm:<28}{stages[i]*1000:>9.1f}{100*stages[i]/wall:>7.1f}%")
+    print(f"{'python/orchestration rest':<28}"
+          f"{(wall-accounted)*1000:>9.1f}{100*(wall-accounted)/wall:>7.1f}%")
+
+
+if __name__ == "__main__":
+    main()
