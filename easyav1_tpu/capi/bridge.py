@@ -101,7 +101,10 @@ class Instance:
         cf.properties.width = p.width
         cf.properties.height = p.height
         cf.timestamp = frame.timestamp
-        planes = [np.ascontiguousarray(d) for d in frame.data]
+        # row-strided views (contiguous rows) pass through zero-copy:
+        # the C side reads data[i] with stride[i] row pitch
+        planes = [d if d.strides[-1] == d.itemsize
+                  else np.ascontiguousarray(d) for d in frame.data]
         self._keepalive = planes
         for i in range(3):
             if i < len(planes):

@@ -913,10 +913,23 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
     if zero_copy:
-        # u8 display pack only; the ref slots alias the recon planes.
-        # Output planes come from a refcount-gated pool: np.empty every
-        # frame page-faults ~12 MB at 4K (measured 38 ms/frame in
-        # av1_pack8); a set is reused once the consumer dropped it.
+        if pel8:
+            # u8 recon planes ARE the display planes: hand back strided
+            # views (rows are contiguous, row pitch = mi-aligned width).
+            # No pack copy at all; downstream consumers pass
+            # pointer+stride (capi) or read via numpy.  The views keep
+            # the pooled base planes alive, so the refcount-gated "rot"
+            # pool cannot recycle a set the display still holds.
+            planes = []
+            ref_triples = []
+            for src, (pw_, ph_) in zip((py, pu, pv)[:n_pl],
+                                       ((w, h), (cw, ch), (cw, ch))):
+                planes.append(src[:ph_, :pw_])
+                ref_triples.append((src, pw_, ph_))
+            return planes, blob, mv_grids, ref_triples
+        # u16 recon (kept for the device pipes): pack to u8 display
+        # planes from a refcount-gated pool (np.empty every frame
+        # page-faults ~12 MB at 4K; measured 38 ms/frame in av1_pack8).
         o8pool = _BUF_POOL.setdefault(pkey + ("o8",), [])
         shapes = ((h, w), (ch, cw), (ch, cw))[:n_pl]
         o8s = None
@@ -932,10 +945,9 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                 o8pool.append(o8s)
         planes = []
         ref_triples = []
-        pack_fn = lib.av1_pack8_8 if pel8 else lib.av1_pack8
         for src, o8, (pw_, ph_) in zip((py, pu, pv)[:n_pl], o8s,
                                        ((w, h), (cw, ch), (cw, ch))):
-            pack_fn(_vp(src), src.shape[1], pw_, ph_, _vp(o8), None)
+            lib.av1_pack8(_vp(src), src.shape[1], pw_, ph_, _vp(o8), None)
             planes.append(o8)
             ref_triples.append((src, pw_, ph_))
         return planes, blob, mv_grids, ref_triples
