@@ -593,6 +593,28 @@ def _vp(a):
 
 _BUF_POOL: dict = {}
 
+_LIBC = ctypes.CDLL(None, use_errno=True)
+_MADV_HUGEPAGE = 14
+_HUGE = 2 << 20
+
+
+def _alloc_huge(shape, dtype):
+    """np.empty with the backing range 2MB-aligned and madvised
+    MADV_HUGEPAGE: frame-sized planes in 4 KB pages thrash the STLB at
+    4K (the MC copy walks a new page every row); THP cuts the page
+    count 512x.  Harmless no-op where THP is unavailable."""
+    dtype = np.dtype(dtype)
+    nbytes = int(np.prod(shape)) * dtype.itemsize
+    raw = np.empty(nbytes + _HUGE, np.uint8)
+    addr = raw.ctypes.data
+    off = (-addr) % _HUGE
+    try:
+        _LIBC.madvise(ctypes.c_void_p(addr + off),
+                      ctypes.c_size_t(nbytes), _MADV_HUGEPAGE)
+    except Exception:
+        pass
+    return raw[off:off + nbytes].view(dtype).reshape(shape)
+
 
 def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
                         want_cdf=False, tpl=None):
@@ -852,6 +874,8 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     aw_y = max(aw, hdr.upscaled_width)
     aw_c = max(aw >> ssx, (hdr.upscaled_width + ssx) >> ssx)
     pkey = ("planes", ah, aw_y, aw_c, ssy, int(pel8))
+    def _plane(h_, w_):
+        return _alloc_huge((h_, w_), pel_dt)
     zero_copy = want_u16 and seq.color.bitdepth == 8
     if zero_copy:
         # recon covers every mi-aligned pixel, so no zeroing needed;
@@ -873,16 +897,16 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                 pl = cand
                 break
         if pl is None:
-            pl = (np.empty((ah, aw_y), pel_dt),
-                  np.empty((ah >> ssy, aw_c), pel_dt),
-                  np.empty((ah >> ssy, aw_c), pel_dt))
+            pl = (_plane(ah, aw_y),
+                  _plane(ah >> ssy, aw_c),
+                  _plane(ah >> ssy, aw_c))
             pool.append(pl)
     else:
         pl = _BUF_POOL.get(pkey)
         if pl is None:
-            pl = (np.empty((ah, aw_y), pel_dt),
-                  np.empty((ah >> ssy, aw_c), pel_dt),
-                  np.empty((ah >> ssy, aw_c), pel_dt))
+            pl = (_plane(ah, aw_y),
+                  _plane(ah >> ssy, aw_c),
+                  _plane(ah >> ssy, aw_c))
             _BUF_POOL[pkey] = pl
     py, pu, pv = pl
     device = os.environ.get("EASYAV1_PIPE", "native") == "device" \

@@ -12,6 +12,24 @@
 #include "av1_warp_shared.h"
 
 
+/* MC path statistics (profiling, tools/profile_stages.py --mc):
+   [0-3] pixels per path (int / h-only / v-only / 2d),
+   [4-7] rdtsc cycles per path, [8-11] calls per path,
+   [12] compound pixels, [13] obmc pixels,
+   [14] warp pixels, [15] warp cycles. */
+#if PEL_BITS == 16
+uint64_t av1_mc_stat[24];
+void av1_get_mc_stats(uint64_t *out) {
+    for (int i = 0; i < 24; i++) {
+        out[i] = av1_mc_stat[i];
+        av1_mc_stat[i] = 0;
+    }
+}
+#else
+extern uint64_t av1_mc_stat[24];
+#endif
+#include <x86intrin.h>
+
 enum { MC_INTRA_FRAME = 0, MC_NONE_FRAME = -1 };
 enum { MC_GLOBALMV = 15 };
 enum { MC_MM_SIMPLE = 0, MC_MM_OBMC = 1, MC_MM_WARPED = 2 };
@@ -45,7 +63,7 @@ static const int16_t *mc_filter(int interp, int dim) {
  * Fast paths (bit-exact by the rounding identities): integer MV is a
  * plain copy (comp: << 4); interior blocks skip the per-sample clamps
  * so the 8-tap loops vectorize. */
-static void predict_inter_u16(const pel *ref, int rw, int rh,
+static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                               int rs, int x, int y, int w, int h,
                               const int32_t *mv, int ssx, int ssy,
                               const int32_t *interp, int filt_w,
@@ -64,13 +82,48 @@ static void predict_inter_u16(const pel *ref, int rw, int rh,
          * next-row prefetch (the ref plane is usually cache-cold). */
         if (!comp && dst && ix >= 0 && ix + w <= rw && iy >= 0
             && iy + h <= rh) {
+            uint64_t c0 = __rdtsc();
             const pel *src = ref + (int64_t)iy * rs + ix;
+            size_t row_bytes = sizeof(pel) * (size_t)w;
+#if defined(__AVX512F__)
+            /* Large blocks (>=64 px wide are partition-aligned, so dst
+             * rows are 64B-aligned when the plane stride is): stream
+             * the rows with non-temporal stores.  The copy is the
+             * dominant MC shape on typical streams and both src and
+             * dst are DRAM-cold at 4K; NT stores skip the
+             * read-for-ownership, cutting the copy's memory traffic by
+             * a third. */
+            if (row_bytes >= 64 && ((uintptr_t)dst & 63) == 0
+                && ((sizeof(pel) * (size_t)ds) & 63) == 0) {
+                size_t nb = row_bytes & ~(size_t)63;
+                for (int r = 0; r < h; r++) {
+                    const char *s = (const char *)src;
+                    char *d = (char *)dst;
+                    __builtin_prefetch(src + 4 * rs);
+                    __builtin_prefetch(src + 4 * rs + 64 / sizeof(pel));
+                    for (size_t b = 0; b < nb; b += 64)
+                        _mm512_stream_si512(
+                            (void *)(d + b),
+                            _mm512_loadu_si512((const void *)(s + b)));
+                    if (nb < row_bytes)
+                        memcpy(d + nb, s + nb, row_bytes - nb);
+                    src += rs;
+                    dst += ds;
+                }
+                _mm_sfence();
+                av1_mc_stat[16] += (uint64_t)w * h;
+                av1_mc_stat[17] += __rdtsc() - c0;
+                return;
+            }
+#endif
             for (int r = 0; r < h; r++) {
                 __builtin_prefetch(src + 2 * rs);
-                memcpy(dst, src, sizeof(pel) * (size_t)w);
+                memcpy(dst, src, row_bytes);
                 src += rs;
                 dst += ds;
             }
+            av1_mc_stat[16] += (uint64_t)w * h;
+            av1_mc_stat[17] += __rdtsc() - c0;
             return;
         }
         for (int r = 0; r < h; r++) {
@@ -348,6 +401,27 @@ static void predict_inter_u16(const pel *ref, int rw, int rh,
             }
         }
     }
+}
+
+/* stats wrapper: classifies the call by subpel path and accumulates
+ * pixel / cycle / call counts (profiling only; ~20 cycles per call) */
+static void predict_inter_u16(const pel *ref, int rw, int rh,
+                              int rs, int x, int y, int w, int h,
+                              const int32_t *mv, int ssx, int ssy,
+                              const int32_t *interp, int filt_w,
+                              int filt_h, int comp, int bd,
+                              int32_t *out, pel *dst, int64_t ds) {
+    int fx = ((x << 4) + mv[1] * (ssx ? 1 : 2)) & 15;
+    int fy = ((y << 4) + mv[0] * (ssy ? 1 : 2)) & 15;
+    int path = (fx | fy) == 0 ? 0 : fy == 0 ? 1 : fx == 0 ? 2 : 3;
+    uint64_t t0 = __rdtsc();
+    predict_inter_u16_impl(ref, rw, rh, rs, x, y, w, h, mv, ssx, ssy,
+                           interp, filt_w, filt_h, comp, bd, out, dst,
+                           ds);
+    av1_mc_stat[path] += (uint64_t)w * h;
+    av1_mc_stat[4 + path] += __rdtsc() - t0;
+    av1_mc_stat[8 + path]++;
+    if (comp) av1_mc_stat[12] += (uint64_t)w * h;
 }
 
 /* current-plane-source variant of predict_inter (intra block copy
@@ -922,6 +996,7 @@ static void obmc_nb_pred(Recon *rc, int plane, int64_t at, int px,
     const pel *rp = mc_ref_plane(rc, ref, plane, &rw, &rh, &rs);
     int32_t mv[2] = {o->mvs_g[at * 4 + 0], o->mvs_g[at * 4 + 1]};
     int32_t filt[2] = {o->interp_g[at * 2 + 0], o->interp_g[at * 2 + 1]};
+    av1_mc_stat[13] += (uint64_t)pw * ph;
     mc_predict(rc, ref, rp, rw, rh, rs, px, py, pw, ph, mv, ssx, ssy,
                filt, pw, ph, 0, rc->rp->bitdepth, out, NULL, 0);
 }
@@ -1205,10 +1280,13 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
            directly; warp/interintra still stage through pred */
         int direct = !use_warp && b[BLK_II_MODE] < 0;
         pel *dpix = buf + (int64_t)y * rc->pw[plane] + x;
-        if (use_warp)
+        if (use_warp) {
+            uint64_t wt0 = __rdtsc();
             warp_affine_u16(rpl, rw, rh, rs, wm, shear, x, y, w, h,
                             ssx, ssy, rp->bitdepth, pred);
-        else
+            av1_mc_stat[14] += (uint64_t)w * h;
+            av1_mc_stat[15] += __rdtsc() - wt0;
+        } else
             mc_predict(rc, ref, rpl, rw, rh, rs, x, y, w, h, mv, ssx,
                        ssy, filt, full_w, full_h, 0, rp->bitdepth,
                        pred, direct ? dpix : NULL, rc->pw[plane]);

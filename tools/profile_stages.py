@@ -97,6 +97,39 @@ def main():
     print(f"{'python/orchestration rest':<28}"
           f"{(wall-accounted)*1000:>9.1f}{100*(wall-accounted)/wall:>7.1f}%")
 
+    # MC path breakdown (pixels / cycles / calls per subpel path)
+    try:
+        lib.av1_get_mc_stats.restype = None
+        lib.av1_get_mc_stats.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        mc = (ctypes.c_uint64 * 24)()
+        lib.av1_get_mc_stats(mc)
+        names = ["int-mv", "h-only", "v-only", "2d"]
+        tot_cyc = sum(mc[4:8]) + mc[15]
+        if tot_cyc:
+            print(f"\nMC paths ({stages[4]*1000:.1f} ms total):")
+            print(f"{'path':<10}{'Mpx':>8}{'calls':>9}{'Mcyc':>9}"
+                  f"{'cyc/px':>8}{'%mc':>6}")
+            for i, nm in enumerate(names):
+                if not mc[8 + i]:
+                    continue
+                print(f"{nm:<10}{mc[i]/1e6:>8.2f}{mc[8+i]:>9}"
+                      f"{mc[4+i]/1e6:>9.1f}"
+                      f"{mc[4+i]/max(mc[i],1):>8.1f}"
+                      f"{100*mc[4+i]/tot_cyc:>5.1f}%")
+            if mc[14]:
+                print(f"{'warp':<10}{mc[14]/1e6:>8.2f}{'':>9}"
+                      f"{mc[15]/1e6:>9.1f}"
+                      f"{mc[15]/max(mc[14],1):>8.1f}"
+                      f"{100*mc[15]/tot_cyc:>5.1f}%")
+            print(f"compound px: {mc[12]/1e6:.2f}M   "
+                  f"obmc px: {mc[13]/1e6:.2f}M")
+            if mc[16]:
+                print(f"int-mv memcpy branch: {mc[16]/1e6:.2f} Mpx "
+                      f"{mc[17]/1e6:.1f} Mcyc "
+                      f"({mc[17]/max(mc[16],1):.1f} cyc/px)")
+    except AttributeError:
+        pass
+
 
 if __name__ == "__main__":
     main()
