@@ -493,6 +493,60 @@ cdef_filter_uv_avx512(pel *du, pel *dv, int dstride, const int16_t *tmp,
 #endif /* AVX512 */
 #endif
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* Secondary-only band filter: when a whole row of CDEF positions
+ * shares pri==0 and one sec strength (the dominant case — pri is
+ * content-gated by the direction variance and often 0), the cross-
+ * shaped sec taps ((0,±1)w2 (0,±2)w1 (±1,0)w2 (±2,0)w1; dir terms
+ * collapse since pdir==0) are uniform across the band.  Filter 32 px
+ * per vector straight from the padded stripe, writing the live plane
+ * through a per-pixel mask built from the skip map.  This amortizes
+ * the per-block window pack + prologue that dominates CDEF on
+ * all-filtered frames.  Bit-exact: identical int16 arithmetic to
+ * cdef_filter_rows_avx2 with edged=1 (sentinel-masked mx). */
+static void cdef_band_sec(pel *dst, int64_t dstride,
+                          const int16_t *sp, int64_t sst,
+                          int n_px, int h, int sec, int sec_shift,
+                          const uint8_t *px_on) {
+    const __m512i vlarge = _mm512_set1_epi16(CDEF_VERY_LARGE);
+    const __m512i vthr = _mm512_set1_epi16((short)sec);
+    const __m128i vsh = _mm_cvtsi32_si128(sec_shift);
+    const __m512i vw2 = _mm512_set1_epi16(2);
+    const __m512i vw1 = _mm512_set1_epi16(1);
+    const __m512i eight = _mm512_set1_epi16(8);
+    for (int x = 0; x < n_px; x += 32) {
+        __m256i onb = _mm256_loadu_si256((const __m256i *)(px_on + x));
+        __mmask32 m = _mm256_test_epi8_mask(onb, onb);
+        if (x + 32 > n_px)
+            m &= (n_px - x >= 32) ? ~0u : ((1u << (n_px - x)) - 1);
+        if (!m) continue;
+        for (int i = 0; i < h; i++) {
+            const int16_t *row = sp + (int64_t)(i + 2) * sst + x + 2;
+            __m512i px = _mm512_loadu_si512((const void *)row);
+            __m512i s = _mm512_setzero_si512(), mx = px, mn = px;
+#define CBTAP(off, vw) \
+            s = cdef_tap512(_mm512_loadu_si512((const void *)(row + (off))), \
+                            px, vthr, vsh, vw, s, &mx, &mn, vlarge, 1)
+            CBTAP(1, vw2); CBTAP(-1, vw2);
+            CBTAP(2, vw1); CBTAP(-2, vw1);
+            CBTAP(sst, vw2); CBTAP(-sst, vw2);
+            CBTAP(2 * sst, vw1); CBTAP(-2 * sst, vw1);
+#undef CBTAP
+            __m512i adj = _mm512_add_epi16(_mm512_add_epi16(eight, s),
+                                           _mm512_srai_epi16(s, 15));
+            __m512i val = _mm512_add_epi16(px, _mm512_srai_epi16(adj, 4));
+            val = _mm512_min_epi16(_mm512_max_epi16(val, mn), mx);
+            pel *d = dst + (int64_t)i * dstride + x;
+#if PEL_BITS == 8
+            _mm256_mask_storeu_epi8(d, m, _mm512_cvtusepi16_epi8(val));
+#else
+            _mm512_mask_storeu_epi16(d, m, val);
+#endif
+        }
+    }
+}
+#endif
+
 static void cdef_filter_block(pel *dst, int dstride,
                               const int16_t *src, int sstride,
                               int x, int y, int w, int h, int pri, int sec,
@@ -610,9 +664,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     bh[1] = bh[2] = 8 >> rp->ssy;
     for (int p = 0; p < n_pl; p++) {
         sst[p] = pw[p] + 4;
-        /* +8 slack: the 8-lane AVX2 row loads of a 4-wide block read
-           up to 4 int16 past the window at the right frame edge */
-        size_t need = (size_t)sst[p] * (bh[p] + 4) + 8;
+        /* +40 slack: the 8-lane AVX2 row loads of a 4-wide block read
+           up to 4 int16 past the window at the right frame edge, and
+           the 32-lane band filter's last vector reads up to 28 past
+           the final stripe row */
+        size_t need = (size_t)sst[p] * (bh[p] + 4) + 40;
         if (stripe_cap[p] < need) {
             free(stripe[p]);
             stripe[p] = malloc(sizeof(int16_t) * need);
@@ -623,6 +679,26 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             stripe[p][i] = CDEF_VERY_LARGE;
     }
     int16_t tmp[14 * CDEF_TSTRIDE];
+
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+    /* classification arrays for the sec-only band fast path */
+    static int16_t *pos_idx;
+    static size_t pos_cap;
+    static uint8_t *pxon;
+    static size_t pxon_cap;
+    int n_pos = (mi_cols + 1) / 2;
+    if (pos_cap < (size_t)n_pos) {
+        free(pos_idx);
+        pos_idx = malloc(sizeof(int16_t) * (size_t)n_pos);
+        pos_cap = pos_idx ? (size_t)n_pos : 0;
+    }
+    if (pxon_cap < (size_t)pw[0] + 64) {
+        free(pxon);
+        pxon = malloc((size_t)pw[0] + 64);
+        pxon_cap = pxon ? (size_t)pw[0] + 64 : 0;
+    }
+    int use_band = pos_idx != NULL && pxon != NULL;
+#endif
 
     const int8_t *skip = o->skip;
     for (int r = 0; r < mi_rows; r += 2) {
@@ -655,6 +731,43 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         row[j] = CDEF_VERY_LARGE;
             }
         }
+        int band_y = 0, band_uv = 0;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        int y_sec_u = -1, uv_sec_u = -1;
+        if (use_band) {
+            /* classify the row's positions; detect a uniform sec-only
+               strength so whole planes filter as one masked band */
+            int r2c = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
+            int y_ok = 1, uv_ok = 1;
+            int any_y = 0, any_uv = 0;
+            for (int pc = 0; pc < n_pos; pc++) {
+                int c = pc * 2;
+                int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
+                int idx = -1;
+                if (!(skip[r * mi_cols + c] && skip[r * mi_cols + c2]
+                      && skip[r2c * mi_cols + c]
+                      && skip[r2c * mi_cols + c2]))
+                    idx = o->cdef_idx[(r / 16) * ucols + (c / 16)];
+                pos_idx[pc] = (int16_t)idx;
+                if (idx < 0) continue;
+                if (rp->cdef_y_pri[idx] == 0 && rp->cdef_y_sec[idx]) {
+                    int s = rp->cdef_y_sec[idx] << coeff_shift;
+                    if (y_sec_u < 0) y_sec_u = s;
+                    else if (y_sec_u != s) y_ok = 0;
+                    any_y = 1;
+                }
+                if (n_pl == 3 && rp->cdef_uv_pri[idx] == 0
+                    && rp->cdef_uv_sec[idx]) {
+                    int s = rp->cdef_uv_sec[idx] << coeff_shift;
+                    if (uv_sec_u < 0) uv_sec_u = s;
+                    else if (uv_sec_u != s) uv_ok = 0;
+                    any_uv = 1;
+                }
+            }
+            band_y = any_y && y_ok;
+            band_uv = any_uv && uv_ok;
+        }
+#endif
         /* per-64x64-unit parameter cache: strengths, tap weights and
            damping shifts depend only on cdef_idx, which changes at
            most every 8 positions along the row */
@@ -670,6 +783,10 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                   && skip[r2 * mi_cols + c] && skip[r2 * mi_cols + c2])
                 && (idx = o->cdef_idx[(r / 16) * ucols + (c / 16)])
                    != -1) {
+                int done_y = band_y && rp->cdef_y_pri[idx] == 0;
+                int done_uv = band_uv && rp->cdef_uv_pri[idx] == 0;
+                if (done_y && (n_pl == 1 || done_uv))
+                    continue;
                 int dir = 0, var = 0;
                 cdef_stat[4]++;
                 if (idx != last_idx) {
@@ -693,7 +810,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 /* U+V-paired chroma (4-wide blocks, ssx=1): one pass
                    filters both planes with full 512-bit lanes */
                 int uv_paired = 0;
-                if (n_pl == 3 && rp->ssx == 1) {
+                if (n_pl == 3 && rp->ssx == 1 && !done_uv) {
                     int pri = u_pri, sec = u_sec;
                     uv_paired = 1;
                     if (pri | sec) {
@@ -741,6 +858,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
                     if (plane && uv_paired) break;
 #endif
+                    if (plane == 0 ? done_y : done_uv) continue;
                     if (plane == 0) {
                         pri = rp->cdef_y_pri[idx] << coeff_shift;
                         sec = rp->cdef_y_sec[idx] << coeff_shift;
@@ -792,5 +910,56 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 }
             }
         }
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        /* sec-only bands run AFTER the per-position pass: the per-
+           position dir search (pri positions) reads its own 8x8 from
+           the live plane, which must still be pre-CDEF; band and
+           per-position positions are disjoint and every filter reads
+           the stripes, so ordering is otherwise free. */
+        if (band_y || band_uv) {
+            if (band_y) {
+                memset(pxon, 0, (size_t)pw[0] + 64);
+                int nb = 0;
+                for (int pc = 0; pc < n_pos; pc++) {
+                    int idx = pos_idx[pc];
+                    if (idx >= 0 && rp->cdef_y_pri[idx] == 0
+                        && rp->cdef_y_sec[idx]) {
+                        int x0 = pc * 8;
+                        int wv = pw[0] - x0 < 8 ? pw[0] - x0 : 8;
+                        if (wv > 0) memset(pxon + x0, 1, (size_t)wv);
+                        nb++;
+                    }
+                }
+                cdef_band_sec(planes[0] + (int64_t)y * pw[0], pw[0],
+                              stripe[0], sst[0], pw[0], 8, y_sec_u,
+                              cdef_shift_for(y_sec_u, damping), pxon);
+                cdef_stat[0] += nb;
+                cdef_stat[3] += nb;
+            }
+            if (band_uv) {
+                int gw = 8 >> rp->ssx, hh = 8 >> rp->ssy;
+                int py2 = y >> rp->ssy;
+                memset(pxon, 0, (size_t)pw[1] + 64);
+                int nb = 0;
+                for (int pc = 0; pc < n_pos; pc++) {
+                    int idx = pos_idx[pc];
+                    if (idx >= 0 && rp->cdef_uv_pri[idx] == 0
+                        && rp->cdef_uv_sec[idx]) {
+                        int x0 = pc * gw;
+                        int wv = pw[1] - x0 < gw ? pw[1] - x0 : gw;
+                        if (wv > 0) memset(pxon + x0, 1, (size_t)wv);
+                        nb++;
+                    }
+                }
+                int ssh = cdef_shift_for(uv_sec_u, damping - 1);
+                for (int p = 1; p < n_pl; p++)
+                    cdef_band_sec(planes[p] + (int64_t)py2 * pw[p],
+                                  pw[p], stripe[p], sst[p], pw[p], hh,
+                                  uv_sec_u, ssh, pxon);
+                cdef_stat[1] += 2 * nb;
+                cdef_stat[3] += 2 * nb;
+            }
+        }
+#endif
     }
 }
