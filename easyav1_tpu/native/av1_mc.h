@@ -18,17 +18,18 @@
    [12] compound pixels, [13] obmc pixels,
    [14] warp pixels, [15] warp cycles. */
 #if PEL_BITS == 16
-uint64_t av1_mc_stat[24];
+uint64_t av1_mc_stat[48];
 void av1_get_mc_stats(uint64_t *out) {
-    for (int i = 0; i < 24; i++) {
+    for (int i = 0; i < 48; i++) {
         out[i] = av1_mc_stat[i];
         av1_mc_stat[i] = 0;
     }
 }
 #else
-extern uint64_t av1_mc_stat[24];
+extern uint64_t av1_mc_stat[48];
 #endif
 #include <x86intrin.h>
+#include <stdlib.h>
 
 enum { MC_INTRA_FRAME = 0, MC_NONE_FRAME = -1 };
 enum { MC_GLOBALMV = 15 };
@@ -112,7 +113,16 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                 }
                 _mm_sfence();
                 av1_mc_stat[16] += (uint64_t)w * h;
-                av1_mc_stat[17] += __rdtsc() - c0;
+                uint64_t dc = __rdtsc() - c0;
+                av1_mc_stat[17] += dc;
+                /* per-width NT buckets: [18+k] px, [28+k] cyc */
+                {
+                    int k = w >= 128 ? 4 : w >= 64 ? 3 : w >= 32 ? 2
+                            : w >= 16 ? 1 : 0;
+                    av1_mc_stat[18 + k] += (uint64_t)w * h;
+                    av1_mc_stat[28 + k] += dc;
+                    av1_mc_stat[38 + k] += 1;
+                }
                 return;
             }
 #endif
@@ -123,7 +133,16 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                 dst += ds;
             }
             av1_mc_stat[16] += (uint64_t)w * h;
-            av1_mc_stat[17] += __rdtsc() - c0;
+            uint64_t dc = __rdtsc() - c0;
+            av1_mc_stat[17] += dc;
+            /* per-width memcpy buckets: [23+k] px, [33+k] cyc */
+            {
+                int k = w >= 128 ? 4 : w >= 64 ? 3 : w >= 32 ? 2
+                        : w >= 16 ? 1 : 0;
+                av1_mc_stat[23 + k] += (uint64_t)w * h;
+                av1_mc_stat[33 + k] += dc;
+                av1_mc_stat[43 + k] += 1;
+            }
             return;
         }
         for (int r = 0; r < h; r++) {
@@ -864,6 +883,150 @@ static int mc_is_scaled(const Recon *rc, int ref, int *xs, int *ys) {
 }
 
 /* dispatch: same-scale fast paths or the scaled predictor */
+/* ---- deferred integer-MV copy plan (see CopyPlan in recon_tmpl) --- */
+
+static void cp_copy_rows(pel *dst, int64_t ds, const pel *src,
+                         int64_t ss, int w, int h) {
+    size_t row_bytes = sizeof(pel) * (size_t)w;
+#if defined(__AVX512F__)
+    if (row_bytes >= 64 && ((uintptr_t)dst & 63) == 0
+        && ((sizeof(pel) * (size_t)ds) & 63) == 0) {
+        size_t nb = row_bytes & ~(size_t)63;
+        for (int r = 0; r < h; r++) {
+            const char *s = (const char *)src;
+            char *d = (char *)dst;
+            __builtin_prefetch(src + 4 * ss);
+            __builtin_prefetch(src + 4 * ss + 64 / sizeof(pel));
+            for (size_t b = 0; b < nb; b += 64)
+                _mm512_stream_si512((void *)(d + b),
+                                    _mm512_loadu_si512((const void *)(s + b)));
+            if (nb < row_bytes)
+                memcpy(d + nb, s + nb, row_bytes - nb);
+            src += ss;
+            dst += ds;
+        }
+        return;
+    }
+#endif
+    for (int r = 0; r < h; r++) {
+        __builtin_prefetch(src + 2 * ss);
+        memcpy(dst, src, row_bytes);
+        src += ss;
+        dst += ds;
+    }
+}
+
+static int cp_cmp(const void *a, const void *b) {
+    const CopyEnt *ea = (const CopyEnt *)a, *eb = (const CopyEnt *)b;
+    if (ea->y != eb->y) return ea->y < eb->y ? -1 : 1;
+    return ea->x < eb->x ? -1 : (ea->x > eb->x ? 1 : 0);
+}
+
+static void residual_add_mask(Recon *rc, const int32_t *b,
+                              int plane_mask);
+
+static void copyplan_flush(Recon *rc) {
+    uint64_t c0 = __rdtsc();
+    uint64_t px = 0;
+    for (int p = 0; p < 3; p++) {
+        CopyPlan *cp = &rc->cplan[p];
+        if (cp->n == 0) continue;
+        qsort(cp->e, (size_t)cp->n, sizeof(CopyEnt), cp_cmp);
+        pel *plane = rc->planes[p];
+        int64_t ds = rc->pw[p];
+        int i = 0;
+        while (i < cp->n) {
+            /* merge a run of x-adjacent, src-contiguous same-band
+               entries into one wide row-band copy */
+            int j = i;
+            const CopyEnt *e = cp->e;
+            while (j + 1 < cp->n && e[j + 1].y == e[i].y
+                   && e[j + 1].h == e[i].h
+                   && e[j + 1].x == e[j].x + e[j].w
+                   && e[j + 1].ss == e[j].ss
+                   && e[j + 1].src == e[j].src + e[j].w)
+                j++;
+            int mw = e[j].x + e[j].w - e[i].x;
+            cp_copy_rows(plane + (int64_t)e[i].y * ds + e[i].x, ds,
+                         e[i].src, e[i].ss, mw, e[i].h);
+            px += (uint64_t)mw * e[i].h;
+            i = j + 1;
+        }
+        cp->n = 0;
+    }
+#if defined(__AVX512F__)
+    _mm_sfence();
+#endif
+    if (px) {
+        av1_mc_stat[0] += px;
+        av1_mc_stat[4] += __rdtsc() - c0;
+        av1_mc_stat[8]++;
+        av1_mc_stat[16] += px;
+        av1_mc_stat[17] += __rdtsc() - c0;
+    }
+    /* residuals of the deferred blocks, now that their copies landed */
+    for (int p = 0; p < 3; p++) {
+        ResidPlan *rp_ = &rc->rplan[p];
+        for (int i = 0; i < rp_->n; i++)
+            residual_add_mask(rc, rp_->e[i], 1 << p);
+        rp_->n = 0;
+    }
+}
+
+static void copyplan_free(Recon *rc) {
+    for (int p = 0; p < 3; p++) {
+        free(rc->cplan[p].e);
+        rc->cplan[p].e = NULL;
+        rc->cplan[p].n = rc->cplan[p].cap = 0;
+        free(rc->rplan[p].e);
+        rc->rplan[p].e = NULL;
+        rc->rplan[p].n = rc->rplan[p].cap = 0;
+    }
+}
+
+/* queue a deferred block's residual for one plane */
+static int resid_defer(Recon *rc, int plane, const int32_t *b) {
+    ResidPlan *rp_ = &rc->rplan[plane];
+    if (rp_->n == rp_->cap) {
+        int ncap = rp_->cap ? rp_->cap * 2 : 1024;
+        const int32_t **ne =
+            realloc(rp_->e, sizeof(*ne) * (size_t)ncap);
+        if (ne == NULL) return 0;
+        rp_->e = ne;
+        rp_->cap = ncap;
+    }
+    rp_->e[rp_->n++] = b;
+    return 1;
+}
+
+/* queue the block copy if this plane's prediction is integer-MV and
+ * fully inside the reference; returns 0 when the caller must predict
+ * normally.  Mirrors predict_inter_u16_impl's integer-MV fast path
+ * (same start_x/start_y arithmetic, spec 7.11.3.2). */
+static int try_defer_copy(Recon *rc, int plane, const pel *ref,
+                          int rw, int rh, int rs, int x, int y,
+                          int w, int h, const int32_t *mv,
+                          int ssx, int ssy) {
+    int start_x = (x << 4) + mv[1] * (ssx ? 1 : 2);
+    int start_y = (y << 4) + mv[0] * (ssy ? 1 : 2);
+    if ((start_x & 15) || (start_y & 15)) return 0;
+    int ix = start_x >> 4, iy = start_y >> 4;
+    if (ix < 0 || ix + w > rw || iy < 0 || iy + h > rh) return 0;
+    CopyPlan *cp = &rc->cplan[plane];
+    if (cp->n == cp->cap) {
+        int ncap = cp->cap ? cp->cap * 2 : 1024;
+        CopyEnt *ne = realloc(cp->e, sizeof(CopyEnt) * (size_t)ncap);
+        if (ne == NULL) return 0;
+        cp->e = ne;
+        cp->cap = ncap;
+    }
+    CopyEnt *e = &cp->e[cp->n++];
+    e->y = y; e->x = x; e->w = w; e->h = h;
+    e->src = ref + (int64_t)iy * rs + ix;
+    e->ss = rs;
+    return 1;
+}
+
 static void mc_predict(Recon *rc, int ref, const pel *rpl, int rw,
                        int rh, int rs, int px, int py, int w, int h,
                        const int32_t *mv, int ssx, int ssy,
@@ -894,8 +1057,11 @@ static const pel *mc_ref_plane(Recon *rc, int ref, int plane,
     return p;
 }
 
-/* residual add over the block's coded txs (recon_ref._residual_add) */
-static void residual_add(Recon *rc, const int32_t *b) {
+/* residual add over the block's coded txs (recon_ref._residual_add);
+ * plane_mask selects which planes to apply (copy-deferred planes get
+ * theirs applied at copyplan_flush instead) */
+static void residual_add_mask(Recon *rc, const int32_t *b,
+                              int plane_mask) {
     const TileOut *o = rc->o;
     int64_t mx = (1 << rc->rp->bitdepth) - 1;
     int64_t tx_off = b[BLK_TXOFF];
@@ -904,6 +1070,7 @@ static void residual_add(Recon *rc, const int32_t *b) {
     for (int64_t k = tx_off; k < tx_off + n_tx; k++) {
         const int32_t *rec = o->txs + k * 8;
         int plane = rec[0], x = rec[1], y = rec[2];
+        if (!((plane_mask >> plane) & 1)) continue;
         int tsz = rec[3], ttyp = rec[4];
         int32_t res[64 * 64];
         if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
@@ -921,6 +1088,10 @@ static void residual_add(Recon *rc, const int32_t *b) {
             }
         }
     }
+}
+
+static void residual_add(Recon *rc, const int32_t *b) {
+    residual_add_mask(rc, b, 7);
 }
 
 static void mark_decoded(Recon *rc, int plane, int x, int y, int w,
@@ -1254,6 +1425,7 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
     int w4 = av1_block_w4[bsize], h4 = av1_block_h4[bsize];
     int32_t mv[2] = {b[BLK_MV_R], b[BLK_MV_C]};
     int32_t filt[2] = {b[BLK_INTERP0], b[BLK_INTERP1]};
+    int defer_mask = 0;
     for (int plane = 0; plane < n_planes; plane++) {
         int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
         int x = (b[BLK_C] >> ssx) * 4, y = (b[BLK_R] >> ssy) * 4;
@@ -1280,6 +1452,19 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
            directly; warp/interintra still stage through pred */
         int direct = !use_warp && b[BLK_II_MODE] < 0;
         pel *dpix = buf + (int64_t)y * rc->pw[plane] + x;
+        /* plain integer-MV inside copies go to the deferred plan
+           (flushed as merged row bands); the plane's residual is
+           deferred with them so it lands after its copy */
+        if (direct && b[BLK_MOTION_MODE] == MC_MM_SIMPLE && !scaled
+            && try_defer_copy(rc, plane, rpl, rw, rh, rs, x, y, w, h,
+                              mv, ssx, ssy)) {
+            if (b[BLK_NTX] == 0 || resid_defer(rc, plane, b))
+                defer_mask |= 1 << plane;
+            else
+                copyplan_flush(rc);  /* OOM: land the copy now */
+            mark_decoded(rc, plane, x, y, w, h);
+            continue;
+        }
         if (use_warp) {
             uint64_t wt0 = __rdtsc();
             warp_affine_u16(rpl, rw, rh, rs, wm, shear, x, y, w, h,
@@ -1303,6 +1488,7 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
     }
     if (b[BLK_MOTION_MODE] == MC_MM_OBMC)
         apply_obmc(rc, b);
-    residual_add(rc, b);
+    if (defer_mask != 7)
+        residual_add_mask(rc, b, 7 & ~defer_mask);
     return 0;
 }

@@ -301,6 +301,34 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
 /* ------------------------------------------------------------------ */
 /* intra prediction (recon_ref._predict_intra)                         */
 
+/* Deferred integer-MV copy plan: skip blocks whose prediction is a
+ * plain inside-the-ref block copy are queued instead of copied block
+ * by block, then flushed as (y,x)-sorted, x-merged row bands — the
+ * per-block z-order copy pattern is DRAM-latency-bound at 4K (64-byte
+ * strided rows defeat the hardware prefetcher) while merged full-width
+ * bands stream at memcpy speed.  Entries are only queued for pixels
+ * nothing reads before the flush: the plan is flushed before any
+ * intra / intra-block-copy block and at end of frame (inter
+ * prediction, OBMC, compound and sub8x8 chroma read *reference*
+ * frames only, never the plane under reconstruction). */
+typedef struct {
+    int32_t y, x, w, h;
+    const pel *src;
+    int64_t ss;
+} CopyEnt;
+
+typedef struct {
+    CopyEnt *e;
+    int n, cap;
+} CopyPlan;
+
+/* residuals of copy-deferred blocks, applied (per plane) after the
+ * plane's copies land */
+typedef struct {
+    const int32_t **e;           /* block records */
+    int n, cap;
+} ResidPlan;
+
 typedef struct {
     const ReconParams *rp;
     const TileOut *o;
@@ -320,6 +348,8 @@ typedef struct {
     int32_t txgen;
     /* current block's tile bounds, luma mi units (recon_set_tile) */
     int t_rs, t_re, t_cs, t_ce;
+    CopyPlan cplan[3];
+    ResidPlan rplan[3];
 } Recon;
 
 /* cache tile bounds of the block at (r, c); tiles are few (<=64 per
@@ -875,10 +905,15 @@ static void recon_block(Recon *rc, const int32_t *b) {
     recon_set_tile(rc, b[BLK_R], b[BLK_C]);
     if (b[BLK_IS_INTER]) {
         double tb0 = rc_now();
+        /* intra block copy reads the current planes: materialize any
+           deferred copies first */
+        if (b[BLK_REF0] == MC_INTRA_FRAME) copyplan_flush(rc);
         if (recon_block_inter(rc, b)) rc->error = 1;
         av1_stage_times[4] += rc_now() - tb0;
         return;
     }
+    /* intra prediction reads reconstructed neighbours */
+    copyplan_flush(rc);
     double ti0 = rc_now();
     int br = b[0], bc = b[1], bsize = b[2];
     rc->cur_fi = b[13];
@@ -1203,6 +1238,8 @@ int BDFN(av1_recon_frame)(const ReconParams *rp, const TileOut *o,
     double t0 = rc_now();
     for (int64_t i = 0; i < o->n_blocks && !rc.error; i++)
         recon_block(&rc, o->blocks + i * BLK_FIELDS);
+    copyplan_flush(&rc);
+    copyplan_free(&rc);
     for (int p = 0; p < 3; p++) free(rc.decoded[p]);
     if (rc.error) {
         for (int q = 0; q < 3; q++) free(scratch[q]);
