@@ -701,24 +701,69 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
 #endif
 
     const int8_t *skip = o->skip;
+    int stripe_filled[3] = {0, 0, 0};
     for (int r = 0; r < mi_rows; r += 2) {
         int y = r * 4;
+        /* lazy refill: a block row with no filterable position (all
+           skip, cdef_idx -1, or zero strengths) needs no stripe at
+           all, and its live rows stay pre-CDEF — so a later row can
+           rebuild its `above` context straight from the plane */
+        int row_any_y = 0, row_any_uv = 0;
+        {
+            int r2c = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
+            for (int c = 0; c < mi_cols
+                 && !(row_any_y && (row_any_uv || n_pl == 1));
+                 c += 2) {
+                int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
+                if (skip[r * mi_cols + c] && skip[r * mi_cols + c2]
+                    && skip[r2c * mi_cols + c]
+                    && skip[r2c * mi_cols + c2])
+                    continue;
+                int idx = o->cdef_idx[(r / 16) * ucols + (c / 16)];
+                if (idx < 0) continue;
+                if (rp->cdef_y_pri[idx] | rp->cdef_y_sec[idx])
+                    row_any_y = 1;
+                if (n_pl == 3
+                    && (rp->cdef_uv_pri[idx] | rp->cdef_uv_sec[idx]))
+                    row_any_uv = 1;
+            }
+        }
+        if (!row_any_y && !row_any_uv) {
+            stripe_filled[0] = stripe_filled[1] = stripe_filled[2] = 0;
+            continue;
+        }
         /* refill the stripes for this block row: rows 0-1 (the pre-CDEF
            `above` context) shift down from the previous stripe's bottom
-           section rows; rows 2..bh+3 copy straight from the live plane
-           (pre-CDEF here by construction — this row and everything
-           below it is not yet filtered).  pel (uint16 < 0x4000) to
-           int16 is a bit-identical memcpy. */
+           section rows — or, when the previous row was unfiltered (its
+           stripe skipped), copy from the still-pre-CDEF live plane;
+           rows 2..bh+3 copy straight from the live plane (pre-CDEF
+           here by construction — this row and everything below it is
+           not yet filtered).  pel (uint16 < 0x4000) to int16 is a
+           bit-identical memcpy. */
         for (int p = 0; p < n_pl; p++) {
+            if (!(p == 0 ? row_any_y : row_any_uv)) {
+                stripe_filled[p] = 0;
+                continue;
+            }
             int h = bh[p], st = sst[p];
             int yy = y >> (p ? rp->ssy : 0);
             int16_t *sp = stripe[p];
-            if (r == 0)
-                for (int j = 0; j < 2 * st; j++)
-                    sp[j] = CDEF_VERY_LARGE;
-            else
+            if (r > 0 && stripe_filled[p])
                 memcpy(sp, sp + (size_t)h * st,
                        sizeof(int16_t) * (size_t)st * 2);
+            else
+                for (int i = 0; i < 2; i++) {
+                    int py_ = yy - 2 + i;
+                    int16_t *row = sp + (size_t)i * st;
+                    if (py_ >= 0 && py_ < ph[p])
+                        cdef_pel_to_i16(row + 2,
+                                        planes[p]
+                                            + (int64_t)py_ * pw[p],
+                                        pw[p]);
+                    else
+                        for (int j = 0; j < st; j++)
+                            row[j] = CDEF_VERY_LARGE;
+                }
             for (int i = 0; i < h + 2; i++) {
                 int16_t *row = sp + (size_t)(i + 2) * st;
                 int py_ = yy + i;
@@ -730,6 +775,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     for (int j = 0; j < st; j++)
                         row[j] = CDEF_VERY_LARGE;
             }
+            stripe_filled[p] = 1;
         }
         int band_y = 0, band_uv = 0;
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
