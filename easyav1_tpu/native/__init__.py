@@ -519,26 +519,36 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         bufs[k].fill(0)
     grids = bufs["grids"]
 
-    out = _TileOut(
-        y_mode=_vp(grids["y_mode"]), uv_mode=_vp(grids["uv_mode"]),
-        angle_y=_vp(grids["angle_y"]), angle_uv=_vp(grids["angle_uv"]),
-        skip=_vp(grids["skip"]), bsize=_vp(grids["bsize"]),
-        blocks=_vp(bufs["blocks"]), max_blocks=max_blocks, n_blocks=0,
-        txs=_vp(bufs["txs"]), max_txs=max_txs, n_txs=0,
-        coeffs=_vp(bufs["coeffs"]), coeffs_cap=coeffs_cap, coeffs_used=0,
-        lf_txs=_vp(bufs["lf"]), max_lf=max_lf, n_lf=0,
-        cdef_idx=_vp(bufs["cdef"]), error=0,
-        ref0_g=_vp(bufs["ref0"]), ref1_g=_vp(bufs["ref1"]),
-        mvs_g=_vp(bufs["mvs"]), interp_g=_vp(bufs["interp"]),
-        modes_g=_vp(bufs["modes"]), skipmode_g=_vp(bufs["skipmode"]),
-        compgrp_g=_vp(bufs["compgrp"]), compidx_g=_vp(bufs["compidx"]),
-        intrabc_g=_vp(bufs["intrabc"]),
-        lr_units=_vp(bufs["lr"]), max_lr_units=bufs["lr"].shape[0],
-        n_lr_units=0,
-        pal_units=_vp(bufs["pal"]), max_pal_units=bufs["pal"].shape[0],
-        n_pal_units=0,
-        pal_maps=_vp(bufs["pal_maps"]),
-        pal_maps_cap=bufs["pal_maps"].shape[0], pal_maps_used=0)
+    out = bufs.get("out_struct")
+    if out is None:
+        out = _TileOut(
+            y_mode=_vp(grids["y_mode"]), uv_mode=_vp(grids["uv_mode"]),
+            angle_y=_vp(grids["angle_y"]), angle_uv=_vp(grids["angle_uv"]),
+            skip=_vp(grids["skip"]), bsize=_vp(grids["bsize"]),
+            blocks=_vp(bufs["blocks"]), max_blocks=max_blocks,
+            txs=_vp(bufs["txs"]), max_txs=max_txs,
+            coeffs=_vp(bufs["coeffs"]), coeffs_cap=coeffs_cap,
+            lf_txs=_vp(bufs["lf"]), max_lf=max_lf,
+            cdef_idx=_vp(bufs["cdef"]),
+            ref0_g=_vp(bufs["ref0"]), ref1_g=_vp(bufs["ref1"]),
+            mvs_g=_vp(bufs["mvs"]), interp_g=_vp(bufs["interp"]),
+            modes_g=_vp(bufs["modes"]), skipmode_g=_vp(bufs["skipmode"]),
+            compgrp_g=_vp(bufs["compgrp"]), compidx_g=_vp(bufs["compidx"]),
+            intrabc_g=_vp(bufs["intrabc"]),
+            lr_units=_vp(bufs["lr"]), max_lr_units=bufs["lr"].shape[0],
+            pal_units=_vp(bufs["pal"]),
+            max_pal_units=bufs["pal"].shape[0],
+            pal_maps=_vp(bufs["pal_maps"]),
+            pal_maps_cap=bufs["pal_maps"].shape[0])
+        bufs["out_struct"] = out
+    out.n_blocks = 0
+    out.n_txs = 0
+    out.coeffs_used = 0
+    out.n_lf = 0
+    out.error = 0
+    out.n_lr_units = 0
+    out.n_pal_units = 0
+    out.pal_maps_used = 0
 
     sb_shift = 5 if seq.use_128x128_superblock else 4
     t = hdr.tile
@@ -549,22 +559,28 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
     update_tid = t.context_update_tile_id
     cdf_out_buf = (ctypes.create_string_buffer(cdf_blob_size(lib))
                    if want_cdf else None)
+    # one FrameParams for every tile: only cdf_out differs per tile
+    # (each tile restarts from cdf_in; the C decoder never writes fp)
+    fp, keep = _build_fp(hdr, seq, cdf_in, None, tpl)
     for tile_num, tdata in enumerate(tiles):
         tr, tc = tile_num // n_cols, tile_num % n_cols
         p.col_start = min(t.col_starts[tc] << sb_shift, mi_cols)
         p.col_end = min(t.col_starts[tc + 1] << sb_shift, mi_cols)
         p.row_start = min(t.row_starts[tr] << sb_shift, mi_rows)
         p.row_end = min(t.row_starts[tr + 1] << sb_shift, mi_rows)
-        this_out = (cdf_out_buf if (want_cdf and tile_num == update_tid)
-                    else None)
-        fp, keep = _build_fp(hdr, seq, cdf_in, this_out, tpl)
+        fp.cdf_out = (ctypes.cast(cdf_out_buf, ctypes.c_void_p)
+                      if (want_cdf and tile_num == update_tid) else None)
         rc = lib.av1_decode_tile(ctypes.byref(p), ctypes.byref(fp),
                                  tdata, len(tdata), ctypes.byref(out))
-        del keep
         if rc != 0:
             return None
+    # hand fp back for the recon stage (cdf pointers cleared: their
+    # backing buffers die with `keep`); keep rides along so the tpl
+    # arrays fp still points at outlive the recon call
+    fp.cdf_in = None
+    fp.cdf_out = None
     blob = cdf_out_buf.raw if cdf_out_buf is not None else None
-    return out, bufs, blob
+    return out, bufs, blob, (fp, keep)
 
 
 _VP_CACHE: dict = {}
@@ -630,7 +646,7 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
                      want_cdf=want_cdf, tpl=tpl)
     if res is None:
         return None
-    out, bufs, blob = res
+    out, bufs, blob, _fpk = res
     from easyav1_tpu.video.av1 import constants as C
     from easyav1_tpu.video.av1 import tables as T
     from easyav1_tpu.video.av1.tile import BlockRecord, TxBlock
@@ -783,7 +799,7 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
     res = _run_tiles(lib, seq, hdr, tiles)
     if res is None:
         return None
-    out, bufs, _blob = res
+    out, bufs, _blob, _fpk = res
     rp = _build_rp(seq, hdr)
     # one record per plane per visited tx; lf_txs shares geometry for
     # u/v so double it for the worst case
@@ -850,14 +866,14 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                      want_cdf=want_cdf, tpl=tpl)
     if res is None:
         return None
-    out, bufs, blob = res
+    out, bufs, blob, (fp_rc, keep_fp) = res
     rp = _build_rp(seq, hdr)
-    fp_rc, keep_fp = _build_fp(hdr, seq, None, None, None)
 
     mv_grids = None
     if not hdr.frame_is_intra:
-        mv_grids = (bufs["ref0"].copy(), bufs["ref1"].copy(),
-                    bufs["mvs"].copy())
+        # no copy: the backend's save_tmvs consumes these within the
+        # same frame, before the next _run_tiles reuses the buffers
+        mv_grids = (bufs["ref0"], bufs["ref1"], bufs["mvs"])
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
         # pallas executor: intra only, no LR stage yet

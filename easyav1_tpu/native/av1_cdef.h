@@ -740,6 +740,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
            here by construction — this row and everything below it is
            not yet filtered).  pel (uint16 < 0x4000) to int16 is a
            bit-identical memcpy. */
+        uint64_t rf0 = __rdtsc();
         for (int p = 0; p < n_pl; p++) {
             if (!(p == 0 ? row_any_y : row_any_uv)) {
                 stripe_filled[p] = 0;
@@ -777,6 +778,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             }
             stripe_filled[p] = 1;
         }
+        cdef_stat[5] += __rdtsc() - rf0;
         int band_y = 0, band_uv = 0;
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         int y_sec_u = -1, uv_sec_u = -1;

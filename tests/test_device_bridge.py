@@ -37,7 +37,7 @@ def _first_keyframe_compare(path):
         res = nat._run_tiles(lib, seq, hdr, tiles)
         if res is None:
             return orig(seq, hdr, tiles, **kw)
-        out, bufs, _blob = res
+        out, bufs, _blob, _fpk = res
         rp = nat._build_rp(seq, hdr)
         rp.lf_level = (ctypes.c_int32 * 4)(0, 0, 0, 0)
         rp.enable_cdef = 0
