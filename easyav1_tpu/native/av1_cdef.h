@@ -15,12 +15,12 @@
 /* profiling counters: [0] luma blocks filtered, [1] chroma blocks,
    [2] pri!=0 calls, [3] sec!=0 calls, [4] positions past skip check */
 #if PEL_BITS == 16
-int64_t cdef_stat[8];
+int64_t cdef_stat[12];
 void cdef_get_stats(int64_t *out) {
-    for (int i = 0; i < 8; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
+    for (int i = 0; i < 12; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
 }
 #else
-extern int64_t cdef_stat[8];
+extern int64_t cdef_stat[12];
 #endif
 
 static const int8_t CDEF_DIRS[8][2][2] = {
@@ -209,12 +209,24 @@ static void cdef_find_dir(const pel *src, int stride, int coeff_shift,
          0, 0},
     };
     int32_t cost[8];
+#if defined(__AVX512F__)
+    /* vectorized cost: vpmulld wraps mod 2^32 exactly like the scalar
+       int32 products, so the reduction is bit-identical */
+    for (int d = 0; d < 8; d++) {
+        __m512i pv = _mm512_loadu_si512((const void *)part[d]);
+        __m512i dv = _mm512_loadu_si512((const void *)divtbl[d]);
+        __m512i sq = _mm512_mullo_epi32(pv, pv);
+        cost[d] = (int32_t)_mm512_reduce_add_epi32(
+            _mm512_mullo_epi32(sq, dv));
+    }
+#else
     for (int d = 0; d < 8; d++) {
         int32_t s = 0;
         for (int i = 0; i < 16; i++)
             s += part[d][i] * part[d][i] * divtbl[d][i];
         cost[d] = s;
     }
+#endif
     int best = 0;
     for (int d = 1; d < 8; d++)
         if (cost[d] > cost[best]) best = d;
@@ -507,7 +519,7 @@ cdef_filter_uv_avx512(pel *du, pel *dv, int dstride, const int16_t *tmp,
 static void cdef_band_sec(pel *dst, int64_t dstride,
                           const int16_t *sp, int64_t sst,
                           int n_px, int h, int sec, int sec_shift,
-                          const uint8_t *px_on) {
+                          const uint8_t *px_on, int rows_edged) {
     const __m512i vlarge = _mm512_set1_epi16(CDEF_VERY_LARGE);
     const __m512i vthr = _mm512_set1_epi16((short)sec);
     const __m128i vsh = _mm_cvtsi32_si128(sec_shift);
@@ -520,29 +532,44 @@ static void cdef_band_sec(pel *dst, int64_t dstride,
         if (x + 32 > n_px)
             m &= (n_px - x >= 32) ? ~0u : ((1u << (n_px - x)) - 1);
         if (!m) continue;
-        for (int i = 0; i < h; i++) {
-            const int16_t *row = sp + (int64_t)(i + 2) * sst + x + 2;
-            __m512i px = _mm512_loadu_si512((const void *)row);
-            __m512i s = _mm512_setzero_si512(), mx = px, mn = px;
-#define CBTAP(off, vw) \
-            s = cdef_tap512(_mm512_loadu_si512((const void *)(row + (off))), \
-                            px, vthr, vsh, vw, s, &mx, &mn, vlarge, 1)
-            CBTAP(1, vw2); CBTAP(-1, vw2);
-            CBTAP(2, vw1); CBTAP(-2, vw1);
-            CBTAP(sst, vw2); CBTAP(-sst, vw2);
-            CBTAP(2 * sst, vw1); CBTAP(-2 * sst, vw1);
-#undef CBTAP
-            __m512i adj = _mm512_add_epi16(_mm512_add_epi16(eight, s),
-                                           _mm512_srai_epi16(s, 15));
-            __m512i val = _mm512_add_epi16(px, _mm512_srai_epi16(adj, 4));
-            val = _mm512_min_epi16(_mm512_max_epi16(val, mn), mx);
-            pel *d = dst + (int64_t)i * dstride + x;
-#if PEL_BITS == 8
-            _mm256_mask_storeu_epi8(d, m, _mm512_cvtusepi16_epi8(val));
-#else
-            _mm512_mask_storeu_epi16(d, m, val);
-#endif
+        /* sentinels (CDEF_VERY_LARGE) only appear in the 2 pad
+           columns each side and in rows outside the frame; interior
+           vectors skip the per-tap sentinel masking entirely */
+        int edged = rows_edged || x == 0 || x + 35 >= n_px + 2;
+#define CB_ROWS(E) \
+        for (int i = 0; i < h; i++) { \
+            const int16_t *row = sp + (int64_t)(i + 2) * sst + x + 2; \
+            __m512i px = _mm512_loadu_si512((const void *)row); \
+            __m512i s = _mm512_setzero_si512(), mx = px, mn = px; \
+            CBTAP(1, vw2, E); CBTAP(-1, vw2, E); \
+            CBTAP(2, vw1, E); CBTAP(-2, vw1, E); \
+            CBTAP(sst, vw2, E); CBTAP(-sst, vw2, E); \
+            CBTAP(2 * sst, vw1, E); CBTAP(-2 * sst, vw1, E); \
+            __m512i adj = _mm512_add_epi16(_mm512_add_epi16(eight, s), \
+                                           _mm512_srai_epi16(s, 15)); \
+            __m512i val = _mm512_add_epi16(px, \
+                                           _mm512_srai_epi16(adj, 4)); \
+            val = _mm512_min_epi16(_mm512_max_epi16(val, mn), mx); \
+            pel *d = dst + (int64_t)i * dstride + x; \
+            CB_STORE(d, m, val); \
         }
+#if PEL_BITS == 8
+#define CB_STORE(d, m, val) \
+            _mm256_mask_storeu_epi8(d, m, _mm512_cvtusepi16_epi8(val))
+#else
+#define CB_STORE(d, m, val) _mm512_mask_storeu_epi16(d, m, val)
+#endif
+#define CBTAP(off, vw, E) \
+            s = cdef_tap512(_mm512_loadu_si512((const void *)(row + (off))), \
+                            px, vthr, vsh, vw, s, &mx, &mn, vlarge, E)
+        if (edged) {
+            CB_ROWS(1)
+        } else {
+            CB_ROWS(0)
+        }
+#undef CBTAP
+#undef CB_STORE
+#undef CB_ROWS
     }
 }
 #endif
@@ -816,6 +843,53 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             band_uv = any_uv && uv_ok;
         }
 #endif
+        /* direction pre-pass, row-sequential: the strided per-unit
+           8x8 luma reads inside the filter loop miss DRAM on every
+           row (~200 cyc/unit at 4K); walking the positions in x order
+           streams the same 8 plane rows once */
+        static int8_t *dirrow;
+        static int32_t *varrow;
+        static size_t dircap;
+        {
+            size_t nu = (size_t)((mi_cols + 1) / 2);
+            if (dircap < nu) {
+                free(dirrow); free(varrow);
+                dirrow = malloc(nu);
+                varrow = malloc(nu * sizeof(int32_t));
+                dircap = (dirrow && varrow) ? nu : 0;
+            }
+            if (dircap >= nu) {
+                int r2 = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
+                const pel *dbase = planes[0] + (int64_t)y * pw[0];
+                for (int c = 0; c < mi_cols; c += 2) {
+                    /* one rotating row-prefetch per unit keeps all 8
+                       source rows ~8 units ahead of the searches */
+                    __builtin_prefetch(dbase
+                                       + ((c >> 1) & 7)
+                                             * (int64_t)pw[0]
+                                       + c * 4 + 64);
+                    int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
+                    int idx;
+                    if (!(skip[r * mi_cols + c] && skip[r * mi_cols + c2]
+                          && skip[r2 * mi_cols + c]
+                          && skip[r2 * mi_cols + c2])
+                        && (idx = o->cdef_idx[(r / 16) * ucols
+                                              + (c / 16)]) != -1
+                        && (rp->cdef_y_pri[idx]
+                            || rp->cdef_uv_pri[idx])) {
+                        int d_, v_;
+                        uint64_t dc0 = __rdtsc();
+                        cdef_find_dir(planes[0] + (int64_t)y * pw[0]
+                                          + c * 4,
+                                      pw[0], coeff_shift, &d_, &v_);
+                        cdef_stat[10] += __rdtsc() - dc0;
+                        cdef_stat[11]++;
+                        dirrow[c >> 1] = (int8_t)d_;
+                        varrow[c >> 1] = v_;
+                    }
+                }
+            }
+        }
         /* per-64x64-unit parameter cache: strengths, tap weights and
            damping shifts depend only on cdef_idx, which changes at
            most every 8 positions along the row */
@@ -849,11 +923,17 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     u_psh = cdef_shift_for(u_pri, damping - 1);
                     u_ssh = cdef_shift_for(u_sec, damping - 1);
                 }
-                if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx])
-                    /* the 8x8 interior is never touched by earlier
-                       blocks, so the live plane is pre-CDEF here */
-                    cdef_find_dir(planes[0] + (int64_t)y * pw[0] + x,
-                                  pw[0], coeff_shift, &dir, &var);
+                if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx]) {
+                    if (dircap >= (size_t)((mi_cols + 1) / 2)) {
+                        dir = dirrow[c >> 1];
+                        var = varrow[c >> 1];
+                    } else
+                        /* alloc-failure fallback: search in place
+                           (still pre-CDEF: band runs after this) */
+                        cdef_find_dir(planes[0] + (int64_t)y * pw[0]
+                                          + x,
+                                      pw[0], coeff_shift, &dir, &var);
+                }
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
                 /* U+V-paired chroma (4-wide blocks, ssx=1): one pass
                    filters both planes with full 512-bit lanes */
@@ -862,6 +942,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     int pri = u_pri, sec = u_sec;
                     uv_paired = 1;
                     if (pri | sec) {
+                        uint64_t pc0 = __rdtsc();
                         int px = x >> 1, py2 = y >> rp->ssy;
                         int h = 8 >> rp->ssy;
                         int pdir = pri ? CDEF_UV_DIR[1][rp->ssy][dir]
@@ -898,6 +979,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                 planes[1] + doff, planes[2] + doff,
                                 pw[1], tmp, h, pri, sec, pt0, pt1,
                                 psh, ssh, pdir, 1);
+                        cdef_stat[8] += __rdtsc() - pc0;
+                        cdef_stat[9]++;
                     }
                 }
 #endif
@@ -980,9 +1063,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 }
                 cdef_band_sec(planes[0] + (int64_t)y * pw[0], pw[0],
                               stripe[0], sst[0], pw[0], 8, y_sec_u,
-                              cdef_shift_for(y_sec_u, damping), pxon);
+                              cdef_shift_for(y_sec_u, damping), pxon,
+                              y < 2 || y + 10 > ph[0]);
                 cdef_stat[0] += nb;
                 cdef_stat[3] += nb;
+                cdef_stat[6] += nb;
             }
             if (band_uv) {
                 int gw = 8 >> rp->ssx, hh = 8 >> rp->ssy;
@@ -1003,9 +1088,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 for (int p = 1; p < n_pl; p++)
                     cdef_band_sec(planes[p] + (int64_t)py2 * pw[p],
                                   pw[p], stripe[p], sst[p], pw[p], hh,
-                                  uv_sec_u, ssh, pxon);
+                                  uv_sec_u, ssh, pxon,
+                                  py2 < 2 || py2 + hh + 2 > ph[p]);
                 cdef_stat[1] += 2 * nb;
                 cdef_stat[3] += 2 * nb;
+                cdef_stat[7] += 2 * nb;
             }
         }
 #endif
