@@ -886,10 +886,10 @@ static int mc_is_scaled(const Recon *rc, int ref, int *xs, int *ys) {
 /* ---- deferred integer-MV copy plan (see CopyPlan in recon_tmpl) --- */
 
 static void cp_copy_rows(pel *dst, int64_t ds, const pel *src,
-                         int64_t ss, int w, int h) {
+                         int64_t ss, int w, int h, int nt) {
     size_t row_bytes = sizeof(pel) * (size_t)w;
 #if defined(__AVX512F__)
-    if (row_bytes >= 64 && ((uintptr_t)dst & 63) == 0
+    if (nt && row_bytes >= 64 && ((uintptr_t)dst & 63) == 0
         && ((sizeof(pel) * (size_t)ds) & 63) == 0) {
         size_t nb = row_bytes & ~(size_t)63;
         for (int r = 0; r < h; r++) {
@@ -925,34 +925,56 @@ static int cp_cmp(const void *a, const void *b) {
 static void residual_add_mask(Recon *rc, const int32_t *b,
                               int plane_mask);
 
+static int rp_cmp(const void *a, const void *b) {
+    const ResidEnt *ea = (const ResidEnt *)a, *eb = (const ResidEnt *)b;
+    return ea->y < eb->y ? -1 : (ea->y > eb->y ? 1 : 0);
+}
+
 static void copyplan_flush(Recon *rc) {
     uint64_t c0 = __rdtsc();
     uint64_t px = 0;
     for (int p = 0; p < 3; p++) {
         CopyPlan *cp = &rc->cplan[p];
-        if (cp->n == 0) continue;
+        ResidPlan *rp_ = &rc->rplan[p];
+        if (cp->n == 0 && rp_->n == 0) continue;
         qsort(cp->e, (size_t)cp->n, sizeof(CopyEnt), cp_cmp);
+        qsort(rp_->e, (size_t)rp_->n, sizeof(ResidEnt), rp_cmp);
         pel *plane = rc->planes[p];
         int64_t ds = rc->pw[p];
-        int i = 0;
-        while (i < cp->n) {
-            /* merge a run of x-adjacent, src-contiguous same-band
-               entries into one wide row-band copy */
-            int j = i;
-            const CopyEnt *e = cp->e;
-            while (j + 1 < cp->n && e[j + 1].y == e[i].y
-                   && e[j + 1].h == e[i].h
-                   && e[j + 1].x == e[j].x + e[j].w
-                   && e[j + 1].ss == e[j].ss
-                   && e[j + 1].src == e[j].src + e[j].w)
-                j++;
-            int mw = e[j].x + e[j].w - e[i].x;
-            cp_copy_rows(plane + (int64_t)e[i].y * ds + e[i].x, ds,
-                         e[i].src, e[i].ss, mw, e[i].h);
-            px += (uint64_t)mw * e[i].h;
-            i = j + 1;
+        /* 128-row bands (every block is size-aligned, so none spans a
+           band): copy a band, then apply its residuals while the rows
+           are still cache-resident */
+        int i = 0, ri = 0;
+        while (i < cp->n || ri < rp_->n) {
+            int band = INT32_MAX;
+            if (i < cp->n) band = cp->e[i].y >> 7;
+            if (ri < rp_->n && (rp_->e[ri].y >> 7) < band)
+                band = rp_->e[ri].y >> 7;
+            while (i < cp->n && (cp->e[i].y >> 7) == band) {
+                /* merge a run of x-adjacent, src-contiguous same-band
+                   entries into one wide row-band copy */
+                int j = i;
+                const CopyEnt *e = cp->e;
+                while (j + 1 < cp->n && e[j + 1].y == e[i].y
+                       && e[j + 1].h == e[i].h
+                       && e[j + 1].x == e[j].x + e[j].w
+                       && e[j + 1].ss == e[j].ss
+                       && e[j + 1].nt == e[j].nt
+                       && e[j + 1].src == e[j].src + e[j].w)
+                    j++;
+                int mw = e[j].x + e[j].w - e[i].x;
+                cp_copy_rows(plane + (int64_t)e[i].y * ds + e[i].x, ds,
+                             e[i].src, e[i].ss, mw, e[i].h, e[i].nt);
+                px += (uint64_t)mw * e[i].h;
+                i = j + 1;
+            }
+            while (ri < rp_->n && (rp_->e[ri].y >> 7) == band) {
+                residual_add_mask(rc, rp_->e[ri].b, 1 << p);
+                ri++;
+            }
         }
         cp->n = 0;
+        rp_->n = 0;
     }
 #if defined(__AVX512F__)
     _mm_sfence();
@@ -963,13 +985,6 @@ static void copyplan_flush(Recon *rc) {
         av1_mc_stat[8]++;
         av1_mc_stat[16] += px;
         av1_mc_stat[17] += __rdtsc() - c0;
-    }
-    /* residuals of the deferred blocks, now that their copies landed */
-    for (int p = 0; p < 3; p++) {
-        ResidPlan *rp_ = &rc->rplan[p];
-        for (int i = 0; i < rp_->n; i++)
-            residual_add_mask(rc, rp_->e[i], 1 << p);
-        rp_->n = 0;
     }
 }
 
@@ -985,17 +1000,18 @@ static void copyplan_free(Recon *rc) {
 }
 
 /* queue a deferred block's residual for one plane */
-static int resid_defer(Recon *rc, int plane, const int32_t *b) {
+static int resid_defer(Recon *rc, int plane, const int32_t *b, int y) {
     ResidPlan *rp_ = &rc->rplan[plane];
     if (rp_->n == rp_->cap) {
         int ncap = rp_->cap ? rp_->cap * 2 : 1024;
-        const int32_t **ne =
-            realloc(rp_->e, sizeof(*ne) * (size_t)ncap);
+        ResidEnt *ne = realloc(rp_->e, sizeof(*ne) * (size_t)ncap);
         if (ne == NULL) return 0;
         rp_->e = ne;
         rp_->cap = ncap;
     }
-    rp_->e[rp_->n++] = b;
+    rp_->e[rp_->n].b = b;
+    rp_->e[rp_->n].y = y;
+    rp_->n++;
     return 1;
 }
 
@@ -1006,7 +1022,7 @@ static int resid_defer(Recon *rc, int plane, const int32_t *b) {
 static int try_defer_copy(Recon *rc, int plane, const pel *ref,
                           int rw, int rh, int rs, int x, int y,
                           int w, int h, const int32_t *mv,
-                          int ssx, int ssy) {
+                          int ssx, int ssy, int nt) {
     int start_x = (x << 4) + mv[1] * (ssx ? 1 : 2);
     int start_y = (y << 4) + mv[0] * (ssy ? 1 : 2);
     if ((start_x & 15) || (start_y & 15)) return 0;
@@ -1024,6 +1040,7 @@ static int try_defer_copy(Recon *rc, int plane, const pel *ref,
     e->y = y; e->x = x; e->w = w; e->h = h;
     e->src = ref + (int64_t)iy * rs + ix;
     e->ss = rs;
+    e->nt = nt;
     return 1;
 }
 
@@ -1457,8 +1474,8 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
            deferred with them so it lands after its copy */
         if (direct && b[BLK_MOTION_MODE] == MC_MM_SIMPLE && !scaled
             && try_defer_copy(rc, plane, rpl, rw, rh, rs, x, y, w, h,
-                              mv, ssx, ssy)) {
-            if (b[BLK_NTX] == 0 || resid_defer(rc, plane, b))
+                              mv, ssx, ssy, b[BLK_NTX] == 0)) {
+            if (b[BLK_NTX] == 0 || resid_defer(rc, plane, b, y))
                 defer_mask |= 1 << plane;
             else
                 copyplan_flush(rc);  /* OOM: land the copy now */

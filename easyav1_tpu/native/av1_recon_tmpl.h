@@ -315,6 +315,7 @@ typedef struct {
     int32_t y, x, w, h;
     const pel *src;
     int64_t ss;
+    int32_t nt;                  /* stream stores (no residual re-read) */
 } CopyEnt;
 
 typedef struct {
@@ -323,9 +324,15 @@ typedef struct {
 } CopyPlan;
 
 /* residuals of copy-deferred blocks, applied (per plane) after the
- * plane's copies land */
+ * plane's copies land, band-interleaved so the freshly copied rows
+ * are still cache-resident when the residual reads them back */
 typedef struct {
-    const int32_t **e;           /* block records */
+    const int32_t *b;            /* block record */
+    int32_t y;                   /* plane y of the block */
+} ResidEnt;
+
+typedef struct {
+    ResidEnt *e;
     int n, cap;
 } ResidPlan;
 
