@@ -26,7 +26,7 @@ STAGE_NAMES = [
     "cdef",
     "superres+lr",
     "  inter pred (in 0)",
-    "(unused)",
+    "  inter itx (in flush)",
     "  intra pred (in 0)",
     "  itx (in 0)",
 ]
