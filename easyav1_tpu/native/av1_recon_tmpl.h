@@ -912,9 +912,10 @@ static void recon_block(Recon *rc, const int32_t *b) {
     recon_set_tile(rc, b[BLK_R], b[BLK_C]);
     if (b[BLK_IS_INTER]) {
         double tb0 = rc_now();
-        /* intra block copy reads the current planes: materialize any
-           deferred copies first */
-        if (b[BLK_REF0] == MC_INTRA_FRAME) copyplan_flush(rc);
+        /* intra block copy and the intra half of interintra read the
+           current planes: materialize any deferred copies first */
+        if (b[BLK_REF0] == MC_INTRA_FRAME || b[BLK_II_MODE] >= 0)
+            copyplan_flush(rc);
         if (recon_block_inter(rc, b)) rc->error = 1;
         av1_stage_times[4] += rc_now() - tb0;
         return;
