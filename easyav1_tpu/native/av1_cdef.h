@@ -15,12 +15,17 @@
 /* profiling counters: [0] luma blocks filtered, [1] chroma blocks,
    [2] pri!=0 calls, [3] sec!=0 calls, [4] positions past skip check */
 #if PEL_BITS == 16
-int64_t cdef_stat[12];
+int64_t cdef_stat[16];
+/* per-call rdtsc timing costs ~40ms/60 frames at 1080p when hot
+   (2.9M rdtsc pairs); off unless the profiler turns it on */
+int cdef_profile;
+void cdef_set_profile(int on) { cdef_profile = on; }
 void cdef_get_stats(int64_t *out) {
-    for (int i = 0; i < 12; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
+    for (int i = 0; i < 16; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
 }
 #else
-extern int64_t cdef_stat[12];
+extern int64_t cdef_stat[16];
+extern int cdef_profile;
 #endif
 
 static const int8_t CDEF_DIRS[8][2][2] = {
@@ -707,24 +712,22 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     }
     int16_t tmp[14 * CDEF_TSTRIDE];
 
+    /* per-row position classification, shared by every pass below
+       (band detect, dir pre-pass, filter loop): pos_idx[pc] is the
+       64x64-unit cdef_idx of 8x8-position pc, or -1 for skipped.
+       Static: 8192 positions covers 32768-px-wide video. */
+    static int16_t pos_idx[8192];
+    int n_pos = (mi_cols + 1) / 2;
+    if (n_pos > 8192) return;
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
-    /* classification arrays for the sec-only band fast path */
-    static int16_t *pos_idx;
-    static size_t pos_cap;
     static uint8_t *pxon;
     static size_t pxon_cap;
-    int n_pos = (mi_cols + 1) / 2;
-    if (pos_cap < (size_t)n_pos) {
-        free(pos_idx);
-        pos_idx = malloc(sizeof(int16_t) * (size_t)n_pos);
-        pos_cap = pos_idx ? (size_t)n_pos : 0;
-    }
     if (pxon_cap < (size_t)pw[0] + 64) {
         free(pxon);
         pxon = malloc((size_t)pw[0] + 64);
         pxon_cap = pxon ? (size_t)pw[0] + 64 : 0;
     }
-    int use_band = pos_idx != NULL && pxon != NULL;
+    int use_band = pxon != NULL;
 #endif
 
     const int8_t *skip = o->skip;
@@ -736,25 +739,54 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
            all, and its live rows stay pre-CDEF — so a later row can
            rebuild its `above` context straight from the plane */
         int row_any_y = 0, row_any_uv = 0;
+        int band_y = 0, band_uv = 0;
+        int y_sec_u = -1, uv_sec_u = -1;
+        int row_any_pri = 0;
         {
+            /* single classification pass: pos_idx + lazy-refill gate +
+               band-uniformity detect + pri presence, one skip/cdef_idx
+               derivation per position per frame */
             int r2c = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
-            for (int c = 0; c < mi_cols
-                 && !(row_any_y && (row_any_uv || n_pl == 1));
-                 c += 2) {
+            const int8_t *sk0 = skip + r * mi_cols;
+            const int8_t *sk1 = skip + r2c * mi_cols;
+            const int8_t *crow = o->cdef_idx + (r / 16) * ucols;
+            int y_ok = 1, uv_ok = 1, any_ys = 0, any_uvs = 0;
+            for (int pc = 0; pc < n_pos; pc++) {
+                int c = pc * 2;
                 int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
-                if (skip[r * mi_cols + c] && skip[r * mi_cols + c2]
-                    && skip[r2c * mi_cols + c]
-                    && skip[r2c * mi_cols + c2])
-                    continue;
-                int idx = o->cdef_idx[(r / 16) * ucols + (c / 16)];
+                int idx = -1;
+                if (!(sk0[c] && sk0[c2] && sk1[c] && sk1[c2]))
+                    idx = crow[c / 16];
+                pos_idx[pc] = (int16_t)idx;
                 if (idx < 0) continue;
-                if (rp->cdef_y_pri[idx] | rp->cdef_y_sec[idx])
-                    row_any_y = 1;
-                if (n_pl == 3
-                    && (rp->cdef_uv_pri[idx] | rp->cdef_uv_sec[idx]))
-                    row_any_uv = 1;
+                int yp = rp->cdef_y_pri[idx], ys = rp->cdef_y_sec[idx];
+                int up = rp->cdef_uv_pri[idx], us = rp->cdef_uv_sec[idx];
+                if (yp | ys) row_any_y = 1;
+                if (n_pl == 3 && (up | us)) row_any_uv = 1;
+                if (yp | up) row_any_pri = 1;
+                if (yp == 0 && ys) {
+                    int s = ys << coeff_shift;
+                    if (y_sec_u < 0) y_sec_u = s;
+                    else if (y_sec_u != s) y_ok = 0;
+                    any_ys = 1;
+                }
+                if (n_pl == 3 && up == 0 && us) {
+                    int s = us << coeff_shift;
+                    if (uv_sec_u < 0) uv_sec_u = s;
+                    else if (uv_sec_u != s) uv_ok = 0;
+                    any_uvs = 1;
+                }
             }
+            band_y = any_ys && y_ok;
+            band_uv = any_uvs && uv_ok;
         }
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        if (!use_band) band_y = band_uv = 0;
+#else
+        /* no band kernel in this build: the filter loop covers all */
+        band_y = band_uv = 0;
+        (void)y_sec_u; (void)uv_sec_u;
+#endif
         if (!row_any_y && !row_any_uv) {
             stripe_filled[0] = stripe_filled[1] = stripe_filled[2] = 0;
             continue;
@@ -806,43 +838,6 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             stripe_filled[p] = 1;
         }
         cdef_stat[5] += __rdtsc() - rf0;
-        int band_y = 0, band_uv = 0;
-#if defined(__AVX512BW__) && defined(__AVX512VL__)
-        int y_sec_u = -1, uv_sec_u = -1;
-        if (use_band) {
-            /* classify the row's positions; detect a uniform sec-only
-               strength so whole planes filter as one masked band */
-            int r2c = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
-            int y_ok = 1, uv_ok = 1;
-            int any_y = 0, any_uv = 0;
-            for (int pc = 0; pc < n_pos; pc++) {
-                int c = pc * 2;
-                int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
-                int idx = -1;
-                if (!(skip[r * mi_cols + c] && skip[r * mi_cols + c2]
-                      && skip[r2c * mi_cols + c]
-                      && skip[r2c * mi_cols + c2]))
-                    idx = o->cdef_idx[(r / 16) * ucols + (c / 16)];
-                pos_idx[pc] = (int16_t)idx;
-                if (idx < 0) continue;
-                if (rp->cdef_y_pri[idx] == 0 && rp->cdef_y_sec[idx]) {
-                    int s = rp->cdef_y_sec[idx] << coeff_shift;
-                    if (y_sec_u < 0) y_sec_u = s;
-                    else if (y_sec_u != s) y_ok = 0;
-                    any_y = 1;
-                }
-                if (n_pl == 3 && rp->cdef_uv_pri[idx] == 0
-                    && rp->cdef_uv_sec[idx]) {
-                    int s = rp->cdef_uv_sec[idx] << coeff_shift;
-                    if (uv_sec_u < 0) uv_sec_u = s;
-                    else if (uv_sec_u != s) uv_ok = 0;
-                    any_uv = 1;
-                }
-            }
-            band_y = any_y && y_ok;
-            band_uv = any_uv && uv_ok;
-        }
-#endif
         /* direction pre-pass, row-sequential: the strided per-unit
            8x8 luma reads inside the filter loop miss DRAM on every
            row (~200 cyc/unit at 4K); walking the positions in x order
@@ -858,36 +853,28 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 varrow = malloc(nu * sizeof(int32_t));
                 dircap = (dirrow && varrow) ? nu : 0;
             }
-            if (dircap >= nu) {
-                int r2 = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
+            if (dircap >= nu && row_any_pri) {
                 const pel *dbase = planes[0] + (int64_t)y * pw[0];
-                for (int c = 0; c < mi_cols; c += 2) {
+                uint64_t dc0 = cdef_profile ? __rdtsc() : 0;
+                for (int pc = 0; pc < n_pos; pc++) {
                     /* one rotating row-prefetch per unit keeps all 8
                        source rows ~8 units ahead of the searches */
-                    __builtin_prefetch(dbase
-                                       + ((c >> 1) & 7)
-                                             * (int64_t)pw[0]
-                                       + c * 4 + 64);
-                    int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
-                    int idx;
-                    if (!(skip[r * mi_cols + c] && skip[r * mi_cols + c2]
-                          && skip[r2 * mi_cols + c]
-                          && skip[r2 * mi_cols + c2])
-                        && (idx = o->cdef_idx[(r / 16) * ucols
-                                              + (c / 16)]) != -1
+                    __builtin_prefetch(dbase + (pc & 7) * (int64_t)pw[0]
+                                       + pc * 8 + 64);
+                    int idx = pos_idx[pc];
+                    if (idx >= 0
                         && (rp->cdef_y_pri[idx]
                             || rp->cdef_uv_pri[idx])) {
                         int d_, v_;
-                        uint64_t dc0 = __rdtsc();
-                        cdef_find_dir(planes[0] + (int64_t)y * pw[0]
-                                          + c * 4,
+                        cdef_find_dir(dbase + pc * 8,
                                       pw[0], coeff_shift, &d_, &v_);
-                        cdef_stat[10] += __rdtsc() - dc0;
-                        cdef_stat[11]++;
-                        dirrow[c >> 1] = (int8_t)d_;
-                        varrow[c >> 1] = v_;
+                        dirrow[pc] = (int8_t)d_;
+                        varrow[pc] = v_;
+                        cdef_stat[11] += cdef_profile != 0;
                     }
                 }
+                if (__builtin_expect(cdef_profile, 0))
+                    cdef_stat[10] += __rdtsc() - dc0;
             }
         }
         /* per-64x64-unit parameter cache: strengths, tap weights and
@@ -896,15 +883,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         int last_idx = -2;
         int u_pri = 0, u_sec = 0, u_pt0 = 0, u_pt1 = 0, u_psh = 0,
             u_ssh = 0;
-        for (int c = 0; c < mi_cols; c += 2) {
+        for (int pc = 0; pc < n_pos; pc++) {
+            int c = pc * 2;
             int x = c * 4;
-            int r2 = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
-            int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
-            int idx;
-            if (!(skip[r * mi_cols + c] && skip[r * mi_cols + c2]
-                  && skip[r2 * mi_cols + c] && skip[r2 * mi_cols + c2])
-                && (idx = o->cdef_idx[(r / 16) * ucols + (c / 16)])
-                   != -1) {
+            int idx = pos_idx[pc];
+            if (idx != -1) {
                 int done_y = band_y && rp->cdef_y_pri[idx] == 0;
                 int done_uv = band_uv && rp->cdef_uv_pri[idx] == 0;
                 if (done_y && (n_pl == 1 || done_uv))
@@ -942,7 +925,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     int pri = u_pri, sec = u_sec;
                     uv_paired = 1;
                     if (pri | sec) {
-                        uint64_t pc0 = __rdtsc();
+                        uint64_t pc0 = cdef_profile ? __rdtsc() : 0;
                         int px = x >> 1, py2 = y >> rp->ssy;
                         int h = 8 >> rp->ssy;
                         int pdir = pri ? CDEF_UV_DIR[1][rp->ssy][dir]
@@ -979,8 +962,10 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                 planes[1] + doff, planes[2] + doff,
                                 pw[1], tmp, h, pri, sec, pt0, pt1,
                                 psh, ssh, pdir, 1);
-                        cdef_stat[8] += __rdtsc() - pc0;
-                        cdef_stat[9]++;
+                        if (__builtin_expect(cdef_profile, 0)) {
+                            cdef_stat[8] += __rdtsc() - pc0;
+                            cdef_stat[9]++;
+                        }
                     }
                 }
 #endif
@@ -1028,6 +1013,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     cdef_stat[plane ? 1 : 0]++;
                     cdef_stat[2] += pri != 0;
                     cdef_stat[3] += sec != 0;
+                    uint64_t fb0 = __rdtsc();
                     int interior = px >= 2 && px + w + 2 <= pw[plane]
                                    && py2 >= 2
                                    && py2 + h + 2 <= ph[plane];
@@ -1038,6 +1024,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         pw[plane], stripe[plane] + px, sst[plane],
                         0, 0, w, h,
                         adj_pri, sec, pdamp, pdir, bd, !interior);
+                    cdef_stat[12] += __rdtsc() - fb0;
                 }
             }
         }
@@ -1061,10 +1048,12 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         nb++;
                     }
                 }
+                uint64_t bl0 = __rdtsc();
                 cdef_band_sec(planes[0] + (int64_t)y * pw[0], pw[0],
                               stripe[0], sst[0], pw[0], 8, y_sec_u,
                               cdef_shift_for(y_sec_u, damping), pxon,
                               y < 2 || y + 10 > ph[0]);
+                cdef_stat[13] += __rdtsc() - bl0;
                 cdef_stat[0] += nb;
                 cdef_stat[3] += nb;
                 cdef_stat[6] += nb;
@@ -1085,11 +1074,13 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     }
                 }
                 int ssh = cdef_shift_for(uv_sec_u, damping - 1);
+                uint64_t bc0 = __rdtsc();
                 for (int p = 1; p < n_pl; p++)
                     cdef_band_sec(planes[p] + (int64_t)py2 * pw[p],
                                   pw[p], stripe[p], sst[p], pw[p], hh,
                                   uv_sec_u, ssh, pxon,
                                   py2 < 2 || py2 + hh + 2 > ph[p]);
+                cdef_stat[14] += __rdtsc() - bc0;
                 cdef_stat[1] += 2 * nb;
                 cdef_stat[3] += 2 * nb;
                 cdef_stat[7] += 2 * nb;

@@ -44,6 +44,9 @@ void av1_get_stage_times(double *out) {
         av1_stage_times[i] = 0.0;
     }
 }
+
+/* rdtsc exposed for the profiler's cycle->seconds calibration */
+uint64_t av1_rdtsc(void) { return __builtin_ia32_rdtsc(); }
 #else
 extern double av1_stage_times[8];
 #endif

@@ -32,6 +32,20 @@ STAGE_NAMES = [
 ]
 
 
+def _tsc_hz():
+    import ctypes as ct
+    from easyav1_tpu import native
+    nl = native._load()
+    if not hasattr(nl, "av1_rdtsc"):
+        return 2.1e9  # /proc/cpuinfo model nominal
+    nl.av1_rdtsc.restype = ct.c_uint64
+    t0 = time.perf_counter()
+    c0 = nl.av1_rdtsc()
+    time.sleep(0.05)
+    c1 = nl.av1_rdtsc()
+    return (c1 - c0) / (time.perf_counter() - t0)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "1080"
     import bench
@@ -57,6 +71,10 @@ def main():
     buf = (ctypes.c_double * 8)()
     lib.av1_get_stage_times(buf)  # reset
     lib.av1_get_tile_time()
+    try:
+        lib.cdef_set_profile(1)
+    except AttributeError:
+        pass
 
     os.environ["EASYAV1_PIPE"] = "native"
     dmx = WebMDemuxer(str(path))
@@ -96,6 +114,26 @@ def main():
         print(f"{nm:<28}{stages[i]*1000:>9.1f}{100*stages[i]/wall:>7.1f}%")
     print(f"{'python/orchestration rest':<28}"
           f"{(wall-accounted)*1000:>9.1f}{100*(wall-accounted)/wall:>7.1f}%")
+
+    # CDEF internals: where the cdef stage time goes
+    try:
+        lib.cdef_get_stats.restype = None
+        lib.cdef_get_stats.argtypes = [ctypes.POINTER(ctypes.c_int64)]
+        cs = (ctypes.c_int64 * 16)()
+        lib.cdef_get_stats(cs)
+        hz = _tsc_hz()
+        print(f"\nCDEF internals (stage {stages[2]*1000:.1f} ms):")
+        print(f"  luma blocks {cs[0]}  chroma blocks {cs[1]}  "
+              f"pri-calls {cs[2]}  sec-calls {cs[3]}  positions {cs[4]}")
+        print(f"  band-filtered: luma {cs[6]}  chroma {cs[7]}")
+        print(f"  stripe refill  {cs[5]/hz*1000:9.1f} ms")
+        print(f"  dir search     {cs[10]/hz*1000:9.1f} ms  ({cs[11]} calls)")
+        print(f"  uv-paired flt  {cs[8]/hz*1000:9.1f} ms  ({cs[9]} calls)")
+        print(f"  per-pos filter {cs[12]/hz*1000:9.1f} ms")
+        print(f"  band luma      {cs[13]/hz*1000:9.1f} ms")
+        print(f"  band chroma    {cs[14]/hz*1000:9.1f} ms")
+    except AttributeError:
+        pass
 
     # MC path breakdown (pixels / cycles / calls per subpel path)
     try:
