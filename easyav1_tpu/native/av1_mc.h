@@ -18,15 +18,15 @@
    [12] compound pixels, [13] obmc pixels,
    [14] warp pixels, [15] warp cycles. */
 #if PEL_BITS == 16
-uint64_t av1_mc_stat[48];
+uint64_t av1_mc_stat[64];
 void av1_get_mc_stats(uint64_t *out) {
-    for (int i = 0; i < 48; i++) {
+    for (int i = 0; i < 64; i++) {
         out[i] = av1_mc_stat[i];
         av1_mc_stat[i] = 0;
     }
 }
 #else
-extern uint64_t av1_mc_stat[48];
+extern uint64_t av1_mc_stat[64];
 #endif
 #include <x86intrin.h>
 #include <stdlib.h>
@@ -888,6 +888,21 @@ static int mc_is_scaled(const Recon *rc, int ref, int *xs, int *ys) {
 static void cp_copy_rows(pel *dst, int64_t ds, const pel *src,
                          int64_t ss, int w, int h, int nt) {
     size_t row_bytes = sizeof(pel) * (size_t)w;
+    /* Small/mid bands are latency-bound, not bandwidth-bound: each
+       entry's source sits at an arbitrary MV offset, so every row is
+       a demand miss and the rolling 2-rows-ahead prefetch leaves the
+       misses serialized (40-130 cyc/px measured on high-latency VM
+       memory vs ~4 cyc/px for full-width bands).  Issue the whole
+       source window's line fills up front so they overlap. */
+    if (row_bytes < 4096) {
+        const char *s0 = (const char *)src;
+        for (int r = 0; r < h; r++) {
+            for (size_t b = 0; b < row_bytes; b += 64)
+                __builtin_prefetch(s0 + b);
+            __builtin_prefetch(s0 + row_bytes - 1);
+            s0 += ss * (int64_t)sizeof(pel);
+        }
+    }
 #if defined(__AVX512F__)
     if (nt && row_bytes >= 64 && ((uintptr_t)dst & 63) == 0
         && ((sizeof(pel) * (size_t)ds) & 63) == 0) {
@@ -963,9 +978,26 @@ static void copyplan_flush(Recon *rc) {
                        && e[j + 1].src == e[j].src + e[j].w)
                     j++;
                 int mw = e[j].x + e[j].w - e[i].x;
+                /* hide the next run's source latency under this copy */
+                if (j + 1 < cp->n) {
+                    const CopyEnt *nx = &e[j + 1];
+                    const char *ns = (const char *)nx->src;
+                    int64_t nss = nx->ss * (int64_t)sizeof(pel);
+                    for (int r = 0; r < nx->h; r++)
+                        __builtin_prefetch(ns + (int64_t)r * nss);
+                }
+                uint64_t b0 = __rdtsc();
                 cp_copy_rows(plane + (int64_t)e[i].y * ds + e[i].x, ds,
                              e[i].src, e[i].ss, mw, e[i].h, e[i].nt);
                 px += (uint64_t)mw * e[i].h;
+                {
+                    int k = mw >= 1024 ? 4 : mw >= 256 ? 3
+                            : mw >= 64 ? 2 : mw >= 16 ? 1 : 0;
+                    av1_mc_stat[48 + k]++;
+                    av1_mc_stat[53 + k] += (uint64_t)mw * e[i].h;
+                    av1_mc_stat[59 + k] += __rdtsc() - b0;
+                }
+                av1_mc_stat[58] += (uint64_t)(j + 1 - i);
                 i = j + 1;
             }
             while (ri < rp_->n && (rp_->e[ri].y >> 7) == band) {

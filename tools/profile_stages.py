@@ -139,7 +139,7 @@ def main():
     try:
         lib.av1_get_mc_stats.restype = None
         lib.av1_get_mc_stats.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
-        mc = (ctypes.c_uint64 * 24)()
+        mc = (ctypes.c_uint64 * 64)()
         lib.av1_get_mc_stats(mc)
         names = ["int-mv", "h-only", "v-only", "2d"]
         tot_cyc = sum(mc[4:8]) + mc[15]
@@ -165,6 +165,15 @@ def main():
                 print(f"int-mv memcpy branch: {mc[16]/1e6:.2f} Mpx "
                       f"{mc[17]/1e6:.1f} Mcyc "
                       f"({mc[17]/max(mc[16],1):.1f} cyc/px)")
+            if mc[58]:
+                names = ["<16", "16-63", "64-255", "256-1023", ">=1024"]
+                print(f"flush bands ({mc[58]} entries merged):")
+                for k in range(5):
+                    if mc[48 + k]:
+                        print(f"  w{names[k]:<9} {mc[48+k]:>9} bands "
+                              f"{mc[53+k]/1e6:>9.2f} Mpx "
+                              f"{mc[59+k]/1e6:>8.1f} Mcyc "
+                              f"{mc[59+k]/max(mc[53+k],1):>6.1f} cyc/px")
     except AttributeError:
         pass
 
