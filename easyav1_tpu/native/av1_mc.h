@@ -76,6 +76,28 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
     int ix = start_x >> 4, iy = start_y >> 4;
     int last_x = rw - 1, last_y = rh - 1;
 
+    /* overlap the source window's line fills across rows: per-MV
+       sources are scattered, and serialized demand misses dominate on
+       this host's high-latency memory (same fix as cp_copy_rows) */
+    {
+        size_t pb = sizeof(pel) * (size_t)(w + 8);
+        if (pb < 4096) {
+            int py0 = iy - 3, py1 = iy + h + 4;
+            if (py0 < 0) py0 = 0;
+            if (py1 > last_y + 1) py1 = last_y + 1;
+            int pxx = ix - 3;
+            if (pxx < 0) pxx = 0;
+            if (pxx > last_x) pxx = last_x;
+            const char *s =
+                (const char *)(ref + (int64_t)py0 * rs + pxx);
+            for (int r = py0; r < py1; r++) {
+                for (size_t b = 0; b < pb; b += 64)
+                    __builtin_prefetch(s + b);
+                s += (int64_t)rs * sizeof(pel);
+            }
+        }
+    }
+
     if (frac_x == 0 && frac_y == 0) {
         /* integer motion: (128*px rounds exactly through both stages).
          * The all-inside non-compound store is the dominant MC shape on
