@@ -942,12 +942,18 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                 stripe[1] + (size_t)i * sst[1] + px;
                             const int16_t *sv =
                                 stripe[2] + (size_t)i * sst[2] + px;
-                            _mm_storeu_si128(
-                                (__m128i *)(tmp + i * CDEF_TSTRIDE),
-                                _mm_loadu_si128((const __m128i *)su));
-                            _mm_storeu_si128(
-                                (__m128i *)(tmp + i * CDEF_TSTRIDE + 8),
-                                _mm_loadu_si128((const __m128i *)sv));
+                            /* single 256-bit store per row: the
+                               filter's 512-bit tap loads span rows,
+                               and halving the store count halves the
+                               store-forwarding penalties they hit */
+                            _mm256_storeu_si256(
+                                (__m256i *)(tmp + i * CDEF_TSTRIDE),
+                                _mm256_inserti128_si256(
+                                    _mm256_castsi128_si256(
+                                        _mm_loadu_si128(
+                                            (const __m128i *)su)),
+                                    _mm_loadu_si128((const __m128i *)sv),
+                                    1));
                         }
                         int pt0 = u_pt0, pt1 = u_pt1;
                         int psh = u_psh, ssh = u_ssh;
