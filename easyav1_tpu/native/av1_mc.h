@@ -1144,10 +1144,10 @@ static void residual_add_mask(Recon *rc, const int32_t *b,
         if (!((plane_mask >> plane) & 1)) continue;
         int tsz = rec[3], ttyp = rec[4];
         int32_t res[64 * 64];
-        double tx0 = rc_now();
+        uint64_t tx0 = rc_tick();
         if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
         else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth, res);
-        av1_stage_times[5] += rc_now() - tx0;
+        rc_tick_add(5, tx0);
         int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
         pel *buf = rc->planes[plane];
         int pw = rc->pw[plane], ph = rc->ph[plane];

@@ -34,14 +34,39 @@
 #include <time.h>
 
 /* cumulative per-stage wall times (profiling; av1_get_stage_times),
-   shared by both pel builds */
+   shared by both pel builds.  Per-frame stages accumulate seconds
+   directly (av1_stage_times); the per-block / per-transform sub-stage
+   timers are rdtsc ticks (av1_stage_ticks) gated behind rc_profile —
+   clock_gettime is ~180 cycles on this host and two calls per
+   transform were costing whole milliseconds per frame in production */
 #if PEL_BITS == 16
 double av1_stage_times[8];
+uint64_t av1_stage_ticks[8];
+int rc_profile;
+
+void av1_set_stage_profile(int on) { rc_profile = on; }
 
 void av1_get_stage_times(double *out) {
+    static double tsc_hz;
+    int any_ticks = 0;
+    for (int i = 0; i < 8; i++) any_ticks |= av1_stage_ticks[i] != 0;
+    if (any_ticks && tsc_hz == 0.0) {
+        /* one-time tick->seconds calibration (profiling path only) */
+        struct timespec a, b;
+        clock_gettime(CLOCK_MONOTONIC, &a);
+        uint64_t c0 = __builtin_ia32_rdtsc();
+        double el;
+        do {
+            clock_gettime(CLOCK_MONOTONIC, &b);
+            el = (b.tv_sec - a.tv_sec) + (b.tv_nsec - a.tv_nsec) * 1e-9;
+        } while (el < 0.005);
+        tsc_hz = (double)(__builtin_ia32_rdtsc() - c0) / el;
+    }
     for (int i = 0; i < 8; i++) {
-        out[i] = av1_stage_times[i];
+        out[i] = av1_stage_times[i]
+                 + (tsc_hz ? av1_stage_ticks[i] / tsc_hz : 0.0);
         av1_stage_times[i] = 0.0;
+        av1_stage_ticks[i] = 0;
     }
 }
 
@@ -49,12 +74,23 @@ void av1_get_stage_times(double *out) {
 uint64_t av1_rdtsc(void) { return __builtin_ia32_rdtsc(); }
 #else
 extern double av1_stage_times[8];
+extern uint64_t av1_stage_ticks[8];
+extern int rc_profile;
 #endif
 
 static double rc_now(void) {
     struct timespec ts;
     clock_gettime(CLOCK_MONOTONIC, &ts);
     return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+
+/* hot-path sub-stage timer: zero cost unless profiling is enabled */
+static inline uint64_t rc_tick(void) {
+    return __builtin_expect(rc_profile, 0) ? __builtin_ia32_rdtsc() : 0;
+}
+static inline void rc_tick_add(int slot, uint64_t t0) {
+    if (__builtin_expect(rc_profile, 0))
+        av1_stage_ticks[slot] += __builtin_ia32_rdtsc() - t0;
 }
 
 static int rmin(int a, int b) { return a < b ? a : b; }
@@ -880,10 +916,10 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
     }
     if (coef_or_null != NULL) {
         int32_t res[64 * 64];
-        double tx0 = rc_now();
+        uint64_t tx0 = rc_tick();
         if (lossless) itx_wht4(coef_or_null, res);
         else itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
-        av1_stage_times[7] += rc_now() - tx0;
+        rc_tick_add(7, tx0);
         for (int i = 0; i < fh; i++)
             for (int j = 0; j < fw; j++)
                 pred[i * fw + j] += res[i * fw + j];
@@ -914,18 +950,18 @@ static void recon_block(Recon *rc, const int32_t *b) {
     const TileOut *o = rc->o;
     recon_set_tile(rc, b[BLK_R], b[BLK_C]);
     if (b[BLK_IS_INTER]) {
-        double tb0 = rc_now();
+        uint64_t tb0 = rc_tick();
         /* intra block copy and the intra half of interintra read the
            current planes: materialize any deferred copies first */
         if (b[BLK_REF0] == MC_INTRA_FRAME || b[BLK_II_MODE] >= 0)
             copyplan_flush(rc);
         if (recon_block_inter(rc, b)) rc->error = 1;
-        av1_stage_times[4] += rc_now() - tb0;
+        rc_tick_add(4, tb0);
         return;
     }
     /* intra prediction reads reconstructed neighbours */
     copyplan_flush(rc);
-    double ti0 = rc_now();
+    uint64_t ti0 = rc_tick();
     int br = b[0], bc = b[1], bsize = b[2];
     rc->cur_fi = b[13];
     int y_mode = b[3], uv_mode = b[4];
@@ -1009,7 +1045,7 @@ static void recon_block(Recon *rc, const int32_t *b) {
     }
 #undef TXFIND
 #undef TXAT
-    av1_stage_times[6] += rc_now() - ti0;
+    rc_tick_add(6, ti0);
 }
 
 /* ------------------------------------------------------------------ */

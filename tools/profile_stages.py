@@ -75,6 +75,10 @@ def main():
         lib.cdef_set_profile(1)
     except AttributeError:
         pass
+    try:
+        lib.av1_set_stage_profile(1)
+    except AttributeError:
+        pass
 
     os.environ["EASYAV1_PIPE"] = "native"
     dmx = WebMDemuxer(str(path))
