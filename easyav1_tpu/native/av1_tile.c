@@ -17,6 +17,26 @@
 #define EC_PROB_SHIFT 6
 #define EC_MIN_PROB 4
 
+/* entropy-stage internals, gated behind the shared profiling flag
+   (av1_set_stage_profile): [0] decode_block ticks, [1] inter mode-info
+   ticks, [2] residual-section ticks, [8] blocks, [9] inter blocks,
+   [10] coded (non-skip) blocks, [11] eob sum, [12] tx count */
+extern int rc_profile;
+uint64_t av1_tile_stat[16];
+void av1_get_tile_stats(uint64_t *out) {
+    for (int i = 0; i < 16; i++) { out[i] = av1_tile_stat[i]; av1_tile_stat[i] = 0; }
+}
+static inline uint64_t tl_tick(void) {
+    return __builtin_expect(rc_profile, 0) ? __builtin_ia32_rdtsc() : 0;
+}
+static inline void tl_add(int slot, uint64_t t0) {
+    if (__builtin_expect(rc_profile, 0))
+        av1_tile_stat[slot] += __builtin_ia32_rdtsc() - t0;
+}
+static inline void tl_count(int slot, uint64_t n) {
+    if (__builtin_expect(rc_profile, 0)) av1_tile_stat[slot] += n;
+}
+
 /* ------------------------------------------------------------------ */
 /* msac range decoder (spec §8.2; mirror of msac.py)                   */
 
@@ -747,6 +767,8 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     const int16_t *scan = av1_scans[tx_size][cls];
 
     int eob = read_eob(t, tx_size, ptype, cls);
+    tl_count(11, (uint64_t)eob);
+    tl_count(12, 1);
 
     int bwl = floor_log2((uint32_t)tw);
     int stride = tw + 4;
@@ -1092,7 +1114,32 @@ static void read_lr(Ctx *t, int r, int c) {
 /* palette + intrabc syntax (uses find_mv_stack / msac helpers) */
 #include "av1_pal.h"
 
+/* Fill n bytes at dst with the repeating 8-byte pattern pat using a
+   handful of inlined (possibly overlapping) stores.  Rows here are
+   1..256 bytes with n always a multiple of the pattern period, so the
+   overlapping tail store stays pattern-aligned. */
+static inline void mi_row_fill(void *dst, uint64_t pat, int n) {
+    uint8_t *q = (uint8_t *)dst;
+    if (n >= 8) {
+        int i = 0;
+        do { memcpy(q + i, &pat, 8); i += 8; } while (i + 8 <= n);
+        if (i < n) memcpy(q + n - 8, &pat, 8);
+    } else if (n >= 4) {
+        uint32_t p4 = (uint32_t)pat;
+        memcpy(q, &p4, 4);
+        memcpy(q + n - 4, &p4, 4);
+    } else if (n >= 2) {
+        uint16_t p2 = (uint16_t)pat;
+        memcpy(q, &p2, 2);
+        memcpy(q + n - 2, &p2, 2);
+    } else if (n == 1) {
+        q[0] = (uint8_t)pat;
+    }
+}
+
 static void decode_block(Ctx *t, int r, int c, int bsize) {
+    uint64_t blk0 = tl_tick();
+    tl_count(8, 1);
     const TileParams *p = t->p;
     const FrameParams *fp = t->fp;
     TileOut *o = t->o;
@@ -1190,7 +1237,10 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
         ii.interp[0] = ii.interp[1] = FILTER_BILINEAR;
         read_intrabc_dv(t, r, c, bsize, ii.mv);
     } else if (is_inter) {
+        uint64_t im0 = tl_tick();
         inter_mode_info(t, r, c, bsize, avail_u, avail_l, &ii);
+        tl_add(1, im0);
+        tl_count(9, 1);
     } else if (fp->frame_is_intra) {
         int above_mode = avail_u ? t->a_mode[c] : DC_PRED;
         int left_mode = avail_l ? t->l_mode[r] : DC_PRED;
@@ -1328,32 +1378,76 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     /* block_mode for the modes grid: y_mode for intra, inter mode else */
     int block_mode = is_inter ? ii.mode : y_mode;
 
-    /* mi grids (written before residual; clipped at the tile edge) */
-    for (int i = 0; i < h4; i++)
-        for (int j = 0; j < w4; j++) {
-            int64_t at = (int64_t)(r + i) * p->mi_cols + (c + j);
-            o->y_mode[at] = (int8_t)y_mode;
-            o->uv_mode[at] = (int8_t)uv_mode;
-            o->angle_y[at] = (int8_t)angle_y;
-            o->angle_uv[at] = (int8_t)angle_uv;
-            o->skip[at] = (int8_t)skip;
-            o->bsize[at] = (int8_t)bsize;
-            o->ref0_g[at] = (int8_t)ii.rf[0];
-            o->ref1_g[at] = (int8_t)ii.rf[1];
-            o->mvs_g[at * 4 + 0] = (int16_t)ii.mv[0];
-            o->mvs_g[at * 4 + 1] = (int16_t)ii.mv[1];
-            o->mvs_g[at * 4 + 2] = (int16_t)ii.mv2[0];
-            o->mvs_g[at * 4 + 3] = (int16_t)ii.mv2[1];
-            o->modes_g[at] = (int16_t)block_mode;
-            o->interp_g[at * 2 + 0] = (int8_t)ii.interp[0];
-            o->interp_g[at * 2 + 1] = (int8_t)ii.interp[1];
-            o->skipmode_g[at] = (int8_t)t->skip_mode_flag;
-            o->compgrp_g[at] = (int8_t)ii.comp_group_idx;
-            o->compidx_g[at] = (int8_t)ii.compound_idx;
-            o->intrabc_g[at] = (int8_t)use_intrabc;
-            t->decoded_mi[at] = 1;
+    /* mi grids (written before residual; clipped at the tile edge).
+       All fields are constant across the block, so fill per-array rows
+       (memset / wide pattern stores) instead of 18 interleaved byte
+       stores per cell — the cell loop was ~9.5k cycles per block */
+    uint64_t gr0 = tl_tick();
+    {
+        uint64_t mv_pat;
+        {
+            uint16_t q[4] = {(uint16_t)(int16_t)ii.mv[0],
+                             (uint16_t)(int16_t)ii.mv[1],
+                             (uint16_t)(int16_t)ii.mv2[0],
+                             (uint16_t)(int16_t)ii.mv2[1]};
+            memcpy(&mv_pat, q, 8);
         }
+        uint16_t mode_pat = (uint16_t)(int16_t)block_mode;
+        uint16_t interp_pat;
+        {
+            uint8_t q[2] = {(uint8_t)(int8_t)ii.interp[0],
+                            (uint8_t)(int8_t)ii.interp[1]};
+            memcpy(&interp_pat, q, 2);
+        }
+        /* array-major fill with inline overlap stores: rows are tiny
+           (1-32 cells), so libc memset's per-call dispatch dominated —
+           mi_row_fill is a handful of inlined 8-byte stores instead */
+        int64_t at0 = (int64_t)r * p->mi_cols + c;
+        int64_t stride = p->mi_cols;
+#define MI_FILL8(arr, val) do {                                        \
+            uint64_t p8_ = 0x0101010101010101ull * (uint8_t)(val);     \
+            uint8_t *q_ = (uint8_t *)(arr) + at0;                      \
+            for (int i_ = 0; i_ < h4; i_++, q_ += stride)              \
+                mi_row_fill(q_, p8_, w4);                              \
+        } while (0)
+        MI_FILL8(o->y_mode, (int8_t)y_mode);
+        MI_FILL8(o->uv_mode, (int8_t)uv_mode);
+        MI_FILL8(o->angle_y, (int8_t)angle_y);
+        MI_FILL8(o->angle_uv, (int8_t)angle_uv);
+        MI_FILL8(o->skip, skip);
+        MI_FILL8(o->bsize, bsize);
+        MI_FILL8(o->ref0_g, (int8_t)ii.rf[0]);
+        MI_FILL8(o->ref1_g, (int8_t)ii.rf[1]);
+        MI_FILL8(o->skipmode_g, t->skip_mode_flag);
+        MI_FILL8(o->compgrp_g, (int8_t)ii.comp_group_idx);
+        MI_FILL8(o->compidx_g, ii.compound_idx);
+        MI_FILL8(o->intrabc_g, use_intrabc);
+        MI_FILL8(t->decoded_mi, 1);
+#undef MI_FILL8
+        {
+            char *q = (char *)(o->mvs_g + at0 * 4);
+            int64_t bs = stride * 8;
+            for (int i = 0; i < h4; i++, q += bs)
+                mi_row_fill(q, mv_pat, w4 * 8);
+        }
+        {
+            uint64_t md_pat = 0x0001000100010001ull * mode_pat;
+            char *q = (char *)(o->modes_g + at0);
+            int64_t bs = stride * 2;
+            for (int i = 0; i < h4; i++, q += bs)
+                mi_row_fill(q, md_pat, w4 * 2);
+        }
+        {
+            uint64_t ip_pat = 0x0001000100010001ull * interp_pat;
+            char *q = (char *)(o->interp_g + at0 * 2);
+            int64_t bs = stride * 2;
+            for (int i = 0; i < h4; i++, q += bs)
+                mi_row_fill(q, ip_pat, w4 * 2);
+        }
+    }
 
+    tl_add(3, gr0);
+    uint64_t tp0 = tl_tick();
     int tx_size = av1_max_tx_rect[bsize];
     int uv_tx = has_chroma ? uv_tx_size_for(p, bsize) : 0;
     int32_t leaves[1024][3];
@@ -1422,6 +1516,7 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
         }
     }
 
+    tl_add(4, tp0);
     if (o->n_blocks >= o->max_blocks) { o->error = 1; return; }
     t->cur_block = o->n_blocks;
     int32_t *b = o->blocks + o->n_blocks * BLK_FIELDS;
@@ -1456,6 +1551,8 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     o->n_blocks++;
 
     if (!skip) {
+        uint64_t rs0 = tl_tick();
+        tl_count(10, 1);
         /* spec 5.11.34 residual(): blocks wider/taller than 64px are
          * split into 64x64 chunks with the planes (and var-tx leaves)
          * interleaved PER CHUNK */
@@ -1514,6 +1611,7 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
             }
         }
         }
+        tl_add(2, rs0);
     } else {
         /* clear coef ctx over the full (unclipped) block extent */
         set_coef_ctx(t, 0, c, r, full_w4, full_h4, 0, 0);
@@ -1568,6 +1666,7 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
             memcpy(t->l_pal[2] + (int64_t)(r + i) * 8, pal_cr,
                    8 * sizeof(int32_t));
         }
+    tl_add(0, blk0);
 }
 
 /* edge-partition split probability (tile.py edge_split_prob) */

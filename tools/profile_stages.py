@@ -93,6 +93,11 @@ def main():
             bench._touch(f)
     lib.av1_get_stage_times(buf)
     lib.av1_get_tile_time()
+    try:
+        _ts = (ctypes.c_uint64 * 16)()
+        lib.av1_get_tile_stats(_ts)
+    except AttributeError:
+        pass
 
     t0 = time.perf_counter()
     n = 0
@@ -118,6 +123,30 @@ def main():
         print(f"{nm:<28}{stages[i]*1000:>9.1f}{100*stages[i]/wall:>7.1f}%")
     print(f"{'python/orchestration rest':<28}"
           f"{(wall-accounted)*1000:>9.1f}{100*(wall-accounted)/wall:>7.1f}%")
+
+    # entropy internals: where the tile-decode stage time goes
+    try:
+        lib.av1_get_tile_stats.restype = None
+        lib.av1_get_tile_stats.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
+        ts_ = (ctypes.c_uint64 * 16)()
+        lib.av1_get_tile_stats(ts_)
+        hz = _tsc_hz()
+        if ts_[8]:
+            blk, mode_i, resid = ts_[0] / hz, ts_[1] / hz, ts_[2] / hz
+            print(f"\nentropy internals (stage {tile_t*1000:.1f} ms):")
+            print(f"  blocks {ts_[8]}  inter {ts_[9]}  coded {ts_[10]}  "
+                  f"txs {ts_[12]}  eob-sum {ts_[11]}")
+            print(f"  decode_block total {blk*1000:9.1f} ms")
+            print(f"  inter mode-info    {mode_i*1000:9.1f} ms")
+            print(f"  residual (coefs)   {resid*1000:9.1f} ms")
+            grids, txp = ts_[3] / hz, ts_[4] / hz
+            print(f"    mi-grid fill     {grids*1000:9.1f} ms")
+            print(f"    tx-size/var-tx   {txp*1000:9.1f} ms")
+            print(f"  other block parse  "
+                  f"{(blk-mode_i-resid-grids-txp)*1000:9.1f} ms")
+            print(f"  partition/sb walk  {(tile_t-blk)*1000:9.1f} ms")
+    except AttributeError:
+        pass
 
     # CDEF internals: where the cdef stage time goes
     try:
