@@ -125,6 +125,7 @@ def _av1_fixture(w=1920, h=1080, frames=30, fps=30, gop=1, tag="intra",
     import subprocess as sp
     from fixtures import CACHE, tool
 
+    CACHE.mkdir(parents=True, exist_ok=True)
     out = CACHE / f"bench_av1_{tag}_{w}x{h}_{frames}.webm"
     if not out.exists():
         # default-encoded: every libaom tool the encoder picks stays on
