@@ -393,6 +393,37 @@ static int run_player(void)
         }
     }
 
+    if (P.dump) {
+        /* Dump mode is the deterministic conformance harness: drive
+           decode_next directly (every frame, no wall-clock pacing) so
+           the Y4M output is bit-exact regardless of host stalls.  The
+           interactive path below still exercises easyav1_play(). */
+        uint64_t frames = 0;
+        while (!P.quit && !easyav1_is_finished(P.av1) &&
+               easyav1_get_status(P.av1) != EASYAV1_STATUS_ERROR) {
+            if (easyav1_decode_next(P.av1) != EASYAV1_STATUS_OK) {
+                break;
+            }
+            const easyav1_video_frame *frame =
+                easyav1_get_video_frame(P.av1);
+            if (frame) {
+                frames++;
+                dump_frame(frame);
+            }
+        }
+        char cur2[32];
+        fmt_timestamp(easyav1_get_current_timestamp(P.av1), cur2,
+                      sizeof cur2);
+        printf("played=%s frames=%llu audio_cb_frames=%llu "
+               "audio_bytes=%llu\n",
+               cur2, (unsigned long long)frames,
+               (unsigned long long)P.audio_frames,
+               (unsigned long long)P.audio_bytes);
+        fclose(P.dump);
+        term_raw_disable();
+        return 0;
+    }
+
     if (easyav1_play(P.av1) != EASYAV1_STATUS_OK) {
         term_raw_disable();
         return 6;
