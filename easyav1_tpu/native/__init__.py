@@ -43,7 +43,8 @@ class _TileParams(ctypes.Structure):
         "allow_update_cdf", "enable_cdef", "cdef_bits",
         "enable_filter_intra", "allow_intrabc", "delta_q_present",
         "delta_q_res", "delta_lf_present", "delta_lf_multi", "col_start",
-        "col_end", "row_start", "row_end", "qctx", "allow_screen")]
+        "col_end", "row_start", "row_end", "qctx", "allow_screen",
+        "fill_aux")]
 
 
 class _FrameParams(ctypes.Structure):
@@ -198,8 +199,7 @@ class _TileOut(ctypes.Structure):
         ("error", ctypes.c_int32),
         ("ref0_g", ctypes.c_void_p), ("ref1_g", ctypes.c_void_p),
         ("mvs_g", ctypes.c_void_p), ("interp_g", ctypes.c_void_p),
-        ("modes_g", ctypes.c_void_p), ("skipmode_g", ctypes.c_void_p),
-        ("compgrp_g", ctypes.c_void_p), ("compidx_g", ctypes.c_void_p),
+        ("modes_g", ctypes.c_void_p),
         ("intrabc_g", ctypes.c_void_p),
         ("lr_units", ctypes.c_void_p),
         ("max_lr_units", ctypes.c_int64), ("n_lr_units", ctypes.c_int64),
@@ -437,7 +437,7 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
 
 
 def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
-               tpl=None):
+               tpl=None, fill_aux=False):
     """Run the C tile decoder over all tiles of a frame.
 
     Returns (TileOut, bufs, cdf_blob_or_None) or None when the frame
@@ -468,6 +468,7 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         qctx=_qctx(q.base_q_idx),
         allow_screen=int(getattr(hdr, "allow_screen_content_tools",
                                  False)),
+        fill_aux=int(fill_aux),
     )
 
     n_mi = mi_rows * mi_cols
@@ -496,9 +497,6 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
             "mvs": np.empty((mi_rows, mi_cols, 2, 2), np.int16),
             "interp": np.empty((mi_rows, mi_cols, 2), np.int8),
             "modes": np.empty((mi_rows, mi_cols), np.int16),
-            "skipmode": np.empty((mi_rows, mi_cols), np.int8),
-            "compgrp": np.empty((mi_rows, mi_cols), np.int8),
-            "compidx": np.empty((mi_rows, mi_cols), np.int8),
             "intrabc": np.empty((mi_rows, mi_cols), np.int8),
             # LR units: ceil over 64px min unit size per plane, 3 planes
             "lr": np.empty(((mi_rows * 4 // 64 + 2)
@@ -514,9 +512,11 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
     # inter-state grids: per-frame init mirrors tile.py _init_tile
     bufs["ref0"].fill(-1)
     bufs["ref1"].fill(-1)
-    bufs["compidx"].fill(1)
-    for k in ("mvs", "interp", "modes", "skipmode", "compgrp", "intrabc"):
+    for k in ("mvs", "interp", "modes"):
         bufs[k].fill(0)
+    if getattr(hdr, "allow_intrabc", False):
+        # filled/read only under allow_intrabc (screen-content intra)
+        bufs["intrabc"].fill(0)
     grids = bufs["grids"]
 
     out = bufs.get("out_struct")
@@ -532,8 +532,7 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
             cdef_idx=_vp(bufs["cdef"]),
             ref0_g=_vp(bufs["ref0"]), ref1_g=_vp(bufs["ref1"]),
             mvs_g=_vp(bufs["mvs"]), interp_g=_vp(bufs["interp"]),
-            modes_g=_vp(bufs["modes"]), skipmode_g=_vp(bufs["skipmode"]),
-            compgrp_g=_vp(bufs["compgrp"]), compidx_g=_vp(bufs["compidx"]),
+            modes_g=_vp(bufs["modes"]),
             intrabc_g=_vp(bufs["intrabc"]),
             lr_units=_vp(bufs["lr"]), max_lr_units=bufs["lr"].shape[0],
             pal_units=_vp(bufs["pal"]),
@@ -643,7 +642,7 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
     if lib is None:
         return None
     res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
-                     want_cdf=want_cdf, tpl=tpl)
+                     want_cdf=want_cdf, tpl=tpl, fill_aux=True)
     if res is None:
         return None
     out, bufs, blob, _fpk = res

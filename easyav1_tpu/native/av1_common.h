@@ -36,6 +36,8 @@ typedef struct {
     int32_t col_start, col_end, row_start, row_end;   /* mi units */
     int32_t qctx;
     int32_t allow_screen;         /* allow_screen_content_tools */
+    int32_t fill_aux;             /* fill mode/angle mi grids (plan
+                                     export path only) */
 } TileParams;
 
 /* per-frame side data: inter header fields + entropy-state chaining.
@@ -130,10 +132,9 @@ typedef struct {
     int16_t *mvs_g;            /* [mi_rows][mi_cols][2][2] (row,col) */
     int8_t *interp_g;          /* [mi_rows][mi_cols][2] */
     int16_t *modes_g;          /* [mi_rows][mi_cols] prediction mode */
-    int8_t *skipmode_g;        /* per-4x4 skip-mode flag */
-    int8_t *compgrp_g;         /* comp_group_idx grid */
-    int8_t *compidx_g;         /* compound_index grid (init 1) */
-    int8_t *intrabc_g;         /* intrabc flag grid */
+    int8_t *intrabc_g;         /* intrabc flag grid (filled only when
+                                  allow_intrabc; reads are gated the
+                                  same way) */
     /* loop-restoration units, 13 int32 each: plane, urow, ucol, rtype,
        wiener[2][3], sgr_set, xqd0, xqd1 */
     int32_t *lr_units;

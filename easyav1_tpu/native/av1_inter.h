@@ -961,13 +961,13 @@ static int comp_group_ctx(Ctx *t, int r, int c, int avail_u, int avail_l) {
     int above = 0, left = 0;
     if (avail_u) {
         if (REF1_AT(t, r - 1, c) > INTRA_FRAME)
-            above = t->o->compgrp_g[GIDX(t, r - 1, c)];
+            above = t->a_compgrp[c];
         else if (REF0_AT(t, r - 1, c) == ALTREF_FRAME)
             above = 3;
     }
     if (avail_l) {
         if (REF1_AT(t, r, c - 1) > INTRA_FRAME)
-            left = t->o->compgrp_g[GIDX(t, r, c - 1)];
+            left = t->l_compgrp[r];
         else if (REF0_AT(t, r, c - 1) == ALTREF_FRAME)
             left = 3;
     }
@@ -985,13 +985,13 @@ static int comp_index_ctx(Ctx *t, int r, int c, const int *rf,
     int above = 0, left = 0;
     if (avail_u) {
         if (REF1_AT(t, r - 1, c) > INTRA_FRAME)
-            above = t->o->compidx_g[GIDX(t, r - 1, c)];
+            above = t->a_compidx[c];
         else if (REF0_AT(t, r - 1, c) == ALTREF_FRAME)
             above = 1;
     }
     if (avail_l) {
         if (REF1_AT(t, r, c - 1) > INTRA_FRAME)
-            left = t->o->compidx_g[GIDX(t, r, c - 1)];
+            left = t->l_compidx[r];
         else if (REF0_AT(t, r, c - 1) == ALTREF_FRAME)
             left = 1;
     }

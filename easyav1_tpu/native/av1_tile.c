@@ -370,6 +370,13 @@ typedef struct {
     int32_t *a_part, *l_part;
     int32_t *a_mode, *l_mode;
     int32_t *a_skip, *l_skip;
+    /* skip-mode / compound-group / compound-index neighbor context:
+       read only at the immediate above/left cell, so above/left span
+       arrays replace the former frame-sized mi grids (O(w+h) fill per
+       block instead of O(area)) */
+    int32_t *a_skipmode, *l_skipmode;
+    int32_t *a_compgrp, *l_compgrp;
+    int32_t *a_compidx, *l_compidx;
     int32_t *a_txw, *l_txh;
     int32_t *a_lvl[3], *l_lvl[3];
     int32_t *a_sign[3], *l_sign[3];
@@ -1159,8 +1166,8 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     if (!fp->frame_is_intra && fp->skip_mode_present && full_w4 * 4 >= 8
         && full_h4 * 4 >= 8) {
         int sm_ctx = 0;
-        if (avail_u) sm_ctx += t->o->skipmode_g[GIDX(t, r - 1, c)];
-        if (avail_l) sm_ctx += t->o->skipmode_g[GIDX(t, r, c - 1)];
+        if (avail_u) sm_ctx += t->a_skipmode[c];
+        if (avail_l) sm_ctx += t->l_skipmode[r];
         t->skip_mode_flag = msac_symbol(&t->msac,
                                         t->cdf.skip_mode[sm_ctx], 2);
     }
@@ -1412,16 +1419,20 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
         } while (0)
         MI_FILL8(o->y_mode, (int8_t)y_mode);
         MI_FILL8(o->uv_mode, (int8_t)uv_mode);
-        MI_FILL8(o->angle_y, (int8_t)angle_y);
-        MI_FILL8(o->angle_uv, (int8_t)angle_uv);
+        /* angle grids have no C readers (recon takes angles from the
+           block records); filled only for the Python plan export */
+        if (p->fill_aux) {
+            MI_FILL8(o->angle_y, (int8_t)angle_y);
+            MI_FILL8(o->angle_uv, (int8_t)angle_uv);
+        }
         MI_FILL8(o->skip, skip);
         MI_FILL8(o->bsize, bsize);
         MI_FILL8(o->ref0_g, (int8_t)ii.rf[0]);
         MI_FILL8(o->ref1_g, (int8_t)ii.rf[1]);
-        MI_FILL8(o->skipmode_g, t->skip_mode_flag);
-        MI_FILL8(o->compgrp_g, (int8_t)ii.comp_group_idx);
-        MI_FILL8(o->compidx_g, ii.compound_idx);
-        MI_FILL8(o->intrabc_g, use_intrabc);
+        /* intrabc grid is read only under rf[0]==INTRA_FRAME mv
+           prediction, which requires allow_intrabc */
+        if (p->allow_intrabc)
+            MI_FILL8(o->intrabc_g, use_intrabc);
         MI_FILL8(t->decoded_mi, 1);
 #undef MI_FILL8
         {
@@ -1627,11 +1638,17 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
     for (int i = 0; i < w4; i++) {
         t->a_mode[c + i] = is_inter ? DC_PRED : y_mode;
         t->a_skip[c + i] = skip;
+        t->a_skipmode[c + i] = t->skip_mode_flag;
+        t->a_compgrp[c + i] = ii.comp_group_idx;
+        t->a_compidx[c + i] = ii.compound_idx;
         if (!is_inter) t->a_txw[c + i] = av1_tx_w[tx_size];
     }
     for (int i = 0; i < h4; i++) {
         t->l_mode[r + i] = is_inter ? DC_PRED : y_mode;
         t->l_skip[r + i] = skip;
+        t->l_skipmode[r + i] = t->skip_mode_flag;
+        t->l_compgrp[r + i] = ii.comp_group_idx;
+        t->l_compidx[r + i] = ii.compound_idx;
         if (!is_inter) t->l_txh[r + i] = av1_tx_h[tx_size];
     }
     /* palette size/color contexts (sizes zeroed for non-palette) */
@@ -1874,9 +1891,9 @@ static int av1_decode_tile_impl(const TileParams *p, const FrameParams *fp,
         o->error = 2;
         return 2;
     }
-    /* 4 pairs mode/skip/txw/part + 3 pairs lvl + 3 pairs sign
-       + 2 pairs pal_sz + 3 pairs pal colors (x8) */
-    int32_t *mem = calloc((size_t)(mc + mr) * (12 + 24), sizeof(int32_t));
+    /* 7 pairs mode/skip/skipmode/compgrp/compidx/txw/part + 3 pairs lvl
+       + 3 pairs sign + 2 pairs pal_sz + 3 pairs pal colors (x8) */
+    int32_t *mem = calloc((size_t)(mc + mr) * (15 + 24), sizeof(int32_t));
     if (!mem) {
         free(t.decoded_mi);
         free(t.tx_types);
@@ -1887,6 +1904,9 @@ static int av1_decode_tile_impl(const TileParams *p, const FrameParams *fp,
     t.a_part = q; q += mc; t.l_part = q; q += mr;
     t.a_mode = q; q += mc; t.l_mode = q; q += mr;
     t.a_skip = q; q += mc; t.l_skip = q; q += mr;
+    t.a_skipmode = q; q += mc; t.l_skipmode = q; q += mr;
+    t.a_compgrp = q; q += mc; t.l_compgrp = q; q += mr;
+    t.a_compidx = q; q += mc; t.l_compidx = q; q += mr;
     t.a_txw = q; q += mc; t.l_txh = q; q += mr;
     for (int pl = 0; pl < 3; pl++) {
         t.a_lvl[pl] = q; q += mc;
@@ -1906,6 +1926,9 @@ static int av1_decode_tile_impl(const TileParams *p, const FrameParams *fp,
     }
     for (int i = 0; i < mc; i++) t.a_mode[i] = DC_PRED;
     for (int i = 0; i < mr; i++) t.l_mode[i] = DC_PRED;
+    /* compound_index context defaults to 1 (tile.py _init_tile) */
+    for (int i = 0; i < mc; i++) t.a_compidx[i] = 1;
+    for (int i = 0; i < mr; i++) t.l_compidx[i] = 1;
 
     t.cur_qindex = p->base_q_idx;
 
