@@ -689,7 +689,7 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
             tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
             rec.tx_blocks.append(TxBlock(
                 plane=plane, x=x, y=y, tx_size=tsz, tx_type=ttyp,
-                eob=eob,
+                eob=eob & 0xFFF,  # high bits: nonzero bounding box
                 coeffs=coeffs_buf[coff:coff + tw * th]
                 .reshape(th, tw).copy(),
                 lossless=bool(lossless)))

@@ -742,23 +742,51 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         int band_y = 0, band_uv = 0;
         int y_sec_u = -1, uv_sec_u = -1;
         int row_any_pri = 0;
+        const int8_t *crow = o->cdef_idx + (r / 16) * ucols;
         {
-            /* single classification pass: pos_idx + lazy-refill gate +
-               band-uniformity detect + pri presence, one skip/cdef_idx
-               derivation per position per frame */
+            /* classification, two cheap passes: (1) vectorized per-
+               position skip-detect into posskip[], (2) unit-level
+               (64x64, at most 8 positions each) strength flags +
+               band-uniformity + pos_idx run fills — every position
+               of a unit shares its cdef_idx, so per-position strength
+               lookups were 8x redundant */
             int r2c = r + 1 < mi_rows ? r + 1 : mi_rows - 1;
-            const int8_t *sk0 = skip + r * mi_cols;
-            const int8_t *sk1 = skip + r2c * mi_cols;
-            const int8_t *crow = o->cdef_idx + (r / 16) * ucols;
-            int y_ok = 1, uv_ok = 1, any_ys = 0, any_uvs = 0;
-            for (int pc = 0; pc < n_pos; pc++) {
-                int c = pc * 2;
+            const int8_t *sk0 = skip + (int64_t)r * mi_cols;
+            const int8_t *sk1 = skip + (int64_t)r2c * mi_cols;
+            static uint8_t posskip[8192];
+            int pc0 = 0;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+            for (; pc0 + 32 <= n_pos && 2 * pc0 + 64 <= mi_cols;
+                 pc0 += 32) {
+                __m512i a = _mm512_loadu_si512(
+                    (const void *)(sk0 + 2 * pc0));
+                __m512i b = _mm512_loadu_si512(
+                    (const void *)(sk1 + 2 * pc0));
+                __m512i t = _mm512_and_si512(a, b);
+                __m512i u2 = _mm512_and_si512(t, _mm512_srli_epi16(t, 8));
+                _mm256_storeu_si256((__m256i *)(posskip + pc0),
+                                    _mm512_cvtepi16_epi8(u2));
+            }
+#endif
+            for (; pc0 < n_pos; pc0++) {
+                int c = pc0 * 2;
                 int c2 = c + 1 < mi_cols ? c + 1 : mi_cols - 1;
-                int idx = -1;
-                if (!(sk0[c] && sk0[c2] && sk1[c] && sk1[c2]))
-                    idx = crow[c / 16];
-                pos_idx[pc] = (int16_t)idx;
-                if (idx < 0) continue;
+                posskip[pc0] = sk0[c] & sk0[c2] & sk1[c] & sk1[c2];
+            }
+            int y_ok = 1, uv_ok = 1, any_ys = 0, any_uvs = 0;
+            for (int u = 0; u < ucols; u++) {
+                int p0 = u * 8;
+                if (p0 >= n_pos) break;
+                int pe = p0 + 8 < n_pos ? p0 + 8 : n_pos;
+                int idx = crow[u];
+                int any = 0;
+                for (int pc = p0; pc < pe; pc++) any |= !posskip[pc];
+                if (idx < 0 || !any) {
+                    for (int pc = p0; pc < pe; pc++) pos_idx[pc] = -1;
+                    continue;
+                }
+                for (int pc = p0; pc < pe; pc++)
+                    pos_idx[pc] = posskip[pc] ? -1 : (int16_t)idx;
                 int yp = rp->cdef_y_pri[idx], ys = rp->cdef_y_sec[idx];
                 int up = rp->cdef_uv_pri[idx], us = rp->cdef_uv_sec[idx];
                 if (yp | ys) row_any_y = 1;
@@ -856,15 +884,21 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             if (dircap >= nu && row_any_pri) {
                 const pel *dbase = planes[0] + (int64_t)y * pw[0];
                 uint64_t dc0 = cdef_profile ? __rdtsc() : 0;
-                for (int pc = 0; pc < n_pos; pc++) {
-                    /* one rotating row-prefetch per unit keeps all 8
-                       source rows ~8 units ahead of the searches */
-                    __builtin_prefetch(dbase + (pc & 7) * (int64_t)pw[0]
-                                       + pc * 8 + 64);
-                    int idx = pos_idx[pc];
-                    if (idx >= 0
-                        && (rp->cdef_y_pri[idx]
-                            || rp->cdef_uv_pri[idx])) {
+                for (int u = 0; u < ucols; u++) {
+                    int p0 = u * 8;
+                    if (p0 >= n_pos) break;
+                    int idx = crow[u];
+                    if (idx < 0 || !(rp->cdef_y_pri[idx]
+                                     || rp->cdef_uv_pri[idx]))
+                        continue;
+                    int pe = p0 + 8 < n_pos ? p0 + 8 : n_pos;
+                    for (int pc = p0; pc < pe; pc++) {
+                        /* rotating row-prefetch keeps the 8 source
+                           rows ~8 units ahead of the searches */
+                        __builtin_prefetch(dbase
+                                           + (pc & 7) * (int64_t)pw[0]
+                                           + pc * 8 + 64);
+                        if (pos_idx[pc] < 0) continue;
                         int d_, v_;
                         cdef_find_dir(dbase + pc * 8,
                                       pw[0], coeff_shift, &d_, &v_);
@@ -877,35 +911,37 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     cdef_stat[10] += __rdtsc() - dc0;
             }
         }
-        /* per-64x64-unit parameter cache: strengths, tap weights and
-           damping shifts depend only on cdef_idx, which changes at
-           most every 8 positions along the row */
-        int last_idx = -2;
-        int u_pri = 0, u_sec = 0, u_pt0 = 0, u_pt1 = 0, u_psh = 0,
-            u_ssh = 0;
-        for (int pc = 0; pc < n_pos; pc++) {
-            int c = pc * 2;
-            int x = c * 4;
-            int idx = pos_idx[pc];
-            if (idx != -1) {
-                int done_y = band_y && rp->cdef_y_pri[idx] == 0;
-                int done_uv = band_uv && rp->cdef_uv_pri[idx] == 0;
-                if (done_y && (n_pl == 1 || done_uv))
-                    continue;
+        /* unit-outer filter walk: strengths, tap weights and damping
+           shifts depend only on the 64x64 unit's cdef_idx, so all
+           parameter setup and the done_y/done_uv gates hoist out of
+           the position loop; fully-handled units skip wholesale */
+        for (int u = 0; u < ucols; u++) {
+            int p0u = u * 8;
+            if (p0u >= n_pos) break;
+            int idx = crow[u];
+            if (idx < 0) continue;
+            int done_y = band_y && rp->cdef_y_pri[idx] == 0;
+            int done_uv = band_uv && rp->cdef_uv_pri[idx] == 0;
+            if (done_y && (n_pl == 1 || done_uv))
+                continue;
+            int u_pri = rp->cdef_uv_pri[idx] << coeff_shift;
+            int u_sec = rp->cdef_uv_sec[idx] << coeff_shift;
+            int u_pt0, u_pt1;
+            if (((u_pri >> coeff_shift) & 1) == 0) {
+                u_pt0 = 4; u_pt1 = 2;
+            } else {
+                u_pt0 = 3; u_pt1 = 3;
+            }
+            int u_psh = cdef_shift_for(u_pri, damping - 1);
+            int u_ssh = cdef_shift_for(u_sec, damping - 1);
+            int peu = p0u + 8 < n_pos ? p0u + 8 : n_pos;
+            for (int pc = p0u; pc < peu; pc++) {
+                int c = pc * 2;
+                int x = c * 4;
+                if (pos_idx[pc] < 0) continue;
+                {
                 int dir = 0, var = 0;
                 cdef_stat[4]++;
-                if (idx != last_idx) {
-                    last_idx = idx;
-                    u_pri = rp->cdef_uv_pri[idx] << coeff_shift;
-                    u_sec = rp->cdef_uv_sec[idx] << coeff_shift;
-                    if (((u_pri >> coeff_shift) & 1) == 0) {
-                        u_pt0 = 4; u_pt1 = 2;
-                    } else {
-                        u_pt0 = 3; u_pt1 = 3;
-                    }
-                    u_psh = cdef_shift_for(u_pri, damping - 1);
-                    u_ssh = cdef_shift_for(u_sec, damping - 1);
-                }
                 if (rp->cdef_y_pri[idx] || rp->cdef_uv_pri[idx]) {
                     if (dircap >= (size_t)((mi_cols + 1) / 2)) {
                         dir = dirrow[c >> 1];
@@ -1031,6 +1067,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         0, 0, w, h,
                         adj_pri, sec, pdamp, pdir, bd, !interior);
                     cdef_stat[12] += __rdtsc() - fb0;
+                }
                 }
             }
         }

@@ -1146,7 +1146,8 @@ static void residual_add_mask(Recon *rc, const int32_t *b,
         int32_t res[64 * 64];
         uint64_t tx0 = rc_tick();
         if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
-        else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth, res);
+        else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth,
+                    res, rec[5]);
         rc_tick_add(5, tx0);
         int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
         pel *buf = rc->planes[plane];

@@ -177,11 +177,13 @@ static inline int itx_is_dc_only(const int32_t *coeffs, int tx_size) {
  * (rows via a transposed slab for the row pass, columns directly);
  * bit-exact with the scalar int64 kernels — see av1_itx_vec.h. */
 static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
-                     int32_t *out /* h*w */) {
+                     int32_t *out /* h*w */, int nzpack) {
     int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
     int adj = av1_adj_tx[tx_size];
     int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
-    if (tx_type == 0 && itx_is_dc_only(coeffs, tx_size)) {
+    if (tx_type == 0
+        && (nzpack >= 0 ? (nzpack & 0xfff) == 1
+                        : itx_is_dc_only(coeffs, tx_size))) {
         int32_t dc = itx_dc_value(coeffs[0], tx_size, -(1 << 15),
                                   (1 << 15) - 1);
         for (int i = 0; i < w * h; i++) out[i] = dc;
@@ -190,26 +192,37 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
     int32_t mn32 = -(1 << 15), mx32 = (1 << 15) - 1;
     int vkind = TX_1D[tx_type][0], hkind = TX_1D[tx_type][1];
 
+    /* nonzero extent: from the entropy decoder's packed bounding box
+       when available, else a rescan; tail rows beyond nzh are never
+       staged, transformed, or zero-filled */
+    int nzh, nzw = aw;
+    if (nzpack >= 0) {
+        nzh = (nzpack >> 12) & 63;
+        nzw = (nzpack >> 18) & 63;
+        if (nzh > h) nzh = h;
+        if (nzw > aw) nzw = aw;
+    } else {
+        nzh = ah < h ? ah : h;
+        while (nzh > 0) {
+            const int32_t *row = coeffs + (nzh - 1) * aw;
+            int any = 0;
+            for (int j = 0; j < aw; j++)
+                if (row[j]) { any = 1; break; }
+            if (any) break;
+            nzh--;
+        }
+    }
     int32_t b32[64 * 64];
-    memset(b32, 0, sizeof(int32_t) * (size_t)(w * h));
-    for (int i = 0; i < ah; i++)
-        for (int j = 0; j < aw; j++)
-            b32[i * w + j] = coeffs[i * aw + j];
+    for (int i = 0; i < nzh; i++) {
+        memcpy(b32 + i * w, coeffs + i * aw, sizeof(int32_t) * nzw);
+        for (int j = nzw; j < w; j++) b32[i * w + j] = 0;
+    }
     int lw = 0, lh = 0;
     for (int v = w; v > 1; v >>= 1) lw++;
     for (int v = h; v > 1; v >>= 1) lh++;
     if ((lw > lh ? lw - lh : lh - lw) == 1)
-        for (int i = 0; i < w * h; i++)
+        for (int i = 0; i < nzh * w; i++)
             b32[i] = (b32[i] * 2896 + 2048) >> 12;
-    int nzh = ah < h ? ah : h;
-    while (nzh > 0) {
-        const int32_t *row = b32 + (nzh - 1) * w;
-        int any = 0;
-        for (int j = 0; j < w; j++)
-            if (row[j]) { any = 1; break; }
-        if (any) break;
-        nzh--;
-    }
     int shift = ROW_SHIFT[tx_size];
     int rnd = (1 << shift) >> 1;
     v8si vmn = mn32 - (v8si){0}, vmx = mx32 - (v8si){0};
@@ -247,12 +260,14 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
             }
         }
     }
-    /* column pass */
+    /* column pass (rows >= nzh were never staged: all-zero inputs) */
     if (w >= 8) {
         v8si col[64];
+        const v8si vz = (v8si){0};
         for (int j = 0; j < w; j += 8) {
-            for (int i = 0; i < h; i++)
+            for (int i = 0; i < nzh; i++)
                 memcpy(&col[i], b32 + i * w + j, sizeof(v8si));
+            for (int i = nzh; i < h; i++) col[i] = vz;
             itx_1d_v8(vkind, col, h, vmn, vmx);
             for (int i = 0; i < h; i++) {
                 v8si o = (col[i] + 8) >> 4;
@@ -261,9 +276,11 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
         }
     } else {
         v4si col[64];
+        const v4si vz4 = (v4si){0};
         v4si vmn4 = mn32 - (v4si){0}, vmx4 = mx32 - (v4si){0};
-        for (int i = 0; i < h; i++)
+        for (int i = 0; i < nzh; i++)
             memcpy(&col[i], b32 + i * 4, sizeof(v4si));
+        for (int i = nzh; i < h; i++) col[i] = vz4;
         itx_1d_v4(vkind, col, h, vmn4, vmx4);
         for (int i = 0; i < h; i++) {
             v4si o = (col[i] + 8) >> 4;
@@ -273,9 +290,9 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
 }
 
 static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
-                   int bitdepth, int32_t *out /* h*w */) {
+                   int bitdepth, int32_t *out /* h*w */, int nzpack) {
     if (bitdepth == 8) {
-        itx_2d_v(coeffs, tx_size, tx_type, out);
+        itx_2d_v(coeffs, tx_size, tx_type, out, nzpack);
         return;
     }
     int w = av1_tx_w[tx_size], h = av1_tx_h[tx_size];
@@ -283,7 +300,9 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
     int aw = av1_tx_w[adj], ah = av1_tx_h[adj];
     int64_t mn = -((int64_t)1 << (bitdepth + 7));
     int64_t mx = ((int64_t)1 << (bitdepth + 7)) - 1;
-    if (tx_type == 0 && itx_is_dc_only(coeffs, tx_size)) {
+    if (tx_type == 0
+        && (nzpack >= 0 ? (nzpack & 0xfff) == 1
+                        : itx_is_dc_only(coeffs, tx_size))) {
         int32_t dc = itx_dc_value(coeffs[0], tx_size, mn, mx);
         for (int i = 0; i < w * h; i++) out[i] = dc;
         return;
@@ -306,15 +325,21 @@ static void itx_2d(const int32_t *coeffs, int tx_size, int tx_type,
 
     /* zero rows transform to zero rows (all 1-D kernels are linear),
        so the row pass only needs the coefficient-carrying prefix —
-       the dense coeff block is zero past the scan's bounding rows */
-    int nzh = ah < h ? ah : h;
-    while (nzh > 0) {
-        const int64_t *row = buf + (nzh - 1) * w;
-        int any = 0;
-        for (int j = 0; j < w; j++)
-            if (row[j]) { any = 1; break; }
-        if (any) break;
-        nzh--;
+       from the entropy decoder's packed bounding box when available */
+    int nzh;
+    if (nzpack >= 0) {
+        nzh = (nzpack >> 12) & 63;
+        if (nzh > h) nzh = h;
+    } else {
+        nzh = ah < h ? ah : h;
+        while (nzh > 0) {
+            const int64_t *row = buf + (nzh - 1) * w;
+            int any = 0;
+            for (int j = 0; j < w; j++)
+                if (row[j]) { any = 1; break; }
+            if (any) break;
+            nzh--;
+        }
     }
 
     /* row pass along the width, then row shift + clamp */
@@ -860,7 +885,8 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
                      int tx, int mode, int angle_delta,
                      const int32_t *coef_or_null, int tx_type,
                      const int64_t *cfl_ac, int cfl_stride, int cfl_h,
-                     int cfl_alpha, const int32_t *pal_u, int lossless) {
+                     int cfl_alpha, const int32_t *pal_u, int lossless,
+                     int nzpack) {
     const ReconParams *rp = rc->rp;
     int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
     pel *buf = rc->planes[plane];
@@ -918,7 +944,8 @@ static void recon_tx(Recon *rc, int br, int bc, int plane, int x, int y,
         int32_t res[64 * 64];
         uint64_t tx0 = rc_tick();
         if (lossless) itx_wht4(coef_or_null, res);
-        else itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res);
+        else itx_2d(coef_or_null, tx, tx_type, rp->bitdepth, res,
+                    nzpack);
         rc_tick_add(7, tx0);
         for (int i = 0; i < fh; i++)
             for (int j = 0; j < fw; j++)
@@ -1013,7 +1040,8 @@ static void recon_block(Recon *rc, const int32_t *b) {
             recon_tx(rc, br, bc, 0, x, y, tx_size, y_mode, angle_y,
                      k >= 0 ? o->coeffs + o->txs[k * 8 + 6] : NULL,
                      k >= 0 ? o->txs[k * 8 + 4] : 0, NULL, 0, 0, 0,
-                     pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0);
+                     pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0,
+                     k >= 0 ? o->txs[k * 8 + 5] : -1);
         }
     if (has_chroma && rp->num_planes > 1) {
         int csw = av1_tx_w4[uv_tx], csh = av1_tx_h4[uv_tx];
@@ -1040,7 +1068,8 @@ static void recon_block(Recon *rc, const int32_t *b) {
                              k >= 0 ? o->txs[k * 8 + 4] : 0,
                              acp, acw, ch4 * 4,
                              acp ? (plane == 1 ? cfl_u : cfl_v) : 0,
-                             pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0);
+                             pal_u, k >= 0 ? o->txs[k * 8 + 7] : 0,
+                             k >= 0 ? o->txs[k * 8 + 5] : -1);
                 }
     }
 #undef TXFIND

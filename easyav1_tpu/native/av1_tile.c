@@ -866,10 +866,14 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     memset(co, 0, sizeof(int32_t) * (size_t)(tw * th));
 
     int culp = 0, dc_cat = 0;
+    int maxr = 0, maxc = 0;   /* nonzero-coefficient bounding box */
     for (int ci = 0; ci < eob; ci++) {
         int pos = scan[ci];
         int level = lvl_exact[pos];
         if (level == 0) continue;
+        int pr_ = pos >> bwl, pc_ = pos & (tw - 1);
+        if (pr_ > maxr) maxr = pr_;
+        if (pc_ > maxc) maxc = pc_;
         int sign;
         if (pos == 0) {
             int sctx = dc_sign_ctx(t, plane, x4, y4, w4, h4);
@@ -890,7 +894,13 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
 
     int32_t *rec = o->txs + o->n_txs * 8;
     rec[0] = plane; rec[1] = x; rec[2] = y; rec[3] = tx_size;
-    rec[4] = tx_type; rec[5] = eob; rec[6] = (int32_t)o->coeffs_used;
+    /* rec[5] packs eob (<=1024, bits 0-11) with the nonzero bounding
+       box in the dense tw x th layout: nzh = maxr+1 (bits 12-17),
+       nzw = maxc+1 (bits 18-23) — the itx uses these to skip the
+       all-zero tail rows without rescanning the coefficients */
+    rec[4] = tx_type;
+    rec[5] = eob | ((maxr + 1) << 12) | ((maxc + 1) << 18);
+    rec[6] = (int32_t)o->coeffs_used;
     rec[7] = p->coded_lossless;
     o->n_txs++;
     o->coeffs_used += tw * th;

@@ -153,7 +153,7 @@ class UnitExecutor:
             adj = T.ADJUSTED_TX_SIZE[tsz]
             tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
             blk = TxBlock(plane=plane, x=x, y=y, tx_size=tsz,
-                          tx_type=ttyp, eob=eob,
+                          tx_type=ttyp, eob=eob & 0xFFF,
                           coeffs=coeffs[coff:coff + tw * th]
                           .reshape(th, tw).astype(np.int64),
                           lossless=bool(lossless))
