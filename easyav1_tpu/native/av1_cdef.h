@@ -710,7 +710,19 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         for (size_t i = 0; i < need; i++)
             stripe[p][i] = CDEF_VERY_LARGE;
     }
-    int16_t tmp[14 * CDEF_TSTRIDE];
+    /* uv-paired filter staging: ping-pong buffers + a one-deep filter
+       queue, so each filter call reads a window staged one position
+       earlier — its 512-bit tap loads then never hit the store buffer
+       (staging stores immediately before loads block forwarding) */
+    int16_t tmp2[2][14 * CDEF_TSTRIDE];
+    struct {
+        int valid;
+        pel *du, *dv;
+        const int16_t *buf;
+        int ds, h, pri, sec, pt0, pt1, psh, ssh, pdir, edged;
+    } uvq;
+    uvq.valid = 0;
+    int uvflip = 0;
 
     /* per-row position classification, shared by every pass below
        (band detect, dir pre-pass, filter loop): pos_idx[pc] is the
@@ -961,7 +973,6 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     int pri = u_pri, sec = u_sec;
                     uv_paired = 1;
                     if (pri | sec) {
-                        uint64_t pc0 = cdef_profile ? __rdtsc() : 0;
                         int px = x >> 1, py2 = y >> rp->ssy;
                         int h = 8 >> rp->ssy;
                         int pdir = pri ? CDEF_UV_DIR[1][rp->ssy][dir]
@@ -970,20 +981,18 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         int interior = px >= 2 && px + 6 <= pw[1]
                                        && py2 >= 2
                                        && py2 + h + 2 <= ph[1];
-                        /* interleave [U window | V window] rows from
-                           the stripes (halo and edge padding already
-                           resolved there) */
+                        /* stage: interleave [U window | V window] rows
+                           from the stripes (halo and edge padding
+                           already resolved there) */
+                        int16_t *tb = tmp2[uvflip];
+                        uvflip ^= 1;
                         for (int i = 0; i < h + 4; i++) {
                             const int16_t *su =
                                 stripe[1] + (size_t)i * sst[1] + px;
                             const int16_t *sv =
                                 stripe[2] + (size_t)i * sst[2] + px;
-                            /* single 256-bit store per row: the
-                               filter's 512-bit tap loads span rows,
-                               and halving the store count halves the
-                               store-forwarding penalties they hit */
                             _mm256_storeu_si256(
-                                (__m256i *)(tmp + i * CDEF_TSTRIDE),
+                                (__m256i *)(tb + i * CDEF_TSTRIDE),
                                 _mm256_inserti128_si256(
                                     _mm256_castsi128_si256(
                                         _mm_loadu_si128(
@@ -991,23 +1000,31 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                     _mm_loadu_si128((const __m128i *)sv),
                                     1));
                         }
-                        int pt0 = u_pt0, pt1 = u_pt1;
-                        int psh = u_psh, ssh = u_ssh;
-                        int64_t doff = (int64_t)py2 * pw[1] + px;
-                        if (interior)
+                        /* filter the previously staged position (its
+                           stores are long retired), then queue ours */
+                        if (uvq.valid) {
+                            uint64_t pc0 = cdef_profile ? __rdtsc() : 0;
                             cdef_filter_uv_avx512(
-                                planes[1] + doff, planes[2] + doff,
-                                pw[1], tmp, h, pri, sec, pt0, pt1,
-                                psh, ssh, pdir, 0);
-                        else
-                            cdef_filter_uv_avx512(
-                                planes[1] + doff, planes[2] + doff,
-                                pw[1], tmp, h, pri, sec, pt0, pt1,
-                                psh, ssh, pdir, 1);
-                        if (__builtin_expect(cdef_profile, 0)) {
-                            cdef_stat[8] += __rdtsc() - pc0;
-                            cdef_stat[9]++;
+                                uvq.du, uvq.dv, uvq.ds, uvq.buf, uvq.h,
+                                uvq.pri, uvq.sec, uvq.pt0, uvq.pt1,
+                                uvq.psh, uvq.ssh, uvq.pdir, uvq.edged);
+                            if (__builtin_expect(cdef_profile, 0)) {
+                                cdef_stat[8] += __rdtsc() - pc0;
+                                cdef_stat[9]++;
+                            }
                         }
+                        int64_t doff = (int64_t)py2 * pw[1] + px;
+                        uvq.valid = 1;
+                        uvq.du = planes[1] + doff;
+                        uvq.dv = planes[2] + doff;
+                        uvq.buf = tb;
+                        uvq.ds = pw[1];
+                        uvq.h = h;
+                        uvq.pri = pri; uvq.sec = sec;
+                        uvq.pt0 = u_pt0; uvq.pt1 = u_pt1;
+                        uvq.psh = u_psh; uvq.ssh = u_ssh;
+                        uvq.pdir = pdir;
+                        uvq.edged = !interior;
                     }
                 }
 #endif
@@ -1059,6 +1076,55 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     int interior = px >= 2 && px + w + 2 <= pw[plane]
                                    && py2 >= 2
                                    && py2 + h + 2 <= ph[plane];
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                    if (plane == 0 && w == 8 && h == 8) {
+                        /* luma 8x8 as two 4-wide halves through the
+                           512-bit pair kernel: tmp rows hold
+                           [left window(8) | right window(8)], giving
+                           2 output rows x 8 cols per 32-lane pass —
+                           2x the per-op throughput of the AVX2 path */
+                        int16_t *tb = tmp2[uvflip];
+                        uvflip ^= 1;
+                        for (int i = 0; i < 12; i++) {
+                            const int16_t *sy = stripe[0]
+                                + (size_t)i * sst[0] + px;
+                            _mm256_storeu_si256(
+                                (__m256i *)(tb + i * CDEF_TSTRIDE),
+                                _mm256_inserti128_si256(
+                                    _mm256_castsi128_si256(
+                                        _mm_loadu_si128(
+                                            (const __m128i *)sy)),
+                                    _mm_loadu_si128(
+                                        (const __m128i *)(sy + 4)),
+                                    1));
+                        }
+                        if (uvq.valid)
+                            cdef_filter_uv_avx512(
+                                uvq.du, uvq.dv, uvq.ds, uvq.buf, uvq.h,
+                                uvq.pri, uvq.sec, uvq.pt0, uvq.pt1,
+                                uvq.psh, uvq.ssh, uvq.pdir, uvq.edged);
+                        int64_t doff = (int64_t)py2 * pw[0] + px;
+                        uvq.valid = 1;
+                        uvq.du = planes[0] + doff;
+                        uvq.dv = planes[0] + doff + 4;
+                        uvq.buf = tb;
+                        uvq.ds = pw[0];
+                        uvq.h = 8;
+                        uvq.pri = adj_pri;
+                        uvq.sec = sec;
+                        if (((adj_pri >> coeff_shift) & 1) == 0) {
+                            uvq.pt0 = 4; uvq.pt1 = 2;
+                        } else {
+                            uvq.pt0 = 3; uvq.pt1 = 3;
+                        }
+                        uvq.psh = cdef_shift_for(adj_pri, pdamp);
+                        uvq.ssh = cdef_shift_for(sec, pdamp);
+                        uvq.pdir = pdir;
+                        uvq.edged = !interior;
+                        cdef_stat[12] += __rdtsc() - fb0;
+                        continue;
+                    }
+#endif
                     /* read the padded stripe window in place, write at
                        the block's plane position */
                     cdef_filter_block(
@@ -1071,6 +1137,21 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 }
             }
         }
+        /* flush the queued uv filter before the stripes are reused */
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        if (uvq.valid) {
+            uint64_t pc0 = cdef_profile ? __rdtsc() : 0;
+            cdef_filter_uv_avx512(uvq.du, uvq.dv, uvq.ds, uvq.buf,
+                                  uvq.h, uvq.pri, uvq.sec, uvq.pt0,
+                                  uvq.pt1, uvq.psh, uvq.ssh, uvq.pdir,
+                                  uvq.edged);
+            if (__builtin_expect(cdef_profile, 0)) {
+                cdef_stat[8] += __rdtsc() - pc0;
+                cdef_stat[9]++;
+            }
+            uvq.valid = 0;
+        }
+#endif
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         /* sec-only bands run AFTER the per-position pass: the per-
            position dir search (pri positions) reads its own 8x8 from

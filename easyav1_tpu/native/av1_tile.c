@@ -84,6 +84,20 @@ static void msac_refill(Msac *s) {
     int c = 64 - s->cnt - 24;          /* only entered with cnt < 0 */
     uint64_t dif = s->dif;
     const uint8_t *p = s->buf_pos;
+    if (s->buf_end - p >= 8) {
+        /* whole-word refill: the byte loop XORs p[i] << (c - 8i) while
+           c - 8i >= 0; that equals the big-endian word shifted so its
+           top byte lands at c, with the partially-out-of-range tail
+           byte's bits masked off */
+        uint64_t w;
+        memcpy(&w, p, 8);
+        w = __builtin_bswap64(w);
+        dif ^= (w >> (56 - c)) & ~((1ull << (c & 7)) - 1);
+        s->dif = dif;
+        s->buf_pos = p + (c >> 3) + 1;
+        s->cnt = 48 - (c & 7);
+        return;
+    }
     do {
         if (p < s->buf_end) dif ^= (uint64_t)(*p++) << c;
         c -= 8;
@@ -802,16 +816,22 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     const __m128i umask3 =
         _mm_loadu_si128((const __m128i *)msac_umask[3]);
 #define MSAC_SYM3(cdfrow) \
-    msac_sym_pre(&t->msac, cdfrow, 3, ramp3, vmask3, umask3)
+    msac_sym_pre(MS, cdfrow, 3, ramp3, vmask3, umask3)
 #define MSAC_SYM4(cdfrow) \
-    msac_sym_pre(&t->msac, cdfrow, 4, ramp4, vmask4, umask4)
+    msac_sym_pre(MS, cdfrow, 4, ramp4, vmask4, umask4)
 #else
-#define MSAC_SYM3(cdfrow) msac_symbol(&t->msac, cdfrow, 3)
-#define MSAC_SYM4(cdfrow) msac_symbol(&t->msac, cdfrow, 4)
+#define MSAC_SYM3(cdfrow) msac_symbol(MS, cdfrow, 3)
+#define MSAC_SYM4(cdfrow) msac_symbol(MS, cdfrow, 4)
 #endif
     uint16_t (*cb_rows)[5] = t->cdf.coeff_base[tx_ctx][ptype];
     int br_tx = imin(tx_ctx, TX_32X32);
     uint16_t (*br_rows)[5] = t->cdf.coeff_br[br_tx][ptype];
+    /* register-resident entropy state across the whole coefficient +
+       sign/dequant stretch: a local Msac copy lets the compiler keep
+       dif/rng/cnt/buf_pos in registers instead of reloading the
+       struct around every cdf store (~2M symbols per dense frame) */
+    Msac mloc = t->msac;
+#define MS (&mloc)
     for (int ci = eob - 1; ci >= 0; ci--) {
         int pos = scan[ci];
         int level;
@@ -859,6 +879,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
 
     if (o->n_txs >= o->max_txs ||
         o->coeffs_used + tw * th > o->coeffs_cap) {
+        t->msac = mloc;
         o->error = 1;
         return;
     }
@@ -877,11 +898,11 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         int sign;
         if (pos == 0) {
             int sctx = dc_sign_ctx(t, plane, x4, y4, w4, h4);
-            sign = msac_bool_adapt(&t->msac, t->cdf.dc_sign[ptype][sctx]);
+            sign = msac_bool_adapt(MS, t->cdf.dc_sign[ptype][sctx]);
         } else {
-            sign = msac_bool_equi(&t->msac);
+            sign = msac_bool_equi(MS);
         }
-        if (level == 15) level += msac_golomb(&t->msac);
+        if (level == 15) level += msac_golomb(MS);
         int64_t v = ((int64_t)level * (pos == 0 ? dqd : dqa)) & 0xFFFFFF;
         v >>= shift;
         co[pos] = (int32_t)(sign ? -(v < lim ? v : lim)
@@ -889,6 +910,8 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         if (pos == 0) dc_cat = sign ? 2 : 1;
         culp += level;
     }
+    t->msac = mloc;
+#undef MS
     culp = imin(culp, 63);
     set_coef_ctx(t, plane, x4, y4, w4, h4, culp, dc_cat);
 
