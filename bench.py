@@ -189,34 +189,37 @@ def bench_av1(frames=30, fps=30) -> dict:
     # headline: default-encoded 1080p30 INTER stream (the production
     # shape — alt-refs, compound, CDEF, restoration all encoder-chosen)
     inter = _av1_fixture(frames=60, fps=fps, gop=9999, tag="inter")
-    # best-of-2 everywhere: the shared VM host stalls unpredictably and
-    # stalls only ever ADD time, so min is the steady-state number for
-    # both sides of the comparison
+    # INTERLEAVED best-of-3: the shared VM's speed drifts on a scale of
+    # minutes, so timing all dav1d rounds then all of ours would hand
+    # whichever side ran in the fast phase a ~20% bias.  Alternating
+    # rounds sample the same conditions; stalls only ever ADD time, so
+    # min is the steady-state number for both sides.
     t_dav1d_inter = float("inf")
-    for _ in range(2):
+    t_i = float("inf")
+    n_i = 0
+    for _ in range(3):
         t0 = time.perf_counter()
         # decode-only ('-'): the baseline must not pay YUV file writes
         subprocess.run([str(tool("oracle")), str(inter), "-"],
                        check=True, capture_output=True)
         t_dav1d_inter = min(t_dav1d_inter, time.perf_counter() - t0)
-    n_i, t_i = _decode_all(inter, "native")
-    n_i2, t_i2 = _decode_all(inter, "native")
-    t_i = min(t_i, t_i2)
+        n_i, ti_ = _decode_all(inter, "native")
+        t_i = min(t_i, ti_)
     xrt_i = (n_i / fps) / t_i
     dav1d_xrt_i = (60 / fps) / t_dav1d_inter
 
     # secondary: all-intra 1080p (keyframe-decode throughput)
     path = _av1_fixture(frames=frames, fps=fps, gop=1, tag="intra")
     t_dav1d = float("inf")
-    for _ in range(2):
+    t_nat = float("inf")
+    n_nat = 0
+    for _ in range(3):
         t0 = time.perf_counter()
         subprocess.run([str(tool("oracle")), str(path), "-"],
                        check=True, capture_output=True)
         t_dav1d = min(t_dav1d, time.perf_counter() - t0)
-
-    n_nat, t_nat = _decode_all(path, "native")
-    _, t_nat2 = _decode_all(path, "native")
-    t_nat = min(t_nat, t_nat2)
+        n_nat, tn_ = _decode_all(path, "native")
+        t_nat = min(t_nat, tn_)
     results = {"native": (n_nat, t_nat)}
     for pipe in ("pallas", "device"):
         try:
@@ -252,15 +255,18 @@ def bench_av1_4k() -> dict:
 
     fx = _av1_fixture(w=3840, h=2160, frames=24, fps=30, gop=9999,
                       tag="4k", extra=("vopt:cpu-used=8",))
+    # interleaved best-of-3 (see bench_av1): both sides sample the
+    # same VM-speed phases
     t_dav1d = float("inf")
-    for _ in range(2):
+    t = float("inf")
+    n = 0
+    for _ in range(3):
         t0 = time.perf_counter()
         subprocess.run([str(tool("oracle")), str(fx), "-"],
                        check=True, capture_output=True)
         t_dav1d = min(t_dav1d, time.perf_counter() - t0)
-    n, t = _decode_all(fx, "native")
-    _, t2 = _decode_all(fx, "native")
-    t = min(t, t2)
+        n, t2 = _decode_all(fx, "native")
+        t = min(t, t2)
     xrt = (n / 30) / t
     dav1d_xrt = (n / 30) / t_dav1d
     return {"av1_4k_xrt": round(xrt, 3),
