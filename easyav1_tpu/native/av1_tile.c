@@ -169,10 +169,18 @@ msac_sym_pre(Msac *s, uint16_t *cdf, const int n, __m128i ramp,
         _mm_xor_si128(v, bias),
         _mm_set1_epi16((short)(MSAC_VAL(s) ^ 0x8000)));
     int sym = __builtin_popcount(_mm_movemask_epi8(gt)) >> 1;
-    uint16_t va[8];
-    _mm_storeu_si128((__m128i *)va, v);
-    uint32_t cur = va[sym];           /* vmask zeroes lane n-1 */
-    uint32_t prev = sym ? va[sym - 1] : s->rng;
+    /* v is lane-decreasing, so cur = v[sym] = max over non-gt lanes
+       and prev = v[sym-1] = min over gt lanes — horizontal minpos
+       keeps both OFF the sym popcount chain (the store + indexed
+       reload they replace cost a forwarding round-trip on the
+       critical path to the next symbol's rng) */
+    const __m128i ones = _mm_set1_epi8(-1);
+    __m128i curv = _mm_or_si128(_mm_xor_si128(v, ones), gt);
+    uint32_t cur = (uint16_t)~(uint32_t)_mm_cvtsi128_si32(
+        _mm_minpos_epu16(curv));
+    __m128i prevv = _mm_or_si128(v, _mm_xor_si128(gt, ones));
+    uint32_t prev = sym ? (uint32_t)(uint16_t)_mm_cvtsi128_si32(
+        _mm_minpos_epu16(prevv)) : s->rng;
     if (s->allow_update) {
         int count = cdf[n];
         int l2c = n >= 4 ? 2 : (n >= 2 ? 1 : 0);
@@ -794,11 +802,16 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     int bwl = floor_log2((uint32_t)tw);
     int stride = tw + 4;
     /* clamped uint8 level map with 4 rows/cols of zero slack so the
-     * neighbour context reads need no bounds checks; the exact levels
-     * go into lvl_exact for the dequant pass */
+     * neighbour context reads need no bounds checks; exact levels go
+     * to the nzbuf pair list for the dequant pass */
     uint8_t lvl[(32 + 4) * (32 + 4)];
     memset(lvl, 0, (size_t)stride * (th + 4));
-    int32_t lvl_exact[32 * 32];
+    /* nonzero (pos, level) pairs, written back-to-front by the
+       reverse-scan level pass so the sign/dequant pass reads them in
+       forward scan order without re-walking the zero positions
+       (pos <= 1023 in 10 bits, pre-golomb level <= 15 above) */
+    uint16_t nzbuf[32 * 32];
+    int nztail = eob;
     const int8_t *base_offsets = av1_base_ctx_offsets[tx_size];
 
 #ifdef __AVX2__
@@ -854,7 +867,8 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         }
         lvl[(pos >> bwl) * stride + (pos & (tw - 1))] =
             (uint8_t)(level < 255 ? level : 255);
-        lvl_exact[pos] = level;
+        if (level)
+            nzbuf[--nztail] = (uint16_t)(pos | (level << 10));
     }
 #undef MSAC_SYM3
 #undef MSAC_SYM4
@@ -888,10 +902,9 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
 
     int culp = 0, dc_cat = 0;
     int maxr = 0, maxc = 0;   /* nonzero-coefficient bounding box */
-    for (int ci = 0; ci < eob; ci++) {
-        int pos = scan[ci];
-        int level = lvl_exact[pos];
-        if (level == 0) continue;
+    for (int k = nztail; k < eob; k++) {
+        int pos = nzbuf[k] & 1023;
+        int level = nzbuf[k] >> 10;
         int pr_ = pos >> bwl, pc_ = pos & (tw - 1);
         if (pr_ > maxr) maxr = pr_;
         if (pc_ > maxc) maxc = pc_;
