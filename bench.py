@@ -147,7 +147,7 @@ def _touch(frame):
             _ = p[0, 0]
 
 
-def _decode_all(path, pipe):
+def _decode_all(path, pipe, max_frames=None):
     from easyav1_tpu.container import TrackType, WebMDemuxer
     from easyav1_tpu.video.av1.backend import AV1Backend
 
@@ -158,6 +158,8 @@ def _decode_all(path, pipe):
     while (p := dmx.read_packet()) is not None:
         if p.track == vt.number:
             pkts.extend(p.frames)
+    if max_frames is not None:
+        pkts = pkts[:max_frames]
     be = AV1Backend(vt)
     # warm-up: device pipes JIT-compile per (tx-size, tx-type, chunk)
     # kernel on first appearance; a few frames cover the working set
@@ -221,15 +223,22 @@ def bench_av1(frames=30, fps=30) -> dict:
         n_nat, tn_ = _decode_all(path, "native")
         t_nat = min(t_nat, tn_)
     results = {"native": (n_nat, t_nat)}
+    # device pipes: per-frame rate over a bounded slice — the TPU
+    # tunnel on this host caps D2H at ~30 MB/s, so pixels-to-host pipes
+    # can't win the headline; 12 frames (6 warm + 6 timed) samples the
+    # steady-state rate without paying minutes of uncacheable remote
+    # compiles on every driver run
     for pipe in ("pallas", "device"):
         try:
-            results[pipe] = _decode_all(path, pipe)
+            results[pipe] = _decode_all(path, pipe, max_frames=12)
         except Exception:
             pass
     best = min(results, key=lambda k: results[k][1] / results[k][0])
     n, wall = results[best]
     intra_xrt = (n / fps) / wall
-    intra_dav1d_xrt = (n / fps) / t_dav1d
+    # dav1d decoded the full fixture (n_nat frames) regardless of which
+    # pipe won, so its realtime multiple is over n_nat frames
+    intra_dav1d_xrt = (n_nat / fps) / t_dav1d
     out = {
         "metric": "av1_1080p30_inter_decode_xrt",
         "value": round(xrt_i, 3),
