@@ -5,7 +5,7 @@
 NATIVE_DIR := easyav1_tpu/native
 SO := $(NATIVE_DIR)/libeasyav1.so
 SRCS := $(NATIVE_DIR)/av1_tile.c $(NATIVE_DIR)/av1_recon.c \
-        $(NATIVE_DIR)/vorbis_dec.c
+        $(NATIVE_DIR)/av1_recon8.c $(NATIVE_DIR)/vorbis_dec.c
 HDRS := $(wildcard $(NATIVE_DIR)/*.h)
 
 all: $(SO) tools

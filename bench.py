@@ -27,6 +27,23 @@ sys.path.insert(0, str(REPO / "tests"))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       str(REPO / ".jax_cache"))
 
+# Wall-clock budget (the driver kills the run at its own timeout; round
+# 2's official record was EMPTY because one slow phase starved the
+# single end-of-run print).  Every optional phase checks the remaining
+# budget before starting, and the headline JSON line is emitted as soon
+# as the native measurements land — a later stall can no longer zero
+# out the whole perf record.
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("EASYAV1_BENCH_BUDGET_S", "720"))
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
 
 def bench_vorbis(seconds: float = 30.0) -> dict:
     import numpy as np
@@ -61,34 +78,41 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
                    check=True, capture_output=True)
     t_libvorbis = time.perf_counter() - t0
 
-    # --- ours: host symbols + device synthesis, chunked ---
-    dec = VorbisDecoder(headers)
-    blocks = [b for b in (dec.decode_packet_symbols(pk) for pk in pkts[:8])
-              if b is not None]
-    synth = VorbisDeviceSynth(dec.info.channels, dec.info.blocksize0,
-                              dec.info.blocksize1,
-                              tuple(blocks[0].coupling), chunk=512,
-                              band_limit=dec.spectral_band_limits())
-    synth.process(blocks)  # warm up compile
-    synth.reset()
-    dec = VorbisDecoder(headers)
+    # --- ours: host symbols + device synthesis, chunked.  The device
+    # synth JIT-compiles on first use (uncacheable remote compiles on
+    # this platform), so it is opt-in like the video device pipes; the
+    # production default (host pipeline) needs no compiles at all. ---
+    xrt_dev = 0.0
+    t_symbols = float("inf")
+    audio_secs = seconds
+    if os.environ.get("EASYAV1_BENCH_DEVICE") and _remaining() > 180:
+        dec = VorbisDecoder(headers)
+        blocks = [b for b in
+                  (dec.decode_packet_symbols(pk) for pk in pkts[:8])
+                  if b is not None]
+        synth = VorbisDeviceSynth(dec.info.channels, dec.info.blocksize0,
+                                  dec.info.blocksize1,
+                                  tuple(blocks[0].coupling), chunk=512,
+                                  band_limit=dec.spectral_band_limits())
+        synth.process(blocks)  # warm up compile
+        synth.reset()
+        dec = VorbisDecoder(headers)
 
-    # interleaved pipeline: host symbol decode feeds the device synth
-    # chunk by chunk; device compute and D2H overlap the host work
-    t0 = time.perf_counter()
-    synth.begin()
-    t_symbols = 0.0
-    for pk in pkts:
-        ts = time.perf_counter()
-        b = dec.decode_packet_symbols(pk)
-        t_symbols += time.perf_counter() - ts
-        if b is not None:
-            synth.feed([b])
-    pcm = synth.finish()
-    wall = time.perf_counter() - t0
-
-    audio_secs = pcm.shape[0] / dec.info.sample_rate
-    xrt_dev = audio_secs / wall
+        # interleaved pipeline: host symbol decode feeds the device
+        # synth chunk by chunk; device compute and D2H overlap host work
+        t0 = time.perf_counter()
+        synth.begin()
+        t_symbols = 0.0
+        for pk in pkts:
+            ts = time.perf_counter()
+            b = dec.decode_packet_symbols(pk)
+            t_symbols += time.perf_counter() - ts
+            if b is not None:
+                synth.feed([b])
+        pcm = synth.finish()
+        wall = time.perf_counter() - t0
+        audio_secs = pcm.shape[0] / dec.info.sample_rate
+        xrt_dev = audio_secs / wall
 
     # --- host pipeline (C symbols + FFT IMDCT synthesis): the
     # production default on this hardware (the device path is bounded
@@ -103,7 +127,8 @@ def bench_vorbis(seconds: float = 30.0) -> dict:
         for pk in pkts:
             tot += dec.decode_packet_host(pk).shape[0]
         wall_host = min(wall_host, time.perf_counter() - t0)
-    xrt_host = (tot / dec.info.sample_rate) / wall_host
+    audio_secs = tot / dec.info.sample_rate
+    xrt_host = audio_secs / wall_host
 
     xrt = max(xrt_host, xrt_dev)
     baseline_xrt = audio_secs / t_libvorbis
@@ -125,6 +150,12 @@ def _av1_fixture(w=1920, h=1080, frames=30, fps=30, gop=1, tag="intra",
     import subprocess as sp
     from fixtures import CACHE, tool
 
+    # committed copies first: fresh checkouts must not pay minutes of
+    # libaom encoding inside the driver's bench budget
+    committed = REPO / "tests" / "data" / "bench" / \
+        f"bench_av1_{tag}_{w}x{h}_{frames}.webm"
+    if committed.exists():
+        return committed
     CACHE.mkdir(parents=True, exist_ok=True)
     out = CACHE / f"bench_av1_{tag}_{w}x{h}_{frames}.webm"
     if not out.exists():
@@ -199,7 +230,7 @@ def bench_av1(frames=30, fps=30) -> dict:
     t_dav1d_inter = float("inf")
     t_i = float("inf")
     n_i = 0
-    for _ in range(3):
+    for rnd in range(3):
         t0 = time.perf_counter()
         # decode-only ('-'): the baseline must not pay YUV file writes
         subprocess.run([str(tool("oracle")), str(inter), "-"],
@@ -207,6 +238,8 @@ def bench_av1(frames=30, fps=30) -> dict:
         t_dav1d_inter = min(t_dav1d_inter, time.perf_counter() - t0)
         n_i, ti_ = _decode_all(inter, "native")
         t_i = min(t_i, ti_)
+        if rnd >= 1 and _remaining() < 0.6 * BUDGET_S:
+            break
     xrt_i = (n_i / fps) / t_i
     dav1d_xrt_i = (60 / fps) / t_dav1d_inter
 
@@ -215,26 +248,34 @@ def bench_av1(frames=30, fps=30) -> dict:
     t_dav1d = float("inf")
     t_nat = float("inf")
     n_nat = 0
-    for _ in range(3):
+    for rnd in range(3):
         t0 = time.perf_counter()
         subprocess.run([str(tool("oracle")), str(path), "-"],
                        check=True, capture_output=True)
         t_dav1d = min(t_dav1d, time.perf_counter() - t0)
         n_nat, tn_ = _decode_all(path, "native")
         t_nat = min(t_nat, tn_)
+        if rnd >= 1 and _remaining() < 0.45 * BUDGET_S:
+            break
     results = {"native": (n_nat, t_nat)}
-    # device pipes: per-frame rate over a bounded slice — the TPU
-    # tunnel on this host caps D2H at ~30 MB/s, so pixels-to-host pipes
-    # can't win the headline; 12 frames (6 warm + 6 timed) samples the
-    # steady-state rate without paying minutes of uncacheable remote
-    # compiles on every driver run
-    for pipe in ("pallas", "device"):
-        try:
-            results[pipe] = _decode_all(path, pipe, max_frames=12)
-        except Exception:
-            pass
-    best = min(results, key=lambda k: results[k][1] / results[k][0])
-    n, wall = results[best]
+    # device pipes: OPT-IN only (EASYAV1_BENCH_DEVICE=1).  Round 2's
+    # driver run died on exactly this phase: ~404 s of uncacheable
+    # remote XLA compiles for 12 device-pipe frames.  When enabled, a
+    # bounded slice (6 warm-up decodes, then the 12-packet loop timed —
+    # the 6 warm packets are re-decoded inside the timed region) samples
+    # the steady-state per-frame rate; the TPU tunnel on this host caps
+    # D2H at ~30 MB/s so pixels-to-host pipes can't win the headline.
+    if os.environ.get("EASYAV1_BENCH_DEVICE") and _remaining() > 420:
+        for pipe in ("pallas", "device"):
+            try:
+                results[pipe] = _decode_all(path, pipe, max_frames=12)
+            except Exception:
+                pass
+    # headline guard: only full-fixture decodes compete (a bounded
+    # 12-frame device sample must not beat full-fixture native timing)
+    full = {k: v for k, v in results.items() if v[0] == n_nat}
+    best = min(full, key=lambda k: full[k][1] / full[k][0])
+    n, wall = full[best]
     intra_xrt = (n / fps) / wall
     # dav1d decoded the full fixture (n_nat frames) regardless of which
     # pipe won, so its realtime multiple is over n_nat frames
@@ -269,13 +310,15 @@ def bench_av1_4k() -> dict:
     t_dav1d = float("inf")
     t = float("inf")
     n = 0
-    for _ in range(3):
+    for rnd in range(3):
         t0 = time.perf_counter()
         subprocess.run([str(tool("oracle")), str(fx), "-"],
                        check=True, capture_output=True)
         t_dav1d = min(t_dav1d, time.perf_counter() - t0)
         n, t2 = _decode_all(fx, "native")
         t = min(t, t2)
+        if rnd >= 1 and _remaining() < 45:
+            break
     xrt = (n / 30) / t
     dav1d_xrt = (n / 30) / t_dav1d
     return {"av1_4k_xrt": round(xrt, 3),
@@ -284,18 +327,30 @@ def bench_av1_4k() -> dict:
 
 
 def main():
+    # Headline first, emitted IMMEDIATELY: if any later phase stalls
+    # past the driver's timeout, the perf record still exists.  A
+    # second, richer line is emitted at the end; both are valid
+    # complete records (the final one is a superset).
     result = bench_av1()
-    try:
-        v = bench_vorbis(10.0)
-        result["vorbis_decode_xrt"] = v["value"]
-        result["vorbis_vs_libvorbis"] = v["vs_baseline"]
-    except Exception:
-        pass
-    try:
-        result.update(bench_av1_4k())
-    except Exception:
-        pass
-    print(json.dumps(result))
+    _emit(result)
+    if _remaining() > 60:
+        try:
+            v = bench_vorbis(10.0)
+            result["vorbis_decode_xrt"] = v["value"]
+            result["vorbis_vs_libvorbis"] = v["vs_baseline"]
+            _emit(result)
+        except Exception:
+            pass
+    else:
+        result["vorbis_skipped"] = "budget"
+    if _remaining() > 90:
+        try:
+            result.update(bench_av1_4k())
+        except Exception:
+            pass
+    else:
+        result["av1_4k_skipped"] = "budget"
+    _emit(result)
 
 
 if __name__ == "__main__":
