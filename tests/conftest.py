@@ -13,13 +13,38 @@ if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+_repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# persistent XLA compile cache (same dir as bench.py): device-kernel
+# tests dominated the 18-minute round-2 suite wall time purely through
+# recompiles; a warm cache cuts repeat runs to the actual compute
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_repo, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
 
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, _repo)
 
 # The axon TPU plugin force-appends itself to jax_platforms at import time;
 # pin the config back to cpu so tests run on the virtual 8-device host mesh.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# Device/Pallas-kernel tests are marked slow (first run pays XLA
+# compiles).  The default selection skips them for a fast signal;
+# `pytest -m ""` (or -m slow) runs everything — see pyproject addopts.
+SLOW_FILES = {
+    "test_cdef_jax.py", "test_fg_jax.py", "test_itx_jax.py",
+    "test_lf_jax.py", "test_lr_jax.py", "test_intra_pallas.py",
+    "test_device_bridge.py", "test_device_trace.py", "test_multistream.py",
+    "test_graft_entry.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

@@ -13,11 +13,17 @@ Usage: python tools/device_trace.py [logdir] [av1|vorbis|all]
   `tensorboard --logdir <logdir>` (Profile tab) or xprof.
 """
 
+import os
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
+# persistent XLA compile cache (same dir as bench.py): repeat trace runs
+# must not repay the full JIT compile cost before the traced steps
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(REPO / ".jax_cache"))
 
 
 def trace_av1(steps: int = 3):
@@ -61,13 +67,17 @@ def main():
     which = sys.argv[2] if len(sys.argv) > 2 else "all"
     import jax
 
+    t_start = time.time()
     with jax.profiler.trace(logdir):
         if which in ("av1", "all"):
             trace_av1()
         if which in ("vorbis", "all"):
             trace_vorbis()
-    n = sum(1 for _ in Path(logdir).rglob("*.xplane.pb"))
-    print(f"trace written: {logdir} ({n} xplane file(s); "
+    # only count captures from THIS run: the default logdir is reused,
+    # so stale xplane files from a prior run must not report success
+    n = sum(1 for p in Path(logdir).rglob("*.xplane.pb")
+            if p.stat().st_mtime >= t_start - 1)
+    print(f"trace written: {logdir} ({n} new xplane file(s); "
           f"open with tensorboard --logdir {logdir})")
     return 0 if n else 1
 
