@@ -875,10 +875,16 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         mv_grids = (bufs["ref0"], bufs["ref1"], bufs["mvs"])
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
-        # pallas executor: intra only, no LR stage yet
+        # pallas executor for intra frames; the jax MC executor covers
+        # inter frames (no LR stage on either yet)
         lr_on = getattr(getattr(hdr, "lr", None), "uses_lr", False)
-        planes = (_pallas_frame(lib, seq, hdr, out, bufs, rp)
-                  if hdr.frame_is_intra and not lr_on else None)
+        planes = None
+        if not lr_on and not getattr(hdr, "use_superres", False):
+            if hdr.frame_is_intra:
+                planes = _pallas_frame(lib, seq, hdr, out, bufs, rp)
+            elif refs is not None:
+                planes = _device_frame_inter(lib, seq, hdr, out, bufs,
+                                             rp, refs)
         if planes is not None:
             return planes, blob, mv_grids
         # fall through to the C recon when the device path declines
@@ -907,8 +913,15 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
         pool = _BUF_POOL.setdefault(pkey + ("rot",), [])
         pl = None
         for cand in pool:
-            # base refs: pool tuple + genexp binding + getrefcount arg
-            if all(sys.getrefcount(a) == 3 for a in cand):
+            # refs on the plane array: pool tuple + genexp binding +
+            # getrefcount arg.  ALSO gate on the backing allocation
+            # (a.base): numpy collapses view bases, so a consumer-held
+            # display view `src[:h,:w]` pins a.base, NOT a — without
+            # this check the pool recycled sets whose pixels a held
+            # VideoFrame still aliased (first-frames corruption when a
+            # caller holds >pool-depth frames)
+            if all(sys.getrefcount(a) == 3
+                   and sys.getrefcount(a.base) == 2 for a in cand):
                 pl = cand
                 break
         if pl is None:
@@ -1054,11 +1067,18 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     if rc != 0:
         return None
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    import jax
+
+    # Mosaic kernels need real TPU hardware; on a CPU-only host (test
+    # mesh) run the same kernels in interpret mode instead of crashing
+    interp = jax.default_backend() == "cpu"
     key = (hdr.mi_rows, hdr.mi_cols, ssx, ssy, seq.color.bitdepth,
-           seq.color.num_planes, bool(seq.use_128x128_superblock))
+           seq.color.num_planes, bool(seq.use_128x128_superblock),
+           interp)
     pr = _PALLAS_RECONS.get(key)
     if pr is None:
-        pr = _PALLAS_RECONS[key] = PallasRecon(*key[:6], sb128=key[6])
+        pr = _PALLAS_RECONS[key] = PallasRecon(
+            *key[:6], sb128=key[6], interpret=interp)
     outs = pr.run(units[:n_out.value], bufs["txs"][:out.n_txs],
                   bufs["coeffs"][:out.coeffs_used])
     if outs is None:
@@ -1078,6 +1098,81 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     if seq.color.num_planes > 1:
         final.append(dev[1][:ch, :cw].astype(dt))
         final.append(dev[2][:ch, :cw].astype(dt))
+    return _LazyPlanes(final)
+
+
+_INTER_RECONS: dict = {}
+_DEVICE_INTER_STATS = {"frames": 0, "fallbacks": 0}
+
+
+def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
+    """TPU inter recon pipe: C entropy decode feeds the jax MC executor
+    (subpel/compound MC + residual itx + sequential intra scan on
+    device), then loop filter + CDEF as device kernels.  Returns
+    visible planes or None (unsupported feature — caller falls back to
+    the C recon; entropy work is shared).  `refs` = per-slot
+    [(plane u16, lw, lh)] triples as passed to the C recon."""
+    from easyav1_tpu.video.av1.recon.mc_jax import (
+        DeviceInterRecon, export_inter_plan)
+
+    if out.n_pal_units > 0:
+        _DEVICE_INTER_STATS["fallbacks"] += 1
+        return None
+    blocks = bufs["blocks"][:out.n_blocks]
+    ref_dims = [None if refs[s] is None else
+                (refs[s][0][1], refs[s][0][2]) for s in range(8)]
+    plan_mc = export_inter_plan(seq, hdr, blocks, bufs["ref0"],
+                                bufs["mvs"], bufs["interp"], ref_dims)
+    if plan_mc is None:
+        _DEVICE_INTER_STATS["fallbacks"] += 1
+        return None
+    # intra pred units (inter blocks marked decoded, not exported)
+    max_units = int(out.n_lf) * 2 + 64
+    units = np.empty((max_units, 24), np.int32)
+    n_out = ctypes.c_int64(0)
+    rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
+                                   _vp(units), max_units,
+                                   ctypes.byref(n_out))
+    if rc != 0:
+        return None
+    ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    key = (hdr.mi_rows, hdr.mi_cols, ssx, ssy, seq.color.bitdepth,
+           seq.color.num_planes)
+    ir = _INTER_RECONS.get(key)
+    if ir is None:
+        ir = _INTER_RECONS[key] = DeviceInterRecon(*key)
+    # stacked logical-size reference planes in dense slot order
+    w, h = hdr.frame_width, hdr.frame_height
+    cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+    refs_np = [None] * seq.color.num_planes
+    if plan_mc["slots"]:
+        for p in range(seq.color.num_planes):
+            pw_, ph_ = (w, h) if p == 0 else (cw, ch)
+            refs_np[p] = np.stack([
+                np.ascontiguousarray(refs[s][p][0][:ph_, :pw_])
+                for s in plan_mc["slots"]])
+    outs = ir.run(units[:n_out.value], bufs["txs"][:out.n_txs],
+                  bufs["coeffs"][:out.coeffs_used], plan_mc, refs_np,
+                  (w, h))
+    if outs is None:
+        _DEVICE_INTER_STATS["fallbacks"] += 1
+        return None
+    _DEVICE_INTER_STATS["frames"] += 1
+    from easyav1_tpu.video.av1.recon.jax_exec import PAD as _PAD
+    from easyav1_tpu.video.av1.recon.postfilter_fused import \
+        postfilter_frame
+    import jax.numpy as jnp
+    dev = [outs[p][_PAD:_PAD + ph_, _PAD:_PAD + pw_]
+           for p, (ph_, pw_) in enumerate(ir.dims)]
+    dev = postfilter_frame(dev, hdr, seq, _grids_exporter(lib, rp, out),
+                           bufs["grids"]["skip"], bufs["cdef"])
+    uw, uh = hdr.upscaled_width, hdr.frame_height
+    ucw, uch = (uw + ssx) >> ssx, (uh + ssy) >> ssy
+    dt = jnp.uint8 if seq.color.bitdepth == 8 else jnp.uint16
+    final = [dev[0][:uh, :uw].astype(dt)]
+    if seq.color.num_planes > 1:
+        final.append(dev[1][:uch, :ucw].astype(dt))
+        final.append(dev[2][:uch, :ucw].astype(dt))
     return _LazyPlanes(final)
 
 

@@ -1197,6 +1197,21 @@ static int export_block(Recon *rc, const int32_t *b, int32_t *units,
     int mi_cols = rp->mi_cols, mi_rows = rp->mi_rows;
     int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
     int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
+    if (b[16]) {
+        /* inter block (device MC path recons it): emit no intra units,
+           but mark its extent decoded — later intra blocks' above/left/
+           tr/bl availability counts inter neighbors as available */
+        for (int plane = 0; plane < rp->num_planes; plane++) {
+            int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
+            int x4 = (bc >> ssx), y4 = (br >> ssy);
+            int we = rmax(1, lim_w >> ssx), he = rmax(1, lim_h >> ssy);
+            for (int rr = y4; rr < y4 + he && rr < rc->dh[plane]; rr++)
+                for (int cc = x4; cc < x4 + we && cc < rc->dw[plane];
+                     cc++)
+                    rc->decoded[plane][rr * rc->dw[plane] + cc] = 1;
+        }
+        return 0;
+    }
     for (int yy = 0; yy < lim_h; yy += sh)
         for (int xx = 0; xx < lim_w; xx += sw) {
             if (*n >= max_units) return 1;

@@ -1,0 +1,542 @@
+"""Device inter reconstruction: motion compensation on TPU.
+
+Extends the device recon path (jax_exec.py) to inter frames: the C
+entropy decoder's block records become per-plane MC *unit* tensors
+(subpel taps resolved on host), and batched JAX kernels gather the
+reference windows, run the two-stage 8-tap filters with the spec's
+exact integer rounding (av1_mc.h predict_inter semantics,
+InterRound0=3 / InterRound1=7|11), add the residual and scatter the
+clamped pixels into the padded frame planes.  Intra blocks inside the
+inter frame then run through the existing sequential intra scan
+(their neighbours — inter blocks — are final by then), and loop
+filter + CDEF run as device kernels.
+
+Reference roles: dav1d mc_tmpl.c / recon_tmpl.c (cmake/
+dav1d.cmake:1001-1015); the host analog here is
+easyav1_tpu/native/av1_mc.h, which is the bit-exactness oracle.
+
+Feature gates (frame falls back to the C recon when present): OBMC,
+warped/global-warp motion, masked compound (wedge/diffwtd),
+interintra, intrabc, palette, filter-intra, scaled references,
+superres, loop restoration, lossless.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from easyav1_tpu.video.av1 import constants as C
+from easyav1_tpu.video.av1 import tables as T
+from easyav1_tpu.video.av1.recon.jax_exec import (
+    PAD, DeviceRecon, _pad_pow2, _residual_kernel, _scan_kernel,
+    group_txs, pad_dims, preprocess_units)
+
+# block-record field indices (native/av1_common.h BLK_* enum)
+(B_R, B_C, B_BSIZE, B_YMODE, B_UVMODE, B_ANGLE_Y, B_ANGLE_UV, B_SKIP,
+ B_TXSZ, B_UVTX, B_HASCHROMA, B_CFL_U, B_CFL_V, B_FI, B_TXOFF, B_NTX,
+ B_IS_INTER, B_REF0, B_REF1, B_MV_R, B_MV_C, B_MV2_R, B_MV2_C, B_MODE,
+ B_REFMVIDX, B_INTERP0, B_INTERP1, B_MOTION_MODE, B_WARP_VALID) = \
+    range(29)
+B_COMP_TYPE = 39
+B_II_MODE = 44
+B_INTRABC = 50
+
+GLOBALMV = 15
+COMP_AVERAGE, COMP_DISTANCE, COMP_WEDGE, COMP_DIFFWTD = range(4)
+
+NS = 22          # single-pred unit fields
+NPR = 43         # compound-pred unit fields
+
+# single layout: x, y, slot, ix, iy, valid, fh[8], fv[8]
+(S_X, S_Y, S_SLOT, S_IX, S_IY, S_VALID) = range(6)
+S_FH = 6
+S_FV = 14
+# pair layout: x, y, valid, then per-pred (slot, ix, iy, fh[8], fv[8]),
+# then w0, w1
+(P_X, P_Y, P_VALID) = range(3)
+P_PRED0 = 3
+P_PRED1 = 22
+P_W0 = 41
+P_W1 = 42
+
+
+@functools.lru_cache(maxsize=None)
+def _filter_bank() -> np.ndarray:
+    """[8 classes][16 fracs][8 taps] int32; class = interp + (dim<=4)*4.
+    Same tables the C decoder uses (recon_ref._mc_filter source)."""
+    d = T.data()
+    b = np.zeros((8, 16, 8), np.int64)
+    b[0] = d["mc_filter_regular8"]
+    b[1] = d["mc_filter_smooth8"]
+    b[2] = d["mc_filter_sharp8"]
+    b[3] = d["mc_filter_bilinear"]
+    b[4] = d["mc_filter_regular4"]
+    b[5] = d["mc_filter_smooth4"]
+    b[6] = d["mc_filter_regular4"]      # sharp remaps to regular4
+    b[7] = d["mc_filter_bilinear"]      # bilinear keeps its 2-tap
+    return b.astype(np.int32)
+
+
+def _fclass(interp: np.ndarray, dim: np.ndarray) -> np.ndarray:
+    return np.where(dim <= 4, interp + 4, interp)
+
+
+def _dist_weights_np(seq, hdr, ref0: np.ndarray, ref1: np.ndarray):
+    """(w0, w1) arrays for COMP_DISTANCE blocks (av1_mc.h
+    dist_weights)."""
+    QW = np.array([[2, 3], [2, 5], [2, 7], [1, 31]], np.int64)
+    QL = np.array([[9, 7], [11, 5], [13, 3], [15, 1]], np.int64)
+    hints = np.asarray(hdr.order_hints, np.int64)
+    cur = int(hdr.order_hint)
+
+    def rel(a, b):
+        if not getattr(seq, "enable_order_hint", False):
+            return np.zeros_like(np.asarray(a))
+        d = a - b
+        m = 1 << (seq.order_hint_bits - 1)
+        return (d & (m - 1)) - (d & m)
+
+    bck = np.abs(rel(cur, hints[ref0]))
+    fwd = np.abs(rel(hints[ref1], cur))
+    bck = np.minimum(bck, 31)
+    fwd = np.minimum(fwd, 31)
+    order = (fwd <= bck).astype(np.int64)
+    n = ref0.shape[0]
+    w0 = np.empty(n, np.int64)
+    w1 = np.empty(n, np.int64)
+    for k in range(n):                 # few compound-distance blocks
+        o = order[k]
+        for i in range(3):
+            if fwd[k] * QW[i][o] <= bck[k] * QW[i][1 - o]:
+                break
+        w1[k] = QL[i][o]
+        w0[k] = QL[i][1 - o]
+    return w0, w1
+
+
+def export_inter_plan(seq, hdr, blocks: np.ndarray,
+                      ref0_g: np.ndarray, mvs_g: np.ndarray,
+                      interp_g: np.ndarray,
+                      ref_dims) -> Optional[dict]:
+    """Block records -> per-(plane, w, h) MC unit tensors.
+
+    ref_dims: per-slot (lw, lh) or None.  Returns
+    {"slots": [slot...], "singles": {...}, "pairs": {...}} or None when
+    an unsupported feature is present (caller falls back to C)."""
+    if getattr(hdr, "allow_intrabc", False):
+        return None
+    inter = blocks[blocks[:, B_IS_INTER] != 0]
+    if inter.shape[0] == 0:
+        return {"slots": [], "singles": {}, "pairs": {}}
+    if np.any(inter[:, B_MOTION_MODE] != 0):
+        return None                      # OBMC / warped
+    if np.any(inter[:, B_II_MODE] >= 0):
+        return None                      # interintra
+    if np.any(inter[:, B_INTRABC] != 0):
+        return None
+    comp = inter[:, B_COMP_TYPE]
+    is_comp = inter[:, B_REF1] > 0
+    if np.any(is_comp & ((comp == COMP_WEDGE) | (comp == COMP_DIFFWTD))):
+        return None                      # masked compound
+    # global warp selection (av1_mc.h recon_block_inter): GLOBALMV +
+    # gm_type > TRANSLATION + valid + >=8x8 would take the warp path
+    gm_t = np.asarray(getattr(hdr, "gm_type", [0] * 8), np.int32)
+    gm_inv = np.asarray(getattr(hdr, "gm_invalid", [False] * 8),
+                        np.bool_)
+    _bw4 = np.asarray(C.BLOCK_W4, np.int32)
+    _bh4 = np.asarray(C.BLOCK_H4, np.int32)
+    w4 = _bw4[inter[:, B_BSIZE]]
+    h4 = _bh4[inter[:, B_BSIZE]]
+    glob = (inter[:, B_MODE] == GLOBALMV) \
+        & (np.minimum(w4, h4) * 4 >= 8) \
+        & (gm_t[inter[:, B_REF0]] > 1) & ~gm_inv[inter[:, B_REF0]]
+    if np.any(glob):
+        return None
+    # used reference slots must be unscaled
+    rfi = list(getattr(hdr, "ref_frame_idx", [0] * 7))
+    fw_l, fh_l = hdr.frame_width, hdr.frame_height
+    used_refs = set(int(r) for r in inter[:, B_REF0]) \
+        | set(int(r) for r in inter[is_comp, B_REF1])
+    used_slots = sorted({rfi[r - 1] for r in used_refs if r >= 1})
+    for s in used_slots:
+        if ref_dims[s] is None:
+            return None
+        lw, lh = ref_dims[s]
+        if lw != fw_l or lh != fh_l:
+            return None                  # scaled reference
+    slot_dense = {s: i for i, s in enumerate(used_slots)}
+    ref_of = np.full(8, -1, np.int32)
+    for r in range(1, 8):
+        ref_of[r] = slot_dense.get(rfi[r - 1], -1)
+
+    bank = _filter_bank()
+    ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    n_pl = seq.color.num_planes
+    singles: Dict[Tuple[int, int, int], list] = {}
+    pairs: Dict[Tuple[int, int, int], list] = {}
+
+    def emit_single(plane, x, y, w, h, slot, mvr, mvc, f_v, f_h,
+                    fdim_w, fdim_h, sx, sy):
+        """One single-ref prediction rect (vectorized over arrays)."""
+        start_x = (x.astype(np.int64) << 4) + mvc * (1 if sx else 2)
+        start_y = (y.astype(np.int64) << 4) + mvr * (1 if sy else 2)
+        fx = (start_x & 15).astype(np.int64)
+        fy = (start_y & 15).astype(np.int64)
+        ix = (start_x >> 4).astype(np.int32)
+        iy = (start_y >> 4).astype(np.int32)
+        fh8 = bank[_fclass(f_h, fdim_w), fx]
+        fv8 = bank[_fclass(f_v, fdim_h), fy]
+        n = x.shape[0]
+        u = np.empty((n, NS), np.int32)
+        u[:, S_X] = x
+        u[:, S_Y] = y
+        u[:, S_SLOT] = slot
+        u[:, S_IX] = ix
+        u[:, S_IY] = iy
+        u[:, S_VALID] = 1
+        u[:, S_FH:S_FH + 8] = fh8
+        u[:, S_FV:S_FV + 8] = fv8
+        return u
+
+    out_singles: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
+    out_pairs: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
+
+    for plane in range(n_pl):
+        sx = ssx if plane else 0
+        sy = ssy if plane else 0
+        has_c = (inter[:, B_HASCHROMA] != 0) | (plane == 0)
+        blks = inter[has_c] if plane else inter
+        if blks.shape[0] == 0:
+            continue
+        bw4 = _bw4[blks[:, B_BSIZE]]
+        bh4 = _bh4[blks[:, B_BSIZE]]
+        x = (blks[:, B_C] >> sx) * 4
+        y = (blks[:, B_R] >> sy) * 4
+        fw = np.maximum(1, bw4 >> sx) * 4
+        fh = np.maximum(1, bh4 >> sy) * 4
+        sub8 = (plane > 0) & (((bw4 == 1) & (sx == 1))
+                              | ((bh4 == 1) & (sy == 1)))
+        cmpd = blks[:, B_REF1] > 0
+
+        # --- sub-8x8 chroma (av1_mc.h sub8x8_chroma): per tiny block,
+        # the co-located luma 4x4s supply up to 4 (mv, ref, filt) ---
+        mi_cols = ref0_g.shape[1]
+        sub_rows = []
+        normal_mask = np.ones(blks.shape[0], np.bool_)
+        for k in np.flatnonzero(sub8):
+            b = blks[k]
+            w4k, h4k = int(bw4[k]), int(bh4[k])
+            cr = (int(b[B_R]) >> sy) << sy
+            cc = (int(b[B_C]) >> sx) << sx
+            n_rows = 1 + (sy if h4k == 1 else 0)
+            n_cols = 1 + (sx if w4k == 1 else 0)
+            ok = all(ref0_g[cr + j, cc + i] > 0
+                     for j in range(n_rows) for i in range(n_cols))
+            if not ok:
+                continue                 # falls through to normal path
+            normal_mask[k] = False
+            pw = (4 >> sx) if w4k == 1 else int(fw[k])
+            ph_ = (4 >> sy) if h4k == 1 else int(fh[k])
+            for j in range(n_rows):
+                for i in range(n_cols):
+                    ref = int(ref0_g[cr + j, cc + i])
+                    mvr = int(mvs_g[cr + j, cc + i, 0, 0])
+                    mvc = int(mvs_g[cr + j, cc + i, 0, 1])
+                    fv_ = int(interp_g[cr + j, cc + i, 0])
+                    fh_ = int(interp_g[cr + j, cc + i, 1])
+                    sub_rows.append((pw, ph_, int(x[k]) + i * pw,
+                                     int(y[k]) + j * ph_, ref, mvr,
+                                     mvc, fv_, fh_))
+        if sub_rows:
+            arr = np.asarray(sub_rows, np.int64)
+            for (pw, ph_) in {(r[0], r[1]) for r in sub_rows}:
+                m = (arr[:, 0] == pw) & (arr[:, 1] == ph_)
+                a = arr[m]
+                u = emit_single(plane, a[:, 2], a[:, 3], pw, ph_,
+                                ref_of[a[:, 4]], a[:, 5], a[:, 6],
+                                a[:, 7], a[:, 8],
+                                np.full(a.shape[0], pw),
+                                np.full(a.shape[0], ph_), sx, sy)
+                out_singles.setdefault((plane, pw, ph_), []).append(u)
+
+        # --- normal single-ref blocks ---
+        m1 = normal_mask & ~cmpd
+        if np.any(m1):
+            sel = blks[m1]
+            fws, fhs = fw[m1], fh[m1]
+            for (wv, hv) in {(int(a), int(b))
+                             for a, b in zip(fws, fhs)}:
+                mm = (fws == wv) & (fhs == hv)
+                s2 = sel[mm]
+                u = emit_single(
+                    plane, x[m1][mm], y[m1][mm], wv, hv,
+                    ref_of[s2[:, B_REF0]], s2[:, B_MV_R].astype(np.int64),
+                    s2[:, B_MV_C].astype(np.int64), s2[:, B_INTERP0],
+                    s2[:, B_INTERP1], np.full(s2.shape[0], wv),
+                    np.full(s2.shape[0], hv), sx, sy)
+                out_singles.setdefault((plane, wv, hv), []).append(u)
+
+        # --- compound (average / distance) ---
+        m2 = normal_mask & cmpd
+        if np.any(m2):
+            sel = blks[m2]
+            xs, ys_ = x[m2], y[m2]
+            fws, fhs = fw[m2], fh[m2]
+            w0 = np.full(sel.shape[0], 8, np.int64)
+            w1 = np.full(sel.shape[0], 8, np.int64)
+            dm = sel[:, B_COMP_TYPE] == COMP_DISTANCE
+            if np.any(dm):
+                dw0, dw1 = _dist_weights_np(seq, hdr, sel[dm, B_REF0],
+                                            sel[dm, B_REF1])
+                w0[dm] = dw0
+                w1[dm] = dw1
+            for (wv, hv) in {(int(a), int(b))
+                             for a, b in zip(fws, fhs)}:
+                mm = (fws == wv) & (fhs == hv)
+                s2 = sel[mm]
+                n = s2.shape[0]
+                u = np.empty((n, NPR), np.int32)
+                u[:, P_X] = xs[mm]
+                u[:, P_Y] = ys_[mm]
+                u[:, P_VALID] = 1
+                for base, refc, mvrc, mvcc in (
+                        (P_PRED0, B_REF0, B_MV_R, B_MV_C),
+                        (P_PRED1, B_REF1, B_MV2_R, B_MV2_C)):
+                    start_x = (xs[mm].astype(np.int64) << 4) \
+                        + s2[:, mvcc].astype(np.int64) * (1 if sx else 2)
+                    start_y = (ys_[mm].astype(np.int64) << 4) \
+                        + s2[:, mvrc].astype(np.int64) * (1 if sy else 2)
+                    u[:, base + 0] = ref_of[s2[:, refc]]
+                    u[:, base + 1] = (start_x >> 4).astype(np.int32)
+                    u[:, base + 2] = (start_y >> 4).astype(np.int32)
+                    u[:, base + 3:base + 11] = bank[
+                        _fclass(s2[:, B_INTERP1],
+                                np.full(n, wv)), start_x & 15]
+                    u[:, base + 11:base + 19] = bank[
+                        _fclass(s2[:, B_INTERP0],
+                                np.full(n, hv)), start_y & 15]
+                u[:, P_W0] = w0[mm]
+                u[:, P_W1] = w1[mm]
+                out_pairs.setdefault((plane, wv, hv), []).append(u)
+
+    return {
+        "slots": used_slots,
+        "singles": {k: np.concatenate(v) for k, v in out_singles.items()},
+        "pairs": {k: np.concatenate(v) for k, v in out_pairs.items()},
+    }
+
+
+# ------------------------------------------------------------------ #
+# device kernels                                                     #
+# ------------------------------------------------------------------ #
+
+
+@functools.lru_cache(maxsize=None)
+def _mc_single_kernel(ph, pw, rh, rw, ns, w, h, n, bd):
+    """jit: (plane, resid, refstk[ns,rh,rw], f[n,NS]) -> plane.
+
+    Two-stage 8-tap with the exact av1_mc.h rounding:
+    m = (accH + 4) >> 3;  v = clip((accV + 1024) >> 11)."""
+    import jax
+    import jax.numpy as jnp
+
+    mx = (1 << bd) - 1
+
+    def fn(plane, resid, refstk, f):
+        ix = f[:, S_IX]
+        iy = f[:, S_IY]
+        rows = jnp.clip(iy[:, None] - 3
+                        + jnp.arange(h + 7, dtype=jnp.int32)[None, :],
+                        0, rh - 1)
+        cols = jnp.clip(ix[:, None] - 3
+                        + jnp.arange(w + 7, dtype=jnp.int32)[None, :],
+                        0, rw - 1)
+        win = refstk[f[:, S_SLOT][:, None, None],
+                     rows[:, :, None], cols[:, None, :]]
+        fh8 = f[:, S_FH:S_FH + 8]
+        fv8 = f[:, S_FV:S_FV + 8]
+        acc = jnp.zeros((n, h + 7, w), jnp.int32)
+        for t in range(8):
+            acc = acc + win[:, :, t:t + w] * fh8[:, t][:, None, None]
+        m = (acc + 4) >> 3
+        acc2 = jnp.zeros((n, h, w), jnp.int32)
+        for t in range(8):
+            acc2 = acc2 + m[:, t:t + h, :] * fv8[:, t][:, None, None]
+        v = jnp.clip((acc2 + 1024) >> 11, 0, mx)
+        valid = f[:, S_VALID] != 0
+        yy = jnp.where(valid, f[:, S_Y] + PAD, ph)[:, None, None] \
+            + jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        xx = (f[:, S_X] + PAD)[:, None, None] \
+            + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        rwin = resid[jnp.clip(yy, 0, ph - 1), jnp.clip(xx, 0, pw - 1)]
+        out = jnp.clip(v + rwin, 0, mx)
+        return plane.at[yy, xx].set(out, mode="drop")
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _mc_pair_kernel(ph, pw, rh, rw, ns, w, h, n, bd):
+    """jit: compound average/distance.  p = (accV + 64) >> 7 per pred;
+    v = clip((p0*w0 + p1*w1 + 128) >> 8)."""
+    import jax
+    import jax.numpy as jnp
+
+    mx = (1 << bd) - 1
+
+    def pred(refstk, f, base):
+        ix = f[:, base + 1]
+        iy = f[:, base + 2]
+        rows = jnp.clip(iy[:, None] - 3
+                        + jnp.arange(h + 7, dtype=jnp.int32)[None, :],
+                        0, rh - 1)
+        cols = jnp.clip(ix[:, None] - 3
+                        + jnp.arange(w + 7, dtype=jnp.int32)[None, :],
+                        0, rw - 1)
+        win = refstk[f[:, base + 0][:, None, None],
+                     rows[:, :, None], cols[:, None, :]]
+        fh8 = f[:, base + 3:base + 11]
+        fv8 = f[:, base + 11:base + 19]
+        acc = jnp.zeros((n, h + 7, w), jnp.int32)
+        for t in range(8):
+            acc = acc + win[:, :, t:t + w] * fh8[:, t][:, None, None]
+        m = (acc + 4) >> 3
+        acc2 = jnp.zeros((n, h, w), jnp.int32)
+        for t in range(8):
+            acc2 = acc2 + m[:, t:t + h, :] * fv8[:, t][:, None, None]
+        return (acc2 + 64) >> 7
+
+    def fn(plane, resid, refstk, f):
+        p0 = pred(refstk, f, P_PRED0)
+        p1 = pred(refstk, f, P_PRED1)
+        v = (p0 * f[:, P_W0][:, None, None]
+             + p1 * f[:, P_W1][:, None, None] + 128) >> 8
+        v = jnp.clip(v, 0, mx)
+        valid = f[:, P_VALID] != 0
+        yy = jnp.where(valid, f[:, P_Y] + PAD, ph)[:, None, None] \
+            + jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        xx = (f[:, P_X] + PAD)[:, None, None] \
+            + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        rwin = resid[jnp.clip(yy, 0, ph - 1), jnp.clip(xx, 0, pw - 1)]
+        out = jnp.clip(v + rwin, 0, mx)
+        return plane.at[yy, xx].set(out, mode="drop")
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+# ------------------------------------------------------------------ #
+
+
+class DeviceInterRecon:
+    """Frame orchestrator for the device inter recon path (MC + itx +
+    sequential intra scan on device; LF/CDEF applied by the caller)."""
+
+    def __init__(self, mi_rows, mi_cols, ssx, ssy, bitdepth=8,
+                 num_planes=3):
+        self.bd = bitdepth
+        self.ssx, self.ssy = ssx, ssy
+        self.np_ = num_planes
+        aw, ah = mi_cols * 4, mi_rows * 4
+        self.dims = [(ah, aw), (ah >> ssy, aw >> ssx),
+                     (ah >> ssy, aw >> ssx)][:num_planes]
+        self.ws = [64, 32, 32]
+        self._ncaps: Dict[tuple, int] = {}
+
+    def _cap(self, key, n):
+        """Sticky pow2 batch capacity per bucket (stable jit shapes)."""
+        c = self._ncaps.get(key, 0)
+        if n > c:
+            c = 8
+            while c < n:
+                c <<= 1
+            self._ncaps[key] = c
+        return c
+
+    def run(self, units: np.ndarray, txs: np.ndarray,
+            coeffs: np.ndarray, plan_mc: dict, refs_np,
+            frame_dims) -> Optional[list]:
+        """refs_np: per-plane list of stacked [ns, rh, rw] numpy ref
+        arrays (dense slot order = plan_mc['slots']); frame_dims:
+        (w, h) logical.  Returns padded device planes or None."""
+        import jax.numpy as jnp
+        if self.np_ > 1 and not (self.ssx and self.ssy):
+            if units.shape[0] and np.any(units[units[:, 0] > 0][:, 5]
+                                         == 8):
+                return None
+        try:
+            fields = preprocess_units(units, self.dims)
+        except NotImplementedError:
+            return None
+        groups = group_txs(txs, coeffs)
+        if groups is None:
+            return None
+
+        planes = []
+        for p in range(self.np_):
+            php, pwp = pad_dims(*self.dims[p], self.ws[p])
+            planes.append(jnp.zeros((php, pwp), jnp.int32))
+        resid = [jnp.zeros_like(pl) for pl in planes]
+        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
+            kern = _residual_kernel(tsz, ttyp, co.shape[0], self.bd,
+                                    self.np_)
+            resid = kern(resid, jnp.asarray(co), jnp.asarray(pl),
+                         jnp.asarray(xs), jnp.asarray(ys))
+
+        # ---- MC: batched per (plane, w, h) bucket ----
+        dev_refs = [jnp.asarray(r.astype(np.int32)) if r is not None
+                    else None for r in refs_np]
+        fw_l, fh_l = frame_dims
+        for (p, w, h), f in sorted(plan_mc["singles"].items()):
+            php, pwp = planes[p].shape
+            rsk = dev_refs[p]
+            rh = (fh_l + (self.ssy if p else 0)) >> (self.ssy if p
+                                                     else 0)
+            rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx if p
+                                                     else 0)
+            cap = self._cap(("s", p, w, h), f.shape[0])
+            fpad = np.zeros((cap, NS), np.int32)
+            fpad[:f.shape[0]] = f
+            kern = _mc_single_kernel(php, pwp, rh, rw, rsk.shape[0],
+                                     w, h, cap, self.bd)
+            planes[p] = kern(planes[p], resid[p], rsk,
+                             jnp.asarray(fpad))
+        for (p, w, h), f in sorted(plan_mc["pairs"].items()):
+            php, pwp = planes[p].shape
+            rsk = dev_refs[p]
+            rh = (fh_l + (self.ssy if p else 0)) >> (self.ssy if p
+                                                     else 0)
+            rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx if p
+                                                     else 0)
+            cap = self._cap(("p", p, w, h), f.shape[0])
+            fpad = np.zeros((cap, NPR), np.int32)
+            fpad[:f.shape[0]] = f
+            kern = _mc_pair_kernel(php, pwp, rh, rw, rsk.shape[0],
+                                   w, h, cap, self.bd)
+            planes[p] = kern(planes[p], resid[p], rsk,
+                             jnp.asarray(fpad))
+
+        # ---- intra blocks: sequential scan (neighbours final) ----
+        outs = [None] * self.np_
+        ph0, pw0 = planes[0].shape
+        f0 = _pad_pow2(fields[0])
+        k0 = _scan_kernel(64, ph0, pw0, self.bd, False, self.ssx,
+                          self.ssy)
+        outs[0] = k0(planes[0], resid[0], jnp.asarray(f0))
+        for p in range(1, self.np_):
+            php, pwp = planes[p].shape
+            fp = _pad_pow2(fields[p])
+            kp = _scan_kernel(32, php, pwp, self.bd, True, self.ssx,
+                              self.ssy)
+            outs[p] = kp(planes[p], resid[p], jnp.asarray(fp),
+                         outs[0])
+        return outs
+
+    def crop(self, outs):
+        res = []
+        for p, o in enumerate(outs):
+            php, pwp = self.dims[p]
+            res.append(np.asarray(o)[PAD:PAD + php, PAD:PAD + pwp])
+        return res

@@ -1,0 +1,110 @@
+"""Device inter reconstruction (mc_jax): MC + itx + intra scan +
+postfilters on device, bit-exact vs the native C recon.
+
+Reference role: dav1d mc_tmpl.c (cmake/dav1d.cmake:1001-1015) — the
+device pipe must reproduce the C pipeline (itself dav1d-bit-exact,
+tests/test_native_inter.py) exactly.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from fixtures import make_fixture
+
+# inter fixture without the features the device path gates on
+# (OBMC, warp, masked compound, interintra, palette, restoration)
+_VOPTS = [
+    "enable-obmc=0", "enable-masked-comp=0", "enable-interintra-comp=0",
+    "enable-global-motion=0", "enable-restoration=0", "enable-palette=0",
+    "enable-filter-intra=0", "enable-intrabc=0",
+    "aom-params=enable-warped-motion=0",
+]
+
+
+def _decode_all(path, pipe, copy=True):
+    os.environ["EASYAV1_PIPE"] = pipe
+    try:
+        from easyav1_tpu.container import TrackType, WebMDemuxer
+        from easyav1_tpu.video.av1.backend import AV1Backend
+
+        d = WebMDemuxer(str(path))
+        vt = d.tracks_of_type(TrackType.VIDEO)[0]
+        pkts = []
+        while (p := d.read_packet()) is not None:
+            if p.track == vt.number:
+                pkts.extend(p.frames)
+        be = AV1Backend(vt)
+        out = []
+        for pk in pkts:
+            for f in be.decode([pk], 0):
+                out.append([np.asarray(pl).copy() if copy
+                            else np.asarray(pl) for pl in f.data])
+        return out
+    finally:
+        os.environ["EASYAV1_PIPE"] = "native"
+
+
+@pytest.mark.slow
+def test_device_inter_bitexact():
+    fx = make_fixture(w=320, h=180, fps=30, frames=12, gop=999, crf=30,
+                      audio_secs=0, content=1, vopt=_VOPTS)
+    ref = _decode_all(fx, "native")
+    import easyav1_tpu.native as nat
+
+    nat._DEVICE_INTER_STATS["frames"] = 0
+    nat._DEVICE_INTER_STATS["fallbacks"] = 0
+    dev = _decode_all(fx, "pallas")
+    assert len(ref) == len(dev) == 12
+    # the device MC path must actually run (not silently fall back)
+    assert nat._DEVICE_INTER_STATS["frames"] >= 8, \
+        nat._DEVICE_INTER_STATS
+    for i, (a, b) in enumerate(zip(ref, dev)):
+        for p, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(x, y), (
+                f"frame {i} plane {p}: "
+                f"{np.abs(x.astype(int) - y.astype(int)).max()}")
+
+
+@pytest.mark.slow
+def test_device_inter_compound_present():
+    """The fixture must exercise compound prediction on the device
+    path (otherwise the pair kernel is dead code in this suite)."""
+    fx = make_fixture(w=320, h=180, fps=30, frames=12, gop=999, crf=30,
+                      audio_secs=0, content=1, vopt=_VOPTS)
+    from easyav1_tpu.video.av1.recon import mc_jax
+
+    seen = {"pairs": 0, "singles": 0}
+    orig = mc_jax.export_inter_plan
+
+    def spy(*a, **k):
+        plan = orig(*a, **k)
+        if plan is not None:
+            seen["pairs"] += sum(v.shape[0]
+                                 for v in plan["pairs"].values())
+            seen["singles"] += sum(v.shape[0]
+                                   for v in plan["singles"].values())
+        return plan
+
+    mc_jax.export_inter_plan = spy
+    try:
+        _decode_all(fx, "pallas")
+    finally:
+        mc_jax.export_inter_plan = orig
+    assert seen["singles"] > 100, seen
+
+
+def test_native_frames_stay_valid_while_held():
+    """Zero-copy display planes must remain valid while the caller
+    holds them (numpy collapses view bases, so the recycling gate must
+    check the backing allocation, not just the plane array).
+    Regression: frames 0-2 of a 12-frame decode were overwritten when
+    all frames were held as views."""
+    fx = make_fixture(w=320, h=180, fps=30, frames=12, gop=999, crf=30,
+                      audio_secs=0, content=1, vopt=_VOPTS)
+    held = _decode_all(fx, "native", copy=False)
+    copies = _decode_all(fx, "native", copy=True)
+    for i, (a, b) in enumerate(zip(held, copies)):
+        for p, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(x, y), f"frame {i} plane {p}"
