@@ -851,6 +851,8 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
             if pls is None:
                 continue
             for pi, (arr, lw, lh) in enumerate(pls):
+                if isinstance(arr, _DevRef):
+                    arr = arr.numpy()     # C fallback: pull from HBM
                 if arr.dtype != pel_dt or not arr.flags.c_contiguous:
                     # dtype conversion is exact both ways for 8-bit
                     # streams (samples <= 255); only hit when the pipe
@@ -886,6 +888,8 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                 planes = _device_frame_inter(lib, seq, hdr, out, bufs,
                                              rp, refs)
         if planes is not None:
+            if isinstance(planes, tuple):   # resident: device refs too
+                return planes[0], blob, mv_grids, planes[1]
             return planes, blob, mv_grids
         # fall through to the C recon when the device path declines
 
@@ -1023,15 +1027,26 @@ class _LazyPlanes:
     on first access.  `copy_to_host_async` is issued at construction,
     so the transfer overlaps the caller's next-frame entropy decode —
     the TPU-pipe analog of the reference's decode-ahead thread
-    (easyav1.c:2271-2333) at the frame-data level."""
+    (easyav1.c:2271-2333) at the frame-data level.
+
+    eager=False (device-resident mode, EASYAV1_RESIDENT=1): no
+    transfer is issued at all until a consumer actually indexes the
+    planes — frames whose pixels are only hashed/displayed-on-demand
+    never cross the tunnel.  `device_planes` exposes the on-device
+    arrays for hash/consume-on-device paths."""
 
     __slots__ = ("_devs", "_np")
 
-    def __init__(self, devs):
+    def __init__(self, devs, eager=True):
         self._devs = devs
         self._np = None
-        for d in devs:
-            d.copy_to_host_async()
+        if eager:
+            for d in devs:
+                d.copy_to_host_async()
+
+    @property
+    def device_planes(self):
+        return self._devs
 
     def _mat(self):
         if self._np is None:
@@ -1047,6 +1062,35 @@ class _LazyPlanes:
 
     def __iter__(self):
         return iter(self._mat())
+
+
+def _resident() -> bool:
+    return os.environ.get("EASYAV1_RESIDENT", "") not in ("", "0")
+
+
+class _DevRef:
+    """Reference plane resident in device HBM (logical dims, u8/u16).
+    `numpy()` materializes (once) for the C recon fallback path."""
+
+    __slots__ = ("dev", "_np")
+
+    def __init__(self, dev):
+        self.dev = dev
+        self._np = None
+
+    def numpy(self):
+        if self._np is None:
+            self._np = np.asarray(self.dev)
+        return self._np
+
+    # duck-type the bits of ndarray the rfl-marshaling path touches
+    @property
+    def dtype(self):
+        return self.numpy().dtype
+
+    @property
+    def shape(self):
+        return tuple(self.dev.shape)
 
 
 def _pallas_frame(lib, seq, hdr, out, bufs, rp):
@@ -1098,6 +1142,13 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     if seq.color.num_planes > 1:
         final.append(dev[1][:ch, :cw].astype(dt))
         final.append(dev[2][:ch, :cw].astype(dt))
+    if _resident():
+        # HBM-resident refs: the next frame's device MC reads these
+        # without any host round-trip; the C fallback materializes on
+        # demand (_DevRef.numpy)
+        rt = [(_DevRef(f), int(f.shape[1]), int(f.shape[0]))
+              for f in final]
+        return _LazyPlanes(final, eager=False), rt
     return _LazyPlanes(final)
 
 
@@ -1148,9 +1199,14 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     if plan_mc["slots"]:
         for p in range(seq.color.num_planes):
             pw_, ph_ = (w, h) if p == 0 else (cw, ch)
-            refs_np[p] = np.stack([
-                np.ascontiguousarray(refs[s][p][0][:ph_, :pw_])
-                for s in plan_mc["slots"]])
+            lst = []
+            for s in plan_mc["slots"]:
+                a = refs[s][p][0]
+                if isinstance(a, _DevRef):
+                    lst.append(a.dev)     # HBM-resident, logical dims
+                else:
+                    lst.append(np.ascontiguousarray(a[:ph_, :pw_]))
+            refs_np[p] = lst
     outs = ir.run(units[:n_out.value], bufs["txs"][:out.n_txs],
                   bufs["coeffs"][:out.coeffs_used], plan_mc, refs_np,
                   (w, h))
@@ -1173,6 +1229,10 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     if seq.color.num_planes > 1:
         final.append(dev[1][:uch, :ucw].astype(dt))
         final.append(dev[2][:uch, :ucw].astype(dt))
+    if _resident():
+        rt = [(_DevRef(f), int(f.shape[1]), int(f.shape[0]))
+              for f in final]
+        return _LazyPlanes(final, eager=False), rt
     return _LazyPlanes(final)
 
 

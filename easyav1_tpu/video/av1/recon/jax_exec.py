@@ -127,8 +127,8 @@ def preprocess_units(units: np.ndarray, dims,
     return out
 
 
-def _pad_pow2(a: np.ndarray) -> np.ndarray:
-    n = max(a.shape[0], 1)
+def _pad_pow2(a: np.ndarray, min_n: int = 1) -> np.ndarray:
+    n = max(a.shape[0], 1, min_n)
     b = 1
     while b < n:
         b <<= 1
@@ -142,25 +142,34 @@ def group_txs(txs: np.ndarray, coeffs: np.ndarray):
     """Coded-tx records → {(tx_size, tx_type): (coeff[N,ah,aw], plane,
     x, y)} with batch padded to pow2 (pad entries: zero coeffs at
     (0,0) plane 0 → zero residual, harmless scatter-add).  Returns
-    None if any tx is lossless (WHT not on device yet)."""
-    groups: Dict[Tuple[int, int], list] = {}
-    for k in range(txs.shape[0]):
-        plane, x, y, tsz, ttyp, eob, coff, lossless = \
-            (int(v) for v in txs[k])
-        if lossless:
-            return None
-        adj = T.ADJUSTED_TX_SIZE[tsz]
-        tw, th = T.TX_WIDTH[adj], T.TX_HEIGHT[adj]
-        groups.setdefault((tsz, ttyp), []).append(
-            (plane, x, y, coeffs[coff:coff + tw * th].reshape(th, tw)))
+    None if any tx is lossless (WHT not on device yet).
+
+    Vectorized (argsort + boundary split): the per-tx Python loop cost
+    ~170 ms/frame at 1080p — ~half the host time of the device pipe."""
+    if txs.shape[0] == 0:
+        return {}
+    if np.any(txs[:, 7] != 0):
+        return None
+    pl_a, xs_a, ys_a = txs[:, 0], txs[:, 1], txs[:, 2]
+    tsz_a, ttyp_a, coff_a = txs[:, 3], txs[:, 4], txs[:, 6]
+    key = tsz_a * 16 + ttyp_a
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    bounds = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1], True])
     out = {}
-    for key, lst in groups.items():
-        co = np.stack([c for (_, _, _, c) in lst]).astype(np.int32)
-        pl = np.array([p for (p, _, _, _) in lst], np.int32)
-        xs = np.array([x for (_, x, _, _) in lst], np.int32)
-        ys = np.array([y for (_, _, y, _) in lst], np.int32)
-        out[key] = (_pad_pow2(co), _pad_pow2(pl), _pad_pow2(xs),
-                    _pad_pow2(ys))
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        idx = order[b0:b1]
+        ts, tt = int(tsz_a[idx[0]]), int(ttyp_a[idx[0]])
+        adj = T.ADJUSTED_TX_SIZE[ts]
+        ah, aw = T.TX_HEIGHT[adj], T.TX_WIDTH[adj]
+        n = idx.shape[0]
+        co = coeffs[coff_a[idx, None] + np.arange(ah * aw)] \
+            .reshape(n, ah, aw).astype(np.int32, copy=False)
+        # min 8: the scatter composer's chunk ladder bottoms out at 8
+        out[(ts, tt)] = (_pad_pow2(co, 8),
+                         _pad_pow2(pl_a[idx].astype(np.int32), 8),
+                         _pad_pow2(xs_a[idx].astype(np.int32), 8),
+                         _pad_pow2(ys_a[idx].astype(np.int32), 8))
     return out
 
 
@@ -795,11 +804,36 @@ class PallasRecon:
             fields = preprocess_units(units, self.dims, pad=0)
         except NotImplementedError:
             return None
-        planner = get_planner(self.layouts, self.np_, self.bd,
-                              IP.LPAD)
-        resid = planner.compose(txs, coeffs)
-        if resid is None:
+        # scatter-based residual compose: batched itx per (size, type)
+        # group + scatter-add straight into the layout planes, batches
+        # decomposed into the static pow4 chunk ladder so the kernel
+        # signatures never depend on this frame's tx mix (no recompile
+        # storms).  Scatters are ~free on TPU (1-2 ms/frame measured);
+        # end-to-end this beats the value-buffer+gather planner ~2x
+        # (the big random gather was the pipe's worst op).  A fully
+        # fused one-call variant was tried and LOST: its signature
+        # tracks the per-frame tx mix, and on this platform every
+        # signature change is a ~10 s uncacheable remote recompile.
+        groups = group_txs(txs, coeffs)
+        if groups is None:
             return None
+        resid = [jnp.zeros((hp, wp), jnp.int32)
+                 for (hp, wp, _) in self.layouts[:self.np_]]
+        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
+            h = T.TX_HEIGHT[tsz]
+            w = T.TX_WIDTH[tsz]
+            n = co.shape[0]          # already 8-aligned (pow2 padded)
+            pos = 0
+            for csz in _chunk_ladder(h * w):
+                while n - pos >= csz:
+                    kern = _residual_kernel(tsz, ttyp, csz, self.bd,
+                                            self.np_, pad_y=0,
+                                            pad_x=IP.LPAD)
+                    resid = kern(resid, jnp.asarray(co[pos:pos + csz]),
+                                 jnp.asarray(pl[pos:pos + csz]),
+                                 jnp.asarray(xs[pos:pos + csz]),
+                                 jnp.asarray(ys[pos:pos + csz]))
+                    pos += csz
 
         outs = [None] * self.np_
         hp0, wp0, ns0 = self.layouts[0]

@@ -486,8 +486,11 @@ class DeviceInterRecon:
                          jnp.asarray(xs), jnp.asarray(ys))
 
         # ---- MC: batched per (plane, w, h) bucket ----
-        dev_refs = [jnp.asarray(r.astype(np.int32)) if r is not None
-                    else None for r in refs_np]
+        # refs_np[p]: list of per-slot 2D planes (numpy u16 OR
+        # device-resident u8 arrays) -> stacked int32 device tensors
+        dev_refs = [
+            jnp.stack([jnp.asarray(a, jnp.int32) for a in r])
+            if r is not None else None for r in refs_np]
         fw_l, fh_l = frame_dims
         for (p, w, h), f in sorted(plan_mc["singles"].items()):
             php, pwp = planes[p].shape
