@@ -748,6 +748,14 @@ class EasyAV1:
             else:
                 if found_key and not fast:
                     self._decode_audio_packet(pkt)
+        # seek packets REPLACE the queue head (easyav1.c:2317-2319):
+        # intermediate keyframe->target frames must not leak to the
+        # consumer — only the last decoded frame survives the seek
+        with self._frame_lock:
+            if len(self._frame_queue) > 1:
+                last = self._frame_queue[-1]
+                self._frame_queue.clear()
+                self._frame_queue.append(last)
         if not fast:
             self._position = timestamp_ms
         self._status = EasyAV1Status.OK
