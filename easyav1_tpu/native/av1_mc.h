@@ -1000,13 +1000,18 @@ static void copyplan_flush(Recon *rc) {
                        && e[j + 1].src == e[j].src + e[j].w)
                     j++;
                 int mw = e[j].x + e[j].w - e[i].x;
-                /* hide the next run's source latency under this copy */
+                /* hide upcoming runs' source latency under this copy:
+                   all rows of the next run plus the first rows of the
+                   few after it (narrow bands finish faster than one
+                   DRAM round-trip, so one-run lookahead starves) */
                 if (j + 1 < cp->n) {
                     const CopyEnt *nx = &e[j + 1];
                     const char *ns = (const char *)nx->src;
                     int64_t nss = nx->ss * (int64_t)sizeof(pel);
                     for (int r = 0; r < nx->h; r++)
                         __builtin_prefetch(ns + (int64_t)r * nss);
+                    for (int k = j + 2; k < cp->n && k <= j + 6; k++)
+                        __builtin_prefetch(e[k].src);
                 }
                 uint64_t b0 = __rdtsc();
                 cp_copy_rows(plane + (int64_t)e[i].y * ds + e[i].x, ds,
