@@ -108,3 +108,24 @@ def test_native_frames_stay_valid_while_held():
     for i, (a, b) in enumerate(zip(held, copies)):
         for p, (x, y) in enumerate(zip(a, b)):
             assert np.array_equal(x, y), f"frame {i} plane {p}"
+
+
+@pytest.mark.slow
+def test_device_resident_decode():
+    """Resident mode: frames + refs stay on device, per-frame device
+    hashes match the host-side hash of the native decode, and display
+    pull materializes bit-exact planes."""
+    from easyav1_tpu.video.av1.recon.resident import (decode_resident,
+                                                      frame_hash_host)
+
+    fx = make_fixture(w=320, h=180, fps=30, frames=8, gop=999, crf=30,
+                      audio_secs=0, content=1, vopt=_VOPTS)
+    ref = _decode_all(fx, "native")
+    n, wall, hashes, frames = decode_resident(fx, max_frames=8)
+    assert n == len(ref) == 8
+    for i, rf in enumerate(ref):
+        assert frame_hash_host(rf) == hashes[i], f"frame {i} hash"
+    # display pull on demand (no earlier materialization)
+    got = [np.asarray(pl) for pl in frames[3].data]
+    for p, (x, y) in enumerate(zip(ref[3], got)):
+        assert np.array_equal(x, y), f"frame 3 plane {p}"
