@@ -509,11 +509,12 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         }
         _BUF_POOL[key] = bufs
     bufs["cdef"].fill(-1)
-    # inter-state grids: per-frame init mirrors tile.py _init_tile
-    bufs["ref0"].fill(-1)
-    bufs["ref1"].fill(-1)
-    for k in ("mvs", "interp", "modes"):
-        bufs[k].fill(0)
+    # NOTE: ref0/ref1/mvs/interp/modes need no per-frame init: every
+    # in-frame mi cell is overwritten by the per-block MI_FILL in
+    # av1_decode_tile (blocks tile the frame), and all C readers
+    # (refmvs above/left scans, OBMC, sub8x8 chroma, save_tmvs) only
+    # touch cells of already-decoded blocks.  The fills cost ~8 MB of
+    # memset per 4K frame (~1.2 ms).
     if getattr(hdr, "allow_intrabc", False):
         # filled/read only under allow_intrabc (screen-content intra)
         bufs["intrabc"].fill(0)
