@@ -974,8 +974,11 @@ static void copyplan_flush(Recon *rc) {
         CopyPlan *cp = &rc->cplan[p];
         ResidPlan *rp_ = &rc->rplan[p];
         if (cp->n == 0 && rp_->n == 0) continue;
-        qsort(cp->e, (size_t)cp->n, sizeof(CopyEnt), cp_cmp);
-        qsort(rp_->e, (size_t)rp_->n, sizeof(ResidEnt), rp_cmp);
+        /* n == 0 with a NULL base is UB for qsort (nonnull arg) */
+        if (cp->n)
+            qsort(cp->e, (size_t)cp->n, sizeof(CopyEnt), cp_cmp);
+        if (rp_->n)
+            qsort(rp_->e, (size_t)rp_->n, sizeof(ResidEnt), rp_cmp);
         pel *plane = rc->planes[p];
         int64_t ds = rc->pw[p];
         /* 128-row bands (every block is size-aligned, so none spans a
