@@ -175,8 +175,6 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
     bank = _filter_bank()
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     n_pl = seq.color.num_planes
-    singles: Dict[Tuple[int, int, int], list] = {}
-    pairs: Dict[Tuple[int, int, int], list] = {}
 
     def emit_single(plane, x, y, w, h, slot, mvr, mvc, f_v, f_h,
                     fdim_w, fdim_h, sx, sy):
