@@ -1461,6 +1461,165 @@ int av1_project_mvfield(int mi_rows, int mi_cols,
     if (num < -MF_MAXD) num = -MF_MAXD;
     int s2c_ok = start_to_cur <= MF_MAXD && start_to_cur >= -MF_MAXD;
     int row_lim = mi_rows >> 1, col_lim = mi_cols >> 1;
+#ifdef __AVX2__
+    /* 8-lane projection: the per-cell math (scale by num/den in Q14,
+       round, clamp, window checks) vectorizes; only the final scatter
+       stays scalar, walked in ascending lane order so duplicate
+       targets keep the last write exactly like the cell loop */
+    if (s2c_ok && w8 >= 8) {
+        static int32_t dm32[32];
+        if (!dm32[1])
+            for (int i = 0; i < 32; i++) dm32[i] = MF_DIV_MULT[i];
+        const __m256i zero = _mm256_setzero_si256();
+        const __m256i numv = _mm256_set1_epi32(num);
+        const __m256i eight = _mm256_set1_epi32(8);
+        const __m256i c31 = _mm256_set1_epi32(31);
+        const __m256i rnd = _mm256_set1_epi32(8192);
+        const __m256i lim = _mm256_set1_epi32((1 << 14) - 1);
+        const __m256i nlim = _mm256_set1_epi32(-((1 << 14) - 1));
+        const __m256i rowlimv = _mm256_set1_epi32(row_lim);
+        const __m256i collimv = _mm256_set1_epi32(col_lim);
+        /* ref_off[1..8] as a permute table (lane sr-1) */
+        const __m256i offtab =
+            _mm256_loadu_si256((const __m256i *)(ref_off + 1));
+        const __m256i lane = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+        int32_t rows_s[8], cols_s[8], offs_s[8];
+        uint32_t mvp_s[8];
+        int w8a = w8 & ~7;
+        for (int y = 0; y < h8; y++) {
+            int base_y = (y >> 3) << 3;
+            const __m256i yv = _mm256_set1_epi32(y);
+            const __m256i by0 = _mm256_set1_epi32(base_y);
+            const __m256i by1 = _mm256_set1_epi32(base_y + 8);
+            int64_t rowbase = (int64_t)y * w8;
+            for (int x = 0; x < w8a; x += 8) {
+                int64_t i = rowbase + x;
+                __m256i sr = _mm256_cvtepi8_epi32(_mm_loadl_epi64(
+                    (const __m128i *)(ref8 + i)));
+                __m256i srok = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(sr, zero),
+                    _mm256_cmpgt_epi32(eight,
+                                       _mm256_sub_epi32(sr,
+                                                        _mm256_set1_epi32(1))));
+                if (_mm256_testz_si256(srok, srok)) continue;
+                __m256i off = _mm256_permutevar8x32_epi32(
+                    offtab, _mm256_sub_epi32(sr, _mm256_set1_epi32(1)));
+                __m256i ok = _mm256_and_si256(
+                    srok,
+                    _mm256_and_si256(
+                        _mm256_cmpgt_epi32(off, zero),
+                        _mm256_cmpgt_epi32(_mm256_set1_epi32(32), off)));
+                if (_mm256_testz_si256(ok, ok)) continue;
+                __m256i dm = _mm256_mask_i32gather_epi32(
+                    zero, dm32, _mm256_and_si256(off, c31), ok, 4);
+                __m256i mvv = _mm256_loadu_si256(
+                    (const __m256i *)(mv8 + i * 2));
+                __m256i fr = _mm256_srai_epi32(
+                    _mm256_slli_epi32(mvv, 16), 16);
+                __m256i fc = _mm256_srai_epi32(mvv, 16);
+                __m256i tr = _mm256_mullo_epi32(
+                    _mm256_mullo_epi32(fr, numv), dm);
+                __m256i tc = _mm256_mullo_epi32(
+                    _mm256_mullo_epi32(fc, numv), dm);
+                __m256i pr = _mm256_sign_epi32(
+                    _mm256_srli_epi32(
+                        _mm256_add_epi32(_mm256_abs_epi32(tr), rnd), 14),
+                    tr);
+                __m256i pc = _mm256_sign_epi32(
+                    _mm256_srli_epi32(
+                        _mm256_add_epi32(_mm256_abs_epi32(tc), rnd), 14),
+                    tc);
+                pr = _mm256_min_epi32(_mm256_max_epi32(pr, nlim), lim);
+                pc = _mm256_min_epi32(_mm256_max_epi32(pc, nlim), lim);
+                __m256i roff = _mm256_sign_epi32(
+                    _mm256_srli_epi32(_mm256_abs_epi32(pr), 6), pr);
+                __m256i coff = _mm256_sign_epi32(
+                    _mm256_srli_epi32(_mm256_abs_epi32(pc), 6), pc);
+                __m256i xv = _mm256_add_epi32(_mm256_set1_epi32(x), lane);
+                __m256i row = dir2 ? _mm256_sub_epi32(yv, roff)
+                                   : _mm256_add_epi32(yv, roff);
+                __m256i col = dir2 ? _mm256_sub_epi32(xv, coff)
+                                   : _mm256_add_epi32(xv, coff);
+                /* bounds + the get_block_position window (base_x is
+                   constant across the aligned 8-lane chunk) */
+                __m256i bx0 = _mm256_set1_epi32((x >> 3) << 3);
+                ok = _mm256_and_si256(
+                    ok,
+                    _mm256_and_si256(
+                        _mm256_and_si256(
+                            _mm256_cmpgt_epi32(row, _mm256_set1_epi32(-1)),
+                            _mm256_cmpgt_epi32(rowlimv, row)),
+                        _mm256_and_si256(
+                            _mm256_cmpgt_epi32(col, _mm256_set1_epi32(-1)),
+                            _mm256_cmpgt_epi32(collimv, col))));
+                ok = _mm256_and_si256(
+                    ok,
+                    _mm256_and_si256(
+                        _mm256_and_si256(
+                            _mm256_cmpgt_epi32(row,
+                                               _mm256_sub_epi32(
+                                                   by0,
+                                                   _mm256_set1_epi32(1))),
+                            _mm256_cmpgt_epi32(by1, row)),
+                        _mm256_and_si256(
+                            _mm256_cmpgt_epi32(
+                                col,
+                                _mm256_sub_epi32(bx0,
+                                                 _mm256_set1_epi32(9))),
+                            _mm256_cmpgt_epi32(
+                                _mm256_add_epi32(bx0,
+                                                 _mm256_set1_epi32(16)),
+                                col))));
+                int m = _mm256_movemask_ps(_mm256_castsi256_ps(ok));
+                if (!m) continue;
+                _mm256_storeu_si256((__m256i *)rows_s, row);
+                _mm256_storeu_si256((__m256i *)cols_s, col);
+                _mm256_storeu_si256((__m256i *)offs_s, off);
+                _mm256_storeu_si256((__m256i *)mvp_s, mvv);
+                do {
+                    int l = __builtin_ctz(m);
+                    m &= m - 1;
+                    int64_t t = (int64_t)rows_s[l] * w8 + cols_s[l];
+                    memcpy(tpl_mv + t * 2, &mvp_s[l], 4);
+                    tpl_off[t] = (int8_t)offs_s[l];
+                } while (m);
+            }
+            for (int x = w8a; x < w8; x++) {
+                int64_t i = rowbase + x;
+                int sr = ref8[i];
+                if (sr <= 0 || sr > 8) continue;
+                int off = ref_off[sr];
+                if (off <= 0 || off > MF_MAXD) continue;
+                int64_t dm = MF_DIV_MULT[off];
+                int fr = mv8[i * 2], fc = mv8[i * 2 + 1];
+                int64_t tr = (int64_t)fr * num * dm;
+                int64_t tc = (int64_t)fc * num * dm;
+                int lim_ = (1 << 14) - 1;
+                int pr = tr >= 0 ? (int)((tr + 8192) >> 14)
+                                 : -(int)((-tr + 8192) >> 14);
+                int pc = tc >= 0 ? (int)((tc + 8192) >> 14)
+                                 : -(int)((-tc + 8192) >> 14);
+                pr = pr < -lim_ ? -lim_ : (pr > lim_ ? lim_ : pr);
+                pc = pc < -lim_ ? -lim_ : (pc > lim_ ? lim_ : pc);
+                int roff = pr >= 0 ? pr >> 6 : -((-pr) >> 6);
+                int coff = pc >= 0 ? pc >> 6 : -((-pc) >> 6);
+                int row = dir2 ? y - roff : y + roff;
+                int col = dir2 ? x - coff : x + coff;
+                if (row < 0 || row >= row_lim || col < 0 || col >= col_lim)
+                    continue;
+                int base_x = (x >> 3) << 3;
+                if (row < base_y || row >= base_y + 8
+                    || col < base_x - 8 || col >= base_x + 16)
+                    continue;
+                int64_t t = (int64_t)row * w8 + col;
+                tpl_mv[t * 2] = (int16_t)fr;
+                tpl_mv[t * 2 + 1] = (int16_t)fc;
+                tpl_off[t] = (int8_t)off;
+            }
+        }
+        return 0;
+    }
+#endif
     for (int y = 0; y < h8; y++) {
         int base_y = (y >> 3) << 3;
         for (int x = 0; x < w8; x++) {
