@@ -519,6 +519,12 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
         # filled/read only under allow_intrabc (screen-content intra)
         bufs["intrabc"].fill(0)
     grids = bufs["grids"]
+    # inter/intrabc blocks skip the y/uv mode-grid fill in C (their
+    # value is always DC_PRED == 0), so those two grids DO need a
+    # per-frame zero here — a 2-plane memset is far cheaper than the
+    # per-block row fills it replaces
+    grids["y_mode"].fill(0)
+    grids["uv_mode"].fill(0)
 
     out = bufs.get("out_struct")
     if out is None:

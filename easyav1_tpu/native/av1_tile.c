@@ -1463,8 +1463,15 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
             for (int i_ = 0; i_ < h4; i_++, q_ += stride)              \
                 mi_row_fill(q_, p8_, w4);                              \
         } while (0)
-        MI_FILL8(o->y_mode, (int8_t)y_mode);
-        MI_FILL8(o->uv_mode, (int8_t)uv_mode);
+        /* inter blocks carry y_mode == uv_mode == DC_PRED (0), and the
+           plan grids arrive zero-allocated per frame — skipping the
+           fill leaves the correct value while keeping those pages
+           untouched (their only reader is filter_type's smooth-mode
+           probe) */
+        if (!is_inter) {
+            MI_FILL8(o->y_mode, (int8_t)y_mode);
+            MI_FILL8(o->uv_mode, (int8_t)uv_mode);
+        }
         /* angle grids have no C readers (recon takes angles from the
            block records); filled only for the Python plan export */
         if (p->fill_aux) {
