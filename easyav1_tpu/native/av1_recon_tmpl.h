@@ -226,9 +226,10 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
     int shift = ROW_SHIFT[tx_size];
     int rnd = (1 << shift) >> 1;
     v8si vmn = mn32 - (v8si){0}, vmx = mx32 - (v8si){0};
-    if (nzh >= 8 && w >= 16) {
-        /* row pass on transposed 8-row slabs (the transpose overhead
-         * only pays off once the kernel work per slab is large) */
+    if (nzh >= 3) {
+        /* row pass on transposed 8-row slabs; pays off from ~3 rows
+         * up at every width (the scalar fallback re-runs the whole
+         * int64 1-D kernel per row, the slab runs it once per 8) */
         for (int i0 = 0; i0 < nzh; i0 += 8) {
             int nr = nzh - i0 < 8 ? nzh - i0 : 8;
             v8si tb[64];

@@ -144,7 +144,7 @@ class AV1Backend:
     def _decode_frame(self, hdr: FrameHeader, tile_payloads: List[bytes],
                       ts: int) -> Optional[VideoFrame]:
         seq = self.seq
-        plan = self._empty_plan(hdr)
+        plan = None   # built lazily: only the non-native fallbacks use it
         tiles = self._split_tiles(hdr, tile_payloads)
         from easyav1_tpu import native
         from easyav1_tpu.native.cdf_layout import blob_to_cdf, cdf_to_blob
@@ -179,6 +179,7 @@ class AV1Backend:
             else:
                 planes, out_blob, nat_grids = res
         if planes is None:
+            plan = self._empty_plan(hdr)
             nres = native.decode_frame_native(
                 seq, hdr, plan, tiles, cdf_in=init_blob,
                 want_cdf=want_cdf, tpl=tpl)
