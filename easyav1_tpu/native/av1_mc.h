@@ -1151,16 +1151,97 @@ static void residual_add_mask(Recon *rc, const int32_t *b,
         int plane = rec[0], x = rec[1], y = rec[2];
         if (!((plane_mask >> plane) & 1)) continue;
         int tsz = rec[3], ttyp = rec[4];
+        int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
+        pel *buf = rc->planes[plane];
+        int pw = rc->pw[plane], ph = rc->ph[plane];
+        int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
+        /* DC-only DCT_DCT: the whole inverse transform is one constant
+           (itx_dc_value) — add it straight to the plane, skipping the
+           w*h materialization entirely */
+        if (!rec[7] && ttyp == 0 && (rec[5] & 0xfff) == 1) {
+            int bd = rc->rp->bitdepth;
+            int64_t cmn = bd == 8 ? -(1 << 15) : -((int64_t)1 << (bd + 7));
+            int64_t cmx = bd == 8 ? (1 << 15) - 1
+                                  : ((int64_t)1 << (bd + 7)) - 1;
+            int32_t dc = itx_dc_value(o->coeffs[rec[6]], tsz, cmn, cmx);
+#if PEL_BITS == 8 && defined(__AVX2__)
+            __m256i dc16 = _mm256_set1_epi16((short)(dc < -2048 ? -2048
+                                             : dc > 2303 ? 2303 : dc));
+            for (int r = 0; r < h; r++) {
+                pel *restrict row = buf + (int64_t)(y + r) * pw + x;
+                int c = 0;
+                for (; c + 16 <= w; c += 16) {
+                    __m256i px16 = _mm256_cvtepu8_epi16(
+                        _mm_loadu_si128((const __m128i *)(row + c)));
+                    __m256i sum = _mm256_add_epi16(px16, dc16);
+                    __m128i o8 = _mm_packus_epi16(
+                        _mm256_castsi256_si128(sum),
+                        _mm256_extracti128_si256(sum, 1));
+                    _mm_storeu_si128((__m128i *)(row + c), o8);
+                }
+                for (; c < w; c++) {
+                    int32_t v = row[c] + dc;
+                    row[c] = v < 0 ? 0 : (v > mx32 ? mx32 : v);
+                }
+            }
+#else
+            for (int r = 0; r < h; r++) {
+                pel *restrict row = buf + (int64_t)(y + r) * pw + x;
+                for (int c = 0; c < w; c++) {
+                    int32_t v = row[c] + dc;
+                    row[c] = v < 0 ? 0 : (v > mx32 ? mx32 : v);
+                }
+            }
+#endif
+            continue;
+        }
         int32_t res[64 * 64];
         uint64_t tx0 = rc_tick();
         if (rec[7]) itx_wht4(o->coeffs + rec[6], res);
         else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth,
                     res, rec[5]);
         rc_tick_add(5, tx0);
-        int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
-        pel *buf = rc->planes[plane];
-        int pw = rc->pw[plane], ph = rc->ph[plane];
-        int w = rmin(fw, pw - x), h = rmin(fh, ph - y);
+#if PEL_BITS == 8 && defined(__AVX2__)
+        /* residual values after the final >>4 fit int16 (the column
+           pass clamps to +/-2^15), so the add + [0,255] clamp runs as
+           16-lane i16 adds with an unsigned-saturating pack */
+        for (int r = 0; r < h; r++) {
+            pel *restrict row = buf + (int64_t)(y + r) * pw + x;
+            const int32_t *restrict rr_ = res + r * fw;
+            int c = 0;
+            for (; c + 16 <= w; c += 16) {
+                __m256i a = _mm256_loadu_si256(
+                    (const __m256i *)(rr_ + c));
+                __m256i b2 = _mm256_loadu_si256(
+                    (const __m256i *)(rr_ + c + 8));
+                __m256i s16 = _mm256_permute4x64_epi64(
+                    _mm256_packs_epi32(a, b2), 0xD8);
+                __m256i px16 = _mm256_cvtepu8_epi16(
+                    _mm_loadu_si128((const __m128i *)(row + c)));
+                __m256i sum = _mm256_add_epi16(px16, s16);
+                __m128i o8 = _mm_packus_epi16(
+                    _mm256_castsi256_si128(sum),
+                    _mm256_extracti128_si256(sum, 1));
+                _mm_storeu_si128((__m128i *)(row + c), o8);
+            }
+            if (c + 8 <= w) {
+                __m128i a = _mm_loadu_si128((const __m128i *)(rr_ + c));
+                __m128i b2 = _mm_loadu_si128(
+                    (const __m128i *)(rr_ + c + 4));
+                __m128i s16 = _mm_packs_epi32(a, b2);
+                __m128i px16 = _mm_cvtepu8_epi16(
+                    _mm_loadl_epi64((const __m128i *)(row + c)));
+                __m128i sum = _mm_add_epi16(px16, s16);
+                _mm_storel_epi64((__m128i *)(row + c),
+                                 _mm_packus_epi16(sum, sum));
+                c += 8;
+            }
+            for (; c < w; c++) {
+                int32_t v = row[c] + rr_[c];
+                row[c] = v < 0 ? 0 : (v > mx32 ? mx32 : v);
+            }
+        }
+#else
         for (int r = 0; r < h; r++) {
             pel *restrict row = buf + (int64_t)(y + r) * pw + x;
             const int32_t *restrict rr_ = res + r * fw;
@@ -1169,6 +1250,7 @@ static void residual_add_mask(Recon *rc, const int32_t *b,
                 row[c] = v < 0 ? 0 : (v > mx32 ? mx32 : v);
             }
         }
+#endif
     }
 }
 
