@@ -49,7 +49,9 @@ class MuxTrack:
     def __init__(self, number: int, track_type: W.TrackType, codec_id: str,
                  codec_private: bytes = b"", width: int = 0, height: int = 0,
                  sample_rate: float = 0.0, channels: int = 0,
-                 default_duration_ns: int = 0, codec_delay_ns: int = 0):
+                 default_duration_ns: int = 0, codec_delay_ns: int = 0,
+                 encrypted: bool = False, strip_bytes: bytes = b"",
+                 compression_algo: int = -1):
         self.number = number
         self.type = track_type
         self.codec_id = codec_id
@@ -60,6 +62,11 @@ class MuxTrack:
         self.channels = channels
         self.default_duration_ns = default_duration_ns
         self.codec_delay_ns = codec_delay_ns
+        # ContentEncodings test knobs: encryption marker, header-strip
+        # prefix (algo 3), or an explicit (unsupported) compression algo
+        self.encrypted = encrypted
+        self.strip_bytes = strip_bytes
+        self.compression_algo = compression_algo
 
 
 class WebMMuxer:
@@ -76,9 +83,13 @@ class WebMMuxer:
 
     def add_packet(self, track: int, timestamp_ns: int, frames: Sequence[bytes],
                    keyframe: bool = True, lacing: int = 0,
-                   blockgroup: bool = False) -> None:
+                   blockgroup: bool = False,
+                   additions: Optional[dict] = None) -> None:
         ticks = timestamp_ns // self.timecode_scale
-        self._blocks.append((ticks, track, keyframe, list(frames), lacing, blockgroup))
+        if additions:
+            blockgroup = True   # BlockAdditions require a BlockGroup
+        self._blocks.append((ticks, track, keyframe, list(frames), lacing,
+                             blockgroup, additions))
 
     # -- block encoding ----------------------------------------------------
 
@@ -138,6 +149,23 @@ class WebMMuxer:
             payload += _elem(W.ID_DEFAULTDURATION, _uint(t.default_duration_ns))
         if t.codec_delay_ns:
             payload += _elem(W.ID_CODECDELAY, _uint(t.codec_delay_ns))
+        if t.encrypted or t.strip_bytes or t.compression_algo >= 0:
+            enc = _elem(W.ID_CONTENTENCODINGTYPE,
+                        _uint(1 if t.encrypted else 0))
+            if t.encrypted:
+                enc += _elem(W.ID_CONTENTENCRYPTION,
+                             _elem(0x47E1, _uint(5)))  # AESSettings stub
+            elif t.strip_bytes:
+                comp = _elem(W.ID_CONTENTCOMPALGO, _uint(3))
+                comp += _elem(W.ID_CONTENTCOMPSETTINGS, t.strip_bytes)
+                enc += _elem(W.ID_CONTENTCOMPRESSION, comp)
+            else:
+                comp = _elem(W.ID_CONTENTCOMPALGO,
+                             _uint(t.compression_algo))
+                enc += _elem(W.ID_CONTENTCOMPRESSION, comp)
+            payload += _elem(
+                W.ID_CONTENTENCODINGS,
+                _elem(W.ID_CONTENTENCODING, enc))
         if t.type == W.TrackType.VIDEO:
             v = _elem(W.ID_PIXELWIDTH, _uint(t.width))
             v += _elem(W.ID_PIXELHEIGHT, _uint(t.height))
@@ -238,7 +266,8 @@ class WebMMuxer:
     def _encode_cluster_group(self, group: List[tuple], base_ticks: int,
                               unknown_size: bool) -> bytes:
         payload = _elem(W.ID_TIMECODE, _uint(base_ticks))
-        for ticks, track, keyframe, frames, lacing, blockgroup in group:
+        for ticks, track, keyframe, frames, lacing, blockgroup, adds \
+                in group:
             rel = ticks - base_ticks
             if blockgroup:
                 block = self._encode_block_payload(track, rel, keyframe, frames,
@@ -246,6 +275,13 @@ class WebMMuxer:
                 bg = _elem(W.ID_BLOCK, block)
                 if not keyframe:
                     bg += _elem(W.ID_REFERENCEBLOCK, _sint(-1))
+                if adds:
+                    mores = b""
+                    for add_id, data in sorted(adds.items()):
+                        more = _elem(W.ID_BLOCKADDID, _uint(add_id))
+                        more += _elem(W.ID_BLOCKADDITIONAL, data)
+                        mores += _elem(W.ID_BLOCKMORE, more)
+                    bg += _elem(W.ID_BLOCKADDITIONS, mores)
                 payload += _elem(W.ID_BLOCKGROUP, bg)
             else:
                 block = self._encode_block_payload(track, rel, keyframe, frames,

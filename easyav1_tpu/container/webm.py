@@ -68,6 +68,22 @@ ID_BLOCK = 0xA1
 ID_BLOCKDURATION = 0x9B
 ID_REFERENCEBLOCK = 0xFB
 ID_DISCARDPADDING = 0x75A2
+# BlockAdditions (alpha planes etc.; parity: nestegg.c:1753 block
+# additional parse)
+ID_BLOCKADDITIONS = 0x75A1
+ID_BLOCKMORE = 0xA6
+ID_BLOCKADDID = 0xEE
+ID_BLOCKADDITIONAL = 0xA5
+# ContentEncodings (encryption/compression recognition; parity:
+# nestegg.c:1252,1606 — nestegg tracks the encoding to strip headers
+# and to refuse encrypted payloads cleanly)
+ID_CONTENTENCODINGS = 0x6D80
+ID_CONTENTENCODING = 0x6240
+ID_CONTENTENCODINGTYPE = 0x5033
+ID_CONTENTCOMPRESSION = 0x5034
+ID_CONTENTCOMPALGO = 0x4254
+ID_CONTENTCOMPSETTINGS = 0x4255
+ID_CONTENTENCRYPTION = 0x5035
 ID_CUES = 0x1C53BB6B
 ID_CUEPOINT = 0xBB
 ID_CUETIME = 0xB3
@@ -119,6 +135,14 @@ class TrackInfo:
     sample_rate: float = 0.0
     channels: int = 0
     bit_depth: int = 0
+    # ContentEncodings state: an encrypted track's blocks are skipped
+    # with a warning (we cannot decrypt); header-stripping compression
+    # (the only compression WebM allows) re-prepends strip_bytes to
+    # every frame; any other compression algo marks the track
+    # unsupported and its blocks are skipped likewise
+    encrypted: bool = False
+    strip_bytes: bytes = b""
+    unsupported_encoding: bool = False
 
     def vorbis_headers(self) -> List[bytes]:
         """Split Xiph-laced CodecPrivate into the 3 Vorbis header packets
@@ -168,6 +192,9 @@ class Packet:
     frames: List[bytes]
     discard_padding_ns: int = 0
     duration_ns: int = 0
+    # BlockAdditions payloads keyed by BlockAddID (e.g. 1 = alpha
+    # plane bitstream for VP8/VP9/AV1 alpha WebM); None when absent
+    additions: Optional[Dict[int, bytes]] = None
 
 
 class WebMError(EBMLError):
@@ -193,6 +220,7 @@ class WebMDemuxer:
         self._cluster_time: Optional[int] = None
         self._in_cluster = False
         self._saved_state: Optional[Tuple] = None
+        self._enc_warned: set = set()
         self._parse_init(max_init_scan)
 
     # -- init --------------------------------------------------------------
@@ -315,6 +343,8 @@ class WebMDemuxer:
                 t.seek_preroll_ns = r.read_uint(csize)
             elif cid == ID_DEFAULTDURATION:
                 t.default_duration_ns = r.read_uint(csize)
+            elif cid == ID_CONTENTENCODINGS:
+                self._parse_content_encodings(t, csize)
             elif cid == ID_VIDEO:
                 vend = r.tell() + csize
                 while r.tell() < vend:
@@ -345,6 +375,43 @@ class WebMDemuxer:
                 r.skip(csize)
         if t.number:
             self.tracks[t.number] = t
+
+    def _parse_content_encodings(self, t: TrackInfo, size: int) -> None:
+        """ContentEncodings (parity role: nestegg.c:1252 track encoding
+        descriptors + :1606 per-block application).  WebM permits only
+        header-stripping compression; encryption and other compression
+        algos mark the track so its blocks are skipped cleanly."""
+        r = self.reader
+        end = r.tell() + size
+        while r.tell() < end:
+            cid, csize = r.read_element_header()
+            if cid != ID_CONTENTENCODING:
+                r.skip(csize)
+                continue
+            eend = r.tell() + csize
+            while r.tell() < eend:
+                eid, esize = r.read_element_header()
+                if eid == ID_CONTENTENCRYPTION:
+                    t.encrypted = True
+                    r.skip(esize)
+                elif eid == ID_CONTENTCOMPRESSION:
+                    cend = r.tell() + esize
+                    algo = 0
+                    settings = b""
+                    while r.tell() < cend:
+                        fid, fsize = r.read_element_header()
+                        if fid == ID_CONTENTCOMPALGO:
+                            algo = r.read_uint(fsize)
+                        elif fid == ID_CONTENTCOMPSETTINGS:
+                            settings = r.read_bytes(fsize)
+                        else:
+                            r.skip(fsize)
+                    if algo == 3:       # header stripping
+                        t.strip_bytes = settings
+                    else:               # zlib/bzlib/lzo1x: not in WebM
+                        t.unsupported_encoding = True
+                else:
+                    r.skip(esize)
 
     def _parse_cues(self, size: int) -> None:
         r = self.reader
@@ -531,6 +598,7 @@ class WebMDemuxer:
         duration_ticks = 0
         has_reference = False
         discard_padding = 0
+        additions: Optional[Dict[int, bytes]] = None
         while r.tell() < end:
             cid, csize = r.read_element_header()
             if cid == ID_BLOCK:
@@ -542,6 +610,8 @@ class WebMDemuxer:
                 has_reference = True
             elif cid == ID_DISCARDPADDING:
                 discard_padding = r.read_sint(csize)
+            elif cid == ID_BLOCKADDITIONS:
+                additions = self._parse_block_additions(csize)
             else:
                 r.skip(csize)
         if block_data is None:
@@ -554,7 +624,34 @@ class WebMDemuxer:
         pkt.keyframe = not has_reference
         pkt.discard_padding_ns = discard_padding
         pkt.duration_ns = duration_ticks * self.timecode_scale
+        pkt.additions = additions
         return pkt
+
+    def _parse_block_additions(self, size: int) -> Dict[int, bytes]:
+        """BlockAdditions -> {BlockAddID: payload} (parity:
+        nestegg.c:1753 block_additional parse; BlockAddID defaults
+        to 1, the alpha-channel convention in WebM)."""
+        r = self.reader
+        end = r.tell() + size
+        out: Dict[int, bytes] = {}
+        while r.tell() < end:
+            cid, csize = r.read_element_header()
+            if cid != ID_BLOCKMORE:
+                r.skip(csize)
+                continue
+            mend = r.tell() + csize
+            add_id = 1
+            payload = b""
+            while r.tell() < mend:
+                mid, msize = r.read_element_header()
+                if mid == ID_BLOCKADDID:
+                    add_id = r.read_uint(msize)
+                elif mid == ID_BLOCKADDITIONAL:
+                    payload = r.read_bytes(msize)
+                else:
+                    r.skip(msize)
+            out[add_id] = payload
+        return out
 
     def _parse_block(self, data: bytes, simple: bool) -> Optional[Packet]:
         """Block payload: track vint, s16 relative timecode, flags, lacing,
@@ -562,6 +659,19 @@ class WebMDemuxer:
         nestegg.c:1252-1536)."""
         track, pos = ebml.read_block_vint(data, 0)
         if track not in self.tracks:
+            return None
+        tinfo = self.tracks[track]
+        if tinfo.encrypted or tinfo.unsupported_encoding:
+            # cannot decrypt / decompress: skip the block cleanly with
+            # a one-time warning (parity: nestegg refuses encrypted
+            # payloads rather than handing out ciphertext)
+            if track not in self._enc_warned:
+                self._enc_warned.add(track)
+                from easyav1_tpu.utils.log import Logger
+                why = "encrypted" if tinfo.encrypted \
+                    else "unsupported ContentEncoding"
+                Logger().warning(
+                    f"track {track}: {why}; skipping its blocks")
             return None
         rel = int.from_bytes(data[pos:pos + 2], "big", signed=True)
         flags = data[pos + 2]
@@ -610,6 +720,10 @@ class WebMDemuxer:
                 frames.append(data[pos:pos + sz])
                 pos += sz
             frames.append(data[pos:])  # last frame: remainder
+        if tinfo.strip_bytes:
+            # header-stripping compression: the muxer removed this
+            # prefix from every frame (nestegg.c:1606 role)
+            frames = [tinfo.strip_bytes + f for f in frames]
         return Packet(
             track=track,
             timestamp_ns=timestamp_ns,
