@@ -11,7 +11,7 @@ HDRS := $(wildcard $(NATIVE_DIR)/*.h)
 all: $(SO) tools
 
 $(SO): $(SRCS) $(HDRS)
-	gcc -O3 -funroll-loops -march=native -shared -fPIC -o $@ $(SRCS) -lm
+	gcc -O3 -funroll-loops -march=native -shared -fPIC -pthread -o $@ $(SRCS) -lm
 
 tools:
 	$(MAKE) -C tools

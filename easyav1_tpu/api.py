@@ -53,14 +53,15 @@ class VideoBackend:
         return 0.0
 
 
-def _make_video_backend(track: W.TrackInfo, log: Logger):
+def _make_video_backend(track: W.TrackInfo, log: Logger,
+                        threads: int = 0):
     if track.codec_id == W.CODEC_AV1:
         try:
             from easyav1_tpu.video.av1.backend import AV1Backend
         except ImportError as e:
             log.warning(f"AV1 backend unavailable: {e}")
             return None
-        return AV1Backend(track)
+        return AV1Backend(track, threads=threads)
     return None
 
 
@@ -154,7 +155,8 @@ class EasyAV1:
         s = self.settings
         if s.enable_video and s.video_track < len(videos):
             track = videos[s.video_track]
-            backend = _make_video_backend(track, self.log)
+            backend = _make_video_backend(track, self.log,
+                self.settings.video_threads)
             if backend is None:
                 self.log.warning(
                     f"unsupported video codec {track.codec_id!r}; "

@@ -182,6 +182,30 @@ class _RefPlanes(ctypes.Structure):
     ]
 
 
+class _TileDesc(ctypes.Structure):
+    """Mirror of TileDesc (av1_tile.c tile-parallel entry)."""
+    _fields_ = [
+        ("data", ctypes.c_char_p), ("size", ctypes.c_int64),
+        ("col_start", ctypes.c_int32), ("col_end", ctypes.c_int32),
+        ("row_start", ctypes.c_int32), ("row_end", ctypes.c_int32),
+        ("cdf_out", ctypes.c_void_p),
+    ]
+
+
+def decode_threads() -> int:
+    """Worker count for tile-parallel entropy decode.  EASYAV1_THREADS
+    overrides; 0/unset = auto (cpu count, dav1d-auto analog
+    easyav1.c:1401-1408).  The effective count is further capped by the
+    frame's tile count inside the C entry."""
+    try:
+        n = int(os.environ.get("EASYAV1_THREADS", "0"))
+    except ValueError:
+        n = 0
+    if n <= 0:
+        n = os.cpu_count() or 1
+    return max(1, n)
+
+
 class _TileOut(ctypes.Structure):
     _fields_ = [
         ("y_mode", ctypes.c_void_p), ("uv_mode", ctypes.c_void_p),
@@ -255,7 +279,7 @@ def _build() -> bool:
     try:
         r = subprocess.run(
             ["gcc", "-O3", "-funroll-loops", "-march=native", "-shared",
-             "-fPIC", "-o", _SO] + _SRCS,
+             "-fPIC", "-pthread", "-o", _SO] + _SRCS,
             capture_output=True, timeout=120)
         return r.returncode == 0
     except (OSError, subprocess.TimeoutExpired):
@@ -278,6 +302,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_decode_tile.argtypes = [
         ctypes.POINTER(_TileParams), ctypes.POINTER(_FrameParams),
         ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(_TileOut)]
+    lib.av1_decode_tiles_mt.restype = ctypes.c_int
+    lib.av1_decode_tiles_mt.argtypes = [
+        ctypes.POINTER(_TileParams), ctypes.POINTER(_FrameParams),
+        ctypes.POINTER(_TileDesc), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(_TileOut)]
     lib.av1_cdf_blob_size.restype = ctypes.c_int
     lib.av1_cdf_blob_size.argtypes = []
     lib.av1_recon_frame.restype = ctypes.c_int
@@ -437,7 +466,7 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
 
 
 def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
-               tpl=None, fill_aux=False):
+               tpl=None, fill_aux=False, threads=0):
     """Run the C tile decoder over all tiles of a frame.
 
     Returns (TileOut, bufs, cdf_blob_or_None) or None when the frame
@@ -568,18 +597,45 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
     # one FrameParams for every tile: only cdf_out differs per tile
     # (each tile restarts from cdf_in; the C decoder never writes fp)
     fp, keep = _build_fp(hdr, seq, cdf_in, None, tpl)
-    for tile_num, tdata in enumerate(tiles):
-        tr, tc = tile_num // n_cols, tile_num % n_cols
-        p.col_start = min(t.col_starts[tc] << sb_shift, mi_cols)
-        p.col_end = min(t.col_starts[tc + 1] << sb_shift, mi_cols)
-        p.row_start = min(t.row_starts[tr] << sb_shift, mi_rows)
-        p.row_end = min(t.row_starts[tr + 1] << sb_shift, mi_rows)
-        fp.cdf_out = (ctypes.cast(cdf_out_buf, ctypes.c_void_p)
-                      if (want_cdf and tile_num == update_tid) else None)
-        rc = lib.av1_decode_tile(ctypes.byref(p), ctypes.byref(fp),
-                                 tdata, len(tdata), ctypes.byref(out))
+    n_threads = (threads if threads > 0 else decode_threads()) \
+        if n_tiles > 1 else 1
+    if n_threads > 1:
+        # tile-parallel path (dav1d thread_task.c analog): workers pull
+        # whole tiles; merge relocates append-buffer indices in C
+        descs = (_TileDesc * n_tiles)()
+        for tile_num, tdata in enumerate(tiles):
+            tr, tc = tile_num // n_cols, tile_num % n_cols
+            d = descs[tile_num]
+            d.data = tdata
+            d.size = len(tdata)
+            d.col_start = min(t.col_starts[tc] << sb_shift, mi_cols)
+            d.col_end = min(t.col_starts[tc + 1] << sb_shift, mi_cols)
+            d.row_start = min(t.row_starts[tr] << sb_shift, mi_rows)
+            d.row_end = min(t.row_starts[tr + 1] << sb_shift, mi_rows)
+            d.cdf_out = (ctypes.cast(cdf_out_buf, ctypes.c_void_p)
+                         if (want_cdf and tile_num == update_tid)
+                         else None)
+        fp.cdf_out = None
+        rc = lib.av1_decode_tiles_mt(ctypes.byref(p), ctypes.byref(fp),
+                                     descs, n_tiles, n_threads,
+                                     ctypes.byref(out))
         if rc != 0:
             return None
+    else:
+        for tile_num, tdata in enumerate(tiles):
+            tr, tc = tile_num // n_cols, tile_num % n_cols
+            p.col_start = min(t.col_starts[tc] << sb_shift, mi_cols)
+            p.col_end = min(t.col_starts[tc + 1] << sb_shift, mi_cols)
+            p.row_start = min(t.row_starts[tr] << sb_shift, mi_rows)
+            p.row_end = min(t.row_starts[tr + 1] << sb_shift, mi_rows)
+            fp.cdf_out = (ctypes.cast(cdf_out_buf, ctypes.c_void_p)
+                          if (want_cdf and tile_num == update_tid)
+                          else None)
+            rc = lib.av1_decode_tile(ctypes.byref(p), ctypes.byref(fp),
+                                     tdata, len(tdata),
+                                     ctypes.byref(out))
+            if rc != 0:
+                return None
     # hand fp back for the recon stage (cdf pointers cleared: their
     # backing buffers die with `keep`); keep rides along so the tpl
     # arrays fp still points at outlive the recon call
@@ -639,7 +695,7 @@ def _alloc_huge(shape, dtype):
 
 
 def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
-                        want_cdf=False, tpl=None):
+                        want_cdf=False, tpl=None, threads=0):
     """Decode all tiles of a frame into `plan` using the C decoder.
 
     Returns the end-of-frame CDF blob (bytes) when want_cdf, else True;
@@ -649,7 +705,8 @@ def decode_frame_native(seq, hdr, plan, tiles: List[bytes], cdf_in=None,
     if lib is None:
         return None
     res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
-                     want_cdf=want_cdf, tpl=tpl, fill_aux=True)
+                     want_cdf=want_cdf, tpl=tpl, fill_aux=True,
+                     threads=threads)
     if res is None:
         return None
     out, bufs, blob, _fpk = res
@@ -827,7 +884,7 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
 
 def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                             want_cdf=False, tpl=None, refs=None,
-                            want_u16=False):
+                            want_u16=False, threads=0):
     """Full native frame path: tile decode + recon + loop filter + CDEF
     in C.  Returns (cropped planes, cdf_blob_or_None, mv_grids), or
     None if the native path is unavailable or declines (caller falls
@@ -871,7 +928,7 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
                 rfl.h[slot][pi] = lh
                 rfl.stride[slot][pi] = arr.shape[1]
     res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
-                     want_cdf=want_cdf, tpl=tpl)
+                     want_cdf=want_cdf, tpl=tpl, threads=threads)
     if res is None:
         return None
     out, bufs, blob, (fp_rc, keep_fp) = res

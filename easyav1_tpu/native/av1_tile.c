@@ -2026,3 +2026,203 @@ int av1_decode_tile(const TileParams *p, const FrameParams *fp,
     av1_tile_time += tile_now() - t0;
     return rc;
 }
+
+/* ------------------------------------------------------------------ */
+/* Tile-parallel entropy decode (dav1d thread_task.c role, reference
+ * cmake/dav1d.cmake:993; auto thread count analog easyav1.c:1401-1408).
+ *
+ * AV1 tiles are fully independent for entropy + mode parse (the
+ * decoder's context arrays, CDF state and refmvs scans are already
+ * tile-scoped — see the tile clamps in av1_inter.h:75,313), so each
+ * worker decodes whole tiles into a PRIVATE TileOut (its own
+ * blocks/txs/coeffs/lf/pal/lr append buffers; the frame-sized mi
+ * grids are shared because tile writes are disjoint).  The merge
+ * concatenates the per-tile buffers in tile order — identical to the
+ * sequential decode's append order — relocating the cross-references:
+ * block.BLK_TXOFF (+tx base), block.BLK_PAL (+pal-unit base),
+ * tx.coef_off (+coeff base), pal-unit map offsets (+map base). */
+
+#include <pthread.h>
+
+typedef struct {
+    const uint8_t *data;
+    int64_t size;
+    int32_t col_start, col_end, row_start, row_end;
+    uint8_t *cdf_out;   /* non-NULL only for the context-update tile */
+} TileDesc;
+
+typedef struct {
+    const TileParams *base;
+    const FrameParams *fp;
+    const TileDesc *descs;
+    int n_tiles;
+    TileOut *outs;
+    pthread_mutex_t mu;
+    int next;
+    int rc;
+} MtCtx;
+
+static void *mt_worker(void *arg) {
+    MtCtx *m = (MtCtx *)arg;
+    for (;;) {
+        pthread_mutex_lock(&m->mu);
+        int i = m->next < m->n_tiles ? m->next++ : -1;
+        pthread_mutex_unlock(&m->mu);
+        if (i < 0) return NULL;
+        const TileDesc *d = &m->descs[i];
+        TileParams p = *m->base;
+        p.col_start = d->col_start;
+        p.col_end = d->col_end;
+        p.row_start = d->row_start;
+        p.row_end = d->row_end;
+        FrameParams fp = *m->fp;
+        fp.cdf_out = d->cdf_out;
+        int rc = av1_decode_tile_impl(&p, &fp, d->data, d->size,
+                                      &m->outs[i]);
+        if (rc) {
+            pthread_mutex_lock(&m->mu);
+            m->rc = rc;
+            pthread_mutex_unlock(&m->mu);
+        }
+    }
+}
+
+static int mt_alloc_out(TileOut *dst, const TileOut *master) {
+    *dst = *master;       /* shared grid pointers + caps */
+    dst->n_blocks = dst->n_txs = dst->coeffs_used = 0;
+    dst->n_lf = dst->n_lr_units = dst->n_pal_units = 0;
+    dst->pal_maps_used = 0;
+    dst->error = 0;
+    dst->blocks = malloc(sizeof(int32_t) * (size_t)BLK_FIELDS
+                         * (size_t)master->max_blocks);
+    dst->txs = malloc(sizeof(int32_t) * 8u * (size_t)master->max_txs);
+    dst->coeffs = malloc(sizeof(int32_t) * (size_t)master->coeffs_cap);
+    dst->lf_txs = malloc(sizeof(int32_t) * 4u * (size_t)master->max_lf);
+    dst->lr_units = malloc(sizeof(int32_t) * 13u
+                           * (size_t)master->max_lr_units);
+    dst->pal_units = malloc(sizeof(int32_t) * 32u
+                            * (size_t)master->max_pal_units);
+    dst->pal_maps = malloc((size_t)master->pal_maps_cap);
+    return dst->blocks && dst->txs && dst->coeffs && dst->lf_txs
+           && dst->lr_units && dst->pal_units && dst->pal_maps;
+}
+
+static void mt_free_out(TileOut *t) {
+    free(t->blocks); free(t->txs); free(t->coeffs); free(t->lf_txs);
+    free(t->lr_units); free(t->pal_units); free(t->pal_maps);
+}
+
+int av1_decode_tiles_mt(const TileParams *base, const FrameParams *fp,
+                        const TileDesc *descs, int n_tiles,
+                        int n_threads, TileOut *o) {
+    double t0 = tile_now();
+    if (n_threads > n_tiles) n_threads = n_tiles;
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads == 1 || n_tiles == 1) {
+        for (int i = 0; i < n_tiles; i++) {
+            const TileDesc *d = &descs[i];
+            TileParams p = *base;
+            p.col_start = d->col_start;
+            p.col_end = d->col_end;
+            p.row_start = d->row_start;
+            p.row_end = d->row_end;
+            FrameParams f2 = *fp;
+            f2.cdf_out = d->cdf_out;
+            int rc = av1_decode_tile_impl(&p, &f2, d->data, d->size, o);
+            if (rc) {
+                av1_tile_time += tile_now() - t0;
+                return rc;
+            }
+        }
+        av1_tile_time += tile_now() - t0;
+        return 0;
+    }
+#ifdef __AVX2__
+    if (!msac_tables_ready) msac_tables_init();  /* once, pre-spawn */
+#endif
+    MtCtx m;
+    m.base = base;
+    m.fp = fp;
+    m.descs = descs;
+    m.n_tiles = n_tiles;
+    m.next = 0;
+    m.rc = 0;
+    m.outs = malloc(sizeof(TileOut) * (size_t)n_tiles);
+    if (!m.outs) return 2;
+    int ok = 1;
+    for (int i = 0; i < n_tiles; i++)
+        ok &= mt_alloc_out(&m.outs[i], o);
+    if (!ok) {
+        for (int i = 0; i < n_tiles; i++) mt_free_out(&m.outs[i]);
+        free(m.outs);
+        return 2;
+    }
+    pthread_mutex_init(&m.mu, NULL);
+    pthread_t th[64];
+    if (n_threads > 64) n_threads = 64;
+    int spawned = 0;
+    for (; spawned < n_threads - 1; spawned++)
+        if (pthread_create(&th[spawned], NULL, mt_worker, &m) != 0)
+            break;
+    mt_worker(&m);           /* caller thread joins the pool */
+    for (int i = 0; i < spawned; i++)
+        pthread_join(th[i], NULL);
+    pthread_mutex_destroy(&m.mu);
+    int rc = m.rc;
+    /* merge in tile order: byte-identical append order to the
+       sequential path, with index relocation */
+    for (int i = 0; i < n_tiles && rc == 0; i++) {
+        TileOut *s = &m.outs[i];
+        if (s->error) { rc = s->error; break; }
+        if (o->n_blocks + s->n_blocks > o->max_blocks
+            || o->n_txs + s->n_txs > o->max_txs
+            || o->coeffs_used + s->coeffs_used > o->coeffs_cap
+            || o->n_lf + s->n_lf > o->max_lf
+            || o->n_lr_units + s->n_lr_units > o->max_lr_units
+            || o->n_pal_units + s->n_pal_units > o->max_pal_units
+            || o->pal_maps_used + s->pal_maps_used > o->pal_maps_cap) {
+            rc = 1;
+            break;
+        }
+        int64_t tx_base = o->n_txs, co_base = o->coeffs_used;
+        int64_t pal_base = o->n_pal_units, map_base = o->pal_maps_used;
+        int32_t *bdst = o->blocks + o->n_blocks * BLK_FIELDS;
+        memcpy(bdst, s->blocks,
+               sizeof(int32_t) * (size_t)(s->n_blocks * BLK_FIELDS));
+        for (int64_t k = 0; k < s->n_blocks; k++) {
+            bdst[k * BLK_FIELDS + BLK_TXOFF] += (int32_t)tx_base;
+            if (bdst[k * BLK_FIELDS + BLK_PAL])
+                bdst[k * BLK_FIELDS + BLK_PAL] += (int32_t)pal_base;
+        }
+        int32_t *tdst = o->txs + o->n_txs * 8;
+        memcpy(tdst, s->txs, sizeof(int32_t) * (size_t)(s->n_txs * 8));
+        for (int64_t k = 0; k < s->n_txs; k++)
+            tdst[k * 8 + 6] += (int32_t)co_base;
+        memcpy(o->coeffs + o->coeffs_used, s->coeffs,
+               sizeof(int32_t) * (size_t)s->coeffs_used);
+        memcpy(o->lf_txs + o->n_lf * 4, s->lf_txs,
+               sizeof(int32_t) * (size_t)(s->n_lf * 4));
+        memcpy(o->lr_units + o->n_lr_units * 13, s->lr_units,
+               sizeof(int32_t) * (size_t)(s->n_lr_units * 13));
+        int32_t *pdst = o->pal_units + o->n_pal_units * 32;
+        memcpy(pdst, s->pal_units,
+               sizeof(int32_t) * (size_t)(s->n_pal_units * 32));
+        for (int64_t k = 0; k < s->n_pal_units; k++) {
+            if (pdst[k * 32 + 0]) pdst[k * 32 + 2] += (int32_t)map_base;
+            if (pdst[k * 32 + 1]) pdst[k * 32 + 3] += (int32_t)map_base;
+        }
+        memcpy(o->pal_maps + o->pal_maps_used, s->pal_maps,
+               (size_t)s->pal_maps_used);
+        o->n_blocks += s->n_blocks;
+        o->n_txs += s->n_txs;
+        o->coeffs_used += s->coeffs_used;
+        o->n_lf += s->n_lf;
+        o->n_lr_units += s->n_lr_units;
+        o->n_pal_units += s->n_pal_units;
+        o->pal_maps_used += s->pal_maps_used;
+    }
+    for (int i = 0; i < n_tiles; i++) mt_free_out(&m.outs[i]);
+    free(m.outs);
+    av1_tile_time += tile_now() - t0;
+    return rc;
+}

@@ -142,6 +142,9 @@ class EasyAV1Settings:
     use_fast_seeking: bool = False
     audio_offset_time: int = 0  # milliseconds, signed
     log_level: LogLevel = LogLevel.WARNING
+    # tile-parallel entropy decode workers; 0 = auto (cpu count),
+    # the dav1d auto-thread analog (reference easyav1.c:1401-1408)
+    video_threads: int = 0
 
     def copy(self) -> "EasyAV1Settings":
         return dataclasses.replace(self)

@@ -33,8 +33,12 @@ class AV1DecodeError(Exception):
 
 
 class AV1Backend:
-    def __init__(self, track: TrackInfo):
+    def __init__(self, track: TrackInfo, threads: int = 0):
         self.track = track
+        # tile-parallel entropy worker count; 0 = auto (cpu count,
+        # dav1d-auto analog easyav1.c:1401-1408), EASYAV1_THREADS
+        # still overrides inside native.decode_threads()
+        self.threads = threads
         self.seq: Optional[SequenceHeader] = None
         self.hp: Optional[HeaderParser] = None
         self._out_refs: List[Optional[VideoFrame]] = [None] * C.NUM_REF_FRAMES
@@ -172,7 +176,8 @@ class AV1Backend:
         planes16 = None
         res = native.decode_and_recon_native(
             seq, hdr, tiles, cdf_in=init_blob, want_cdf=want_cdf,
-            tpl=tpl, refs=self._ref_u16, want_u16=True)
+            tpl=tpl, refs=self._ref_u16, want_u16=True,
+            threads=self.threads)
         if res is not None:
             if len(res) == 4:
                 planes, out_blob, nat_grids, planes16 = res
@@ -182,7 +187,7 @@ class AV1Backend:
             plan = self._empty_plan(hdr)
             nres = native.decode_frame_native(
                 seq, hdr, plan, tiles, cdf_in=init_blob,
-                want_cdf=want_cdf, tpl=tpl)
+                want_cdf=want_cdf, tpl=tpl, threads=self.threads)
             if nres is None:
                 init_cdf = (blob_to_cdf(init_blob)
                             if init_blob is not None
