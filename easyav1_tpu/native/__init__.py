@@ -1236,8 +1236,19 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     blocks = bufs["blocks"][:out.n_blocks]
     ref_dims = [None if refs[s] is None else
                 (refs[s][0][1], refs[s][0][2]) for s in range(8)]
+    # host-visible ref planes (diffwtd mask generation); None per slot
+    # when HBM-resident (export falls back only if diffwtd is present)
+    host_refs = []
+    for s in range(8):
+        if refs[s] is None:
+            host_refs.append(None)
+            continue
+        pls = [a for (a, _lw, _lh) in refs[s]]
+        host_refs.append(None if any(isinstance(a, _DevRef)
+                                     for a in pls) else pls)
     plan_mc = export_inter_plan(seq, hdr, blocks, bufs["ref0"],
-                                bufs["mvs"], bufs["interp"], ref_dims)
+                                bufs["mvs"], bufs["interp"], ref_dims,
+                                ref_planes=host_refs)
     if plan_mc is None:
         _DEVICE_INTER_STATS["fallbacks"] += 1
         return None

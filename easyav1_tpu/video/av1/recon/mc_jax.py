@@ -41,6 +41,10 @@ from easyav1_tpu.video.av1.recon.jax_exec import (
  B_REFMVIDX, B_INTERP0, B_INTERP1, B_MOTION_MODE, B_WARP_VALID) = \
     range(29)
 B_COMP_TYPE = 39
+B_COMP_IDX = 40
+B_WEDGE_IDX = 41
+B_WEDGE_SIGN = 42
+B_MASK_TYPE = 43
 B_II_MODE = 44
 B_INTRABC = 50
 
@@ -48,19 +52,21 @@ GLOBALMV = 15
 COMP_AVERAGE, COMP_DISTANCE, COMP_WEDGE, COMP_DIFFWTD = range(4)
 
 NS = 22          # single-pred unit fields
-NPR = 43         # compound-pred unit fields
+NPR = 45         # compound-pred unit fields
 
 # single layout: x, y, slot, ix, iy, valid, fh[8], fv[8]
 (S_X, S_Y, S_SLOT, S_IX, S_IY, S_VALID) = range(6)
 S_FH = 6
 S_FV = 14
 # pair layout: x, y, valid, then per-pred (slot, ix, iy, fh[8], fv[8]),
-# then w0, w1
+# then w0, w1, blend mode (0 = w0/w1 weights, 1 = mask stack), mask idx
 (P_X, P_Y, P_VALID) = range(3)
 P_PRED0 = 3
 P_PRED1 = 22
 P_W0 = 41
 P_W1 = 42
+P_MODE = 43
+P_MIDX = 44
 
 
 @functools.lru_cache(maxsize=None)
@@ -117,20 +123,46 @@ def _dist_weights_np(seq, hdr, ref0: np.ndarray, ref1: np.ndarray):
     return w0, w1
 
 
+def _host_comp_pred(ref, rw, rh, x, y, w, h, mvr, mvc, interp0,
+                    interp1, sx, sy):
+    """Numpy mirror of the compound-intermediate prediction
+    ((accH+4)>>3 then (accV+64)>>7; av1_mc.h predict_inter comp=1) for
+    host-side diffwtd mask generation."""
+    bank = _filter_bank()
+    start_x = (x << 4) + mvc * (1 if sx else 2)
+    start_y = (y << 4) + mvr * (1 if sy else 2)
+    ix, fx = start_x >> 4, start_x & 15
+    iy, fy = start_y >> 4, start_y & 15
+    fh8 = bank[int(_fclass(np.asarray([interp1]),
+                           np.asarray([w]))[0]), fx].astype(np.int64)
+    fv8 = bank[int(_fclass(np.asarray([interp0]),
+                           np.asarray([h]))[0]), fy].astype(np.int64)
+    rows = np.clip(iy - 3 + np.arange(h + 7), 0, rh - 1)
+    cols = np.clip(ix - 3 + np.arange(w + 7), 0, rw - 1)
+    win = ref[np.ix_(rows, cols)].astype(np.int64)
+    acc = sum(win[:, t:t + w] * fh8[t] for t in range(8))
+    m = (acc + 4) >> 3
+    acc2 = sum(m[t:t + h, :] * fv8[t] for t in range(8))
+    return (acc2 + 64) >> 7
+
+
 def export_inter_plan(seq, hdr, blocks: np.ndarray,
                       ref0_g: np.ndarray, mvs_g: np.ndarray,
                       interp_g: np.ndarray,
-                      ref_dims) -> Optional[dict]:
+                      ref_dims, ref_planes=None) -> Optional[dict]:
     """Block records -> per-(plane, w, h) MC unit tensors.
 
-    ref_dims: per-slot (lw, lh) or None.  Returns
-    {"slots": [slot...], "singles": {...}, "pairs": {...}} or None when
-    an unsupported feature is present (caller falls back to C)."""
+    ref_dims: per-slot (lw, lh) or None.  ref_planes: per-slot list of
+    host numpy planes (or None), used to build diffwtd masks.  Returns
+    {"slots": [...], "singles": {...}, "pairs": {...},
+    "pair_masks": {...}} or None when an unsupported feature is
+    present (caller falls back to C)."""
     if getattr(hdr, "allow_intrabc", False):
         return None
     inter = blocks[blocks[:, B_IS_INTER] != 0]
     if inter.shape[0] == 0:
-        return {"slots": [], "singles": {}, "pairs": {}}
+        return {"slots": [], "singles": {}, "pairs": {},
+                "pair_masks": {}}
     if np.any(inter[:, B_MOTION_MODE] != 0):
         return None                      # OBMC / warped
     if np.any(inter[:, B_II_MODE] >= 0):
@@ -139,8 +171,13 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
         return None
     comp = inter[:, B_COMP_TYPE]
     is_comp = inter[:, B_REF1] > 0
-    if np.any(is_comp & ((comp == COMP_WEDGE) | (comp == COMP_DIFFWTD))):
-        return None                      # masked compound
+    # masked compound: wedge masks come from the static tables,
+    # diffwtd masks need the luma compound intermediates (host numpy
+    # replica); both are chroma-subsampled host-side exactly like
+    # av1_mc.h recon_compound
+    diffwtd_rows = np.flatnonzero(is_comp & (comp == COMP_DIFFWTD))
+    if diffwtd_rows.size and ref_planes is None:
+        return None                      # resident refs: no host planes
     # global warp selection (av1_mc.h recon_block_inter): GLOBALMV +
     # gm_type > TRANSLATION + valid + >=8x8 would take the warp path
     gm_t = np.asarray(getattr(hdr, "gm_type", [0] * 8), np.int32)
@@ -172,6 +209,41 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
     for r in range(1, 8):
         ref_of[r] = slot_dense.get(rfi[r - 1], -1)
 
+    # luma-resolution masks for every masked-compound block, keyed by
+    # row index into `inter` (chroma units subsample these)
+    masked_rows = np.flatnonzero(
+        is_comp & ((comp == COMP_WEDGE) | (comp == COMP_DIFFWTD)))
+    luma_masks: Dict[int, np.ndarray] = {}
+    if masked_rows.size:
+        from easyav1_tpu.video.av1.wedge import diffwtd_mask, wedge_mask
+        bd_ = seq.color.bitdepth
+        _bw4a = np.asarray(C.BLOCK_W4, np.int32)
+        _bh4a = np.asarray(C.BLOCK_H4, np.int32)
+        for k in masked_rows:
+            b = inter[k]
+            bs = int(b[B_BSIZE])
+            bw, bh = int(_bw4a[bs]) * 4, int(_bh4a[bs]) * 4
+            if int(b[B_COMP_TYPE]) == COMP_WEDGE:
+                mL = np.asarray(
+                    wedge_mask(bs, int(b[B_WEDGE_IDX]),
+                               int(b[B_WEDGE_SIGN])), np.int32)
+            else:
+                x0, y0 = int(b[B_C]) * 4, int(b[B_R]) * 4
+                ps = []
+                for refc, mvrf, mvcf in ((B_REF0, B_MV_R, B_MV_C),
+                                         (B_REF1, B_MV2_R, B_MV2_C)):
+                    slot = rfi[int(b[refc]) - 1]
+                    ref = np.asarray(ref_planes[slot][0])
+                    lw, lh = ref_dims[slot]
+                    ps.append(_host_comp_pred(
+                        ref, lw, lh, x0, y0, bw, bh, int(b[mvrf]),
+                        int(b[mvcf]), int(b[B_INTERP0]),
+                        int(b[B_INTERP1]), 0, 0))
+                mL = np.asarray(
+                    diffwtd_mask(ps[0], ps[1], int(b[B_MASK_TYPE]),
+                                 bd_), np.int32)
+            luma_masks[int(k)] = mL
+
     bank = _filter_bank()
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     n_pl = seq.color.num_planes
@@ -201,12 +273,15 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
 
     out_singles: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
     out_pairs: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
+    out_pair_masks: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
 
     for plane in range(n_pl):
         sx = ssx if plane else 0
         sy = ssy if plane else 0
         has_c = (inter[:, B_HASCHROMA] != 0) | (plane == 0)
         blks = inter[has_c] if plane else inter
+        bidx = (np.flatnonzero(has_c) if plane
+                else np.arange(inter.shape[0]))
         if blks.shape[0] == 0:
             continue
         bw4 = _bw4[blks[:, B_BSIZE]]
@@ -281,6 +356,7 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
         m2 = normal_mask & cmpd
         if np.any(m2):
             sel = blks[m2]
+            sel_idx = bidx[m2]
             xs, ys_ = x[m2], y[m2]
             fws, fhs = fw[m2], fh[m2]
             w0 = np.full(sel.shape[0], 8, np.int64)
@@ -295,11 +371,30 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
                              for a, b in zip(fws, fhs)}:
                 mm = (fws == wv) & (fhs == hv)
                 s2 = sel[mm]
+                s2_idx = sel_idx[mm]
                 n = s2.shape[0]
                 u = np.empty((n, NPR), np.int32)
                 u[:, P_X] = xs[mm]
                 u[:, P_Y] = ys_[mm]
                 u[:, P_VALID] = 1
+                u[:, P_MODE] = 0
+                u[:, P_MIDX] = 0
+                if luma_masks:
+                    from easyav1_tpu.video.av1.wedge import \
+                        subsample_mask
+                    gkey = (plane, wv, hv)
+                    mlist = out_pair_masks.setdefault(
+                        gkey, [np.zeros((hv, wv), np.int32)])
+                    for j, gi in enumerate(s2_idx):
+                        mL = luma_masks.get(int(gi))
+                        if mL is None:
+                            continue
+                        mk = (mL if plane == 0
+                              else np.asarray(
+                                  subsample_mask(mL, sx, sy), np.int32))
+                        u[j, P_MODE] = 1
+                        u[j, P_MIDX] = len(mlist)
+                        mlist.append(mk)
                 for base, refc, mvrc, mvcc in (
                         (P_PRED0, B_REF0, B_MV_R, B_MV_C),
                         (P_PRED1, B_REF1, B_MV2_R, B_MV2_C)):
@@ -324,6 +419,8 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
         "slots": used_slots,
         "singles": {k: np.concatenate(v) for k, v in out_singles.items()},
         "pairs": {k: np.concatenate(v) for k, v in out_pairs.items()},
+        "pair_masks": {k: np.stack(v)
+                       for k, v in out_pair_masks.items()},
     }
 
 
@@ -377,9 +474,12 @@ def _mc_single_kernel(ph, pw, rh, rw, ns, w, h, n, bd):
 
 
 @functools.lru_cache(maxsize=None)
-def _mc_pair_kernel(ph, pw, rh, rw, ns, w, h, n, bd):
-    """jit: compound average/distance.  p = (accV + 64) >> 7 per pred;
-    v = clip((p0*w0 + p1*w1 + 128) >> 8)."""
+def _mc_pair_kernel(ph, pw, rh, rw, ns, w, h, n, nm, bd):
+    """jit: compound.  p = (accV + 64) >> 7 per pred; then either the
+    weight blend v = clip((p0*w0 + p1*w1 + 128) >> 8) (average /
+    distance) or the masked blend v = clip((p0*m + p1*(64-m) + 512)
+    >> 10) with m from the host-built mask stack (wedge tables or the
+    luma diffwtd mask, chroma-subsampled; av1_mc.h recon_compound)."""
     import jax
     import jax.numpy as jnp
 
@@ -407,11 +507,14 @@ def _mc_pair_kernel(ph, pw, rh, rw, ns, w, h, n, bd):
             acc2 = acc2 + m[:, t:t + h, :] * fv8[:, t][:, None, None]
         return (acc2 + 64) >> 7
 
-    def fn(plane, resid, refstk, f):
+    def fn(plane, resid, refstk, f, masks):
         p0 = pred(refstk, f, P_PRED0)
         p1 = pred(refstk, f, P_PRED1)
-        v = (p0 * f[:, P_W0][:, None, None]
-             + p1 * f[:, P_W1][:, None, None] + 128) >> 8
+        vw = (p0 * f[:, P_W0][:, None, None]
+              + p1 * f[:, P_W1][:, None, None] + 128) >> 8
+        m = masks[jnp.clip(f[:, P_MIDX], 0, nm - 1)]
+        vm = (p0 * m + p1 * (64 - m) + 512) >> 10
+        v = jnp.where((f[:, P_MODE] == 1)[:, None, None], vm, vw)
         v = jnp.clip(v, 0, mx)
         valid = f[:, P_VALID] != 0
         yy = jnp.where(valid, f[:, P_Y] + PAD, ph)[:, None, None] \
@@ -514,10 +617,16 @@ class DeviceInterRecon:
             cap = self._cap(("p", p, w, h), f.shape[0])
             fpad = np.zeros((cap, NPR), np.int32)
             fpad[:f.shape[0]] = f
+            msk = plan_mc.get("pair_masks", {}).get((p, w, h))
+            if msk is None:
+                msk = np.zeros((1, h, w), np.int32)
+            mcap = self._cap(("pm", p, w, h), msk.shape[0])
+            mpad = np.zeros((mcap, h, w), np.int32)
+            mpad[:msk.shape[0]] = msk
             kern = _mc_pair_kernel(php, pwp, rh, rw, rsk.shape[0],
-                                   w, h, cap, self.bd)
+                                   w, h, cap, mcap, self.bd)
             planes[p] = kern(planes[p], resid[p], rsk,
-                             jnp.asarray(fpad))
+                             jnp.asarray(fpad), jnp.asarray(mpad))
 
         # ---- intra blocks: sequential scan (neighbours final) ----
         outs = [None] * self.np_
