@@ -37,14 +37,24 @@ import pytest  # noqa: E402
 # compiles).  The default selection skips them for a fast signal;
 # `pytest -m ""` (or -m slow) runs everything — see pyproject addopts.
 SLOW_FILES = {
-    "test_cdef_jax.py", "test_fg_jax.py", "test_itx_jax.py",
+    "test_cdef_jax.py", "test_fg_jax.py",
     "test_lf_jax.py", "test_lr_jax.py", "test_intra_pallas.py",
-    "test_device_bridge.py", "test_device_trace.py", "test_multistream.py",
+    "test_device_bridge.py", "test_device_trace.py",
     "test_graft_entry.py",
+}
+# compile-heaviest device files: a second tier so `-m slow` stays a
+# <5 min slice on this host (measured: itx_jax ~11 min, mc_jax ~6 min,
+# multistream ~2 min with a warm .jax_cache)
+XSLOW_FILES = {
+    "test_itx_jax.py", "test_mc_jax.py", "test_multistream.py",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in SLOW_FILES:
+        base = os.path.basename(str(item.fspath))
+        if base in SLOW_FILES:
             item.add_marker(pytest.mark.slow)
+        elif base in XSLOW_FILES:
+            item.add_marker(pytest.mark.slow)
+            item.add_marker(pytest.mark.xslow)
