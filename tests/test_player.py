@@ -147,3 +147,37 @@ def test_player_help_and_flags():
     r = subprocess.run([str(player), "--bogus"], capture_output=True,
                        text=True, env=_env(), timeout=60)
     assert r.returncode == 1
+
+
+def test_player_ui_selftest():
+    """UI overlay core (tools/player_ui.h): time-bar state machine
+    transitions, bitmap-font rasterization and play/pause morph render
+    to a deterministic canvas (reference easyav1_player.c:36-49 font,
+    :922-1054 time-bar animation, :1056-1120 morph — feature checklist
+    VERDICT r3 #8)."""
+    player = _build_player()
+    r = subprocess.run([str(player), "--ui-selftest"],
+                       capture_output=True, text=True, env=_env(),
+                       timeout=60)
+    assert r.returncode == 0, r.stderr
+    out = r.stdout.strip()
+    # state machine: hidden -> opening -> open -> closing -> reopen ->
+    # held open (exact trace pinned; pos digit = round(pos * 9))
+    assert "trace=00 00 10 15 29 29 39 36 33 10 15 29" in out, out
+    # canvas hash pins font + morph rasterization
+    assert "hash=95730dcb" in out, out
+    # run twice: fully deterministic
+    r2 = subprocess.run([str(player), "--ui-selftest"],
+                        capture_output=True, text=True, env=_env(),
+                        timeout=60)
+    assert r2.stdout == r.stdout
+
+
+def test_player_sdl3_sink_compiles():
+    """The SDL3 sink (window/texture/time-bar/scrub/file-dialog path)
+    must stay compilable — checked against the bundled SDL3 API stub
+    (tools/sdl3_stub)."""
+    r = subprocess.run(["make", "-C", str(REPO / "tools"),
+                        "player-sdl3-check"], capture_output=True,
+                       text=True, timeout=120)
+    assert r.returncode == 0, r.stdout + r.stderr

@@ -40,10 +40,13 @@
 #include <unistd.h>
 #endif
 
+#include "player_ui.h"
+
 typedef struct {
     const char *filename;
     const char *dump_path;
     int displaying_help;
+    int ui_selftest;
     int loop;
     int fullscreen;
     int keep_aspect_ratio;
@@ -103,6 +106,8 @@ static const struct {
       "The log level: 0 - default, 1 - errors, 2 - warnings, 3 - info" },
     { "dump", "d", OPTION_TYPE_STR, &P.options.dump_path,
       "Write decoded video to a Y4M file (terminal sink only)." },
+    { "ui-selftest", "ui", OPTION_TYPE_BOOL, &P.options.ui_selftest,
+      "Run the UI overlay selftest (state machine + font + morph) and exit" },
     { "max_seconds", "ms", OPTION_TYPE_INT, &P.options.max_seconds,
       "Stop playback after this many seconds (0 = play to the end)." },
 };
@@ -511,7 +516,14 @@ static struct {
     SDL_Renderer *renderer;
     SDL_Texture *video;
     unsigned tex_w, tex_h;
+    ui_timebar tb;           /* animated time bar (player_ui.h) */
+    float morph;             /* 0 = play icon, 1 = pause icon */
+    int scrubbing;           /* pointer held on the bar */
+    int activity;            /* pointer moved this tick */
 } S;
+
+#define TB_HEIGHT 28.0f
+#define TB_ICON 18.0f
 
 static SDL_Colorspace frame_colorspace(const easyav1_video_frame *f)
 {
@@ -572,21 +584,146 @@ static void ensure_texture(const easyav1_video_frame *f)
     S.tex_h = f->properties.height;
 }
 
-static void draw_progress_bar(void)
+/* rasterize UI text via per-pixel rects (tiny overlay, fine at 60fps) */
+static void sdl_draw_text(float x, float y, int scale, const char *text)
+{
+    for (const char *pch = text; *pch; pch++) {
+        const uint8_t *g = ui_glyph(*pch);
+        if (g) {
+            for (int r = 0; r < UI_FONT_H; r++)
+                for (int c = 0; c < UI_FONT_W; c++)
+                    if ((g[r] >> c) & 1) {
+                        SDL_FRect px = { x + (float)(c * scale),
+                                         y + (float)(r * scale),
+                                         (float)scale, (float)scale };
+                        SDL_RenderFillRect(S.renderer, &px);
+                    }
+        }
+        x += (float)((UI_FONT_W + 1) * scale);
+    }
+}
+
+static void sdl_fill_quad(const ui_quad *q)
+{
+    int xa = (int)(q->x0 + 0.5f), xb = (int)(q->x1 + 0.5f);
+    if (xb <= xa) xb = xa + 1;
+    for (int x = xa; x < xb; x++) {
+        float f = (float)(x - xa) / (float)(xb - xa);
+        float yt = q->yt0 + (q->yt1 - q->yt0) * f;
+        float yb = q->yb0 + (q->yb1 - q->yb0) * f;
+        SDL_FRect col = { (float)x, yt, 1.0f, yb - yt };
+        SDL_RenderFillRect(S.renderer, &col);
+    }
+}
+
+/* animated time bar: slide-in band with play/pause morph icon,
+ * HH:MM:SS / duration overlay and a click+drag scrub area (reference
+ * easyav1_player.c:922-1120 feature set, fresh geometry) */
+static void draw_time_bar(void)
 {
     easyav1_timestamp dur = easyav1_get_duration(P.av1);
     if (dur == 0) {
         return;
     }
+    float pos = ui_timebar_step(&S.tb, SDL_GetTicks(), S.activity,
+                                P.paused || S.scrubbing);
+    S.activity = 0;
+    /* play/pause morph eases toward its target every frame */
+    float target = P.paused ? 0.0f : 1.0f;
+    S.morph += (target - S.morph) * 0.25f;
+    if (pos <= 0.0f) {
+        return;
+    }
     int w, h;
     SDL_GetWindowSize(S.window, &w, &h);
+    float top = (float)h - TB_HEIGHT * pos;
+    SDL_SetRenderDrawBlendMode(S.renderer, SDL_BLENDMODE_BLEND);
+    SDL_FRect band = { 0, top, (float)w, TB_HEIGHT };
+    SDL_SetRenderDrawColor(S.renderer, 20, 20, 20, 190);
+    SDL_RenderFillRect(S.renderer, &band);
+    /* progress groove + fill */
+    float gx = TB_ICON * 2.2f, gw = (float)w - gx - 120.0f;
     float frac = (float)easyav1_get_current_timestamp(P.av1) / dur;
-    SDL_FRect bg = { 0, (float)h - 8, (float)w, 8 };
-    SDL_FRect fg = { 0, (float)h - 8, (float)w * frac, 8 };
-    SDL_SetRenderDrawColor(S.renderer, 40, 40, 40, 200);
-    SDL_RenderFillRect(S.renderer, &bg);
-    SDL_SetRenderDrawColor(S.renderer, 220, 220, 220, 255);
-    SDL_RenderFillRect(S.renderer, &fg);
+    if (frac > 1.0f) frac = 1.0f;
+    SDL_FRect groove = { gx, top + TB_HEIGHT / 2 - 2, gw, 4 };
+    SDL_SetRenderDrawColor(S.renderer, 80, 80, 80, 255);
+    SDL_RenderFillRect(S.renderer, &groove);
+    SDL_FRect fill = { gx, top + TB_HEIGHT / 2 - 2, gw * frac, 4 };
+    SDL_SetRenderDrawColor(S.renderer, 235, 235, 235, 255);
+    SDL_RenderFillRect(S.renderer, &fill);
+    /* scrub knob */
+    SDL_FRect knob = { gx + gw * frac - 3, top + TB_HEIGHT / 2 - 6,
+                       6, 12 };
+    SDL_RenderFillRect(S.renderer, &knob);
+    /* play/pause morph icon */
+    ui_quad l, r;
+    ui_play_morph(S.morph, TB_ICON * 1.1f, top + TB_HEIGHT / 2,
+                  TB_ICON, &l, &r);
+    SDL_SetRenderDrawColor(S.renderer, 235, 235, 235, 255);
+    sdl_fill_quad(&l);
+    sdl_fill_quad(&r);
+    /* time text: current / duration */
+    char ts[16], ds[16], line[40];
+    ui_fmt_time(easyav1_get_current_timestamp(P.av1), ts);
+    ui_fmt_time(dur, ds);
+    int n = 0;
+    for (const char *pch = ts; *pch; pch++) line[n++] = *pch;
+    line[n++] = ' '; line[n++] = '/'; line[n++] = ' ';
+    for (const char *pch = ds; *pch; pch++) line[n++] = *pch;
+    line[n] = 0;
+    sdl_draw_text(gx + gw + 10.0f, top + TB_HEIGHT / 2 - 7.0f, 2,
+                  line);
+}
+
+static void scrub_to(float mx, int w)
+{
+    float gx = TB_ICON * 2.2f, gw = (float)w - gx - 120.0f;
+    float f = (mx - gx) / gw;
+    if (f < 0) f = 0;
+    if (f > 1) f = 1;
+    easyav1_seek_to_timestamp(P.av1,
+        (easyav1_timestamp)(easyav1_get_duration(P.av1) * (double)f));
+}
+
+/* file dialog when launched without a path (reference
+ * easyav1_player.c:1189-1243 role) */
+static struct { char path[4096]; int done; } g_dialog;
+
+static void dialog_cb(void *ud, const char *const *files, int n)
+{
+    (void)ud; (void)n;
+    if (files && files[0]) {
+        size_t i = 0;
+        for (; files[0][i] && i < sizeof(g_dialog.path) - 1; i++)
+            g_dialog.path[i] = files[0][i];
+        g_dialog.path[i] = 0;
+    }
+    g_dialog.done = 1;
+}
+
+static const char *pick_file_dialog(void)
+{
+    if (!SDL_Init(SDL_INIT_VIDEO)) {
+        return NULL;
+    }
+    static const SDL_DialogFileFilter filters[] = {
+        { "WebM video", "webm" },
+        { "All files", "*" },
+    };
+    g_dialog.done = 0;
+    g_dialog.path[0] = 0;
+    SDL_ShowOpenFileDialog(dialog_cb, NULL, NULL, filters, 2, NULL,
+                           false);
+    while (!g_dialog.done) {
+        SDL_Event ev;
+        while (SDL_PollEvent(&ev)) {
+            if (ev.type == SDL_EVENT_QUIT) {
+                return NULL;
+            }
+        }
+        SDL_Delay(20);
+    }
+    return g_dialog.path[0] ? g_dialog.path : NULL;
 }
 
 static int run_player(void)
@@ -669,13 +806,35 @@ static int run_player(void)
                             break;
                     }
                     break;
+                case SDL_EVENT_MOUSE_MOTION:
+                    S.activity = 1;
+                    if (S.scrubbing) {
+                        int w, h;
+                        SDL_GetWindowSize(S.window, &w, &h);
+                        scrub_to(ev.motion.x, w);
+                    }
+                    break;
+                case SDL_EVENT_MOUSE_BUTTON_UP:
+                    S.scrubbing = 0;
+                    break;
                 case SDL_EVENT_MOUSE_BUTTON_DOWN: {
                     int w, h;
                     SDL_GetWindowSize(S.window, &w, &h);
-                    if (ev.button.y >= h - 16 && w > 0) {
-                        easyav1_seek_to_timestamp(
-                            P.av1, easyav1_get_duration(P.av1) *
-                            ev.button.x / w);
+                    S.activity = 1;
+                    if (S.tb.pos > 0 &&
+                        ev.button.y >= h - TB_HEIGHT && w > 0) {
+                        if (ev.button.x < TB_ICON * 2.2f) {
+                            /* morph icon: toggle play/pause */
+                            P.paused = !P.paused;
+                            if (P.paused) {
+                                easyav1_stop(P.av1);
+                            } else {
+                                easyav1_play(P.av1);
+                            }
+                        } else {
+                            S.scrubbing = 1;
+                            scrub_to(ev.button.x, w);
+                        }
                     } else {
                         P.paused = !P.paused;
                         if (P.paused) {
@@ -729,7 +888,7 @@ static int run_player(void)
             }
         }
 
-        draw_progress_bar();
+        draw_time_bar();
         SDL_RenderPresent(S.renderer);
 
         uint64_t t = SDL_GetTicks();
@@ -778,10 +937,21 @@ int main(int argc, char **argv)
         display_help(argv[0]);
         return 0;
     }
+    if (P.options.ui_selftest) {
+        char trace[128];
+        uint32_t h = ui_selftest(trace, (int)sizeof(trace));
+        printf("ui-selftest trace=%s hash=%08x\n", trace, h);
+        return 0;
+    }
     if (!P.options.filename) {
-        printf("Usage: \"%s [OPTIONS] <filename>\"\n",
-               parse_file_name(argv[0]));
-        return 2;
+#ifdef PLAYER_BACKEND_SDL3
+        P.options.filename = pick_file_dialog();
+#endif
+        if (!P.options.filename) {
+            printf("Usage: \"%s [OPTIONS] <filename>\"\n",
+                   parse_file_name(argv[0]));
+            return 2;
+        }
     }
     if (!init_easyav1()) {
         printf("Failed to initialize easyav1.\n");
