@@ -1248,7 +1248,8 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
                                      for a in pls) else pls)
     plan_mc = export_inter_plan(seq, hdr, blocks, bufs["ref0"],
                                 bufs["mvs"], bufs["interp"], ref_dims,
-                                ref_planes=host_refs)
+                                ref_planes=host_refs,
+                                bsize_g=bufs["grids"]["bsize"])
     if plan_mc is None:
         _DEVICE_INTER_STATS["fallbacks"] += 1
         return None

@@ -726,8 +726,8 @@ static int mc_rel_dist(const FrameParams *fp, int a, int b) {
 
 static void dist_weights(const FrameParams *fp, int ref0, int ref1,
                          int *w0, int *w1) {
-    static const int8_t QW[4][2] = {{2, 3}, {2, 5}, {2, 7}, {1, 31}};
-    static const int8_t QL[4][2] = {{9, 7}, {11, 5}, {13, 3}, {15, 1}};
+    static const int8_t QW[3][2] = {{2, 3}, {2, 5}, {2, 7}};
+    static const int8_t QL[4][2] = {{9, 7}, {11, 5}, {12, 4}, {13, 3}};
     int cur = fp->order_hint;
     int bck = mc_rel_dist(fp, cur, fp->order_hints[ref0]);
     int fwd = mc_rel_dist(fp, fp->order_hints[ref1], cur);
@@ -735,14 +735,23 @@ static void dist_weights(const FrameParams *fp, int ref0, int ref1,
     if (fwd < 0) fwd = -fwd;
     if (bck > 31) bck = 31;
     if (fwd > 31) fwd = 31;
-    int order = fwd <= bck;
+    /* ratio-quantized weights: the NEARER reference takes QL[i][0];
+       row i from the strict ratio ladder far*2 < near*{3,5,7}
+       (validated weight-by-weight against libdav1d on one-sided
+       compound streams, tests/test_av1_jnt_onesided.py — the old
+       rows {13,3},{15,1} and the inverted compare diverged there) */
+    int order = fwd <= bck;           /* ref1 nearer (or tie) */
+    int near_ = order ? fwd : bck, far_ = order ? bck : fwd;
     int i;
-    for (i = 0; i < 3; i++) {
-        int c0 = QW[i][order], c1 = QW[i][1 - order];
-        if ((int64_t)fwd * c0 <= (int64_t)bck * c1) break;
+    for (i = 0; i < 3; i++)
+        if (far_ * 2 < near_ * QW[i][1]) break;
+    if (order) {
+        *w1 = QL[i][0];
+        *w0 = QL[i][1];
+    } else {
+        *w0 = QL[i][0];
+        *w1 = QL[i][1];
     }
-    *w1 = QL[i][order];        /* fwd_off -> weight of ref1 pred */
-    *w0 = QL[i][1 - order];    /* bck_off -> weight of ref0 pred */
 }
 
 /* ---- interintra (recon_ref._interintra_blend) ---------------------- */

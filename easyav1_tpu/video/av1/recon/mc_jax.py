@@ -40,6 +40,8 @@ from easyav1_tpu.video.av1.recon.jax_exec import (
  B_IS_INTER, B_REF0, B_REF1, B_MV_R, B_MV_C, B_MV2_R, B_MV2_C, B_MODE,
  B_REFMVIDX, B_INTERP0, B_INTERP1, B_MOTION_MODE, B_WARP_VALID) = \
     range(29)
+B_WM0 = 29
+B_SH_ALPHA = 35
 B_COMP_TYPE = 39
 B_COMP_IDX = 40
 B_WEDGE_IDX = 41
@@ -51,13 +53,30 @@ B_INTRABC = 50
 GLOBALMV = 15
 COMP_AVERAGE, COMP_DISTANCE, COMP_WEDGE, COMP_DIFFWTD = range(4)
 
-NS = 22          # single-pred unit fields
+NS = 23          # single-pred unit fields
 NPR = 45         # compound-pred unit fields
 
-# single layout: x, y, slot, ix, iy, valid, fh[8], fv[8]
+# single layout: x, y, slot, ix, iy, valid, fh[8], fv[8], nores
+# (nores = 1: write the bare prediction without the residual add —
+# OBMC base predictions blend overlays first, residual comes after)
 (S_X, S_Y, S_SLOT, S_IX, S_IY, S_VALID) = range(6)
 S_FH = 6
 S_FV = 14
+S_NORES = 22
+
+# raised-cosine overlap masks (av1_tables.h av1_obmc_mask_*)
+OBMC_MASKS = {
+    2: np.array([45, 64], np.int32),
+    4: np.array([39, 50, 59, 64], np.int32),
+    8: np.array([36, 42, 48, 53, 57, 61, 64, 64], np.int32),
+    16: np.array([34, 37, 40, 43, 46, 49, 52, 54, 56, 58, 60, 61,
+                  64, 64, 64, 64], np.int32),
+    32: np.array([33, 35, 36, 38, 40, 41, 43, 44, 45, 47, 48, 50,
+                  51, 52, 53, 55, 56, 57, 58, 59, 60, 60, 61, 62,
+                  64, 64, 64, 64, 64, 64, 64, 64], np.int32),
+}
+OBMC_MAX_NB = (0, 1, 2, 3, 4, 4, 4)
+MM_SIMPLE, MM_OBMC, MM_WARPED = 0, 1, 2
 # pair layout: x, y, valid, then per-pred (slot, ix, iy, fh[8], fv[8]),
 # then w0, w1, blend mode (0 = w0/w1 weights, 1 = mask stack), mask idx
 (P_X, P_Y, P_VALID) = range(3)
@@ -93,8 +112,8 @@ def _fclass(interp: np.ndarray, dim: np.ndarray) -> np.ndarray:
 def _dist_weights_np(seq, hdr, ref0: np.ndarray, ref1: np.ndarray):
     """(w0, w1) arrays for COMP_DISTANCE blocks (av1_mc.h
     dist_weights)."""
-    QW = np.array([[2, 3], [2, 5], [2, 7], [1, 31]], np.int64)
-    QL = np.array([[9, 7], [11, 5], [13, 3], [15, 1]], np.int64)
+    QW = np.array([[2, 3], [2, 5], [2, 7]], np.int64)
+    QL = np.array([[9, 7], [11, 5], [12, 4], [13, 3]], np.int64)
     hints = np.asarray(hdr.order_hints, np.int64)
     cur = int(hdr.order_hint)
 
@@ -114,12 +133,15 @@ def _dist_weights_np(seq, hdr, ref0: np.ndarray, ref1: np.ndarray):
     w0 = np.empty(n, np.int64)
     w1 = np.empty(n, np.int64)
     for k in range(n):                 # few compound-distance blocks
-        o = order[k]
+        near, far = ((fwd[k], bck[k]) if order[k]
+                     else (bck[k], fwd[k]))
         for i in range(3):
-            if fwd[k] * QW[i][o] <= bck[k] * QW[i][1 - o]:
+            if far * 2 < near * QW[i][1]:
                 break
-        w1[k] = QL[i][o]
-        w0[k] = QL[i][1 - o]
+        else:
+            i = 3
+        wn, wf = QL[i][0], QL[i][1]
+        w0[k], w1[k] = ((wf, wn) if order[k] else (wn, wf))
     return w0, w1
 
 
@@ -149,7 +171,8 @@ def _host_comp_pred(ref, rw, rh, x, y, w, h, mvr, mvc, interp0,
 def export_inter_plan(seq, hdr, blocks: np.ndarray,
                       ref0_g: np.ndarray, mvs_g: np.ndarray,
                       interp_g: np.ndarray,
-                      ref_dims, ref_planes=None) -> Optional[dict]:
+                      ref_dims, ref_planes=None,
+                      bsize_g=None) -> Optional[dict]:
     """Block records -> per-(plane, w, h) MC unit tensors.
 
     ref_dims: per-slot (lw, lh) or None.  ref_planes: per-slot list of
@@ -162,9 +185,10 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
     inter = blocks[blocks[:, B_IS_INTER] != 0]
     if inter.shape[0] == 0:
         return {"slots": [], "singles": {}, "pairs": {},
-                "pair_masks": {}}
-    if np.any(inter[:, B_MOTION_MODE] != 0):
-        return None                      # OBMC / warped
+                "pair_masks": {}, "obmc_above": {}, "obmc_left": {},
+                "obmc_resid": {}, "warps": {}}
+    # warped motion (local + global) is handled by the warp kernel;
+    # only interintra / intrabc / palette still fall back
     if np.any(inter[:, B_II_MODE] >= 0):
         return None                      # interintra
     if np.any(inter[:, B_INTRABC] != 0):
@@ -178,8 +202,10 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
     diffwtd_rows = np.flatnonzero(is_comp & (comp == COMP_DIFFWTD))
     if diffwtd_rows.size and ref_planes is None:
         return None                      # resident refs: no host planes
-    # global warp selection (av1_mc.h recon_block_inter): GLOBALMV +
-    # gm_type > TRANSLATION + valid + >=8x8 would take the warp path
+    # warp selection (av1_mc.h recon_block_inter): local warp (coded
+    # shear, BLK_WARP_VALID) beats global; GLOBALMV + gm_type >
+    # TRANSLATION + valid shear + >=8x8 takes the global warp path;
+    # anything else is translation
     gm_t = np.asarray(getattr(hdr, "gm_type", [0] * 8), np.int32)
     gm_inv = np.asarray(getattr(hdr, "gm_invalid", [False] * 8),
                         np.bool_)
@@ -187,11 +213,23 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
     _bh4 = np.asarray(C.BLOCK_H4, np.int32)
     w4 = _bw4[inter[:, B_BSIZE]]
     h4 = _bh4[inter[:, B_BSIZE]]
-    glob = (inter[:, B_MODE] == GLOBALMV) \
+    local_warp = (inter[:, B_MOTION_MODE] == MM_WARPED) \
+        & (inter[:, B_WARP_VALID] != 0)
+    glob = ~local_warp & ~is_comp & (inter[:, B_MODE] == GLOBALMV) \
         & (np.minimum(w4, h4) * 4 >= 8) \
         & (gm_t[inter[:, B_REF0]] > 1) & ~gm_inv[inter[:, B_REF0]]
+    gm_shear = {}
     if np.any(glob):
-        return None
+        from easyav1_tpu.video.av1.warp import get_shear_params
+        gm_par = getattr(hdr, "gm_params", None)
+        if gm_par is None:
+            return None
+        for rr in sorted({int(r) for r in inter[glob, B_REF0]}):
+            gm_shear[rr] = get_shear_params(list(gm_par[rr]))
+        # shear-invalid global warp degrades to translation
+        glob &= np.asarray([gm_shear.get(int(r)) is not None
+                            for r in inter[:, B_REF0]], np.bool_)
+    is_warp = local_warp | glob
     # used reference slots must be unscaled
     rfi = list(getattr(hdr, "ref_frame_idx", [0] * 7))
     fw_l, fh_l = hdr.frame_width, hdr.frame_height
@@ -269,11 +307,13 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
         u[:, S_VALID] = 1
         u[:, S_FH:S_FH + 8] = fh8
         u[:, S_FV:S_FV + 8] = fv8
+        u[:, S_NORES] = 0
         return u
 
     out_singles: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
     out_pairs: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
     out_pair_masks: Dict[Tuple[int, int, int], List[np.ndarray]] = {}
+    out_warps: Dict[int, List[np.ndarray]] = {}
 
     for plane in range(n_pl):
         sx = ssx if plane else 0
@@ -335,6 +375,50 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
                                 np.full(a.shape[0], ph_), sx, sy)
                 out_singles.setdefault((plane, pw, ph_), []).append(u)
 
+        # --- warp-predicted sub-blocks (plane dims >= 8; smaller
+        # chroma planes of warp blocks translate like C) ---
+        is_warp_blk = is_warp[has_c] if plane else is_warp
+        warp_here = is_warp_blk & (fw >= 8) & (fh >= 8) \
+            & normal_mask & ~cmpd
+        if np.any(warp_here):
+            gm_par = getattr(hdr, "gm_params", None)
+            wu = []
+            for kk_ in np.flatnonzero(warp_here):
+                b = blks[kk_]
+                gi = int(bidx[kk_])
+                if bool(local_warp[gi]):
+                    mat = [int(v) for v in b[B_WM0:B_WM0 + 6]]
+                    sh = [int(v) for v in b[B_SH_ALPHA:B_SH_ALPHA + 4]]
+                else:
+                    refn = int(b[B_REF0])
+                    mat = [int(v) for v in gm_par[refn]]
+                    sh = list(gm_shear[refn])
+                slot = int(ref_of[int(b[B_REF0])])
+                x0, y0 = int(x[kk_]), int(y[kk_])
+                fww, fhh = int(fw[kk_]), int(fh[kk_])
+                for i_ in range(0, fhh, 8):
+                    for j_ in range(0, fww, 8):
+                        src_x = (x0 + j_ + 4) << sx
+                        src_y = (y0 + i_ + 4) << sy
+                        dst_x = mat[2] * src_x + mat[3] * src_y + mat[0]
+                        dst_y = mat[4] * src_x + mat[5] * src_y + mat[1]
+                        x4 = dst_x >> sx
+                        y4 = dst_y >> sy
+                        ix4 = x4 >> 16
+                        sx4 = (x4 & 0xFFFF) + sh[0] * (-4) \
+                            + sh[1] * (-4)
+                        iy4 = y4 >> 16
+                        sy4 = (y4 & 0xFFFF) + sh[2] * (-4) \
+                            + sh[3] * (-4)
+                        sx4 &= ~63
+                        sy4 &= ~63
+                        wu.append((x0 + j_, y0 + i_, 1, slot, ix4, iy4,
+                                   sx4, sy4, sh[0], sh[1], sh[2],
+                                   sh[3]))
+            out_warps.setdefault(plane, []).append(
+                np.asarray(wu, np.int32))
+            normal_mask = normal_mask & ~warp_here
+
         # --- normal single-ref blocks ---
         m1 = normal_mask & ~cmpd
         if np.any(m1):
@@ -350,6 +434,10 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
                     s2[:, B_MV_C].astype(np.int64), s2[:, B_INTERP0],
                     s2[:, B_INTERP1], np.full(s2.shape[0], wv),
                     np.full(s2.shape[0], hv), sx, sy)
+                # OBMC blocks: bare prediction now, overlays blend it,
+                # residual lands in the obmc_resid pass (C order)
+                u[:, S_NORES] = (s2[:, B_MOTION_MODE] == MM_OBMC) \
+                    .astype(np.int32)
                 out_singles.setdefault((plane, wv, hv), []).append(u)
 
         # --- compound (average / distance) ---
@@ -415,12 +503,125 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
                 u[:, P_W1] = w1[mm]
                 out_pairs.setdefault((plane, wv, hv), []).append(u)
 
+    # --- OBMC overlays (av1_mc.h apply_obmc, host neighbour scan) ---
+    out_oa: Dict[Tuple[int, int, int], List[tuple]] = {}
+    out_ol: Dict[Tuple[int, int, int], List[tuple]] = {}
+    out_orr: Dict[Tuple[int, int, int], List[tuple]] = {}
+    obmc_rows = np.flatnonzero(inter[:, B_MOTION_MODE] == MM_OBMC)
+    if obmc_rows.size:
+        if bsize_g is None:
+            return None
+        mi_rows_g, mi_cols_g = ref0_g.shape
+        t_ = hdr.tile
+        sbsh = 5 if getattr(seq, "use_128x128_superblock", False) else 4
+        row_b = np.minimum(
+            np.asarray(t_.row_starts[:-1], np.int64) << sbsh, mi_rows_g)
+        col_b = np.minimum(
+            np.asarray(t_.col_starts[:-1], np.int64) << sbsh, mi_cols_g)
+
+        def queue_overlay(dst, plane, px, py, pw_, ph_, rr_, cc_):
+            ref = int(ref0_g[rr_, cc_])
+            dst.setdefault((plane, pw_, ph_), []).append(
+                (px, py, int(ref_of[ref]),
+                 int(mvs_g[rr_, cc_, 0, 0]), int(mvs_g[rr_, cc_, 0, 1]),
+                 int(interp_g[rr_, cc_, 0]), int(interp_g[rr_, cc_, 1])))
+
+        for k in obmc_rows:
+            b = inter[k]
+            r, c, bs = int(b[B_R]), int(b[B_C]), int(b[B_BSIZE])
+            w4, h4 = int(_bw4[bs]), int(_bh4[bs])
+            bw, bh = w4 * 4, h4 * 4
+            w4c = min(w4, mi_cols_g - c)
+            h4c = min(h4, mi_rows_g - r)
+            t_rs = int(row_b[np.searchsorted(row_b, r, "right") - 1])
+            t_cs = int(col_b[np.searchsorted(col_b, c, "right") - 1])
+            n_pb = 3 if (int(b[B_HASCHROMA]) and n_pl > 1) else 1
+            pw4 = max(1, w4 >> ssx)
+            ph4 = max(1, h4 >> ssy)
+            tiny = (pw4 * 4 <= 4 and ph4 * 4 <= 8) \
+                or (pw4 * 4 <= 8 and ph4 * 4 <= 4)
+            if r > t_rs:                      # above pass
+                nb_max = OBMC_MAX_NB[bw.bit_length() - 3]
+                count = i = 0
+                while i < w4c and count < nb_max:
+                    nbc = c + i
+                    step = min(int(_bw4[bsize_g[r - 1, nbc]]), 16)
+                    rel, nbc_eff = i, nbc
+                    if step == 1:
+                        rel = (nbc & ~1) - c
+                        nbc_eff = (nbc & ~1) + 1
+                        step = 2
+                    if ref0_g[r - 1, nbc_eff] > 0:
+                        count += 1
+                        op_mi = min(w4, step)
+                        overlap = min(bh, 64) >> 1
+                        for plane in range(n_pb):
+                            if plane and tiny:
+                                continue
+                            sx_ = ssx if plane else 0
+                            sy_ = ssy if plane else 0
+                            queue_overlay(
+                                out_oa, plane,
+                                ((c + rel) * 4) >> sx_, (r * 4) >> sy_,
+                                (op_mi * 4) >> sx_, overlap >> sy_,
+                                r - 1, nbc_eff)
+                    i = rel + step
+            if c > t_cs:                      # left pass
+                nb_max = OBMC_MAX_NB[bh.bit_length() - 3]
+                count = i = 0
+                while i < h4c and count < nb_max:
+                    nbr = r + i
+                    step = min(int(_bh4[bsize_g[nbr, c - 1]]), 16)
+                    rel, nbr_eff = i, nbr
+                    if step == 1:
+                        rel = (nbr & ~1) - r
+                        nbr_eff = (nbr & ~1) + 1
+                        step = 2
+                    if ref0_g[nbr_eff, c - 1] > 0:
+                        count += 1
+                        op_mi = min(h4, step)
+                        overlap = min(bw, 64) >> 1
+                        for plane in range(n_pb):
+                            sx_ = ssx if plane else 0
+                            sy_ = ssy if plane else 0
+                            queue_overlay(
+                                out_ol, plane,
+                                (c * 4) >> sx_, ((r + rel) * 4) >> sy_,
+                                overlap >> sx_, (op_mi * 4) >> sy_,
+                                nbr_eff, c - 1)
+                    i = rel + step
+            for plane in range(n_pb):        # deferred residual rect
+                sx_ = ssx if plane else 0
+                sy_ = ssy if plane else 0
+                out_orr.setdefault(
+                    (plane, max(1, w4 >> sx_) * 4,
+                     max(1, h4 >> sy_) * 4), []).append(
+                    ((int(b[B_C]) >> sx_) * 4, (int(b[B_R]) >> sy_) * 4))
+
+    def ov_units(d):
+        out = {}
+        for (plane, pw_, ph_), rows_ in d.items():
+            a = np.asarray(rows_, np.int64)
+            sx_ = ssx if plane else 0
+            sy_ = ssy if plane else 0
+            out[(plane, pw_, ph_)] = emit_single(
+                plane, a[:, 0], a[:, 1], pw_, ph_, a[:, 2], a[:, 3],
+                a[:, 4], a[:, 5], a[:, 6],
+                np.full(a.shape[0], pw_), np.full(a.shape[0], ph_),
+                sx_, sy_)
+        return out
+
     return {
         "slots": used_slots,
         "singles": {k: np.concatenate(v) for k, v in out_singles.items()},
         "pairs": {k: np.concatenate(v) for k, v in out_pairs.items()},
         "pair_masks": {k: np.stack(v)
                        for k, v in out_pair_masks.items()},
+        "obmc_above": ov_units(out_oa),
+        "obmc_left": ov_units(out_ol),
+        "obmc_resid": {k: np.asarray(v, np.int32)
+                       for k, v in out_orr.items()},
+        "warps": {k: np.concatenate(v) for k, v in out_warps.items()},
     }
 
 
@@ -466,6 +667,142 @@ def _mc_single_kernel(ph, pw, rh, rw, ns, w, h, n, bd):
             + jnp.arange(h, dtype=jnp.int32)[None, :, None]
         xx = (f[:, S_X] + PAD)[:, None, None] \
             + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        rwin = resid[jnp.clip(yy, 0, ph - 1), jnp.clip(xx, 0, pw - 1)]
+        out = jnp.where((f[:, S_NORES] != 0)[:, None, None], v,
+                        jnp.clip(v + rwin, 0, mx))
+        return plane.at[yy, xx].set(out, mode="drop")
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _obmc_overlay_kernel(ph, pw, rh, rw, ns, w, h, n, bd, left):
+    """jit: one OBMC overlay pass (av1_mc.h apply_obmc).  Predicts the
+    overlap rect with the NEIGHBOUR's mv/ref (single-pred rounding),
+    then blends the current plane toward it with the raised-cosine
+    mask — per row for the above pass, per column for the left pass.
+    Rects of distinct overlays are write-disjoint by construction."""
+    import jax
+    import jax.numpy as jnp
+
+    mx = (1 << bd) - 1
+    mvec = OBMC_MASKS[h if not left else w]
+
+    def fn(plane, refstk, f):
+        ix = f[:, S_IX]
+        iy = f[:, S_IY]
+        rows = jnp.clip(iy[:, None] - 3
+                        + jnp.arange(h + 7, dtype=jnp.int32)[None, :],
+                        0, rh - 1)
+        cols = jnp.clip(ix[:, None] - 3
+                        + jnp.arange(w + 7, dtype=jnp.int32)[None, :],
+                        0, rw - 1)
+        win = refstk[f[:, S_SLOT][:, None, None],
+                     rows[:, :, None], cols[:, None, :]]
+        fh8 = f[:, S_FH:S_FH + 8]
+        fv8 = f[:, S_FV:S_FV + 8]
+        acc = jnp.zeros((n, h + 7, w), jnp.int32)
+        for t in range(8):
+            acc = acc + win[:, :, t:t + w] * fh8[:, t][:, None, None]
+        m = (acc + 4) >> 3
+        acc2 = jnp.zeros((n, h, w), jnp.int32)
+        for t in range(8):
+            acc2 = acc2 + m[:, t:t + h, :] * fv8[:, t][:, None, None]
+        v = jnp.clip((acc2 + 1024) >> 11, 0, mx)
+        valid = f[:, S_VALID] != 0
+        yy = jnp.where(valid, f[:, S_Y] + PAD, ph)[:, None, None] \
+            + jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        xx = (f[:, S_X] + PAD)[:, None, None] \
+            + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        cur = plane[jnp.clip(yy, 0, ph - 1), jnp.clip(xx, 0, pw - 1)]
+        mk = (jnp.asarray(mvec)[None, None, :w]
+              if left else jnp.asarray(mvec)[None, :h, None])
+        out = (mk * cur + (64 - mk) * v + 32) >> 6
+        return plane.at[yy, xx].set(out, mode="drop")
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _obmc_resid_kernel(ph, pw, w, h, n, bd):
+    """jit: deferred residual add over OBMC block rects (the base MC
+    skipped it so overlays blend pure predictions, matching the C
+    order: MC -> apply_obmc -> residual_add)."""
+    import jax
+    import jax.numpy as jnp
+
+    mx = (1 << bd) - 1
+
+    def fn(plane, resid, f):
+        valid = f[:, 2] != 0
+        yy = jnp.where(valid, f[:, 1] + PAD, ph)[:, None, None] \
+            + jnp.arange(h, dtype=jnp.int32)[None, :, None]
+        xx = (f[:, 0] + PAD)[:, None, None] \
+            + jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        cyy = jnp.clip(yy, 0, ph - 1)
+        cxx = jnp.clip(xx, 0, pw - 1)
+        out = jnp.clip(plane[cyy, cxx] + resid[cyy, cxx], 0, mx)
+        return plane.at[yy, xx].set(out, mode="drop")
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+# warp unit layout: x, y, valid, slot, ix4, iy4, sx4, sy4,
+# alpha, beta, gamma, delta (one unit per 8x8 output sub-block)
+(W_X, W_Y, W_VALID, W_SLOT, W_IX4, W_IY4, W_SX4, W_SY4,
+ W_ALPHA, W_BETA, W_GAMMA, W_DELTA) = range(12)
+NW = 12
+
+
+@functools.lru_cache(maxsize=None)
+def _mc_warp_kernel(ph, pw, rh, rw, ns, n, bd):
+    """jit: batched affine warp of 8x8 sub-blocks (av1_mc.h
+    warp_affine_u16 / spec 7.11.3.5).  Per-sample filter phases are
+    gathered from av1_warped_filter; two passes with the exact
+    InterRound0/1 rounding, then residual add like the single path."""
+    import jax
+    import jax.numpy as jnp
+
+    mx = (1 << bd) - 1
+    WF = jnp.asarray(T.data()["warped_filter"].astype(np.int32))
+
+    def fn(plane, resid, refstk, f):
+        ix4, iy4 = f[:, W_IX4], f[:, W_IY4]
+        sx4, sy4 = f[:, W_SX4], f[:, W_SY4]
+        al = f[:, W_ALPHA][:, None, None]
+        be_ = f[:, W_BETA][:, None, None]
+        ga = f[:, W_GAMMA][:, None, None]
+        de = f[:, W_DELTA][:, None, None]
+        rows = jnp.clip(iy4[:, None] - 7
+                        + jnp.arange(15, dtype=jnp.int32)[None, :],
+                        0, rh - 1)
+        cols = jnp.clip(ix4[:, None] - 7
+                        + jnp.arange(15, dtype=jnp.int32)[None, :],
+                        0, rw - 1)
+        win = refstk[f[:, W_SLOT][:, None, None],
+                     rows[:, :, None], cols[:, None, :]]
+        kk = jnp.arange(15, dtype=jnp.int32)[None, :, None]
+        ll = jnp.arange(8, dtype=jnp.int32)[None, None, :]
+        offs_h = ((sx4[:, None, None] + be_ * (kk - 3) + al * ll
+                   + 512) >> 10) + 64
+        ch = WF[offs_h]                       # (n, 15, 8, 8)
+        tmp = jnp.zeros((n, 15, 8), jnp.int32)
+        for m in range(8):
+            tmp = tmp + win[:, :, m:m + 8] * ch[:, :, :, m]
+        tmp = (tmp + 4) >> 3
+        k2 = jnp.arange(8, dtype=jnp.int32)[None, :, None]
+        offs_v = ((sy4[:, None, None] + de * k2 + ga * ll
+                   + 512) >> 10) + 64
+        cv = WF[offs_v]                       # (n, 8, 8, 8)
+        acc = jnp.zeros((n, 8, 8), jnp.int32)
+        for m in range(8):
+            acc = acc + tmp[:, m:m + 8, :] * cv[:, :, :, m]
+        v = jnp.clip((acc + 1024) >> 11, 0, mx)
+        valid = f[:, W_VALID] != 0
+        yy = jnp.where(valid, f[:, W_Y] + PAD, ph)[:, None, None] \
+            + jnp.arange(8, dtype=jnp.int32)[None, :, None]
+        xx = (f[:, W_X] + PAD)[:, None, None] \
+            + jnp.arange(8, dtype=jnp.int32)[None, None, :]
         rwin = resid[jnp.clip(yy, 0, ph - 1), jnp.clip(xx, 0, pw - 1)]
         out = jnp.clip(v + rwin, 0, mx)
         return plane.at[yy, xx].set(out, mode="drop")
@@ -627,6 +964,48 @@ class DeviceInterRecon:
                                    w, h, cap, mcap, self.bd)
             planes[p] = kern(planes[p], resid[p], rsk,
                              jnp.asarray(fpad), jnp.asarray(mpad))
+
+        # ---- warp sub-blocks (8x8 each) ----
+        for p, f in sorted(plan_mc.get("warps", {}).items()):
+            php, pwp = planes[p].shape
+            rsk = dev_refs[p]
+            rh = (fh_l + (self.ssy if p else 0)) >> (self.ssy
+                                                    if p else 0)
+            rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx
+                                                    if p else 0)
+            cap = self._cap(("w8", p), f.shape[0])
+            fpad = np.zeros((cap, NW), np.int32)
+            fpad[:f.shape[0]] = f
+            kern = _mc_warp_kernel(php, pwp, rh, rw, rsk.shape[0],
+                                   cap, self.bd)
+            planes[p] = kern(planes[p], resid[p], rsk,
+                             jnp.asarray(fpad))
+
+        # ---- OBMC: above overlays, left overlays, deferred resid ----
+        for name, left in (("obmc_above", False), ("obmc_left", True)):
+            for (p, w, h), f in sorted(plan_mc.get(name, {}).items()):
+                php, pwp = planes[p].shape
+                rsk = dev_refs[p]
+                rh = (fh_l + (self.ssy if p else 0)) >> (self.ssy
+                                                        if p else 0)
+                rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx
+                                                        if p else 0)
+                cap = self._cap((name, p, w, h), f.shape[0])
+                fpad = np.zeros((cap, NS), np.int32)
+                fpad[:f.shape[0]] = f
+                kern = _obmc_overlay_kernel(php, pwp, rh, rw,
+                                            rsk.shape[0], w, h, cap,
+                                            self.bd, left)
+                planes[p] = kern(planes[p], rsk, jnp.asarray(fpad))
+        for (p, w, h), f in sorted(plan_mc.get("obmc_resid",
+                                               {}).items()):
+            php, pwp = planes[p].shape
+            cap = self._cap(("or", p, w, h), f.shape[0])
+            fpad = np.zeros((cap, 3), np.int32)
+            fpad[:f.shape[0], :2] = f
+            fpad[:f.shape[0], 2] = 1
+            kern = _obmc_resid_kernel(php, pwp, w, h, cap, self.bd)
+            planes[p] = kern(planes[p], resid[p], jnp.asarray(fpad))
 
         # ---- intra blocks: sequential scan (neighbours final) ----
         outs = [None] * self.np_

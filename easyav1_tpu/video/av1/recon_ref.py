@@ -643,8 +643,8 @@ class FrameRecon:
         return d[key].astype(np.int64)
 
     # dist-wtd compound weights (libaom quant_dist tables)
-    _QUANT_DIST_WEIGHT = ((2, 3), (2, 5), (2, 7), (1, 31))
-    _QUANT_DIST_LOOKUP = ((9, 7), (11, 5), (13, 3), (15, 1))
+    _QUANT_DIST_WEIGHT = ((2, 3), (2, 5), (2, 7))
+    _QUANT_DIST_LOOKUP = ((9, 7), (11, 5), (12, 4), (13, 3))
 
     def _dist_weights(self, ref_frame):
         """(w_ref0, w_ref1) for COMPOUND_DISTANCE, sum 16."""
@@ -661,15 +661,19 @@ class FrameRecon:
         cur = hdr.order_hint
         bck = min(abs(rel(cur, hdr.order_hints[ref_frame[0]])), 31)
         fwd = min(abs(rel(hdr.order_hints[ref_frame[1]], cur)), 31)
+        # nearer ref takes QL[i][0]; row from the strict ratio ladder
+        # far*2 < near*{3,5,7} (dav1d-validated, see
+        # tests/test_av1_jnt_onesided.py)
         order = int(fwd <= bck)
-        for i in range(4):
-            c0 = self._QUANT_DIST_WEIGHT[i][order]
-            c1 = self._QUANT_DIST_WEIGHT[i][1 - order]
-            if fwd * c0 <= bck * c1:
+        near, far = (fwd, bck) if order else (bck, fwd)
+        for i in range(3):
+            if far * 2 < near * self._QUANT_DIST_WEIGHT[i][1]:
                 break
-        fwd_off = self._QUANT_DIST_LOOKUP[i][order]
-        bck_off = self._QUANT_DIST_LOOKUP[i][1 - order]
-        return bck_off, fwd_off
+        else:
+            i = 3
+        wn = self._QUANT_DIST_LOOKUP[i][0]
+        wf = self._QUANT_DIST_LOOKUP[i][1]
+        return (wf, wn) if order else (wn, wf)
 
     def _predict_inter(self, ref, x, y, w, h, mv, ssx, ssy, interp,
                        plane, filt_w=None, filt_h=None, comp=False):

@@ -161,3 +161,143 @@ def test_device_masked_compound_bitexact():
             assert np.array_equal(x, y), (
                 f"frame {i} plane {p}: "
                 f"{np.abs(x.astype(int) - y.astype(int)).max()}")
+
+
+@pytest.mark.slow
+def test_device_obmc_bitexact():
+    """OBMC blocks on the device path (VERDICT r3 #5): base prediction
+    without residual, batched above/left overlay blends, deferred
+    residual — bit-exact vs the C recon (av1_mc.h apply_obmc, itself
+    dav1d-verified via test_av1_inter_real test_inter_motion_modes)."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_av1_inter_real import inter_fixture
+
+    fx, prefix = inter_fixture(
+        "obmc_nojnt", w=192, h=128, crf=26, frames=8,
+        extra=("vopt:cpu-used=1",
+               "vopt:aom-params=enable-global-motion=0:"
+               "enable-warped-motion=0:enable-interintra-comp=0:"
+               "enable-dist-wtd-comp=0",))
+    ref = _decode_all(fx, "native")
+    # anchor the C side to the dav1d oracle dump for this fixture
+    raw = np.fromfile(str(prefix) + ".yuv", dtype=np.uint8)
+    w_, h_ = 192, 128
+    per = w_ * h_ + 2 * (w_ // 2) * (h_ // 2)
+    for i, fr in enumerate(ref):
+        gold = raw[i * per:i * per + w_ * h_].reshape(h_, w_)
+        assert np.array_equal(gold, fr[0]), f"oracle frame {i}"
+    import easyav1_tpu.native as nat
+
+    nat._DEVICE_INTER_STATS["frames"] = 0
+    nat._DEVICE_INTER_STATS["fallbacks"] = 0
+    dev = _decode_all(fx, "pallas")
+    assert len(ref) == len(dev) == 8
+    assert nat._DEVICE_INTER_STATS["fallbacks"] == 0, \
+        nat._DEVICE_INTER_STATS
+    for i, (a, b) in enumerate(zip(ref, dev)):
+        for p, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(x, y), (
+                f"frame {i} plane {p}: "
+                f"{np.abs(x.astype(int) - y.astype(int)).max()}")
+
+
+@pytest.mark.slow
+def test_device_obmc_overlays_present():
+    """The OBMC fixture must actually emit overlay units."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_av1_inter_real import inter_fixture
+    from easyav1_tpu.video.av1.recon import mc_jax
+
+    fx, _ = inter_fixture(
+        "obmc_nojnt", w=192, h=128, crf=26, frames=8,
+        extra=("vopt:cpu-used=1",
+               "vopt:aom-params=enable-global-motion=0:"
+               "enable-warped-motion=0:enable-interintra-comp=0:"
+               "enable-dist-wtd-comp=0",))
+    seen = {"ov": 0}
+    orig = mc_jax.export_inter_plan
+
+    def spy(*a, **k):
+        plan = orig(*a, **k)
+        if plan is not None:
+            seen["ov"] += sum(v.shape[0]
+                              for v in plan["obmc_above"].values())
+            seen["ov"] += sum(v.shape[0]
+                              for v in plan["obmc_left"].values())
+        return plan
+
+    mc_jax.export_inter_plan = spy
+    try:
+        _decode_all(fx, "pallas")
+    finally:
+        mc_jax.export_inter_plan = orig
+    assert seen["ov"] > 0, "fixture emitted no OBMC overlays"
+
+
+@pytest.mark.slow
+def test_device_warp_bitexact():
+    """Local warped motion + OBMC mixed on the device path: the warp
+    kernel (av1_mc.h warp_affine_u16 role) must be bit-exact with zero
+    fallbacks, anchored to the dav1d oracle."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_av1_inter_real import inter_fixture
+
+    fx, prefix = inter_fixture(
+        "warp_nojnt", w=192, h=128, crf=26, frames=8,
+        extra=("vopt:cpu-used=1",
+               "vopt:aom-params=enable-global-motion=0:"
+               "enable-interintra-comp=0:enable-dist-wtd-comp=0",))
+    ref = _decode_all(fx, "native")
+    raw = np.fromfile(str(prefix) + ".yuv", dtype=np.uint8)
+    w_, h_ = 192, 128
+    per = w_ * h_ + 2 * (w_ // 2) * (h_ // 2)
+    for i, fr in enumerate(ref):
+        gold = raw[i * per:i * per + w_ * h_].reshape(h_, w_)
+        assert np.array_equal(gold, fr[0]), f"oracle frame {i}"
+    import easyav1_tpu.native as nat
+
+    nat._DEVICE_INTER_STATS["frames"] = 0
+    nat._DEVICE_INTER_STATS["fallbacks"] = 0
+    dev = _decode_all(fx, "pallas")
+    assert len(ref) == len(dev) == 8
+    assert nat._DEVICE_INTER_STATS["fallbacks"] == 0, \
+        nat._DEVICE_INTER_STATS
+    for i, (a, b) in enumerate(zip(ref, dev)):
+        for p, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(x, y), (
+                f"frame {i} plane {p}: "
+                f"{np.abs(x.astype(int) - y.astype(int)).max()}")
+
+
+@pytest.mark.slow
+def test_device_warp_units_present():
+    """The warp fixture must actually emit warp sub-units."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_av1_inter_real import inter_fixture
+    from easyav1_tpu.video.av1.recon import mc_jax
+
+    fx, _ = inter_fixture(
+        "warp_nojnt", w=192, h=128, crf=26, frames=8,
+        extra=("vopt:cpu-used=1",
+               "vopt:aom-params=enable-global-motion=0:"
+               "enable-interintra-comp=0:enable-dist-wtd-comp=0",))
+    seen = {"warp": 0}
+    orig = mc_jax.export_inter_plan
+
+    def spy(*a, **k):
+        plan = orig(*a, **k)
+        if plan is not None:
+            seen["warp"] += sum(v.shape[0]
+                                for v in plan["warps"].values())
+        return plan
+
+    mc_jax.export_inter_plan = spy
+    try:
+        _decode_all(fx, "pallas")
+    finally:
+        mc_jax.export_inter_plan = orig
+    assert seen["warp"] > 0, "fixture emitted no warp units"
