@@ -342,6 +342,89 @@ def _gather_kernel(dims, vtotal):
 
 
 @functools.lru_cache(maxsize=None)
+def _residual_multi_kernel(sig, bitdepth, nplanes, pad_y=PAD,
+                           pad_x=PAD):
+    """One fused jit for EVERY coefficient bucket of a frame: the axon
+    tunnel charges ~8 ms per device dispatch, so the per-(tx,type)
+    ladder (10-25 dispatches/frame) collapses into one.  sig = sorted
+    tuple of (tx_size, tx_type, n_cap); buckets padded to sticky pow2
+    caps keep the signature stable across frames."""
+    import jax
+    import jax.numpy as jnp
+    from easyav1_tpu.video.av1.recon.itx_jax import _make_kernel
+
+    kerns = [(_make_kernel(ts, tt, bitdepth), T.TX_HEIGHT[ts],
+              T.TX_WIDTH[ts]) for (ts, tt, _n) in sig]
+
+    def fn(planes, args):
+        for (ki, h, w), (co, pl, xs, ys) in zip(kerns, args):
+            res = ki(co)
+            ii = jnp.arange(h)[None, :, None]
+            jj = jnp.arange(w)[None, None, :]
+            yy = ys[:, None, None] + pad_y + ii
+            xx = xs[:, None, None] + pad_x + jj
+            for p in range(nplanes):
+                m = (pl == p)[:, None, None]
+                planes[p] = planes[p].at[yy, xx].add(
+                    jnp.where(m, res, 0), mode="drop")
+        return planes
+
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+_RESID_CAPS: dict = {}
+
+
+def apply_residuals_fused(planes, groups, bd, nplanes, pad_y=PAD,
+                          pad_x=PAD):
+    """Pad each bucket to its sticky cap and run the fused kernel.
+    Invalid pad rows scatter far outside the plane (mode='drop').
+    Unlike the one-call composer that lost in round 3 (its signature
+    tracked the exact per-frame tx mix -> ~10 s uncacheable recompile
+    per frame), the signature here is the sticky bucket-set + pow2
+    caps: it only changes when a NEW (size, type) bucket first appears
+    or a cap grows, which settles within a few frames of a stream."""
+    import jax.numpy as jnp
+    # grow the sticky bucket set first: the signature is the UNION of
+    # every bucket ever seen (absent buckets ship zero batches), so it
+    # only changes when a brand-new (size, type) appears — a per-frame
+    # "present buckets" signature would recompile whenever the tx mix
+    # shifts between frames
+    for (tsz, ttyp), (co, _pl, _xs, _ys) in groups.items():
+        key = (tsz, ttyp)
+        cap = _RESID_CAPS.get(key, 0)
+        n = co.shape[0]
+        if n > cap:
+            cap = 8
+            while cap < n:
+                cap <<= 1
+            _RESID_CAPS[key] = cap
+    sig = []
+    args = []
+    for (tsz, ttyp), cap in sorted(_RESID_CAPS.items()):
+        adj = T.ADJUSTED_TX_SIZE[tsz]
+        ah, aw = T.TX_HEIGHT[adj], T.TX_WIDTH[adj]
+        cop = np.zeros((cap, ah, aw), np.int32)
+        plp = np.zeros(cap, np.int32)
+        xsp = np.zeros(cap, np.int32)
+        ysp = np.full(cap, 1 << 20, np.int32)   # pad rows: dropped
+        g = groups.get((tsz, ttyp))
+        if g is not None:
+            co, pl, xs, ys = g
+            n = co.shape[0]
+            cop[:n] = co
+            plp[:n] = pl
+            xsp[:n] = xs
+            ysp[:n] = ys
+        sig.append((tsz, ttyp, cap))
+        args.append((jnp.asarray(cop), jnp.asarray(plp),
+                     jnp.asarray(xsp), jnp.asarray(ysp)))
+    kern = _residual_multi_kernel(tuple(sig), bd, nplanes, pad_y,
+                                  pad_x)
+    return kern(planes, args)
+
+
+@functools.lru_cache(maxsize=None)
 def _residual_kernel(tx_size, tx_type, n, bitdepth, nplanes,
                      pad_y=PAD, pad_x=PAD):
     """jit: scatter-add a batch of itx outputs into padded planes."""
@@ -713,11 +796,9 @@ class DeviceRecon:
         # chroma planes with their own dims is fine since margins are
         # only read through clamped indices.
         resid = [jnp.zeros_like(pl) for pl in planes]
-        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
-            kern = _residual_kernel(tsz, ttyp, co.shape[0], self.bd,
-                                    self.np_)
-            resid = kern(resid, jnp.asarray(co), jnp.asarray(pl),
-                         jnp.asarray(xs), jnp.asarray(ys))
+        if groups:
+            resid = apply_residuals_fused(resid, groups, self.bd,
+                                          self.np_)
 
         outs = [None] * self.np_
         f0 = _pad_pow2(fields[0])
@@ -819,21 +900,10 @@ class PallasRecon:
             return None
         resid = [jnp.zeros((hp, wp), jnp.int32)
                  for (hp, wp, _) in self.layouts[:self.np_]]
-        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
-            h = T.TX_HEIGHT[tsz]
-            w = T.TX_WIDTH[tsz]
-            n = co.shape[0]          # already 8-aligned (pow2 padded)
-            pos = 0
-            for csz in _chunk_ladder(h * w):
-                while n - pos >= csz:
-                    kern = _residual_kernel(tsz, ttyp, csz, self.bd,
-                                            self.np_, pad_y=0,
-                                            pad_x=IP.LPAD)
-                    resid = kern(resid, jnp.asarray(co[pos:pos + csz]),
-                                 jnp.asarray(pl[pos:pos + csz]),
-                                 jnp.asarray(xs[pos:pos + csz]),
-                                 jnp.asarray(ys[pos:pos + csz]))
-                    pos += csz
+        if groups:
+            resid = apply_residuals_fused(resid, groups, self.bd,
+                                          self.np_, pad_y=0,
+                                          pad_x=IP.LPAD)
 
         outs = [None] * self.np_
         hp0, wp0, ns0 = self.layouts[0]

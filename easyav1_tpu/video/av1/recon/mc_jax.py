@@ -32,7 +32,7 @@ from easyav1_tpu.video.av1 import constants as C
 from easyav1_tpu.video.av1 import tables as T
 from easyav1_tpu.video.av1.recon.jax_exec import (
     PAD, DeviceRecon, _pad_pow2, _residual_kernel, _scan_kernel,
-    group_txs, pad_dims, preprocess_units)
+    apply_residuals_fused, group_txs, pad_dims, preprocess_units)
 
 # block-record field indices (native/av1_common.h BLK_* enum)
 (B_R, B_C, B_BSIZE, B_YMODE, B_UVMODE, B_ANGLE_Y, B_ANGLE_UV, B_SKIP,
@@ -917,11 +917,9 @@ class DeviceInterRecon:
             php, pwp = pad_dims(*self.dims[p], self.ws[p])
             planes.append(jnp.zeros((php, pwp), jnp.int32))
         resid = [jnp.zeros_like(pl) for pl in planes]
-        for (tsz, ttyp), (co, pl, xs, ys) in groups.items():
-            kern = _residual_kernel(tsz, ttyp, co.shape[0], self.bd,
-                                    self.np_)
-            resid = kern(resid, jnp.asarray(co), jnp.asarray(pl),
-                         jnp.asarray(xs), jnp.asarray(ys))
+        if groups:
+            resid = apply_residuals_fused(resid, groups, self.bd,
+                                          self.np_)
 
         # ---- MC: batched per (plane, w, h) bucket ----
         # refs_np[p]: list of per-slot 2D planes (numpy u16 OR
