@@ -309,6 +309,11 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(_TileOut)]
     lib.av1_cdf_blob_size.restype = ctypes.c_int
     lib.av1_cdf_blob_size.argtypes = []
+    lib.av1_compose_residual.restype = ctypes.c_int
+    lib.av1_compose_residual.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.av1_recon_frame.restype = ctypes.c_int
     lib.av1_recon_frame.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),

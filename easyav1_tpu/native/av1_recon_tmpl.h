@@ -1449,6 +1449,38 @@ int av1_save_tmvs(int mi_rows, int mi_cols, const int8_t *side /*[9]*/,
     return 0;
 }
 
+/* Compose raw residual planes host-side for the device recon pipes:
+ * itx of every coded tx written (disjoint rects) into int32 planes at
+ * the pipe's pad offsets.  The device-side per-bucket itx costs
+ * 200-600 ms/frame through the axon tunnel (hundreds of serial
+ * butterfly HLO ops); the C itx is ~1 us/tx and the one int32-plane
+ * upload rides the fast H2D direction, so the resident pipe keeps its
+ * no-download contract while dropping its dominant device cost. */
+int av1_compose_residual(const int32_t *txs, int64_t n_txs,
+                         const int32_t *coeffs, int32_t **planes,
+                         const int32_t *strides, const int32_t *hs,
+                         int pad_y, int pad_x, int bitdepth) {
+    for (int64_t k = 0; k < n_txs; k++) {
+        const int32_t *rec = txs + k * 8;
+        int plane = rec[0], x = rec[1], y = rec[2];
+        int tsz = rec[3], ttyp = rec[4];
+        int32_t res[64 * 64];
+        if (rec[7]) itx_wht4(coeffs + rec[6], res);
+        else itx_2d(coeffs + rec[6], tsz, ttyp, bitdepth, res, rec[5]);
+        int fw = av1_tx_w[tsz], fh = av1_tx_h[tsz];
+        int st = strides[plane];
+        int w = fw, h = fh;
+        if (x + pad_x + w > st) w = st - (x + pad_x);
+        if (y + pad_y + h > hs[plane]) h = hs[plane] - (y + pad_y);
+        int32_t *dst = planes[plane] + (int64_t)(y + pad_y) * st
+                       + (x + pad_x);
+        for (int r = 0; r < h; r++)
+            memcpy(dst + (int64_t)r * st, res + r * fw,
+                   sizeof(int32_t) * (size_t)w);
+    }
+    return 0;
+}
+
 int av1_project_mvfield(int mi_rows, int mi_cols,
                         const int8_t *ref8, const int16_t *mv8,
                         const int32_t *ref_off /*[9]*/,

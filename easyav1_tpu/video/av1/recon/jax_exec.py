@@ -165,11 +165,12 @@ def group_txs(txs: np.ndarray, coeffs: np.ndarray):
         n = idx.shape[0]
         co = coeffs[coff_a[idx, None] + np.arange(ah * aw)] \
             .reshape(n, ah, aw).astype(np.int32, copy=False)
-        # min 8: the scatter composer's chunk ladder bottoms out at 8
-        out[(ts, tt)] = (_pad_pow2(co, 8),
-                         _pad_pow2(pl_a[idx].astype(np.int32), 8),
-                         _pad_pow2(xs_a[idx].astype(np.int32), 8),
-                         _pad_pow2(ys_a[idx].astype(np.int32), 8))
+        # raw counts: the fused composer pads to its own sticky caps
+        # (padded itx work is the dominant device cost, so no pow2
+        # pre-inflation here)
+        out[(ts, tt)] = (co, pl_a[idx].astype(np.int32),
+                         xs_a[idx].astype(np.int32),
+                         ys_a[idx].astype(np.int32))
     return out
 
 
@@ -372,6 +373,38 @@ def _residual_multi_kernel(sig, bitdepth, nplanes, pad_y=PAD,
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def compose_residual_host(txs, coeffs, shapes, pad_y, pad_x, bd):
+    """Host-C itx into fresh int32 planes (av1_compose_residual).
+    Returns numpy planes or None when the native library is absent
+    (caller falls back to the device composer).  Rationale: the
+    per-bucket device itx costs 200-600 ms/frame through the axon
+    tunnel; the C itx is ~1 us/tx and the int32-plane upload rides the
+    fast H2D direction."""
+    import ctypes
+
+    import os
+
+    import easyav1_tpu.native as nat
+    if os.environ.get("EASYAV1_HOST_RESID", "1") == "0":
+        return None                  # A/B: force the device composer
+    lib = nat._load()
+    if lib is None or not hasattr(lib, "av1_compose_residual"):
+        return None
+    planes = [np.zeros(s, np.int32) for s in shapes]
+    if txs.shape[0]:
+        from easyav1_tpu.native import _vp
+        ptrs = (ctypes.c_void_p * len(planes))(
+            *[p.ctypes.data for p in planes])
+        strides = np.asarray([p.shape[1] for p in planes], np.int32)
+        hs = np.asarray([p.shape[0] for p in planes], np.int32)
+        txs_c = np.ascontiguousarray(txs, np.int32)
+        co_c = np.ascontiguousarray(coeffs, np.int32)
+        lib.av1_compose_residual(_vp(txs_c), ctypes.c_int64(
+            txs.shape[0]), _vp(co_c), ptrs, _vp(strides), _vp(hs),
+            pad_y, pad_x, bd)
+    return planes
+
+
 _RESID_CAPS: dict = {}
 
 
@@ -395,9 +428,10 @@ def apply_residuals_fused(planes, groups, bd, nplanes, pad_y=PAD,
         cap = _RESID_CAPS.get(key, 0)
         n = co.shape[0]
         if n > cap:
-            cap = 8
-            while cap < n:
-                cap <<= 1
+            # 25% slack, 64-aligned (NOT pow2): padded itx work is the
+            # dominant device cost, so tight caps beat round shapes;
+            # grow-only means a full warm pass absorbs every recompile
+            cap = max(8, -(-(n + (n >> 2)) // 64) * 64)
             _RESID_CAPS[key] = cap
     sig = []
     args = []
@@ -783,9 +817,8 @@ class DeviceRecon:
             fields = preprocess_units(units, self.dims)
         except NotImplementedError:
             return None
-        groups = group_txs(txs, coeffs)
-        if groups is None:
-            return None
+        if txs.shape[0] and np.any(txs[:, 7] != 0):
+            return None              # lossless (WHT) stays on C
 
         planes = []
         for p in range(self.np_):
@@ -795,10 +828,19 @@ class DeviceRecon:
         # so chroma planes get the luma-sized margin too: regenerate
         # chroma planes with their own dims is fine since margins are
         # only read through clamped indices.
-        resid = [jnp.zeros_like(pl) for pl in planes]
-        if groups:
-            resid = apply_residuals_fused(resid, groups, self.bd,
-                                          self.np_)
+        rnp = compose_residual_host(
+            txs, coeffs, [tuple(pl.shape) for pl in planes], PAD, PAD,
+            self.bd)
+        if rnp is not None:
+            resid = [jnp.asarray(r) for r in rnp]
+        else:
+            groups = group_txs(txs, coeffs)
+            if groups is None:
+                return None
+            resid = [jnp.zeros_like(pl) for pl in planes]
+            if groups:
+                resid = apply_residuals_fused(resid, groups, self.bd,
+                                              self.np_)
 
         outs = [None] * self.np_
         f0 = _pad_pow2(fields[0])
@@ -895,15 +937,23 @@ class PallasRecon:
         # fused one-call variant was tried and LOST: its signature
         # tracks the per-frame tx mix, and on this platform every
         # signature change is a ~10 s uncacheable remote recompile.
-        groups = group_txs(txs, coeffs)
-        if groups is None:
-            return None
-        resid = [jnp.zeros((hp, wp), jnp.int32)
-                 for (hp, wp, _) in self.layouts[:self.np_]]
-        if groups:
-            resid = apply_residuals_fused(resid, groups, self.bd,
-                                          self.np_, pad_y=0,
-                                          pad_x=IP.LPAD)
+        if txs.shape[0] and np.any(txs[:, 7] != 0):
+            return None              # lossless (WHT) stays on C
+        shapes = [(hp, wp) for (hp, wp, _) in self.layouts[:self.np_]]
+        rnp = compose_residual_host(txs, coeffs, shapes, 0, IP.LPAD,
+                                    self.bd)
+        if rnp is not None:
+            resid = [jnp.asarray(r) for r in rnp]
+        else:
+            groups = group_txs(txs, coeffs)
+            if groups is None:
+                return None
+            resid = [jnp.zeros((hp, wp), jnp.int32)
+                     for (hp, wp) in shapes]
+            if groups:
+                resid = apply_residuals_fused(resid, groups, self.bd,
+                                              self.np_, pad_y=0,
+                                              pad_x=IP.LPAD)
 
         outs = [None] * self.np_
         hp0, wp0, ns0 = self.layouts[0]

@@ -32,7 +32,8 @@ from easyav1_tpu.video.av1 import constants as C
 from easyav1_tpu.video.av1 import tables as T
 from easyav1_tpu.video.av1.recon.jax_exec import (
     PAD, DeviceRecon, _pad_pow2, _residual_kernel, _scan_kernel,
-    apply_residuals_fused, group_txs, pad_dims, preprocess_units)
+    apply_residuals_fused, compose_residual_host, group_txs, pad_dims,
+    preprocess_units)
 
 # block-record field indices (native/av1_common.h BLK_* enum)
 (B_R, B_C, B_BSIZE, B_YMODE, B_UVMODE, B_ANGLE_Y, B_ANGLE_UV, B_SKIP,
@@ -908,18 +909,26 @@ class DeviceInterRecon:
             fields = preprocess_units(units, self.dims)
         except NotImplementedError:
             return None
-        groups = group_txs(txs, coeffs)
-        if groups is None:
-            return None
+        if txs.shape[0] and np.any(txs[:, 7] != 0):
+            return None              # lossless (WHT) stays on C
 
         planes = []
         for p in range(self.np_):
             php, pwp = pad_dims(*self.dims[p], self.ws[p])
             planes.append(jnp.zeros((php, pwp), jnp.int32))
-        resid = [jnp.zeros_like(pl) for pl in planes]
-        if groups:
-            resid = apply_residuals_fused(resid, groups, self.bd,
-                                          self.np_)
+        rnp = compose_residual_host(
+            txs, coeffs, [tuple(pl.shape) for pl in planes], PAD, PAD,
+            self.bd)
+        if rnp is not None:
+            resid = [jnp.asarray(r) for r in rnp]
+        else:
+            groups = group_txs(txs, coeffs)
+            if groups is None:
+                return None
+            resid = [jnp.zeros_like(pl) for pl in planes]
+            if groups:
+                resid = apply_residuals_fused(resid, groups, self.bd,
+                                              self.np_)
 
         # ---- MC: batched per (plane, w, h) bucket ----
         # refs_np[p]: list of per-slot 2D planes (numpy u16 OR

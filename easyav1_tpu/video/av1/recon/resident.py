@@ -94,9 +94,13 @@ def decode_resident(path: str, max_frames: Optional[int] = None):
         if max_frames is not None:
             pkts = pkts[:max_frames]
         be = AV1Backend(vt)
-        # warm-up: compile the kernel set on the first frames
+        # warm-up: a full pass so every kernel signature (incl. the
+        # sticky fused-residual bucket union, which grows as new
+        # (size,type) buckets appear) is compiled before timing —
+        # compiles are uncacheable on this platform, so steady-state
+        # is the honest throughput
         warm = AV1Backend(vt)
-        for pk in pkts[: min(4, len(pkts))]:
+        for pk in pkts:
             for f in warm.decode([pk], 0):
                 pl = getattr(f.data, "device_planes", None)
                 if pl is not None:
