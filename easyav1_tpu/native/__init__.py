@@ -313,7 +313,8 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.av1_compose_residual.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_void_p), ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int]
     lib.av1_recon_frame.restype = ctypes.c_int
     lib.av1_recon_frame.argtypes = [
         ctypes.POINTER(_ReconParams), ctypes.POINTER(_TileOut),

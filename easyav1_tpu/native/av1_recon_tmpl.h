@@ -1457,9 +1457,10 @@ int av1_save_tmvs(int mi_rows, int mi_cols, const int8_t *side /*[9]*/,
  * upload rides the fast H2D direction, so the resident pipe keeps its
  * no-download contract while dropping its dominant device cost. */
 int av1_compose_residual(const int32_t *txs, int64_t n_txs,
-                         const int32_t *coeffs, int32_t **planes,
+                         const int32_t *coeffs, void **planes,
                          const int32_t *strides, const int32_t *hs,
-                         int pad_y, int pad_x, int bitdepth) {
+                         int pad_y, int pad_x, int bitdepth,
+                         int use_i16) {
     for (int64_t k = 0; k < n_txs; k++) {
         const int32_t *rec = txs + k * 8;
         int plane = rec[0], x = rec[1], y = rec[2];
@@ -1472,11 +1473,22 @@ int av1_compose_residual(const int32_t *txs, int64_t n_txs,
         int w = fw, h = fh;
         if (x + pad_x + w > st) w = st - (x + pad_x);
         if (y + pad_y + h > hs[plane]) h = hs[plane] - (y + pad_y);
-        int32_t *dst = planes[plane] + (int64_t)(y + pad_y) * st
-                       + (x + pad_x);
-        for (int r = 0; r < h; r++)
-            memcpy(dst + (int64_t)r * st, res + r * fw,
-                   sizeof(int32_t) * (size_t)w);
+        if (use_i16) {
+            /* residuals fit int16 for bd <= 10 ((±2^(bd+7))>>4):
+               halves the H2D upload, which dominates when the tunnel
+               runs in a degraded-bandwidth phase */
+            int16_t *dst = (int16_t *)planes[plane]
+                           + (int64_t)(y + pad_y) * st + (x + pad_x);
+            for (int r = 0; r < h; r++)
+                for (int c = 0; c < w; c++)
+                    dst[(int64_t)r * st + c] = (int16_t)res[r * fw + c];
+        } else {
+            int32_t *dst = (int32_t *)planes[plane]
+                           + (int64_t)(y + pad_y) * st + (x + pad_x);
+            for (int r = 0; r < h; r++)
+                memcpy(dst + (int64_t)r * st, res + r * fw,
+                       sizeof(int32_t) * (size_t)w);
+        }
     }
     return 0;
 }

@@ -390,7 +390,9 @@ def compose_residual_host(txs, coeffs, shapes, pad_y, pad_x, bd):
     lib = nat._load()
     if lib is None or not hasattr(lib, "av1_compose_residual"):
         return None
-    planes = [np.zeros(s, np.int32) for s in shapes]
+    use_i16 = bd <= 10
+    dt = np.int16 if use_i16 else np.int32
+    planes = [np.zeros(s, dt) for s in shapes]
     if txs.shape[0]:
         from easyav1_tpu.native import _vp
         ptrs = (ctypes.c_void_p * len(planes))(
@@ -401,7 +403,7 @@ def compose_residual_host(txs, coeffs, shapes, pad_y, pad_x, bd):
         co_c = np.ascontiguousarray(coeffs, np.int32)
         lib.av1_compose_residual(_vp(txs_c), ctypes.c_int64(
             txs.shape[0]), _vp(co_c), ptrs, _vp(strides), _vp(hs),
-            pad_y, pad_x, bd)
+            pad_y, pad_x, bd, int(use_i16))
     return planes
 
 
@@ -832,7 +834,8 @@ class DeviceRecon:
             txs, coeffs, [tuple(pl.shape) for pl in planes], PAD, PAD,
             self.bd)
         if rnp is not None:
-            resid = [jnp.asarray(r) for r in rnp]
+            resid = [jnp.asarray(r).astype(jnp.int32)
+                     for r in rnp]
         else:
             groups = group_txs(txs, coeffs)
             if groups is None:
@@ -943,7 +946,8 @@ class PallasRecon:
         rnp = compose_residual_host(txs, coeffs, shapes, 0, IP.LPAD,
                                     self.bd)
         if rnp is not None:
-            resid = [jnp.asarray(r) for r in rnp]
+            resid = [jnp.asarray(r).astype(jnp.int32)
+                     for r in rnp]
         else:
             groups = group_txs(txs, coeffs)
             if groups is None:

@@ -920,7 +920,8 @@ class DeviceInterRecon:
             txs, coeffs, [tuple(pl.shape) for pl in planes], PAD, PAD,
             self.bd)
         if rnp is not None:
-            resid = [jnp.asarray(r) for r in rnp]
+            resid = [jnp.asarray(r).astype(jnp.int32)
+                     for r in rnp]
         else:
             groups = group_txs(txs, coeffs)
             if groups is None:
