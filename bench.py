@@ -230,7 +230,7 @@ def bench_av1(frames=30, fps=30) -> dict:
     t_dav1d_inter = float("inf")
     t_i = float("inf")
     n_i = 0
-    for rnd in range(3):
+    for rnd in range(4):
         t0 = time.perf_counter()
         # decode-only ('-'): the baseline must not pay YUV file writes
         subprocess.run([str(tool("oracle")), str(inter), "-"],
@@ -248,7 +248,7 @@ def bench_av1(frames=30, fps=30) -> dict:
     t_dav1d = float("inf")
     t_nat = float("inf")
     n_nat = 0
-    for rnd in range(3):
+    for rnd in range(4):
         t0 = time.perf_counter()
         subprocess.run([str(tool("oracle")), str(path), "-"],
                        check=True, capture_output=True)
