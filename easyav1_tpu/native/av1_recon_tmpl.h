@@ -1199,6 +1199,35 @@ static int export_block(Recon *rc, const int32_t *b, int32_t *units,
     int sw = av1_tx_w4[tx_size], sh = av1_tx_h4[tx_size];
     int lim_h = rmin(h4, mi_rows - br), lim_w = rmin(w4, mi_cols - bc);
     if (b[16]) {
+        /* interintra: the intra half is exported as a per-plane pred
+           unit (cls DC/V/H/SMOOTH) carrying the blend spec in u[23];
+           the device scan blends it against the staged inter pred
+           (av1_mc.h interintra_blend role).  Emitted BEFORE the
+           decoded marking so its neighbor availability matches the
+           C recon's state at this block. */
+        if (b[BLK_II_MODE] >= 0) {
+            static const int8_t II2M[4] = {DC_PRED, V_PRED, H_PRED,
+                                           SMOOTH_PRED};
+            int n_pl = (b[BLK_HASCHROMA] && rp->num_planes > 1) ? 3 : 1;
+            for (int plane = 0; plane < n_pl; plane++) {
+                int ssx = plane ? rp->ssx : 0;
+                int ssy = plane ? rp->ssy : 0;
+                int fw = rmax(1, w4 >> ssx) * 4;
+                int fh = rmax(1, h4 >> ssy) * 4;
+                int tx = -1;
+                for (int t = 0; t < 19 && tx < 0; t++)
+                    if (av1_tx_w[t] == fw && av1_tx_h[t] == fh) tx = t;
+                if (tx < 0) continue;           /* no matching dims */
+                if (*n >= max_units) return 1;
+                int32_t *u = units + (*n)++ * UF;
+                export_tx(rc, br, bc, plane, (bc >> ssx) * 4,
+                          (br >> ssy) * 4, tx, II2M[b[BLK_II_MODE]], 0,
+                          0, 0, 0, 0, 0, 0, -1, u);
+                u[23] = (bsize << 16) | (b[BLK_II_WEDGE] << 12)
+                        | (b[BLK_II_WEDGE_IDX] << 4)
+                        | (b[BLK_II_MODE] + 1);
+            }
+        }
         /* inter block (device MC path recons it): emit no intra units,
            but mark its extent decoded — later intra blocks' above/left/
            tr/bl availability counts inter neighbors as available */

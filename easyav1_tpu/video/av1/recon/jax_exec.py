@@ -123,6 +123,8 @@ def preprocess_units(units: np.ndarray, dims,
         f[:, F_NA] = w + np.where(htr != 0, w, 0)
         f[:, F_NL] = h + np.where(hbl != 0, h, 0)
         f[:, F_VALID] = 1
+        # interintra blend pack (u[23]; 0 = plain unit) rides in F_RES
+        f[:, F_RES] = sel[:, 23]
         out.append(f)
     return out
 
@@ -490,11 +492,17 @@ def _residual_kernel(tx_size, tx_type, n, bitdepth, nplanes,
 
 @functools.lru_cache(maxsize=None)
 def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
-                 with_cfl: bool, ssx: int, ssy: int):
-    """jit: fn(plane_pad, resid_pad, fields[, luma_pad]) -> plane_pad.
+                 with_cfl: bool, ssx: int, ssy: int, n_masks: int = 0):
+    """jit: fn(plane_pad, resid_pad, fields[, luma_pad][, masks]) ->
+    plane_pad.
 
     Sequential executor over unit records for one plane.  Bit-exact
-    mirror of exec_ref._unit with fixed [ws, ws] windows + masks."""
+    mirror of exec_ref._unit with fixed [ws, ws] windows + masks.
+    n_masks > 0 adds a masks[n_masks, ws, ws] input: a unit whose
+    F_RES pack is nonzero blends its intra prediction against the
+    CURRENT window (the staged inter pred) with mask[F_RES>>24?] —
+    the interintra compound (av1_mc.h interintra_blend role); F_RES
+    then carries the 1-based mask-stack index."""
     import jax
     import jax.numpy as jnp
 
@@ -767,8 +775,15 @@ def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
                     incfl, jnp.clip(pred + scaled, 0, mxpix), pred)
 
             rwin = jax.lax.dynamic_slice(resid, (y, x), (ws, ws))
-            out = jnp.clip(pred + rwin, 0, mxpix)
             cur = jax.lax.dynamic_slice(plane, (y, x), (ws, ws))
+            if n_masks:
+                midx = f[F_RES]
+                mk = masks_ref[0][
+                    jnp.clip(midx - 1, 0, n_masks - 1)]
+                pred = jnp.where(midx > 0,
+                                 (pred * mk + cur * (64 - mk) + 32)
+                                 >> 6, pred)
+            out = jnp.clip(pred + rwin, 0, mxpix)
             m = (ii < h) & (jj < w) & valid
             blended = jnp.where(m, out, cur)
             plane = jax.lax.dynamic_update_slice(plane, blended,
@@ -777,9 +792,23 @@ def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
 
         return body
 
-    if with_cfl:
+    masks_ref = [None]
+
+    if with_cfl and n_masks:
+        def fn(plane_pad, resid_pad, fields, luma_pad, masks):
+            masks_ref[0] = masks
+            body = make_body(resid_pad, luma_pad)
+            plane, _ = jax.lax.scan(body, plane_pad, fields)
+            return plane
+    elif with_cfl:
         def fn(plane_pad, resid_pad, fields, luma_pad):
             body = make_body(resid_pad, luma_pad)
+            plane, _ = jax.lax.scan(body, plane_pad, fields)
+            return plane
+    elif n_masks:
+        def fn(plane_pad, resid_pad, fields, masks):
+            masks_ref[0] = masks
+            body = make_body(resid_pad, None)
             plane, _ = jax.lax.scan(body, plane_pad, fields)
             return plane
     else:

@@ -15,10 +15,10 @@ Reference roles: dav1d mc_tmpl.c / recon_tmpl.c (cmake/
 dav1d.cmake:1001-1015); the host analog here is
 easyav1_tpu/native/av1_mc.h, which is the bit-exactness oracle.
 
-Feature gates (frame falls back to the C recon when present): OBMC,
-warped/global-warp motion, masked compound (wedge/diffwtd),
-interintra, intrabc, palette, filter-intra, scaled references,
-superres, loop restoration, lossless.
+Feature gates (frame falls back to the C recon when present):
+intrabc, palette, filter-intra, scaled references, superres, loop
+restoration, lossless.  OBMC, warped/global motion, masked compound
+(wedge/diffwtd) and interintra all run on device (round 4).
 """
 
 from __future__ import annotations
@@ -190,8 +190,6 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
                 "obmc_resid": {}, "warps": {}}
     # warped motion (local + global) is handled by the warp kernel;
     # only interintra / intrabc / palette still fall back
-    if np.any(inter[:, B_II_MODE] >= 0):
-        return None                      # interintra
     if np.any(inter[:, B_INTRABC] != 0):
         return None
     comp = inter[:, B_COMP_TYPE]
@@ -436,8 +434,11 @@ def export_inter_plan(seq, hdr, blocks: np.ndarray,
                     s2[:, B_INTERP1], np.full(s2.shape[0], wv),
                     np.full(s2.shape[0], hv), sx, sy)
                 # OBMC blocks: bare prediction now, overlays blend it,
-                # residual lands in the obmc_resid pass (C order)
-                u[:, S_NORES] = (s2[:, B_MOTION_MODE] == MM_OBMC) \
+                # residual lands in the obmc_resid pass (C order).
+                # Interintra blocks likewise: the intra scan blends
+                # the staged pred and adds the residual there.
+                u[:, S_NORES] = ((s2[:, B_MOTION_MODE] == MM_OBMC)
+                                 | (s2[:, B_II_MODE] >= 0)) \
                     .astype(np.int32)
                 out_singles.setdefault((plane, wv, hv), []).append(u)
 
@@ -1015,21 +1016,101 @@ class DeviceInterRecon:
             kern = _obmc_resid_kernel(php, pwp, w, h, cap, self.bd)
             planes[p] = kern(planes[p], resid[p], jnp.asarray(fpad))
 
-        # ---- intra blocks: sequential scan (neighbours final) ----
+        # ---- intra + interintra blocks: sequential scan ----
         outs = [None] * self.np_
         ph0, pw0 = planes[0].shape
-        f0 = _pad_pow2(fields[0])
+        f0, m0 = self._ii_masks(fields[0], 0, 64)
+        f0 = _pad_pow2(f0)
         k0 = _scan_kernel(64, ph0, pw0, self.bd, False, self.ssx,
-                          self.ssy)
-        outs[0] = k0(planes[0], resid[0], jnp.asarray(f0))
+                          self.ssy, n_masks=m0.shape[0] if m0 is not
+                          None else 0)
+        if m0 is not None:
+            outs[0] = k0(planes[0], resid[0], jnp.asarray(f0),
+                         jnp.asarray(m0))
+        else:
+            outs[0] = k0(planes[0], resid[0], jnp.asarray(f0))
         for p in range(1, self.np_):
             php, pwp = planes[p].shape
-            fp = _pad_pow2(fields[p])
+            fp, mp = self._ii_masks(fields[p], p, 32)
+            fp = _pad_pow2(fp)
             kp = _scan_kernel(32, php, pwp, self.bd, True, self.ssx,
-                              self.ssy)
-            outs[p] = kp(planes[p], resid[p], jnp.asarray(fp),
-                         outs[0])
+                              self.ssy, n_masks=mp.shape[0] if mp is
+                              not None else 0)
+            if mp is not None:
+                outs[p] = kp(planes[p], resid[p], jnp.asarray(fp),
+                             outs[0], jnp.asarray(mp))
+            else:
+                outs[p] = kp(planes[p], resid[p], jnp.asarray(fp),
+                             outs[0])
         return outs
+
+    # interintra mode -> II_SIZE_SCALE (libaom ii_size_scales)
+    _II_SIZE_SCALE = (32, 16, 16, 16, 8, 8, 8, 4, 4, 4, 2, 2, 2, 1, 1,
+                      1, 8, 8, 4, 4, 2, 2)
+
+    def _ii_masks(self, f, plane, ws):
+        """Replace each unit's F_RES blend pack with a 1-based index
+        into a freshly built (n, ws, ws) mask stack (wedge tables or
+        the ii_weights1d decay ramps; av1_mc.h interintra_blend
+        masks).  Returns (fields, stack or None); stack size is padded
+        to a sticky pow2 cap so the scan-kernel signature stays
+        stable."""
+        from easyav1_tpu.video.av1.recon.jax_exec import F_H, F_RES, F_W
+        rows = np.flatnonzero(f[:, F_RES] != 0)
+        if rows.size == 0:
+            return f, None
+        from easyav1_tpu.video.av1.wedge import subsample_mask, \
+            wedge_mask
+        wts = T.data()["ii_weights1d"].astype(np.int32)
+        sx = self.ssx if plane else 0
+        sy = self.ssy if plane else 0
+        f = f.copy()
+        stack = []
+        for r in rows:
+            packed = int(f[r, F_RES])
+            iim = (packed & 0xF) - 1
+            widx = (packed >> 4) & 0xFF
+            wedge = (packed >> 12) & 1
+            bsize = (packed >> 16) & 0x1F
+            w = int(f[r, F_W])
+            h = int(f[r, F_H])
+            if wedge:
+                ml = wedge_mask(bsize, widx, 0)
+                mk = ml if plane == 0 else subsample_mask(ml, sx, sy)
+                mk = np.asarray(mk[:h, :w], np.int32)
+            else:
+                if plane == 0:
+                    pbsize = bsize
+                else:
+                    cw4 = max(1, C.BLOCK_W4[bsize] >> sx)
+                    ch4 = max(1, C.BLOCK_H4[bsize] >> sy)
+                    pbsize = next(b for b in range(22)
+                                  if C.BLOCK_W4[b] == cw4
+                                  and C.BLOCK_H4[b] == ch4)
+                scale = self._II_SIZE_SCALE[pbsize]
+                if iim == 0:
+                    mk = np.full((h, w), 32, np.int32)
+                elif iim == 1:
+                    mk = np.broadcast_to(
+                        wts[np.clip(np.arange(h) * scale, 0, 127)]
+                        [:, None], (h, w)).astype(np.int32)
+                elif iim == 2:
+                    mk = np.broadcast_to(
+                        wts[np.clip(np.arange(w) * scale, 0, 127)]
+                        [None, :], (h, w)).astype(np.int32)
+                else:
+                    idx = np.minimum(np.arange(h)[:, None],
+                                     np.arange(w)[None, :])
+                    mk = wts[np.clip(idx * scale, 0, 127)] \
+                        .astype(np.int32)
+            padded = np.zeros((ws, ws), np.int32)
+            padded[:h, :w] = mk
+            stack.append(padded)
+            f[r, F_RES] = len(stack)        # 1-based
+        cap = self._cap(("iim", plane), len(stack))
+        out = np.zeros((cap, ws, ws), np.int32)
+        out[:len(stack)] = np.stack(stack)
+        return f, out
 
     def crop(self, outs):
         res = []

@@ -301,3 +301,79 @@ def test_device_warp_units_present():
     finally:
         mc_jax.export_inter_plan = orig
     assert seen["warp"] > 0, "fixture emitted no warp units"
+
+
+@pytest.mark.slow
+def test_device_interintra_bitexact():
+    """Interintra compound on the device path: the C exporter emits
+    the intra half as pred units (blend pack in u[23]); the scan
+    blends against the staged inter pred with wedge/decay masks
+    (av1_mc.h interintra_blend role).  Dense synthetic interintra
+    stream (dav1d-verified by test_av1_interintra); zero fallbacks."""
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import fuzz_tmv_future as FZ
+    from fixtures import CACHE
+    from easyav1_tpu.container.webm import TrackInfo
+    from easyav1_tpu.video.av1 import constants as C
+    from easyav1_tpu.video.av1.av1_enc import make_ivf
+    from easyav1_tpu.video.av1.av1_enc_inter import (InterEncBlock,
+                                                     encode_ref_sequence)
+    from easyav1_tpu.video.av1.backend import AV1Backend
+    from easyav1_tpu.video.av1.wedge import wedge_allowed
+
+    rng = np.random.default_rng(5)
+    blocks = []
+    for r in range(0, 24, 4):
+        for c in range(0, 24, 4):
+            mode = int(rng.choice([C.NEWMV, C.NEARESTMV]))
+            b = InterEncBlock(r=r, c=c, bsize=C.BLOCK_16X16,
+                              is_inter=True, ref=C.LAST_FRAME,
+                              mode=mode, skip=bool(rng.random() < 0.3))
+            if mode == C.NEWMV:
+                b.mv = (2 * int(rng.integers(-30, 31)),
+                        2 * int(rng.integers(-30, 31)))
+            if rng.random() < 0.8:
+                b.interintra_mode = int(rng.integers(0, 4))
+                if wedge_allowed(C.BLOCK_16X16) and rng.random() < 0.5:
+                    b.ii_wedge = 1
+                    b.ii_wedge_idx = int(rng.integers(0, 16))
+            if not b.skip:
+                b.luma_coeffs = [[(int(rng.integers(1, 9)),
+                                   int(rng.integers(0, 2)))
+                                  for _ in range(3)]]
+            blocks.append(b)
+    frames = [dict(type=C.KEY_FRAME, blocks=FZ.keyblocks(rng),
+                   order_hint=0),
+              dict(type=C.INTER_FRAME, blocks=blocks, order_hint=1,
+                   refresh=2, ref_idx=[0] * 7, err=False)]
+    tus = encode_ref_sequence(FZ.W, FZ.H, 70, frames, carry=True,
+                              interintra=True)
+
+    def decode(pipe):
+        os.environ["EASYAV1_PIPE"] = pipe
+        try:
+            be = AV1Backend(TrackInfo(number=1, type=None,
+                                      codec_id="V_AV1"))
+            out = []
+            for tu in tus:
+                for f in be.decode([tu], 0):
+                    out.append([np.asarray(pl).copy() for pl in f.data])
+            return out
+        finally:
+            os.environ["EASYAV1_PIPE"] = "native"
+
+    ref = decode("native")
+    import easyav1_tpu.native as nat
+
+    nat._DEVICE_INTER_STATS["frames"] = 0
+    nat._DEVICE_INTER_STATS["fallbacks"] = 0
+    dev = decode("pallas")
+    assert len(ref) == len(dev) == 2
+    assert nat._DEVICE_INTER_STATS["fallbacks"] == 0, \
+        nat._DEVICE_INTER_STATS
+    for i, (a, b) in enumerate(zip(ref, dev)):
+        for p, (x, y) in enumerate(zip(a, b)):
+            assert np.array_equal(x, y), (
+                f"frame {i} plane {p}: "
+                f"{np.abs(x.astype(int) - y.astype(int)).max()}")
