@@ -389,19 +389,19 @@ typedef struct {
     CdfState cdf;
     /* context arrays: above indexed by absolute mi col, left by mi row;
        all planes use full-length arrays (parity with tile.py) */
-    int32_t *a_part, *l_part;
-    int32_t *a_mode, *l_mode;
-    int32_t *a_skip, *l_skip;
+    int8_t *a_part, *l_part;
+    int8_t *a_mode, *l_mode;
+    int8_t *a_skip, *l_skip;
     /* skip-mode / compound-group / compound-index neighbor context:
        read only at the immediate above/left cell, so above/left span
        arrays replace the former frame-sized mi grids (O(w+h) fill per
        block instead of O(area)) */
-    int32_t *a_skipmode, *l_skipmode;
-    int32_t *a_compgrp, *l_compgrp;
-    int32_t *a_compidx, *l_compidx;
-    int32_t *a_txw, *l_txh;
-    int32_t *a_lvl[3], *l_lvl[3];
-    int32_t *a_sign[3], *l_sign[3];
+    int8_t *a_skipmode, *l_skipmode;
+    int8_t *a_compgrp, *l_compgrp;
+    int8_t *a_compidx, *l_compidx;
+    int8_t *a_txw, *l_txh;
+    int8_t *a_lvl[3], *l_lvl[3];
+    int8_t *a_sign[3], *l_sign[3];
     int32_t cur_qindex;
     int32_t read_deltas;
     int64_t cur_block;
@@ -414,7 +414,7 @@ typedef struct {
     int lr_ref_wiener[3][2][3];
     int lr_ref_sgr[3][2];
     /* palette contexts (dav1d al_pal): sizes per 4px unit + colors */
-    int32_t *a_pal_sz[2], *l_pal_sz[2];
+    int8_t *a_pal_sz[2], *l_pal_sz[2];
     int32_t *a_pal[3], *l_pal[3];     /* [mi][8] color stores */
 } Ctx;
 
@@ -1944,35 +1944,41 @@ static int av1_decode_tile_impl(const TileParams *p, const FrameParams *fp,
         o->error = 2;
         return 2;
     }
-    /* 7 pairs mode/skip/skipmode/compgrp/compidx/txw/part + 3 pairs lvl
-       + 3 pairs sign + 2 pairs pal_sz + 3 pairs pal colors (x8) */
-    int32_t *mem = calloc((size_t)(mc + mr) * (15 + 24), sizeof(int32_t));
-    if (!mem) {
+    /* byte-wide above/left context arrays (every value fits int8:
+       modes <= 24, lvl <= 63, sign <= 2, tx dims <= 64, pal sizes
+       <= 8) — quarters the context cache footprint, which dominated
+       the per-block parse tail at 4K.  Palette COLORS stay int32. */
+    int8_t *mem8 = calloc((size_t)(mc + mr) * 15, 1);
+    int32_t *mem = calloc((size_t)(mc + mr) * 24, sizeof(int32_t));
+    if (!mem || !mem8) {
+        free(mem8);
+        free(mem);
         free(t.decoded_mi);
         free(t.tx_types);
         o->error = 2;
         return 2;
     }
-    int32_t *q = mem;
-    t.a_part = q; q += mc; t.l_part = q; q += mr;
-    t.a_mode = q; q += mc; t.l_mode = q; q += mr;
-    t.a_skip = q; q += mc; t.l_skip = q; q += mr;
-    t.a_skipmode = q; q += mc; t.l_skipmode = q; q += mr;
-    t.a_compgrp = q; q += mc; t.l_compgrp = q; q += mr;
-    t.a_compidx = q; q += mc; t.l_compidx = q; q += mr;
-    t.a_txw = q; q += mc; t.l_txh = q; q += mr;
+    int8_t *q8 = mem8;
+    t.a_part = q8; q8 += mc; t.l_part = q8; q8 += mr;
+    t.a_mode = q8; q8 += mc; t.l_mode = q8; q8 += mr;
+    t.a_skip = q8; q8 += mc; t.l_skip = q8; q8 += mr;
+    t.a_skipmode = q8; q8 += mc; t.l_skipmode = q8; q8 += mr;
+    t.a_compgrp = q8; q8 += mc; t.l_compgrp = q8; q8 += mr;
+    t.a_compidx = q8; q8 += mc; t.l_compidx = q8; q8 += mr;
+    t.a_txw = q8; q8 += mc; t.l_txh = q8; q8 += mr;
     for (int pl = 0; pl < 3; pl++) {
-        t.a_lvl[pl] = q; q += mc;
-        t.l_lvl[pl] = q; q += mr;
+        t.a_lvl[pl] = q8; q8 += mc;
+        t.l_lvl[pl] = q8; q8 += mr;
     }
     for (int pl = 0; pl < 3; pl++) {
-        t.a_sign[pl] = q; q += mc;
-        t.l_sign[pl] = q; q += mr;
+        t.a_sign[pl] = q8; q8 += mc;
+        t.l_sign[pl] = q8; q8 += mr;
     }
     for (int pl = 0; pl < 2; pl++) {
-        t.a_pal_sz[pl] = q; q += mc;
-        t.l_pal_sz[pl] = q; q += mr;
+        t.a_pal_sz[pl] = q8; q8 += mc;
+        t.l_pal_sz[pl] = q8; q8 += mr;
     }
+    int32_t *q = mem;
     for (int pl = 0; pl < 3; pl++) {
         t.a_pal[pl] = q; q += (int64_t)mc * 8;
         t.l_pal[pl] = q; q += (int64_t)mr * 8;
@@ -2008,6 +2014,7 @@ static int av1_decode_tile_impl(const TileParams *p, const FrameParams *fp,
         memcpy(fp->cdf_out, &t.cdf, CDF_BLOB_SIZE);
         cdf_reset_counters((CdfState *)fp->cdf_out);
     }
+    free(mem8);
     free(mem);
     free(t.decoded_mi);
     free(t.tx_types);
