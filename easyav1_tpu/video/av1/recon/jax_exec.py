@@ -848,8 +848,6 @@ class DeviceRecon:
             fields = preprocess_units(units, self.dims)
         except NotImplementedError:
             return None
-        if txs.shape[0] and np.any(txs[:, 7] != 0):
-            return None              # lossless (WHT) stays on C
 
         planes = []
         for p in range(self.np_):
@@ -866,6 +864,10 @@ class DeviceRecon:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]
         else:
+            # device composer: no WHT kernels — lossless needs the
+            # host compose path (itx_wht4 handled there)
+            if txs.shape[0] and np.any(txs[:, 7] != 0):
+                return None
             groups = group_txs(txs, coeffs)
             if groups is None:
                 return None
@@ -969,8 +971,6 @@ class PallasRecon:
         # fused one-call variant was tried and LOST: its signature
         # tracks the per-frame tx mix, and on this platform every
         # signature change is a ~10 s uncacheable remote recompile.
-        if txs.shape[0] and np.any(txs[:, 7] != 0):
-            return None              # lossless (WHT) stays on C
         shapes = [(hp, wp) for (hp, wp, _) in self.layouts[:self.np_]]
         rnp = compose_residual_host(txs, coeffs, shapes, 0, IP.LPAD,
                                     self.bd)
@@ -978,6 +978,10 @@ class PallasRecon:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]
         else:
+            # device composer: no WHT kernels — lossless needs the
+            # host compose path (itx_wht4 handled there)
+            if txs.shape[0] and np.any(txs[:, 7] != 0):
+                return None
             groups = group_txs(txs, coeffs)
             if groups is None:
                 return None

@@ -910,8 +910,6 @@ class DeviceInterRecon:
             fields = preprocess_units(units, self.dims)
         except NotImplementedError:
             return None
-        if txs.shape[0] and np.any(txs[:, 7] != 0):
-            return None              # lossless (WHT) stays on C
 
         planes = []
         for p in range(self.np_):
@@ -924,6 +922,10 @@ class DeviceInterRecon:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]
         else:
+            # device composer: no WHT kernels — lossless needs the
+            # host compose path (itx_wht4 handled there)
+            if txs.shape[0] and np.any(txs[:, 7] != 0):
+                return None
             groups = group_txs(txs, coeffs)
             if groups is None:
                 return None

@@ -129,3 +129,43 @@ def test_pallas_vs_exec_ref(seed):
     assert d.max() == 0, (
         f"plane {plane}: maxdiff {d.max()} at "
         f"{np.argwhere(d > 0)[:4].tolist()}")
+
+
+def test_pallas_lossless_safe():
+    """Lossless (WHT) frames may now run on the pallas pipe (the host
+    residual composer handles itx_wht4); frames the executor still
+    declines must fall back to C bit-exactly either way."""
+    import os
+
+    import numpy as np
+    from fixtures import make_fixture
+    from easyav1_tpu.container import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    fx = make_fixture(w=128, h=96, fps=10, frames=3, gop=1, crf=0,
+                      audio_secs=0, vopt=["lossless=1"])
+
+    def dec(pipe):
+        os.environ["EASYAV1_PIPE"] = pipe
+        try:
+            d = WebMDemuxer(str(fx))
+            vt = d.tracks_of_type(TrackType.VIDEO)[0]
+            pkts = []
+            while (p := d.read_packet()) is not None:
+                if p.track == vt.number:
+                    pkts.extend(p.frames)
+            be = AV1Backend(vt)
+            out = []
+            for pk in pkts:
+                for f in be.decode([pk], 0):
+                    out.append([np.asarray(pl).copy() for pl in f.data])
+            return out
+        finally:
+            os.environ["EASYAV1_PIPE"] = "native"
+
+    a = dec("native")
+    b = dec("pallas")
+    assert len(a) == len(b) == 3
+    for fa, fb in zip(a, b):
+        for x, y in zip(fa, fb):
+            assert np.array_equal(x, y)
