@@ -12,6 +12,6 @@ def test_device_trace_writes_xplane(tmp_path):
     r = subprocess.run(
         [sys.executable, str(REPO / "tools" / "device_trace.py"),
          str(tmp_path / "tr"), "vorbis"],
-        capture_output=True, text=True, timeout=300)
+        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, r.stderr[-500:]
     assert list((tmp_path / "tr").rglob("*.xplane.pb"))
