@@ -1168,9 +1168,15 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     the Pallas strip executor (residual compose + intra prediction on
     device); loop filter and CDEF then run as device kernels.  Returns
     visible planes, or None when the frame uses features the device
-    executor lacks (inter, lossless, filter-intra) — caller falls back
-    to the C recon (entropy work is shared, not redone)."""
+    executor lacks (palette, filter-intra) — caller falls back to the
+    C recon (entropy work is shared, not redone)."""
     from easyav1_tpu.video.av1.recon.jax_exec import PallasRecon
+
+    if out.n_pal_units > 0:
+        # the strip executor has no palette path; without this gate a
+        # palette block would silently predict DC (found via a frame
+        # whose unit count passed the export cap)
+        return None
 
     max_units = int(out.n_lf) * 2 + 64
     units = np.empty((max_units, 24), np.int32)

@@ -169,3 +169,46 @@ def test_pallas_lossless_safe():
     for fa, fb in zip(a, b):
         for x, y in zip(fa, fb):
             assert np.array_equal(x, y)
+
+
+def test_pallas_palette_declines_safely():
+    """Palette intra frames must NOT run on the strip executor (it has
+    no palette path — regression for a silent-DC corruption found in
+    round 4 where a frame with enough coded units passed the export
+    cap and produced wrong pixels)."""
+    import os
+
+    import numpy as np
+    from test_av1_palette_synth import W, H, _pal_block
+    from easyav1_tpu.video.av1.av1_enc import EncBlock, encode_frame
+    from easyav1_tpu.video.av1 import constants as C
+    from easyav1_tpu.container.webm import TrackInfo
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    rng = np.random.default_rng(0)
+    blocks = []
+    for r in range(0, 16, 4):
+        for c in range(0, 16, 4):
+            if (r, c) == (0, 0):
+                blocks.append(_pal_block(0, 0, C.BLOCK_16X16, 4, 1))
+            else:
+                blocks.append(EncBlock(
+                    r=r, c=c, bsize=C.BLOCK_16X16, skip=False,
+                    luma_coeffs=[[(int(rng.integers(1, 9)), 0)
+                                  for _ in range(4)]]))
+    tu = encode_frame(W, H, 60, blocks, adapt=True, screen=True)
+
+    def dec(pipe):
+        os.environ["EASYAV1_PIPE"] = pipe
+        try:
+            be = AV1Backend(TrackInfo(number=1, type=None,
+                                      codec_id="V_AV1"))
+            f = be.decode([tu], 0)[0]
+            return [np.asarray(p).copy() for p in f.data]
+        finally:
+            os.environ["EASYAV1_PIPE"] = "native"
+
+    a = dec("native")
+    b = dec("pallas")
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
