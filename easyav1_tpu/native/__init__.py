@@ -1172,10 +1172,11 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     C recon (entropy work is shared, not redone)."""
     from easyav1_tpu.video.av1.recon.jax_exec import PallasRecon
 
-    if out.n_pal_units > 0:
-        # the strip executor has no palette path; without this gate a
-        # palette block would silently predict DC (found via a frame
-        # whose unit count passed the export cap)
+    if out.n_pal_units > 0 or getattr(hdr, "allow_intrabc", False):
+        # the strip executor has no palette or intrabc path; without
+        # these gates a palette block silently predicts DC and an
+        # intrabc block exports NO unit at all (both found via frames
+        # whose unit counts passed the export cap)
         return None
 
     max_units = int(out.n_lf) * 2 + 64

@@ -212,3 +212,49 @@ def test_pallas_palette_declines_safely():
     b = dec("pallas")
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_pallas_intrabc_declines_safely():
+    """allow_intrabc intra frames must not run on the strip executor
+    (intrabc blocks export no pred unit at all — regression for a
+    silent zero-pixels corruption found in round 4)."""
+    import os
+
+    import numpy as np
+    import test_av1_intrabc as TI
+    from easyav1_tpu.video.av1 import constants as C
+    from easyav1_tpu.container.webm import TrackInfo
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    rng = np.random.default_rng(3)
+    blocks = TI._intra_fill(rng, 48)
+    placed = 0
+    for c in range(0, 16, 4):
+        dv = ((0 - 48) * 4 * 8, 0)
+        if TI.dv_valid(48, c, C.BLOCK_16X16, dv):
+            blocks.append(TI.EncBlock(r=48, c=c, bsize=C.BLOCK_16X16,
+                                      skip=True, dv=dv))
+            placed += 1
+    for r in range(48, TI.H // 4, 4):
+        for c in range(0, TI.W // 4, 4):
+            if r == 48 and c < placed * 4:
+                continue
+            blocks.append(TI.EncBlock(r=r, c=c, bsize=C.BLOCK_16X16,
+                                      skip=True))
+    assert placed > 0
+    tu = TI.encode_frame(TI.W, TI.H, 60, blocks, intrabc=True)
+
+    def dec(pipe):
+        os.environ["EASYAV1_PIPE"] = pipe
+        try:
+            be = AV1Backend(TrackInfo(number=1, type=None,
+                                      codec_id="V_AV1"))
+            f = be.decode([tu], 0)[0]
+            return [np.asarray(p).copy() for p in f.data]
+        finally:
+            os.environ["EASYAV1_PIPE"] = "native"
+
+    a = dec("native")
+    b = dec("pallas")
+    for x, y in zip(a, b):
+        assert np.array_equal(x, y)
