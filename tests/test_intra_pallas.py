@@ -258,3 +258,46 @@ def test_pallas_intrabc_declines_safely():
     b = dec("pallas")
     for x, y in zip(a, b):
         assert np.array_equal(x, y)
+
+
+def test_pallas_format_sweep_safe():
+    """Every pixel format either runs on the strip executor or
+    declines to C — output must match the native path regardless
+    (round-4 audit after two silent-corruption finds)."""
+    import os
+
+    import numpy as np
+    from test_av1_hbd import BASE, fixture
+    from easyav1_tpu.container import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    for tag, kv in (("444i", dict(ss=444)), ("422i", dict(ss=422)),
+                    ("monoi", dict(ss="mono")),
+                    ("10bi", dict(bitdepth=10))):
+        fx = fixture(tag, **BASE, gop=1, **kv)
+
+        def dec(pipe):
+            os.environ["EASYAV1_PIPE"] = pipe
+            try:
+                d = WebMDemuxer(str(fx))
+                vt = d.tracks_of_type(TrackType.VIDEO)[0]
+                pkts = []
+                while (p := d.read_packet()) is not None:
+                    if p.track == vt.number:
+                        pkts.extend(p.frames)
+                be = AV1Backend(vt)
+                out = []
+                for pk in pkts[:4]:
+                    for f in be.decode([pk], 0):
+                        out.append([np.asarray(pl).copy()
+                                    for pl in f.data])
+                return out
+            finally:
+                os.environ["EASYAV1_PIPE"] = "native"
+
+        a = dec("native")
+        b = dec("pallas")
+        assert len(a) == len(b) > 0, tag
+        for fa, fb in zip(a, b):
+            for x, y in zip(fa, fb):
+                assert np.array_equal(x, y), tag
