@@ -1453,7 +1453,101 @@ int av1_save_tmvs(int mi_rows, int mi_cols, const int8_t *side /*[9]*/,
     int h8 = (mi_rows + 1) >> 1, w8 = (mi_cols + 1) >> 1;
     for (int r = 0; r < h8; r++) {
         int rr = 2 * r + 1 < mi_rows ? 2 * r + 1 : mi_rows - 1;
-        for (int c = 0; c < w8; c++) {
+        int c = 0;
+#ifdef __AVX2__
+        /* 8 cells at once: the sampled mi columns are 2c+1 stepping 2,
+           so a 16-byte load + pshufb picks the 8 ref bytes and four
+           32-byte loads + qword permutes pick the 8 mv quads; the
+           list-0 / list-1 select is branchless blends.  Bound keeps
+           every load inside the current grid row (scalar tail after). */
+        if (w8 >= 8) {
+            const __m128i pick = _mm_setr_epi8(0, 2, 4, 6, 8, 10, 12, 14,
+                                               -1, -1, -1, -1, -1, -1,
+                                               -1, -1);
+            int8_t tb[16] = {0};
+            for (int i = 0; i < 9; i++) tb[i] = side[i];
+            const __m128i sidetab = _mm_loadu_si128((const __m128i *)tb);
+            const __m256i zero = _mm256_setzero_si256();
+            const __m256i nine = _mm256_set1_epi32(9);
+            const __m256i none = _mm256_set1_epi32(-1);
+            const __m256i mflim = _mm256_set1_epi16(MF_LIMIT);
+            const __m256i evenidx =
+                _mm256_setr_epi32(0, 2, 4, 6, 1, 3, 5, 7);
+            for (; c + 8 <= w8 && 2 * (c + 8) + 1 <= mi_cols; c += 8) {
+                int64_t gi0 = (int64_t)rr * mi_cols + 2 * c + 1;
+                __m128i g0b = _mm_shuffle_epi8(
+                    _mm_loadu_si128((const __m128i *)(ref0_grid + gi0)),
+                    pick);
+                __m128i g1b = _mm_shuffle_epi8(
+                    _mm_loadu_si128((const __m128i *)(ref1_grid + gi0)),
+                    pick);
+                __m256i g0 = _mm256_cvtepi8_epi32(g0b);
+                __m256i g1 = _mm256_cvtepi8_epi32(g1b);
+                /* valid ref: 0 < g <= 8 and side[g] == 0 (pshufb with
+                   g > 8 indexes low-4-bits garbage, masked by the
+                   range compare; negative g yields 0 and is likewise
+                   masked by g > 0) */
+                __m256i v0 = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(g0, zero),
+                    _mm256_cmpgt_epi32(nine, g0));
+                __m256i v1 = _mm256_and_si256(
+                    _mm256_cmpgt_epi32(g1, zero),
+                    _mm256_cmpgt_epi32(nine, g1));
+                v0 = _mm256_and_si256(
+                    v0, _mm256_cmpeq_epi32(
+                            _mm256_cvtepi8_epi32(
+                                _mm_shuffle_epi8(sidetab, g0b)),
+                            zero));
+                v1 = _mm256_and_si256(
+                    v1, _mm256_cmpeq_epi32(
+                            _mm256_cvtepi8_epi32(
+                                _mm_shuffle_epi8(sidetab, g1b)),
+                            zero));
+                /* mv quads of the sampled cells: qwords 0 and 2 of
+                   each 32-byte pair */
+                const int16_t *mp = mvs_grid + gi0 * 4;
+                __m256i p0 = _mm256_permute4x64_epi64(
+                    _mm256_loadu_si256((const __m256i *)(mp + 0)), 0x08);
+                __m256i p1 = _mm256_permute4x64_epi64(
+                    _mm256_loadu_si256((const __m256i *)(mp + 16)), 0x08);
+                __m256i p2 = _mm256_permute4x64_epi64(
+                    _mm256_loadu_si256((const __m256i *)(mp + 32)), 0x08);
+                __m256i p3 = _mm256_permute4x64_epi64(
+                    _mm256_loadu_si256((const __m256i *)(mp + 48)), 0x08);
+                __m256i q03 = _mm256_inserti128_si256(
+                    p0, _mm256_castsi256_si128(p1), 1);
+                __m256i q47 = _mm256_inserti128_si256(
+                    p2, _mm256_castsi256_si128(p3), 1);
+                /* split quads into list-0 / list-1 mv epi32 lanes */
+                __m256i a = _mm256_permutevar8x32_epi32(q03, evenidx);
+                __m256i b = _mm256_permutevar8x32_epi32(q47, evenidx);
+                __m256i mv0 = _mm256_permute2x128_si256(a, b, 0x20);
+                __m256i mv1 = _mm256_permute2x128_si256(a, b, 0x31);
+                /* |mv| <= MF_LIMIT on both 16-bit components */
+                __m256i bad0 = _mm256_cmpgt_epi16(
+                    _mm256_abs_epi16(mv0), mflim);
+                __m256i bad1 = _mm256_cmpgt_epi16(
+                    _mm256_abs_epi16(mv1), mflim);
+                __m256i ok0 = _mm256_and_si256(
+                    v0, _mm256_cmpeq_epi32(bad0, zero));
+                __m256i ok1 = _mm256_and_si256(
+                    v1, _mm256_cmpeq_epi32(bad1, zero));
+                __m256i refsel = _mm256_blendv_epi8(
+                    _mm256_blendv_epi8(none, g0, ok0), g1, ok1);
+                __m256i mvsel = _mm256_blendv_epi8(
+                    _mm256_blendv_epi8(zero, mv0, ok0), mv1, ok1);
+                int64_t o = (int64_t)r * w8 + c;
+                _mm256_storeu_si256((__m256i *)(mv8_out + o * 2), mvsel);
+                __m256i pk16 = _mm256_packs_epi32(refsel, refsel);
+                __m256i pk8 = _mm256_packs_epi16(pk16, pk16);
+                int32_t lo = _mm256_extract_epi32(pk8, 0);
+                int32_t hi = _mm256_extract_epi32(pk8, 4);
+                memcpy(ref8_out + o, &lo, 4);
+                memcpy(ref8_out + o + 4, &hi, 4);
+            }
+        }
+#endif
+        for (; c < w8; c++) {
             int cc = 2 * c + 1 < mi_cols ? 2 * c + 1 : mi_cols - 1;
             int64_t gi = (int64_t)rr * mi_cols + cc;
             const int16_t *mv = mvs_grid + gi * 4;
