@@ -65,7 +65,126 @@ static const int8_t CDEF_UV_DIR[2][2][8] = {
 
 static void cdef_find_dir(const pel *src, int stride, int coeff_shift,
                           int *out_dir, int *out_var) {
-#if defined(__AVX512F__) && defined(__AVX2__)
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+    /* epi16 ymm projections: partial sums fit int16 (|8 x 1023| after
+       the -128 bias), so each direction's row placement is a single
+       maskz_permutexvar_epi16 — half the port-5 pressure of the
+       512-bit epi32 path (208 -> 124 cycles/block measured).  Rows
+       are processed in pairs so directions 5/7 (shift = i>>1) pay one
+       permute per pair.  Bit-exact vs the scalar loop: the cost
+       reduction widens to int32 before the wrapping mullo chain. */
+    const __m128i c128x = _mm_set1_epi16(128);
+    const __m256i lane =
+        _mm256_setr_epi16(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13,
+                          14, 15);
+    __m256i acc0 = _mm256_setzero_si256(), acc1 = acc0, acc3 = acc0,
+            acc4 = acc0, acc5 = acc0, acc7 = acc0, accp0 = acc0,
+            accp1 = acc0;
+    __m128i acc6 = _mm_setzero_si128();
+#if PEL_BITS == 8
+#define CDEF_DIR_LD(i, v) \
+    __m128i v = _mm_cvtepu8_epi16( \
+        _mm_loadl_epi64((const __m128i *)(src + (int64_t)(i) * stride))); \
+    if (coeff_shift) v = _mm_srai_epi16(v, coeff_shift); \
+    v = _mm_sub_epi16(v, c128x);
+#else
+#define CDEF_DIR_LD(i, v) \
+    __m128i v = _mm_loadu_si128( \
+        (const __m128i *)(src + (int64_t)(i) * stride)); \
+    if (coeff_shift) v = _mm_srai_epi16(v, coeff_shift); \
+    v = _mm_sub_epi16(v, c128x);
+#endif
+#define CDEF_DIR_ROW(i, v) do { \
+    __m256i x = _mm256_castsi128_si256(v); \
+    __m256i idf = _mm256_sub_epi16(lane, _mm256_set1_epi16(i)); \
+    acc0 = _mm256_add_epi16(acc0, _mm256_maskz_permutexvar_epi16( \
+        (__mmask16)(0xFFu << (i)), idf, x)); \
+    acc4 = _mm256_add_epi16(acc4, _mm256_maskz_permutexvar_epi16( \
+        (__mmask16)(0xFFu << (i)), \
+        _mm256_sub_epi16(_mm256_set1_epi16(7 + (i)), lane), x)); \
+    __m128i ps = _mm_hadd_epi16(v, v); \
+    __m256i pv = _mm256_castsi128_si256(ps); \
+    acc1 = _mm256_add_epi16(acc1, _mm256_maskz_permutexvar_epi16( \
+        (__mmask16)(0x0Fu << (i)), idf, pv)); \
+    acc3 = _mm256_add_epi16(acc3, _mm256_maskz_permutexvar_epi16( \
+        (__mmask16)(0x0Fu << (i)), \
+        _mm256_sub_epi16(_mm256_set1_epi16(3 + (i)), lane), pv)); \
+    acc6 = _mm_add_epi16(acc6, v); \
+    if ((i) < 4) \
+        accp0 = _mm256_add_epi16(accp0, _mm256_maskz_permutexvar_epi16( \
+            (__mmask16)(0x0Fu << ((4 * (i)) & 15)), \
+            _mm256_sub_epi16(lane, _mm256_set1_epi16(4 * (i))), pv)); \
+    else \
+        accp1 = _mm256_add_epi16(accp1, _mm256_maskz_permutexvar_epi16( \
+            (__mmask16)(0x0Fu << ((4 * ((i) - 4)) & 15)), \
+            _mm256_sub_epi16(lane, _mm256_set1_epi16(4 * ((i) - 4))), \
+            pv)); \
+} while (0)
+#define CDEF_DIR_PAIR(i) do { \
+    CDEF_DIR_LD(i, xa) CDEF_DIR_LD((i) + 1, xb) \
+    CDEF_DIR_ROW(i, xa); CDEF_DIR_ROW((i) + 1, xb); \
+    __m256i xpv = _mm256_castsi128_si256(_mm_add_epi16(xa, xb)); \
+    acc5 = _mm256_add_epi16(acc5, _mm256_maskz_permutexvar_epi16( \
+        (__mmask16)(0xFFu << (3 - ((i) >> 1))), \
+        _mm256_sub_epi16(lane, _mm256_set1_epi16(3 - ((i) >> 1))), \
+        xpv)); \
+    acc7 = _mm256_add_epi16(acc7, _mm256_maskz_permutexvar_epi16( \
+        (__mmask16)(0xFFu << ((i) >> 1)), \
+        _mm256_sub_epi16(lane, _mm256_set1_epi16((i) >> 1)), xpv)); \
+} while (0)
+    { CDEF_DIR_PAIR(0); }
+    { CDEF_DIR_PAIR(2); }
+    { CDEF_DIR_PAIR(4); }
+    { CDEF_DIR_PAIR(6); }
+#undef CDEF_DIR_LD
+#undef CDEF_DIR_ROW
+#undef CDEF_DIR_PAIR
+    static const int32_t cdd15[16] __attribute__((aligned(64))) = {
+        840, 420, 280, 210, 168, 140, 120, 105,
+        120, 140, 168, 210, 280, 420, 840, 0};
+    static const int32_t cdd11[16] __attribute__((aligned(64))) = {
+        420, 210, 140, 105, 105, 105, 105, 105, 140, 210, 420, 0, 0, 0,
+        0, 0};
+    const __m512i d15 = _mm512_load_si512(cdd15);
+    const __m512i d11 = _mm512_load_si512(cdd11);
+    int32_t cost[8];
+#define CDEF_DIR_COST(dst, acc, dv) do { \
+    __m512i wv = _mm512_cvtepi16_epi32(acc); \
+    __m512i sq = _mm512_mullo_epi32(wv, wv); \
+    dst = (int32_t)_mm512_reduce_add_epi32(_mm512_mullo_epi32(sq, dv)); \
+} while (0)
+    CDEF_DIR_COST(cost[0], acc0, d15);
+    CDEF_DIR_COST(cost[4], acc4, d15);
+    CDEF_DIR_COST(cost[1], acc1, d11);
+    CDEF_DIR_COST(cost[3], acc3, d11);
+    CDEF_DIR_COST(cost[5], acc5, d11);
+    CDEF_DIR_COST(cost[7], acc7, d11);
+#undef CDEF_DIR_COST
+    /* d2 (row sums, from the packed pair-sum accumulators) and d6
+       (column sums): 105 * sum(s^2) over 8 entries */
+    __m256i m0 = _mm256_madd_epi16(accp0, _mm256_set1_epi16(1));
+    __m256i m1 = _mm256_madd_epi16(accp1, _mm256_set1_epi16(1));
+    __m256i rs01 = _mm256_hadd_epi32(m0, m1);
+    __m256i sq2 = _mm256_mullo_epi32(rs01, rs01);
+    __m128i s2 = _mm_add_epi32(_mm256_castsi256_si128(sq2),
+                               _mm256_extracti128_si256(sq2, 1));
+    s2 = _mm_add_epi32(s2, _mm_srli_si128(s2, 8));
+    s2 = _mm_add_epi32(s2, _mm_srli_si128(s2, 4));
+    cost[2] = 105 * _mm_cvtsi128_si32(s2);
+    __m256i c6 = _mm256_cvtepi16_epi32(acc6);
+    __m256i sq6 = _mm256_mullo_epi32(c6, c6);
+    __m128i s6 = _mm_add_epi32(_mm256_castsi256_si128(sq6),
+                               _mm256_extracti128_si256(sq6, 1));
+    s6 = _mm_add_epi32(s6, _mm_srli_si128(s6, 8));
+    s6 = _mm_add_epi32(s6, _mm_srli_si128(s6, 4));
+    cost[6] = 105 * _mm_cvtsi128_si32(s6);
+    int bwbest = 0;
+    for (int d = 1; d < 8; d++)
+        if (cost[d] > cost[bwbest]) bwbest = d;
+    *out_dir = bwbest;
+    *out_var = (cost[bwbest] - cost[(bwbest + 4) & 7]) >> 10;
+    return;
+#elif defined(__AVX512F__) && defined(__AVX2__)
     /* register-resident partial sums: each direction's projection is a
        lane-shifted accumulation (valignd against zero), so the 8-row
        loop never round-trips the part[] arrays through memory */
@@ -191,6 +310,7 @@ static void cdef_find_dir(const pel *src, int stride, int coeff_shift,
             part[7][(i >> 1) + j] += x;
         }
 #endif
+#if !(defined(__AVX512BW__) && defined(__AVX512VL__))
     /* cost[d] = sum_i part[d][i]^2 * divtbl[d][i]; everything fits
        int32 for 8-bit-normalized inputs (max total < 2^30), so the
        whole 8x16 reduction auto-vectorizes as int32 lanes */
@@ -237,6 +357,7 @@ static void cdef_find_dir(const pel *src, int stride, int coeff_shift,
         if (cost[d] > cost[best]) best = d;
     *out_dir = best;
     *out_var = (cost[best] - cost[(best + 4) & 7]) >> 10;
+#endif /* !AVX512BW path */
 }
 
 /* constrain with the damping shift precomputed per strength */
