@@ -280,7 +280,7 @@ def _build() -> bool:
         r = subprocess.run(
             ["gcc", "-O3", "-funroll-loops", "-march=native", "-shared",
              "-fPIC", "-pthread", "-o", _SO] + _SRCS,
-            capture_output=True, timeout=120)
+            capture_output=True, timeout=900)
         return r.returncode == 0
     except (OSError, subprocess.TimeoutExpired):
         return False
@@ -427,22 +427,26 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
         order_hint=getattr(hdr, "order_hint", 0),
     )
     keep = []
-    for i, v in enumerate(getattr(hdr, "order_hints", [0] * 8)):
-        fp.order_hints[i] = int(v)
-    for i, v in enumerate(getattr(hdr, "ref_frame_sign_bias",
-                                  [False] * 8)):
-        fp.sign_bias[i] = int(v)
+    oh = getattr(hdr, "order_hints", None)
+    if oh is not None:
+        fp.order_hints[:len(oh[:8])] = [int(v) for v in oh[:8]]
+    sb = getattr(hdr, "ref_frame_sign_bias", None)
+    if sb is not None:
+        fp.sign_bias[:len(sb[:8])] = [int(v) for v in sb[:8]]
     gm_t = getattr(hdr, "gm_type", [0] * 8)
     gm_p = getattr(hdr, "gm_params", [[0, 0, 1 << 16, 0, 0, 1 << 16]] * 8)
     gm_i = getattr(hdr, "gm_invalid", [False] * 8)
-    for i in range(8):
-        fp.gm_type[i] = int(gm_t[i])
-        fp.gm_invalid[i] = int(gm_i[i])
-        for j in range(6):
-            fp.gm_params[i][j] = int(gm_p[i][j])
+    # bulk-fill the gm block: nested ctypes indexing materialises a
+    # fresh array object per [i] access (~22us/frame); flat one-shot
+    # slice assignments keep it ~4us
+    fp.gm_type[:] = [int(v) for v in gm_t[:8]]
+    fp.gm_invalid[:] = [int(v) for v in gm_i[:8]]
+    flat = [int(x) for row in gm_p[:8] for x in row]
+    ctypes.cast(fp.gm_params,
+                ctypes.POINTER(ctypes.c_int32 * 48)).contents[:] = flat
     rfi = getattr(hdr, "ref_frame_idx", [0] * 7)
-    for i, v in enumerate(rfi[:7]):
-        fp.ref_frame_idx[1 + i] = int(v)   # indexed by ref frame 1..7
+    # indexed by ref frame 1..7
+    fp.ref_frame_idx[1:1 + len(rfi[:7])] = [int(v) for v in rfi[:7]]
     lr = getattr(hdr, "lr", None)
     if lr is not None and getattr(lr, "uses_lr", False):
         fp.lr_uses = 1

@@ -984,10 +984,13 @@ static void copyplan_flush(Recon *rc) {
         ResidPlan *rp_ = &rc->rplan[p];
         if (cp->n == 0 && rp_->n == 0) continue;
         /* n == 0 with a NULL base is UB for qsort (nonnull arg) */
+        uint64_t q0 = __rdtsc();
         if (cp->n)
             qsort(cp->e, (size_t)cp->n, sizeof(CopyEnt), cp_cmp);
         if (rp_->n)
             qsort(rp_->e, (size_t)rp_->n, sizeof(ResidEnt), rp_cmp);
+        av1_mc_stat[45] += __rdtsc() - q0;
+        av1_mc_stat[46] += (uint64_t)cp->n + rp_->n;
         pel *plane = rc->planes[p];
         int64_t ds = rc->pw[p];
         /* 128-row bands (every block is size-aligned, so none spans a
@@ -1039,9 +1042,13 @@ static void copyplan_flush(Recon *rc) {
                 av1_mc_stat[58] += (uint64_t)(j + 1 - i);
                 i = j + 1;
             }
-            while (ri < rp_->n && (rp_->e[ri].y >> 7) == band) {
-                residual_add_mask(rc, rp_->e[ri].b, 1 << p);
-                ri++;
+            {
+                uint64_t r0 = __rdtsc();
+                while (ri < rp_->n && (rp_->e[ri].y >> 7) == band) {
+                    residual_add_mask(rc, rp_->e[ri].b, 1 << p);
+                    ri++;
+                }
+                av1_mc_stat[47] += __rdtsc() - r0;
             }
         }
         cp->n = 0;
@@ -1210,6 +1217,11 @@ static void residual_add_mask(Recon *rc, const int32_t *b,
         else itx_2d(o->coeffs + rec[6], tsz, ttyp, rc->rp->bitdepth,
                     res, rec[5]);
         rc_tick_add(5, tx0);
+        if (__builtin_expect(rc_profile, 0)) {
+            av1_stage_ticks[0]++;                       /* tx count */
+            av1_stage_ticks[1] += (uint64_t)fw * fh;    /* tx px */
+            av1_stage_ticks[2] += (uint64_t)(rec[5] & 0xfff); /* eobs */
+        }
 #if PEL_BITS == 8 && defined(__AVX2__)
         /* residual values after the final >>4 fit int16 (the column
            pass clamps to +/-2^15), so the add + [0,255] clamp runs as

@@ -98,6 +98,10 @@ static int rmax(int a, int b) { return a > b ? a : b; }
 static int64_t lmin(int64_t a, int64_t b) { return a < b ? a : b; }
 static int64_t lmax(int64_t a, int64_t b) { return a > b ? a : b; }
 
+#ifdef __AVX2__
+#include <immintrin.h>
+#endif
+
 enum { DC_PRED = 0, V_PRED = 1, H_PRED = 2, D45_PRED = 3, D67_PRED = 8,
        SMOOTH_PRED = 9, SMOOTH_V_PRED = 10, SMOOTH_H_PRED = 11,
        PAETH_PRED = 12, UV_CFL = 13 };
@@ -233,6 +237,95 @@ static void itx_2d_v(const int32_t *coeffs, int tx_size, int tx_type,
         for (int i0 = 0; i0 < nzh; i0 += 8) {
             int nr = nzh - i0 < 8 ? nzh - i0 : 8;
             v8si tb[64];
+#ifdef __AVX2__
+            if ((w & 7) == 0) {
+                /* register 8x8 transposes: the scalar gather/scatter
+                   staging was ~2x the whole transform's cost at w=32
+                   (2*8*w strided int32 moves per slab) */
+                const __m256i z = _mm256_setzero_si256();
+                for (int j = 0; j < w; j += 8) {
+                    const int32_t *sp = b32 + (int64_t)i0 * w + j;
+                    __m256i r0 = _mm256_loadu_si256((const __m256i *)sp);
+                    __m256i r1 = nr > 1 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + w)) : z;
+                    __m256i r2 = nr > 2 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + 2 * w)) : z;
+                    __m256i r3 = nr > 3 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + 3 * w)) : z;
+                    __m256i r4 = nr > 4 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + 4 * w)) : z;
+                    __m256i r5 = nr > 5 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + 5 * w)) : z;
+                    __m256i r6 = nr > 6 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + 6 * w)) : z;
+                    __m256i r7 = nr > 7 ? _mm256_loadu_si256(
+                        (const __m256i *)(sp + 7 * w)) : z;
+                    __m256i t0 = _mm256_unpacklo_epi32(r0, r1);
+                    __m256i t1 = _mm256_unpackhi_epi32(r0, r1);
+                    __m256i t2 = _mm256_unpacklo_epi32(r2, r3);
+                    __m256i t3 = _mm256_unpackhi_epi32(r2, r3);
+                    __m256i t4 = _mm256_unpacklo_epi32(r4, r5);
+                    __m256i t5 = _mm256_unpackhi_epi32(r4, r5);
+                    __m256i t6 = _mm256_unpacklo_epi32(r6, r7);
+                    __m256i t7 = _mm256_unpackhi_epi32(r6, r7);
+                    __m256i s0 = _mm256_unpacklo_epi64(t0, t2);
+                    __m256i s1 = _mm256_unpackhi_epi64(t0, t2);
+                    __m256i s2 = _mm256_unpacklo_epi64(t1, t3);
+                    __m256i s3 = _mm256_unpackhi_epi64(t1, t3);
+                    __m256i s4 = _mm256_unpacklo_epi64(t4, t6);
+                    __m256i s5 = _mm256_unpackhi_epi64(t4, t6);
+                    __m256i s6 = _mm256_unpacklo_epi64(t5, t7);
+                    __m256i s7 = _mm256_unpackhi_epi64(t5, t7);
+                    __m256i *tj = (__m256i *)&tb[j];
+                    tj[0] = _mm256_permute2x128_si256(s0, s4, 0x20);
+                    tj[1] = _mm256_permute2x128_si256(s1, s5, 0x20);
+                    tj[2] = _mm256_permute2x128_si256(s2, s6, 0x20);
+                    tj[3] = _mm256_permute2x128_si256(s3, s7, 0x20);
+                    tj[4] = _mm256_permute2x128_si256(s0, s4, 0x31);
+                    tj[5] = _mm256_permute2x128_si256(s1, s5, 0x31);
+                    tj[6] = _mm256_permute2x128_si256(s2, s6, 0x31);
+                    tj[7] = _mm256_permute2x128_si256(s3, s7, 0x31);
+                }
+                itx_1d_v8(hkind, tb, w, vmn, vmx);
+                for (int j = 0; j < w; j += 8) {
+                    __m256i *tj = (__m256i *)&tb[j];
+                    for (int k = 0; k < 8; k++) {
+                        v8si v = (tb[j + k] + rnd) >> shift;
+                        tb[j + k] = vicl_v8(v, vmn, vmx);
+                    }
+                    __m256i t0 = _mm256_unpacklo_epi32(tj[0], tj[1]);
+                    __m256i t1 = _mm256_unpackhi_epi32(tj[0], tj[1]);
+                    __m256i t2 = _mm256_unpacklo_epi32(tj[2], tj[3]);
+                    __m256i t3 = _mm256_unpackhi_epi32(tj[2], tj[3]);
+                    __m256i t4 = _mm256_unpacklo_epi32(tj[4], tj[5]);
+                    __m256i t5 = _mm256_unpackhi_epi32(tj[4], tj[5]);
+                    __m256i t6 = _mm256_unpacklo_epi32(tj[6], tj[7]);
+                    __m256i t7 = _mm256_unpackhi_epi32(tj[6], tj[7]);
+                    __m256i s0 = _mm256_unpacklo_epi64(t0, t2);
+                    __m256i s1 = _mm256_unpackhi_epi64(t0, t2);
+                    __m256i s2 = _mm256_unpacklo_epi64(t1, t3);
+                    __m256i s3 = _mm256_unpackhi_epi64(t1, t3);
+                    __m256i s4 = _mm256_unpacklo_epi64(t4, t6);
+                    __m256i s5 = _mm256_unpackhi_epi64(t4, t6);
+                    __m256i s6 = _mm256_unpacklo_epi64(t5, t7);
+                    __m256i s7 = _mm256_unpackhi_epi64(t5, t7);
+                    __m256i o0 = _mm256_permute2x128_si256(s0, s4, 0x20);
+                    __m256i o1 = _mm256_permute2x128_si256(s1, s5, 0x20);
+                    __m256i o2 = _mm256_permute2x128_si256(s2, s6, 0x20);
+                    __m256i o3 = _mm256_permute2x128_si256(s3, s7, 0x20);
+                    __m256i o4 = _mm256_permute2x128_si256(s0, s4, 0x31);
+                    __m256i o5 = _mm256_permute2x128_si256(s1, s5, 0x31);
+                    __m256i o6 = _mm256_permute2x128_si256(s2, s6, 0x31);
+                    __m256i o7 = _mm256_permute2x128_si256(s3, s7, 0x31);
+                    int32_t *dp = b32 + (int64_t)i0 * w + j;
+                    __m256i ov[8] = {o0, o1, o2, o3, o4, o5, o6, o7};
+                    for (int r = 0; r < nr; r++)
+                        _mm256_storeu_si256(
+                            (__m256i *)(dp + (int64_t)r * w), ov[r]);
+                }
+                continue;
+            }
+#endif
             for (int j = 0; j < w; j++) {
                 int32_t tmp[8] = {0};
                 for (int r = 0; r < nr; r++)
