@@ -63,6 +63,168 @@ static const int8_t CDEF_UV_DIR[2][2][8] = {
 #include <immintrin.h>
 #endif
 
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* Direction search for TWO horizontally adjacent 8x8 blocks (B at
+ * src+8) in one pass: zmm lanes 0-15 accumulate block A's projection
+ * bins, lanes 16-31 block B's, so every row placement is one
+ * maskz_permutexvar_epi16 for both blocks (88 cyc/block vs 124
+ * single).  Bit-exact vs the scalar search (see cdef_find_dir). */
+static void cdef_find_dir_pair(const pel *src, int stride,
+                               int coeff_shift, int *dirA, int *varA,
+                               int *dirB, int *varB) {
+    const __m256i c128y = _mm256_set1_epi16(128);
+    const __m512i lane32 = _mm512_set_epi16(
+        31, 30, 29, 28, 27, 26, 25, 24, 23, 22, 21, 20, 19, 18, 17, 16,
+        15, 14, 13, 12, 11, 10, 9, 8, 7, 6, 5, 4, 3, 2, 1, 0);
+    /* lanes 16-31 carry the B-half index corrections: source px live
+       at src-lane 8+, output bins at acc-lane 16+ */
+    const __m512i bbase = _mm512_set_epi16(
+        8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8, 8,
+        0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0);
+    __m512i acc0 = _mm512_setzero_si512(), acc1 = acc0, acc3 = acc0,
+            acc4 = acc0, acc5 = acc0, acc7 = acc0, accp0 = acc0,
+            accp1 = acc0;
+    __m256i acc6 = _mm256_setzero_si256();
+#define CDP_IDXF(s) _mm512_sub_epi16(_mm512_sub_epi16(lane32, \
+        _mm512_set1_epi16((short)(s))), bbase)
+#define CDP_IDXR(s) _mm512_sub_epi16(_mm512_add_epi16( \
+        _mm512_set1_epi16((short)(s)), \
+        _mm512_add_epi16(bbase, _mm512_slli_epi16(bbase, 1))), lane32)
+#define CDP_M8(s) ((__mmask32)(((uint32_t)(0xFFu << (s)) & 0xFFFF) \
+        | (((uint32_t)(0xFFu << (s)) & 0xFFFF) << 16)))
+#define CDP_M4(s) ((__mmask32)(((uint32_t)(0x0Fu << (s)) & 0xFFFF) \
+        | (((uint32_t)(0x0Fu << (s)) & 0xFFFF) << 16)))
+#if PEL_BITS == 8
+#define CDP_LD(i, v) \
+    __m256i v = _mm256_cvtepu8_epi16(_mm_loadu_si128( \
+        (const __m128i *)(src + (int64_t)(i) * stride))); \
+    if (coeff_shift) v = _mm256_srai_epi16(v, coeff_shift); \
+    v = _mm256_sub_epi16(v, c128y);
+#else
+#define CDP_LD(i, v) \
+    __m256i v = _mm256_loadu_si256( \
+        (const __m256i *)(src + (int64_t)(i) * stride)); \
+    if (coeff_shift) v = _mm256_srai_epi16(v, coeff_shift); \
+    v = _mm256_sub_epi16(v, c128y);
+#endif
+#define CDP_ROW(i, v) do { \
+    __m512i x = _mm512_castsi256_si512(v); \
+    acc0 = _mm512_add_epi16(acc0, _mm512_maskz_permutexvar_epi16( \
+        CDP_M8(i), CDP_IDXF(i), x)); \
+    acc4 = _mm512_add_epi16(acc4, _mm512_maskz_permutexvar_epi16( \
+        CDP_M8(i), CDP_IDXR(7 + (i)), x)); \
+    __m256i psy = _mm256_hadd_epi16(v, v); \
+    __m512i ps = _mm512_castsi256_si512(psy); \
+    acc1 = _mm512_add_epi16(acc1, _mm512_maskz_permutexvar_epi16( \
+        CDP_M4(i), CDP_IDXF(i), ps)); \
+    acc3 = _mm512_add_epi16(acc3, _mm512_maskz_permutexvar_epi16( \
+        CDP_M4(i), CDP_IDXR(3 + (i)), ps)); \
+    acc6 = _mm256_add_epi16(acc6, v); \
+    if ((i) < 4) \
+        accp0 = _mm512_add_epi16(accp0, _mm512_maskz_permutexvar_epi16( \
+            CDP_M4((4 * (i)) & 15), CDP_IDXF((4 * (i)) & 15), ps)); \
+    else \
+        accp1 = _mm512_add_epi16(accp1, _mm512_maskz_permutexvar_epi16( \
+            CDP_M4((4 * ((i) - 4)) & 15), \
+            CDP_IDXF((4 * ((i) - 4)) & 15), ps)); \
+} while (0)
+#define CDP_PAIR(i) do { \
+    CDP_LD(i, xa) CDP_LD((i) + 1, xb) \
+    CDP_ROW(i, xa); CDP_ROW((i) + 1, xb); \
+    __m512i xpv = _mm512_castsi256_si512(_mm256_add_epi16(xa, xb)); \
+    acc5 = _mm512_add_epi16(acc5, _mm512_maskz_permutexvar_epi16( \
+        CDP_M8(3 - ((i) >> 1)), CDP_IDXF(3 - ((i) >> 1)), xpv)); \
+    acc7 = _mm512_add_epi16(acc7, _mm512_maskz_permutexvar_epi16( \
+        CDP_M8((i) >> 1), CDP_IDXF((i) >> 1), xpv)); \
+} while (0)
+    { CDP_PAIR(0); }
+    { CDP_PAIR(2); }
+    { CDP_PAIR(4); }
+    { CDP_PAIR(6); }
+#undef CDP_LD
+#undef CDP_ROW
+#undef CDP_PAIR
+#undef CDP_IDXF
+#undef CDP_IDXR
+#undef CDP_M8
+#undef CDP_M4
+    static const int32_t cdpd15[16] __attribute__((aligned(64))) = {
+        840, 420, 280, 210, 168, 140, 120, 105,
+        120, 140, 168, 210, 280, 420, 840, 0};
+    static const int32_t cdpd11[16] __attribute__((aligned(64))) = {
+        420, 210, 140, 105, 105, 105, 105, 105, 140, 210, 420, 0, 0, 0,
+        0, 0};
+    const __m512i d15 = _mm512_load_si512(cdpd15);
+    const __m512i d11 = _mm512_load_si512(cdpd11);
+    int32_t costA[8], costB[8];
+#define CDP_COST2(dA, dB, acc, dv) do { \
+    __m512i wa = _mm512_cvtepi16_epi32(_mm512_castsi512_si256(acc)); \
+    __m512i wb = _mm512_cvtepi16_epi32( \
+        _mm512_extracti64x4_epi64(acc, 1)); \
+    __m512i sa = _mm512_mullo_epi32(wa, wa); \
+    __m512i sb = _mm512_mullo_epi32(wb, wb); \
+    dA = (int32_t)_mm512_reduce_add_epi32(_mm512_mullo_epi32(sa, dv)); \
+    dB = (int32_t)_mm512_reduce_add_epi32(_mm512_mullo_epi32(sb, dv)); \
+} while (0)
+    CDP_COST2(costA[0], costB[0], acc0, d15);
+    CDP_COST2(costA[4], costB[4], acc4, d15);
+    CDP_COST2(costA[1], costB[1], acc1, d11);
+    CDP_COST2(costA[3], costB[3], acc3, d11);
+    CDP_COST2(costA[5], costB[5], acc5, d11);
+    CDP_COST2(costA[7], costB[7], acc7, d11);
+#undef CDP_COST2
+    /* d2 (row sums) and d6 (col sums): 105 * sum(s^2) per block */
+    __m512i m0 = _mm512_madd_epi16(accp0, _mm512_set1_epi16(1));
+    __m512i m1 = _mm512_madd_epi16(accp1, _mm512_set1_epi16(1));
+    __m512i rs0 = _mm512_add_epi32(
+        _mm512_shuffle_epi32(m0, _MM_PERM_CDAB), m0);
+    __m512i rs1 = _mm512_add_epi32(
+        _mm512_shuffle_epi32(m1, _MM_PERM_CDAB), m1);
+    __m512i sq0 = _mm512_mullo_epi32(rs0, rs0);
+    __m512i sq1 = _mm512_mullo_epi32(rs1, rs1);
+    const __mmask16 evn = 0x5555;
+    __m512i z512c = _mm512_setzero_si512();
+    __m512i esum = _mm512_add_epi32(
+        _mm512_mask_mov_epi32(z512c, evn, sq0),
+        _mm512_mask_mov_epi32(z512c, evn, sq1));
+    __m256i loA = _mm512_castsi512_si256(esum);
+    __m256i hiB = _mm512_extracti64x4_epi64(esum, 1);
+    __m128i ra = _mm_add_epi32(_mm256_castsi256_si128(loA),
+                               _mm256_extracti128_si256(loA, 1));
+    __m128i rb = _mm_add_epi32(_mm256_castsi256_si128(hiB),
+                               _mm256_extracti128_si256(hiB, 1));
+    ra = _mm_add_epi32(ra, _mm_srli_si128(ra, 8));
+    ra = _mm_add_epi32(ra, _mm_srli_si128(ra, 4));
+    rb = _mm_add_epi32(rb, _mm_srli_si128(rb, 8));
+    rb = _mm_add_epi32(rb, _mm_srli_si128(rb, 4));
+    costA[2] = 105 * _mm_cvtsi128_si32(ra);
+    costB[2] = 105 * _mm_cvtsi128_si32(rb);
+    __m512i c6w = _mm512_cvtepi16_epi32(acc6);
+    __m512i q6 = _mm512_mullo_epi32(c6w, c6w);
+    __m256i l6 = _mm512_castsi512_si256(q6);
+    __m256i h6 = _mm512_extracti64x4_epi64(q6, 1);
+    __m128i sa6 = _mm_add_epi32(_mm256_castsi256_si128(l6),
+                                _mm256_extracti128_si256(l6, 1));
+    __m128i sb6 = _mm_add_epi32(_mm256_castsi256_si128(h6),
+                                _mm256_extracti128_si256(h6, 1));
+    sa6 = _mm_add_epi32(sa6, _mm_srli_si128(sa6, 8));
+    sa6 = _mm_add_epi32(sa6, _mm_srli_si128(sa6, 4));
+    sb6 = _mm_add_epi32(sb6, _mm_srli_si128(sb6, 8));
+    sb6 = _mm_add_epi32(sb6, _mm_srli_si128(sb6, 4));
+    costA[6] = 105 * _mm_cvtsi128_si32(sa6);
+    costB[6] = 105 * _mm_cvtsi128_si32(sb6);
+    int bA = 0, bB = 0;
+    for (int d = 1; d < 8; d++) {
+        if (costA[d] > costA[bA]) bA = d;
+        if (costB[d] > costB[bB]) bB = d;
+    }
+    *dirA = bA;
+    *varA = (costA[bA] - costA[(bA + 4) & 7]) >> 10;
+    *dirB = bB;
+    *varB = (costB[bB] - costB[(bB + 4) & 7]) >> 10;
+}
+#endif /* AVX512BW+VL */
+
 static void cdef_find_dir(const pel *src, int stride, int coeff_shift,
                           int *out_dir, int *out_var) {
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
@@ -1033,6 +1195,24 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                            + pc * 8 + 64);
                         if (pos_idx[pc] < 0) continue;
                         int d_, v_;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                        /* adjacent valid positions share one paired
+                           search (both 8x8 windows in one register
+                           pass) */
+                        if (pc + 1 < pe && pos_idx[pc + 1] >= 0) {
+                            int d2_, v2_;
+                            cdef_find_dir_pair(dbase + pc * 8, pw[0],
+                                               coeff_shift, &d_, &v_,
+                                               &d2_, &v2_);
+                            dirrow[pc] = (int8_t)d_;
+                            varrow[pc] = v_;
+                            dirrow[pc + 1] = (int8_t)d2_;
+                            varrow[pc + 1] = v2_;
+                            cdef_stat[11] += 2 * (cdef_profile != 0);
+                            pc++;
+                            continue;
+                        }
+#endif
                         cdef_find_dir(dbase + pc * 8,
                                       pw[0], coeff_shift, &d_, &v_);
                         dirrow[pc] = (int8_t)d_;
