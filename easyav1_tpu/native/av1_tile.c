@@ -1480,34 +1480,73 @@ static void decode_block(Ctx *t, int r, int c, int bsize) {
         }
         MI_FILL8(o->skip, skip);
         MI_FILL8(o->bsize, bsize);
-        MI_FILL8(o->ref0_g, (int8_t)ii.rf[0]);
-        MI_FILL8(o->ref1_g, (int8_t)ii.rf[1]);
         /* intrabc grid is read only under rf[0]==INTRA_FRAME mv
            prediction, which requires allow_intrabc */
         if (p->allow_intrabc)
             MI_FILL8(o->intrabc_g, use_intrabc);
         MI_FILL8(t->decoded_mi, 1);
+        /* The five mv-prediction grids (ref0/ref1/mvs/modes/interp)
+           are only ever read at
+             - the bottom <=6 rows / right <=6 cols of a block (the
+               mv-ref scans reach delta -5 plus the odd-start +1
+               adjust; OBMC/warp-sample/sub-8x8-chroma probes stay at
+               -1), and
+             - odd/odd global mi coordinates (av1_save_tmvs samples
+               (2r+1, 2c+1); the clamped frame-edge samples land on
+               the last row/col, which the bottom/right band covers).
+           For large blocks the interior even cells are dead stores,
+           so fill the bottom/right 8-deep bands (margin 2 over the
+           worst-case reach) + the odd/odd interior only.  bsize /
+           skip / decoded_mi stay dense (partition, coef-ctx and
+           availability walk arbitrary cells), and the Python plan
+           export (fill_aux) keeps dense grids.  Cuts the mi-grid
+           fill volume ~40% on 128px-partition (static/4K) content. */
+        int sp_rows = h4 - 8, sp_cols = w4 - 8;
+        int sparse = !p->fill_aux && sp_rows > 0 && sp_cols > 0;
+#define MI_FILLG(arr, val) do {                                        \
+            uint64_t p8_ = 0x0101010101010101ull * (uint8_t)(val);     \
+            uint8_t *q_ = (uint8_t *)(arr) + at0;                      \
+            for (int i_ = 0; i_ < h4; i_++, q_ += stride) {            \
+                if (!sparse || i_ >= sp_rows) {                        \
+                    mi_row_fill(q_, p8_, w4);                          \
+                } else {                                               \
+                    mi_row_fill(q_ + sp_cols, p8_, 8);                 \
+                    if ((r + i_) & 1)                                  \
+                        for (int j_ = 1 - (c & 1); j_ < sp_cols;       \
+                             j_ += 2)                                  \
+                            q_[j_] = (uint8_t)(val);                   \
+                }                                                      \
+            }                                                          \
+        } while (0)
+        MI_FILLG(o->ref0_g, (int8_t)ii.rf[0]);
+        MI_FILLG(o->ref1_g, (int8_t)ii.rf[1]);
+#undef MI_FILLG
 #undef MI_FILL8
-        {
-            char *q = (char *)(o->mvs_g + at0 * 4);
-            int64_t bs = stride * 8;
-            for (int i = 0; i < h4; i++, q += bs)
-                mi_row_fill(q, mv_pat, w4 * 8);
-        }
+#define MI_FILLW(base, esz, pat) do {                                  \
+            char *q = (char *)(base);                                  \
+            int64_t bs = stride * (esz);                               \
+            for (int i = 0; i < h4; i++, q += bs) {                    \
+                if (!sparse || i >= sp_rows) {                         \
+                    mi_row_fill(q, pat, w4 * (esz));                   \
+                } else {                                               \
+                    mi_row_fill(q + sp_cols * (esz), pat, 8 * (esz));  \
+                    if ((r + i) & 1)                                   \
+                        for (int j = 1 - (c & 1); j < sp_cols; j += 2) \
+                            memcpy(q + (int64_t)j * (esz), &(pat),     \
+                                   (esz));                             \
+                }                                                      \
+            }                                                          \
+        } while (0)
+        MI_FILLW(o->mvs_g + at0 * 4, 8, mv_pat);
         {
             uint64_t md_pat = 0x0001000100010001ull * mode_pat;
-            char *q = (char *)(o->modes_g + at0);
-            int64_t bs = stride * 2;
-            for (int i = 0; i < h4; i++, q += bs)
-                mi_row_fill(q, md_pat, w4 * 2);
+            MI_FILLW(o->modes_g + at0, 2, md_pat);
         }
         {
             uint64_t ip_pat = 0x0001000100010001ull * interp_pat;
-            char *q = (char *)(o->interp_g + at0 * 2);
-            int64_t bs = stride * 2;
-            for (int i = 0; i < h4; i++, q += bs)
-                mi_row_fill(q, ip_pat, w4 * 2);
+            MI_FILLW(o->interp_g + at0 * 2, 2, ip_pat);
         }
+#undef MI_FILLW
     }
 
     tl_add(3, gr0);
