@@ -301,3 +301,46 @@ def test_pallas_format_sweep_safe():
         for fa, fb in zip(a, b):
             for x, y in zip(fa, fb):
                 assert np.array_equal(x, y), tag
+
+
+def test_pallas_format_sweep_inter():
+    """Same run-or-decline-must-match audit for INTER frames through
+    the device MC path (gop spans the whole clip so frames 2+ are
+    inter; round-4 audit companion to the intra sweep above)."""
+    import os
+
+    import numpy as np
+    from test_av1_hbd import BASE, fixture
+    from easyav1_tpu.container import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    for tag, kv in (("444p", dict(ss=444)), ("422p", dict(ss=422)),
+                    ("monop", dict(ss="mono")),
+                    ("10bp", dict(bitdepth=10))):
+        fx = fixture(tag, **BASE, gop=100, **kv)
+
+        def dec(pipe):
+            os.environ["EASYAV1_PIPE"] = pipe
+            try:
+                d = WebMDemuxer(str(fx))
+                vt = d.tracks_of_type(TrackType.VIDEO)[0]
+                pkts = []
+                while (p := d.read_packet()) is not None:
+                    if p.track == vt.number:
+                        pkts.extend(p.frames)
+                be = AV1Backend(vt)
+                out = []
+                for pk in pkts[:5]:
+                    for f in be.decode([pk], 0):
+                        out.append([np.asarray(pl).copy()
+                                    for pl in f.data])
+                return out
+            finally:
+                os.environ["EASYAV1_PIPE"] = "native"
+
+        a = dec("native")
+        b = dec("pallas")
+        assert len(a) == len(b) > 0, tag
+        for fa, fb in zip(a, b):
+            for x, y in zip(fa, fb):
+                assert np.array_equal(x, y), tag
