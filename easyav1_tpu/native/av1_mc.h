@@ -1640,9 +1640,15 @@ static int recon_block_inter(Recon *rc, const int32_t *b) {
         /* plain integer-MV inside copies go to the deferred plan
            (flushed as merged row bands); the plane's residual is
            deferred with them so it lands after its copy */
+        /* nt=0: non-temporal stores for residual-free bands measured
+           a wash at 1080p and ~1% SLOWER at 4K on this host
+           (interleaved best-of-8 A/B) — the copies are source-read
+           bound, and NT forces the postfilter/display readers back to
+           DRAM.  The cp_copy_rows NT path stays for hosts where plain
+           stores' RFO traffic is the bottleneck. */
         if (direct && b[BLK_MOTION_MODE] == MC_MM_SIMPLE && !scaled
             && try_defer_copy(rc, plane, rpl, rw, rh, rs, x, y, w, h,
-                              mv, ssx, ssy, b[BLK_NTX] == 0)) {
+                              mv, ssx, ssy, 0)) {
             if (b[BLK_NTX] == 0 || resid_defer(rc, plane, b, y))
                 defer_mask |= 1 << plane;
             else
