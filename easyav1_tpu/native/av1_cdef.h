@@ -15,16 +15,16 @@
 /* profiling counters: [0] luma blocks filtered, [1] chroma blocks,
    [2] pri!=0 calls, [3] sec!=0 calls, [4] positions past skip check */
 #if PEL_BITS == 16
-int64_t cdef_stat[16];
+int64_t cdef_stat[24];
 /* per-call rdtsc timing costs ~40ms/60 frames at 1080p when hot
    (2.9M rdtsc pairs); off unless the profiler turns it on */
 int cdef_profile;
 void cdef_set_profile(int on) { cdef_profile = on; }
 void cdef_get_stats(int64_t *out) {
-    for (int i = 0; i < 16; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
+    for (int i = 0; i < 24; i++) { out[i] = cdef_stat[i]; cdef_stat[i] = 0; }
 }
 #else
-extern int64_t cdef_stat[16];
+extern int64_t cdef_stat[24];
 extern int cdef_profile;
 #endif
 
@@ -1038,6 +1038,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         int y_sec_u = -1, uv_sec_u = -1;
         int row_any_pri = 0;
         const int8_t *crow = o->cdef_idx + (r / 16) * ucols;
+        uint64_t cl0 = cdef_profile ? __rdtsc() : 0;
         {
             /* classification, two cheap passes: (1) vectorized per-
                position skip-detect into posskip[], (2) unit-level
@@ -1103,6 +1104,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             band_y = any_ys && y_ok;
             band_uv = any_uvs && uv_ok;
         }
+        if (__builtin_expect(cdef_profile, 0))
+            cdef_stat[16] += __rdtsc() - cl0;
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (!use_band) band_y = band_uv = 0;
 #else
@@ -1228,6 +1231,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
            shifts depend only on the 64x64 unit's cdef_idx, so all
            parameter setup and the done_y/done_uv gates hoist out of
            the position loop; fully-handled units skip wholesale */
+        uint64_t fw0 = cdef_profile ? __rdtsc() : 0;
         for (int u = 0; u < ucols; u++) {
             int p0u = u * 8;
             if (p0u >= n_pos) break;
@@ -1438,6 +1442,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 }
             }
         }
+        if (__builtin_expect(cdef_profile, 0))
+            cdef_stat[17] += __rdtsc() - fw0;
         /* flush the queued uv filter before the stripes are reused */
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (uvq.valid) {
@@ -1460,6 +1466,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
            per-position positions are disjoint and every filter reads
            the stripes, so ordering is otherwise free. */
         if (band_y || band_uv) {
+            uint64_t bm0 = cdef_profile ? __rdtsc() : 0;
             if (band_y) {
                 memset(pxon, 0, (size_t)pw[0] + 64);
                 int nb = 0;
@@ -1510,6 +1517,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 cdef_stat[3] += 2 * nb;
                 cdef_stat[7] += 2 * nb;
             }
+            if (__builtin_expect(cdef_profile, 0))
+                cdef_stat[18] += __rdtsc() - bm0;
         }
 #endif
     }

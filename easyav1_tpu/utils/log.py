@@ -3,7 +3,6 @@ prefix, stderr output; default WARNING)."""
 
 from __future__ import annotations
 
-import inspect
 import sys
 
 from easyav1_tpu.settings import LogLevel
@@ -14,8 +13,14 @@ class Logger:
         self.level = level
 
     def _emit(self, tag: str, msg: str) -> None:
-        frame = inspect.currentframe().f_back.f_back
-        where = f"{frame.f_code.co_name}:{frame.f_lineno}" if frame else "?"
+        # sys._getframe is a direct C accessor (inspect.currentframe's
+        # wrapper plus attribute walks showed up in INFO-level steady
+        # state); 2 hops = the caller of error/warning/info
+        try:
+            frame = sys._getframe(2)
+            where = f"{frame.f_code.co_name}:{frame.f_lineno}"
+        except ValueError:
+            where = "?"
         print(f"[easyav1_tpu {tag} {where}] {msg}", file=sys.stderr)
 
     def error(self, msg: str) -> None:

@@ -7,7 +7,12 @@ hermetic on CPU so sharding logic is exercised via
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# EASYAV1_TEST_PLATFORM=tpu runs the device-kernel tests against the real
+# chip (axon tunnel) instead of the hermetic CPU mesh — used to record
+# on-hardware validation of the jax compute paths (VERDICT r4 item 7).
+_PLATFORM = os.environ.get("EASYAV1_TEST_PLATFORM", "cpu")
+
+os.environ["JAX_PLATFORMS"] = _PLATFORM
 _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -29,7 +34,7 @@ sys.path.insert(0, _repo)
 # pin the config back to cpu so tests run on the virtual 8-device host mesh.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", _PLATFORM)
 
 import pytest  # noqa: E402
 

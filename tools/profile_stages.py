@@ -152,7 +152,7 @@ def main():
     try:
         lib.cdef_get_stats.restype = None
         lib.cdef_get_stats.argtypes = [ctypes.POINTER(ctypes.c_int64)]
-        cs = (ctypes.c_int64 * 16)()
+        cs = (ctypes.c_int64 * 24)()
         lib.cdef_get_stats(cs)
         hz = _tsc_hz()
         print(f"\nCDEF internals (stage {stages[2]*1000:.1f} ms):")
@@ -165,6 +165,12 @@ def main():
         print(f"  per-pos filter {cs[12]/hz*1000:9.1f} ms")
         print(f"  band luma      {cs[13]/hz*1000:9.1f} ms")
         print(f"  band chroma    {cs[14]/hz*1000:9.1f} ms")
+        print(f"  classify       {cs[16]/hz*1000:9.1f} ms")
+        filtw = (cs[17] - cs[10] - cs[8] - cs[12]) / hz
+        print(f"  filter-walk ovh{filtw*1000:9.1f} ms"
+              "  (walk total - dir - uvflt - perpos)")
+        bandm = (cs[18] - cs[13] - cs[14]) / hz
+        print(f"  band mask ovh  {bandm*1000:9.1f} ms")
     except AttributeError:
         pass
 
