@@ -952,15 +952,18 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
     if os.environ.get("EASYAV1_PIPE", "native") == "pallas":
         # pallas executor for intra frames; the jax MC executor covers
-        # inter frames (no LR stage on either yet)
-        lr_on = getattr(getattr(hdr, "lr", None), "uses_lr", False)
+        # inter frames.  Superres and loop restoration run on device
+        # in both (_device_pipe_finish: sr_jax matmul + lr_jax
+        # device-resident stripes).
         planes = None
-        if not lr_on and not getattr(hdr, "use_superres", False):
-            if hdr.frame_is_intra:
-                planes = _pallas_frame(lib, seq, hdr, out, bufs, rp)
-            elif refs is not None:
-                planes = _device_frame_inter(lib, seq, hdr, out, bufs,
-                                             rp, refs)
+        if hdr.frame_is_intra:
+            planes = _pallas_frame(lib, seq, hdr, out, bufs, rp)
+        elif refs is not None:
+            planes = _device_frame_inter(lib, seq, hdr, out, bufs,
+                                         rp, refs)
+        _PIPE_STATS["frames"] += 1
+        if planes is None:
+            _PIPE_STATS["fallbacks"] += 1
         if planes is not None:
             if isinstance(planes, tuple):   # resident: device refs too
                 return planes[0], blob, mv_grids, planes[1]
@@ -1208,14 +1211,11 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
                   bufs["coeffs"][:out.coeffs_used])
     if outs is None:
         return None
-    from easyav1_tpu.video.av1.recon.postfilter_fused import \
-        postfilter_frame
     import jax.numpy as jnp
     lpad = pr.IP.LPAD
     dev = [outs[p][:ph, lpad:lpad + pw]
            for p, (ph, pw) in enumerate(pr.dims)]
-    dev = postfilter_frame(dev, hdr, seq, _grids_exporter(lib, rp, out),
-                           bufs["grids"]["skip"], bufs["cdef"])
+    dev = _device_pipe_finish(dev, lib, seq, hdr, out, bufs, rp)
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
     dt = jnp.uint8 if seq.color.bitdepth == 8 else jnp.uint16
@@ -1235,6 +1235,10 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
 
 _INTER_RECONS: dict = {}
 _DEVICE_INTER_STATS = {"frames": 0, "fallbacks": 0}
+# whole-pipe accounting (any EASYAV1_PIPE=pallas frame, intra or
+# inter): fallbacks counts frames the device path declined to the C
+# recon — tests assert 0 over the supported corpus
+_PIPE_STATS = {"frames": 0, "fallbacks": 0}
 
 
 def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
@@ -1308,13 +1312,10 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
         return None
     _DEVICE_INTER_STATS["frames"] += 1
     from easyav1_tpu.video.av1.recon.jax_exec import PAD as _PAD
-    from easyav1_tpu.video.av1.recon.postfilter_fused import \
-        postfilter_frame
     import jax.numpy as jnp
     dev = [outs[p][_PAD:_PAD + ph_, _PAD:_PAD + pw_]
            for p, (ph_, pw_) in enumerate(ir.dims)]
-    dev = postfilter_frame(dev, hdr, seq, _grids_exporter(lib, rp, out),
-                           bufs["grids"]["skip"], bufs["cdef"])
+    dev = _device_pipe_finish(dev, lib, seq, hdr, out, bufs, rp)
     uw, uh = hdr.upscaled_width, hdr.frame_height
     ucw, uch = (uw + ssx) >> ssx, (uh + ssy) >> ssy
     dt = jnp.uint8 if seq.color.bitdepth == 8 else jnp.uint16
@@ -1349,6 +1350,70 @@ def _grids_exporter(lib, rp, out):
                 "lvl0": a[5].astype(np.int32),
                 "lvl1": a[6].astype(np.int32), "gw": gw, "gh": gh}
     return grids_for
+
+
+def _lr_plan(out, bufs):
+    """LR unit params exported by the entropy pass → lr_jax plan."""
+    from types import SimpleNamespace
+
+    plan = SimpleNamespace(lr_type={}, lr_wiener={}, lr_sgr={})
+    for u in bufs["lr"][:out.n_lr_units]:
+        key = (int(u[0]), int(u[1]), int(u[2]))
+        plan.lr_type[key] = int(u[3])
+        if u[3] == 2:       # RESTORE_WIENER
+            plan.lr_wiener[key] = [
+                [int(u[4]), int(u[5]), int(u[6])],
+                [int(u[7]), int(u[8]), int(u[9])]]
+        elif u[3] == 3:     # RESTORE_SGRPROJ
+            plan.lr_sgr[key] = (int(u[10]), int(u[11]), int(u[12]))
+    return plan
+
+
+def _device_pipe_finish(dev, lib, seq, hdr, out, bufs, rp):
+    """Shared tail of the pallas/inter device pipes: LF + CDEF, then
+    superres upscale (sr_jax matmul kernel) and loop restoration
+    (lr_jax device-resident path) when the frame uses them — the whole
+    postfilter chain stays in HBM (no host plane round-trips).
+    `dev` = cropped mi-aligned device planes; returns device planes at
+    the upscaled width (reference ordering: av1_recon_tmpl.h:1464-1517
+    — LF, deblocked snapshot, CDEF, superres of planes AND snapshot,
+    LR)."""
+    from easyav1_tpu.video.av1.recon.postfilter_fused import \
+        postfilter_frame
+
+    lr_on = getattr(getattr(hdr, "lr", None), "uses_lr", False) \
+        and out.n_lr_units > 0
+    sr_on = bool(getattr(hdr, "use_superres", False))
+    res = postfilter_frame(dev, hdr, seq, _grids_exporter(lib, rp, out),
+                           bufs["grids"]["skip"], bufs["cdef"],
+                           want_deblocked=lr_on)
+    dev, debl = res if lr_on else (res, None)
+    if sr_on:
+        from easyav1_tpu.video.av1.recon.sr_jax import \
+            upscale_plane_device
+
+        ssx = seq.color.subsampling_x
+        bd = seq.color.bitdepth
+        up = []
+        upd = []
+        for p in range(len(dev)):
+            sx = ssx if p else 0
+            src_w = (hdr.frame_width + sx) >> sx
+            dst_w = (hdr.upscaled_width + sx) >> sx
+            up.append(upscale_plane_device(dev[p], src_w, dst_w, bd))
+            if lr_on:
+                upd.append(upscale_plane_device(debl[p], src_w, dst_w,
+                                                bd))
+        dev = up
+        debl = upd if lr_on else None
+    if lr_on:
+        from easyav1_tpu.video.av1.recon.lr_jax import \
+            DeviceLoopRestoration
+
+        lr = DeviceLoopRestoration(hdr, seq, _lr_plan(out, bufs),
+                                   seq.color.bitdepth)
+        dev = lr.apply_device(dev, debl)
+    return dev
 
 
 def _device_postfilter(seq, hdr, out, bufs, aligned, rp):

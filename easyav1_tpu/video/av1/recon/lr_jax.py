@@ -204,27 +204,69 @@ class DeviceLoopRestoration:
                 continue
             self._apply_plane(plane, planes, deblocked)
 
+    def _plane_geometry(self, plane):
+        hdr = self.hdr
+        ssx = self.ssx if plane else 0
+        ssy = self.ssy if plane else 0
+        pw = (hdr.upscaled_width + ssx) >> ssx
+        ph = (hdr.frame_height + ssy) >> ssy
+        stripe_h = 64 >> ssy
+        stripe_off = 8 >> ssy
+        ns = (ph + stripe_off + stripe_h - 1) // stripe_h
+        return pw, ph, stripe_h, stripe_off, ns
+
     def _apply_plane(self, plane, planes, deblocked):
         import jax.numpy as jnp
 
         hdr = self.hdr
         lr = hdr.lr
-        ssx = self.ssx if plane else 0
-        ssy = self.ssy if plane else 0
-        pw = (hdr.upscaled_width + ssx) >> ssx
-        ph = (hdr.frame_height + ssy) >> ssy
+        pw, ph, stripe_h, stripe_off, ns = self._plane_geometry(plane)
         unit_size = lr.loop_restoration_size[plane]
         unit_rows = max((ph + (unit_size >> 1)) // unit_size, 1)
         unit_cols = max((pw + (unit_size >> 1)) // unit_size, 1)
         cdef = np.asarray(planes[plane])[:ph, :pw].astype(np.int32)
         debl = np.asarray(deblocked[plane])[:ph, :pw].astype(np.int32)
 
-        stripe_h = 64 >> ssy
-        stripe_off = 8 >> ssy
-        ns = (ph + stripe_off + stripe_h - 1) // stripe_h
         sh = stripe_h
 
+        params = self._stripe_params(plane, pw, ph, sh, stripe_off, ns,
+                                     unit_size, unit_rows, unit_cols)
+        (spans, FH, FV, is_w, is_s, s0c, s1c, r0c, r1c, w0c, w1c,
+         any_w, any_s) = params
+        if not (any_w or any_s):
+            return
+
         S = np.empty((ns, sh + 6, pw + 6), np.int32)
+        row_idx, sel_debl = self._row_sources(ph, sh, stripe_off, ns,
+                                              spans)
+        for s in range(ns):
+            if spans[s] is None:
+                continue
+            for i in range(sh + 6):
+                src = debl if sel_debl[s, i] else cdef
+                row = src[row_idx[s, i]]
+                S[s, i, 3:3 + pw] = row
+                S[s, i, :3] = row[0]
+                S[s, i, 3 + pw:] = row[pw - 1]
+
+        res = _lr_stripes(
+            jnp.asarray(S), jnp.asarray(FH), jnp.asarray(FV),
+            jnp.asarray(is_w), jnp.asarray(is_s), jnp.asarray(s0c),
+            jnp.asarray(s1c), jnp.asarray(r0c), jnp.asarray(r1c),
+            jnp.asarray(w0c), jnp.asarray(w1c), jnp.asarray(_A2),
+            sh, self.bd, any_w, any_s)
+        res = np.asarray(res)
+        out = planes[plane]
+        for s, span in enumerate(spans):
+            if span is None:
+                continue
+            y0, h = span
+            out[y0:y0 + h, :pw] = res[s, :h].astype(out.dtype)
+
+    def _stripe_params(self, plane, pw, ph, stripe_h, stripe_off, ns,
+                       unit_size, unit_rows, unit_cols):
+        """Per-stripe spans + per-column wiener/sgr parameter maps
+        (host math shared by the numpy and device-resident paths)."""
         FH = np.zeros((ns, 7, pw), np.int32)
         FV = np.zeros((ns, 7, pw), np.int32)
         is_w = np.zeros((ns, pw), bool)
@@ -235,8 +277,7 @@ class DeviceLoopRestoration:
         r1c = np.zeros((ns, pw), bool)
         w0c = np.zeros((ns, pw), np.int32)
         w1c = np.zeros((ns, pw), np.int32)
-        spans = []   # (stripe, y0, h)
-
+        spans = []   # per stripe: (y0, h) or None
         for s in range(ns):
             ss = s * stripe_h - stripe_off
             se = ss + stripe_h - 1
@@ -245,22 +286,7 @@ class DeviceLoopRestoration:
             if y0 > y1:
                 spans.append(None)
                 continue
-            h = y1 - y0 + 1
-            spans.append((y0, h))
-            # stripe source rows y0-3 .. y0+sh+2 (short stripes pad by
-            # replicating the last valid row, matching the reference's
-            # clamp into its (h+6)-row source)
-            for i in range(sh + 6):
-                y = y0 - 3 + i
-                if i >= h + 6:
-                    y = y0 - 3 + h + 5
-                yy = min(max(y, 0), ph - 1)
-                row = (debl[max(ss - 2, yy)] if yy < ss
-                       else debl[min(se + 2, yy)] if yy > se
-                       else cdef[yy])
-                S[s, i, 3:3 + pw] = row
-                S[s, i, :3] = row[0]
-                S[s, i, 3 + pw:] = row[pw - 1]
+            spans.append((y0, y1 - y0 + 1))
             urow = min(unit_rows - 1, (ss + stripe_off) // unit_size)
             for ucol in range(unit_cols):
                 ux0 = ucol * unit_size
@@ -289,24 +315,96 @@ class DeviceLoopRestoration:
                     w0c[s, cs] = xqd0
                     w1c[s, cs] = xqd1
                     is_s[s, cs] = True
+        return (spans, FH, FV, is_w, is_s, s0c, s1c, r0c, r1c, w0c,
+                w1c, bool(is_w.any()), bool(is_s.any()))
 
-        any_w = bool(is_w.any())
-        any_s = bool(is_s.any())
-        if not (any_w or any_s):
-            return
-        res = _lr_stripes(
-            jnp.asarray(S), jnp.asarray(FH), jnp.asarray(FV),
-            jnp.asarray(is_w), jnp.asarray(is_s), jnp.asarray(s0c),
-            jnp.asarray(s1c), jnp.asarray(r0c), jnp.asarray(r1c),
-            jnp.asarray(w0c), jnp.asarray(w1c), jnp.asarray(_A2),
-            sh, self.bd, any_w, any_s)
-        res = np.asarray(res)
-        out = planes[plane]
-        for s, span in enumerate(spans):
-            if span is None:
+    @staticmethod
+    def _row_sources(ph, stripe_h, stripe_off, ns, spans):
+        """Per (stripe, source-row) plane-row index + deblocked-source
+        flag (the stripe-assembly row selection, shared by host and
+        device paths: rows above/below the stripe read the pre-CDEF
+        deblocked snapshot, clamped 2 px into it)."""
+        sh = stripe_h
+        row_idx = np.zeros((ns, sh + 6), np.int64)
+        sel_debl = np.zeros((ns, sh + 6), bool)
+        for s in range(ns):
+            if spans[s] is None:
                 continue
-            y0, h = span
-            out[y0:y0 + h, :pw] = res[s, :h].astype(out.dtype)
+            ss = s * stripe_h - stripe_off
+            se = ss + stripe_h - 1
+            y0, h = spans[s]
+            for i in range(sh + 6):
+                y = y0 - 3 + i
+                if i >= h + 6:
+                    y = y0 - 3 + h + 5
+                yy = min(max(y, 0), ph - 1)
+                if yy < ss:
+                    row_idx[s, i] = max(ss - 2, yy)
+                    sel_debl[s, i] = True
+                elif yy > se:
+                    row_idx[s, i] = min(se + 2, yy)
+                    sel_debl[s, i] = True
+                else:
+                    row_idx[s, i] = yy
+        return row_idx, sel_debl
+
+    def apply_device(self, planes, deblocked):
+        """Device-resident LR: `planes`/`deblocked` are device int32
+        arrays (possibly mi-padded beyond the visible dims); returns a
+        new list of device planes with LR applied, no host plane
+        round-trips (stripe windows assemble as device row gathers).
+        Bit-exact vs apply()."""
+        import jax.numpy as jnp
+
+        hdr = self.hdr
+        lr = getattr(hdr, "lr", None)
+        out = list(planes)
+        if lr is None or not lr.uses_lr:
+            return out
+        for plane in range(self.seq.color.num_planes):
+            if lr.frame_restoration_type[plane] == C.RESTORE_NONE:
+                continue
+            pw, ph, sh, stripe_off, ns = self._plane_geometry(plane)
+            unit_size = lr.loop_restoration_size[plane]
+            unit_rows = max((ph + (unit_size >> 1)) // unit_size, 1)
+            unit_cols = max((pw + (unit_size >> 1)) // unit_size, 1)
+            (spans, FH, FV, is_w, is_s, s0c, s1c, r0c, r1c, w0c, w1c,
+             any_w, any_s) = self._stripe_params(
+                plane, pw, ph, sh, stripe_off, ns, unit_size,
+                unit_rows, unit_cols)
+            if not (any_w or any_s):
+                continue
+            row_idx, sel_debl = self._row_sources(ph, sh, stripe_off,
+                                                  ns, spans)
+            cdef_d = out[plane][:ph, :pw].astype(jnp.int32)
+            debl_d = deblocked[plane][:ph, :pw].astype(jnp.int32)
+            flat = row_idx.reshape(-1)
+            Sc = jnp.take(cdef_d, jnp.asarray(flat), axis=0)
+            Sd = jnp.take(debl_d, jnp.asarray(flat), axis=0)
+            S = jnp.where(jnp.asarray(sel_debl.reshape(-1))[:, None],
+                          Sd, Sc).reshape(ns, sh + 6, pw)
+            S = jnp.concatenate(
+                [jnp.repeat(S[:, :, :1], 3, axis=2), S,
+                 jnp.repeat(S[:, :, -1:], 3, axis=2)], axis=2)
+            res = _lr_stripes(
+                S, jnp.asarray(FH), jnp.asarray(FV),
+                jnp.asarray(is_w), jnp.asarray(is_s), jnp.asarray(s0c),
+                jnp.asarray(s1c), jnp.asarray(r0c), jnp.asarray(r1c),
+                jnp.asarray(w0c), jnp.asarray(w1c), jnp.asarray(_A2),
+                sh, self.bd, any_w, any_s)
+            # scatter stripes back: row y lives in stripe
+            # (y + stripe_off) // sh at offset y - y0(s)
+            ymap = np.zeros(ph, np.int64)
+            for s, span in enumerate(spans):
+                if span is None:
+                    continue
+                y0, h = span
+                ymap[y0:y0 + h] = s * sh + np.arange(h)
+            restored = jnp.take(res.reshape(ns * sh, pw),
+                                jnp.asarray(ymap), axis=0)
+            out[plane] = out[plane].at[:ph, :pw].set(
+                restored.astype(out[plane].dtype))
+        return out
 
 
 def _fil7(t3, plane):

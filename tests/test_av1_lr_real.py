@@ -72,3 +72,28 @@ def test_lr_real_wiener():
 
 def test_lr_real_synthetic_content():
     assert_exact("noise", 160, 160, 35, extra=("content=1",))
+
+
+def test_lr_real_pallas_pipe(monkeypatch):
+    """Real libaom LR streams through the full device pipe: loop
+    restoration runs device-resident (lr_jax.apply_device) after the
+    device LF+CDEF, no C-recon fallback, bit-exact vs dav1d."""
+    from easyav1_tpu import native
+
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    assert_exact("mix", 320, 200, 40)
+    assert native._PIPE_STATS["frames"] > 0
+    assert native._PIPE_STATS["fallbacks"] == 0
+
+
+def test_lr_real_pallas_pipe_inter(monkeypatch):
+    """Inter frames with LR through the jax MC device pipe."""
+    from easyav1_tpu import native
+
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    assert_exact("interlr", 160, 128, 32, frames=4,
+                 extra=("gop=4",))
+    assert native._PIPE_STATS["frames"] >= 4
+    assert native._PIPE_STATS["fallbacks"] == 0

@@ -55,3 +55,32 @@ def test_superres_with_lr():
     roundtrip_sr("sr_lr", 88, 64, 11, lr=[W, 0, 0],
                  lr_units={(0, 0, 0): ("wiener", [[2, -5, 20],
                                                   [-1, 3, 10]])})
+
+
+@pytest.mark.parametrize("denom", [9, 12, 16])
+def test_superres_pallas_pipe(denom, monkeypatch):
+    """Superres frames through the full device pipe: the sr_jax matmul
+    upscaler runs between device CDEF and LR, no C-recon fallback."""
+    from easyav1_tpu import native
+
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    roundtrip_sr(f"sr_pipe_d{denom}", 8 * denom, 64, denom, seed=denom,
+                 lf_levels=(12, 10), cdef=(3, [(4, 2, 3, 1)]))
+    assert native._PIPE_STATS["frames"] > 0
+    assert native._PIPE_STATS["fallbacks"] == 0
+
+
+def test_superres_lr_pallas_pipe(monkeypatch):
+    """Superres + loop restoration both on device in one frame (the
+    upscaled deblocked snapshot feeds LR's stripe context)."""
+    from easyav1_tpu import native
+
+    W = C.RESTORE_WIENER
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    roundtrip_sr("sr_lr_pipe", 88, 64, 11, lr=[W, 0, 0],
+                 lr_units={(0, 0, 0): ("wiener", [[2, -5, 20],
+                                                  [-1, 3, 10]])},
+                 lf_levels=(10, 8))
+    assert native._PIPE_STATS["fallbacks"] == 0

@@ -183,3 +183,51 @@ def test_lr_jax_chroma_sgr_420():
     plan.lr_type[(1, 0, 0)] = S
     plan.lr_sgr[(1, 0, 0)] = (7, 12, 18)
     _run(128, 128, [0, S, 0], [256, 128, 128], plan)
+
+
+def test_lr_jax_apply_device_parity():
+    """Device-resident apply (row-gather stripe assembly, at[].set
+    writeback, mi-padded planes) is bit-exact vs the numpy apply."""
+    import jax.numpy as jnp
+
+    plan = _Plan()
+    rng = np.random.default_rng(17)
+    for urow in range(3):
+        for ucol in range(3):
+            k = (urow + ucol) % 3
+            if k == 0:
+                plan.lr_type[(0, urow, ucol)] = W
+                plan.lr_wiener[(0, urow, ucol)] = [
+                    [int(rng.integers(-5, 6)),
+                     int(rng.integers(-16, 17)),
+                     int(rng.integers(-20, 48))] for _ in range(2)]
+            elif k == 1:
+                plan.lr_type[(0, urow, ucol)] = S
+                plan.lr_sgr[(0, urow, ucol)] = (
+                    int(rng.integers(0, 16)),
+                    int(rng.integers(-50, 32)),
+                    int(rng.integers(-20, 80)))
+    plan.lr_type[(1, 0, 0)] = S
+    plan.lr_sgr[(1, 0, 0)] = (7, 12, 18)
+    plan.lr_type[(2, 0, 0)] = W
+    plan.lr_wiener[(2, 0, 0)] = [[0, 0, 15], [0, -7, 46]]
+    w, h = 180, 150
+    types = [C.RESTORE_SWITCHABLE, S, W]
+    seq = _Seq()
+    hdr = _Hdr(w, h, types, [64, 64, 64])
+    planes, debl = _mk(w, h)
+    want = [p.copy() for p in planes]
+    lrr = DeviceLoopRestoration(hdr, seq, plan, 8)
+    lrr.apply(want, debl)
+    # device path gets mi-padded planes (extra margin must pass through)
+    pad = [np.pad(p, ((0, 8), (0, 16)), constant_values=3)
+           for p in planes]
+    got = lrr.apply_device([jnp.asarray(p) for p in pad],
+                           [jnp.asarray(d) for d in debl])
+    for i in range(3):
+        g = np.asarray(got[i])
+        assert np.array_equal(g[:planes[i].shape[0],
+                                :planes[i].shape[1]], want[i]), \
+            f"plane {i} mismatch"
+        assert (g[planes[i].shape[0]:] == 3).all()
+        assert (g[:, planes[i].shape[1]:] == 3).all()
