@@ -874,9 +874,7 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
         return None
     out, bufs, _blob, _fpk = res
     rp = _build_rp(seq, hdr)
-    # one record per plane per visited tx; lf_txs shares geometry for
-    # u/v so double it for the worst case
-    max_units = int(out.n_lf) * 2 + 64
+    max_units = _max_pred_units(out, hdr)
     units = np.empty((max_units, 24), np.int32)
     n_out = ctypes.c_int64(0)
     rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
@@ -1179,14 +1177,13 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     C recon (entropy work is shared, not redone)."""
     from easyav1_tpu.video.av1.recon.jax_exec import PallasRecon
 
-    if out.n_pal_units > 0 or getattr(hdr, "allow_intrabc", False):
-        # the strip executor has no palette or intrabc path; without
-        # these gates a palette block silently predicts DC and an
-        # intrabc block exports NO unit at all (both found via frames
-        # whose unit counts passed the export cap)
+    if getattr(hdr, "allow_intrabc", False):
+        # the strip executor has no intrabc path: an intrabc block
+        # exports NO unit at all (found via frames whose unit counts
+        # passed the export cap)
         return None
 
-    max_units = int(out.n_lf) * 2 + 64
+    max_units = _max_pred_units(out, hdr)
     units = np.empty((max_units, 24), np.int32)
     n_out = ctypes.c_int64(0)
     rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
@@ -1208,7 +1205,8 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
         pr = _PALLAS_RECONS[key] = PallasRecon(
             *key[:6], sb128=key[6], interpret=interp)
     outs = pr.run(units[:n_out.value], bufs["txs"][:out.n_txs],
-                  bufs["coeffs"][:out.coeffs_used])
+                  bufs["coeffs"][:out.coeffs_used],
+                  literals=_export_literals(lib, rp, out))
     if outs is None:
         return None
     import jax.numpy as jnp
@@ -1251,9 +1249,6 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     from easyav1_tpu.video.av1.recon.mc_jax import (
         DeviceInterRecon, export_inter_plan)
 
-    if out.n_pal_units > 0:
-        _DEVICE_INTER_STATS["fallbacks"] += 1
-        return None
     blocks = bufs["blocks"][:out.n_blocks]
     ref_dims = [None if refs[s] is None else
                 (refs[s][0][1], refs[s][0][2]) for s in range(8)]
@@ -1275,7 +1270,7 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
         _DEVICE_INTER_STATS["fallbacks"] += 1
         return None
     # intra pred units (inter blocks marked decoded, not exported)
-    max_units = int(out.n_lf) * 2 + 64
+    max_units = _max_pred_units(out, hdr)
     units = np.empty((max_units, 24), np.int32)
     n_out = ctypes.c_int64(0)
     rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
@@ -1306,7 +1301,7 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
             refs_np[p] = lst
     outs = ir.run(units[:n_out.value], bufs["txs"][:out.n_txs],
                   bufs["coeffs"][:out.coeffs_used], plan_mc, refs_np,
-                  (w, h))
+                  (w, h), literals=_export_literals(lib, rp, out))
     if outs is None:
         _DEVICE_INTER_STATS["fallbacks"] += 1
         return None
@@ -1350,6 +1345,37 @@ def _grids_exporter(lib, rp, out):
                 "lvl0": a[5].astype(np.int32),
                 "lvl1": a[6].astype(np.int32), "gw": gw, "gh": gh}
     return grids_for
+
+
+def _max_pred_units(out, hdr):
+    """Upper bound on exported pred-unit records: n_lf counts coded
+    (non-skip) txs, but skip blocks export units too (one per tx
+    tile), so bound by the 4x4 grid: <= mi_rows*mi_cols luma +
+    2*mi_rows*mi_cols chroma (4:4:4 worst case) + interintra extras."""
+    return max(int(out.n_lf) * 2,
+               3 * int(hdr.mi_rows) * int(hdr.mi_cols)) + 256
+
+
+def _export_literals(lib, rp, out):
+    """Palette-prediction patches for the device pipes: (recs[N,6],
+    pix int32) or None when the frame has no palette blocks."""
+    if out.n_pal_units <= 0:
+        return None
+    # worst case: a 64x64 palette block tiled by 4x4 txs = 256 luma +
+    # 2*64 chroma records
+    max_recs = int(out.n_pal_units) * 512 + 64
+    max_pix = int(out.pal_maps_used) * 4 + 4096
+    recs = np.empty((max_recs, 6), np.int32)
+    pix = np.empty(max_pix, np.int32)
+    n_recs = ctypes.c_int64(0)
+    pix_used = ctypes.c_int64(0)
+    rc = lib.av1_export_literal_preds(
+        ctypes.byref(rp), ctypes.byref(out), _vp(recs),
+        ctypes.c_int64(max_recs), ctypes.byref(n_recs), _vp(pix),
+        ctypes.c_int64(max_pix), ctypes.byref(pix_used))
+    if rc != 0:
+        raise RuntimeError("literal pred export overflow")
+    return recs[:n_recs.value], pix[:pix_used.value]
 
 
 def _lr_plan(out, bufs):

@@ -1335,12 +1335,23 @@ static int export_block(Recon *rc, const int32_t *b, int32_t *units,
         }
         return 0;
     }
+    /* palette planes export as cls-10 "literal" units: the device
+       predictor contributes zero and the palette prediction is folded
+       into the residual plane by av1_export_literal_preds (clip(0 +
+       (pal + resid)) == clip(pal + resid) since the stored pal+resid
+       stays far inside int16) */
+    const int32_t *pal_u = b[BLK_PAL]
+        ? rc->o->pal_units + (int64_t)(b[BLK_PAL] - 1) * 32 : NULL;
+    int pal_y = pal_u != NULL && pal_u[0] != 0;
+    int pal_uv = pal_u != NULL && pal_u[1] != 0;
     for (int yy = 0; yy < lim_h; yy += sh)
         for (int xx = 0; xx < lim_w; xx += sw) {
             if (*n >= max_units) return 1;
+            int32_t *u = units + (*n)++ * UF;
             export_tx(rc, br, bc, 0, (bc + xx) * 4, (br + yy) * 4,
-                      tx_size, y_mode, angle_y, 0, 0, 0, 0, 0, 0, fi,
-                      units + (*n)++ * UF);
+                      tx_size, y_mode, angle_y, 0, 0, 0, 0, 0, 0,
+                      pal_y ? -1 : fi, u);
+            if (pal_y) u[5] = 10;
         }
     if (has_chroma && rp->num_planes > 1) {
         int csw = av1_tx_w4[uv_tx], csh = av1_tx_h4[uv_tx];
@@ -1353,13 +1364,87 @@ static int export_block(Recon *rc, const int32_t *b, int32_t *units,
             for (int xx = 0; xx < cb4; xx += csw)
                 for (int plane = 1; plane < rp->num_planes; plane++) {
                     if (*n >= max_units) return 1;
+                    int32_t *u = units + (*n)++ * UF;
                     export_tx(rc, br, bc, plane, cx + xx * 4, cy + yy * 4,
-                              uv_tx, mode, angle_uv, is_cfl,
-                              is_cfl ? (plane == 1 ? cfl_u : cfl_v) : 0,
-                              cx, cy, cb4 * 4, ch4 * 4, -1,
-                              units + (*n)++ * UF);
+                              uv_tx, mode, angle_uv,
+                              pal_uv ? 0 : is_cfl,
+                              (is_cfl && !pal_uv)
+                                  ? (plane == 1 ? cfl_u : cfl_v) : 0,
+                              cx, cy, cb4 * 4, ch4 * 4, -1, u);
+                    if (pal_uv) u[5] = 10;
                 }
     }
+    return 0;
+}
+
+/* Palette-prediction patches for the device pipe: one record
+ * {plane, x, y, w, h, pix_off} per palette-plane tx (same tiling as
+ * export_block / the C recon), pixels row-major int32.  The python
+ * bridge adds them into the composed residual planes so cls-10 units
+ * reconstruct as clip(palette + residual). */
+int av1_export_literal_preds(const ReconParams *rp, const TileOut *o,
+                             int32_t *recs, int64_t max_recs,
+                             int64_t *n_recs, int32_t *pix,
+                             int64_t max_pix, int64_t *pix_used) {
+    int aw = rp->mi_cols * 4, ah = rp->mi_rows * 4;
+    int pw[3], ph[3];
+    pw[0] = aw; ph[0] = ah;
+    pw[1] = pw[2] = aw >> rp->ssx;
+    ph[1] = ph[2] = ah >> rp->ssy;
+    int64_t n = 0, used = 0;
+    for (int64_t i = 0; i < o->n_blocks; i++) {
+        const int32_t *b = o->blocks + i * BLK_FIELDS;
+        if (!b[BLK_PAL]) continue;
+        const int32_t *pal_u =
+            o->pal_units + (int64_t)(b[BLK_PAL] - 1) * 32;
+        int br = b[0], bc = b[1], bsize = b[2];
+        int w4 = av1_block_w4[bsize], h4 = av1_block_h4[bsize];
+        int lim_h = rmin(h4, rp->mi_rows - br);
+        int lim_w = rmin(w4, rp->mi_cols - bc);
+        for (int plane = 0; plane < rp->num_planes; plane++) {
+            int npal = plane == 0 ? pal_u[0] : pal_u[1];
+            if (!npal) continue;
+            if (plane && !b[BLK_HASCHROMA]) continue;
+            int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
+            const int32_t *colors =
+                pal_u + (plane == 0 ? 8 : plane == 1 ? 16 : 24);
+            const int8_t *map =
+                o->pal_maps + pal_u[plane == 0 ? 2 : 3];
+            int mw = pal_u[plane == 0 ? 4 : 6];
+            int mh = pal_u[plane == 0 ? 5 : 7];
+            int bx = (bc >> ssx) * 4, by = (br >> ssy) * 4;
+            int tx = plane == 0 ? b[BLK_TXSZ] : b[BLK_UVTX];
+            int sw4 = av1_tx_w4[tx], sh4 = av1_tx_h4[tx];
+            int t4w = plane ? rmax(1, lim_w >> ssx) : lim_w;
+            int t4h = plane ? rmax(1, lim_h >> ssy) : lim_h;
+            for (int yy = 0; yy < t4h; yy += sh4)
+                for (int xx = 0; xx < t4w; xx += sw4) {
+                    int x = bx + xx * 4, y = by + yy * 4;
+                    int fw = av1_tx_w[tx], fh = av1_tx_h[tx];
+                    int w = rmin(fw, pw[plane] - x);
+                    int h = rmin(fh, ph[plane] - y);
+                    if (w <= 0 || h <= 0) continue;
+                    if (n >= max_recs
+                        || used + (int64_t)w * h > max_pix)
+                        return 1;
+                    int32_t *r = recs + n++ * 6;
+                    r[0] = plane; r[1] = x; r[2] = y;
+                    r[3] = w; r[4] = h; r[5] = (int32_t)used;
+                    for (int ii = 0; ii < h; ii++) {
+                        int ry = y - by + ii;
+                        ry = ry < 0 ? 0 : (ry > mh - 1 ? mh - 1 : ry);
+                        for (int jj = 0; jj < w; jj++) {
+                            int rx = x - bx + jj;
+                            rx = rx < 0 ? 0
+                                 : (rx > mw - 1 ? mw - 1 : rx);
+                            pix[used++] = colors[map[ry * mw + rx]];
+                        }
+                    }
+                }
+        }
+    }
+    *n_recs = n;
+    *pix_used = used;
     return 0;
 }
 

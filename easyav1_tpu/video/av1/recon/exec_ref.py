@@ -260,6 +260,10 @@ class UnitExecutor:
             pc = np.abs(p - corner)
             pred = np.where((pl <= pb) & (pl <= pc), ll,
                             np.where(pb <= pc, b, corner))
+        elif cls == 10:
+            # literal unit (palette): prediction pre-folded into the
+            # residual plane by the host composer
+            pred = np.zeros((h, w), np.int64)
         else:
             raise NotImplementedError(f"unit class {cls}")
 

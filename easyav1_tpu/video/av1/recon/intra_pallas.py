@@ -471,9 +471,11 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                 return jnp.where(bb >= -(1 << ua), rows, cols)
 
             pred = _switch(
-                jnp.clip(cls, 0, 10),
+                jnp.clip(cls, 0, 11),
                 [br_dc, br_v, br_h, br_z1, br_z2, br_z3, br_sm,
-                 br_smv, br_smh, br_paeth, br_dc])
+                 br_smv, br_smh, br_paeth, br_dc,
+                 lambda: zeros])   # K_ZERO: palette literal (pred
+                                   # folded into the residual plane)
 
             # ---- CfL ---------------------------------------------
             if with_cfl:

@@ -42,7 +42,7 @@ NF = 30          # fields per preprocessed unit record
  F_RES) = range(NF)
 
 K_DC, K_V, K_H, K_Z1, K_Z2, K_Z3, K_SM, K_SMV, K_SMH, K_PAETH, \
-    K_CFL = range(11)
+    K_CFL, K_ZERO = range(12)
 
 _SM_OFFS = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
 
@@ -77,9 +77,9 @@ def preprocess_units(units: np.ndarray, dims,
             [cls == 0, cls == 1, cls == 2,
              (cls == 3) & (ang < 90), (cls == 3) & (ang > 180),
              cls == 3, cls == 4, cls == 5, cls == 6, cls == 7,
-             cls == 8],
+             cls == 8, cls == 10],
             [K_DC, K_V, K_H, K_Z1, K_Z3, K_Z2, K_SM, K_SMV, K_SMH,
-             K_PAETH, K_CFL])
+             K_PAETH, K_CFL, K_ZERO])
         dx = np.zeros(n, np.int32)
         dy = np.zeros(n, np.int32)
         z1 = k == K_Z1
@@ -409,6 +409,20 @@ def compose_residual_host(txs, coeffs, shapes, pad_y, pad_x, bd):
     return planes
 
 
+def apply_literals(planes, literals, pad_y, pad_x):
+    """Fold palette-prediction patches (av1_export_literal_preds) into
+    the composed residual planes: cls-10 units then reconstruct as
+    clip(0 + (palette + residual)).  Safe in int16: |residual| <=
+    2^(bd+3) and palette <= 2^bd-1 stay far from the int16 limits."""
+    recs, pix = literals
+    for k in range(recs.shape[0]):
+        p, x, y, w, h, off = (int(v) for v in recs[k])
+        patch = pix[off:off + w * h].reshape(h, w)
+        tgt = planes[p][y + pad_y:y + pad_y + h,
+                        x + pad_x:x + pad_x + w]
+        tgt += patch.astype(tgt.dtype)
+
+
 _RESID_CAPS: dict = {}
 
 
@@ -736,10 +750,16 @@ def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
                 return (wx * L[jnp.clip(ii, 0, ES - 3)]
                         + (256 - wx) * right + 128) >> 8
 
+            def p_zero():
+                # literal unit (palette): the block's palette
+                # prediction is pre-folded into the residual plane by
+                # the host composer; pred contributes nothing
+                return jnp.zeros((ws, ws), jnp.int32)
+
             pred = jax.lax.switch(
-                jnp.clip(cls, 0, 10),
+                jnp.clip(cls, 0, 11),
                 [p_dc, p_v, p_h, d_zone1, d_zone2, d_zone3, p_smooth,
-                 p_smooth_v, p_smooth_h, p_paeth, p_dc])
+                 p_smooth_v, p_smooth_h, p_paeth, p_dc, p_zero])
 
             if with_cfl:
                 lx = (f[F_ACX] - PAD) * (1 + ssx) + PAD
@@ -951,7 +971,7 @@ class PallasRecon:
         return out, counts, umax
 
     def run(self, units: np.ndarray, txs: np.ndarray,
-            coeffs: np.ndarray):
+            coeffs: np.ndarray, literals=None):
         import jax.numpy as jnp
         IP = self.IP
         if self.np_ > 1 and not (self.ssx and self.ssy):
@@ -974,6 +994,10 @@ class PallasRecon:
         shapes = [(hp, wp) for (hp, wp, _) in self.layouts[:self.np_]]
         rnp = compose_residual_host(txs, coeffs, shapes, 0, IP.LPAD,
                                     self.bd)
+        if literals is not None:
+            if rnp is None:
+                return None  # literal fold needs the host composer
+            apply_literals(rnp, literals, 0, IP.LPAD)
         if rnp is not None:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]

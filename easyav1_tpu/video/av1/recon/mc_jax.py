@@ -897,7 +897,7 @@ class DeviceInterRecon:
 
     def run(self, units: np.ndarray, txs: np.ndarray,
             coeffs: np.ndarray, plan_mc: dict, refs_np,
-            frame_dims) -> Optional[list]:
+            frame_dims, literals=None) -> Optional[list]:
         """refs_np: per-plane list of stacked [ns, rh, rw] numpy ref
         arrays (dense slot order = plan_mc['slots']); frame_dims:
         (w, h) logical.  Returns padded device planes or None."""
@@ -918,6 +918,12 @@ class DeviceInterRecon:
         rnp = compose_residual_host(
             txs, coeffs, [tuple(pl.shape) for pl in planes], PAD, PAD,
             self.bd)
+        if literals is not None:
+            if rnp is None:
+                return None  # literal fold needs the host composer
+            from easyav1_tpu.video.av1.recon.jax_exec import \
+                apply_literals
+            apply_literals(rnp, literals, PAD, PAD)
         if rnp is not None:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]

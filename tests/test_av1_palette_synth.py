@@ -100,3 +100,67 @@ def test_palette_random_maps():
         blocks = [_pal_block(0, 0, C.BLOCK_16X16, n, 200 + seed)]
         blocks += _fillers({(r, c) for r in (0, 2) for c in (0, 2)})
         _run(f"rand{seed}", blocks)
+
+
+def _pipe_run(tag, blocks, q=60):
+    """Decode through the device pipe (palette blocks export as cls-10
+    literal units; the host composer folds the palette prediction into
+    the residual planes) and require no C-recon fallback."""
+    import os
+
+    from easyav1_tpu import native
+
+    tu = encode_frame(W, H, q, blocks, adapt=True, screen=True)
+    os.environ["EASYAV1_PIPE"] = "native"
+    be = AV1Backend(TrackInfo(number=1, type=None, codec_id="V_AV1"))
+    want = [np.asarray(p).copy() for p in be.decode([tu], 0)[0].data]
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    os.environ["EASYAV1_PIPE"] = "pallas"
+    try:
+        be2 = AV1Backend(TrackInfo(number=1, type=None,
+                                   codec_id="V_AV1"))
+        got = [np.asarray(p).copy()
+               for p in be2.decode([tu], 0)[0].data]
+    finally:
+        os.environ["EASYAV1_PIPE"] = "native"
+    assert native._PIPE_STATS["fallbacks"] == 0, tag
+    for i, (a, b) in enumerate(zip(want, got)):
+        assert np.array_equal(a, b), f"{tag} plane {i}"
+
+
+def test_palette_pallas_pipe():
+    for n in (2, 5, 8):
+        blocks = [_pal_block(0, 0, C.BLOCK_16X16, n, 10 + n)]
+        blocks += _fillers({(r, c) for r in (0, 2) for c in (0, 2)})
+        _pipe_run(f"pipe_n{n}", blocks)
+
+
+def test_palette_pallas_pipe_large():
+    """32x32 palette block (multiple tx tiles per literal unit) plus
+    non-palette neighbors that read its pixels in the device scan."""
+    blocks = [_pal_block(0, 0, C.BLOCK_32X32, 6, 42)]
+    blocks += _fillers({(r, c) for r in (0, 2, 4, 6)
+                        for c in (0, 2, 4, 6)})
+    _pipe_run("pipe_b32", blocks)
+
+
+def test_palette_pallas_pipe_cache():
+    blocks = [_pal_block(0, 0, C.BLOCK_8X8, 4, 20),
+              _pal_block(0, 2, C.BLOCK_8X8, 4, 21),
+              _pal_block(2, 0, C.BLOCK_8X8, 5, 22),
+              _pal_block(2, 2, C.BLOCK_8X8, 3, 23)]
+    blocks += _fillers({(0, 0), (0, 2), (2, 0), (2, 2)})
+    _pipe_run("pipe_cache", blocks)
+
+
+def test_palette_pallas_pipe_with_residual():
+    """Palette prediction + coded residual in one block: the literal
+    fold must add (not replace) the composed residual."""
+    g = np.random.default_rng(3)
+    m = g.integers(0, 4, size=(16, 16)).astype(np.int32)
+    coeffs = [[(3, 0), (2, 1), (1, 0)]]
+    blk = EncBlock(r=0, c=0, bsize=C.BLOCK_16X16, skip=False,
+                   palette_y=([40, 90, 160, 220], m),
+                   luma_coeffs=coeffs)
+    blocks = [blk] + _fillers({(r, c) for r in (0, 2) for c in (0, 2)})
+    _pipe_run("pipe_resid", blocks)
