@@ -993,18 +993,21 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         for (size_t i = 0; i < need; i++)
             stripe[p][i] = CDEF_VERY_LARGE;
     }
-    /* uv-paired filter staging: ping-pong buffers + a one-deep filter
-       queue, so each filter call reads a window staged one position
-       earlier — its 512-bit tap loads then never hit the store buffer
-       (staging stores immediately before loads block forwarding) */
-    int16_t tmp2[2][14 * CDEF_TSTRIDE];
-    struct {
-        int valid;
+    /* uv-paired filter staging: rotating buffers + a TWO-deep filter
+       queue, so each filter call reads a window staged two positions
+       earlier — its 512-bit tap loads then never hit the store buffer.
+       (Depth 1 was enough when only chroma queued; on all-pri frames
+       the luma-512 and uv paths interleave in the same queue, putting
+       the filter right behind its own staging stores — measured 334
+       vs ~150 cyc/call at 1080p intra.) */
+    int16_t tmp2[4][14 * CDEF_TSTRIDE];
+    typedef struct {
         pel *du, *dv;
         const int16_t *buf;
         int ds, h, pri, sec, pt0, pt1, psh, ssh, pdir, edged;
-    } uvq;
-    uvq.valid = 0;
+    } UvqEnt;
+    UvqEnt uvq2[2];
+    int uvq_n = 0;
     int uvflip = 0;
 
     /* per-row position classification, shared by every pass below
@@ -1290,7 +1293,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                            from the stripes (halo and edge padding
                            already resolved there) */
                         int16_t *tb = tmp2[uvflip];
-                        uvflip ^= 1;
+                        uvflip = (uvflip + 1) & 3;
                         for (int i = 0; i < h + 4; i++) {
                             const int16_t *su =
                                 stripe[1] + (size_t)i * sst[1] + px;
@@ -1305,31 +1308,34 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                     _mm_loadu_si128((const __m128i *)sv),
                                     1));
                         }
-                        /* filter the previously staged position (its
+                        /* filter the oldest staged position (its
                            stores are long retired), then queue ours */
-                        if (uvq.valid) {
+                        if (uvq_n == 2) {
+                            UvqEnt *q = &uvq2[0];
                             uint64_t pc0 = cdef_profile ? __rdtsc() : 0;
                             cdef_filter_uv_avx512(
-                                uvq.du, uvq.dv, uvq.ds, uvq.buf, uvq.h,
-                                uvq.pri, uvq.sec, uvq.pt0, uvq.pt1,
-                                uvq.psh, uvq.ssh, uvq.pdir, uvq.edged);
+                                q->du, q->dv, q->ds, q->buf, q->h,
+                                q->pri, q->sec, q->pt0, q->pt1,
+                                q->psh, q->ssh, q->pdir, q->edged);
                             if (__builtin_expect(cdef_profile, 0)) {
                                 cdef_stat[8] += __rdtsc() - pc0;
                                 cdef_stat[9]++;
                             }
+                            uvq2[0] = uvq2[1];
+                            uvq_n = 1;
                         }
                         int64_t doff = (int64_t)py2 * pw[1] + px;
-                        uvq.valid = 1;
-                        uvq.du = planes[1] + doff;
-                        uvq.dv = planes[2] + doff;
-                        uvq.buf = tb;
-                        uvq.ds = pw[1];
-                        uvq.h = h;
-                        uvq.pri = pri; uvq.sec = sec;
-                        uvq.pt0 = u_pt0; uvq.pt1 = u_pt1;
-                        uvq.psh = u_psh; uvq.ssh = u_ssh;
-                        uvq.pdir = pdir;
-                        uvq.edged = !interior;
+                        UvqEnt *e = &uvq2[uvq_n++];
+                        e->du = planes[1] + doff;
+                        e->dv = planes[2] + doff;
+                        e->buf = tb;
+                        e->ds = pw[1];
+                        e->h = h;
+                        e->pri = pri; e->sec = sec;
+                        e->pt0 = u_pt0; e->pt1 = u_pt1;
+                        e->psh = u_psh; e->ssh = u_ssh;
+                        e->pdir = pdir;
+                        e->edged = !interior;
                     }
                 }
 #endif
@@ -1389,7 +1395,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                            2 output rows x 8 cols per 32-lane pass —
                            2x the per-op throughput of the AVX2 path */
                         int16_t *tb = tmp2[uvflip];
-                        uvflip ^= 1;
+                        uvflip = (uvflip + 1) & 3;
                         for (int i = 0; i < 12; i++) {
                             const int16_t *sy = stripe[0]
                                 + (size_t)i * sst[0] + px;
@@ -1403,29 +1409,33 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                                         (const __m128i *)(sy + 4)),
                                     1));
                         }
-                        if (uvq.valid)
+                        if (uvq_n == 2) {
+                            UvqEnt *q = &uvq2[0];
                             cdef_filter_uv_avx512(
-                                uvq.du, uvq.dv, uvq.ds, uvq.buf, uvq.h,
-                                uvq.pri, uvq.sec, uvq.pt0, uvq.pt1,
-                                uvq.psh, uvq.ssh, uvq.pdir, uvq.edged);
-                        int64_t doff = (int64_t)py2 * pw[0] + px;
-                        uvq.valid = 1;
-                        uvq.du = planes[0] + doff;
-                        uvq.dv = planes[0] + doff + 4;
-                        uvq.buf = tb;
-                        uvq.ds = pw[0];
-                        uvq.h = 8;
-                        uvq.pri = adj_pri;
-                        uvq.sec = sec;
-                        if (((adj_pri >> coeff_shift) & 1) == 0) {
-                            uvq.pt0 = 4; uvq.pt1 = 2;
-                        } else {
-                            uvq.pt0 = 3; uvq.pt1 = 3;
+                                q->du, q->dv, q->ds, q->buf, q->h,
+                                q->pri, q->sec, q->pt0, q->pt1,
+                                q->psh, q->ssh, q->pdir, q->edged);
+                            uvq2[0] = uvq2[1];
+                            uvq_n = 1;
                         }
-                        uvq.psh = cdef_shift_for(adj_pri, pdamp);
-                        uvq.ssh = cdef_shift_for(sec, pdamp);
-                        uvq.pdir = pdir;
-                        uvq.edged = !interior;
+                        int64_t doff = (int64_t)py2 * pw[0] + px;
+                        UvqEnt *e = &uvq2[uvq_n++];
+                        e->du = planes[0] + doff;
+                        e->dv = planes[0] + doff + 4;
+                        e->buf = tb;
+                        e->ds = pw[0];
+                        e->h = 8;
+                        e->pri = adj_pri;
+                        e->sec = sec;
+                        if (((adj_pri >> coeff_shift) & 1) == 0) {
+                            e->pt0 = 4; e->pt1 = 2;
+                        } else {
+                            e->pt0 = 3; e->pt1 = 3;
+                        }
+                        e->psh = cdef_shift_for(adj_pri, pdamp);
+                        e->ssh = cdef_shift_for(sec, pdamp);
+                        e->pdir = pdir;
+                        e->edged = !interior;
                         cdef_stat[12] += __rdtsc() - fb0;
                         continue;
                     }
@@ -1444,20 +1454,21 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         }
         if (__builtin_expect(cdef_profile, 0))
             cdef_stat[17] += __rdtsc() - fw0;
-        /* flush the queued uv filter before the stripes are reused */
+        /* flush the queued uv filters before the stripes are reused */
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
-        if (uvq.valid) {
+        for (int qi = 0; qi < uvq_n; qi++) {
+            UvqEnt *q = &uvq2[qi];
             uint64_t pc0 = cdef_profile ? __rdtsc() : 0;
-            cdef_filter_uv_avx512(uvq.du, uvq.dv, uvq.ds, uvq.buf,
-                                  uvq.h, uvq.pri, uvq.sec, uvq.pt0,
-                                  uvq.pt1, uvq.psh, uvq.ssh, uvq.pdir,
-                                  uvq.edged);
+            cdef_filter_uv_avx512(q->du, q->dv, q->ds, q->buf,
+                                  q->h, q->pri, q->sec, q->pt0,
+                                  q->pt1, q->psh, q->ssh, q->pdir,
+                                  q->edged);
             if (__builtin_expect(cdef_profile, 0)) {
                 cdef_stat[8] += __rdtsc() - pc0;
                 cdef_stat[9]++;
             }
-            uvq.valid = 0;
         }
+        uvq_n = 0;
 #endif
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         /* sec-only bands run AFTER the per-position pass: the per-
