@@ -476,13 +476,16 @@ def _build_fp(hdr, seq, cdf_in: Optional[bytes], cdf_out, tpl):
 
 
 def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
-               tpl=None, fill_aux=False, threads=0):
+               tpl=None, fill_aux=False, threads=0, gen=0):
     """Run the C tile decoder over all tiles of a frame.
 
     Returns (TileOut, bufs, cdf_blob_or_None) or None when the frame
     uses syntax outside the C decoder's scope.  cdf_in: packed CdfState
     blob for inherited entropy state (spec load_cdfs); want_cdf: export
-    the end-of-tile state of the context_update_tile_id tile."""
+    the end-of-tile state of the context_update_tile_id tile.
+    gen: buffer-pool generation — frame-parallel decode alternates 0/1
+    so frame N+1's entropy never overwrites the arrays frame N's
+    still-running recon reads."""
     mi_rows, mi_cols = hdr.mi_rows, hdr.mi_cols
     q = hdr.quant
     p = _TileParams(
@@ -518,7 +521,7 @@ def _run_tiles(lib, seq, hdr, tiles, cdf_in=None, want_cdf=False,
     # buffer pool keyed by mi dims — the C decoder overwrites every
     # consumed element, so reuse without re-zeroing (cdef grid and the
     # inter-state grids excepted)
-    key = (mi_rows, mi_cols)
+    key = (mi_rows, mi_cols, gen)
     bufs = _BUF_POOL.get(key)
     if bufs is None:
         bufs = {
@@ -888,6 +891,105 @@ def export_frame_bridge(seq, hdr, tiles: List[bytes]):
         "coeffs": bufs["coeffs"][:out.coeffs_used].copy(),
         "rp": rp, "out": out, "bufs": bufs,
     }
+
+
+def decode_entropy_native(seq, hdr, tiles: List[bytes], cdf_in=None,
+                          want_cdf=False, tpl=None, threads=0, gen=0):
+    """Entropy phase only (frame-parallel decode, dav1d frame-thread
+    analog: thread_task.c frame tasks): C tile decode into the
+    generation-`gen` buffer set.  Returns (out, bufs, blob, mv_grids,
+    rp) or None when the C decoder declines.  The caller may then run
+    `recon_native_phase` on another thread while the next frame's
+    entropy proceeds in generation 1-gen."""
+    lib = _load()
+    if lib is None:
+        return None
+    if os.environ.get("EASYAV1_PIPE", "native") != "native":
+        return None
+    res = _run_tiles(lib, seq, hdr, tiles, cdf_in=cdf_in,
+                     want_cdf=want_cdf, tpl=tpl, threads=threads,
+                     gen=gen)
+    if res is None:
+        return None
+    out, bufs, blob, (fp_rc, keep_fp) = res
+    rp = _build_rp(seq, hdr)
+    mv_grids = None
+    if not hdr.frame_is_intra:
+        mv_grids = (bufs["ref0"], bufs["ref1"], bufs["mvs"])
+    return out, bufs, blob, mv_grids, (rp, fp_rc, keep_fp)
+
+
+def recon_native_phase(seq, hdr, out, bufs, rp_pack, refs):
+    """Recon phase of the split path: C recon + postfilters on the
+    entropy outputs, 8-bit zero-copy planes.  Thread-safe against a
+    concurrent `decode_entropy_native` of the NEXT frame (disjoint
+    buffer generations; the C recon and tile decoder share only
+    read-only tables).  Returns (planes, ref_triples)."""
+    lib = _load()
+    rp, fp_rc, keep_fp = rp_pack
+    pel8 = seq.color.bitdepth == 8
+    pel_dt = np.uint8 if pel8 else np.uint16
+    rfl = _RefPlanes()
+    keep_refs = []
+    if not hdr.frame_is_intra:
+        for slot in range(8):
+            pls = refs[slot]
+            if pls is None:
+                continue
+            for pi, (arr, lw, lh) in enumerate(pls):
+                if isinstance(arr, _DevRef):
+                    arr = arr.numpy()
+                if arr.dtype != pel_dt or not arr.flags.c_contiguous:
+                    arr = np.ascontiguousarray(arr, pel_dt)
+                keep_refs.append(arr)
+                rfl.plane[slot][pi] = _vp(arr).value
+                rfl.w[slot][pi] = lw
+                rfl.h[slot][pi] = lh
+                rfl.stride[slot][pi] = arr.shape[1]
+    ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
+    aw, ah = hdr.mi_cols * 4, hdr.mi_rows * 4
+    aw_y = max(aw, hdr.upscaled_width)
+    aw_c = max(aw >> ssx, (hdr.upscaled_width + ssx) >> ssx)
+    pkey = ("planes", ah, aw_y, aw_c, ssy, int(pel8))
+    pool = _BUF_POOL.setdefault(pkey + ("rot",), [])
+    pl = None
+    for cand in pool:
+        if all(sys.getrefcount(a) == 3
+               and sys.getrefcount(a.base) == 2 for a in cand):
+            pl = cand
+            break
+    if pl is None:
+        pl = (_alloc_huge((ah, aw_y), pel_dt),
+              _alloc_huge((ah >> ssy, aw_c), pel_dt),
+              _alloc_huge((ah >> ssy, aw_c), pel_dt))
+        pool.append(pl)
+    py, pu, pv = pl
+    recon_fn = lib.av1_recon_frame_8 if pel8 else lib.av1_recon_frame
+    rc = recon_fn(ctypes.byref(rp), ctypes.byref(out),
+                  ctypes.byref(fp_rc), ctypes.byref(rfl),
+                  _vp(py), _vp(pu), _vp(pv))
+    del keep_fp, keep_refs
+    if rc != 0:
+        raise RuntimeError(f"native recon failed rc={rc}")
+    n_pl = seq.color.num_planes
+    w, h = hdr.upscaled_width, hdr.frame_height
+    cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy
+    if pel8:
+        planes = []
+        ref_triples = []
+        for src, (pw_, ph_) in zip((py, pu, pv)[:n_pl],
+                                   ((w, h), (cw, ch), (cw, ch))):
+            planes.append(src[:ph_, :pw_])
+            ref_triples.append((src, pw_, ph_))
+        return planes, ref_triples
+    dt = np.uint16
+    planes = [py[:h, :w].astype(dt)]
+    if n_pl > 1:
+        planes.append(pu[:ch, :cw].astype(dt))
+        planes.append(pv[:ch, :cw].astype(dt))
+    ref_triples = [(np.ascontiguousarray(p, pel_dt), p.shape[1],
+                    p.shape[0]) for p in planes]
+    return planes, ref_triples
 
 
 def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,

@@ -32,6 +32,40 @@ class AV1DecodeError(Exception):
     pass
 
 
+class _FpPlanes:
+    """Plane list of a frame whose reconstruction is still running on
+    the frame-parallel worker; joins on first access (the dav1d
+    frame-threading output contract: get_picture blocks until the
+    frame task completes).  `which`: "display" = post-grain output
+    planes, "ref" = pre-grain cropped recon planes."""
+
+    __slots__ = ("_fut", "_np", "_which")
+
+    def __init__(self, fut, which="display"):
+        self._fut = fut
+        self._np = None
+        self._which = which
+
+    def _mat(self):
+        if self._np is None:
+            disp, triples = self._fut.result()
+            if self._which == "display":
+                self._np = disp
+            else:
+                self._np = [a[:h, :w] for (a, w, h) in triples]
+            self._fut = None
+        return self._np
+
+    def __len__(self):
+        return len(self._mat())
+
+    def __getitem__(self, i):
+        return self._mat()[i]
+
+    def __iter__(self):
+        return iter(self._mat())
+
+
 class AV1Backend:
     def __init__(self, track: TrackInfo, threads: int = 0):
         self.track = track
@@ -39,6 +73,18 @@ class AV1Backend:
         # dav1d-auto analog easyav1.c:1401-1408), EASYAV1_THREADS
         # still overrides inside native.decode_threads()
         self.threads = threads
+        # frame-parallel decode (dav1d frame-threading analog,
+        # thread_task.c frame tasks): frame N's C recon runs on a
+        # single worker thread while frame N+1's entropy decode runs
+        # on the caller thread.  The two phases share no mutable
+        # state: entropy alternates buffer-pool generations, recon
+        # reads the ref planes of FIFO-earlier frames only.
+        import os
+        self._fp_on = os.environ.get("EASYAV1_FRAME_PARALLEL",
+                                     "0") not in ("", "0")
+        self._fp_exec = None
+        self._fp_gen = 0
+        self._fp_q: list = []      # in-flight recon futures, FIFO
         self.seq: Optional[SequenceHeader] = None
         self.hp: Optional[HeaderParser] = None
         self._out_refs: List[Optional[VideoFrame]] = [None] * C.NUM_REF_FRAMES
@@ -64,7 +110,95 @@ class AV1Backend:
         return frames
 
     def flush(self) -> None:
-        pass  # intra decode is stateless per frame (refs kept for show_existing)
+        self._fp_join()
+
+    # -- frame-parallel machinery -----------------------------------------
+
+    def _fp_join(self) -> None:
+        """Wait for all in-flight frame-parallel recons and resolve
+        pending ref-slot triples to concrete arrays."""
+        for fut in self._fp_q:
+            fut.result()
+        self._fp_q.clear()
+        for i, s in enumerate(self._ref_u16):
+            if isinstance(s, tuple) and len(s) == 2 and s[0] == "fut":
+                self._ref_u16[i] = s[1].result()[1]
+
+    @staticmethod
+    def _fp_resolve(slot):
+        if isinstance(slot, tuple) and len(slot) == 2 \
+                and slot[0] == "fut":
+            return slot[1].result()[1]
+        return slot
+
+    def _decode_frame_fp(self, hdr: FrameHeader, tiles, ts: int,
+                         init_blob, want_cdf, tpl):
+        """Frame-parallel decode attempt: entropy on this thread,
+        recon submitted to the worker; returns (handled, frame)."""
+        from easyav1_tpu import native
+
+        seq = self.seq
+        eres = native.decode_entropy_native(
+            seq, hdr, tiles, cdf_in=init_blob, want_cdf=want_cdf,
+            tpl=tpl, threads=self.threads, gen=self._fp_gen)
+        if eres is None:
+            # C decoder declined: the sync fallbacks need concrete
+            # refs, so drain the pipeline first
+            self._fp_join()
+            return False, None
+        self._fp_gen ^= 1
+        out, bufs, out_blob, mv_grids, rp_pack = eres
+        if self._fp_exec is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._fp_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="av1-frame")
+        ref_snap = list(self._ref_u16)
+        fg = getattr(hdr, "film_grain", None)
+        apply_fg = fg is not None and fg.apply_grain
+
+        def work():
+            refs = [self._fp_resolve(s) for s in ref_snap]
+            planes, ref_triples = native.recon_native_phase(
+                seq, hdr, out, bufs, rp_pack, refs)
+            disp = planes
+            if apply_fg:
+                disp = native.film_grain_native(fg, seq, planes)
+                if disp is None:
+                    from easyav1_tpu.video.av1.fg_ref import FilmGrain
+                    disp = FilmGrain(fg, seq,
+                                     seq.color.bitdepth).apply(planes)
+            return disp, ref_triples
+
+        # bound the pipeline at 2 in flight (1 running + 1 queued)
+        while len(self._fp_q) >= 2:
+            self._fp_q.pop(0).result()
+        fut = self._fp_exec.submit(work)
+        self._fp_q.append(fut)
+
+        if not want_cdf:
+            out_blob = (init_blob if init_blob is not None
+                        else self._default_blob(hdr.quant.base_q_idx))
+        frame = self._make_frame(_FpPlanes(fut), hdr, ts,
+                                 grain_done=True)
+        from easyav1_tpu.video.av1.mfmv import save_tmvs
+        if mv_grids is not None:
+            tmvs = save_tmvs(hdr, mv_grids[0], mv_grids[1],
+                             mv_grids[2])
+        else:
+            h8 = (hdr.mi_rows + 1) >> 1
+            w8 = (hdr.mi_cols + 1) >> 1
+            tmvs = (np.full((h8, w8), C.NONE_FRAME, np.int8),
+                    np.zeros((h8, w8, 2), np.int16))
+        self.hp.update_refs(hdr)
+        for i in range(C.NUM_REF_FRAMES):
+            if hdr.refresh_frame_flags & (1 << i):
+                self._out_refs[i] = frame
+                # pre-grain planes (spec 7.18.1: refs stay grain-free)
+                self._ref_planes[i] = _FpPlanes(fut, which="ref")
+                self._ref_u16[i] = ("fut", fut)
+                self._ref_cdfs[i] = out_blob
+                self._ref_tmvs[i] = tmvs
+        return True, (frame if hdr.show_frame else None)
 
     def probe_sequence_header(self, chunks: List[bytes]) -> bool:
         for chunk in chunks:
@@ -174,6 +308,12 @@ class AV1Backend:
         planes = None
         nat_grids = None
         planes16 = None
+        if self._fp_on:
+            handled, f = self._decode_frame_fp(hdr, tiles, ts,
+                                               init_blob, want_cdf,
+                                               tpl)
+            if handled:
+                return f
         res = native.decode_and_recon_native(
             seq, hdr, tiles, cdf_in=init_blob, want_cdf=want_cdf,
             tpl=tpl, refs=self._ref_u16, want_u16=True,
@@ -325,7 +465,8 @@ class AV1Backend:
                     pos += size
         return tiles
 
-    def _make_frame(self, planes, hdr: FrameHeader, ts: int) -> VideoFrame:
+    def _make_frame(self, planes, hdr: FrameHeader, ts: int,
+                    grain_done: bool = False) -> VideoFrame:
         seq = self.seq
         cc = seq.color
         layout = {(1, 1): PixelLayout.YUV420, (1, 0): PixelLayout.YUV422,
@@ -350,7 +491,7 @@ class AV1Backend:
         )
         fg = getattr(hdr, "film_grain", None)
         out_planes = planes      # keep lazy device planes unmaterialized
-        if fg is not None and fg.apply_grain:
+        if fg is not None and fg.apply_grain and not grain_done:
             # grain is an output-only transform; reference frames stay
             # grain-free (spec 7.18.1)
             import os

@@ -1022,14 +1022,25 @@ class PallasRecon:
         k0 = IP.make_strip_kernel(self.strips[0], wp0, ns0, umax,
                                   self.bd, False, 0, self.interpret)
         outs[0] = k0(jnp.asarray(u3), jnp.asarray(cnt), resid[0])
+        # CfL only exists for 4:2:0 here (non-420 CfL frames declined
+        # above); building the chroma kernels WITHOUT the luma input
+        # otherwise also avoids the kernel's 2x-subsampled luma strip
+        # DMA, whose 420-shaped row indexing reads out of bounds on
+        # 4:2:2/4:4:4 luma planes (hardware Mosaic fault; interpret
+        # mode tolerated it)
+        cfl_ok = self.ssx == 1 and self.ssy == 1
         for p in range(1, self.np_):
             hpp, wpp, nsp = self.layouts[p]
             u3, cnt, umax = self._strip_fields(fields[p], p)
             kp = IP.make_strip_kernel(self.strips[p], wpp, nsp, umax,
-                                      self.bd, True, wp0,
+                                      self.bd, cfl_ok, wp0,
                                       self.interpret)
-            outs[p] = kp(jnp.asarray(u3), jnp.asarray(cnt), resid[p],
-                         outs[0])
+            if cfl_ok:
+                outs[p] = kp(jnp.asarray(u3), jnp.asarray(cnt),
+                             resid[p], outs[0])
+            else:
+                outs[p] = kp(jnp.asarray(u3), jnp.asarray(cnt),
+                             resid[p])
         return outs
 
     def crop(self, outs):
