@@ -363,6 +363,107 @@ def bench_multistream(n_streams=8, chunk=10) -> dict:
             "multistream_frames_total": n_out}
 
 
+def bench_multistream_device(n_streams=8, frames=8) -> dict:
+    """Config-5 on the TPU: N 1080p inter streams decoded through the
+    device-resident pipe (C entropy + device MC/residual/LF/CDEF,
+    refs in HBM, hash-only returns), round-robin interleaved so each
+    stream's host entropy overlaps the others' device work.  All
+    streams share one kernel-signature set (same geometry), so the
+    one-time compile cost is paid once by the warm-up pass.
+
+    Also reports the per-stage device-time breakdown for the shared
+    postfilter kernels (VERDICT r4 item 8: utilization, not just fps)
+    with an achieved-bytes/s estimate."""
+    import os
+
+    from easyav1_tpu.container import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+    from easyav1_tpu.video.av1.recon.resident import frame_hash_device
+
+    path = _av1_fixture(frames=60, fps=30, gop=9999, tag="inter")
+    prev = {k: os.environ.get(k) for k in
+            ("EASYAV1_PIPE", "EASYAV1_RESIDENT")}
+    os.environ["EASYAV1_PIPE"] = "pallas"
+    os.environ["EASYAV1_RESIDENT"] = "1"
+    try:
+        dmx = WebMDemuxer(str(path))
+        vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+        pkts = []
+        while (p := dmx.read_packet()) is not None:
+            if p.track == vt.number:
+                pkts.extend(p.frames)
+        pkts = pkts[:frames]
+        # warm-up: full pass (every kernel signature compiles;
+        # uncacheable on this platform)
+        warm = AV1Backend(vt)
+        for pk in pkts:
+            for f in warm.decode([pk], 0):
+                pl = getattr(f.data, "device_planes", None)
+                if pl is not None:
+                    frame_hash_device(pl)
+        decs = [AV1Backend(vt) for _ in range(n_streams)]
+        hashes = []
+        t0 = time.perf_counter()
+        for k, pk in enumerate(pkts):
+            for be in decs:
+                for f in be.decode([pk], 0):
+                    pl = getattr(f.data, "device_planes", None)
+                    if pl is not None:
+                        hashes.append(frame_hash_device(pl))
+        n_dev = len(hashes)
+        hashes = [int(h.block_until_ready()) for h in hashes]
+        wall = time.perf_counter() - t0
+        n_out = n_streams * len(pkts)
+        out = {
+            "multistream_device_fps": round(n_out / wall, 2),
+            "multistream_device_streams": n_streams,
+            "multistream_device_frames": n_out,
+            "multistream_device_on_device": n_dev,
+        }
+        # per-stage device breakdown of the shared postfilter kernels
+        try:
+            sys.path.insert(0, str(REPO / "tools"))
+            from profile_device import profile_postfilter
+
+            st = profile_postfilter(1920, 1080, n_batch=4, reps=2)
+            for k2 in ("lf_ms", "cdef_dirs_ms", "cdef_filter_ms",
+                       "postfilter_ms", "hash_ms", "h2d_resid_ms"):
+                out[f"device_stage_{k2}"] = round(st[k2], 2)
+            # bytes touched by LF+CDEF at 1080p (int32 planes, ~2
+            # read+write passes each): utilization vs ~800 GB/s HBM
+            mb = (1088 * 1920 + 2 * 544 * 960) * 4 * 4 / 1e6
+            out["device_postfilter_gbps"] = round(
+                mb / st["postfilter_ms"], 2)
+        except Exception:
+            pass
+        return out
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def bench_device_combined() -> dict:
+    """Resident decode + multistream-device in ONE process: the two
+    phases share the jax runtime and whatever kernel signatures
+    overlap, so the uncacheable remote compiles are paid once."""
+    out = {}
+    try:
+        out.update(bench_device_resident())
+    except Exception as e:  # noqa: BLE001
+        out["device_resident_error"] = str(e)[:120]
+    if _remaining() > 240:
+        try:
+            out.update(bench_multistream_device())
+        except Exception as e:  # noqa: BLE001
+            out["multistream_device_error"] = str(e)[:120]
+    else:
+        out["multistream_device_skipped"] = "budget"
+    return out
+
+
 def bench_av1_4k() -> dict:
     """BASELINE config-4 shape (4K): decode throughput vs dav1d on the
     same host.  Encoded at cpu-used=8 so fixture creation stays cheap;
@@ -423,8 +524,7 @@ def main():
     # overrun the remaining budget — every earlier metric is already
     # emitted either way
     for name, fn, floor in (("multistream", "bench_multistream", 300),
-                            ("device_resident", "bench_device_resident",
-                             300)):
+                            ("device", "bench_device_combined", 300)):
         rem = _remaining()
         if rem <= floor:
             result[f"{name}_skipped"] = "budget"
@@ -433,8 +533,13 @@ def main():
                 f"sys.path.insert(0, {str(REPO / 'tests')!r}); "
                 f"import bench; print(json.dumps(bench.{fn}()))")
         try:
+            env = dict(os.environ)
+            # the child re-reads its own budget clock; hand it the
+            # actually-remaining slice so its internal phase gating
+            # matches the parent's hard timeout
+            env["EASYAV1_BENCH_BUDGET_S"] = str(max(rem - 90, 60))
             r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
+                               capture_output=True, text=True, env=env,
                                timeout=max(rem - 60, 60))
             line = r.stdout.strip().splitlines()[-1]
             result.update(json.loads(line))
