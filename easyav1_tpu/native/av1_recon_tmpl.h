@@ -1240,8 +1240,10 @@ static void export_tx(Recon *rc, int br, int bc, int plane, int x, int y,
         p_angle = BA[mode - V_PRED] + angle_delta * 3;
     }
     int cls;
-    if (fi >= 0 && plane == 0) cls = 9;          /* filter-intra: no
-                                                    device support yet */
+    if (fi >= 0 && plane == 0) {
+        cls = 9;            /* filter-intra: u[6] carries the mode */
+        p_angle = fi;
+    }
     else if (is_cfl) cls = 8;
     else if (mode == DC_PRED) cls = 0;
     else if (is_dir && p_angle == 90) cls = 1;

@@ -264,6 +264,28 @@ class UnitExecutor:
             # literal unit (palette): prediction pre-folded into the
             # residual plane by the host composer
             pred = np.zeros((h, w), np.int64)
+        elif cls == 9:
+            # recursive filter intra (spec 7.11.2.3); p_angle carries
+            # the filter mode, edges are the unfiltered above/left
+            from easyav1_tpu.video.av1 import tables as _T
+
+            taps = np.asarray(_T.data()["filter_intra_taps"],
+                              np.int64)[p_angle]
+            mx9 = (1 << bd) - 1
+            W9 = np.zeros((h + 1, w + 1), np.int64)
+            W9[0, 1:] = A[:w]
+            W9[1:, 0] = L[:h]
+            W9[0, 0] = corner
+            for y0 in range(0, h, 2):
+                for x0 in range(0, w, 4):
+                    p = np.array([W9[y0, x0], W9[y0, x0 + 1],
+                                  W9[y0, x0 + 2], W9[y0, x0 + 3],
+                                  W9[y0, x0 + 4], W9[y0 + 1, x0],
+                                  W9[y0 + 2, x0], 0], np.int64)
+                    v = (taps @ p + 8) >> 4
+                    v = np.clip(v, 0, mx9)
+                    W9[y0 + 1:y0 + 3, x0 + 1:x0 + 5] = v.reshape(2, 4)
+            pred = W9[1:, 1:]
         else:
             raise NotImplementedError(f"unit class {cls}")
 

@@ -103,13 +103,20 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
         if 2 * i + 1 < EW:
             r2[i, 2 * i + 1] = 1.0
 
+    # filter-intra taps (5 modes x 8 outputs x 8 taps) packed into a
+    # lane-padded VMEM constant: row m*8+k lanes 0-7 = taps[m][k][:]
+    fi_np = np.zeros((40, 128), np.int32)
+    from easyav1_tpu.video.av1 import tables as _T
+    fi_np[:, :8] = np.asarray(_T.data()["filter_intra_taps"],
+                              np.int32).reshape(40, 8)
+
     def kernel(*refs):
         if with_cfl:
-            (units_ref, counts_ref, smr, d1r, d2r, s2r, r2r,
+            (units_ref, counts_ref, smr, d1r, d2r, s2r, r2r, fir,
              resid_hbm, luma_hbm, out_hbm, strip, rstrip, prev_row,
              lstrip, sem) = refs
         else:
-            (units_ref, counts_ref, smr, d1r, d2r, s2r, r2r,
+            (units_ref, counts_ref, smr, d1r, d2r, s2r, r2r, fir,
              resid_hbm, out_hbm, strip, rstrip, prev_row, lstrip,
              sem) = refs
             luma_hbm = None
@@ -470,12 +477,63 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                     + ((-(io_pr + 1) * f(F_DX)) >> (6 - ua))
                 return jnp.where(bb >= -(1 << ua), rows, cols)
 
+            def br_filt():
+                # recursive filter intra (spec 7.11.2.3, parity:
+                # recon_ref._filter_intra_pred): 4x2 patches in raster
+                # order; W row 0 = above slots, col 0 = left slots,
+                # interior = the growing pred buffer.  f(F_ANGLE)
+                # carries the filter mode; taps live in the fir const.
+                mode = jnp.clip(f(F_ANGLE), 0, 4)
+                taps = fir[pl.ds(pl.multiple_of(mode * 8, 8), 8), :]
+                io8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+                io8l = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+                n_w = (w + 3) >> 2
+                n_h = (h + 1) >> 1
+
+                def wread(Wp, r, c):
+                    """W[r][c]: above edge (r==0), left edge (c==0),
+                    else the already-computed pred pixel."""
+                    av = lane_extract(above, 1 + c)
+                    lv = lane_extract(left, 1 + r)
+                    pe = jnp.sum(jnp.where(
+                        (io_pr == r - 1) & (io_p == c - 1), Wp, 0))
+                    return jnp.where(r == 0, av,
+                                     jnp.where(c == 0, lv, pe))
+
+                def patch(s, Wp):
+                    i = s >> 3
+                    j = s & 7
+                    y0 = 2 * i
+                    x0 = 4 * j
+                    act = (i < n_h) & (j < n_w)
+                    pvals = [wread(Wp, y0, x0 + m) for m in range(5)]
+                    pvals.append(wread(Wp, y0 + 1, x0))
+                    pvals.append(wread(Wp, y0 + 2, x0))
+                    pv8 = jnp.zeros((8, 128), jnp.int32)
+                    for m, pm in enumerate(pvals):
+                        pv8 = jnp.where(io8l == m, pm, pv8)
+                    vsum = jnp.sum(jnp.where(io8l < 7, taps * pv8, 0),
+                                   axis=1, keepdims=True)   # [8, 1]
+                    out = Wp
+                    for k in range(8):
+                        vk = jnp.sum(jnp.where(io8r[:, 0:1] == k,
+                                               vsum, 0))
+                        vk = jnp.clip((vk + 8) >> 4, 0, mx)
+                        out = jnp.where(
+                            (io_pr == y0 + (k >> 2))
+                            & (io_p == x0 + (k & 3)) & act, vk, out)
+                    return out
+
+                # filter-intra blocks cap at 32x32: 16x8 patches
+                return jax.lax.fori_loop(0, 128, patch, zeros)
+
             pred = _switch(
-                jnp.clip(cls, 0, 11),
+                jnp.clip(cls, 0, 12),
                 [br_dc, br_v, br_h, br_z1, br_z2, br_z3, br_sm,
                  br_smv, br_smh, br_paeth, br_dc,
-                 lambda: zeros])   # K_ZERO: palette literal (pred
+                 lambda: zeros,    # K_ZERO: palette literal (pred
                                    # folded into the residual plane)
+                 br_filt])
 
             # ---- CfL ---------------------------------------------
             if with_cfl:
@@ -549,6 +607,7 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # d2
         pl.BlockSpec(memory_space=pltpu.VMEM),   # s2
         pl.BlockSpec(memory_space=pltpu.VMEM),   # r2
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # fi taps
         pl.BlockSpec(memory_space=pltpu.ANY),    # resid
     ]
     if with_cfl:
@@ -579,14 +638,15 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
     d2j = jnp2.asarray(d2)
     s2j = jnp2.asarray(s2)
     r2j = jnp2.asarray(r2)
+    fij = jnp2.asarray(fi_np)
 
     if with_cfl:
         def fn(units, counts, resid, luma):
             return call(units, counts, smrows, d1j, d2j, s2j, r2j,
-                        resid, luma)
+                        fij, resid, luma)
     else:
         def fn(units, counts, resid):
             return call(units, counts, smrows, d1j, d2j, s2j, r2j,
-                        resid)
+                        fij, resid)
 
     return jax.jit(fn)

@@ -42,7 +42,7 @@ NF = 30          # fields per preprocessed unit record
  F_RES) = range(NF)
 
 K_DC, K_V, K_H, K_Z1, K_Z2, K_Z3, K_SM, K_SMV, K_SMH, K_PAETH, \
-    K_CFL, K_ZERO = range(12)
+    K_CFL, K_ZERO, K_FILT = range(13)
 
 _SM_OFFS = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
 
@@ -61,7 +61,8 @@ def preprocess_units(units: np.ndarray, dims,
                      pad: int = PAD) -> List[np.ndarray]:
     """Bridge records [N,24] → per-plane field arrays [Np, NF] int32
     (decode order preserved within each plane; coordinates shifted by
-    PAD).  Raises NotImplementedError on class-9 (filter-intra)."""
+    PAD).  Class-9 records are filter-intra units whose `ang` column
+    carries the filter mode (export_tx)."""
     dr, _ = _tables()
     out = []
     for plane in range(len(dims)):
@@ -70,16 +71,14 @@ def preprocess_units(units: np.ndarray, dims,
         f = np.zeros((n, NF), np.int32)
         (x, y, w, h, cls, ang, ha, hl, htr, hbl, sa, sl, ua, ul, cf,
          alpha, acx, acy, acw, ach) = (sel[:, i] for i in range(1, 21))
-        if np.any(cls == 9):
-            raise NotImplementedError("filter-intra unit in bridge")
         ph, pw = dims[plane]
         k = np.select(
             [cls == 0, cls == 1, cls == 2,
              (cls == 3) & (ang < 90), (cls == 3) & (ang > 180),
              cls == 3, cls == 4, cls == 5, cls == 6, cls == 7,
-             cls == 8, cls == 10],
+             cls == 8, cls == 10, cls == 9],
             [K_DC, K_V, K_H, K_Z1, K_Z3, K_Z2, K_SM, K_SMV, K_SMH,
-             K_PAETH, K_CFL, K_ZERO])
+             K_PAETH, K_CFL, K_ZERO, K_FILT])
         dx = np.zeros(n, np.int32)
         dy = np.zeros(n, np.int32)
         z1 = k == K_Z1
@@ -527,6 +526,9 @@ def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
     sm = jnp.asarray(sm_np.astype(np.int32))
     sm_off = jnp.asarray(
         np.array([_SM_OFFS.get(1 << i, 0) for i in range(7)], np.int32))
+    from easyav1_tpu.video.av1 import tables as _T
+    fi_taps = jnp.asarray(
+        np.asarray(_T.data()["filter_intra_taps"], np.int32))
 
     iota = jnp.arange(ES, dtype=jnp.int32)
     ii = jnp.arange(ws, dtype=jnp.int32)[:, None]
@@ -756,10 +758,54 @@ def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
                 # the host composer; pred contributes nothing
                 return jnp.zeros((ws, ws), jnp.int32)
 
+            def p_filt():
+                # recursive filter intra (spec 7.11.2.3, parity:
+                # recon_ref._filter_intra_pred): 4x2 patches in raster
+                # order from 7 neighbors; W buffer row 0 / col 0 hold
+                # the unfiltered edges, f[F_ANGLE] carries the mode
+                taps = fi_taps[jnp.clip(f[F_ANGLE], 0, 4)]  # [8, 8]
+                WB = jnp.zeros((ws + 2, ws + 8), jnp.int32)
+                arow_w = jnp.concatenate(
+                    [corner2[None], A[:ws + 7]]).astype(jnp.int32)
+                WB = WB.at[0, :].set(arow_w)
+                lcol_w = jnp.concatenate(
+                    [corner2[None], L[:ws + 1]]).astype(jnp.int32)
+                WB = WB.at[:, 0].set(lcol_w)
+                n_w = (w + 3) >> 2
+                n_h = (h + 1) >> 1
+
+                def patch(s, WB):
+                    i = s // 8
+                    j = s - 8 * i
+                    y0 = 2 * i
+                    x0 = 4 * j
+                    act = (i < n_h) & (j < n_w)
+                    top = jax.lax.dynamic_slice(WB, (y0, x0),
+                                                (1, 5))[0]
+                    lft = jax.lax.dynamic_slice(WB, (y0 + 1, x0),
+                                                (2, 1))[:, 0]
+                    p = jnp.concatenate(
+                        [top, lft, jnp.zeros(1, jnp.int32)])  # [8]
+                    v = jnp.einsum("kp,p->k", taps, p,
+                                   preferred_element_type=jnp.int32)
+                    v = jnp.clip((v + 8) >> 4, 0, mxpix)
+                    blk = v.reshape(2, 4)
+                    cur = jax.lax.dynamic_slice(
+                        WB, (y0 + 1, x0 + 1), (2, 4))
+                    blk = jnp.where(act, blk, cur)
+                    return jax.lax.dynamic_update_slice(
+                        WB, blk, (y0 + 1, x0 + 1))
+
+                # filter-intra blocks are at most 32x32: 16 patch
+                # rows x 8 patch cols of 4x2 sub-blocks
+                WB = jax.lax.fori_loop(0, 128, patch, WB)
+                return jax.lax.dynamic_slice(WB, (1, 1), (ws, ws))
+
             pred = jax.lax.switch(
-                jnp.clip(cls, 0, 11),
+                jnp.clip(cls, 0, 12),
                 [p_dc, p_v, p_h, d_zone1, d_zone2, d_zone3, p_smooth,
-                 p_smooth_v, p_smooth_h, p_paeth, p_dc, p_zero])
+                 p_smooth_v, p_smooth_h, p_paeth, p_dc, p_zero,
+                 p_filt])
 
             if with_cfl:
                 lx = (f[F_ACX] - PAD) * (1 + ssx) + PAD

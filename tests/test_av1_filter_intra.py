@@ -61,3 +61,63 @@ def test_filter_intra_cpu4():
 
 def test_filter_intra_cpu5_odd():
     _roundtrip(5, w=94, h=98)
+
+
+def test_filter_intra_pallas_pipe(monkeypatch):
+    """Filter-intra through the device pipe: the scan kernels run the
+    4x2-patch recurrence as a sequential in-kernel loop (cls-9 units
+    carry the filter mode); no C-recon fallback, bit-exact vs dav1d."""
+    from easyav1_tpu import native
+
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    _roundtrip(4)
+    assert native._PIPE_STATS["frames"] > 0
+    assert native._PIPE_STATS["fallbacks"] == 0
+
+
+def test_filter_intra_pallas_pipe_inter(monkeypatch):
+    """Filter-intra blocks inside inter frames via the jax MC pipe's
+    sequential intra scan."""
+    import hashlib
+    import subprocess
+
+    from easyav1_tpu import native
+    from easyav1_tpu.container.webm import TrackType, WebMDemuxer
+    from easyav1_tpu.video.av1.backend import AV1Backend
+
+    args_tail = ["w=128", "h=96", "fps=10", "frames=4", "gop=4",
+                 "crf=30", "audio_secs=0", "cpu-used=4",
+                 "vopt:enable-restoration=0", "vopt:enable-palette=0",
+                 "vopt:enable-intrabc=0", "vopt:lag-in-frames=0"]
+    phash = hashlib.sha1(" ".join(args_tail).encode()).hexdigest()[:8]
+    out = CACHE / f"fii_{phash}.webm"
+    if not out.exists():
+        r = subprocess.run([str(tool("make_fixture")), str(out)]
+                           + args_tail, capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr
+    monkeypatch.setenv("EASYAV1_PIPE", "native")
+    dmx = WebMDemuxer(str(out))
+    vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
+    be = AV1Backend(vt)
+    want = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            for fr in p.frames:
+                for f in be.decode([fr], 0):
+                    want.append([np.asarray(x).copy() for x in f.data])
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    dmx = WebMDemuxer(str(out))
+    be = AV1Backend(dmx.tracks_of_type(TrackType.VIDEO)[0])
+    got = []
+    while (p := dmx.read_packet()) is not None:
+        if p.track == vt.number:
+            for fr in p.frames:
+                for f in be.decode([fr], 0):
+                    got.append([np.asarray(x).copy() for x in f.data])
+    assert native._PIPE_STATS["fallbacks"] == 0
+    assert len(want) == len(got) > 0
+    for k, (fa, fb) in enumerate(zip(want, got)):
+        for pi, (a, b) in enumerate(zip(fa, fb)):
+            assert np.array_equal(a, b), f"frame {k} plane {pi}"
