@@ -1339,6 +1339,17 @@ _DEVICE_INTER_STATS = {"frames": 0, "fallbacks": 0}
 # inter): fallbacks counts frames the device path declined to the C
 # recon — tests assert 0 over the supported corpus
 _PIPE_STATS = {"frames": 0, "fallbacks": 0}
+# cumulative per-phase wall seconds of the device pipes (read by
+# tools/profile_resident.py; reset by the caller)
+_DEV_PROF: dict = {}
+
+
+def _prof(name, t0):
+    import time as _t
+
+    t1 = _t.perf_counter()
+    _DEV_PROF[name] = _DEV_PROF.get(name, 0.0) + (t1 - t0)
+    return t1
 
 
 def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
@@ -1350,7 +1361,9 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     [(plane u16, lw, lh)] triples as passed to the C recon."""
     from easyav1_tpu.video.av1.recon.mc_jax import (
         DeviceInterRecon, export_inter_plan)
+    import time as _t
 
+    _tp = _t.perf_counter()
     blocks = bufs["blocks"][:out.n_blocks]
     ref_dims = [None if refs[s] is None else
                 (refs[s][0][1], refs[s][0][2]) for s in range(8)]
@@ -1368,6 +1381,7 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
                                 bufs["mvs"], bufs["interp"], ref_dims,
                                 ref_planes=host_refs,
                                 bsize_g=bufs["grids"]["bsize"])
+    _tp = _prof("plan_export", _tp)
     if plan_mc is None:
         _DEVICE_INTER_STATS["fallbacks"] += 1
         return None
@@ -1378,6 +1392,7 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     rc = lib.av1_export_pred_units(ctypes.byref(rp), ctypes.byref(out),
                                    _vp(units), max_units,
                                    ctypes.byref(n_out))
+    _tp = _prof("units_export", _tp)
     if rc != 0:
         return None
     ssx, ssy = seq.color.subsampling_x, seq.color.subsampling_y
@@ -1401,9 +1416,11 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
                 else:
                     lst.append(np.ascontiguousarray(a[:ph_, :pw_]))
             refs_np[p] = lst
+    _tp = _prof("refs_marshal", _tp)
     outs = ir.run(units[:n_out.value], bufs["txs"][:out.n_txs],
                   bufs["coeffs"][:out.coeffs_used], plan_mc, refs_np,
                   (w, h), literals=_export_literals(lib, rp, out))
+    _tp = _prof("ir_run", _tp)
     if outs is None:
         _DEVICE_INTER_STATS["fallbacks"] += 1
         return None
@@ -1413,6 +1430,7 @@ def _device_frame_inter(lib, seq, hdr, out, bufs, rp, refs):
     dev = [outs[p][_PAD:_PAD + ph_, _PAD:_PAD + pw_]
            for p, (ph_, pw_) in enumerate(ir.dims)]
     dev = _device_pipe_finish(dev, lib, seq, hdr, out, bufs, rp)
+    _tp = _prof("postfilter", _tp)
     uw, uh = hdr.upscaled_width, hdr.frame_height
     ucw, uch = (uw + ssx) >> ssx, (uh + ssy) >> ssy
     dt = jnp.uint8 if seq.color.bitdepth == 8 else jnp.uint16

@@ -911,6 +911,9 @@ class DeviceInterRecon:
         except NotImplementedError:
             return None
 
+        from easyav1_tpu.native import _prof
+        import time as _t
+        _tp = _t.perf_counter()
         planes = []
         for p in range(self.np_):
             php, pwp = pad_dims(*self.dims[p], self.ws[p])
@@ -940,6 +943,7 @@ class DeviceInterRecon:
                 resid = apply_residuals_fused(resid, groups, self.bd,
                                               self.np_)
 
+        _tp = _prof("run_compose_upload", _tp)
         # ---- MC: batched per (plane, w, h) bucket ----
         # refs_np[p]: list of per-slot 2D planes (numpy u16 OR
         # device-resident u8 arrays) -> stacked int32 device tensors
@@ -1024,6 +1028,7 @@ class DeviceInterRecon:
             kern = _obmc_resid_kernel(php, pwp, w, h, cap, self.bd)
             planes[p] = kern(planes[p], resid[p], jnp.asarray(fpad))
 
+        _tp = _prof("run_mc_dispatch", _tp)
         # ---- intra + interintra blocks: sequential scan ----
         outs = [None] * self.np_
         ph0, pw0 = planes[0].shape
@@ -1050,6 +1055,7 @@ class DeviceInterRecon:
             else:
                 outs[p] = kp(planes[p], resid[p], jnp.asarray(fp),
                              outs[0])
+        _tp = _prof("run_scan_dispatch", _tp)
         return outs
 
     # interintra mode -> II_SIZE_SCALE (libaom ii_size_scales)
