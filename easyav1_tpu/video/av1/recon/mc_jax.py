@@ -951,6 +951,67 @@ class DeviceInterRecon:
             jnp.stack([jnp.asarray(a, jnp.int32) for a in r])
             if r is not None else None for r in refs_np]
         fw_l, fh_l = frame_dims
+
+        # One H2D for ALL bucket parameter tensors: per-bucket
+        # jnp.asarray uploads each paid the tunnel's per-transfer
+        # latency (~ms x dozens of buckets = the dominant host cost of
+        # the whole inter pipe, measured 240 ms/frame at 1080p); the
+        # packed buffer ships once and buckets slice it on device.
+        pack_parts = []
+        pack_off = [0]
+
+        def pk_add(arr):
+            flat = np.ascontiguousarray(arr, np.int32).reshape(-1)
+            o = pack_off[0]
+            pack_parts.append(flat)
+            pack_off[0] += flat.size
+            return (o, arr.shape)
+
+        def pads_for(d, nfields, kind):
+            out = {}
+            for key, f in sorted(d.items()):
+                cap = self._cap((kind,) + (key if isinstance(
+                    key, tuple) else (key,)), f.shape[0])
+                fpad = np.zeros((cap,) + f.shape[1:], np.int32)
+                fpad[:f.shape[0]] = f
+                out[key] = pk_add(fpad)
+            return out
+
+        h_singles = pads_for(plan_mc["singles"], NS, "s")
+        h_pairs = pads_for(plan_mc["pairs"], NPR, "p")
+        h_masks = {}
+        for key in sorted(plan_mc["pairs"]):
+            (p, w, h) = key
+            msk = plan_mc.get("pair_masks", {}).get(key)
+            if msk is None:
+                msk = np.zeros((1, h, w), np.int32)
+            mcap = self._cap(("pm", p, w, h), msk.shape[0])
+            mpad = np.zeros((mcap, h, w), np.int32)
+            mpad[:msk.shape[0]] = msk
+            h_masks[key] = pk_add(mpad)
+        h_warps = pads_for(plan_mc.get("warps", {}), NW, "w8")
+        h_oa = pads_for(plan_mc.get("obmc_above", {}), NS,
+                        "obmc_above")
+        h_ol = pads_for(plan_mc.get("obmc_left", {}), NS, "obmc_left")
+        h_or = {}
+        for key, f in sorted(plan_mc.get("obmc_resid", {}).items()):
+            (p, w, h) = key
+            cap = self._cap(("or", p, w, h), f.shape[0])
+            fpad = np.zeros((cap, 3), np.int32)
+            fpad[:f.shape[0], :2] = f
+            fpad[:f.shape[0], 2] = 1
+            h_or[key] = pk_add(fpad)
+        if pack_parts:
+            import jax as _jax
+            pack_dev = _jax.device_put(np.concatenate(pack_parts))
+
+        def P(handle):
+            o, shape = handle
+            n = 1
+            for d_ in shape:
+                n *= int(d_)
+            return pack_dev[o:o + n].reshape(shape)
+
         for (p, w, h), f in sorted(plan_mc["singles"].items()):
             php, pwp = planes[p].shape
             rsk = dev_refs[p]
@@ -958,13 +1019,11 @@ class DeviceInterRecon:
                                                      else 0)
             rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx if p
                                                      else 0)
-            cap = self._cap(("s", p, w, h), f.shape[0])
-            fpad = np.zeros((cap, NS), np.int32)
-            fpad[:f.shape[0]] = f
+            cap = h_singles[(p, w, h)][1][0]
             kern = _mc_single_kernel(php, pwp, rh, rw, rsk.shape[0],
                                      w, h, cap, self.bd)
             planes[p] = kern(planes[p], resid[p], rsk,
-                             jnp.asarray(fpad))
+                             P(h_singles[(p, w, h)]))
         for (p, w, h), f in sorted(plan_mc["pairs"].items()):
             php, pwp = planes[p].shape
             rsk = dev_refs[p]
@@ -972,19 +1031,13 @@ class DeviceInterRecon:
                                                      else 0)
             rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx if p
                                                      else 0)
-            cap = self._cap(("p", p, w, h), f.shape[0])
-            fpad = np.zeros((cap, NPR), np.int32)
-            fpad[:f.shape[0]] = f
-            msk = plan_mc.get("pair_masks", {}).get((p, w, h))
-            if msk is None:
-                msk = np.zeros((1, h, w), np.int32)
-            mcap = self._cap(("pm", p, w, h), msk.shape[0])
-            mpad = np.zeros((mcap, h, w), np.int32)
-            mpad[:msk.shape[0]] = msk
+            cap = h_pairs[(p, w, h)][1][0]
+            mcap = h_masks[(p, w, h)][1][0]
             kern = _mc_pair_kernel(php, pwp, rh, rw, rsk.shape[0],
                                    w, h, cap, mcap, self.bd)
             planes[p] = kern(planes[p], resid[p], rsk,
-                             jnp.asarray(fpad), jnp.asarray(mpad))
+                             P(h_pairs[(p, w, h)]),
+                             P(h_masks[(p, w, h)]))
 
         # ---- warp sub-blocks (8x8 each) ----
         for p, f in sorted(plan_mc.get("warps", {}).items()):
@@ -994,39 +1047,33 @@ class DeviceInterRecon:
                                                     if p else 0)
             rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx
                                                     if p else 0)
-            cap = self._cap(("w8", p), f.shape[0])
-            fpad = np.zeros((cap, NW), np.int32)
-            fpad[:f.shape[0]] = f
+            cap = h_warps[p][1][0]
             kern = _mc_warp_kernel(php, pwp, rh, rw, rsk.shape[0],
                                    cap, self.bd)
-            planes[p] = kern(planes[p], resid[p], rsk,
-                             jnp.asarray(fpad))
+            planes[p] = kern(planes[p], resid[p], rsk, P(h_warps[p]))
 
         # ---- OBMC: above overlays, left overlays, deferred resid ----
-        for name, left in (("obmc_above", False), ("obmc_left", True)):
-            for (p, w, h), f in sorted(plan_mc.get(name, {}).items()):
+        for hd, left in ((h_oa, False), (h_ol, True)):
+            src = plan_mc.get("obmc_above" if not left
+                              else "obmc_left", {})
+            for (p, w, h), f in sorted(src.items()):
                 php, pwp = planes[p].shape
                 rsk = dev_refs[p]
                 rh = (fh_l + (self.ssy if p else 0)) >> (self.ssy
                                                         if p else 0)
                 rw = (fw_l + (self.ssx if p else 0)) >> (self.ssx
                                                         if p else 0)
-                cap = self._cap((name, p, w, h), f.shape[0])
-                fpad = np.zeros((cap, NS), np.int32)
-                fpad[:f.shape[0]] = f
+                cap = hd[(p, w, h)][1][0]
                 kern = _obmc_overlay_kernel(php, pwp, rh, rw,
                                             rsk.shape[0], w, h, cap,
                                             self.bd, left)
-                planes[p] = kern(planes[p], rsk, jnp.asarray(fpad))
+                planes[p] = kern(planes[p], rsk, P(hd[(p, w, h)]))
         for (p, w, h), f in sorted(plan_mc.get("obmc_resid",
                                                {}).items()):
             php, pwp = planes[p].shape
-            cap = self._cap(("or", p, w, h), f.shape[0])
-            fpad = np.zeros((cap, 3), np.int32)
-            fpad[:f.shape[0], :2] = f
-            fpad[:f.shape[0], 2] = 1
+            cap = h_or[(p, w, h)][1][0]
             kern = _obmc_resid_kernel(php, pwp, w, h, cap, self.bd)
-            planes[p] = kern(planes[p], resid[p], jnp.asarray(fpad))
+            planes[p] = kern(planes[p], resid[p], P(h_or[(p, w, h)]))
 
         _tp = _prof("run_mc_dispatch", _tp)
         # ---- intra + interintra blocks: sequential scan ----

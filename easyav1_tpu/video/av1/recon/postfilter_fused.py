@@ -210,9 +210,10 @@ def postfilter_frame(planes, hdr, seq, grids_for, skip_grid,
     cdef_on = (getattr(seq, "enable_cdef", False) and cd is not None
                and not hdr.coded_lossless
                and not getattr(hdr, "allow_intrabc", False)
-               and (max(cd.y_pri_strength) or max(cd.y_sec_strength)
-                    or max(cd.uv_pri_strength)
-                    or max(cd.uv_sec_strength)))
+               and (max(cd.y_pri_strength, default=0)
+                    or max(cd.y_sec_strength, default=0)
+                    or max(cd.uv_pri_strength, default=0)
+                    or max(cd.uv_sec_strength, default=0)))
     if cdef_on:
         cs = bd - 8
         filt, idxm = unit_maps(skip_grid, cdef_idx_grid, hdr.mi_rows,
@@ -222,8 +223,13 @@ def postfilter_frame(planes, hdr, seq, grids_for, skip_grid,
         sel = filt != 0
         y_pri = np.array(cd.y_pri_strength, np.int32)
         y_sec = np.array(cd.y_sec_strength, np.int32)
-        uv_pri = np.array(cd.uv_pri_strength, np.int32)
-        uv_sec = np.array(cd.uv_sec_strength, np.int32)
+        # monochrome streams code no uv strengths; zeros keep the
+        # shared uv-parameter plumbing shape-safe (planes 1/2 absent)
+        nz = np.zeros(8, np.int32)    # indexed by cdef_idx (< 8)
+        uv_pri = (np.array(cd.uv_pri_strength, np.int32)
+                  if len(cd.uv_pri_strength) else nz)
+        uv_sec = (np.array(cd.uv_sec_strength, np.int32)
+                  if len(cd.uv_sec_strength) else nz)
         pri_y = (np.where(sel, y_pri[safe], 0) << cs).astype(np.int32)
         sec_y = (np.where(sel, y_sec[safe], 0) << cs).astype(np.int32)
         pri_uv = (np.where(sel, uv_pri[safe], 0) << cs).astype(np.int32)
