@@ -182,7 +182,14 @@ def _decode_all(path, pipe, max_frames=None):
     from easyav1_tpu.container import TrackType, WebMDemuxer
     from easyav1_tpu.video.av1.backend import AV1Backend
 
-    os.environ["EASYAV1_PIPE"] = pipe
+    if pipe == "native-fp":
+        # frame-parallel worker pipeline (dav1d frame-threading
+        # analog); only competitive with >= 2 host cores
+        os.environ["EASYAV1_PIPE"] = "native"
+        os.environ["EASYAV1_FRAME_PARALLEL"] = "1"
+    else:
+        os.environ["EASYAV1_PIPE"] = pipe
+        os.environ.pop("EASYAV1_FRAME_PARALLEL", None)
     dmx = WebMDemuxer(str(path))
     vt = dmx.tracks_of_type(TrackType.VIDEO)[0]
     pkts = []
@@ -213,7 +220,9 @@ def _decode_all(path, pipe, max_frames=None):
         n += 1
     while pending:
         _touch(pending.popleft())
-    return n, time.perf_counter() - t0
+    wall = time.perf_counter() - t0
+    os.environ.pop("EASYAV1_FRAME_PARALLEL", None)
+    return n, wall
 
 
 def bench_av1(frames=30, fps=30) -> dict:
@@ -238,6 +247,13 @@ def bench_av1(frames=30, fps=30) -> dict:
         t_dav1d_inter = min(t_dav1d_inter, time.perf_counter() - t0)
         n_i, ti_ = _decode_all(inter, "native")
         t_i = min(t_i, ti_)
+        if (os.cpu_count() or 1) >= 2:
+            # frame-parallel pipeline (frame N recon overlaps frame
+            # N+1 entropy on a worker): strictly wins with >=2 cores,
+            # competes on equal footing in the same interleaved round
+            n2, t2_ = _decode_all(inter, "native-fp")
+            if n2 == n_i:
+                t_i = min(t_i, t2_)
         if rnd >= 1 and _remaining() < 0.6 * BUDGET_S:
             break
     xrt_i = (n_i / fps) / t_i
@@ -495,6 +511,10 @@ def bench_av1_4k() -> dict:
         t_dav1d = min(t_dav1d, time.perf_counter() - t0)
         n, t2 = _decode_all(fx, "native")
         t = min(t, t2)
+        if (os.cpu_count() or 1) >= 2:
+            n2, t3 = _decode_all(fx, "native-fp")
+            if n2 == n:
+                t = min(t, t3)
         if rnd >= 1 and _remaining() < 45:
             break
     xrt = (n / 30) / t
