@@ -794,6 +794,145 @@ cdef_filter_uv_avx512(pel *du, pel *dv, int dstride, const int16_t *tmp,
 #endif
 
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
+/* Direction-banded full filter: processes one plane's whole CDEF
+ * block row 32 px per vector straight from the padded stripe, with
+ * PER-LANE primary/secondary thresholds, damping shifts (srlv) and
+ * primary tap weights, for ONE tap geometry (dir).  Positions are
+ * bucketed by their pdir and each bucket filters in a masked pass, so
+ * the per-position window staging + filter-call machinery (the
+ * dominant chroma CDEF cost: ~165 cyc per position-pair at 1080p)
+ * collapses into full-width band arithmetic.  Lanes with pri (sec)
+ * threshold 0 contribute nothing to the sum by construction
+ * (constrain(_, 0, _) == 0) and are blended out of the min/max clamp
+ * range exactly like the per-position kernels skip those taps.
+ * Bit-exact: identical int16 arithmetic to cdef_filter_uv_avx512. */
+static void cdef_band_dirp(pel *dst, int64_t dstride,
+                           const int16_t *sp, int64_t sst,
+                           int n_px, int h, int dir,
+                           const uint8_t *px_on,
+                           const int16_t *pthr_r, const int16_t *psh_r,
+                           const int16_t *pw0_r,
+                           const int16_t *sthr_r, const int16_t *ssh_r,
+                           int rows_edged) {
+    const __m512i vlarge = _mm512_set1_epi16(CDEF_VERY_LARGE);
+    const __m512i eight = _mm512_set1_epi16(8);
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i four = _mm512_set1_epi16(4);
+    const __m512i two = _mm512_set1_epi16(2);
+    const __m512i three = _mm512_set1_epi16(3);
+    const __m512i one = _mm512_set1_epi16(1);
+    const int8_t (*d0)[2] = CDEF_DIRS[dir];
+    const int8_t (*s1)[2] = CDEF_DIRS[(dir + 2) & 7];
+    const int8_t (*s2)[2] = CDEF_DIRS[(dir + 6) & 7];
+    const int64_t po0 = (int64_t)d0[0][0] * sst + d0[0][1];
+    const int64_t po1 = (int64_t)d0[1][0] * sst + d0[1][1];
+    const int64_t so0 = (int64_t)s1[0][0] * sst + s1[0][1];
+    const int64_t so1 = (int64_t)s1[1][0] * sst + s1[1][1];
+    const int64_t so2 = (int64_t)s2[0][0] * sst + s2[0][1];
+    const int64_t so3 = (int64_t)s2[1][0] * sst + s2[1][1];
+    for (int x = 0; x < n_px; x += 32) {
+        __m256i onb = _mm256_loadu_si256((const __m256i *)(px_on + x));
+        __mmask32 m = _mm256_test_epi8_mask(onb, onb);
+        if (x + 32 > n_px)
+            m &= (n_px - x >= 32) ? ~0u : ((1u << (n_px - x)) - 1);
+        if (!m) continue;
+        const __m512i vpthr =
+            _mm512_loadu_si512((const void *)(pthr_r + x));
+        const __m512i vpsh =
+            _mm512_loadu_si512((const void *)(psh_r + x));
+        const __m512i vw0 =
+            _mm512_loadu_si512((const void *)(pw0_r + x));
+        const __m512i vw1 = _mm512_mask_blend_epi16(
+            _mm512_cmpeq_epi16_mask(vw0, four), three, two);
+        const __m512i vsthr =
+            _mm512_loadu_si512((const void *)(sthr_r + x));
+        const __m512i vssh =
+            _mm512_loadu_si512((const void *)(ssh_r + x));
+        const __mmask32 kp = _mm512_cmpneq_epi16_mask(vpthr, zero);
+        const __mmask32 ks = _mm512_cmpneq_epi16_mask(vsthr, zero);
+        int edged = rows_edged || x == 0 || x + 35 >= n_px + 2;
+        /* per-column specialization: drop the pri taps when no live
+           lane has a pri strength (the sec-only majority), and the
+           min/max activity blends when every live lane is active for
+           that tap group (uniform units) — both bit-exact (inactive
+           taps contribute 0; dead lanes are never stored) */
+        int pri_on = (m & kp) != 0;
+        int pblend = (m & ~kp) != 0;
+        int sblend = (m & ~ks) != 0;
+#define BD_TAP(off, vw, vthr, vshv, kact, BL, E) do { \
+            __m512i v = _mm512_loadu_si512((const void *)(row + (off))); \
+            __m512i diff = _mm512_sub_epi16(v, px); \
+            __m512i ad = _mm512_abs_epi16(diff); \
+            __m512i rhs = _mm512_sub_epi16(vthr, \
+                                           _mm512_srlv_epi16(ad, vshv)); \
+            rhs = _mm512_max_epi16(rhs, zero); \
+            __m512i mag = _mm512_min_epi16(ad, rhs); \
+            __m512i sgn = _mm512_srai_epi16(diff, 15); \
+            __m512i con = _mm512_sub_epi16(_mm512_xor_si512(mag, sgn), \
+                                           sgn); \
+            s = _mm512_add_epi16(s, _mm512_mullo_epi16(vw, con)); \
+            __m512i vx = v; \
+            if (E) \
+                vx = _mm512_maskz_mov_epi16( \
+                    _mm512_cmpneq_epi16_mask(v, vlarge), v); \
+            if (BL) { \
+                mx = _mm512_max_epi16(mx, \
+                    _mm512_mask_mov_epi16(px, kact, vx)); \
+                mn = _mm512_min_epi16(mn, \
+                    _mm512_mask_mov_epi16(px, kact, v)); \
+            } else { \
+                mx = _mm512_max_epi16(mx, vx); \
+                mn = _mm512_min_epi16(mn, v); \
+            } \
+        } while (0)
+#if PEL_BITS == 8
+#define BD_STORE(d, m, val) \
+            _mm256_mask_storeu_epi8(d, m, _mm512_cvtusepi16_epi8(val))
+#else
+#define BD_STORE(d, m, val) _mm512_mask_storeu_epi16(d, m, val)
+#endif
+#define BD_ROWS(PRI, PBL, SBL, E) \
+        for (int i = 0; i < h; i++) { \
+            const int16_t *row = sp + (int64_t)(i + 2) * sst + x + 2; \
+            __m512i px = _mm512_loadu_si512((const void *)row); \
+            __m512i s = zero, mx = px, mn = px; \
+            if (PRI) { \
+                BD_TAP(po0, vw0, vpthr, vpsh, kp, PBL, E); \
+                BD_TAP(-po0, vw0, vpthr, vpsh, kp, PBL, E); \
+                BD_TAP(po1, vw1, vpthr, vpsh, kp, PBL, E); \
+                BD_TAP(-po1, vw1, vpthr, vpsh, kp, PBL, E); \
+            } \
+            BD_TAP(so0, two, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(-so0, two, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(so2, two, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(-so2, two, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(so1, one, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(-so1, one, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(so3, one, vsthr, vssh, ks, SBL, E); \
+            BD_TAP(-so3, one, vsthr, vssh, ks, SBL, E); \
+            __m512i adj = _mm512_add_epi16(_mm512_add_epi16(eight, s), \
+                                           _mm512_srai_epi16(s, 15)); \
+            __m512i val = _mm512_add_epi16(px, \
+                                           _mm512_srai_epi16(adj, 4)); \
+            val = _mm512_min_epi16(_mm512_max_epi16(val, mn), mx); \
+            pel *d = dst + (int64_t)i * dstride + x; \
+            BD_STORE(d, m, val); \
+        }
+        if (!edged && !pri_on && !sblend) {
+            BD_ROWS(0, 0, 0, 0)          /* sec-only uniform interior */
+        } else if (!edged && pri_on && !pblend && !sblend) {
+            BD_ROWS(1, 0, 0, 0)          /* fully-active interior */
+        } else if (edged) {
+            BD_ROWS(1, 1, 1, 1)
+        } else {
+            BD_ROWS(pri_on, 1, 1, 0)
+        }
+#undef BD_TAP
+#undef BD_STORE
+#undef BD_ROWS
+    }
+}
+
 /* Secondary-only band filter: when a whole row of CDEF positions
  * shares pri==0 and one sec strength (the dominant case — pri is
  * content-gated by the direction variance and often 0), the cross-
@@ -1026,6 +1165,31 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         pxon_cap = pxon ? (size_t)pw[0] + 64 : 0;
     }
     int use_band = pxon != NULL;
+    /* dir-banded chroma: per-lane parameter rows (strengths/shifts/
+       weights per pixel at chroma resolution) + per-pixel dir bucket;
+       the whole chroma filter then runs as <=8 masked band passes per
+       block row instead of per-position staged calls */
+    static int16_t *cprm;            /* 5 rows of pw[1]+64 int16 */
+    static uint8_t *cdirb, *con, *cmask;
+    static size_t cprm_cap;
+    int use_dirband = 0;
+    if (n_pl == 3) {
+        size_t need = (size_t)pw[1] + 64;
+        if (cprm_cap < need) {
+            free(cprm); free(cdirb); free(con); free(cmask);
+            cprm = malloc(sizeof(int16_t) * 5 * need);
+            cdirb = malloc(need);
+            con = malloc(need);
+            cmask = malloc(need);
+            cprm_cap = (cprm && cdirb && con && cmask) ? need : 0;
+        }
+        use_dirband = cprm_cap >= need;
+    }
+    int16_t *r_pthr = cprm;
+    int16_t *r_psh = cprm ? cprm + cprm_cap : NULL;
+    int16_t *r_pw0 = cprm ? cprm + 2 * cprm_cap : NULL;
+    int16_t *r_sthr = cprm ? cprm + 3 * cprm_cap : NULL;
+    int16_t *r_ssh = cprm ? cprm + 4 * cprm_cap : NULL;
 #endif
 
     const int8_t *skip = o->skip;
@@ -1073,6 +1237,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 posskip[pc0] = sk0[c] & sk0[c2] & sk1[c] & sk1[c2];
             }
             int y_ok = 1, uv_ok = 1, any_ys = 0, any_uvs = 0;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+            int gwc = 8 >> rp->ssx;
+            if (use_dirband)
+                memset(con, 0, (size_t)pw[1] + 64);
+#endif
             for (int u = 0; u < ucols; u++) {
                 int p0 = u * 8;
                 if (p0 >= n_pos) break;
@@ -1091,6 +1260,36 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 if (yp | ys) row_any_y = 1;
                 if (n_pl == 3 && (up | us)) row_any_uv = 1;
                 if (yp | up) row_any_pri = 1;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                if (use_dirband && n_pl == 3 && (up | us)) {
+                    int upri = up << coeff_shift;
+                    int usec = us << coeff_shift;
+                    int16_t w0v = ((up & 1) == 0) ? 4 : 3;
+                    int16_t pshv =
+                        (int16_t)cdef_shift_for(upri, damping - 1);
+                    int16_t sshv =
+                        (int16_t)cdef_shift_for(usec, damping - 1);
+                    /* broadcast fills: the rows carry 64-byte slack,
+                       so full-width stores at the last position are
+                       safe; `con` is 1-per-px (memset per span) */
+                    const __m128i bp = _mm_set1_epi16((short)upri);
+                    const __m128i bh = _mm_set1_epi16(pshv);
+                    const __m128i bw = _mm_set1_epi16(w0v);
+                    const __m128i bs = _mm_set1_epi16((short)usec);
+                    const __m128i bh2 = _mm_set1_epi16(sshv);
+                    for (int pc = p0; pc < pe; pc++) {
+                        if (pos_idx[pc] < 0) continue;
+                        int x0 = pc * gwc;
+                        int wv = pw[1] - x0 < gwc ? pw[1] - x0 : gwc;
+                        _mm_storeu_si128((__m128i *)(r_pthr + x0), bp);
+                        _mm_storeu_si128((__m128i *)(r_psh + x0), bh);
+                        _mm_storeu_si128((__m128i *)(r_pw0 + x0), bw);
+                        _mm_storeu_si128((__m128i *)(r_sthr + x0), bs);
+                        _mm_storeu_si128((__m128i *)(r_ssh + x0), bh2);
+                        memset(con + x0, 1, (size_t)wv);
+                    }
+                }
+#endif
                 if (yp == 0 && ys) {
                     int s = ys << coeff_shift;
                     if (y_sec_u < 0) y_sec_u = s;
@@ -1111,6 +1310,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             cdef_stat[16] += __rdtsc() - cl0;
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (!use_band) band_y = band_uv = 0;
+        if (use_dirband) band_uv = 0;   /* dir-band covers all chroma */
 #else
         /* no band kernel in this build: the filter loop covers all */
         band_y = band_uv = 0;
@@ -1230,6 +1430,36 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     cdef_stat[10] += __rdtsc() - dc0;
             }
         }
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        /* chroma dir buckets: pdir = Cdef_Uv_Dir[luma dir] when the
+           unit has a uv primary strength, else 0 (spec: sec-only taps
+           use direction 0) */
+        unsigned dir_mask = 0;
+        if (use_dirband && row_any_uv) {
+            int gwc2 = 8 >> rp->ssx;
+            const int8_t *uvmap = CDEF_UV_DIR[rp->ssx][rp->ssy];
+            int have_dirs = dircap >= (size_t)((mi_cols + 1) / 2);
+            for (int pc = 0; pc < n_pos; pc++) {
+                int idx = pos_idx[pc];
+                int x0 = pc * gwc2;
+                if (idx < 0 || !con[x0]) continue;
+                int d_ = 0;
+                if (rp->cdef_uv_pri[idx]) {
+                    int ld = have_dirs ? dirrow[pc] : 0;
+                    if (!have_dirs) {
+                        int v_;
+                        cdef_find_dir(planes[0] + (int64_t)y * pw[0]
+                                          + pc * 8,
+                                      pw[0], coeff_shift, &ld, &v_);
+                    }
+                    d_ = uvmap[ld];
+                }
+                int wv = pw[1] - x0 < gwc2 ? pw[1] - x0 : gwc2;
+                for (int k = 0; k < wv; k++) cdirb[x0 + k] = (uint8_t)d_;
+                dir_mask |= 1u << d_;
+            }
+        }
+#endif
         /* unit-outer filter walk: strengths, tap weights and damping
            shifts depend only on the 64x64 unit's cdef_idx, so all
            parameter setup and the done_y/done_uv gates hoist out of
@@ -1242,6 +1472,9 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             if (idx < 0) continue;
             int done_y = band_y && rp->cdef_y_pri[idx] == 0;
             int done_uv = band_uv && rp->cdef_uv_pri[idx] == 0;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+            if (use_dirband) done_uv = 1;
+#endif
             if (done_y && (n_pl == 1 || done_uv))
                 continue;
             int u_pri = rp->cdef_uv_pri[idx] << coeff_shift;
@@ -1277,7 +1510,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 /* U+V-paired chroma (4-wide blocks, ssx=1): one pass
                    filters both planes with full 512-bit lanes */
                 int uv_paired = 0;
-                if (n_pl == 3 && rp->ssx == 1 && !done_uv) {
+                if (n_pl == 3 && rp->ssx == 1 && !done_uv
+                    && !use_dirband) {
                     int pri = u_pri, sec = u_sec;
                     uv_paired = 1;
                     if (pri | sec) {
@@ -1343,6 +1577,9 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     int pri, sec, pdamp, px, py2, w, h, pdir;
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
                     if (plane && uv_paired) break;
+#endif
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                    if (plane > 0 && use_dirband) continue;
 #endif
                     if (plane == 0 ? done_y : done_uv) continue;
                     if (plane == 0) {
@@ -1530,6 +1767,46 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             }
             if (__builtin_expect(cdef_profile, 0))
                 cdef_stat[18] += __rdtsc() - bm0;
+        }
+        /* dir-banded chroma: one masked full-width pass per direction
+           bucket per plane, straight from the stripes */
+        if (use_dirband && dir_mask) {
+            int gw3 = 8 >> rp->ssx, hh3 = 8 >> rp->ssy;
+            int py3 = y >> rp->ssy;
+            uint64_t db0 = cdef_profile ? __rdtsc() : 0;
+            int ndb = 0;
+            for (int d_ = 0; d_ < 8; d_++) {
+                if (!(dir_mask & (1u << d_))) continue;
+                /* bucket mask: on & (dirb == d) */
+                int npx = pw[1];
+                int xk = 0;
+                for (; xk + 64 <= npx + 64; xk += 64) {
+                    __m512i ob = _mm512_loadu_si512(
+                        (const void *)(con + xk));
+                    __m512i db = _mm512_loadu_si512(
+                        (const void *)(cdirb + xk));
+                    __mmask64 mm = _mm512_test_epi8_mask(ob, ob)
+                        & _mm512_cmpeq_epi8_mask(
+                              db, _mm512_set1_epi8((char)d_));
+                    _mm512_storeu_si512(
+                        (void *)(cmask + xk),
+                        _mm512_maskz_mov_epi8(mm,
+                                              _mm512_set1_epi8(1)));
+                }
+                for (int p = 1; p < n_pl; p++) {
+                    cdef_band_dirp(planes[p] + (int64_t)py3 * pw[p],
+                                   pw[p], stripe[p], sst[p], pw[p],
+                                   hh3, d_, cmask, r_pthr, r_psh,
+                                   r_pw0, r_sthr, r_ssh,
+                                   py3 < 2 || py3 + hh3 + 2 > ph[p]);
+                    ndb++;
+                }
+            }
+            if (__builtin_expect(cdef_profile, 0)) {
+                cdef_stat[19] += __rdtsc() - db0;
+                cdef_stat[20] += ndb;
+            }
+            (void)gw3;
         }
 #endif
     }

@@ -171,6 +171,8 @@ def main():
               "  (walk total - dir - uvflt - perpos)")
         bandm = (cs[18] - cs[13] - cs[14]) / hz
         print(f"  band mask ovh  {bandm*1000:9.1f} ms")
+        print(f"  dir-band chroma{cs[19]/hz*1000:9.1f} ms  "
+              f"({cs[20]} passes)")
     except AttributeError:
         pass
 
