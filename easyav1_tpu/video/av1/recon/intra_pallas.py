@@ -249,8 +249,6 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
             xb = pl.multiple_of(((x - 1) >> 7) * 128, 128)
             rel = x - xb
 
-            wdw = strip[:, pl.ds(xb, BW)]
-            rwin = rstrip[:, pl.ds(xb, BW)]
             prow = prev_row[0:1, pl.ds(xb, BW)]
 
             yra = pl.multiple_of((jnp.maximum(yr - 1, 0) >> 3) * 8, 8)
@@ -580,14 +578,44 @@ def make_strip_kernel(strip_h: int, wp: int, nstrips: int, umax: int,
                                     lambda: pred)
 
             # ---- blend -------------------------------------------
-            pfull = jnp.pad(pred, ((0, 0), (0, BW - PW)))
-            pfull = rot(pfull, rel, axis=1)
-            pfull = rot(pfull, yr, axis=0)
-            outv = jnp.clip(pfull + rwin, 0, mx)
-            msk = (io_r >= yr) & (io_r < yr + h) \
-                & (io_c >= rel) & (io_c < rel + w) \
-                & (f(F_VALID) != 0)
-            strip[:, pl.ds(xb, BW)] = jnp.where(msk, outv, wdw)
+            # units up to 8 rows tall (the vast majority) blend into a
+            # 16-row slab instead of the whole (SH, BW) window: the
+            # full-height read-modify-write was ~4x the useful work of
+            # a 4/8-px unit and dominated the strip executor's
+            # sequential per-unit cost
+            small = h <= 8
+            valid_u = f(F_VALID) != 0
+
+            @pl.when(small)
+            def _blend_slab():
+                yra2 = pl.multiple_of(
+                    jnp.minimum((yr >> 3) * 8, SH - 16), 8)
+                yo = yr - yra2
+                ps = jnp.pad(pred[0:16], ((0, 0), (0, BW - PW)))
+                ps = rot(ps, rel, axis=1)
+                ps = rot(ps, yo, axis=0)
+                rw = rstrip[pl.ds(yra2, 16), pl.ds(xb, BW)]
+                wd = strip[pl.ds(yra2, 16), pl.ds(xb, BW)]
+                i16r = jax.lax.broadcasted_iota(jnp.int32, (16, BW), 0)
+                i16c = jax.lax.broadcasted_iota(jnp.int32, (16, BW), 1)
+                ov = jnp.clip(ps + rw, 0, mx)
+                mk2 = (i16r >= yo) & (i16r < yo + h) \
+                    & (i16c >= rel) & (i16c < rel + w) & valid_u
+                strip[pl.ds(yra2, 16), pl.ds(xb, BW)] = \
+                    jnp.where(mk2, ov, wd)
+
+            @pl.when(jnp.logical_not(small))
+            def _blend_full():
+                wdw = strip[:, pl.ds(xb, BW)]
+                rwin = rstrip[:, pl.ds(xb, BW)]
+                pfull = jnp.pad(pred, ((0, 0), (0, BW - PW)))
+                pfull = rot(pfull, rel, axis=1)
+                pfull = rot(pfull, yr, axis=0)
+                outv = jnp.clip(pfull + rwin, 0, mx)
+                msk = (io_r >= yr) & (io_r < yr + h) \
+                    & (io_c >= rel) & (io_c < rel + w) & valid_u
+                strip[:, pl.ds(xb, BW)] = jnp.where(msk, outv, wdw)
+
             return carry
 
         n = counts_ref[0, 0, 0]
