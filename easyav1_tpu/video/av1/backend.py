@@ -80,8 +80,15 @@ class AV1Backend:
         # state: entropy alternates buffer-pool generations, recon
         # reads the ref planes of FIFO-earlier frames only.
         import os
-        self._fp_on = os.environ.get("EASYAV1_FRAME_PARALLEL",
-                                     "0") not in ("", "0")
+        fp_env = os.environ.get("EASYAV1_FRAME_PARALLEL")
+        if fp_env is not None:
+            self._fp_on = fp_env not in ("", "0")
+        else:
+            # dav1d default-settings analog (easyav1.c:1401-1408 opens
+            # with auto worker count): pipeline frames whenever the
+            # host has cores to overlap on and threading wasn't
+            # explicitly disabled
+            self._fp_on = (os.cpu_count() or 1) >= 2 and threads != 1
         self._fp_exec = None
         self._fp_gen = 0
         self._fp_q: list = []      # in-flight recon futures, FIFO
