@@ -171,11 +171,11 @@ def test_pallas_lossless_safe():
             assert np.array_equal(x, y)
 
 
-def test_pallas_palette_declines_safely():
-    """Palette intra frames must NOT run on the strip executor (it has
-    no palette path — regression for a silent-DC corruption found in
-    round 4 where a frame with enough coded units passed the export
-    cap and produced wrong pixels)."""
+def test_pallas_palette_runs_exact():
+    """Palette intra frames through the strip executor must match the
+    native decode exactly (round 5: palette runs on device via cls-10
+    literal units; before that this guarded the decline against a
+    silent-DC corruption found in round 4)."""
     import os
 
     import numpy as np
