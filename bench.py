@@ -449,12 +449,8 @@ def bench_device_combined() -> dict:
     permitting) multistream-device, all in ONE process so the
     uncacheable remote compiles are shared."""
     out = {}
-    try:
-        out.update(bench_device_resident())
-    except Exception as e:  # noqa: BLE001
-        out["device_resident_error"] = str(e)[:120]
-    # per-stage device-time breakdown of the shared postfilter/hash
-    # kernels + an achieved-bytes estimate (utilization, not just fps)
+    # per-stage device-time breakdown first (cheapest: ~1 min incl
+    # compiles) so a tight budget still records the utilization fields
     try:
         sys.path.insert(0, str(REPO / "tools"))
         from profile_device import profile_postfilter
@@ -468,6 +464,15 @@ def bench_device_combined() -> dict:
             mb / max(st["postfilter_ms"], 1e-6), 1)
     except Exception as e:  # noqa: BLE001
         out["device_stage_error"] = str(e)[:120]
+    _emit(dict(out))
+    if _remaining() > 360:
+        try:
+            out.update(bench_device_resident())
+        except Exception as e:  # noqa: BLE001
+            out["device_resident_error"] = str(e)[:120]
+    else:
+        out["device_resident_skipped"] = "budget"
+    _emit(dict(out))
     # config-5 on the device pipe: honest but currently bounded by the
     # XLA MC-gather lowering (see README); keep the sample tiny
     if _remaining() > 600:
@@ -551,18 +556,32 @@ def main():
             continue
         code = (f"import sys, json; sys.path.insert(0, {str(REPO)!r}); "
                 f"sys.path.insert(0, {str(REPO / 'tests')!r}); "
-                f"import bench; print(json.dumps(bench.{fn}()))")
+                f"import bench; print(json.dumps(bench.{fn}()), "
+                f"flush=True)")
         try:
             env = dict(os.environ)
             # the child re-reads its own budget clock; hand it the
             # actually-remaining slice so its internal phase gating
             # matches the parent's hard timeout
             env["EASYAV1_BENCH_BUDGET_S"] = str(max(rem - 90, 60))
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True, env=env,
-                               timeout=max(rem - 60, 60))
-            line = r.stdout.strip().splitlines()[-1]
-            result.update(json.loads(line))
+            stdout = ""
+            try:
+                r = subprocess.run([sys.executable, "-c", code],
+                                   capture_output=True, text=True,
+                                   env=env,
+                                   timeout=max(rem - 60, 60))
+                stdout = r.stdout
+            except subprocess.TimeoutExpired as e:
+                # salvage whatever the child already emitted (the
+                # device phase prints incrementally per sub-phase)
+                stdout = (e.stdout or b"").decode("utf-8", "replace") \
+                    if isinstance(e.stdout, bytes) else (e.stdout or "")
+                result[f"{name}_timeout"] = 1
+            for line in stdout.strip().splitlines():
+                try:
+                    result.update(json.loads(line))
+                except Exception:
+                    pass
             _emit(result)
         except Exception:
             result[f"{name}_skipped"] = "timeout_or_error"
