@@ -906,6 +906,11 @@ class EasyAV1:
         if needs_reinit:
             pos = self._position
             self._stop_vthread()
+            if self._video_backend is not None:
+                # drain in-flight frame-parallel recon before dropping
+                # the backend: an orphaned worker would race the new
+                # backend's entropy pass on the shared buffer pools
+                self._video_backend.flush()
             self._video_track = None
             self._audio_track = None
             self._video_backend = None
