@@ -1197,6 +1197,7 @@ def decode_and_recon_native(seq, hdr, tiles: List[bytes], cdf_in=None,
 
 
 _PALLAS_RECONS: dict = {}
+_SCAN_RECONS: dict = {}
 
 
 class _LazyPlanes:
@@ -1277,13 +1278,9 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     visible planes, or None when the frame uses features the device
     executor lacks (palette, filter-intra) — caller falls back to the
     C recon (entropy work is shared, not redone)."""
-    from easyav1_tpu.video.av1.recon.jax_exec import PallasRecon
-
-    if getattr(hdr, "allow_intrabc", False):
-        # the strip executor has no intrabc path: an intrabc block
-        # exports NO unit at all (found via frames whose unit counts
-        # passed the export cap)
-        return None
+    from easyav1_tpu.video.av1.recon.jax_exec import (DeviceRecon,
+                                                      PallasRecon)
+    from easyav1_tpu.video.av1.recon.jax_exec import PAD as _JPAD
 
     max_units = _max_pred_units(out, hdr)
     units = np.empty((max_units, 24), np.int32)
@@ -1299,22 +1296,40 @@ def _pallas_frame(lib, seq, hdr, out, bufs, rp):
     # Mosaic kernels need real TPU hardware; on a CPU-only host (test
     # mesh) run the same kernels in interpret mode instead of crashing
     interp = jax.default_backend() == "cpu"
-    key = (hdr.mi_rows, hdr.mi_cols, ssx, ssy, seq.color.bitdepth,
-           seq.color.num_planes, bool(seq.use_128x128_superblock),
-           interp)
-    pr = _PALLAS_RECONS.get(key)
-    if pr is None:
-        pr = _PALLAS_RECONS[key] = PallasRecon(
-            *key[:6], sb128=key[6], interpret=interp)
-    outs = pr.run(units[:n_out.value], bufs["txs"][:out.n_txs],
-                  bufs["coeffs"][:out.coeffs_used],
-                  literals=_export_literals(lib, rp, out))
-    if outs is None:
-        return None
     import jax.numpy as jnp
-    lpad = pr.IP.LPAD
-    dev = [outs[p][:ph, lpad:lpad + pw]
-           for p, (ph, pw) in enumerate(pr.dims)]
+    if getattr(hdr, "allow_intrabc", False):
+        # intrabc units read the partially reconstructed plane, which
+        # the full-plane jax scan executor supports (cls-11 dynamic
+        # slices); the strip executor's windows cannot reach arbitrary
+        # earlier rows
+        skey = (hdr.mi_rows, hdr.mi_cols, ssx, ssy,
+                seq.color.bitdepth, seq.color.num_planes)
+        dr = _SCAN_RECONS.get(skey)
+        if dr is None:
+            dr = _SCAN_RECONS[skey] = DeviceRecon(*skey)
+        outs = dr.run(units[:n_out.value], bufs["txs"][:out.n_txs],
+                      bufs["coeffs"][:out.coeffs_used],
+                      literals=_export_literals(lib, rp, out))
+        if outs is None:
+            return None
+        dev = [outs[p][_JPAD:_JPAD + ph, _JPAD:_JPAD + pw]
+               for p, (ph, pw) in enumerate(dr.dims)]
+    else:
+        key = (hdr.mi_rows, hdr.mi_cols, ssx, ssy, seq.color.bitdepth,
+               seq.color.num_planes, bool(seq.use_128x128_superblock),
+               interp)
+        pr = _PALLAS_RECONS.get(key)
+        if pr is None:
+            pr = _PALLAS_RECONS[key] = PallasRecon(
+                *key[:6], sb128=key[6], interpret=interp)
+        outs = pr.run(units[:n_out.value], bufs["txs"][:out.n_txs],
+                      bufs["coeffs"][:out.coeffs_used],
+                      literals=_export_literals(lib, rp, out))
+        if outs is None:
+            return None
+        lpad = pr.IP.LPAD
+        dev = [outs[p][:ph, lpad:lpad + pw]
+               for p, (ph, pw) in enumerate(pr.dims)]
     dev = _device_pipe_finish(dev, lib, seq, hdr, out, bufs, rp)
     w, h = hdr.upscaled_width, hdr.frame_height
     cw, ch = (w + ssx) >> ssx, (h + ssy) >> ssy

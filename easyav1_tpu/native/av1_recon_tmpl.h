@@ -1323,6 +1323,64 @@ static int export_block(Recon *rc, const int32_t *b, int32_t *units,
                         | (b[BLK_II_MODE] + 1);
             }
         }
+        if (b[BLK_INTRABC]) {
+            /* intra block copy: emit cls-11 units (the jax scan
+               executor predicts them as a dynamic slice of the
+               partially reconstructed plane, two-stage bilinear taps
+               resolved here — av1_mc.h predict_inter_i32 parity).
+               32x32 sub-rects keep units within both scan tiles. */
+            int n_pl = (b[BLK_HASCHROMA] && rp->num_planes > 1) ? 3 : 1;
+            for (int plane = 0; plane < n_pl; plane++) {
+                int ssx = plane ? rp->ssx : 0, ssy = plane ? rp->ssy : 0;
+                int x = (bc >> ssx) * 4, y = (br >> ssy) * 4;
+                int full_w = rmax(1, w4 >> ssx) * 4;
+                int full_h = rmax(1, h4 >> ssy) * 4;
+                int pw = rc->pw[plane], ph = rc->ph[plane];
+                int w = rmin(full_w, pw - x), h = rmin(full_h, ph - y);
+                int sx0 = (x << 4) + b[BLK_MV_C] * (ssx ? 1 : 2);
+                int sy0 = (y << 4) + b[BLK_MV_R] * (ssy ? 1 : 2);
+                int fx = sx0 & 15, fy = sy0 & 15;
+                const int16_t *fh =
+                    mc_filter(b[BLK_INTERP1], full_w) + fx * 8;
+                const int16_t *fv =
+                    mc_filter(b[BLK_INTERP0], full_h) + fy * 8;
+                /* the kernel reads only tap slots 3/4 (bilinear
+                   phases of a whole-pel DV: frac is 0 or 8) */
+                if (fh[0] | fh[1] | fh[2] | fh[5] | fh[6] | fh[7]
+                    | fv[0] | fv[1] | fv[2] | fv[5] | fv[6] | fv[7])
+                    return 2;
+                int ix = sx0 >> 4, iy = sy0 >> 4;
+                /* the kernel replaces the scalar path's per-element
+                   edge clamp with zero padding: decline when a live
+                   tap could read past the mi-aligned plane */
+                if ((fh[4] && ix + w > pw - 1)
+                    || (fv[4] && iy + h > ph - 1)
+                    || ix < 0 || iy < 0)
+                    return 2;
+                for (int yy = 0; yy < h; yy += 32)
+                    for (int xx = 0; xx < w; xx += 32) {
+                        if (*n >= max_units) return 1;
+                        int32_t *u = units + (*n)++ * UF;
+                        memset(u, 0, sizeof(int32_t) * UF);
+                        u[0] = plane;
+                        u[1] = x + xx; u[2] = y + yy;
+                        u[3] = rmin(32, w - xx);
+                        u[4] = rmin(32, h - yy);
+                        u[5] = 11;
+                        u[6] = ix + xx;       /* src col of sub-rect */
+                        u[11] = fh[3]; u[12] = fh[4];
+                        u[13] = fv[3]; u[14] = fv[4];
+                        u[15] = iy + yy;      /* src row of sub-rect */
+                    }
+                for (int rr = y >> 2;
+                     rr < (y + h + 3) >> 2 && rr < rc->dh[plane]; rr++)
+                    for (int cc = x >> 2;
+                         cc < (x + w + 3) >> 2 && cc < rc->dw[plane];
+                         cc++)
+                        rc->decoded[plane][rr * rc->dw[plane] + cc] = 1;
+            }
+            return 0;
+        }
         /* inter block (device MC path recons it): emit no intra units,
            but mark its extent decoded — later intra blocks' above/left/
            tr/bl availability counts inter neighbors as available */

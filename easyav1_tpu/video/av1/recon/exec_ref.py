@@ -264,6 +264,23 @@ class UnitExecutor:
             # literal unit (palette): prediction pre-folded into the
             # residual plane by the host composer
             pred = np.zeros((h, w), np.int64)
+        elif cls == 11:
+            # intra block copy: two-stage bilinear from the partially
+            # reconstructed plane (av1_mc.h predict_inter_i32 parity);
+            # p_angle/cf carry src col/row, sa/sl/ua/ul the live taps
+            ix, iy = p_angle, cf
+            th3, th4, tv3, tv4 = sa, sl, ua, ul
+            win = np.zeros((h + 8, w + 8), np.int64)
+            for r in range(h + 8):
+                sy = min(max(iy - 3 + r, 0), ph - 1)
+                for c in range(w + 8):
+                    sx = min(max(ix - 3 + c, 0), pw - 1)
+                    win[r, c] = buf[sy, sx]
+            mid = (th3 * win[:, 3:3 + w] + th4 * win[:, 4:4 + w]
+                   + 4) >> 3
+            v = (tv3 * mid[3:3 + h, :] + tv4 * mid[4:4 + h, :]
+                 + 1024) >> 11
+            pred = np.clip(v, 0, (1 << bd) - 1)
         elif cls == 9:
             # recursive filter intra (spec 7.11.2.3); p_angle carries
             # the filter mode, edges are the unfiltered above/left

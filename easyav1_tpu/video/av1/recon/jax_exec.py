@@ -42,7 +42,7 @@ NF = 30          # fields per preprocessed unit record
  F_RES) = range(NF)
 
 K_DC, K_V, K_H, K_Z1, K_Z2, K_Z3, K_SM, K_SMV, K_SMH, K_PAETH, \
-    K_CFL, K_ZERO, K_FILT = range(13)
+    K_CFL, K_ZERO, K_FILT, K_IBC = range(14)
 
 _SM_OFFS = {4: 0, 8: 4, 16: 12, 32: 28, 64: 60}
 
@@ -76,9 +76,9 @@ def preprocess_units(units: np.ndarray, dims,
             [cls == 0, cls == 1, cls == 2,
              (cls == 3) & (ang < 90), (cls == 3) & (ang > 180),
              cls == 3, cls == 4, cls == 5, cls == 6, cls == 7,
-             cls == 8, cls == 10, cls == 9],
+             cls == 8, cls == 10, cls == 9, cls == 11],
             [K_DC, K_V, K_H, K_Z1, K_Z3, K_Z2, K_SM, K_SMV, K_SMH,
-             K_PAETH, K_CFL, K_ZERO, K_FILT])
+             K_PAETH, K_CFL, K_ZERO, K_FILT, K_IBC])
         dx = np.zeros(n, np.int32)
         dy = np.zeros(n, np.int32)
         z1 = k == K_Z1
@@ -88,6 +88,11 @@ def preprocess_units(units: np.ndarray, dims,
         dx[z2] = dr[180 - ang[z2]]
         dy[z2] = dr[ang[z2] - 90]
         dy[z3] = dr[270 - ang[z3]]
+        # intrabc (cls 11): src coords of the dynamic-slice window
+        # (col in `ang`, row in `cf`; taps ride sa/sl/ua/ul)
+        ibc = k == K_IBC
+        dx[ibc] = ang[ibc] - 3 + pad
+        dy[ibc] = cf[ibc] - 3 + pad
         f[:, F_X] = x + pad
         f[:, F_Y] = y + pad
         f[:, F_W] = w
@@ -801,11 +806,25 @@ def _scan_kernel(ws: int, ph: int, pw: int, bitdepth: int,
                 WB = jax.lax.fori_loop(0, 128, patch, WB)
                 return jax.lax.dynamic_slice(WB, (1, 1), (ws, ws))
 
+            def p_ibc():
+                # intra block copy (spec 5.11.19 / av1_mc.h
+                # predict_inter_i32): whole-pel DV, so at most the two
+                # bilinear phases 3/4 are live; the sequential scan
+                # guarantees the source rect is already reconstructed.
+                # F_DX/F_DY = padded src - 3; taps ride F_SA..F_UL.
+                win = jax.lax.dynamic_slice(
+                    plane, (f[F_DY], f[F_DX]), (ws + 8, ws + 8))
+                mid = (f[F_SA] * win[:, 3:3 + ws]
+                       + f[F_SL] * win[:, 4:4 + ws] + 4) >> 3
+                v = (f[F_UA] * mid[3:3 + ws, :]
+                     + f[F_UL] * mid[4:4 + ws, :] + 1024) >> 11
+                return jnp.clip(v, 0, mxpix)
+
             pred = jax.lax.switch(
-                jnp.clip(cls, 0, 12),
+                jnp.clip(cls, 0, 13),
                 [p_dc, p_v, p_h, d_zone1, d_zone2, d_zone3, p_smooth,
                  p_smooth_v, p_smooth_h, p_paeth, p_dc, p_zero,
-                 p_filt])
+                 p_filt, p_ibc])
 
             if with_cfl:
                 lx = (f[F_ACX] - PAD) * (1 + ssx) + PAD
@@ -902,10 +921,10 @@ class DeviceRecon:
         self.ws = [64, 32, 32]
 
     def run(self, units: np.ndarray, txs: np.ndarray,
-            coeffs: np.ndarray):
+            coeffs: np.ndarray, literals=None):
         """Returns device arrays (padded planes) or None if the frame
-        uses features the device path lacks (lossless, filter-intra,
-        non-420 CfL)."""
+        uses features the device path lacks (lossless, non-420
+        CfL)."""
         import jax.numpy as jnp
         if self.np_ > 1 and not (self.ssx and self.ssy):
             if np.any(units[units[:, 0] > 0][:, 5] == 8):
@@ -926,6 +945,10 @@ class DeviceRecon:
         rnp = compose_residual_host(
             txs, coeffs, [tuple(pl.shape) for pl in planes], PAD, PAD,
             self.bd)
+        if literals is not None:
+            if rnp is None:
+                return None  # literal fold needs the host composer
+            apply_literals(rnp, literals, PAD, PAD)
         if rnp is not None:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]

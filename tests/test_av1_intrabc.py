@@ -149,3 +149,20 @@ def test_intrabc_mixed_sizes():
 if __name__ == "__main__":
     run_case(0)
     print("ok")
+
+
+def test_intrabc_pallas_pipe(monkeypatch):
+    """intrabc frames through the device pipe: cls-11 units predict as
+    dynamic slices of the partially reconstructed plane in the jax
+    scan executor (two-stage bilinear taps resolved by the exporter);
+    no C-recon fallback, bit-exact vs dav1d."""
+    from easyav1_tpu import native
+
+    monkeypatch.setenv("EASYAV1_PIPE", "pallas")
+    native._PIPE_STATS.update(frames=0, fallbacks=0)
+    run_case(3)
+    run_case(7, n_bc=10, sizes=(C.BLOCK_8X8, C.BLOCK_16X16,
+                                C.BLOCK_32X32, C.BLOCK_16X8,
+                                C.BLOCK_8X16))
+    assert native._PIPE_STATS["frames"] > 0
+    assert native._PIPE_STATS["fallbacks"] == 0

@@ -214,10 +214,11 @@ def test_pallas_palette_runs_exact():
         assert np.array_equal(x, y)
 
 
-def test_pallas_intrabc_declines_safely():
-    """allow_intrabc intra frames must not run on the strip executor
-    (intrabc blocks export no pred unit at all — regression for a
-    silent zero-pixels corruption found in round 4)."""
+def test_pallas_intrabc_runs_exact():
+    """allow_intrabc frames through the device pipe must match the
+    native decode exactly (round 5: intrabc runs on the jax scan
+    executor via cls-11 units; before that this guarded the decline
+    against a silent zero-pixels corruption found in round 4)."""
     import os
 
     import numpy as np
