@@ -1620,7 +1620,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     cdef_stat[plane ? 1 : 0]++;
                     cdef_stat[2] += pri != 0;
                     cdef_stat[3] += sec != 0;
-                    uint64_t fb0 = __rdtsc();
+                    uint64_t fb0 =
+                        cdef_profile ? __rdtsc() : 0;
                     int interior = px >= 2 && px + w + 2 <= pw[plane]
                                    && py2 >= 2
                                    && py2 + h + 2 <= ph[plane];
@@ -1673,6 +1674,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         e->ssh = cdef_shift_for(sec, pdamp);
                         e->pdir = pdir;
                         e->edged = !interior;
+                        if (__builtin_expect(cdef_profile, 0))
+                            if (__builtin_expect(cdef_profile, 0))
                         cdef_stat[12] += __rdtsc() - fb0;
                         continue;
                     }
@@ -1684,7 +1687,8 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         pw[plane], stripe[plane] + px, sst[plane],
                         0, 0, w, h,
                         adj_pri, sec, pdamp, pdir, bd, !interior);
-                    cdef_stat[12] += __rdtsc() - fb0;
+                    if (__builtin_expect(cdef_profile, 0))
+                        cdef_stat[12] += __rdtsc() - fb0;
                 }
                 }
             }
