@@ -1001,6 +1001,7 @@ class PallasRecon:
                  num_planes=3, sb128=False, interpret=False):
         from easyav1_tpu.video.av1.recon import intra_pallas as IP
         self.IP = IP
+        self._fused = {}
         self.bd = bitdepth
         self.ssx, self.ssy = ssx, ssy
         self.np_ = num_planes
@@ -1085,12 +1086,12 @@ class PallasRecon:
                                               self.np_, pad_y=0,
                                               pad_x=IP.LPAD)
 
-        outs = [None] * self.np_
         hp0, wp0, ns0 = self.layouts[0]
-        u3, cnt, umax = self._strip_fields(fields[0], 0)
-        k0 = IP.make_strip_kernel(self.strips[0], wp0, ns0, umax,
+        u30, cnt0, umax0 = self._strip_fields(fields[0], 0)
+        k0 = IP.make_strip_kernel(self.strips[0], wp0, ns0, umax0,
                                   self.bd, False, 0, self.interpret)
-        outs[0] = k0(jnp.asarray(u3), jnp.asarray(cnt), resid[0])
+        if self.np_ == 1:
+            return [k0(jnp.asarray(u30), jnp.asarray(cnt0), resid[0])]
         # CfL only exists for 4:2:0 here (non-420 CfL frames declined
         # above); building the chroma kernels WITHOUT the luma input
         # otherwise also avoids the kernel's 2x-subsampled luma strip
@@ -1098,19 +1099,45 @@ class PallasRecon:
         # 4:2:2/4:4:4 luma planes (hardware Mosaic fault; interpret
         # mode tolerated it)
         cfl_ok = self.ssx == 1 and self.ssy == 1
+        chroma = []
+        kps = []
         for p in range(1, self.np_):
             hpp, wpp, nsp = self.layouts[p]
             u3, cnt, umax = self._strip_fields(fields[p], p)
-            kp = IP.make_strip_kernel(self.strips[p], wpp, nsp, umax,
-                                      self.bd, cfl_ok, wp0,
-                                      self.interpret)
+            kps.append(IP.make_strip_kernel(self.strips[p], wpp, nsp,
+                                            umax, self.bd, cfl_ok,
+                                            wp0, self.interpret))
+            chroma.append((jnp.asarray(u3), jnp.asarray(cnt),
+                           resid[p]))
+        # one jit around all three strip kernels: the axon backend
+        # pays a large fixed cost (~25 ms measured) per executed
+        # program CONTAINING pallas calls, once per jit regardless of
+        # how many pallas calls it holds — fusing the per-plane
+        # kernels into one program cuts the intra device step by two
+        # such payments per frame
+        fkey = (id(k0),) + tuple(id(k) for k in kps) + (cfl_ok,)
+        fused = self._fused.get(fkey)
+        if fused is None:
+            import jax as _jax
             if cfl_ok:
-                outs[p] = kp(jnp.asarray(u3), jnp.asarray(cnt),
-                             resid[p], outs[0])
+                def _f(k0=k0, kps=tuple(kps)):
+                    def g(u0, c0, r0, chroma_args):
+                        o0 = k0(u0, c0, r0)
+                        os_ = [kp(u, c, r, o0) for kp, (u, c, r)
+                               in zip(kps, chroma_args)]
+                        return [o0] + os_
+                    return g
             else:
-                outs[p] = kp(jnp.asarray(u3), jnp.asarray(cnt),
-                             resid[p])
-        return outs
+                def _f(k0=k0, kps=tuple(kps)):
+                    def g(u0, c0, r0, chroma_args):
+                        o0 = k0(u0, c0, r0)
+                        os_ = [kp(u, c, r) for kp, (u, c, r)
+                               in zip(kps, chroma_args)]
+                        return [o0] + os_
+                    return g
+            fused = self._fused[fkey] = _jax.jit(_f())
+        return list(fused(jnp.asarray(u30), jnp.asarray(cnt0),
+                          resid[0], chroma))
 
     def crop(self, outs):
         res = []
