@@ -22,9 +22,9 @@
    ticks, [2] residual-section ticks, [8] blocks, [9] inter blocks,
    [10] coded (non-skip) blocks, [11] eob sum, [12] tx count */
 extern int rc_profile;
-uint64_t av1_tile_stat[16];
+uint64_t av1_tile_stat[24];
 void av1_get_tile_stats(uint64_t *out) {
-    for (int i = 0; i < 16; i++) { out[i] = av1_tile_stat[i]; av1_tile_stat[i] = 0; }
+    for (int i = 0; i < 24; i++) { out[i] = av1_tile_stat[i]; av1_tile_stat[i] = 0; }
 }
 static inline uint64_t tl_tick(void) {
     return __builtin_expect(rc_profile, 0) ? __builtin_ia32_rdtsc() : 0;
@@ -202,6 +202,51 @@ msac_sym_pre(Msac *s, uint16_t *cdf, const int n, __m128i ramp,
     return sym;
 }
 #endif
+
+/* Scalar 3/4-symbol adaptive decode for the coefficient loop.  The
+ * SIMD search (msac_sym_pre) pays mulhi+movemask+popcount+minpos on
+ * the serial rng/dif critical chain; at n <= 4 three scalar imuls and
+ * a cmov chain resolve cur/prev in fewer cycles, and the CDF update
+ * (off the critical path) stays branchless via ternaries-as-cmov.
+ * Bit-exact with the vector path: v_i = ((rng>>8)*(cdf_i>>6)>>1)
+ * + 4*(n-1-i), sym = #(value < v_i). */
+static inline __attribute__((always_inline)) int
+msac_sym4_scalar(Msac *s, uint16_t *cdf, const int n) {
+    uint32_t r8 = s->rng >> 8;
+    uint32_t value = MSAC_VAL(s);
+    uint32_t c0 = cdf[0], c1 = cdf[1];
+    uint32_t v0 = ((r8 * (c0 >> 6)) >> 1) + EC_MIN_PROB * (n - 1);
+    uint32_t v1 = ((r8 * (c1 >> 6)) >> 1) + EC_MIN_PROB * (n - 2);
+    uint32_t c2 = 0, v2 = 0;
+    if (n == 4) {
+        c2 = cdf[2];
+        v2 = ((r8 * (c2 >> 6)) >> 1) + EC_MIN_PROB;
+    }
+    int sym = (value < v0) + (value < v1);
+    if (n == 4) sym += value < v2;
+    uint32_t cur = v0, prev = s->rng;
+    if (sym >= 1) { cur = v1; prev = v0; }
+    if (n == 4) {
+        if (sym >= 2) { cur = v2; prev = v1; }
+        if (sym >= 3) { cur = 0;  prev = v2; }
+    } else {
+        if (sym >= 2) { cur = 0;  prev = v1; }
+    }
+    if (s->allow_update) {
+        int count = cdf[n];
+        int rate = 3 + (count > 15) + (count > 31) + (n >= 4 ? 2 : 1);
+        cdf[0] = (uint16_t)(sym > 0 ? c0 + ((32768 - c0) >> rate)
+                                    : c0 - (c0 >> rate));
+        cdf[1] = (uint16_t)(sym > 1 ? c1 + ((32768 - c1) >> rate)
+                                    : c1 - (c1 >> rate));
+        if (n == 4)
+            cdf[2] = (uint16_t)(sym > 2 ? c2 + ((32768 - c2) >> rate)
+                                        : c2 - (c2 >> rate));
+        cdf[n] = (uint16_t)(count + (count < 32));
+    }
+    msac_norm(s, s->dif - ((uint64_t)cur << 48), prev - cur);
+    return sym;
+}
 
 /* cdf: n+1 uint16 entries (n-1 boundaries, 0 terminator, counter) */
 static int msac_symbol(Msac *s, uint16_t *cdf, int n) {
@@ -814,28 +859,8 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
     int nztail = eob;
     const int8_t *base_offsets = av1_base_ctx_offsets[tx_size];
 
-#ifdef __AVX2__
-    /* hoisted per-n SIMD tables: resident in registers across the
-       whole coefficient loop (~2M symbol decodes per dense 1080p
-       frame reload them otherwise) */
-    const __m128i ramp4 = _mm_loadu_si128((const __m128i *)msac_ramp[4]);
-    const __m128i vmask4 =
-        _mm_loadu_si128((const __m128i *)msac_vmask[4]);
-    const __m128i umask4 =
-        _mm_loadu_si128((const __m128i *)msac_umask[4]);
-    const __m128i ramp3 = _mm_loadu_si128((const __m128i *)msac_ramp[3]);
-    const __m128i vmask3 =
-        _mm_loadu_si128((const __m128i *)msac_vmask[3]);
-    const __m128i umask3 =
-        _mm_loadu_si128((const __m128i *)msac_umask[3]);
-#define MSAC_SYM3(cdfrow) \
-    msac_sym_pre(MS, cdfrow, 3, ramp3, vmask3, umask3)
-#define MSAC_SYM4(cdfrow) \
-    msac_sym_pre(MS, cdfrow, 4, ramp4, vmask4, umask4)
-#else
-#define MSAC_SYM3(cdfrow) msac_symbol(MS, cdfrow, 3)
-#define MSAC_SYM4(cdfrow) msac_symbol(MS, cdfrow, 4)
-#endif
+#define MSAC_SYM3(cdfrow) msac_sym4_scalar(MS, cdfrow, 3)
+#define MSAC_SYM4(cdfrow) msac_sym4_scalar(MS, cdfrow, 4)
     uint16_t (*cb_rows)[5] = t->cdf.coeff_base[tx_ctx][ptype];
     int br_tx = imin(tx_ctx, TX_32X32);
     uint16_t (*br_rows)[5] = t->cdf.coeff_br[br_tx][ptype];
@@ -845,6 +870,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
        struct around every cdf store (~2M symbols per dense frame) */
     Msac mloc = t->msac;
 #define MS (&mloc)
+    uint64_t lv0 = tl_tick();
     for (int ci = eob - 1; ci >= 0; ci--) {
         int pos = scan[ci];
         int level;
@@ -856,11 +882,13 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
             int bctx = coeff_base_ctx(lvl, pos, bwl, stride, cls,
                                       base_offsets);
             level = MSAC_SYM4(cb_rows[bctx]);
+            tl_count(16, 1);
         }
         if (level > 2) {
             int brctx = coeff_br_ctx(lvl, pos, bwl, stride, cls);
             for (int it = 0; it < 4; it++) {
                 int k = MSAC_SYM4(br_rows[brctx]);
+                tl_count(17, 1);
                 level += k;
                 if (k < 3) break;
             }
@@ -870,6 +898,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         if (level)
             nzbuf[--nztail] = (uint16_t)(pos | (level << 10));
     }
+    tl_add(20, lv0);
 #undef MSAC_SYM3
 #undef MSAC_SYM4
 
@@ -902,6 +931,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
 
     int culp = 0, dc_cat = 0;
     int maxr = 0, maxc = 0;   /* nonzero-coefficient bounding box */
+    uint64_t sg0 = tl_tick();
     for (int k = nztail; k < eob; k++) {
         int pos = nzbuf[k] & 1023;
         int level = nzbuf[k] >> 10;
@@ -914,8 +944,9 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
             sign = msac_bool_adapt(MS, t->cdf.dc_sign[ptype][sctx]);
         } else {
             sign = msac_bool_equi(MS);
+            tl_count(18, 1);
         }
-        if (level == 15) level += msac_golomb(MS);
+        if (level == 15) { level += msac_golomb(MS); tl_count(19, 1); }
         int64_t v = ((int64_t)level * (pos == 0 ? dqd : dqa)) & 0xFFFFFF;
         v >>= shift;
         co[pos] = (int32_t)(sign ? -(v < lim ? v : lim)
@@ -923,6 +954,7 @@ static void transform_block(Ctx *t, int plane, int x, int y, int tx_size,
         if (pos == 0) dc_cat = sign ? 2 : 1;
         culp += level;
     }
+    tl_add(21, sg0);
     t->msac = mloc;
 #undef MS
     culp = imin(culp, 63);

@@ -94,7 +94,7 @@ def main():
     lib.av1_get_stage_times(buf)
     lib.av1_get_tile_time()
     try:
-        _ts = (ctypes.c_uint64 * 16)()
+        _ts = (ctypes.c_uint64 * 24)()
         lib.av1_get_tile_stats(_ts)
     except AttributeError:
         pass
@@ -128,7 +128,7 @@ def main():
     try:
         lib.av1_get_tile_stats.restype = None
         lib.av1_get_tile_stats.argtypes = [ctypes.POINTER(ctypes.c_uint64)]
-        ts_ = (ctypes.c_uint64 * 16)()
+        ts_ = (ctypes.c_uint64 * 24)()
         lib.av1_get_tile_stats(ts_)
         hz = _tsc_hz()
         if ts_[8]:
@@ -145,6 +145,18 @@ def main():
             print(f"  other block parse  "
                   f"{(blk-mode_i-resid-grids-txp)*1000:9.1f} ms")
             print(f"  partition/sb walk  {(tile_t-blk)*1000:9.1f} ms")
+            if ts_[16]:
+                lvt, sgt = ts_[20] / hz, ts_[21] / hz
+                nsym = ts_[16] + ts_[17] + ts_[18] + ts_[11]
+                print(f"  level pass         {lvt*1000:9.1f} ms  "
+                      f"(base {ts_[16]}  br {ts_[17]})")
+                print(f"  sign/deq pass      {sgt*1000:9.1f} ms  "
+                      f"(signs {ts_[18]}  golomb {ts_[19]})")
+                print(f"  ~cyc/level-symbol  "
+                      f"{ts_[20]/max(1, ts_[16]+ts_[17]+ts_[12]):9.1f}"
+                      f"  (symbols/coef "
+                      f"{(ts_[16]+ts_[17])/max(1, ts_[11]):.2f})")
+                del nsym
     except AttributeError:
         pass
 
