@@ -1190,6 +1190,34 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
     int16_t *r_pw0 = cprm ? cprm + 2 * cprm_cap : NULL;
     int16_t *r_sthr = cprm ? cprm + 3 * cprm_cap : NULL;
     int16_t *r_ssh = cprm ? cprm + 4 * cprm_cap : NULL;
+    /* dir-banded LUMA: the same masked full-width machinery at luma
+       resolution.  Per-lane thresholds carry the per-position var-
+       adjusted pri, so the whole luma filter becomes <=8 band passes
+       per block row straight from the stripe — replacing the per-
+       position stage(12 rows)+queue+filter path (~385 cyc/block on
+       all-pri intra frames; the band pass shares tap loads across
+       every position of a direction bucket and needs no staging). */
+    static int16_t *yprm;
+    static uint8_t *ydirb, *ycon, *ymask;
+    static size_t yprm_cap;
+    int use_dirband_y = 0;
+    {
+        size_t need = (size_t)pw[0] + 64;
+        if (yprm_cap < need) {
+            free(yprm); free(ydirb); free(ycon); free(ymask);
+            yprm = malloc(sizeof(int16_t) * 5 * need);
+            ydirb = malloc(need);
+            ycon = malloc(need);
+            ymask = malloc(need);
+            yprm_cap = (yprm && ydirb && ycon && ymask) ? need : 0;
+        }
+        use_dirband_y = yprm_cap >= need;
+    }
+    int16_t *y_pthr = yprm;
+    int16_t *y_psh = yprm ? yprm + yprm_cap : NULL;
+    int16_t *y_pw0 = yprm ? yprm + 2 * yprm_cap : NULL;
+    int16_t *y_sthr = yprm ? yprm + 3 * yprm_cap : NULL;
+    int16_t *y_ssh = yprm ? yprm + 4 * yprm_cap : NULL;
 #endif
 
     const int8_t *skip = o->skip;
@@ -1311,6 +1339,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (!use_band) band_y = band_uv = 0;
         if (use_dirband) band_uv = 0;   /* dir-band covers all chroma */
+        if (use_dirband_y) band_y = 0;  /* dir-band covers all luma */
 #else
         /* no band kernel in this build: the filter loop covers all */
         band_y = band_uv = 0;
@@ -1464,6 +1493,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
            shifts depend only on the 64x64 unit's cdef_idx, so all
            parameter setup and the done_y/done_uv gates hoist out of
            the position loop; fully-handled units skip wholesale */
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        unsigned ydir_mask = 0;
+        if (use_dirband_y && row_any_y)
+            memset(ycon, 0, (size_t)pw[0] + 64);
+#endif
         uint64_t fw0 = cdef_profile ? __rdtsc() : 0;
         for (int u = 0; u < ucols; u++) {
             int p0u = u * 8;
@@ -1620,6 +1654,36 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                     cdef_stat[plane ? 1 : 0]++;
                     cdef_stat[2] += pri != 0;
                     cdef_stat[3] += sec != 0;
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+                    if (plane == 0 && use_dirband_y) {
+                        /* fill this position's 8 luma lanes; the
+                           masked band passes after the walk do the
+                           actual filtering */
+                        int wv = pw[0] - px < 8 ? pw[0] - px : 8;
+                        int16_t w0v =
+                            ((adj_pri >> coeff_shift) & 1) == 0 ? 4 : 3;
+                        _mm_storeu_si128(
+                            (__m128i *)(y_pthr + px),
+                            _mm_set1_epi16((short)adj_pri));
+                        _mm_storeu_si128(
+                            (__m128i *)(y_psh + px),
+                            _mm_set1_epi16((short)cdef_shift_for(
+                                adj_pri, pdamp)));
+                        _mm_storeu_si128((__m128i *)(y_pw0 + px),
+                                         _mm_set1_epi16(w0v));
+                        _mm_storeu_si128(
+                            (__m128i *)(y_sthr + px),
+                            _mm_set1_epi16((short)sec));
+                        _mm_storeu_si128(
+                            (__m128i *)(y_ssh + px),
+                            _mm_set1_epi16((short)cdef_shift_for(
+                                sec, pdamp)));
+                        memset(ydirb + px, pdir, (size_t)wv);
+                        memset(ycon + px, 1, (size_t)wv);
+                        ydir_mask |= 1u << pdir;
+                        continue;
+                    }
+#endif
                     uint64_t fb0 =
                         cdef_profile ? __rdtsc() : 0;
                     int interior = px >= 2 && px + w + 2 <= pw[plane]
@@ -1710,6 +1774,42 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
             }
         }
         uvq_n = 0;
+#endif
+#if defined(__AVX512BW__) && defined(__AVX512VL__)
+        /* dir-banded luma: one masked full-width pass per direction
+           bucket, straight from the stripe (reads pre-CDEF stripe
+           rows, writes the live plane — same ordering contract as the
+           per-position path) */
+        if (use_dirband_y && ydir_mask) {
+            uint64_t yb0 = cdef_profile ? __rdtsc() : 0;
+            int nyb = 0;
+            for (int d_ = 0; d_ < 8; d_++) {
+                if (!(ydir_mask & (1u << d_))) continue;
+                int npx = pw[0];
+                for (int xk = 0; xk + 64 <= npx + 64; xk += 64) {
+                    __m512i ob = _mm512_loadu_si512(
+                        (const void *)(ycon + xk));
+                    __m512i db = _mm512_loadu_si512(
+                        (const void *)(ydirb + xk));
+                    __mmask64 mm = _mm512_test_epi8_mask(ob, ob)
+                        & _mm512_cmpeq_epi8_mask(
+                              db, _mm512_set1_epi8((char)d_));
+                    _mm512_storeu_si512(
+                        (void *)(ymask + xk),
+                        _mm512_maskz_mov_epi8(mm,
+                                              _mm512_set1_epi8(1)));
+                }
+                cdef_band_dirp(planes[0] + (int64_t)y * pw[0], pw[0],
+                               stripe[0], sst[0], pw[0], 8, d_, ymask,
+                               y_pthr, y_psh, y_pw0, y_sthr, y_ssh,
+                               y < 2 || y + 10 > ph[0]);
+                nyb++;
+            }
+            if (__builtin_expect(cdef_profile, 0)) {
+                cdef_stat[21] += __rdtsc() - yb0;
+                cdef_stat[22] += nyb;
+            }
+        }
 #endif
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         /* sec-only bands run AFTER the per-position pass: the per-

@@ -378,12 +378,16 @@ static int msac_bool(Msac *s, uint32_t f) {
     return 1;
 }
 
-static int msac_bool_equi(Msac *s) {
+/* equiprobable bit (coefficient signs): branchless — the bit is 50/50
+   by construction, so selecting dif/rng via cmov beats a guaranteed-
+   half-mispredicted branch */
+static inline int msac_bool_equi(Msac *s) {
     uint32_t rng = s->rng, value = MSAC_VAL(s);
     uint32_t cur = ((rng >> 8) << 7) + EC_MIN_PROB;
-    if (value >= cur) { msac_norm(s, s->dif - ((uint64_t)cur << 48), rng - cur); return 0; }
-    msac_norm(s, s->dif, cur);
-    return 1;
+    int bit = value < cur;
+    uint64_t dif = s->dif - (bit ? 0 : (uint64_t)cur << 48);
+    msac_norm(s, dif, bit ? cur : rng - cur);
+    return bit;
 }
 
 static uint32_t msac_literal(Msac *s, int n) {

@@ -185,6 +185,8 @@ def main():
         print(f"  band mask ovh  {bandm*1000:9.1f} ms")
         print(f"  dir-band chroma{cs[19]/hz*1000:9.1f} ms  "
               f"({cs[20]} passes)")
+        print(f"  dir-band luma  {cs[21]/hz*1000:9.1f} ms  "
+              f"({cs[22]} passes)")
     except AttributeError:
         pass
 
