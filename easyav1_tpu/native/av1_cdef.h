@@ -830,24 +830,43 @@ static void cdef_band_dirp(pel *dst, int64_t dstride,
     const int64_t so1 = (int64_t)s1[1][0] * sst + s1[1][1];
     const int64_t so2 = (int64_t)s2[0][0] * sst + s2[0][1];
     const int64_t so3 = (int64_t)s2[1][0] * sst + s2[1][1];
+    /* uniform-row fast path: when every live lane shares one parameter
+       set (chroma rows under a single cdef_idx — no per-position var
+       adjustment on chroma), the caller passes pw0_r == NULL and
+       pthr_r -> 5 scalars {pthr, psh, w0, sthr, ssh}; the broadcasts
+       hoist out of the column loop, skipping five 512-bit parameter
+       loads per 32-px group */
+    const int uni = pw0_r == NULL;
+    __m512i u_pthr = zero, u_psh = zero, u_w0 = zero, u_w1 = zero;
+    __m512i u_sthr = zero, u_ssh = zero;
+    if (uni) {
+        u_pthr = _mm512_set1_epi16((short)pthr_r[0]);
+        u_psh = _mm512_set1_epi16((short)pthr_r[1]);
+        u_w0 = _mm512_set1_epi16((short)pthr_r[2]);
+        u_w1 = _mm512_mask_blend_epi16(
+            _mm512_cmpeq_epi16_mask(u_w0, four), three, two);
+        u_sthr = _mm512_set1_epi16((short)pthr_r[3]);
+        u_ssh = _mm512_set1_epi16((short)pthr_r[4]);
+    }
     for (int x = 0; x < n_px; x += 32) {
         __m256i onb = _mm256_loadu_si256((const __m256i *)(px_on + x));
         __mmask32 m = _mm256_test_epi8_mask(onb, onb);
         if (x + 32 > n_px)
             m &= (n_px - x >= 32) ? ~0u : ((1u << (n_px - x)) - 1);
         if (!m) continue;
-        const __m512i vpthr =
-            _mm512_loadu_si512((const void *)(pthr_r + x));
-        const __m512i vpsh =
-            _mm512_loadu_si512((const void *)(psh_r + x));
-        const __m512i vw0 =
-            _mm512_loadu_si512((const void *)(pw0_r + x));
-        const __m512i vw1 = _mm512_mask_blend_epi16(
-            _mm512_cmpeq_epi16_mask(vw0, four), three, two);
-        const __m512i vsthr =
-            _mm512_loadu_si512((const void *)(sthr_r + x));
-        const __m512i vssh =
-            _mm512_loadu_si512((const void *)(ssh_r + x));
+        __m512i vpthr, vpsh, vw0, vw1, vsthr, vssh;
+        if (uni) {
+            vpthr = u_pthr; vpsh = u_psh; vw0 = u_w0; vw1 = u_w1;
+            vsthr = u_sthr; vssh = u_ssh;
+        } else {
+            vpthr = _mm512_loadu_si512((const void *)(pthr_r + x));
+            vpsh = _mm512_loadu_si512((const void *)(psh_r + x));
+            vw0 = _mm512_loadu_si512((const void *)(pw0_r + x));
+            vw1 = _mm512_mask_blend_epi16(
+                _mm512_cmpeq_epi16_mask(vw0, four), three, two);
+            vsthr = _mm512_loadu_si512((const void *)(sthr_r + x));
+            vssh = _mm512_loadu_si512((const void *)(ssh_r + x));
+        }
         const __mmask32 kp = _mm512_cmpneq_epi16_mask(vpthr, zero);
         const __mmask32 ks = _mm512_cmpneq_epi16_mask(vsthr, zero);
         int edged = rows_edged || x == 0 || x + 35 >= n_px + 2;
@@ -1232,6 +1251,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
         int band_y = 0, band_uv = 0;
         int y_sec_u = -1, uv_sec_u = -1;
         int row_any_pri = 0;
+        int uv_uni = 1, uv_u_pri = -1, uv_u_sec = -1;
         const int8_t *crow = o->cdef_idx + (r / 16) * ucols;
         uint64_t cl0 = cdef_profile ? __rdtsc() : 0;
         {
@@ -1292,6 +1312,9 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                 if (use_dirband && n_pl == 3 && (up | us)) {
                     int upri = up << coeff_shift;
                     int usec = us << coeff_shift;
+                    if (uv_u_pri < 0) { uv_u_pri = upri; uv_u_sec = usec; }
+                    else if (uv_u_pri != upri || uv_u_sec != usec)
+                        uv_uni = 0;
                     int16_t w0v = ((up & 1) == 0) ? 4 : 3;
                     int16_t pshv =
                         (int16_t)cdef_shift_for(upri, damping - 1);
@@ -1495,6 +1518,7 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
            the position loop; fully-handled units skip wholesale */
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         unsigned ydir_mask = 0;
+        int y_uni = 1, y_u_pri = -1, y_u_sec = -1;
         if (use_dirband_y && row_any_y)
             memset(ycon, 0, (size_t)pw[0] + 64);
 #endif
@@ -1681,6 +1705,11 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         memset(ydirb + px, pdir, (size_t)wv);
                         memset(ycon + px, 1, (size_t)wv);
                         ydir_mask |= 1u << pdir;
+                        if (y_u_pri < 0) {
+                            y_u_pri = adj_pri; y_u_sec = sec;
+                        } else if (y_u_pri != adj_pri
+                                   || y_u_sec != sec)
+                            y_uni = 0;
                         continue;
                     }
 #endif
@@ -1799,10 +1828,24 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         _mm512_maskz_mov_epi8(mm,
                                               _mm512_set1_epi8(1)));
                 }
-                cdef_band_dirp(planes[0] + (int64_t)y * pw[0], pw[0],
-                               stripe[0], sst[0], pw[0], 8, d_, ymask,
-                               y_pthr, y_psh, y_pw0, y_sthr, y_ssh,
-                               y < 2 || y + 10 > ph[0]);
+                if (y_uni && y_u_pri >= 0) {
+                    int16_t y5[5];
+                    y5[0] = (int16_t)y_u_pri;
+                    y5[1] = (int16_t)cdef_shift_for(y_u_pri, damping);
+                    y5[2] = ((y_u_pri >> coeff_shift) & 1) == 0 ? 4
+                                                                : 3;
+                    y5[3] = (int16_t)y_u_sec;
+                    y5[4] = (int16_t)cdef_shift_for(y_u_sec, damping);
+                    cdef_band_dirp(planes[0] + (int64_t)y * pw[0],
+                                   pw[0], stripe[0], sst[0], pw[0], 8,
+                                   d_, ymask, y5, NULL, NULL, NULL,
+                                   NULL, y < 2 || y + 10 > ph[0]);
+                } else
+                    cdef_band_dirp(planes[0] + (int64_t)y * pw[0],
+                                   pw[0], stripe[0], sst[0], pw[0], 8,
+                                   d_, ymask, y_pthr, y_psh, y_pw0,
+                                   y_sthr, y_ssh,
+                                   y < 2 || y + 10 > ph[0]);
                 nyb++;
             }
             if (__builtin_expect(cdef_profile, 0)) {
@@ -1897,12 +1940,34 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
                         _mm512_maskz_mov_epi8(mm,
                                               _mm512_set1_epi8(1)));
                 }
+                int16_t uv5[5];
+                if (uv_uni && uv_u_pri >= 0) {
+                    uv5[0] = (int16_t)uv_u_pri;
+                    uv5[1] = (int16_t)cdef_shift_for(uv_u_pri,
+                                                     damping - 1);
+                    uv5[2] = ((uv_u_pri >> coeff_shift) & 1) == 0 ? 4
+                                                                  : 3;
+                    uv5[3] = (int16_t)uv_u_sec;
+                    uv5[4] = (int16_t)cdef_shift_for(uv_u_sec,
+                                                     damping - 1);
+                }
                 for (int p = 1; p < n_pl; p++) {
-                    cdef_band_dirp(planes[p] + (int64_t)py3 * pw[p],
-                                   pw[p], stripe[p], sst[p], pw[p],
-                                   hh3, d_, cmask, r_pthr, r_psh,
-                                   r_pw0, r_sthr, r_ssh,
-                                   py3 < 2 || py3 + hh3 + 2 > ph[p]);
+                    if (uv_uni && uv_u_pri >= 0)
+                        cdef_band_dirp(planes[p]
+                                           + (int64_t)py3 * pw[p],
+                                       pw[p], stripe[p], sst[p],
+                                       pw[p], hh3, d_, cmask, uv5,
+                                       NULL, NULL, NULL, NULL,
+                                       py3 < 2
+                                           || py3 + hh3 + 2 > ph[p]);
+                    else
+                        cdef_band_dirp(planes[p]
+                                           + (int64_t)py3 * pw[p],
+                                       pw[p], stripe[p], sst[p],
+                                       pw[p], hh3, d_, cmask, r_pthr,
+                                       r_psh, r_pw0, r_sthr, r_ssh,
+                                       py3 < 2
+                                           || py3 + hh3 + 2 > ph[p]);
                     ndb++;
                 }
             }
