@@ -921,18 +921,31 @@ static void cp_copy_rows(pel *dst, int64_t ds, const pel *src,
     size_t row_bytes = sizeof(pel) * (size_t)w;
     /* Small/mid bands are latency-bound, not bandwidth-bound: each
        entry's source sits at an arbitrary MV offset, so every row is
-       a demand miss and the rolling 2-rows-ahead prefetch leaves the
-       misses serialized (40-130 cyc/px measured on high-latency VM
-       memory vs ~4 cyc/px for full-width bands).  Issue the whole
-       source window's line fills up front so they overlap. */
+       a demand miss.  Keep a BOUNDED number of line fills in flight —
+       an up-front pass over the whole window overflows the core's
+       line-fill buffers (~16), the excess prefetches are dropped, and
+       the copy serializes on demand misses anyway (measured 4-10
+       cyc/px on mid bands at 4K vs 0.3 for the same shape hot). */
     if (row_bytes < 4096) {
+        int64_t ssb = ss * (int64_t)sizeof(pel);
         const char *s0 = (const char *)src;
-        for (int r = 0; r < h; r++) {
+        int lines = (int)((row_bytes + 63) >> 6);
+        int ahead = lines >= 32 ? 1 : 32 / lines;
+        int pro = h < ahead ? h : ahead;
+        for (int r = 0; r < pro; r++)
             for (size_t b = 0; b < row_bytes; b += 64)
-                __builtin_prefetch(s0 + b);
-            __builtin_prefetch(s0 + row_bytes - 1);
-            s0 += ss * (int64_t)sizeof(pel);
+                __builtin_prefetch(s0 + (int64_t)r * ssb + b);
+        for (int r = 0; r < h; r++) {
+            if (r + ahead < h) {
+                const char *pf = s0 + (int64_t)(r + ahead) * ssb;
+                for (size_t b = 0; b < row_bytes; b += 64)
+                    __builtin_prefetch(pf + b);
+            }
+            memcpy(dst, src, row_bytes);
+            src += ss;
+            dst += ds;
         }
+        return;
     }
 #if defined(__AVX512F__)
     if (nt && row_bytes >= 64 && ((uintptr_t)dst & 63) == 0
@@ -1015,15 +1028,16 @@ static void copyplan_flush(Recon *rc) {
                        && e[j + 1].src == e[j].src + e[j].w)
                     j++;
                 int mw = e[j].x + e[j].w - e[i].x;
-                /* hide upcoming runs' source latency under this copy:
-                   all rows of the next run plus the first rows of the
-                   few after it (narrow bands finish faster than one
-                   DRAM round-trip, so one-run lookahead starves) */
+                /* hide the next runs' FIRST source lines under this
+                   copy (bounded: the line-fill buffers hold ~16
+                   outstanding misses; cp_copy_rows pipelines the rest
+                   of each run internally) */
                 if (j + 1 < cp->n) {
                     const CopyEnt *nx = &e[j + 1];
                     const char *ns = (const char *)nx->src;
                     int64_t nss = nx->ss * (int64_t)sizeof(pel);
-                    for (int r = 0; r < nx->h; r++)
+                    int pr = nx->h < 8 ? nx->h : 8;
+                    for (int r = 0; r < pr; r++)
                         __builtin_prefetch(ns + (int64_t)r * nss);
                     for (int k = j + 2; k < cp->n && k <= j + 6; k++)
                         __builtin_prefetch(e[k].src);

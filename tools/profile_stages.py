@@ -220,6 +220,23 @@ def main():
                 print(f"int-mv memcpy branch: {mc[16]/1e6:.2f} Mpx "
                       f"{mc[17]/1e6:.1f} Mcyc "
                       f"({mc[17]/max(mc[16],1):.1f} cyc/px)")
+            wn = ["<16", "16-63", "32-63", "64-127", ">=128"]
+            if any(mc[18 + k] for k in range(5)):
+                print("immediate NT-store copies (per block width):")
+                for k in range(5):
+                    if mc[18 + k]:
+                        print(f"  w{wn[k]:<9} {mc[38+k]:>9} calls "
+                              f"{mc[18+k]/1e6:>9.2f} Mpx "
+                              f"{mc[28+k]/1e6:>8.1f} Mcyc "
+                              f"{mc[28+k]/max(mc[18+k],1):>6.1f} cyc/px")
+            if any(mc[23 + k] for k in range(5)):
+                print("immediate memcpy copies (per block width):")
+                for k in range(5):
+                    if mc[23 + k]:
+                        print(f"  w{wn[k]:<9} {mc[43+k]:>9} calls "
+                              f"{mc[23+k]/1e6:>9.2f} Mpx "
+                              f"{mc[33+k]/1e6:>8.1f} Mcyc "
+                              f"{mc[33+k]/max(mc[23+k],1):>6.1f} cyc/px")
             if mc[58]:
                 names = ["<16", "16-63", "64-255", "256-1023", ">=1024"]
                 print(f"flush bands ({mc[58]} entries merged):")
