@@ -27,6 +27,7 @@ identical semantics.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -1014,36 +1015,60 @@ class PallasRecon:
         self.layouts = [IP.plane_layout(ph, pw, self.strips[p])
                         for p, (ph, pw) in enumerate(self.dims)]
         self._umax_caps: Dict[int, int] = {}
+        self._field_bufs: Dict[tuple, np.ndarray] = {}
 
     def _strip_fields(self, f, plane):
         """[N, NF] -> ([nstrips, umax, NF], counts [nstrips, 8]).
 
         umax is a sticky grow-only capacity (25% slack, 64-aligned) so
         the strip kernel's shape — and therefore its XLA compile — is
-        stable across the frames of a stream."""
+        stable across the frames of a stream.  Single stable-sort +
+        scatter (the per-strip boolean-mask loop cost ~40 ms/frame on
+        dense 130k-unit intra frames); the output buffer is reused
+        without rezeroing — the kernel's fori_loop is bounded by
+        counts[s], so slots past a strip's count are never read."""
         sh = self.strips[plane]
         hp, wp, ns = self.layouts[plane]
         sidx = f[:, F_Y] // sh
         counts = np.zeros((ns, 8, 128), np.int32)
-        for s in range(ns):
-            counts[s, 0, 0] = int((sidx == s).sum())
-        umax = max(8, int(counts[:, 0, 0].max()))
+        bc = np.bincount(sidx, minlength=ns) if f.shape[0] else \
+            np.zeros(ns, np.int64)
+        counts[:, 0, 0] = bc
+        umax = max(8, int(bc.max()) if f.shape[0] else 8)
         umax = -(-umax // 8) * 8
         cap = self._umax_caps.get(plane, 0)
         if umax > cap:
             cap = -(-(umax + (umax >> 2)) // 64) * 64
             self._umax_caps[plane] = cap
         umax = cap
-        out = np.zeros((ns, umax, 32), np.int32)
-        for s in range(ns):
-            sel = f[sidx == s]
-            out[s, :sel.shape[0], :NF] = sel
+        key = (plane, ns, umax)
+        out = self._field_bufs.get(key)
+        if out is None or self.interpret:
+            # fresh buffer on the CPU backend: jnp.asarray may alias
+            # host memory zero-copy there, so reuse could mutate a
+            # still-pending frame's input
+            out = np.zeros((ns, umax, 32), np.int32)
+            if not self.interpret:
+                self._field_bufs[key] = out
+        if f.shape[0]:
+            order = np.argsort(sidx, kind="stable")
+            fs = f[order]
+            sid_s = sidx[order]
+            starts = np.zeros(ns + 1, np.int64)
+            np.cumsum(bc, out=starts[1:])
+            rank = np.arange(fs.shape[0], dtype=np.int64) \
+                - starts[sid_s]
+            out[sid_s, rank, :NF] = fs
         return out, counts, umax
 
     def run(self, units: np.ndarray, txs: np.ndarray,
             coeffs: np.ndarray, literals=None):
+        import time as _t
+
+        from easyav1_tpu.native import _prof
         import jax.numpy as jnp
         IP = self.IP
+        _tp = _t.perf_counter()
         if self.np_ > 1 and not (self.ssx and self.ssy):
             if np.any(units[units[:, 0] > 0][:, 5] == 8):
                 return None          # CfL only wired for 4:2:0
@@ -1051,6 +1076,7 @@ class PallasRecon:
             fields = preprocess_units(units, self.dims, pad=0)
         except NotImplementedError:
             return None
+        _tp = _prof("ip_preprocess", _tp)
         # scatter-based residual compose: batched itx per (size, type)
         # group + scatter-add straight into the layout planes, batches
         # decomposed into the static pow4 chunk ladder so the kernel
@@ -1068,6 +1094,7 @@ class PallasRecon:
             if rnp is None:
                 return None  # literal fold needs the host composer
             apply_literals(rnp, literals, 0, IP.LPAD)
+        _tp = _prof("ip_compose_host", _tp)
         if rnp is not None:
             resid = [jnp.asarray(r).astype(jnp.int32)
                      for r in rnp]
@@ -1136,8 +1163,16 @@ class PallasRecon:
                         return [o0] + os_
                     return g
             fused = self._fused[fkey] = _jax.jit(_f())
-        return list(fused(jnp.asarray(u30), jnp.asarray(cnt0),
+        _tp = _prof("ip_strip_fields", _tp)
+        outs = list(fused(jnp.asarray(u30), jnp.asarray(cnt0),
                           resid[0], chroma))
+        if os.environ.get("EASYAV1_DEV_PROF"):
+            # profiling only: blocking here serializes the host/device
+            # overlap the production pipeline relies on
+            import jax as _jx
+            _jx.block_until_ready(outs)
+            _prof("ip_strip_device", _tp)
+        return outs
 
     def crop(self, outs):
         res = []
