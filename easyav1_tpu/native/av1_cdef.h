@@ -1362,7 +1362,10 @@ static void av1_cdef(const ReconParams *rp, const TileOut *o,
 #if defined(__AVX512BW__) && defined(__AVX512VL__)
         if (!use_band) band_y = band_uv = 0;
         if (use_dirband) band_uv = 0;   /* dir-band covers all chroma */
-        if (use_dirband_y) band_y = 0;  /* dir-band covers all luma */
+        /* band_y stays on: uniform sec-only rows skip the walk's
+           per-position lane fill entirely (done_y) and run as one
+           broadcast band pass; dir-banded luma covers the rest
+           (pri>0 / mixed rows) via the walk fill */
 #else
         /* no band kernel in this build: the filter loop covers all */
         band_y = band_uv = 0;
