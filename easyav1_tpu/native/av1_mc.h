@@ -105,7 +105,8 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
          * next-row prefetch (the ref plane is usually cache-cold). */
         if (!comp && dst && ix >= 0 && ix + w <= rw && iy >= 0
             && iy + h <= rh) {
-            uint64_t c0 = __rdtsc();
+            uint64_t c0 =
+                __builtin_expect(rc_profile, 0) ? __rdtsc() : 0;
             const pel *src = ref + (int64_t)iy * rs + ix;
             size_t row_bytes = sizeof(pel) * (size_t)w;
 #if defined(__AVX512F__)
@@ -134,11 +135,11 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                     dst += ds;
                 }
                 _mm_sfence();
-                av1_mc_stat[16] += (uint64_t)w * h;
-                uint64_t dc = __rdtsc() - c0;
-                av1_mc_stat[17] += dc;
-                /* per-width NT buckets: [18+k] px, [28+k] cyc */
-                {
+                if (__builtin_expect(rc_profile, 0)) {
+                    av1_mc_stat[16] += (uint64_t)w * h;
+                    uint64_t dc = __rdtsc() - c0;
+                    av1_mc_stat[17] += dc;
+                    /* per-width NT buckets: [18+k] px, [28+k] cyc */
                     int k = w >= 128 ? 4 : w >= 64 ? 3 : w >= 32 ? 2
                             : w >= 16 ? 1 : 0;
                     av1_mc_stat[18 + k] += (uint64_t)w * h;
@@ -154,11 +155,11 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                 src += rs;
                 dst += ds;
             }
-            av1_mc_stat[16] += (uint64_t)w * h;
-            uint64_t dc = __rdtsc() - c0;
-            av1_mc_stat[17] += dc;
-            /* per-width memcpy buckets: [23+k] px, [33+k] cyc */
-            {
+            if (__builtin_expect(rc_profile, 0)) {
+                av1_mc_stat[16] += (uint64_t)w * h;
+                uint64_t dc = __rdtsc() - c0;
+                av1_mc_stat[17] += dc;
+                /* per-width memcpy buckets: [23+k] px, [33+k] cyc */
                 int k = w >= 128 ? 4 : w >= 64 ? 3 : w >= 32 ? 2
                         : w >= 16 ? 1 : 0;
                 av1_mc_stat[23 + k] += (uint64_t)w * h;
@@ -455,14 +456,18 @@ static void predict_inter_u16(const pel *ref, int rw, int rh,
     int fx = ((x << 4) + mv[1] * (ssx ? 1 : 2)) & 15;
     int fy = ((y << 4) + mv[0] * (ssy ? 1 : 2)) & 15;
     int path = (fx | fy) == 0 ? 0 : fy == 0 ? 1 : fx == 0 ? 2 : 3;
-    uint64_t t0 = __rdtsc();
+    /* per-call rdtsc pair gated: ~33k subpel calls per 4K frame pay
+       ~60 cyc each when timed unconditionally */
+    uint64_t t0 = __builtin_expect(rc_profile, 0) ? __rdtsc() : 0;
     predict_inter_u16_impl(ref, rw, rh, rs, x, y, w, h, mv, ssx, ssy,
                            interp, filt_w, filt_h, comp, bd, out, dst,
                            ds);
-    av1_mc_stat[path] += (uint64_t)w * h;
-    av1_mc_stat[4 + path] += __rdtsc() - t0;
-    av1_mc_stat[8 + path]++;
-    if (comp) av1_mc_stat[12] += (uint64_t)w * h;
+    if (__builtin_expect(rc_profile, 0)) {
+        av1_mc_stat[path] += (uint64_t)w * h;
+        av1_mc_stat[4 + path] += __rdtsc() - t0;
+        av1_mc_stat[8 + path]++;
+        if (comp) av1_mc_stat[12] += (uint64_t)w * h;
+    }
 }
 
 /* current-plane-source variant of predict_inter (intra block copy
@@ -1042,27 +1047,30 @@ static void copyplan_flush(Recon *rc) {
                     for (int k = j + 2; k < cp->n && k <= j + 6; k++)
                         __builtin_prefetch(e[k].src);
                 }
-                uint64_t b0 = __rdtsc();
+                uint64_t b0 =
+                    __builtin_expect(rc_profile, 0) ? __rdtsc() : 0;
                 cp_copy_rows(plane + (int64_t)e[i].y * ds + e[i].x, ds,
                              e[i].src, e[i].ss, mw, e[i].h, e[i].nt);
                 px += (uint64_t)mw * e[i].h;
-                {
+                if (__builtin_expect(rc_profile, 0)) {
                     int k = mw >= 1024 ? 4 : mw >= 256 ? 3
                             : mw >= 64 ? 2 : mw >= 16 ? 1 : 0;
                     av1_mc_stat[48 + k]++;
                     av1_mc_stat[53 + k] += (uint64_t)mw * e[i].h;
                     av1_mc_stat[59 + k] += __rdtsc() - b0;
+                    av1_mc_stat[58] += (uint64_t)(j + 1 - i);
                 }
-                av1_mc_stat[58] += (uint64_t)(j + 1 - i);
                 i = j + 1;
             }
             {
-                uint64_t r0 = __rdtsc();
+                uint64_t r0 =
+                    __builtin_expect(rc_profile, 0) ? __rdtsc() : 0;
                 while (ri < rp_->n && (rp_->e[ri].y >> 7) == band) {
                     residual_add_mask(rc, rp_->e[ri].b, 1 << p);
                     ri++;
                 }
-                av1_mc_stat[47] += __rdtsc() - r0;
+                if (__builtin_expect(rc_profile, 0))
+                    av1_mc_stat[47] += __rdtsc() - r0;
             }
         }
         cp->n = 0;
