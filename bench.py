@@ -465,7 +465,10 @@ def bench_device_combined() -> dict:
     except Exception as e:  # noqa: BLE001
         out["device_stage_error"] = str(e)[:120]
     _emit(dict(out))
-    if _remaining() > 360:
+    # floors sized to measured phase costs (resident: ~7 s of decode +
+    # the uncacheable XLA compiles; the parent's subprocess timeout
+    # salvages partial output on overrun either way)
+    if _remaining() > 240:
         try:
             out.update(bench_device_resident())
         except Exception as e:  # noqa: BLE001
@@ -475,7 +478,7 @@ def bench_device_combined() -> dict:
     _emit(dict(out))
     # config-5 on the device pipe: honest but currently bounded by the
     # XLA MC-gather lowering (see README); keep the sample tiny
-    if _remaining() > 600:
+    if _remaining() > 300:
         try:
             out.update(bench_multistream_device())
         except Exception as e:  # noqa: BLE001
