@@ -211,6 +211,107 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
          *   m = (acc+4)>>3; comp: (128m+64)>>7 == m;
          *   noncomp: (128m+1024)>>11 == (m+8)>>4 */
         int inside_x = (ix - 3 >= 0) && (ix + w + 3 < rw);
+#if defined(__AVX2__) && PEL_BITS == 8
+        /* same madd structure as the vertical kernel, with the 8 tap
+         * inputs being shifted loads of ONE row (out[c] needs
+         * src[c-3..c+4]); exact i32 accumulation */
+        if (inside_x && (w & 15) == 0) {
+            const __m256i c01 = _mm256_set1_epi32(
+                ((int)(uint16_t)fh[1] << 16) | (uint16_t)fh[0]);
+            const __m256i c23 = _mm256_set1_epi32(
+                ((int)(uint16_t)fh[3] << 16) | (uint16_t)fh[2]);
+            const __m256i c45 = _mm256_set1_epi32(
+                ((int)(uint16_t)fh[5] << 16) | (uint16_t)fh[4]);
+            const __m256i c67 = _mm256_set1_epi32(
+                ((int)(uint16_t)fh[7] << 16) | (uint16_t)fh[6]);
+            for (int r = 0; r < h; r++) {
+                int sy = iy + r;
+                sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
+                const pel *src = ref + (int64_t)sy * rs + ix - 3;
+                for (int c = 0; c < w; c += 16) {
+                    __m256i w0 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c)));
+                    __m256i w1 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 1)));
+                    __m256i w2 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 2)));
+                    __m256i w3 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 3)));
+                    __m256i w4 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 4)));
+                    __m256i w5 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 5)));
+                    __m256i w6 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 6)));
+                    __m256i w7 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
+                        (const __m128i *)(src + c + 7)));
+                    __m256i sl = _mm256_add_epi32(
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w0, w1), c01),
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w2, w3), c23)),
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w4, w5), c45),
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w6, w7), c67)));
+                    __m256i sh = _mm256_add_epi32(
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w0, w1), c01),
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w2, w3), c23)),
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w4, w5), c45),
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w6, w7), c67)));
+                    __m256i ml = _mm256_srai_epi32(
+                        _mm256_add_epi32(sl, _mm256_set1_epi32(4)), 3);
+                    __m256i mh = _mm256_srai_epi32(
+                        _mm256_add_epi32(sh, _mm256_set1_epi32(4)), 3);
+                    if (comp) {
+                        int32_t *o = out + r * w + c;
+                        _mm_storeu_si128((__m128i *)o,
+                                         _mm256_castsi256_si128(ml));
+                        _mm_storeu_si128((__m128i *)(o + 4),
+                                         _mm256_castsi256_si128(mh));
+                        _mm_storeu_si128(
+                            (__m128i *)(o + 8),
+                            _mm256_extracti128_si256(ml, 1));
+                        _mm_storeu_si128(
+                            (__m128i *)(o + 12),
+                            _mm256_extracti128_si256(mh, 1));
+                    } else {
+                        __m256i vl = _mm256_srai_epi32(
+                            _mm256_add_epi32(ml, _mm256_set1_epi32(8)),
+                            4);
+                        __m256i vh = _mm256_srai_epi32(
+                            _mm256_add_epi32(mh, _mm256_set1_epi32(8)),
+                            4);
+                        __m256i v16 = _mm256_packus_epi32(vl, vh);
+                        __m128i v8 = _mm_packus_epi16(
+                            _mm256_castsi256_si128(v16),
+                            _mm256_extracti128_si256(v16, 1));
+                        if (dst)
+                            _mm_storeu_si128((__m128i *)(dst + r * ds
+                                                         + c), v8);
+                        else {
+                            int32_t *o = out + r * w + c;
+                            _mm256_storeu_si256(
+                                (__m256i *)o, _mm256_cvtepu8_epi32(v8));
+                            _mm256_storeu_si256(
+                                (__m256i *)(o + 8),
+                                _mm256_cvtepu8_epi32(
+                                    _mm_srli_si128(v8, 8)));
+                        }
+                    }
+                }
+            }
+            return;
+        }
+#endif
         for (int r = 0; r < h; r++) {
             int sy = iy + r;
             sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
