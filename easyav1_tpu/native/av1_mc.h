@@ -642,6 +642,88 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
             int16_t *restrict m = mid + r * w;
             if (inside_x) {
                 const pel *restrict src = row + ix - 3;
+#if defined(__AVX2__) && PEL_BITS == 8
+                /* horizontal stage via the shifted-load madd kernel,
+                   packing the (acc+4)>>3 intermediate to int16 (fits:
+                   |m| <= ~6k for bd 8) */
+                if ((w & 15) == 0) {
+                    const __m256i c01 = _mm256_set1_epi32(
+                        ((int)(uint16_t)fh[1] << 16) | (uint16_t)fh[0]);
+                    const __m256i c23 = _mm256_set1_epi32(
+                        ((int)(uint16_t)fh[3] << 16) | (uint16_t)fh[2]);
+                    const __m256i c45 = _mm256_set1_epi32(
+                        ((int)(uint16_t)fh[5] << 16) | (uint16_t)fh[4]);
+                    const __m256i c67 = _mm256_set1_epi32(
+                        ((int)(uint16_t)fh[7] << 16) | (uint16_t)fh[6]);
+                    for (int c = 0; c < w; c += 16) {
+                        __m256i w0 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c)));
+                        __m256i w1 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 1)));
+                        __m256i w2 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 2)));
+                        __m256i w3 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 3)));
+                        __m256i w4 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 4)));
+                        __m256i w5 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 5)));
+                        __m256i w6 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 6)));
+                        __m256i w7 = _mm256_cvtepu8_epi16(
+                            _mm_loadu_si128(
+                                (const __m128i *)(src + c + 7)));
+                        __m256i sl = _mm256_add_epi32(
+                            _mm256_add_epi32(
+                                _mm256_madd_epi16(
+                                    _mm256_unpacklo_epi16(w0, w1),
+                                    c01),
+                                _mm256_madd_epi16(
+                                    _mm256_unpacklo_epi16(w2, w3),
+                                    c23)),
+                            _mm256_add_epi32(
+                                _mm256_madd_epi16(
+                                    _mm256_unpacklo_epi16(w4, w5),
+                                    c45),
+                                _mm256_madd_epi16(
+                                    _mm256_unpacklo_epi16(w6, w7),
+                                    c67)));
+                        __m256i sh = _mm256_add_epi32(
+                            _mm256_add_epi32(
+                                _mm256_madd_epi16(
+                                    _mm256_unpackhi_epi16(w0, w1),
+                                    c01),
+                                _mm256_madd_epi16(
+                                    _mm256_unpackhi_epi16(w2, w3),
+                                    c23)),
+                            _mm256_add_epi32(
+                                _mm256_madd_epi16(
+                                    _mm256_unpackhi_epi16(w4, w5),
+                                    c45),
+                                _mm256_madd_epi16(
+                                    _mm256_unpackhi_epi16(w6, w7),
+                                    c67)));
+                        __m256i ml = _mm256_srai_epi32(
+                            _mm256_add_epi32(sl,
+                                             _mm256_set1_epi32(4)), 3);
+                        __m256i mh = _mm256_srai_epi32(
+                            _mm256_add_epi32(sh,
+                                             _mm256_set1_epi32(4)), 3);
+                        /* packs re-interleaves lo/hi back to order */
+                        _mm256_storeu_si256(
+                            (__m256i *)(m + c),
+                            _mm256_packs_epi32(ml, mh));
+                    }
+                    continue;
+                }
+#endif
                 for (int c = 0; c < w; c++) {
                     int32_t acc = 0;
                     for (int t = 0; t < 8; t++)
@@ -660,6 +742,111 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                 }
             }
         }
+#if defined(__AVX2__) && PEL_BITS == 8
+        /* vertical stage: madd directly on the int16 mid rows (no
+           widening needed; |fv*m| pair sums fit i32) */
+        if ((w & 15) == 0) {
+            const __m256i c01 = _mm256_set1_epi32(
+                ((int)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]);
+            const __m256i c23 = _mm256_set1_epi32(
+                ((int)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]);
+            const __m256i c45 = _mm256_set1_epi32(
+                ((int)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]);
+            const __m256i c67 = _mm256_set1_epi32(
+                ((int)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]);
+            for (int r = 0; r < h; r++) {
+                const int16_t *restrict m = mid + r * w;
+                for (int c = 0; c < w; c += 16) {
+                    __m256i w0 = _mm256_loadu_si256(
+                        (const __m256i *)(m + c));
+                    __m256i w1 = _mm256_loadu_si256(
+                        (const __m256i *)(m + w + c));
+                    __m256i w2 = _mm256_loadu_si256(
+                        (const __m256i *)(m + 2 * w + c));
+                    __m256i w3 = _mm256_loadu_si256(
+                        (const __m256i *)(m + 3 * w + c));
+                    __m256i w4 = _mm256_loadu_si256(
+                        (const __m256i *)(m + 4 * w + c));
+                    __m256i w5 = _mm256_loadu_si256(
+                        (const __m256i *)(m + 5 * w + c));
+                    __m256i w6 = _mm256_loadu_si256(
+                        (const __m256i *)(m + 6 * w + c));
+                    __m256i w7 = _mm256_loadu_si256(
+                        (const __m256i *)(m + 7 * w + c));
+                    __m256i sl = _mm256_add_epi32(
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w0, w1), c01),
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w2, w3), c23)),
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w4, w5), c45),
+                            _mm256_madd_epi16(
+                                _mm256_unpacklo_epi16(w6, w7), c67)));
+                    __m256i sh = _mm256_add_epi32(
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w0, w1), c01),
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w2, w3), c23)),
+                        _mm256_add_epi32(
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w4, w5), c45),
+                            _mm256_madd_epi16(
+                                _mm256_unpackhi_epi16(w6, w7), c67)));
+                    if (comp) {
+                        __m256i vl = _mm256_srai_epi32(
+                            _mm256_add_epi32(sl,
+                                             _mm256_set1_epi32(64)),
+                            7);
+                        __m256i vh = _mm256_srai_epi32(
+                            _mm256_add_epi32(sh,
+                                             _mm256_set1_epi32(64)),
+                            7);
+                        int32_t *o = out + r * w + c;
+                        _mm_storeu_si128((__m128i *)o,
+                                         _mm256_castsi256_si128(vl));
+                        _mm_storeu_si128((__m128i *)(o + 4),
+                                         _mm256_castsi256_si128(vh));
+                        _mm_storeu_si128(
+                            (__m128i *)(o + 8),
+                            _mm256_extracti128_si256(vl, 1));
+                        _mm_storeu_si128(
+                            (__m128i *)(o + 12),
+                            _mm256_extracti128_si256(vh, 1));
+                    } else {
+                        __m256i vl = _mm256_srai_epi32(
+                            _mm256_add_epi32(sl,
+                                             _mm256_set1_epi32(1024)),
+                            11);
+                        __m256i vh = _mm256_srai_epi32(
+                            _mm256_add_epi32(sh,
+                                             _mm256_set1_epi32(1024)),
+                            11);
+                        __m256i v16 = _mm256_packus_epi32(vl, vh);
+                        __m128i v8 = _mm_packus_epi16(
+                            _mm256_castsi256_si128(v16),
+                            _mm256_extracti128_si256(v16, 1));
+                        if (dst)
+                            _mm_storeu_si128(
+                                (__m128i *)(dst + r * ds + c), v8);
+                        else {
+                            int32_t *o = out + r * w + c;
+                            _mm256_storeu_si256(
+                                (__m256i *)o,
+                                _mm256_cvtepu8_epi32(v8));
+                            _mm256_storeu_si256(
+                                (__m256i *)(o + 8),
+                                _mm256_cvtepu8_epi32(
+                                    _mm_srli_si128(v8, 8)));
+                        }
+                    }
+                }
+            }
+            return;
+        }
+#endif
         for (int r = 0; r < h; r++) {
             const int16_t *restrict m = mid + r * w;
             if (comp) {
