@@ -217,13 +217,13 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
          * src[c-3..c+4]); exact i32 accumulation */
         if (inside_x && (w & 15) == 0) {
             const __m256i c01 = _mm256_set1_epi32(
-                ((int)(uint16_t)fh[1] << 16) | (uint16_t)fh[0]);
+                (int)(((uint32_t)(uint16_t)fh[1] << 16) | (uint16_t)fh[0]));
             const __m256i c23 = _mm256_set1_epi32(
-                ((int)(uint16_t)fh[3] << 16) | (uint16_t)fh[2]);
+                (int)(((uint32_t)(uint16_t)fh[3] << 16) | (uint16_t)fh[2]));
             const __m256i c45 = _mm256_set1_epi32(
-                ((int)(uint16_t)fh[5] << 16) | (uint16_t)fh[4]);
+                (int)(((uint32_t)(uint16_t)fh[5] << 16) | (uint16_t)fh[4]));
             const __m256i c67 = _mm256_set1_epi32(
-                ((int)(uint16_t)fh[7] << 16) | (uint16_t)fh[6]);
+                (int)(((uint32_t)(uint16_t)fh[7] << 16) | (uint16_t)fh[6]));
             for (int r = 0; r < h; r++) {
                 int sy = iy + r;
                 sy = sy < 0 ? 0 : (sy > last_y ? last_y : sy);
@@ -387,13 +387,13 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
          * -> ~2.5.  Taps and pixels both fit i16. */
         if (inside && (w & 15) == 0) {
             const __m256i c01 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]);
+                (int)(((uint32_t)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]));
             const __m256i c23 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]);
+                (int)(((uint32_t)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]));
             const __m256i c45 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]);
+                (int)(((uint32_t)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]));
             const __m256i c67 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]);
+                (int)(((uint32_t)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]));
             for (int r = 0; r < h; r++) {
                 for (int c = 0; c < w; c += 16) {
                     __m256i w0 = _mm256_cvtepu8_epi16(_mm_loadu_si128(
@@ -492,13 +492,13 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
         if (inside && w == 8) {
             /* 8-px SSE variant of the same madd kernel */
             const __m128i c01 = _mm_set1_epi32(
-                ((int)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]);
+                (int)(((uint32_t)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]));
             const __m128i c23 = _mm_set1_epi32(
-                ((int)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]);
+                (int)(((uint32_t)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]));
             const __m128i c45 = _mm_set1_epi32(
-                ((int)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]);
+                (int)(((uint32_t)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]));
             const __m128i c67 = _mm_set1_epi32(
-                ((int)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]);
+                (int)(((uint32_t)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]));
             for (int r = 0; r < h; r++) {
                 __m128i w0 = _mm_cvtepu8_epi16(_mm_loadl_epi64(
                     (const __m128i *)(rows[r] + ix)));
@@ -648,13 +648,13 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
                    |m| <= ~6k for bd 8) */
                 if ((w & 15) == 0) {
                     const __m256i c01 = _mm256_set1_epi32(
-                        ((int)(uint16_t)fh[1] << 16) | (uint16_t)fh[0]);
+                        (int)(((uint32_t)(uint16_t)fh[1] << 16) | (uint16_t)fh[0]));
                     const __m256i c23 = _mm256_set1_epi32(
-                        ((int)(uint16_t)fh[3] << 16) | (uint16_t)fh[2]);
+                        (int)(((uint32_t)(uint16_t)fh[3] << 16) | (uint16_t)fh[2]));
                     const __m256i c45 = _mm256_set1_epi32(
-                        ((int)(uint16_t)fh[5] << 16) | (uint16_t)fh[4]);
+                        (int)(((uint32_t)(uint16_t)fh[5] << 16) | (uint16_t)fh[4]));
                     const __m256i c67 = _mm256_set1_epi32(
-                        ((int)(uint16_t)fh[7] << 16) | (uint16_t)fh[6]);
+                        (int)(((uint32_t)(uint16_t)fh[7] << 16) | (uint16_t)fh[6]));
                     for (int c = 0; c < w; c += 16) {
                         __m256i w0 = _mm256_cvtepu8_epi16(
                             _mm_loadu_si128(
@@ -747,13 +747,13 @@ static void predict_inter_u16_impl(const pel *ref, int rw, int rh,
            widening needed; |fv*m| pair sums fit i32) */
         if ((w & 15) == 0) {
             const __m256i c01 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]);
+                (int)(((uint32_t)(uint16_t)fv[1] << 16) | (uint16_t)fv[0]));
             const __m256i c23 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]);
+                (int)(((uint32_t)(uint16_t)fv[3] << 16) | (uint16_t)fv[2]));
             const __m256i c45 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]);
+                (int)(((uint32_t)(uint16_t)fv[5] << 16) | (uint16_t)fv[4]));
             const __m256i c67 = _mm256_set1_epi32(
-                ((int)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]);
+                (int)(((uint32_t)(uint16_t)fv[7] << 16) | (uint16_t)fv[6]));
             for (int r = 0; r < h; r++) {
                 const int16_t *restrict m = mid + r * w;
                 for (int c = 0; c < w; c += 16) {
